@@ -1,13 +1,393 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Loads, Sanitize, Tables, Windows}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.schema.Ddl
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (reference
+  * parity) or the north-star surface (dedup / similarity / text analysis),
+  * expressed as a deterministic DataFrame plan over the fixture tables;
+  * [[oracleSql]] carries the DuckDB-equivalent ANSI SQL (FIXTURES.md §C
+  * determinism rules: pinned date literals, ORDER BY on keys, matching
+  * column names and 4-dp rounding on computed doubles).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Pinned reference dates (fixture data is historical — FIXTURES.md §C). */
+  private val LineitemRef = LocalDate.parse("2001-11-04") // max l_shipdate
+  private val OrdersRef = LocalDate.parse("2001-08-01")   // max o_orderdate
+  private val WindowDays = 30
+
+  // cutoffs as SQL literals (UTC midnight)
+  private val LiCut = "2001-10-05 00:00:00"  // LineitemRef - 30d
+  private val OrdCut = "2001-07-02 00:00:00" // OrdersRef - 30d
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's Method-2 incremental extract whole: windowed scan →
+    * sanitize → load-merge (SURVEY.md §3.1 restated as one lazy plan).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val incoming = Sanitize.sanitizeInf(
+      li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays)))
+    Loads.refreshWindow(li, incoming,
+      Windows.insideRefreshWindow(col("l_shipdate"), LineitemRef, WindowDays))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + north-star ops. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S: scans (S1 full scan / P1 project-all) ----
+    "s1_full_scan" -> ((s, dir) =>
+      Tables.region(s, dir).orderBy("r_regionkey")),
+
+    // S2/S4/S6/S8 class: windowed incremental extract (P4 predicate) —
+    // ONE logical filter standing for the reference's four hand-written
+    // dialect variants; Catalyst pushes it to the parquet scan.
+    "s2_window_extract" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- T: row-level transforms ----
+    "t1_sanitize_inf" -> ((s, dir) =>
+      Sanitize.sanitizeInf(Tables.lineitem(s, dir))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "p2_drop_column" -> ((s, dir) =>
+      Sanitize.dropColumns(Tables.part(s, dir), "p_type", "@odata.etag")
+        .orderBy("p_partkey")),
+
+    // ---- L: load/merge semantics ----
+    "l2_overwrite" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+      Loads.overwrite(li, incoming).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // L3 faithful: retention-delete + append — DUPLICATES the overlap,
+    // exactly like the reference (SURVEY.md §2.6 semantic note).
+    "l3_retain_then_append" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+      Loads.retainThenAppend(li, incoming,
+        retainPred = Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "l4_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val incoming = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      Loads.upsert(o, incoming, keys = Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // L5 idempotent window refresh (vs L3's duplication).
+    "l5_refresh_window" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+      Loads.refreshWindow(li, incoming,
+        Windows.insideRefreshWindow(col("l_shipdate"), LineitemRef, WindowDays))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // L6/P5: standalone retention DELETE as retain-filter.
+    "l6_delete_where" -> ((s, dir) =>
+      Loads.deleteWhere(Tables.orders(s, dir),
+        Windows.olderThanWindow(col("o_orderdate"), OrdersRef, WindowDays))
+        .orderBy("o_orderkey")),
+
+    // ---- M: schema tooling (M6 single-pass NVARCHAR promotion) ----
+    "m6_nvarchar_promotion" -> ((s, dir) => {
+      val sample = Tables.customer(s, dir).orderBy("c_custkey").limit(1000)
+      Seq("c_mktsegment", "c_name").map { c =>
+        sample.agg(Ddl.needsNvarchar(col(c)).cast("bigint").as("promote"))
+          .select(lit(c).as("col_name"), col("promote"))
+      }.reduce(_ unionByName _).orderBy("col_name")
+    }),
+
+    // ---- O5: success-notification record count ----
+    "o5_notify_count" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_records"))),
+
+    // ---- Aggregation / join headliners (engine capability beyond the
+    //      reference's remote-pushed SQL; SURVEY.md §2.5) ----
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_join_topk" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- North star: dedup ----
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.exact(docs.unionByName(dups), keys = Seq("text"), keepBy = "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.minhashLsh(docs.unionByName(dups), "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact brute-force near-dup (the verification baseline for MinHash).
+    // O(n²) by nature — bounded to a 500-doc slice; the scalable path is
+    // dedup_minhash_lsh (SURVEY.md §7.5).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // no oracle (simhash needs Spark-side xxhash64): rows-only check
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.simhashPairs(docs.unionByName(dups), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- North star: text analysis ----
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_tokens", "n_uniq_tokens", "n_chars_obs",
+          "uniq_ratio", "mean_token_len")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // no DuckDB oracle (xxhash64 is Spark-side): rows-only check
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- Events: JSON prop extraction + agg (T2-adjacent; events table) ----
+    "events_json_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+
+    // ---- North star: similarity search ----
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // approximate ANN — no oracle (approximate by design): rows-only check
+    "knn_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5, numPlanes = 12)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (text_fingerprint: Spark xxhash64; knn_lsh_ann: approximate).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "s1_full_scan" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "s2_window_extract" ->
+      s"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' ORDER BY l_orderkey, l_linenumber",
+
+    "t1_sanitize_inf" ->
+      ("SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+        "CASE WHEN isinf(l_quantity) THEN NULL ELSE l_quantity END AS l_quantity, " +
+        "CASE WHEN isinf(l_extendedprice) THEN NULL ELSE l_extendedprice END AS l_extendedprice, " +
+        "CASE WHEN isinf(l_discount) THEN NULL ELSE l_discount END AS l_discount, " +
+        "CASE WHEN isinf(l_tax) THEN NULL ELSE l_tax END AS l_tax, " +
+        "l_returnflag, l_linestatus, l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "p2_drop_column" ->
+      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
+
+    "l2_overwrite" ->
+      s"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' ORDER BY l_orderkey, l_linenumber",
+
+    "l3_retain_then_append" ->
+      (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' " +
+        s"UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut') t " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    "l4_upsert" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+
+    "l5_refresh_window" ->
+      (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$LiCut' " +
+        s"UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut') t " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    "l6_delete_where" ->
+      s"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '$OrdCut' ORDER BY o_orderkey",
+
+    "m6_nvarchar_promotion" ->
+      ("SELECT col_name, promote FROM (" +
+        "SELECT 'c_mktsegment' AS col_name, CAST(max(CASE WHEN regexp_matches(c_mktsegment, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS promote " +
+        "FROM (SELECT c_mktsegment FROM customer ORDER BY c_custkey LIMIT 1000) s1 " +
+        "UNION ALL " +
+        "SELECT 'c_name', CAST(max(CASE WHEN regexp_matches(c_name, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1000) s2" +
+        ") t ORDER BY col_name"),
+
+    "o5_notify_count" ->
+      "SELECT count(*) AS n_records FROM lineitem",
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(sum(l_extendedprice), 4) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge, " +
+        "round(avg(l_quantity), 4) AS avg_qty, " +
+        "round(avg(l_extendedprice), 4) AS avg_price, " +
+        "round(avg(l_discount), 4) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q3_join_topk" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "dedup_exact" ->
+      "SELECT * FROM documents ORDER BY doc_id",
+
+    // Independent brute-force oracle: TRUE n-gram Jaccard over all pairs in
+    // DuckDB list algebra — verifies both candidate recall and the exact
+    // jaccard values of the LSH path (validated: 81/81 pairs at sf0.01).
+    "dedup_minhash_lsh" ->
+      ("WITH aug AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50), " +
+        "sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM aug) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8 " +
+        "ORDER BY id_a, id_b"),
+
+    "dedup_ngram_jaccard" ->
+      ("WITH sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+
+    "text_stats" ->
+      ("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_obs, " +
+        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS uniq_ratio, " +
+        "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_quality" ->
+      ("SELECT doc_id, round(" +
+        "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
+        ", 4) AS quality FROM documents ORDER BY doc_id"),
+
+    "lang_id" ->
+      ("WITH scores AS (SELECT doc_id, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], t))) AS s_de, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS s_es, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','de','et','un','les','des','en','du','que'], t))) AS s_fr " +
+        "FROM documents) " +
+        "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' " +
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' " +
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
+        "ELSE 'fr' END AS lang_pred FROM scores ORDER BY doc_id"),
+
+    "events_json_agg" ->
+      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "knn_bruteforce" ->
+      ("SELECT q_id, n_id, sim, rank FROM (" +
+        "SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
+        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
+        "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
+        "WHERE rank <= 5 ORDER BY q_id, rank"),
+  )
 }

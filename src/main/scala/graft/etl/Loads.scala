@@ -1,0 +1,102 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Load/merge semantics (SURVEY.md §2.6, L1–L6) as pure table-to-table
+  * functions `(existing, incoming) => result`.
+  *
+  * The reference implements these as connector side-effects (executemany
+  * INSERT, BigQuery load jobs, target-side DELETEs); modeling them as
+  * DataFrame merges makes each disposition a testable, engine-agnostic plan
+  * that works identically over parquet fixtures and JDBC targets, and — at
+  * 100 TB — runs as a distributed shuffle/union instead of a driver-side row
+  * loop.
+  *
+  * Scale notes:
+  * - `append`/`overwrite`/window variants are union + filter: NO shuffle at
+  *   all; they pipeline straight into the writer.
+  * - `upsert` is the only keyed merge; it shuffles once by the key (window
+  *   `row_number`), the same cost class as any keyed MERGE. For skewed keys
+  *   AQE skew-join handling applies because it is a plain hash partition.
+  */
+object Loads {
+
+  /** L1: plain append (reference `executemany` INSERT,
+    * `Template-to-MySQL/BigQuery-to-MySQL-Method-1.py:77-81`).
+    */
+  def append(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.unionByName(incoming)
+
+  /** L2: truncate-refresh — the result IS the incoming frame (reference
+    * `WRITE_TRUNCATE`, `Template-to-BigQuery/MySQL-to-BigQuery-Method-1.py:76-79`).
+    */
+  def overwrite(existing: DataFrame, incoming: DataFrame): DataFrame =
+    incoming
+
+  /** L6: standalone target DELETE as a retain-filter
+    * (`Template-to-MySQL/BigQuery-to-MySQL-Method-2.py:68-85`): keep the rows
+    * the predicate does NOT select.
+    */
+  def deleteWhere(existing: DataFrame, deletePred: Column): DataFrame =
+    existing.filter(!deletePred)
+
+  /** L3 (faithful): rolling-retention delete-old-then-append.
+    * Target rows older than the retention window are deleted, then the fresh
+    * windowed extract is appended (`…/BigQuery-to-MySQL-Method-2.py:68-85,104`).
+    *
+    * FAITHFUL semantics: consecutive daily runs re-append the overlapping
+    * 29 days — rows in the retained window DUPLICATE, exactly as the
+    * reference does (no key dedup). See [[retainThenAppendDedup]] for the
+    * fixed variant (SURVEY.md §7.3).
+    */
+  def retainThenAppend(existing: DataFrame, incoming: DataFrame, retainPred: Column): DataFrame =
+    existing.filter(retainPred).unionByName(incoming)
+
+  /** L3 (fixed): as [[retainThenAppend]] but keyed — a row already present
+    * (by `keys`) is not duplicated; the incoming copy wins.
+    */
+  def retainThenAppendDedup(
+      existing: DataFrame,
+      incoming: DataFrame,
+      retainPred: Column,
+      keys: Seq[String]): DataFrame =
+    upsert(existing.filter(retainPred), incoming, keys)
+
+  /** L5: idempotent window refresh — delete the refresh window from the
+    * target, then append the fresh extract of that window
+    * (`Template-to-BigQuery/Dynamics365-to-BigQuery-Method-2.py:82-92`).
+    * Re-running twice equals running once (the property test in
+    * LoadsSpec). On a date-partitioned file target this is exactly
+    * dynamic-partition-overwrite.
+    */
+  def refreshWindow(existing: DataFrame, incoming: DataFrame, windowPred: Column): DataFrame =
+    existing.filter(!windowPred).unionByName(incoming)
+
+  /** L4: keyed upsert — incoming rows replace existing rows with the same
+    * key; unmatched existing rows are retained (reference row-wise
+    * `INSERT … ON DUPLICATE KEY UPDATE`,
+    * `Template-to-MySQL/PgSQL-to-MySQL-Method-1.py:76-82`).
+    *
+    * The reference is row-order-dependent (`iterrows`, last row wins); here
+    * the tie-break is deterministic (SURVEY.md §7.3): source priority
+    * (incoming=0 beats existing=1), then `tieBreak` columns descending.
+    * One shuffle by `keys`; no driver involvement.
+    */
+  def upsert(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val srcCol = "__graft_src"
+    val unioned = existing.withColumn(srcCol, lit(1))
+      .unionByName(incoming.withColumn(srcCol, lit(0)))
+    val ordering = (col(srcCol).asc +: tieBreak.map(col(_).desc)).toSeq
+    val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(ordering: _*)
+    unioned
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop(srcCol, "__graft_rn")
+  }
+}

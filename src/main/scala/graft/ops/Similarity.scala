@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star surface,
+  * BASELINE.json): brute-force cosine top-k as the exactness baseline, and
+  * an LSH-bucketed approximate variant as the scale path.
+  *
+  * Vector math is done with built-in higher-order functions
+  * (`zip_with`/`aggregate`) over `array<float>` columns, computed in double
+  * precision for cross-engine determinism (FIXTURES.md §C). No UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k: every query row against the whole
+    * corpus.
+    *
+    * Plan shape: the (small) query set is broadcast, so the corpus is
+    * scanned ONCE with no shuffle for the pair generation; only the
+    * per-query top-k selection shuffles, keyed by query id. Ranking orders
+    * by the ROUNDED similarity (4 dp) with id tie-break — deterministic and
+    * stable across engines (FIXTURES.md §C).
+    *
+    * At true 100 TB corpus scale the window-based selection should become a
+    * partial top-k aggregate (per-partition heaps merged associatively);
+    * the broadcast cross join side is already the scalable shape.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `d`: ±1 from a fixed hash (no RNG — reproducible across
+    * runs and engines).
+    */
+  private def planeSign(p: Int, d: Column): Column =
+    when(xxhash64(lit("plane"), lit(p), d).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH signature: `numPlanes` bits, bit p = sign of the
+    * dot product with deterministic ±1 hyperplane p.
+    */
+  def lshSignature(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: corpus and queries are bucketed by LSH signature;
+    * candidates come only from the query's bucket (plus its single-bit
+    * neighbors for recall), then exact cosine reranks. Shuffle is by bucket
+    * — the all-pairs space is never built, which is the property that
+    * matters at 100 TB.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 12): DataFrame = {
+    val qSig = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("sig", lshSignature(col("q_vec"), numPlanes))
+    val cSig = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("sig", lshSignature(col("n_vec"), numPlanes))
+    // probe buckets: exact signature + all single-bit flips (multi-probe)
+    val probes = array((lit(0L) +: (0 until numPlanes).map(p => shiftleft(lit(1L), p))): _*)
+    val qProbes = qSig.select(col("q_id"), col("q_vec"),
+      explode(transform(probes, f => col("sig").bitwiseXOR(f))).as("sig"))
+    val cands = qProbes.join(cSig, Seq("sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+}

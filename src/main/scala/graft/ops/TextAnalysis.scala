@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star surface,
+  * BASELINE.json): token counting, quality scoring, language ID,
+  * fingerprinting. Everything is built-in Column expressions — no UDFs, so
+  * the whole surface stays inside whole-stage codegen and scales linearly
+  * with input splits (no shuffle at all for the per-document operators).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish sub-token count: word-ish runs, digits, and individual
+    * punctuation each count as one token (a cheap deterministic
+    * approximation of byte-pair tokenizer output size over
+    * space-separated text).
+    */
+  def subTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => t =!= lit("") && t =!= lit(" ")))
+
+  /** Per-document text statistics block: token/char counts, distinct-token
+    * ratio, mean token length. All single-pass, shuffle-free.
+    */
+  def textStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = split(t, " ")
+    df.withColumn("n_tokens", size(tokens).cast("bigint"))
+      .withColumn("n_uniq_tokens", size(array_distinct(tokens)).cast("bigint"))
+      .withColumn("n_chars_obs", length(t).cast("bigint"))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(tokens)).cast("double") / size(tokens).cast("double"), 4))
+      .withColumn("mean_token_len",
+        round((length(t) - (size(tokens) - 1)).cast("double") / size(tokens).cast("double"), 4))
+  }
+
+  /** Quality score in [0,1]: composite of length band, punctuation ratio,
+    * stopword presence, and token diversity — the standard cheap pre-filter
+    * heuristics for web-scale corpora (cf. C4/Gopher-style rules, public
+    * literature). Deterministic, expression-only.
+    */
+  def qualityScore(text: Column): Column = {
+    val tokens = split(text, " ")
+    val nTok = size(tokens).cast("double")
+    val nonAlnum = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double")
+    val punctRatio = nonAlnum / greatest(length(text).cast("double"), lit(1.0))
+    val uniqRatio = size(array_distinct(tokens)).cast("double") / greatest(nTok, lit(1.0))
+    val stopHits = size(filter(tokens, t => t.isin(StopwordsEn: _*))).cast("double")
+    val stopRatio = stopHits / greatest(nTok, lit(1.0))
+    val lengthOk = when(nTok.between(10, 100000), lit(1.0)).otherwise(lit(0.25))
+    val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(1.0) - punctRatio)
+    val diversityOk = when(uniqRatio >= 0.1, lit(1.0)).otherwise(uniqRatio * 10.0)
+    val stopOk = least(stopRatio * lit(5.0), lit(1.0))
+    round((lengthOk * 0.3 + punctOk * 0.2 + diversityOk * 0.3 + stopOk * 0.2), 4)
+  }
+
+  // Tiny public stopword lists (frequency-top function words; public
+  // knowledge). Used for quality scoring and the language-ID heuristic.
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")
+  val StopwordsFr = Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit")
+
+  /** Stopword-hit count for one language list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
+
+  /** Language-ID heuristic: score = stopword hits per language; winner by
+    * max score with deterministic alphabetical tie-break; 'und'
+    * (undetermined) when no list scores at all. A real system uses
+    * char-n-gram models; the Spark-side shape (per-doc expression-only
+    * scoring, no shuffle) is identical.
+    */
+  def langId(text: Column): Column = {
+    val scores = Seq(
+      "de" -> stopwordHits(text, StopwordsDe),
+      "en" -> stopwordHits(text, StopwordsEn),
+      "es" -> stopwordHits(text, StopwordsEs),
+      "fr" -> stopwordHits(text, StopwordsFr))
+    val best = greatest(scores.map(_._2): _*)
+    // alphabetical order of the seq gives the deterministic tie-break
+    scores.foldRight(lit("und")) { case ((langName, score), elseCol) =>
+      when(best > 0 && score === best, lit(langName)).otherwise(elseCol)
+    }
+  }
+
+  /** Order-sensitive document fingerprint: left-fold hash chain over the
+    * token sequence (`acc_{i+1} = xxhash64(acc_i, token_i)`). Two documents
+    * with the same tokens in different order fingerprint differently —
+    * complements order-insensitive MinHash. Hash-chaining instead of a
+    * polynomial rolling hash because Spark 4's ANSI mode makes wrapping
+    * 64-bit multiply an error.
+    */
+  def fingerprint(textColName: String): Column = expr(
+    s"""
+    aggregate(
+      split($textColName, ' '),
+      cast(0 as bigint),
+      (acc, t) -> xxhash64(acc, t))
+    """)
+}
