@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Loads, Sanitize, Tables, Windows}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.schema.Ddl
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -226,11 +226,32 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- Streaming (SURVEY.md §2.9): real Structured Streaming job,
+    //      AvailableNow micro-batch; windows are epoch-aligned so the
+    //      result is batch/DuckDB-checkable ----
+    "stream_window_counts" -> ((s, dir) =>
+      graft.streaming.Incremental.windowedCounts(s, s"$dir/lineitem.parquet",
+        "l_shipdate", "l_returnflag", "l_quantity",
+        windowSec = 30L * 86400, watermark = "30 days")
+        .orderBy("window_start", "l_returnflag")),
+
+    // ---- Multimodal plumbing (STUB decoder — see Multimodal.scala):
+    //      binary payload → features → stats; rows-only check ----
+    "multimodal_decode" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeFeatures(media, "payload", dim = 8)
+        .select(col("doc_id"),
+          size(col("features")).cast("bigint").as("n_features"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
+        .orderBy("doc_id")
+    }),
+
     // approximate ANN — no oracle (approximate by design): rows-only check
     "knn_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5, numPlanes = 12)
+        "vec_id", "embedding", k = 5, numPlanes = 8)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
     }),
@@ -379,6 +400,11 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "stream_window_counts" ->
+      ("SELECT CAST(to_timestamp(CAST(floor(epoch(l_shipdate) / 2592000) AS BIGINT) * 2592000) AS TIMESTAMP) AS window_start, " +
+        "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_val " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY window_start, l_returnflag"),
 
     "knn_bruteforce" ->
       ("SELECT q_id, n_id, sim, rank FROM (" +

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, GraftSpark.Sf0001)
+
+  test("exact: keeps the min-id row per duplicate key") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "t")
+    val out = Dedup.exact(df, Seq("t"), "id").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("shingles: k-grams over tokens; short docs yield whole text") {
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("t", "id")
+    val out = df.select(Dedup.shingles(col("t"), 3).as("s")).orderBy(lit(1)).collect()
+    val all = df.orderBy("id").select(Dedup.shingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(all(0) == Seq("a b c", "b c d"))
+    assert(all(1) == Seq("a b"))
+  }
+
+  test("minhashLsh finds all exact-duplicate injected pairs with jaccard 1.0") {
+    val dups = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val out = Dedup.minhashLsh(docs.unionByName(dups), "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.8)
+    val found = out.filter(col("id_b") - col("id_a") === 1000000L && col("jaccard") === 1.0)
+    assert(found.count() == 20)
+  }
+
+  test("minhashLsh recall matches brute-force ngram jaccard on fixture docs") {
+    val slice = docs.filter(col("doc_id") < 200)
+    val brute = Dedup.ngramJaccardPairs(slice, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(slice, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute) // precision exact by construction; recall must hold here
+  }
+
+  test("simhash: identical docs have identical fingerprints; hamming 0") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different sentence with many other words")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val variant = base.replace("tok30", "changed")
+    val df = Seq((1L, base), (2L, variant)).toDF("doc_id", "text")
+    val fps = df.select(Dedup.simhash64("text")).collect().map(_.getLong(0))
+    val dist = java.lang.Long.bitCount(fps(0) ^ fps(1))
+    assert(dist <= 16, s"hamming $dist too large for near-identical docs")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def mediaDf = Tables.documents(spark, GraftSpark.Sf0001)
+    .limit(50)
+    .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  test("decodeFeatures: schema grows by features array<float> of dim, deterministic") {
+    val out = Multimodal.decodeFeatures(mediaDf, "payload", dim = 8)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "payload", "features"))
+    val feats = out.orderBy("doc_id").select("features").collect().map(_.getSeq[Float](0))
+    assert(feats.forall(_.length == 8))
+    assert(feats.forall(_.forall(f => f >= 0.0f && f < 1.0f)))
+    val again = Multimodal.decodeFeatures(mediaDf, "payload", dim = 8)
+      .orderBy("doc_id").select("features").collect().map(_.getSeq[Float](0))
+    assert(feats.toSeq == again.toSeq)
+  }
+
+  test("decodeFeatures: null payloads yield null features") {
+    val df = Seq((1L, "x"), (2L, null)).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    val out = Multimodal.decodeFeatures(df, "payload", dim = 4).orderBy("id").collect()
+    assert(out(0).getSeq[Float](2).length == 4)
+    assert(out(1).isNullAt(2))
+  }
+
+  test("frameSample explodes n deterministic frames per payload") {
+    val out = Multimodal.frameSample(mediaDf, "payload", "doc_id", n = 4)
+    assert(out.count() == 200)
+    assert(out.groupBy("doc_id").count().filter(col("count") =!= 4).isEmpty)
+  }
+
+  test("withMediaMeta attaches the typed metadata struct") {
+    val out = Multimodal.withMediaMeta(mediaDf, "payload",
+      lit("png"), lit(64), lit(64), lit(0L))
+    val meta = out.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.MediaMetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("decoded features feed straight into similarity search (pipeline composition)") {
+    val feats = Multimodal.decodeFeatures(mediaDf, "payload", dim = 8)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val topk = Similarity.bruteForceTopK(feats.filter(col("vec_id") < 3), feats,
+      "vec_id", "embedding", k = 2)
+    assert(topk.count() == 6)
+  }
+}

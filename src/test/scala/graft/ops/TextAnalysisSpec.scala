@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("tokenCount / subTokenCount") {
+    val df = Seq(("hello world", 1), ("a,b.c", 2)).toDF("t", "id")
+    val out = df.orderBy("id").select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.subTokenCount(col("t"))).collect()
+    assert(out(0).getInt(0) == 2)
+    assert(out(0).getInt(1) == 2)
+    assert(out(1).getInt(0) == 1)      // no spaces
+    assert(out(1).getInt(1) == 5)      // a , b . c
+  }
+
+  test("qualityScore is bounded in [0,1] and penalizes degenerate docs") {
+    val df = Seq(
+      ("the cat sat on the mat and it is a fine day for all of us", 1), // good
+      ("x x x x x x x x x x x x x x x x x x x x", 2),                   // no diversity-ish
+      ("!!! ??? ### $$$ %%%", 3)).toDF("t", "id")                       // punct soup
+    val out = df.orderBy("id").select(TextAnalysis.qualityScore(col("t"))).collect()
+      .map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(2), s"good ${out(0)} should beat punct soup ${out(2)}")
+  }
+
+  test("langId picks the dominant stopword language, deterministic tie-break") {
+    val df = Seq(
+      ("the cat and the dog is in the house", 1),
+      ("el perro y la casa de que un gato se", 2),
+      ("le chat et le chien les des du", 3),
+      ("der hund und die katze das ist von", 4),
+      ("zzz qqq www", 5)).toDF("t", "id")
+    val out = df.orderBy("id").select(TextAnalysis.langId(col("t"))).collect()
+      .map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(("a b c", 1), ("c b a", 2), ("a b c", 3)).toDF("t", "id")
+    val fps = df.orderBy("id").select(TextAnalysis.fingerprint("t")).collect()
+      .map(_.getLong(0))
+    assert(fps(0) != fps(1))
+    assert(fps(0) == fps(2))
+  }
+
+  test("textStats columns are consistent") {
+    val df = Seq(("aa bb aa", 0L)).toDF("text", "doc_id")
+    val r = TextAnalysis.textStats(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_uniq_tokens") == 2L)
+    assert(r.getAs[Long]("n_chars_obs") == 8L)
+    assert(r.getAs[Double]("mean_token_len") == 2.0)
+  }
+}

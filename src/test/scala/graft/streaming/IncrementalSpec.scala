@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.{Tables, Windows}
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private val ref = LocalDate.parse("2001-11-04")
+  private val liPath = s"${GraftSpark.Sf0001}/lineitem.parquet"
+
+  test("incrementalRefresh writes exactly the windowed extract; re-run is a no-op (checkpointed)") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val target = s"$tmp/target"
+    val ckpt = s"$tmp/ckpt"
+    Incremental.incrementalRefresh(spark, liPath, "l_shipdate", ref, 30, target, ckpt)
+    val expected = Tables.lineitem(spark, GraftSpark.Sf0001)
+      .filter(Windows.inWindow(col("l_shipdate"), ref, 30)).count()
+    assert(spark.read.parquet(target).count() == expected)
+    // second run: no new files -> nothing appended (exactly-once)
+    Incremental.incrementalRefresh(spark, liPath, "l_shipdate", ref, 30, target, ckpt)
+    assert(spark.read.parquet(target).count() == expected)
+  }
+
+  test("windowedCounts matches the equivalent batch aggregation") {
+    val windowSec = 30L * 86400
+    val streamed = Incremental.windowedCounts(spark, liPath,
+      "l_shipdate", "l_returnflag", "l_quantity", windowSec, "30 days")
+      .orderBy("window_start", "l_returnflag")
+    val batch = Tables.lineitem(spark, GraftSpark.Sf0001)
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .groupBy(window(col("l_shipdate"), s"$windowSec seconds"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_val"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("l_returnflag"), col("n"), col("sum_val"))
+      .orderBy("window_start", "l_returnflag")
+    assert(streamed.collect() === batch.collect())
+  }
+}
