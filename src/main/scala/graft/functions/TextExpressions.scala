@@ -1,0 +1,314 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnInterop
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native SimHash-64 over a token array (north-star dedup, SURVEY.md §7.5).
+  *
+  * Semantics: each token is hashed with xxHash64 (seed 42 — identical to
+  * Spark's `xxhash64` builtin); every one of the 64 bit positions
+  * accumulates a +1/−1 vote per token; positive-count bits set the
+  * fingerprint bit.
+  *
+  * This replaces the pure-HOF formulation (nested
+  * `aggregate`/`zip_with`/`sequence` lambdas), which is interpreted and
+  * allocates two 64-element arrays PER TOKEN. Here the 64 counters live in
+  * one stack array per row inside whole-stage codegen — the per-document
+  * signature pass is the map-side cost of SimHash dedup at corpus scale, so
+  * it must be allocation-free.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val fp = ctx.freshName("fp")
+      s"""
+        int[] $counts = new int[64];
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+            for (int $b = 0; $b < 64; $b++) {
+              if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+            }
+          }
+        }
+        long $fp = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($counts[$b] > 0) $fp |= (1L << $b);
+        }
+        ${ev.value} = $fp;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native MinHash signature over a shingle array: `numHashes` minimum values
+  * of independent hash functions, computed in ONE pass — each shingle is
+  * string-hashed once (xxHash64 seed 42), then the `numHashes` per-function
+  * values derive from cheap SplitMix64 integer mixing of that base hash
+  * (the standard one-hash-k-mixes MinHash construction; mixing constants
+  * are the published SplitMix64 ones). Replaces `numHashes` interpreted
+  * `transform` lambdas, each of which allocated an intermediate array per
+  * row.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string> or array<long> (pre-hashed), got $other")
+    }
+
+  private def elemIsLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val preHashed = elemIsLong
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base =
+          if (preHashed) arr.getLong(i)
+          else {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          }
+        var j = 0
+        while (j < numHashes) {
+          var z = base + (j + 1).toLong * 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          if (z < mins(j)) mins(j) = z
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val z = ctx.freshName("z")
+      s"""
+        long[] $mins = new long[$numHashes];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            ${
+              if (elemIsLong) s"long $base = $a.getLong($i);"
+              else s"""org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+            long $base = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);"""
+            }
+            for (int $j = 0; $j < $numHashes; $j++) {
+              long $z = $base + ((long)($j + 1)) * 0x9e3779b97f4a7c15L;
+              $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+              $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+              $z = $z ^ ($z >>> 31);
+              if ($z < $mins[$j]) $mins[$j] = $z;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native hashed word-k-shingles: each window of `k` consecutive tokens
+  * yields one 64-bit identity (xxHash64 of each token chained through the
+  * window). Shorter-than-k documents yield one hash over all tokens —
+  * matching [[graft.ops.Dedup.shingles]]' whole-text fallback.
+  *
+  * Hashed shingle identities make downstream set algebra
+  * (distinct/intersect/union for Jaccard) run over primitive longs instead
+  * of strings; Jaccard VALUES are unchanged versus string shingles short of
+  * a 2^-64 hash collision. The string-building HOF formulation
+  * (`transform`+`slice`+`array_join`) is interpreted and dominated the
+  * whole MinHash pipeline; this is one codegen'd pass.
+  */
+case class ShingleHash(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hash expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      i += 1
+    }
+    val out =
+      if (n == 0) Array.empty[Long]
+      else if (n < k) {
+        var h = 42L
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(th(j), h); j += 1 }
+        Array(h)
+      } else {
+        val m = n - k + 1
+        val o = new Array[Long](m)
+        var s = 0
+        while (s < m) {
+          var h = 42L
+          var j = s
+          while (j < s + k) { h = XXH64.hashLong(th(j), h); j += 1 }
+          o(s) = h
+          s += 1
+        }
+        o
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val th = ctx.freshName("th")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val str = ctx.freshName("str")
+      s"""
+        int $n = $a.numElements();
+        long[] $th = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { $th[$i] = 0L; }
+          else {
+            org.apache.spark.unsafe.types.UTF8String $str = $a.getUTF8String($i);
+            $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $str.getBaseObject(), $str.getBaseOffset(), $str.numBytes(), 42L);
+          }
+        }
+        long[] $out;
+        if ($n == 0) { $out = new long[0]; }
+        else if ($n < $k) {
+          long $h = 42L;
+          for (int $j = 0; $j < $n; $j++) { $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($th[$j], $h); }
+          $out = new long[]{$h};
+        } else {
+          int $m = $n - $k + 1;
+          $out = new long[$m];
+          for (int $s = 0; $s < $m; $s++) {
+            long $h = 42L;
+            for (int $j = $s; $j < $s + $k; $j++) { $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($th[$j], $h); }
+            $out[$s] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** SimHash-64 fingerprint of a token-array column. */
+  def simhash64(tokens: Column): Column =
+    ColumnInterop.column(SimHash64(ColumnInterop.expression(tokens)))
+
+  /** MinHash signature (array<long> of length numHashes) of a shingle-array
+    * column (array<string> or pre-hashed array<long>).
+    */
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnInterop.column(MinHashSig(ColumnInterop.expression(shingles), numHashes))
+
+  /** Hashed word-k-shingles (array<long>) of a token-array column. */
+  def shingle_hash(tokens: Column, k: Int): Column =
+    ColumnInterop.column(ShingleHash(ColumnInterop.expression(tokens), k))
+}

@@ -33,8 +33,10 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** Word k-shingles of a text column (space-tokenized). Documents shorter
-    * than k tokens yield their whole text as a single shingle.
+  /** Word k-shingles of a text column (space-tokenized), as strings.
+    * Documents shorter than k tokens yield their whole text as a single
+    * shingle. Interpreted HOFs — readable reference form; the hot paths use
+    * [[shingleHashes]].
     */
   def shingles(text: Column, k: Int): Column = {
     val tokens = split(text, " ")
@@ -44,29 +46,36 @@ object Dedup {
           i => array_join(slice(tokens, i + 1, lit(k)), " ")))
   }
 
+  /** Hashed word k-shingles (array<long>, native codegen'd expression
+    * [[graft.functions.ShingleHash]]): same shingle identities as
+    * [[shingles]] for set algebra (distinct/intersect/union) short of a
+    * 2^-64 collision, an order of magnitude cheaper.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.shingle_hash(split(text, " "), k)
+
   /** MinHash signature over a shingle array: `numHashes` independent hash
-    * functions realized as `xxhash64(seed_i, shingle)` with fixed integer
-    * seeds (deterministic — no RNG), each contributing its minimum.
+    * functions (one xxHash64 per shingle + SplitMix64 mixing per function —
+    * native codegen'd expression, [[graft.functions.MinHashSig]]), each
+    * contributing its minimum. Deterministic — no RNG.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.functions.TextFunctions.minhash_sig(shingleCol, numHashes)
 
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle → minhash signature (`bands*rowsPerBand` hashes) →
-    * band buckets (`xxhash64` of each signature band) → self-join on
-    * (band, bucket) for candidates → exact Jaccard on distinct shingle sets
-    * → filter `>= threshold`.
+    * band buckets (`xxhash64` of each signature band) → group ids per
+    * (band, bucket) and explode ordered pairs → exact Jaccard on distinct
+    * shingle sets → filter `>= threshold`.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
     *
-    * At 100 TB the only shuffles are by bucket id (candidate generation) and
-    * the candidate dedup; the quadratic pair space is never built. Giant
-    * buckets from degenerate content are the known skew risk — AQE skew
-    * handling applies to the join; a bucket-size cap is the round-2
-    * refinement.
+    * At 100 TB the shuffles are: one by bucket id (candidate aggregation),
+    * one pair-distinct, two slim id-keyed joins to re-attach shingle sets —
+    * the quadratic pair space is never built and the signature subtree is
+    * computed exactly once (no self-join, no persist). Giant buckets from
+    * degenerate content are the skew risk: cap with `maxBucket`.
     */
   def minhashLsh(
       df: DataFrame,
@@ -75,12 +84,13 @@ object Dedup {
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df.select(
-        col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleK)).as("shingle_set"))
-      .withColumn("sig", minhashSignature(col("shingle_set"), numHashes))
+    val withSets = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+    val withSig = withSets.withColumn("sig", minhashSignature(col("shingle_set"), numHashes))
 
     val bandCols = array((0 until bands).map { j =>
       struct(
@@ -89,15 +99,34 @@ object Dedup {
           .as("bucket"))
     }: _*)
     val banded = withSig
-      .select(col("id"), col("shingle_set"), explode(bandCols).as("bb"))
-      .select(col("id"), col("shingle_set"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), explode(bandCols).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("shingle_set").as("set_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("shingle_set").as("set_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "set_a", "set_b")
-      .dropDuplicates("id_a", "id_b")
+    // Candidate generation WITHOUT a self-join: one aggregation groups ids
+    // per (band, bucket), then ordered pairs explode from each bucket's id
+    // list. The signature subtree is computed exactly once (a self-join
+    // would recompute it per side or force a persist), and only slim
+    // (id_a, id_b) pairs shuffle. Degenerate mega-buckets (all-identical
+    // content) are the known skew risk: `maxBucket` caps them (dropping a
+    // bucket loses candidate recall there — set with care; dup-cliques that
+    // large are better handled by exact dedup first).
+    val pairsOfBucket = {
+      val ids = col("ids")
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+    }
+    val pairIds = banded
+      .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOfBucket).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+    val sets = withSets
+    val candidates = pairIds
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingle_set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingle_set", "set_b"), Seq("id_b"))
 
     candidates
       .withColumn("__inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
@@ -122,7 +151,7 @@ object Dedup {
     val withSets = df.select(
         col(idCol).as("id"),
         blockBy.map(col).getOrElse(lit(0)).as("__blk"),
-        array_distinct(shingles(col(textCol), shingleK)).as("shingle_set"))
+        array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
     val a = withSets.select(col("__blk"), col("id").as("id_a"), col("shingle_set").as("set_a"))
     val b = withSets.select(col("__blk"), col("id").as("id_b"), col("shingle_set").as("set_b"))
     a.join(b, Seq("__blk"))
@@ -134,13 +163,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint of a text column, as a single SQL expression
-    * (pure Catalyst HOFs — stays in expression evaluation; no UDF).
-    *
-    * Token hashes are computed once; each of the 64 bit positions
-    * accumulates +1/−1 votes; positive-vote bits set the fingerprint bit.
+  /** 64-bit SimHash fingerprint of a text column — native codegen'd
+    * expression ([[graft.functions.SimHash64]]); xxhash64(seed 42) token
+    * hashes, +1/−1 bit votes.
     */
-  def simhash64(textColName: String): Column = expr(
+  def simhash64(textColName: String): Column =
+    graft.functions.TextFunctions.simhash64(split(col(textColName), " "))
+
+  /** Pure-HOF reference formulation of [[simhash64]] — interpreted, kept as
+    * the cross-check oracle for the native expression (they must agree
+    * bit-for-bit; see DedupSpec).
+    */
+  def simhash64Hof(textColName: String): Column = expr(
     s"""
     aggregate(
       zip_with(

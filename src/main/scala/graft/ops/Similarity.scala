@@ -4,25 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
 /** Similarity search over embedding columns (north-star surface,
   * BASELINE.json): brute-force cosine top-k as the exactness baseline, and
   * an LSH-bucketed approximate variant as the scale path.
   *
-  * Vector math is done with built-in higher-order functions
-  * (`zip_with`/`aggregate`) over `array<float>` columns, computed in double
-  * precision for cross-engine determinism (FIXTURES.md §C). No UDFs.
+  * The per-pair dot product is a native codegen'd Catalyst expression
+  * ([[graft.functions.DotProduct]]) — the `zip_with`/`aggregate` HOF
+  * formulation is interpreted and allocates per pair, which dominates at
+  * O(|Q|·|C|) pairs. Norms are computed ONCE per row on each side, never
+  * per pair. Double precision throughout for cross-engine determinism
+  * (FIXTURES.md §C).
   */
 object Similarity {
 
-  /** Dot product of two array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product (native expression), accumulated in double. */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = vec_norm(a)
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision. Prefer the precomputed-norm
+    * forms in [[bruteForceTopK]]/[[lshTopK]] for per-pair use.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force exact cosine top-k: every query row against the whole
@@ -45,10 +50,13 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", vec_norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 4))
+      .withColumn("sim",
+        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -90,17 +98,20 @@ object Similarity {
       k: Int,
       numPlanes: Int = 12): DataFrame = {
     val qSig = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", vec_norm(col("q_vec")))
       .withColumn("sig", lshSignature(col("q_vec"), numPlanes))
     val cSig = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
       .withColumn("sig", lshSignature(col("n_vec"), numPlanes))
     // probe buckets: exact signature + all single-bit flips (multi-probe)
     val probes = array((lit(0L) +: (0 until numPlanes).map(p => shiftleft(lit(1L), p))): _*)
-    val qProbes = qSig.select(col("q_id"), col("q_vec"),
+    val qProbes = qSig.select(col("q_id"), col("q_vec"), col("q_norm"),
       explode(transform(probes, f => col("sig").bitwiseXOR(f))).as("sig"))
     val cands = qProbes.join(cSig, Seq("sig"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 4))
+      .withColumn("sim",
+        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

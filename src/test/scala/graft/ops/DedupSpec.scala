@@ -53,6 +53,13 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
 
+  test("native SimHash64 matches the HOF reference formulation bit-for-bit") {
+    val sample = docs.limit(200)
+    val native = sample.select(Dedup.simhash64("text")).collect().map(_.getLong(0))
+    val hof = sample.select(Dedup.simhash64Hof("text")).collect().map(_.getLong(0))
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val variant = base.replace("tok30", "changed")
