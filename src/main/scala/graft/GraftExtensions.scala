@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, MinHashSig, ShingleHash, SimHash64}
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
+  * the functions are usable from pure-SQL pipelines.
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - MinHash signature (k hashes)"),
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_hash"),
+      info("graft_shingle_hash", "graft_shingle_hash(tokens, k) - hashed word k-shingles"),
+      (args: Seq[Expression]) => ShingleHash(args(0), args(1).eval().asInstanceOf[Int])))
+  }
+}
+
+/** Same registrations for an ALREADY-RUNNING session (tests, REPL). */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    put("graft_dot", args => DotProduct(args(0), args(1)))
+    put("graft_simhash64", args => SimHash64(args.head))
+    put("graft_minhash_sig", args => MinHashSig(args(0), args(1).eval().asInstanceOf[Int]))
+    put("graft_shingle_hash", args => ShingleHash(args(0), args(1).eval().asInstanceOf[Int]))
+  }
+}

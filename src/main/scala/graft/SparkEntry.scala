@@ -146,6 +146,48 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
+    "m1_introspect" -> ((s, dir) =>
+      graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
+        .orderBy("ordinal_position")),
+
+    // ---- Window-function analytics (beyond-parity §2.5 surface) ----
+    // Sessionization: 30-min-gap sessions per user over the events stream.
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("new_sess").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // Per-group top-k: top-3 parts by revenue within each brand.
+    "topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
+      rev.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .orderBy("p_brand", "rank")
+    }),
+
+    // Rollup aggregation (multi-level grouping sets).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // ---- North star: dedup ----
     "dedup_exact" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -333,6 +375,34 @@ object SparkEntry {
         "AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "m1_introspect" ->
+      ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +
+        "('l_orderkey', 1, 'BIGINT', 'YES'), ('l_partkey', 2, 'BIGINT', 'YES'), " +
+        "('l_suppkey', 3, 'BIGINT', 'YES'), ('l_linenumber', 4, 'INTEGER', 'YES'), " +
+        "('l_quantity', 5, 'DOUBLE', 'YES'), ('l_extendedprice', 6, 'DOUBLE', 'YES'), " +
+        "('l_discount', 7, 'DOUBLE', 'YES'), ('l_tax', 8, 'DOUBLE', 'YES'), " +
+        "('l_returnflag', 9, 'VARCHAR', 'YES'), ('l_linestatus', 10, 'VARCHAR', 'YES'), " +
+        "('l_shipdate', 11, 'TIMESTAMP', 'YES')" +
+        ") t(column_name, ordinal_position, data_type, is_nullable) ORDER BY ordinal_position"),
+
+    "events_sessionize" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+        "FROM x GROUP BY user_id ORDER BY user_id"),
+
+    "topk_per_group" ->
+      ("SELECT p_brand, p_partkey, revenue, rank FROM (" +
+        "SELECT p_brand, p_partkey, revenue, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rank FROM (" +
+        "SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey) r) t " +
+        "WHERE rank <= 3 ORDER BY p_brand, rank"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
 
     "dedup_exact" ->
       "SELECT * FROM documents ORDER BY doc_id",

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Tables
+import graft.functions.VectorFunctions
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = GraftSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("graft_dot is callable from SQL and matches the Column API") {
+    Tables.embeddings(spark, GraftSpark.Sf0001).limit(20).createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql("SELECT graft_dot(embedding, embedding) AS d FROM emb_ext ORDER BY vec_id")
+      .collect().map(_.getDouble(0))
+    val viaApi = spark.table("emb_ext").orderBy("vec_id")
+      .select(VectorFunctions.vec_dot(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("graft_simhash64 / graft_shingle_hash / graft_minhash_sig from SQL") {
+    val r = spark.sql(
+      """SELECT graft_simhash64(split('a b c', ' ')) AS sh,
+        |       graft_shingle_hash(split('a b c d', ' '), 2) AS sg,
+        |       graft_minhash_sig(split('a b c', ' '), 4) AS mh""".stripMargin).head()
+    assert(r.getSeq[Long](1).length == 3)
+    assert(r.getSeq[Long](2).length == 4)
+  }
+}
