@@ -225,11 +225,43 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // embedding-space near-dup: LSH-bucketed candidates, exact cosine verify
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Dedup.embeddingCosinePairs(emb.unionByName(dups), "vec_id", "embedding",
+        threshold = 0.95, lshPlanes = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // typed Aggregator: per-label embedding centroid (first 4 dims shown)
+    "embedding_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      graft.ops.Vectors.centroids(ds, 64).toDF("label", "centroid")
+        .select(col("label"),
+          round(element_at(col("centroid"), 1), 4).as("c1"),
+          round(element_at(col("centroid"), 2), 4).as("c2"),
+          round(element_at(col("centroid"), 3), 4).as("c3"),
+          round(element_at(col("centroid"), 4), 4).as("c4"))
+        .orderBy("label")
+    }),
+
     // ---- North star: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(Tables.documents(s, dir), "text")
         .select("doc_id", "n_tokens", "n_uniq_tokens", "n_chars_obs",
           "uniq_ratio", "mean_token_len")
+        .orderBy("doc_id")),
+
+    // token counting: whitespace + BPE-ish sub-tokens
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+          TextAnalysis.subTokenCount(col("text")).cast("bigint").as("n_subtokens"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
@@ -452,6 +484,29 @@ object SparkEntry {
         "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
         "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+
+    "dedup_embedding_cosine" ->
+      ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine " +
+        "FROM aug a, aug b WHERE a.vec_id < b.vec_id " +
+        "AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95 " +
+        "ORDER BY id_a, id_b"),
+
+    "embedding_centroids" ->
+      ("SELECT label, round(avg(embedding[1]), 4) AS c1, round(avg(embedding[2]), 4) AS c2, " +
+        "round(avg(embedding[3]), 4) AS c3, round(avg(embedding[4]), 4) AS c4 " +
+        "FROM embeddings GROUP BY label ORDER BY label"),
+
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens " +
+        "FROM documents ORDER BY doc_id"),
 
     "text_stats" ->
       ("SELECT doc_id, " +

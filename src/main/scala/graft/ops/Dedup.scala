@@ -189,6 +189,34 @@ object Dedup {
       (acc, v) -> acc + v)
     """)
 
+  /** Embedding-cosine near-duplicate pairs: rows whose embedding cosine
+    * similarity is ≥ `threshold`. Candidate generation reuses the
+    * random-hyperplane LSH bucketing from [[Similarity]] when
+    * `lshPlanes > 0` (scale path: only bucket-colliding pairs compare);
+    * `lshPlanes = 0` compares all pairs (exactness baseline — small inputs
+    * only). Returns (id_a, id_b, cosine) with id_a < id_b.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      lshPlanes: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", vec_norm(col("vec")))
+    val withBucket =
+      if (lshPlanes > 0) base.withColumn("sig", Similarity.lshSignature(col("vec"), lshPlanes))
+      else base.withColumn("sig", lit(0L))
+    val a = withBucket.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withBucket.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(vec_dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

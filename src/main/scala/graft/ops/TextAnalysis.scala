@@ -14,15 +14,15 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
-  /** BPE-ish sub-token count: word-ish runs, digits, and individual
-    * punctuation each count as one token (a cheap deterministic
-    * approximation of byte-pair tokenizer output size over
-    * space-separated text).
+  /** BPE-ish sub-token count: alphanumeric runs and individual
+    * non-space punctuation each count as one token (a cheap deterministic
+    * approximation of byte-pair tokenizer output size). RE2-compatible
+    * pattern (no lookarounds) so the DuckDB oracle computes the identical
+    * value.
     */
+  val SubTokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
   def subTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => t =!= lit("") && t =!= lit(" ")))
+    size(regexp_extract_all(text, lit(SubTokenPattern), lit(0)))
 
   /** Per-document text statistics block: token/char counts, distinct-token
     * ratio, mean token length. All single-pass, shuffle-free.

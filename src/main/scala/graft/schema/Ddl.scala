@@ -63,6 +63,54 @@ object Ddl {
     stringCols.zipWithIndex.map { case (c, i) => c -> (row.getInt(i) == 1) }.toMap
   }
 
+  /** Inverse of [[schemaToDdl]]: parse generated `CREATE TABLE` text back
+    * into a StructType (property-tested round trip, SURVEY.md §5.3). The
+    * mapping is lossy where dialects merge Spark types (e.g. SQL Server
+    * `FLOAT` covers DoubleType); the inverse picks the canonical wider
+    * type, and the round-trip property is stated over the types that map
+    * 1:1 per dialect.
+    */
+  def ddlToSchema(ddl: String, dialect: SqlDialect): StructType = {
+    val body = ddl.substring(ddl.indexOf('(') + 1, ddl.lastIndexOf(')'))
+    val colLines = body.split(",\n").map(_.trim).filter(_.nonEmpty)
+    val identRe = dialect match {
+      case SqlDialect.SqlServer => """\[([^\]]+)\]\s+(.+)""".r
+      case SqlDialect.Postgres  => "\"([^\"]+)\"\\s+(.+)".r
+      case _                    => """`([^`]+)`\s+(.+)""".r
+    }
+    StructType(colLines.map { line =>
+      val identRe(name, rest0) = line: @unchecked
+      val notNull = rest0.endsWith(" NOT NULL")
+      val typeStr = (if (notNull) rest0.dropRight(" NOT NULL".length) else rest0).trim
+      val (dt, meta) = parseType(typeStr)
+      StructField(name, dt, nullable = !notNull, metadata = meta)
+    })
+  }
+
+  private val VarcharRe = """(?i)(N?)VARCHAR\((\d+)\)""".r
+  private val DecimalRe = """(?i)DECIMAL\((\d+),\s*(\d+)\)""".r
+
+  private def parseType(t: String): (DataType, Metadata) = t match {
+    case VarcharRe(n, w) =>
+      val b = new MetadataBuilder().putLong(TypeMap.WidthKey, w.toLong)
+      if (n.nonEmpty) b.putBoolean(TypeMap.NvarcharKey, true)
+      (StringType, b.build())
+    case DecimalRe(p, s) => (DecimalType(p.toInt, s.toInt), Metadata.empty)
+    case other => (other.toUpperCase match {
+      case "BIGINT" | "INT64"               => LongType
+      case "INT" | "INTEGER"                => IntegerType
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT64" | "FLOAT" => DoubleType
+      case "REAL"                           => FloatType
+      case "BIT" | "TINYINT(1)" | "BOOLEAN" | "BOOL" => BooleanType
+      case "DATETIME" | "TIMESTAMP"         => TimestampType
+      case "DATE"                           => DateType
+      case "NUMERIC" | "BIGNUMERIC"         => DecimalType(38, 9)
+      case "VARBINARY(MAX)" | "LONGBLOB" | "BYTEA" | "BYTES" => BinaryType
+      case "STRING"                         => StringType
+      case _                                => StringType
+    }, Metadata.empty)
+  }
+
   /** Stamp [[nvarcharPromotions]] results into the schema's column metadata
     * so [[schemaToDdl]] picks them up.
     */
