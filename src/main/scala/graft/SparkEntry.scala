@@ -340,6 +340,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // custom-state streaming (flatMapGroupsWithState): same result contract
+    // as the batch events_sessionize, so it shares that oracle
+    "stream_stateful_sessions" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.statefulSessionCounts(
+        s, s"$dir/events.parquet", "ts", "user_id", gapUs = 1800L * 1000000)
+        .orderBy("user_id")
+    }),
+
+    // IVF approximate ANN — no oracle (approximate by design): rows-only
+    "knn_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4, lloydIters = 1)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
     // approximate ANN — no oracle (approximate by design): rows-only check
     "knn_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -539,6 +557,12 @@ object SparkEntry {
         "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
         "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
         "ELSE 'fr' END AS lang_pred FROM scores ORDER BY doc_id"),
+
+    "stream_stateful_sessions" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+        "FROM x GROUP BY user_id ORDER BY user_id"),
 
     "events_json_agg" ->
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +

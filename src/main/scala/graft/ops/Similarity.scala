@@ -84,6 +84,91 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the cluster-probing ANN
+    * alternative to [[lshTopK]].
+    *
+    * Index build: `nlist` centroids seeded deterministically (first vectors
+    * by id — no RNG) and refined with `lloydIters` k-means passes, each one
+    * broadcast-assign + groupBy-average (map-side partial; centroids never
+    * exceed driver memory — nlist × dim doubles). Corpus rows are assigned
+    * to their nearest centroid (the inverted lists).
+    *
+    * Query: each query probes its `nprobe` nearest centroids; candidates
+    * are only the corpus rows in those lists (a bucket equi-join — the
+    * all-pairs space is never built), then exact cosine reranks.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
+
+    // deterministic seeds: first nlist vectors by id
+    var centroids: Array[(Int, Array[Double])] = c.orderBy("n_id").limit(nlist)
+      .select("n_vec").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).zipWithIndex.map(_.swap)
+
+    def centroidDf = spark.createDataset(centroids.toSeq.map { case (i, v) => (i, v) })
+      .toDF("cluster", "c_vec")
+      .withColumn("c_norm", vec_norm(col("c_vec")))
+
+    def assign(df: DataFrame, vecC: String, normC: String): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__sim").desc, col("cluster").asc)
+      df.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(broadcast(centroidDf))
+        .withColumn("__sim", vec_dot(col(vecC), col("c_vec")) / (col(normC) * col("c_norm")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rid", "__sim", "__rn", "c_vec", "c_norm")
+    }
+
+    // Lloyd refinement: recompute centroids as cluster means
+    (0 until lloydIters).foreach { _ =>
+      val assigned = assign(c, "n_vec", "n_norm")
+      // element-wise mean per cluster: explode dims, average, re-assemble
+      // in dimension order (map-side partial on (cluster, dim))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("n_vec")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      if (means.nonEmpty) centroids = means
+    }
+
+    val lists = assign(c, "n_vec", "n_norm") // corpus with final cluster ids
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", vec_norm(col("q_vec")))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("__sim", vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cluster"))
+
+    val cands = probes.join(lists, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim",
+        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
   /** Approximate top-k: corpus and queries are bucketed by LSH signature;
     * candidates come only from the query's bucket (plus its single-bit
     * neighbors for recall), then exact cosine reranks. Shuffle is by bucket

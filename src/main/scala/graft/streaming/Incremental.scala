@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.etl.{Sanitize, Windows}
 
@@ -99,5 +99,65 @@ object Incremental {
     spark.table(qName)
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col(keyCol), col("n"), col("sum_val"))
+  }
+
+  /** One event for stateful sessionization. */
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  /** Per-user session summary emitted by [[statefulSessionCounts]]. */
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+  /** Per-user session state (public: encoder codegen needs constructor access). */
+  case class SessState(nEvents: Long, nSessions: Long, lastTsUs: Long)
+
+  /** Custom-state streaming: per-user session counting with
+    * `flatMapGroupsWithState` — the arbitrary-state surface
+    * (`KeyValueGroupedDataset`) for session logic that windowed aggregation
+    * can't express. A new session starts when a user's gap exceeds
+    * `gapUs`. State is one tiny record per user, evicted here only at
+    * query end (bounded input; production adds a state timeout).
+    *
+    * Returns the completed result for a bounded parquet input (one
+    * AvailableNow micro-batch). Events must arrive time-ordered per user
+    * within the batch (sorted input or low-traffic keys); the batch
+    * equivalent is the `events_sessionize` declared query.
+    */
+  def statefulSessionCounts(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      userCol: String,
+      gapUs: Long): DataFrame = {
+    import spark.implicits._
+    val src = streamSource(spark, srcPath)
+    // events.ts streams as raw nanos (LongType, nanosAsLong) — µs = ns div 1000;
+    // genuine timestamp columns go through unix_micros
+    val tsUs = src.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+    val in = src
+      .select(col(userCol).cast("long").as("user_id"), tsUs.as("ts_us"))
+      .as[SessionEvent]
+
+    val fn: (Long, Iterator[SessionEvent], GroupState[SessState]) => Iterator[UserSessions] =
+      (user, events, state) => {
+        var s = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
+        events.toSeq.sortBy(e => e.ts_us).foreach { e =>
+          val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
+          s = SessState(s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0), e.ts_us)
+        }
+        state.update(s)
+        Iterator.single(UserSessions(user, s.nEvents, s.nSessions))
+      }
+
+    val out = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+
+    val qName = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits one row per user per micro-batch; keep the latest
+    spark.table(qName).groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
   }
 }

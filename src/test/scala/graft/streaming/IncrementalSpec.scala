@@ -28,6 +28,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(target).count() == expected)
   }
 
+  test("statefulSessionCounts (flatMapGroupsWithState) matches batch sessionization") {
+    import graft.GraftSpark
+    val evPath = s"${GraftSpark.Sf0001}/events.parquet"
+    Tables.events(spark, GraftSpark.Sf0001) // sets nanosAsLong for the stream read
+    val streamed = Incremental.statefulSessionCounts(spark, evPath,
+      "ts", "user_id", gapUs = 1800L * 1000000)
+      .orderBy("user_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, GraftSpark.Sf0001)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("new_sess").cast("long").as("n_sessions"))
+      .orderBy("user_id")
+    assert(streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("windowedCounts matches the equivalent batch aggregation") {
     val windowSec = 30L * 86400
     val streamed = Incremental.windowedCounts(spark, liPath,
