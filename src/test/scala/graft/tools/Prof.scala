@@ -22,17 +22,17 @@ object Prof {
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      println(f"PROF $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
 
     val withSets = df.select(col("doc_id").as("id"),
-      array_distinct(Dedup.shingles(col("text"), 3)).as("shingle_set"))
-    time("shingle_only") { withSets.select(sum(size(col("shingle_set")))).head(); withSets.count() }
+      array_distinct(Dedup.shingleHashes(col("text"), 3)).as("shingle_set"))
+    time("shingle_hash") { withSets.select(sum(size(col("shingle_set")))).head(); 0L }
     val withSig = withSets.withColumn("sig", Dedup.minhashSignature(col("shingle_set"), 16))
-    time("shingle+sig") { withSig.select(sum(element_at(col("sig"), 1))).head(); 0L }
+    time("shingle+sig") { withSig.select(count(element_at(col("sig"), 1))).head(); 0L }
     val full = Dedup.minhashLsh(df, "doc_id", "text", 3, 8, 2, 0.8)
-    time("full_lsh")(full.count())
-    time("full_lsh_again")(full.count())
+    time("full_lsh_1") { full.count() }
+    time("full_lsh_2") { full.count() }
     spark.stop()
   }
 }
