@@ -146,6 +146,71 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Join chain over the dimension hierarchy (broadcast dims; the fact
+    // table streams unshuffled into the joins).
+    "q5_join_chain" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val su = Tables.supplier(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Correlated EXISTS as a left-semi join with a non-equi condition.
+    "q4_semi_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // NOT EXISTS as a left-anti join.
+    "q_anti_join" -> ((s, dir) => {
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      Tables.customer(s, dir)
+        .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Set operations: EXCEPT / INTERSECT on distinct key sets.
+    "setop_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      early.except(late).orderBy("o_custkey")
+    }),
+
+    "setop_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      early.intersect(late).orderBy("o_custkey")
+    }),
+
+    // Distinct aggregates.
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")),
+
     // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
     "m1_introspect" -> ((s, dir) =>
       graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
@@ -444,6 +509,41 @@ object SparkEntry {
         "AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q5_join_chain" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+        "JOIN supplier ON s_nationkey = n_nationkey " +
+        "JOIN lineitem ON l_suppkey = s_suppkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+
+    "q4_semi_join" ->
+      ("SELECT o_orderpriority, count(*) AS n FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') ORDER BY c_custkey"),
+
+    "setop_except" ->
+      ("SELECT o_custkey FROM (" +
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'" +
+        ") t ORDER BY o_custkey"),
+
+    "setop_intersect" ->
+      ("SELECT o_custkey FROM (" +
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'" +
+        ") t ORDER BY o_custkey"),
+
+    "q_distinct_agg" ->
+      ("SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, " +
+        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "m1_introspect" ->
       ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +
