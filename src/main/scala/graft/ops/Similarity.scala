@@ -4,7 +4,40 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Aggregator
+
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
+/** Bounded top-k buffer aggregator: keeps the k best (sim desc, id asc)
+  * scored neighbors. Associative/commutative merge ⇒ Spark runs it
+  * PARTIALLY per partition — only ≤k rows per (query, partition) cross the
+  * shuffle instead of every scored pair, which is the difference between
+  * shuffling |corpus| rows per query and shuffling k at 100 TB.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  // ordering: sim desc, then id asc (matches the window/oracle tie-break)
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size >= k && !beats(v, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(beats(_, v))
+      (pre :+ v) ++ post.take(k - pre.size - 1)
+    }
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+  override def reduce(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = insert(buf, v)
+  override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    y.foldLeft(x)(insert)
+  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
 
 /** Similarity search over embedding columns (north-star surface,
   * BASELINE.json): brute-force cosine top-k as the exactness baseline, and
@@ -29,6 +62,24 @@ object Similarity {
     * forms in [[bruteForceTopK]]/[[lshTopK]] for per-pair use.
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-query top-k selection over scored pairs (q_id, n_id, sim) via the
+    * partial [[TopKAggregator]]. Output matches the window-row_number
+    * formulation exactly (sim desc, n_id asc, ranks 1..k) at a fraction of
+    * the shuffle.
+    */
+  private[ops] def topKPerQuery(pairs: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ds = pairs.select(col("q_id"), col("sim"), col("n_id")).as[(Long, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p._2").as("n_id"), col("p._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Brute-force exact cosine top-k: every query row against the whole
     * corpus.
@@ -57,10 +108,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim",
         round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    topKPerQuery(pairs, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for plane `p`,
@@ -163,10 +211,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
       .withColumn("sim",
         round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    topKPerQuery(cands, k)
   }
 
   /** Approximate top-k: corpus and queries are bucketed by LSH signature;
@@ -197,9 +242,6 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
       .withColumn("sim",
         round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    topKPerQuery(cands, k)
   }
 }
