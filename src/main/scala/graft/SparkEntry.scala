@@ -202,6 +202,17 @@ object SparkEntry {
       early.intersect(late).orderBy("o_custkey")
     }),
 
+    // Statistical aggregates: exact interpolated median, sample stddev.
+    "q_stats_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(min("l_quantity"), 4).as("min_qty"),
+          round(max("l_quantity"), 4).as("max_qty"))
+        .orderBy("l_returnflag")),
+
     // Distinct aggregates.
     "q_distinct_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -539,6 +550,12 @@ object SparkEntry {
         "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'" +
         ") t ORDER BY o_custkey"),
+
+    "q_stats_agg" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "round(min(l_quantity), 4) AS min_qty, round(max(l_quantity), 4) AS max_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_distinct_agg" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, " +
