@@ -356,6 +356,25 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // As-of join (composed, one shuffle): each purchase event matched to
+    // the user's latest prior-or-simultaneous view event. Oracle: DuckDB's
+    // native ASOF JOIN.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts", "ts")
+        .select(
+          col("event_id").as("p_event_id"),
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_ts_us"),
+          col("r_event_id").as("view_event_id"),
+          unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
+        .orderBy("p_event_id")
+    }),
+
     // ---- Events: JSON prop extraction + agg (T2-adjacent; events table) ----
     "events_json_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -680,6 +699,14 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+
+    "events_asof_join" ->
+      ("SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_us(p.ts) AS p_ts_us, " +
+        "v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts " +
+        "ORDER BY p_event_id"),
 
     "events_json_agg" ->
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join: for every left row, attach the LATEST right
+  * row with the same key whose time is ≤ the left row's time. The staple
+  * temporal operator for joining events to the most recent prior state
+  * (prices, sessions, feature snapshots) that plain equi-joins can't
+  * express.
+  *
+  * Built by COMPOSITION of built-ins (preference (a) of the custom-operator
+  * ladder — no custom SparkPlan needed): tag both sides, union, and
+  * carry-forward the last right payload with a keyed window. ONE shuffle by
+  * (key) — the same cost class as a sort-merge join, and the window sort is
+  * exactly the merge order. Skewed keys behave like any keyed window
+  * (salt or split upstream if one key dominates).
+  *
+  * Right-side ties on (key, time) are broken by the full right-row struct
+  * ordering (largest wins) — deterministic, documented (engines differ on
+  * tie choice).
+  */
+object AsOf {
+
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String = "r_",
+      inner: Boolean = true): DataFrame = {
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__ts"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col).toSeq: _*).as("__l"),
+        lit(null).cast(rType).as("__r")): _*)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"),
+        struct(right.columns.map(col).toSeq: _*).as("__r")): _*)
+
+    // at equal __ts the right row sorts first (side 0) ⇒ inclusive (≤) match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val filtered = if (inner) carried.filter(col("__match").isNotNull) else carried
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
+    filtered.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Range join: pairs (left, right) with same key and right time inside
+    * `[left time − lookback, left time]` — the windowed-neighborhood
+    * generalization of [[asOfJoin]]. Composed as an equi-join on key plus
+    * a range predicate; at scale, bucketing time into join keys
+    * (time-bucket + key) bounds the pair space.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      lookback: Column,
+      rightPrefix: String = "r_"): DataFrame = {
+    val r2 = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"$rightPrefix$c"))
+    val cond = keys.map(k => left(k) === r2(s"$rightPrefix$k")).reduce(_ && _) &&
+      r2(s"$rightPrefix$rightTime") <= left(leftTime) &&
+      r2(s"$rightPrefix$rightTime") >= left(leftTime) - lookback
+    left.join(r2, cond, "inner")
+  }
+}
