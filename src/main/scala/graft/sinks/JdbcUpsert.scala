@@ -14,21 +14,41 @@ import org.apache.spark.sql.DataFrame
   * merge ([[graft.etl.Loads.upsert]]) stays the tested surface; this is the
   * physical escape hatch for real MySQL/Postgres targets.
   *
-  * Untestable in this harness (no live DB) — compiled, not exercised.
+  * Exercised end-to-end in tests against embedded Derby (the `ansi` MERGE
+  * dialect); MySQL/Postgres dialects share the same batching path.
   */
 object JdbcUpsert {
 
-  /** Build the dialect upsert statement for one row of `cols`. */
-  private[sinks] def upsertSql(table: String, cols: Seq[String], dialect: String, keys: Seq[String]): String = {
+  /** Build the dialect upsert statement plus the column-name order its
+    * `?` placeholders bind in (dialects differ: MySQL/Postgres bind each
+    * row once; MERGE binds keys in ON, non-keys in UPDATE, all in INSERT).
+    */
+  private[sinks] def upsertSpec(
+      table: String,
+      cols: Seq[String],
+      dialect: String,
+      keys: Seq[String]): (String, Seq[String]) = {
     val collist = cols.mkString(", ")
     val placeholders = cols.map(_ => "?").mkString(", ")
+    val nonKeys = cols.filterNot(keys.contains)
     dialect match {
       case "mysql" =>
-        val updates = cols.filterNot(keys.contains).map(c => s"$c = VALUES($c)").mkString(", ")
-        s"INSERT INTO $table ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
+        val updates = nonKeys.map(c => s"$c = VALUES($c)").mkString(", ")
+        (s"INSERT INTO $table ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates",
+          cols)
       case "postgres" =>
-        val updates = cols.filterNot(keys.contains).map(c => s"$c = EXCLUDED.$c").mkString(", ")
-        s"INSERT INTO $table ($collist) VALUES ($placeholders) ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $updates"
+        val updates = nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+        (s"INSERT INTO $table ($collist) VALUES ($placeholders) ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $updates",
+          cols)
+      case "ansi" =>
+        // standard MERGE with a one-row dummy source (Derby rejects VALUES
+        // as a MERGE source; SYSIBM.SYSDUMMY1 is the portable DB2/Derby form)
+        val on = keys.map(k => s"t.$k = ?").mkString(" AND ")
+        val updates = nonKeys.map(c => s"t.$c = ?").mkString(", ")
+        (s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 s ON $on " +
+          s"WHEN MATCHED THEN UPDATE SET $updates " +
+          s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($placeholders)",
+          keys ++ nonKeys ++ cols)
       case other => throw new IllegalArgumentException(s"no upsert dialect: $other")
     }
   }
@@ -43,7 +63,8 @@ object JdbcUpsert {
       dialect: String = "mysql",
       batchSize: Int = 1000): Unit = {
     val cols = df.schema.fieldNames.toSeq
-    val sql = upsertSql(table, cols, dialect, keys)
+    val (sql, paramOrder) = upsertSpec(table, cols, dialect, keys)
+    val paramIdx = paramOrder.map(cols.indexOf).toArray
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url, user, password)
@@ -52,7 +73,7 @@ object JdbcUpsert {
           val st = conn.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+            paramIdx.zipWithIndex.foreach { case (ci, p) => st.setObject(p + 1, r.get(ci)) }
             st.addBatch()
             n += 1
             if (n % batchSize == 0) st.executeBatch()
