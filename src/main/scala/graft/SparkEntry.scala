@@ -340,6 +340,13 @@ object SparkEntry {
           TextAnalysis.subTokenCount(col("text")).cast("bigint").as("n_subtokens"))
         .orderBy("doc_id")),
 
+    // within-doc 3-gram repetition (Gopher-style quality signal)
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id")),
+
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -670,6 +677,13 @@ object SparkEntry {
         "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS uniq_ratio, " +
         "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len " +
         "FROM documents ORDER BY doc_id"),
+
+    "text_repetition" ->
+      ("SELECT doc_id, round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 4) AS rep_ratio FROM (" +
+        "SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END AS g " +
+        "FROM documents) t ORDER BY doc_id"),
 
     "text_quality" ->
       ("SELECT doc_id, round(" +

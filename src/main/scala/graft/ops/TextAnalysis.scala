@@ -66,6 +66,20 @@ object TextAnalysis {
   val StopwordsFr = Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que")
   val StopwordsDe = Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit")
 
+  /** Text normalization for dedup/canonicalization pipelines: lowercase,
+    * strip non-alphanumerics to spaces, collapse whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Within-document 3-gram repetition ratio (Gopher-style repetition
+    * signal): 1 − |distinct 3-grams| / |3-grams|. 0 = no repetition.
+    */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val grams = graft.functions.TextFunctions.shingle_hash(split(text, " "), k)
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 4)
+  }
+
   /** Stopword-hit count for one language list. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))

@@ -60,4 +60,18 @@ object Jdbc {
     */
   def overwrite(df: DataFrame, url: String, table: String, p: Properties): Unit =
     df.write.mode(SaveMode.Overwrite).option("truncate", "true").jdbc(url, table, p)
+
+  /** L6 physical: target-side DELETE passthrough (the reference's
+    * `DELETE FROM t WHERE date_trans < …` maintenance step,
+    * `Template-to-MySQL/BigQuery-to-MySQL-Method-2.py:77`). Executes on the
+    * target in its own SQL; returns deleted-row count. Driver-side single
+    * statement — the predicate does the work inside the DB, exactly like
+    * the reference.
+    */
+  def deleteWhere(url: String, table: String, predicateSql: String, p: Properties): Int = {
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      conn.createStatement().executeUpdate(s"DELETE FROM $table WHERE $predicateSql")
+    } finally conn.close()
+  }
 }

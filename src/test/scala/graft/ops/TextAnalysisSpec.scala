@@ -51,6 +51,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(2))
   }
 
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val df = Seq(("  Hello,   WORLD!! 42 ", 1)).toDF("t", "id")
+    assert(df.select(TextAnalysis.normalize(col("t"))).head().getString(0) == "hello world 42")
+  }
+
+  test("repetitionRatio: 0 for all-distinct grams, high for repeated text") {
+    val distinct = (1 to 20).map(i => s"w$i").mkString(" ")
+    val repeated = Seq.fill(10)("a b c").mkString(" ")
+    val df = Seq((distinct, 1), (repeated, 2)).toDF("t", "id")
+    val out = df.orderBy("id").select(TextAnalysis.repetitionRatio(col("t"))).collect()
+      .map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(out(1) > 0.8)
+  }
+
   test("textStats columns are consistent") {
     val df = Seq(("aa bb aa", 0L)).toDF("text", "doc_id")
     val r = TextAnalysis.textStats(df, "text").head()

@@ -54,6 +54,14 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(back.agg(sum("K")).head().getLong(0) == 5050L)
   }
 
+  test("L6 physical: target-side DELETE passthrough with rolling-retention predicate") {
+    val df = (1L to 50L).map(i => (i, i % 40)).toDF("K", "DAY_AGE")
+    Jdbc.append(df, url, "T_DEL", props)
+    val deleted = Jdbc.deleteWhere(url, "T_DEL", "DAY_AGE > 30", props)
+    assert(deleted == df.filter(col("DAY_AGE") > 30).count())
+    assert(Jdbc.read(spark, url, "T_DEL", props).count() == 50 - deleted)
+  }
+
   test("L4 physical: batched MERGE upsert via foreachPartition") {
     exec("CREATE TABLE T_UPS (K BIGINT NOT NULL PRIMARY KEY, S VARCHAR(32), V DOUBLE)")
     val initial = Seq((1L, "old", 1.0), (2L, "keep", 2.0)).toDF("K", "S", "V")
