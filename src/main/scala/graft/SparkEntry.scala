@@ -363,6 +363,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // Native session_window sessionization (same contract as the lag-based
+    // events_sessionize — shares its oracle).
+    "events_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(sum("n").as("n_events"), count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
     // As-of join (composed, one shuffle): each purchase event matched to
     // the user's latest prior-or-simultaneous view event. Oracle: DuckDB's
     // native ASOF JOIN.
@@ -711,6 +722,12 @@ object SparkEntry {
     "stream_stateful_sessions" ->
       ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+        "FROM x GROUP BY user_id ORDER BY user_id"),
+
+    "events_session_window" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
 

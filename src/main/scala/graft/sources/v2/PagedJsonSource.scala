@@ -58,13 +58,13 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
     new PagedTable(schema, properties.get("path"))
 }
 
-class PagedTable(schema: StructType, path: String) extends Table with SupportsRead {
+class PagedTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_pages($path)"
-  override def schema(): StructType = schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(schema, path)
+    new PagedScanBuilder(tableSchema, path)
 }
 
 class PagedScanBuilder(fullSchema: StructType, path: String)

@@ -101,6 +101,30 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Streaming dedup at ingest: drop rows whose `keys` were already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
+    * is bounded by event time, unlike unbounded `dropDuplicates`). The
+    * ingest-side half of the dedup story: exact/near-dup batch dedup in
+    * [[graft.ops.Dedup]] handles the corpus at rest, this handles the
+    * firehose.
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      srcPath: String,
+      keys: Seq[String],
+      tsCol: String,
+      watermark: String): DataFrame = {
+    val in = streamSource(spark, srcPath)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+    val qName = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = in.writeStream.format("memory").queryName(qName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   /** One event for stateful sessionization. */
   case class SessionEvent(user_id: Long, ts_us: Long)
   /** Per-user session summary emitted by [[statefulSessionCounts]]. */

@@ -48,6 +48,22 @@ class IncrementalSpec extends AnyFunSuite {
       batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("streamingDedup drops duplicate keys arriving within the watermark") {
+    // two copies of the same file in one source dir = every row duplicated
+    val dir = Files.createTempDirectory("graft_sdedup")
+    Files.copy(java.nio.file.Paths.get(liPath), dir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(liPath), dir.resolve("b.parquet"))
+    // watermark must exceed the fixture's 6-year event-time span: with a
+    // short horizon, rows in later micro-batches are dropped as late (the
+    // bounded-state contract working as designed)
+    val out = Incremental.streamingDedup(spark, dir.toString,
+      keys = Seq("l_orderkey", "l_linenumber"), "l_shipdate", "3000 days")
+    // fixture keys are not unique; dedup keeps one row per distinct key
+    val expected = Tables.lineitem(spark, GraftSpark.Sf0001)
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(out.count() == expected)
+  }
+
   test("windowedCounts matches the equivalent batch aggregation") {
     val windowSec = 30L * 86400
     val streamed = Incremental.windowedCounts(spark, liPath,
