@@ -627,8 +627,15 @@ object SparkEntry {
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
 
+    // genuine dedup oracle (keep min doc_id per text) — at larger SFs the
+    // fixture itself contains duplicate texts, so "just return documents"
+    // would be wrong
     "dedup_exact" ->
-      "SELECT * FROM documents ORDER BY doc_id",
+      ("WITH aug AS (SELECT * FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM aug) t " +
+        "WHERE rn = 1 ORDER BY doc_id"),
 
     // Independent brute-force oracle: TRUE n-gram Jaccard over all pairs in
     // DuckDB list algebra — verifies both candidate recall and the exact
