@@ -282,6 +282,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // pairs → deduplicated corpus (greedy keep-lowest-id over LSH pairs)
+    "dedup_near_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val aug = docs.unionByName(dups)
+      val pairs = Dedup.minhashLsh(aug, "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+      Dedup.removeNearDuplicates(aug, pairs, "doc_id").orderBy("doc_id")
+    }),
+
     // exact brute-force near-dup (the verification baseline for MinHash).
     // O(n²) by nature — bounded to a 500-doc slice; the scalable path is
     // dedup_minhash_lsh (SURVEY.md §7.5).
@@ -652,6 +663,18 @@ object SparkEntry {
         "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
         "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8 " +
         "ORDER BY id_a, id_b"),
+
+    // corpus after greedy removal of the greater id of each true >=0.8 pair
+    "dedup_near_corpus" ->
+      ("WITH aug AS (SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50), " +
+        "sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM aug), " +
+        "removed AS (SELECT DISTINCT b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8) " +
+        "SELECT * FROM aug WHERE doc_id NOT IN (SELECT id_b FROM removed) ORDER BY doc_id"),
 
     "dedup_ngram_jaccard" ->
       ("WITH sets AS (SELECT doc_id, list_distinct(" +

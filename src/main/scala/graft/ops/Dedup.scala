@@ -136,6 +136,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** From near-duplicate pairs to a deduplicated corpus: remove every row
+    * whose id appears as the GREATER member of a pair (greedy keep-lowest-id
+    * policy). On duplicate chains (a~b, b~c) this removes b and c even if
+    * a≁c — the standard aggressive policy for training corpora (true
+    * connected-components canonicalization needs iterative joins; this is
+    * one anti-join). Deterministic given deterministic pairs.
+    */
+  def removeNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Exact pairwise n-gram Jaccard similarity — the brute-force counterpart
     * of [[minhashLsh]] (its recall oracle in tests). O(n²) pair space: use
     * ONLY on small inputs or pre-blocked groups (`blockBy` restricts pairs
