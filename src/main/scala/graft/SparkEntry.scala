@@ -336,6 +336,12 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // deterministic hash split — Spark-side xxhash64, no oracle: rows-only
+    "train_test_split" -> ((s, dir) =>
+      graft.ops.Sampling.trainTestSplit(Tables.documents(s, dir), 0.2, col("doc_id"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
     // ---- North star: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(Tables.documents(s, dir), "text")

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def docs = Tables.documents(spark, GraftSpark.Sf0001)
+
+  test("trainTestSplit is disjoint, exhaustive, near the target fraction, and stable") {
+    val split = Sampling.trainTestSplit(docs, 0.2, col("doc_id"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    val frac = counts.getOrElse("test", 0L).toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"test fraction $frac far from 0.2")
+    // stability: same assignment on recompute and under corpus growth
+    val again = Sampling.trainTestSplit(docs, 0.2, col("doc_id"))
+    assert(split.exceptAll(again).isEmpty)
+    val grown = Sampling.trainTestSplit(
+      docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L)), 0.2, col("doc_id"))
+    val origAssign = grown.filter(col("doc_id") < 1000000L)
+    assert(split.exceptAll(origAssign).isEmpty, "existing rows must keep their split as corpus grows")
+  }
+
+  test("stratifiedSample keeps roughly the fraction within each stratum") {
+    val sampled = Sampling.stratifiedSample(docs, col("lang"), 0.5, col("doc_id"))
+    val perLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampledPer = sampled.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      if (n >= 30) {
+        val f = sampledPer.getOrElse(lang, 0L).toDouble / n
+        assert(f > 0.25 && f < 0.75, s"stratum $lang fraction $f far from 0.5")
+      }
+    }
+  }
+}
