@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer startup otherwise lands on
+    // whichever query happens to run first, skewing its number by ~3 s
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter("l_orderkey > 0").groupBy("l_returnflag").count().collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
