@@ -53,6 +53,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
 
+  test("ngramJaccardPairs blockBy restricts pairs to equal blocks") {
+    val df = Seq(
+      (1L, "a b c d e", "en"), (2L, "a b c d e", "en"),
+      (3L, "a b c d e", "es")).toDF("doc_id", "text", "lang")
+    val blocked = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      threshold = 0.9, blockBy = Some("lang")).collect()
+    // 1-2 same block and identical; 1-3/2-3 cross-block: excluded
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val unblocked = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.9)
+    assert(unblocked.count() == 3)
+  }
+
+  test("removeNearDuplicates drops greater pair members, keeps the rest") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.removeNearDuplicates(df, pairs, "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("native SimHash64 matches the HOF reference formulation bit-for-bit") {
     val sample = docs.limit(200)
     val native = sample.select(Dedup.simhash64("text")).collect().map(_.getLong(0))
