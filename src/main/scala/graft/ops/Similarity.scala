@@ -122,6 +122,7 @@ object Similarity {
     * dot product with deterministic ±1 hyperplane p.
     */
   def lshSignature(vec: Column, numPlanes: Int): Column = {
+    require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be in [1,63], got $numPlanes")
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

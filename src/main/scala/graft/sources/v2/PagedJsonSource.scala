@@ -162,7 +162,7 @@ class PagedPartitionReader(
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(partition.filePath)
+  private val lines = scala.io.Source.fromFile(partition.filePath)(scala.io.Codec.UTF8)
   private val it = lines.getLines().filter(_.trim.nonEmpty)
     .map(mapper.readTree)
     .filter(node => pushed.forall(matches(node, _)))
