@@ -461,8 +461,10 @@ object SparkEntry {
     // ---- Multimodal plumbing (STUB decoder — see Multimodal.scala):
     //      binary payload → features → stats; rows-only check ----
     "multimodal_decode" -> ((s, dir) => {
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val media = Multimodal.resize(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", width = 64, height = 64)
       Multimodal.decodeFeatures(media, "payload", dim = 8)
         .select(col("doc_id"),
           size(col("features")).cast("bigint").as("n_features"),

@@ -59,6 +59,21 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize STUB: a real implementation decodes, scales to
+    * `width`×`height`, and re-encodes the payload; here the payload passes
+    * through (no codecs in this environment) and the metadata struct is
+    * updated — the schema/plumbing contract downstream operators rely on.
+    */
+  def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
+    val hasMeta = df.columns.contains("media_meta")
+    val base = if (hasMeta) df else df.withColumn("media_meta",
+      struct(lit(null).cast("string").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("bigint").as("duration_ms")))
+    base.withColumn("media_meta",
+      struct(col("media_meta.format").as("format"), lit(width).as("width"),
+        lit(height).as("height"), col("media_meta.duration_ms").as("duration_ms")))
+  }
+
   /** Pseudo frame-sampling: explode `n` evenly-spaced "frames" per payload
     * (STUB: frame content is a deterministic slice hash; a real
     * implementation samples actual video frames). Output: one row per

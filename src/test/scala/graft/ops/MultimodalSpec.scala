@@ -47,6 +47,17 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaMetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("resize updates the metadata dimensions, payload untouched") {
+    val withMeta = Multimodal.withMediaMeta(mediaDf, "payload", lit("png"), lit(256), lit(256), lit(0L))
+    val resized = Multimodal.resize(withMeta, "payload", 64, 64)
+    val r = resized.select("media_meta.width", "media_meta.height", "media_meta.format").head()
+    assert((r.getInt(0), r.getInt(1), r.getString(2)) == (64, 64, "png"))
+    assert(resized.select("payload").collect().toSeq == withMeta.select("payload").collect().toSeq)
+    // no prior metadata: struct is created
+    assert(Multimodal.resize(mediaDf, "payload", 32, 32)
+      .select("media_meta.width").head().getInt(0) == 32)
+  }
+
   test("decoded features feed straight into similarity search (pipeline composition)") {
     val feats = Multimodal.decodeFeatures(mediaDf, "payload", dim = 8)
       .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
