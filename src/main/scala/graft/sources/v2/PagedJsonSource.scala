@@ -68,10 +68,12 @@ class PagedTable(tableSchema: StructType, path: String) extends Table with Suppo
 }
 
 class PagedScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Int = -1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition(PagedScan.isSupported)
@@ -80,7 +82,10 @@ class PagedScanBuilder(fullSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = PagedScan(fullSchema, required, path, pushed)
+  // ≙ OData `$top`: each page reader stops after `limit` matching rows (a
+  // correct per-partition overapproximation; Spark applies the global limit)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def build(): Scan = PagedScan(fullSchema, required, path, pushed, limit)
 }
 
 case class PagePartition(filePath: String, pageIndex: Int) extends InputPartition
@@ -89,13 +94,15 @@ case class PagedScan(
     fullSchema: StructType,
     requiredSchema: StructType,
     path: String,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    limit: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-pages path=$path ${PagedScan.toODataFilter(pushed).map(f => s"$$filter=$f").getOrElse("")}"
+    s"graft-pages path=$path ${PagedScan.toODataFilter(pushed).map(f => s"$$filter=$f").getOrElse("")}" +
+      (if (limit >= 0) s" $$top=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -106,7 +113,7 @@ case class PagedScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PagedReaderFactory(requiredSchema, pushed)
+    PagedReaderFactory(requiredSchema, pushed, limit)
 }
 
 object PagedScan {
@@ -147,10 +154,10 @@ object PagedScan {
   }
 }
 
-case class PagedReaderFactory(requiredSchema: StructType, pushed: Array[Filter])
+case class PagedReaderFactory(requiredSchema: StructType, pushed: Array[Filter], limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagedPartitionReader(partition.asInstanceOf[PagePartition], requiredSchema, pushed)
+    new PagedPartitionReader(partition.asInstanceOf[PagePartition], requiredSchema, pushed, limit)
 }
 
 /** Reads one page (file ≙ fetched OData page), applies the pushed filters
@@ -159,13 +166,15 @@ case class PagedReaderFactory(requiredSchema: StructType, pushed: Array[Filter])
 class PagedPartitionReader(
     partition: PagePartition,
     requiredSchema: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter],
+    limit: Int = -1) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val lines = scala.io.Source.fromFile(partition.filePath)(scala.io.Codec.UTF8)
-  private val it = lines.getLines().filter(_.trim.nonEmpty)
+  private val base = lines.getLines().filter(_.trim.nonEmpty)
     .map(mapper.readTree)
     .filter(node => pushed.forall(matches(node, _)))
+  private val it = if (limit >= 0) base.take(limit) else base
   private var current: InternalRow = _
 
   private def field(node: JsonNode, name: String): Option[JsonNode] =

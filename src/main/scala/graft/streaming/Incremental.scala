@@ -101,6 +101,36 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Continuous Method-2: stream new files and MERGE-upsert each
+    * micro-batch into a JDBC target via `foreachBatch` — the reference's
+    * daily extract + `ON DUPLICATE KEY UPDATE` load
+    * (`Template-to-MySQL/PgSQL-to-MySQL-Method-2.py`) as a checkpointed
+    * exactly-once* streaming pipeline (*at-least-once delivery; the keyed
+    * MERGE makes redelivery idempotent, which is the point).
+    * `maxParallelism > 0` caps writer partitions (embedded targets with
+    * weak concurrency, e.g. Derby, need 1).
+    */
+  def streamMergeToJdbc(
+      spark: SparkSession,
+      srcPath: String,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      dialect: String,
+      user: String = "",
+      password: String = "",
+      maxParallelism: Int = 0): Unit = {
+    val in = streamSource(spark, srcPath)
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = if (maxParallelism > 0) batch.coalesce(maxParallelism) else batch
+        graft.sinks.JdbcUpsert.write(b, url, table, user, password, keys, dialect)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup at ingest: drop rows whose `keys` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is bounded by event time, unlike unbounded `dropDuplicates`). The

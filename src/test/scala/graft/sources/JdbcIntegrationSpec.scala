@@ -62,6 +62,24 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(Jdbc.read(spark, url, "T_DEL", props).count() == 50 - deleted)
   }
 
+  test("streaming Method-2: stream files, MERGE each micro-batch into JDBC; redelivery idempotent") {
+    exec("CREATE TABLE T_STREAM (K BIGINT NOT NULL PRIMARY KEY, S VARCHAR(64))")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjdbc")
+    val page1 = (1L to 20L).map(i => (i, s"v$i")).toDF("K", "S")
+    page1.coalesce(1).write.mode("overwrite").parquet(dir.resolve("p1").toString)
+    // flatten: streaming source wants one dir of files
+    val flat = java.nio.file.Files.createTempDirectory("graft_sjdbc_flat")
+    java.nio.file.Files.list(dir.resolve("p1")).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.copy(p, flat.resolve("a.parquet")))
+    graft.streaming.Incremental.streamMergeToJdbc(spark, flat.toString,
+      url, "T_STREAM", Seq("K"), "ansi", maxParallelism = 1)
+    assert(Jdbc.read(spark, url, "T_STREAM", props).count() == 20)
+    // re-run (fresh checkpoint => redelivery): MERGE keeps it idempotent
+    graft.streaming.Incremental.streamMergeToJdbc(spark, flat.toString,
+      url, "T_STREAM", Seq("K"), "ansi", maxParallelism = 1)
+    assert(Jdbc.read(spark, url, "T_STREAM", props).count() == 20)
+  }
+
   test("L4 physical: batched MERGE upsert via foreachPartition") {
     exec("CREATE TABLE T_UPS (K BIGINT NOT NULL PRIMARY KEY, S VARCHAR(32), V DOUBLE)")
     // single partition: embedded Derby handles concurrent MERGE writers

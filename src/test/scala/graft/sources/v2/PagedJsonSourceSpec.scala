@@ -54,6 +54,13 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(df.count() == (0 until 10).count(_ % 2 == 0) + (20 until 25).count(_ % 2 == 0))
   }
 
+  test("limit pushdown ($top) caps per-partition reads") {
+    val df = read.limit(4)
+    assert(df.count() == 4)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("$top=4"), s"limit should reach the scan: $scanDesc")
+  }
+
   test("full reference pipeline over the source: extract → drop etag → window filter") {
     val df = graft.etl.Sanitize.dropColumns(read, "@odata.etag")
       .filter(col("date_trans") >= "2024-01-05")
