@@ -257,6 +257,19 @@ object SparkEntry {
         .orderBy("p_brand", "rank")
     }),
 
+    // Running (cumulative) aggregate over an ordered window.
+    "q_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      val w = Window.partitionBy("l_returnflag").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.withColumn("cum_rev", round(sum("rev").over(w), 4))
+        .select("l_returnflag", "month", "rev", "cum_rev")
+        .orderBy("l_returnflag", "month")
+    }),
+
     // Rollup aggregation (multi-level grouping sets).
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -640,6 +653,13 @@ object SparkEntry {
         "SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey) r) t " +
         "WHERE rank <= 3 ORDER BY p_brand, rank"),
+
+    "q_running_total" ->
+      ("WITH monthly AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS month, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_returnflag, month, rev, " +
+        "round(sum(rev) OVER (PARTITION BY l_returnflag ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_rev " +
+        "FROM monthly ORDER BY l_returnflag, month"),
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n " +
