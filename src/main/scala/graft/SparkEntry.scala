@@ -393,6 +393,20 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // Funnel analysis: users progressing view → click → purchase in
+    // temporal order (conditional min-timestamps + ordered comparison).
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "click", col("ts"))).as("c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      m.agg(
+        sum(when(col("v").isNotNull, 1).otherwise(0)).as("n_viewed"),
+        sum(when(col("v") < col("c"), 1).otherwise(0)).as("n_clicked_after_view"),
+        sum(when(col("v") < col("c") && col("c") < col("p"), 1).otherwise(0)).as("n_full_funnel"))
+    }),
+
     // Native session_window sessionization (same contract as the lag-based
     // events_sessionize — shares its oracle).
     "events_session_window" -> ((s, dir) => {
@@ -782,6 +796,17 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+
+    "events_funnel" ->
+      ("WITH m AS (SELECT user_id, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) AS v, " +
+        "min(CASE WHEN event_type = 'click' THEN ts END) AS c, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS p " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed, " +
+        "CAST(sum(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view, " +
+        "CAST(sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel " +
+        "FROM m"),
 
     "events_session_window" ->
       ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +

@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOf {
 
+  /** @param tolerance optional maximum left−right time gap (same unit as a
+    *                   Column subtraction on the time columns, e.g. an
+    *                   interval for timestamps): matches older than the
+    *                   tolerance are discarded (pandas `merge_asof`
+    *                   semantics).
+    */
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,
@@ -31,7 +37,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightPrefix: String = "r_",
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
 
@@ -52,9 +59,15 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = lTagged.unionByName(rTagged)
+    val carried0 = lTagged.unionByName(rTagged)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // tolerance: a carried match older than (leftTime − tolerance) is void
+    val carried = tolerance.fold(carried0) { tol =>
+      carried0.withColumn("__match",
+        when(col("__match").isNotNull &&
+          col("__match")(rightTime) >= col("__ts") - tol, col("__match")))
+    }
 
     val filtered = if (inner) carried.filter(col("__match").isNotNull) else carried
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))

@@ -25,6 +25,17 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("r_v")))
   }
 
+  test("asOfJoin tolerance voids matches older than the window") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "ancient")).toDF("k", "t", "v")
+    val strict = AsOf.asOfJoin(left, right, Seq("k"), "t", "t",
+      tolerance = Some(lit(50L)))
+    assert(strict.isEmpty) // gap 90 > 50 → no match survives (inner)
+    val loose = AsOf.asOfJoin(left, right, Seq("k"), "t", "t",
+      tolerance = Some(lit(95L)))
+    assert(loose.count() == 1)
+  }
+
   test("rangeJoin bounds matches to the lookback window") {
     val left = Seq((1L, 100L, "p")).toDF("k", "t", "name")
     val right = Seq((1L, 50L, "old"), (1L, 90L, "in"), (1L, 100L, "edge"), (1L, 101L, "future"))
