@@ -202,6 +202,21 @@ object SparkEntry {
       early.intersect(late).orderBy("o_custkey")
     }),
 
+    // Scalar-function parity sweep: string, date, conditional/null
+    // built-ins evaluated identically by both engines.
+    "q_scalar_functions" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          month(col("o_orderdate")).cast("bigint").as("mo"),
+          when(col("o_totalprice") > 100000.0, lit("big")).otherwise(lit("small")).as("size_band"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+          length(col("o_orderpriority")).cast("bigint").as("prio_len"))
+        .orderBy("o_orderkey")),
+
     // Statistical aggregates: exact interpolated median, sample stddev.
     "q_stats_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -633,6 +648,17 @@ object SparkEntry {
         "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'" +
         ") t ORDER BY o_custkey"),
+
+    "q_scalar_functions" ->
+      ("SELECT o_orderkey, " +
+        "upper(substring(o_orderpriority, 1, 3)) AS prio3, " +
+        "concat_ws('|', o_orderstatus, o_orderpriority) AS tag, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS mo, " +
+        "CASE WHEN o_totalprice > 100000.0 THEN 'big' ELSE 'small' END AS size_band, " +
+        "coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open, " +
+        "CAST(length(o_orderpriority) AS BIGINT) AS prio_len " +
+        "FROM orders ORDER BY o_orderkey"),
 
     "q_stats_agg" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
