@@ -272,6 +272,17 @@ object SparkEntry {
         .orderBy("p_brand", "rank")
     }),
 
+    // Pivot: status values become columns (explicit value list keeps the
+    // schema static and the plan single-pass).
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 4))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
     // Running (cumulative) aggregate over an ordered window.
     "q_running_total" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -693,6 +704,12 @@ object SparkEntry {
         "SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey) r) t " +
         "WHERE rank <= 3 ORDER BY p_brand, rank"),
+
+    "q_pivot" ->
+      ("SELECT l_returnflag, " +
+        "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f, " +
+        "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_running_total" ->
       ("WITH monthly AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS month, " +
