@@ -388,6 +388,24 @@ object SparkEntry {
           "uniq_ratio", "mean_token_len")
         .orderBy("doc_id")),
 
+    // generator/UDTF class: explode tokens to rows, global word frequencies
+    "q_explode_wordcount" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)),
+
+    // schema'd JSON parsing (from_json → typed struct field)
+    "events_from_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy("event_type")
+        .agg(round(avg(col("j.k")), 4).as("avg_k"),
+          max(col("j.k")).as("max_k"))
+        .orderBy("event_type")),
+
     // token counting: whitespace + BPE-ish sub-tokens
     "text_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -789,6 +807,17 @@ object SparkEntry {
       ("SELECT label, round(avg(embedding[1]), 4) AS c1, round(avg(embedding[2]), 4) AS c2, " +
         "round(avg(embedding[3]), 4) AS c3, round(avg(embedding[4]), 4) AS c4 " +
         "FROM embeddings GROUP BY label ORDER BY label"),
+
+    "q_explode_wordcount" ->
+      ("SELECT word, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
+        "GROUP BY word ORDER BY n DESC, word LIMIT 20"),
+
+    "events_from_json" ->
+      ("SELECT event_type, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
