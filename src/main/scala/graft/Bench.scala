@@ -15,9 +15,14 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter("l_orderkey > 0").groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
+    // noop-sink write: executes the FULL plan (projections, sorts, every
+    // output column) — `.count()` let Catalyst prune all columns and
+    // eliminate sorts, so projection-heavy queries timed a row-count scan
+    // (round-1 verdict item 4)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

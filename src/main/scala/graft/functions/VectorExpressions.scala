@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftshim.ColumnInterop
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector-math hot path (north-star
   * similarity search, SURVEY.md §7.5).
@@ -78,6 +79,228 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic ±1 hyperplane components for random-hyperplane LSH, shared
+  * by the interpreted HOF reference form and the native [[LshSignature]]
+  * expression (they must agree bit-for-bit).
+  *
+  * Plane p, dimension i has sign +1 iff
+  * `xxhash64('plane', p, i) & 1 == 1` — exactly Spark's `xxhash64` builtin
+  * chain (seed 42, each argument's hash seeding the next). The sign tables
+  * depend only on (numPlanes, dim): they are computed once per JVM and
+  * cached, so the per-row signature cost is a pure multiply-add loop — at
+  * corpus scale the table is a few KB of effectively-broadcast state, not
+  * per-row hashing.
+  */
+object LshUtil {
+  /** Hash of the 'plane' tag string: the chained seed after xxhash64's first
+    * argument.
+    */
+  private val PlaneTag: Long = {
+    val s = UTF8String.fromString("plane")
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  }
+
+  /** Seed for plane p (= xxhash64 chain after arguments 'plane', p). */
+  def planeSeed(p: Int): Long = XXH64.hashInt(p, PlaneTag)
+
+  // per-plane sign rows, grown to the largest dimension seen; values are a
+  // pure function of (p, i) so concurrent recomputation is benign
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  /** ±1.0 signs for plane p, dimensions [0, dim). Returned array may be
+    * longer than dim.
+    */
+  def signRow(p: Int, dim: Int): Array[Double] = {
+    val cur = cache.get(p)
+    if (cur != null && cur.length >= dim) cur
+    else {
+      val n = math.max(64, Integer.highestOneBit(math.max(dim - 1, 1)) * 2)
+      val seed = planeSeed(p)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if ((XXH64.hashInt(i, seed) & 1L) == 1L) 1.0 else -1.0
+        i += 1
+      }
+      cache.put(p, out)
+      out
+    }
+  }
+}
+
+/** Native random-hyperplane LSH signature: bit p (of `numPlanes`) is the
+  * sign of the projection of the vector onto deterministic ±1 hyperplane p.
+  *
+  * Replaces the interpreted `zip_with` + `aggregate` + per-element
+  * `xxhash64` HOF formulation (numPlanes × dim lambda dispatches and a
+  * transient array per row — the round-1 bench's top cost). Here the signs
+  * come from the JVM-cached [[LshUtil]] table and the projection is a tight
+  * primitive loop inside whole-stage codegen. Bit-identical to the HOF form
+  * (same hash chain, same left-to-right double accumulation) — cross-checked
+  * in SimilaritySpec.
+  */
+case class LshSignature(child: Expression, numPlanes: Int) extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be in [1,63], got $numPlanes")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_signature expects array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isFloat = elemIsFloat
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val signs = LshUtil.signRow(p, n)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += x * signs(i)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val sig = ctx.freshName("sig")
+      val signs = ctx.freshName("signs")
+      val proj = ctx.freshName("proj")
+      s"""
+        int $n = $a.numElements();
+        long $sig = 0L;
+        for (int $p = 0; $p < $numPlanes; $p++) {
+          double[] $signs = graft.functions.LshUtil.signRow($p, $n);
+          double $proj = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $proj += (double)$a.$get($i) * $signs[$i];
+          }
+          if ($proj >= 0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment against a driver-bounded centroid table
+  * (nlist × dim doubles), embedded in the expression — the shuffle-free IVF
+  * assignment. Returns the 0-based index of the centroid with the highest
+  * cosine similarity (dot / centroid-norm; the row's own norm is a positive
+  * constant across candidates so it cannot change the argmax); ties keep the
+  * lowest index, matching the previous window form's (sim desc, cluster asc)
+  * ordering.
+  *
+  * Round 1 assigned clusters with `monotonically_increasing_id` + a
+  * `row_number` window over a |corpus| × nlist cross join — a full shuffle of
+  * the corpus per Lloyd pass, the one scale-killer the round-1 verdict
+  * called out. This is zero-exchange: centroids ride into codegen as a
+  * reference object (≙ a broadcast of driver-bounded state).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(arr.numElements(), cen.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * cen(i)
+        i += 1
+      }
+      val sim = dot / norms(c)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cenRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val normRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val sim = ctx.freshName("sim")
+      s"""
+        int $best = -1;
+        double $bestSim = Double.NEGATIVE_INFINITY;
+        for (int $c = 0; $c < $cenRef.length; $c++) {
+          double[] $cen = $cenRef[$c];
+          int $n = java.lang.Math.min($a.numElements(), $cen.length);
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += (double)$a.$get($i) * $cen[$i];
+          }
+          double $sim = $dot / $normRef[$c];
+          if ($sim > $bestSim) { $bestSim = $sim; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<float|double> columns, double accumulation. */
   def vec_dot(a: Column, b: Column): Column =
@@ -85,4 +308,12 @@ object VectorFunctions {
 
   /** L2 norm. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Random-hyperplane LSH signature (long, bits [0, numPlanes)). */
+  def lsh_signature(vec: Column, numPlanes: Int): Column =
+    ColumnInterop.column(LshSignature(ColumnInterop.expression(vec), numPlanes))
+
+  /** 0-based index of the nearest centroid by cosine similarity. */
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnInterop.column(NearestCentroid(ColumnInterop.expression(vec), centroids))
 }

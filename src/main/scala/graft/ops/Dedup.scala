@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default cap on LSH bucket size for candidate generation. One
+    * degenerate mega-bucket (boilerplate-heavy corpus hashing identically)
+    * explodes quadratically in the pair step — 100k identical docs is 5×10⁹
+    * pairs from one bucket. Buckets above the cap are DROPPED (their
+    * candidate recall is lost; dup-cliques that large are better handled by
+    * [[exact]] dedup first — audit with [[oversizedBuckets]]). Round 1
+    * shipped `Int.MaxValue` (unbounded) as the default, which made the
+    * safety rail opt-in; it is now opt-out.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Ordered (id_a < id_b) pairs from a bucket's id list, without a
+    * self-join: `least`/`greatest` orient each pair; the caller explodes.
+    */
+  private[ops] def orderedPairsOf(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+        y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+
   /** Exact dedup: keep the row with the smallest `keepBy` per distinct value
     * of `keys`. One shuffle; deterministic winner (vs `dropDuplicates`,
     * which keeps an arbitrary first-seen row).
@@ -85,7 +104,7 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSets = df.select(
       col(idCol).as("id"),
@@ -107,19 +126,12 @@ object Dedup {
     // list. The signature subtree is computed exactly once (a self-join
     // would recompute it per side or force a persist), and only slim
     // (id_a, id_b) pairs shuffle. Degenerate mega-buckets (all-identical
-    // content) are the known skew risk: `maxBucket` caps them (dropping a
-    // bucket loses candidate recall there — set with care; dup-cliques that
-    // large are better handled by exact dedup first).
-    val pairsOfBucket = {
-      val ids = col("ids")
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
-          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
-    }
+    // content) are the known skew risk: `maxBucket` drops them (see
+    // [[DefaultMaxBucket]]; audit with [[oversizedBuckets]]).
     val pairIds = banded
       .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsOfBucket).as("p"))
+      .select(explode(orderedPairsOf(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
@@ -134,6 +146,39 @@ object Dedup {
         col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Observability for the `maxBucket` cap: the (band, bucket, n_ids)
+    * buckets [[minhashLsh]] would DROP at the given parameters. Run (and
+    * log/alert on) this next to a capped dedup pass — a non-empty result
+    * means candidate recall was lost there and an [[exact]]-dedup pre-pass
+    * is indicated. (A lazy plan can't log from inside itself; this is the
+    * explicit audit query.)
+    */
+  def oversizedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(
+        col(idCol).as("id"),
+        array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+      .withColumn("sig", minhashSignature(col("shingle_set"), numHashes))
+    val bandCols = array((0 until bands).map { j =>
+      struct(
+        lit(j).as("band"),
+        xxhash64(lit("band"), lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
+          .as("bucket"))
+    }: _*)
+    withSig
+      .select(col("id"), explode(bandCols).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
   }
 
   /** From near-duplicate pairs to a deduplicated corpus: remove every row
@@ -200,28 +245,68 @@ object Dedup {
     """)
 
   /** Embedding-cosine near-duplicate pairs: rows whose embedding cosine
-    * similarity is ≥ `threshold`. Candidate generation reuses the
-    * random-hyperplane LSH bucketing from [[Similarity]] when
-    * `lshPlanes > 0` (scale path: only bucket-colliding pairs compare);
+    * similarity is ≥ `threshold`. Returns (id_a, id_b, cosine) with
+    * id_a < id_b.
+    *
+    * Candidate generation (`lshPlanes > 0`) uses BANDED random-hyperplane
+    * LSH: a `lshBands × lshPlanes`-plane signature (native codegen'd
+    * [[graft.functions.LshSignature]]) sliced into `lshBands` bands of
+    * `lshPlanes` bits; rows sharing ANY band's bits are candidates, then
+    * exact cosine verifies. Requiring the FULL signature to match (the
+    * round-1 form) has near-zero recall for non-identical near-duplicates —
+    * at cosine 0.95 a plane agrees w.p. ≈0.90, so 32 planes all agreeing is
+    * ≈3% — while banding at 8 bands × 4 planes gives ≥99.9% recall for
+    * ≥0.95 pairs (1 − (1 − 0.9⁴)⁸) at ~16 buckets/band of fan-out.
     * `lshPlanes = 0` compares all pairs (exactness baseline — small inputs
-    * only). Returns (id_a, id_b, cosine) with id_a < id_b.
+    * only).
+    *
+    * Candidates come from the same aggregation-not-self-join pattern as
+    * [[minhashLsh]]: group ids per (band, bucket), explode ordered pairs,
+    * distinct, then re-attach vectors by id — the signature subtree runs
+    * once and only slim id pairs shuffle. `maxBucket` caps degenerate
+    * buckets (see [[minhashLsh]]).
     */
   def embeddingCosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      lshPlanes: Int = 0): DataFrame = {
+      lshPlanes: Int = 0,
+      lshBands: Int = 1,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    require(lshPlanes * lshBands <= 63, "lshPlanes * lshBands must be <= 63")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", vec_norm(col("vec")))
-    val withBucket =
-      if (lshPlanes > 0) base.withColumn("sig", Similarity.lshSignature(col("vec"), lshPlanes))
-      else base.withColumn("sig", lit(0L))
-    val a = withBucket.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = withBucket.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
+
+    val pairIds =
+      if (lshPlanes <= 0) {
+        val ids = base.select(col("id"))
+        ids.select(col("id").as("id_a"))
+          .crossJoin(ids.select(col("id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        val mask = (1L << lshPlanes) - 1
+        val withSig = base.withColumn("sig",
+          Similarity.lshSignature(col("vec"), lshPlanes * lshBands))
+        val bandCols = array((0 until lshBands).map { j =>
+          struct(
+            lit(j).as("band"),
+            shiftright(col("sig"), j * lshPlanes).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)
+        withSig
+          .select(col("id"), explode(bandCols).as("bb"))
+          .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+          .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")).between(2, maxBucket))
+          .select(explode(orderedPairsOf(col("ids"))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"))
+          .distinct()
+      }
+
+    pairIds
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .withColumn("cosine", round(vec_dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

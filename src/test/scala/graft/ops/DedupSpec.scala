@@ -88,4 +88,39 @@ class DedupSpec extends AnyFunSuite {
     val dist = java.lang.Long.bitCount(fps(0) ^ fps(1))
     assert(dist <= 16, s"hamming $dist too large for near-identical docs")
   }
+
+  test("embeddingCosinePairs banded LSH matches the all-pairs baseline (recall)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val dups = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      // perturb one dim so the duplicate is NEAR-identical, not identical —
+      // full-signature matching (the round-1 form) misses these
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)))
+    val aug = emb.unionByName(dups)
+    val exact = Dedup.embeddingCosinePairs(aug, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.count { case (a, b) => b - a == 1000000L } == 10,
+      "fixture assumption broken: perturbed dups should stay >= 0.95 cosine")
+    val banded = Dedup.embeddingCosinePairs(aug, "vec_id", "embedding", threshold = 0.95,
+      lshPlanes = 4, lshBands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"banded LSH missed ${(exact -- banded).size} true pairs / false ${(banded -- exact).size}")
+  }
+
+  test("minhashLsh maxBucket cap prevents degenerate-bucket pair explosion") {
+    // 200 identical docs: every band bucket holds all 200 ids (19,900 pairs)
+    val degenerate = spark.range(200)
+      .select(col("id").as("doc_id"), lit("same text every single time here").as("text"))
+    val capped = Dedup.minhashLsh(degenerate, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 100)
+    assert(capped.count() == 0, "oversized buckets must be dropped, not exploded")
+    // and the audit query surfaces exactly what was dropped
+    val audit = Dedup.oversizedBuckets(degenerate, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, maxBucket = 100).collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Long]("n_ids") == 200L))
+    // default is finite
+    assert(Dedup.DefaultMaxBucket < Int.MaxValue)
+  }
 }

@@ -24,6 +24,29 @@ class IvfSpec extends AnyFunSuite {
     assert(ranks.forall(r => r.getAs[Long]("n") <= 5))
   }
 
+  test("ivfTopK recall vs exact at the DECLARED query parameters (k=5, nlist=16, nprobe=4)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4, lloydIters = 1)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"declared-parameter IVF recall $recall collapsed")
+  }
+
+  test("ivfTopK plan has no Exchange between corpus scan and cluster assignment") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, lloydIters = 0).queryExecution.executedPlan.toString
+    // assignment must be expression-only: no monotonically_increasing_id /
+    // per-row window remains anywhere in the plan
+    assert(!plan.contains("monotonically_increasing_id"), plan)
+    assert(plan.contains("nearestcentroid") || plan.contains("NearestCentroid"), plan)
+  }
+
   test("ivfTopK is deterministic across runs") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 5)

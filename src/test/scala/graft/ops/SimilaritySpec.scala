@@ -43,9 +43,10 @@ class SimilaritySpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 6 planes = 64 buckets for a 500-vector corpus (~8/bucket, 7 probe
-    // buckets per query) — plane count must track corpus density
-    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 5, numPlanes = 6)
+    // coarse banding (2 bands × 3 planes = 8 buckets/band) — high recall,
+    // high fan-out; band/plane counts must track corpus density
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 5,
+      numPlanes = 3, numBands = 2)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.2, s"ANN recall $recall collapsed — bucketing broken?")
@@ -56,5 +57,60 @@ class SimilaritySpec extends AnyFunSuite {
     val a = emb.select(Similarity.lshSignature(col("embedding"), 12)).collect().map(_.getLong(0))
     val b = emb.select(Similarity.lshSignature(col("embedding"), 12)).collect().map(_.getLong(0))
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("native lshSignature is bit-identical to the interpreted HOF form") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    for (planes <- Seq(1, 8, 12, 32, 63)) {
+      val mismatches = emb.select(
+          Similarity.lshSignature(col("embedding"), planes).as("native"),
+          Similarity.lshSignatureHof(col("embedding"), planes).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(mismatches == 0L, s"numPlanes=$planes: $mismatches rows differ from HOF oracle")
+    }
+  }
+
+  test("lshTopK recall vs exact at the DECLARED query parameters (k=5, 8 bands x 4 planes)") {
+    // fixture top-5 neighbors sit at cosine ≈0.32 (measured) → per-plane
+    // agreement ≈0.60, per-band (4 planes) ≈0.13, expected recall over 8
+    // bands 1−(1−0.13)⁸ ≈ 0.67 — the calibrated floor below is 0.5
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 5,
+      numPlanes = 4, numBands = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"declared-parameter LSH ANN recall $recall collapsed")
+  }
+
+  test("nearest_centroid matches a driver-side brute-force argmax") {
+    import graft.functions.VectorFunctions.nearest_centroid
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.5, 0.5, 0.0))
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.1f, 2.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f)),   // equidistant to 0/1 by dot; cosine picks 2
+      (4L, Array(-1.0f, -1.0f, 0.0f))).toDF("id", "vec")
+    val got = df.select(col("id"), nearest_centroid(col("vec"), centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def brute(v: Array[Float]): Int = {
+      val sims = centroids.map { c =>
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b }.sum
+        dot / math.sqrt(c.map(x => x * x).sum)
+      }
+      sims.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+    }
+    val expect = Map(
+      1L -> brute(Array(0.9f, 0.1f, 0.0f)),
+      2L -> brute(Array(0.1f, 2.0f, 0.0f)),
+      3L -> brute(Array(1.0f, 1.0f, 0.0f)),
+      4L -> brute(Array(-1.0f, -1.0f, 0.0f)))
+    assert(got == expect)
   }
 }
