@@ -81,8 +81,12 @@ object Loads {
     *
     * The reference is row-order-dependent (`iterrows`, last row wins); here
     * the tie-break is deterministic (SURVEY.md §7.3): source priority
-    * (incoming=0 beats existing=1), then `tieBreak` columns descending.
-    * One shuffle by `keys`; no driver involvement.
+    * (incoming=0 beats existing=1), then `tieBreak` columns descending,
+    * then — so the winner never depends on partition/scan order even when
+    * `incoming` itself carries intra-batch key duplicates with equal
+    * tieBreak values — every remaining orderable non-key column descending
+    * (a total order over row CONTENT). One shuffle by `keys`; no driver
+    * involvement.
     */
   def upsert(
       existing: DataFrame,
@@ -92,8 +96,12 @@ object Loads {
     val srcCol = "__graft_src"
     val unioned = existing.withColumn(srcCol, lit(1))
       .unionByName(incoming.withColumn(srcCol, lit(0)))
-    val ordering = (col(srcCol).asc +: tieBreak.map(col(_).desc)).toSeq
-    val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(ordering: _*)
+    val residual = existing.schema.fields
+      .filterNot(f => keys.contains(f.name) || tieBreak.contains(f.name))
+      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name).desc)
+    val ordering = (col(srcCol).asc +: tieBreak.map(col(_).desc)) ++ residual
+    val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(ordering.toSeq: _*)
     unioned
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)

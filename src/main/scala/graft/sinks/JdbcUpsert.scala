@@ -71,15 +71,25 @@ object JdbcUpsert {
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            paramIdx.zipWithIndex.foreach { case (ci, p) => st.setObject(p + 1, r.get(ci)) }
-            st.addBatch()
-            n += 1
-            if (n % batchSize == 0) st.executeBatch()
-          }
-          st.executeBatch()
-          conn.commit()
+          try {
+            var n = 0
+            rows.foreach { r =>
+              paramIdx.zipWithIndex.foreach { case (ci, p) => st.setObject(p + 1, r.get(ci)) }
+              st.addBatch()
+              n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } catch {
+            // a failed partition must leave NO half-applied batch: closing an
+            // uncommitted connection leaves disposition to driver defaults
+            // (some commit on close) — roll back explicitly, then rethrow so
+            // Spark retries/fails the task
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally st.close()
         } finally conn.close()
       }
     }

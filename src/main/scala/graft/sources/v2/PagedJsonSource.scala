@@ -180,10 +180,32 @@ class PagedPartitionReader(
   private def field(node: JsonNode, name: String): Option[JsonNode] =
     Option(node.get(name)).filterNot(_.isNull)
 
+  /** Spark TRUSTS pushed filters (it removes them post-scan), so page-side
+    * evaluation must match Spark's comparison semantics EXACTLY:
+    * - an integral-typed literal against an integral JSON value compares as
+    *   LONG — round-1 sent everything through `asDouble()`, which collapses
+    *   distinct longs above 2^53 into equality (silently wrong rows);
+    * - a double/float-typed literal compares as double, because that IS how
+    *   Spark reads the column (schema-driven double conversion on both
+    *   sides — bit-for-bit the engine's own semantics);
+    * - strings compare in UTF-8 BINARY order via [[UTF8String]] (Java's
+    *   `String.compareTo` is UTF-16 code-unit order, which disagrees with
+    *   Spark for supplementary characters);
+    * - anything else (e.g. a fractional value in an integral column) is not
+    *   comparable here → None → the row is kept only if the filter accepts
+    *   elsewhere; [[matches]] treats None as non-matching, same as Spark's
+    *   null-comparison semantics.
+    */
   private def cmp(node: JsonNode, v: Any): Option[Int] = v match {
-    case n: java.lang.Number if node.isNumber =>
-      Some(java.lang.Double.compare(node.asDouble(), n.doubleValue()))
-    case s: String if node.isTextual => Some(node.asText().compareTo(s))
+    // mirrors [[convert]]'s `asLong()` for integral columns, so the pushed
+    // filter sees exactly the value Spark's post-scan plan would have seen
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte)
+        if node.isNumber =>
+      Some(java.lang.Long.compare(node.asLong(), n.asInstanceOf[Number].longValue()))
+    case n @ (_: java.lang.Double | _: java.lang.Float) if node.isNumber =>
+      Some(java.lang.Double.compare(node.asDouble(), n.asInstanceOf[Number].doubleValue()))
+    case s: String if node.isTextual =>
+      Some(UTF8String.fromString(node.asText()).compareTo(UTF8String.fromString(s)))
     case b: java.lang.Boolean if node.isBoolean =>
       Some(java.lang.Boolean.compare(node.asBoolean(), b.booleanValue()))
     case _ => None

@@ -63,6 +63,19 @@ class LoadsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(1) == "v2")
   }
 
+  test("L4 upsert: intra-batch duplicate keys with NO tieBreak resolve by row content, " +
+      "independent of partitioning") {
+    val existing = Seq((1L, "old", 0.0)).toDF("k", "s", "v")
+    // same key, equal source priority, no tieBreak: winner must be the
+    // content-order max (s desc → "zz"), not whichever partition scans first
+    val dupA = Seq((1L, "aa", 5.0), (1L, "zz", 3.0)).toDF("k", "s", "v")
+    val dupB = dupA.repartition(7) // different physical order, same rows
+    val winA = Loads.upsert(existing, dupA, Seq("k")).collect()
+    val winB = Loads.upsert(existing, dupB, Seq("k")).collect()
+    assert(winA.length == 1 && winA(0).getString(1) == "zz")
+    assert(winA.toSeq == winB.toSeq)
+  }
+
   test("L6 deleteWhere removes exactly the predicate rows") {
     val orders = Tables.orders(spark, GraftSpark.Sf0001)
     val pred = Windows.olderThanWindow(col("o_orderdate"), LocalDate.parse("2001-08-01"), 30)

@@ -61,6 +61,37 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(scanDesc.contains("$top=4"), s"limit should reach the scan: $scanDesc")
   }
 
+  test("pushed integral filters compare as long, not double (no 2^53 collapse)") {
+    // 2^53 and 2^53+1 are equal as doubles; a double-roundtrip filter would
+    // return BOTH rows for id = 9007199254740993 — Spark trusts the pushed
+    // filter and would emit the wrong row silently
+    val dir = Files.createTempDirectory("graft_pages_long")
+    Files.writeString(dir.resolve("page_0000.json"),
+      """{"id":9007199254740992,"v":"a"}
+        |{"id":9007199254740993,"v":"b"}""".stripMargin)
+    val df = spark.read.format("graft-pages").option("path", dir.toString).load()
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val hit = df.filter(col("id") === 9007199254740993L).collect()
+    assert(hit.map(_.getAs[String]("v")).toSeq == Seq("b"))
+    val lt = df.filter(col("id") < 9007199254740993L).collect()
+    assert(lt.map(_.getAs[String]("v")).toSeq == Seq("a"))
+  }
+
+  test("pushed string filters use UTF-8 binary order (supplementary chars)") {
+    // U+FF21 (FULLWIDTH A, 3 UTF-8 bytes) vs U+10400 (DESERET, 4 bytes but a
+    // surrogate PAIR in UTF-16): UTF-16 code-unit order sorts U+10400 first
+    // (0xD801 < 0xFF21); UTF-8 binary order — Spark's order — sorts it LAST
+    val hi = new String(Character.toChars(0x10400))
+    val dir = Files.createTempDirectory("graft_pages_utf8")
+    Files.writeString(dir.resolve("page_0000.json"),
+      s"""{"id":1,"s":"Ａ"}
+         |{"id":2,"s":"$hi"}""".stripMargin)
+    val df = spark.read.format("graft-pages").option("path", dir.toString).load()
+    val gt = df.filter(col("s") > "Ａ").collect()
+    assert(gt.map(_.getAs[Long]("id")).toSeq == Seq(2L),
+      "U+10400 must compare ABOVE U+FF21 in UTF-8 binary order")
+  }
+
   test("full reference pipeline over the source: extract → drop etag → window filter") {
     val df = graft.etl.Sanitize.dropColumns(read, "@odata.etag")
       .filter(col("date_trans") >= "2024-01-05")
