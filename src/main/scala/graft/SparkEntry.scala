@@ -565,12 +565,15 @@ object SparkEntry {
     }),
 
     // ---- Streaming (SURVEY.md §2.9): real Structured Streaming job,
-    //      AvailableNow micro-batch; windows are epoch-aligned so the
+    //      AvailableNow micro-batches in APPEND mode to a file sink —
+    //      state bounded by the watermark, nothing on the driver (the
+    //      complete-mode/memory-sink round-1 form kept as the comparison
+    //      baseline in IncrementalSpec); windows are epoch-aligned so the
     //      result is batch/DuckDB-checkable ----
     "stream_window_counts" -> ((s, dir) =>
-      graft.streaming.Incremental.windowedCounts(s, s"$dir/lineitem.parquet",
+      graft.streaming.Incremental.windowedCountsAppend(s, s"$dir/lineitem.parquet",
         "l_shipdate", "l_returnflag", "l_quantity",
-        windowSec = 30L * 86400, watermark = "30 days")
+        windowSec = 30L * 86400, watermarkSec = 30L * 86400)
         .orderBy("window_start", "l_returnflag")),
 
     // ---- Multimodal plumbing (STUB decoder — see Multimodal.scala):

@@ -47,27 +47,36 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    // metadata-only driver pass; data reads stay in executors
-    spark.read.json(options.get("path")).schema
+    PageFetchers.from(options) match {
+      // metadata-only driver pass; data reads stay in executors
+      case FilePageFetcher(path) => spark.read.json(path).schema
+      case fetcher =>
+        // remote service: infer from the FIRST page only (driver-bounded);
+        // pass an explicit schema to skip this fetch entirely
+        val first = fetcher.planPages().headOption
+          .map(p => fetcher.fetch(p).toSeq).getOrElse(Seq.empty)
+        spark.read.json(spark.createDataset(first)(
+          org.apache.spark.sql.Encoders.STRING)).schema
+    }
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagedTable(schema, properties.get("path"))
+    new PagedTable(schema, PageFetchers.from(properties))
 }
 
-class PagedTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft_pages($path)"
+class PagedTable(tableSchema: StructType, fetcher: PageFetcher) extends Table with SupportsRead {
+  override def name(): String = s"graft_pages($fetcher)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(tableSchema, path)
+    new PagedScanBuilder(tableSchema, fetcher)
 }
 
-class PagedScanBuilder(fullSchema: StructType, path: String)
+class PagedScanBuilder(fullSchema: StructType, fetcher: PageFetcher)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -85,15 +94,15 @@ class PagedScanBuilder(fullSchema: StructType, path: String)
   // ≙ OData `$top`: each page reader stops after `limit` matching rows (a
   // correct per-partition overapproximation; Spark applies the global limit)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def build(): Scan = PagedScan(fullSchema, required, path, pushed, limit)
+  override def build(): Scan = PagedScan(fullSchema, required, fetcher, pushed, limit)
 }
 
-case class PagePartition(filePath: String, pageIndex: Int) extends InputPartition
+case class PagePartition(pageRef: String, pageIndex: Int) extends InputPartition
 
 case class PagedScan(
     fullSchema: StructType,
     requiredSchema: StructType,
-    path: String,
+    fetcher: PageFetcher,
     pushed: Array[Filter],
     limit: Int = -1) extends Scan with Batch {
 
@@ -101,19 +110,15 @@ case class PagedScan(
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-pages path=$path ${PagedScan.toODataFilter(pushed).map(f => s"$$filter=$f").getOrElse("")}" +
+    s"graft-pages $fetcher ${PagedScan.toODataFilter(pushed).map(f => s"$$filter=$f").getOrElse("")}" +
       (if (limit >= 0) s" $$top=$limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files =
-      if (dir.isDirectory) dir.listFiles().filter(_.isFile).map(_.getPath).sorted
-      else Array(path)
-    files.zipWithIndex.map { case (f, i) => PagePartition(f, i): InputPartition }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    fetcher.planPages().zipWithIndex
+      .map { case (f, i) => PagePartition(f, i): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PagedReaderFactory(requiredSchema, pushed, limit)
+    PagedReaderFactory(requiredSchema, fetcher, pushed, limit)
 }
 
 object PagedScan {
@@ -154,24 +159,30 @@ object PagedScan {
   }
 }
 
-case class PagedReaderFactory(requiredSchema: StructType, pushed: Array[Filter], limit: Int = -1)
+case class PagedReaderFactory(
+    requiredSchema: StructType,
+    fetcher: PageFetcher,
+    pushed: Array[Filter],
+    limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagedPartitionReader(partition.asInstanceOf[PagePartition], requiredSchema, pushed, limit)
+    new PagedPartitionReader(partition.asInstanceOf[PagePartition], fetcher,
+      requiredSchema, pushed, limit)
 }
 
-/** Reads one page (file ≙ fetched OData page), applies the pushed filters
-  * (≙ server-side `$filter`), projects required columns, emits rows.
+/** Reads one page (via the [[PageFetcher]] seam — file or HTTP), applies
+  * the pushed filters (≙ server-side `$filter`), projects required columns,
+  * emits rows.
   */
 class PagedPartitionReader(
     partition: PagePartition,
+    fetcher: PageFetcher,
     requiredSchema: StructType,
     pushed: Array[Filter],
     limit: Int = -1) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(partition.filePath)(scala.io.Codec.UTF8)
-  private val base = lines.getLines().filter(_.trim.nonEmpty)
+  private val base = fetcher.fetch(partition.pageRef)
     .map(mapper.readTree)
     .filter(node => pushed.forall(matches(node, _)))
   private val it = if (limit >= 0) base.take(limit) else base
@@ -245,5 +256,5 @@ class PagedPartitionReader(
     if (it.hasNext) { current = convert(it.next()); true } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = ()
 }

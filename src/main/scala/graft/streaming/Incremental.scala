@@ -101,6 +101,137 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Staged input dirs for [[windowedCountsAppend]]: source file(s) copied
+    * once per (machine, source, window, watermark) plus two WATERMARK-DRIVER
+    * sentinel rows in later-mtime files. In append mode a window is emitted
+    * only once the watermark passes its end, and a bounded input's final
+    * windows would otherwise stay open forever; the sentinels (event times
+    * beyond max + watermark + window) arrive in their own micro-batches and
+    * push the watermark past every real window — the bounded-input
+    * equivalent of the next day's data arriving. Sentinel keys are filtered
+    * from the result.
+    */
+  private object StagedStream {
+    val SentinelKey = "__graft_watermark_driver"
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def dir(
+        spark: SparkSession,
+        srcPath: String,
+        tsCol: String,
+        keyCol: String,
+        windowSec: Long,
+        watermarkSec: Long): String =
+      memo.computeIfAbsent(s"$srcPath|$tsCol|$windowSec|$watermarkSec",
+        _ => materialize(spark, srcPath, tsCol, keyCol, windowSec, watermarkSec))
+
+    private def materialize(
+        spark: SparkSession,
+        srcPath: String,
+        tsCol: String,
+        keyCol: String,
+        windowSec: Long,
+        watermarkSec: Long): String = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val key = s"$srcPath|$tsCol|$windowSec|$watermarkSec"
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_stream_" + Integer.toHexString(key.hashCode))
+      val data = base.resolve("data")
+      if (!Files.exists(base.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory("graft_stream_build")
+        val tmpData = Files.createDirectory(tmp.resolve("data"))
+        val src = new java.io.File(srcPath)
+        val parts = if (src.isFile) Array(src) else src.listFiles().filter(_.isFile)
+        val t0 = FileTime.fromMillis(1000000000000L) // fixed epoch: data first
+        parts.sortBy(_.getName).foreach { f =>
+          val dst = tmpData.resolve(f.getName)
+          Files.copy(f.toPath, dst, StandardCopyOption.COPY_ATTRIBUTES)
+          Files.setLastModifiedTime(dst, t0)
+        }
+        // sentinel event times: beyond max + watermark + 2 windows (and one
+        // more window after that) so the post-sentinel watermark clears
+        // every real window end
+        val batch = spark.read.parquet(tmpData.toString)
+        val maxTs = batch.agg(max(col(tsCol).cast("timestamp"))).head().getTimestamp(0)
+        val s1 = new java.sql.Timestamp(maxTs.getTime + (watermarkSec + 2 * windowSec) * 1000)
+        val s2 = new java.sql.Timestamp(s1.getTime + windowSec * 1000)
+        Seq(("sentinel_1.parquet", s1, 60L), ("sentinel_2.parquet", s2, 120L)).foreach {
+          case (name, ts, mtimeOffsetSec) =>
+            val row = batch.limit(1)
+              .withColumn(tsCol, lit(ts).cast(batch.schema(tsCol).dataType))
+              .withColumn(keyCol, lit(SentinelKey))
+            val out = Files.createTempDirectory("graft_sentinel")
+            row.coalesce(1).write.mode("overwrite").parquet(out.toString)
+            val part = out.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+            val dst = tmpData.resolve(name)
+            Files.move(part.toPath, dst)
+            Files.setLastModifiedTime(dst,
+              FileTime.fromMillis(1000000000000L + mtimeOffsetSec * 1000))
+        }
+        Files.createFile(tmp.resolve("_SUCCESS"))
+        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.FileSystemException => () // concurrent publisher won
+        }
+      }
+      data.toString
+    }
+  }
+
+  /** Event-time windowed aggregation in APPEND mode to a FILE sink — the
+    * 100 TB shape ([[windowedCounts]] is the complete-mode/memory-sink
+    * comparison baseline; complete mode retains every window in state
+    * forever and materializes the whole result on the driver per batch).
+    *
+    * Here state holds only open windows (bounded by the watermark), each
+    * window is written exactly once when the watermark closes it, and the
+    * sink is distributed files — nothing accumulates on the driver. Files
+    * stream one micro-batch each (`maxFilesPerTrigger=1`) so the
+    * [[StagedStream]] watermark-driver sentinels advance the watermark in
+    * their own batches and flush the final real windows before the
+    * AvailableNow run terminates.
+    *
+    * Returns the sink read back (sentinel rows filtered) for verification;
+    * a production pipeline would leave the results in place and point
+    * downstream jobs at the sink path.
+    */
+  def windowedCountsAppend(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      keyCol: String,
+      valCol: String,
+      windowSec: Long,
+      watermarkSec: Long): DataFrame = {
+    val staged = StagedStream.dir(spark, srcPath, tsCol, keyCol, windowSec, watermarkSec)
+    val schema = spark.read.parquet(staged).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val agg = in
+      .withWatermark(tsCol, s"$watermarkSec seconds")
+      .groupBy(window(col(tsCol), s"$windowSec seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(valCol), 4).as("sum_val"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_winsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_winckpt")
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink.toString)
+      .filter(col(keyCol) =!= StagedStream.SentinelKey)
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col(keyCol), col("n"), col("sum_val"))
+  }
+
   /** Continuous Method-2: stream new files and MERGE-upsert each
     * micro-batch into a JDBC target via `foreachBatch` — the reference's
     * daily extract + `ON DUPLICATE KEY UPDATE` load

@@ -78,4 +78,20 @@ class IncrementalSpec extends AnyFunSuite {
       .orderBy("window_start", "l_returnflag")
     assert(streamed.collect() === batch.collect())
   }
+
+  test("windowedCountsAppend (append mode, file sink) matches the batch aggregation " +
+      "including the final watermark-closed windows") {
+    val windowSec = 30L * 86400
+    val streamed = Incremental.windowedCountsAppend(spark, liPath,
+      "l_shipdate", "l_returnflag", "l_quantity", windowSec, watermarkSec = 30L * 86400)
+      .orderBy("window_start", "l_returnflag")
+    val batch = Tables.lineitem(spark, GraftSpark.Sf0001)
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .groupBy(window(col("l_shipdate"), s"$windowSec seconds"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_val"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("l_returnflag"), col("n"), col("sum_val"))
+      .orderBy("window_start", "l_returnflag")
+    assert(streamed.collect() === batch.collect())
+  }
 }
