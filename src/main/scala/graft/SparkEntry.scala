@@ -391,7 +391,8 @@ object SparkEntry {
         shingleK = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
-    // no oracle (simhash needs Spark-side xxhash64): rows-only check
+    // pinned VALUES oracle (simhash needs Spark-side xxhash64; bit-exact
+    // HOF cross-check in DedupSpec)
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val dups = docs.filter(col("doc_id") < 50)
@@ -427,7 +428,8 @@ object SparkEntry {
         .orderBy("label")
     }),
 
-    // deterministic hash split — Spark-side xxhash64, no oracle: rows-only
+    // deterministic hash split — pinned VALUES oracle (Spark-side
+    // xxhash64; driver-side recomputation in SamplingSpec)
     "train_test_split" -> ((s, dir) =>
       graft.ops.Sampling.trainTestSplit(Tables.documents(s, dir), 0.2, col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n"))
@@ -483,7 +485,8 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
-    // no DuckDB oracle (xxhash64 is Spark-side): rows-only check
+    // pinned VALUES oracle (xxhash64 is Spark-side; driver-side chain
+    // recomputation in TextAnalysisSpec)
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
@@ -577,7 +580,8 @@ object SparkEntry {
         .orderBy("window_start", "l_returnflag")),
 
     // ---- Multimodal plumbing (STUB decoder — see Multimodal.scala):
-    //      binary payload → features → stats; rows-only check ----
+    //      binary payload → features → stats; pinned VALUES oracle
+    //      (driver-side decoder recomputation in MultimodalSpec) ----
     "multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.resize(
         Tables.documents(s, dir)
@@ -620,8 +624,11 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (text_fingerprint: Spark xxhash64; knn_lsh_ann: approximate).
+    * the same parquet tables. Omitted for the two approximate-by-design
+    * ANN queries (knn_ivf_ann, knn_lsh_ann — recall-asserted vs brute
+    * force in IvfSpec/SimilaritySpec instead); the four deterministic
+    * Spark-side-hash queries carry PINNED literal-VALUES oracles
+    * ([[PinnedOracles]], valid at sf0.01).
     */
   def oracleSql: Map[String, String] = Map(
     "s1_full_scan" ->
@@ -965,5 +972,5 @@ object SparkEntry {
         "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
         "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
         "WHERE rank <= 5 ORDER BY q_id, rank"),
-  )
+  ) ++ PinnedOracles.sql
 }

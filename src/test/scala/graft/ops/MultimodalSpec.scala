@@ -25,6 +25,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.toSeq == again.toSeq)
   }
 
+  test("decodeFeatures matches a direct driver-side FakeDecoder call") {
+    // first-principles check backing the pinned multimodal_decode oracle:
+    // the distributed mapPartitions plumbing must reproduce a plain
+    // driver-side invocation of the decoder on the UTF-8 payload bytes
+    val docs = Tables.documents(spark, GraftSpark.Sf0001).filter(col("doc_id") < 50)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Multimodal.decodeFeatures(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "payload", dim = 8)
+      .select("doc_id", "features").collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val want = Multimodal.FakeDecoder(8)(texts(r.getLong(0)).getBytes("UTF-8"))
+      assert(r.getSeq[Float](1).toSeq == want.toSeq)
+    }
+  }
+
   test("decodeFeatures: null payloads yield null features") {
     val df = Seq((1L, "x"), (2L, null)).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("payload"))

@@ -27,6 +27,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(split.exceptAll(origAssign).isEmpty, "existing rows must keep their split as corpus grows")
   }
 
+  test("trainTestSplit assignment matches a driver-side xxhash64 recomputation") {
+    // first-principles check backing the pinned train_test_split oracle:
+    // re-derive pmod(xxhash64(doc_id), 1e6)/1e6 < 0.2 with catalyst's
+    // interpreted hash (different code path from the codegen'd query)
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val got = Sampling.trainTestSplit(docs, 0.2, col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).map { id =>
+      val h = XxHash64Function.hash(id, LongType, 42L)
+      val bucket = ((h % 1000000L) + 1000000L) % 1000000L
+      id -> (if (bucket.toDouble / 1000000.0 < 0.2) "test" else "train")
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("stratifiedSample keeps roughly the fraction within each stratum") {
     val sampled = Sampling.stratifiedSample(docs, col("lang"), 0.5, col("doc_id"))
     val perLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

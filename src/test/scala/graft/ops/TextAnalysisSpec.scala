@@ -51,6 +51,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(2))
   }
 
+  test("fingerprint matches a driver-side xxhash64-chain recomputation on fixture docs") {
+    // first-principles check backing the pinned text_fingerprint oracle:
+    // re-derive the hash chain with catalyst's interpreted XxHash64 (a
+    // different code path from the whole-stage-codegen'd query)
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def step(acc: Long, t: String): Long = {
+      val h = XxHash64Function.hash(acc, LongType, 42L)
+      XxHash64Function.hash(UTF8String.fromString(t), StringType, h)
+    }
+    val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001)
+      .filter(col("doc_id") < 50)
+    val got = docs.select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).foldLeft(0L)(step)).toMap
+    assert(got.size == 50)
+    assert(got == want)
+  }
+
   test("normalize lowercases, strips punctuation, collapses whitespace") {
     val df = Seq(("  Hello,   WORLD!! 42 ", 1)).toDF("t", "id")
     assert(df.select(TextAnalysis.normalize(col("t"))).head().getString(0) == "hello world 42")
