@@ -576,7 +576,8 @@ object SparkEntry {
     "stream_window_counts" -> ((s, dir) =>
       graft.streaming.Incremental.windowedCountsAppend(s, s"$dir/lineitem.parquet",
         "l_shipdate", "l_returnflag", "l_quantity",
-        windowSec = 30L * 86400, watermarkSec = 30L * 86400)
+        windowSec = 30L * 86400, watermarkSec = 30L * 86400,
+        statePartitions = 8) // state keys = windows × 3 flags ≈ 75
         .orderBy("window_start", "l_returnflag")),
 
     // ---- Multimodal plumbing (STUB decoder — see Multimodal.scala):

@@ -205,7 +205,8 @@ object Incremental {
       keyCol: String,
       valCol: String,
       windowSec: Long,
-      watermarkSec: Long): DataFrame = {
+      watermarkSec: Long,
+      statePartitions: Int = 0): DataFrame = {
     val staged = StagedStream.dir(spark, srcPath, tsCol, keyCol, windowSec, watermarkSec)
     val schema = spark.read.parquet(staged).schema
     val in = spark.readStream.schema(schema)
@@ -218,13 +219,28 @@ object Incremental {
       .agg(count(lit(1)).as("n"), round(sum(valCol), 4).as("sum_val"))
     val sink = java.nio.file.Files.createTempDirectory("graft_winsink")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_winckpt")
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", sink.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // state partitions = state-store instances, fixed at first start from
+    // spark.sql.shuffle.partitions. Size to STATE KEY cardinality (here:
+    // windows × keys), not to the session's data-scale shuffle default —
+    // every store pays per-micro-batch load/commit I/O whether or not it
+    // holds keys, so over-provisioning tiny-state streams multiplies fixed
+    // overhead (measured 2× on the fixture). High-cardinality 100 TB
+    // streams pass a correspondingly high value.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = try {
+      agg.writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     q.awaitTermination()
     spark.read.parquet(sink.toString)
       .filter(col(keyCol) =!= StagedStream.SentinelKey)
