@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Loads, Sanitize, Tables, Windows}
@@ -153,6 +153,40 @@ object SparkEntry {
       Loads.deleteWhere(Tables.orders(s, dir),
         Windows.olderThanWindow(col("o_orderdate"), OrdersRef, WindowDays))
         .orderBy("o_orderkey")),
+
+    // L7 (extension): SCD Type-2 historization — one snapshot batch with
+    // changed, unchanged, and brand-new keys against an all-open dimension
+    "l7_scd2" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def attrs(bal: Column) = Seq(col("c_custkey"), col("c_mktsegment"),
+        round(bal, 2).as("c_acctbal"))
+      val current = c.select(attrs(col("c_acctbal")): _*)
+        .withColumn("valid_from", lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
+      val incoming = c.filter(col("c_custkey") % 7 === 0)
+        .select(attrs(col("c_acctbal") + 100): _*)
+        .unionByName(c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0)
+          .select(attrs(col("c_acctbal")): _*))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((attrs(col("c_acctbal")).tail :+
+            (col("c_custkey") + 1000000L).as("c_custkey")): _*)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"))
+      Loads.scd2(current, incoming, Seq("c_custkey"),
+        lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Skew-salted join (etl.Scale): results must be identical to the plain
+    // join — the salt only changes the shuffle distribution
+    "skew_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.etl.Scale.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
 
     // ---- M: schema tooling (M6 single-pass NVARCHAR promotion) ----
     "m6_nvarchar_promotion" -> ((s, dir) => {
@@ -669,6 +703,29 @@ object SparkEntry {
 
     "l6_delete_where" ->
       s"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '$OrdCut' ORDER BY o_orderkey",
+
+    "l7_scd2" ->
+      ("WITH cur AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal, " +
+        "TIMESTAMP '2001-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM customer), " +
+        "inc AS (" +
+        "SELECT c_custkey, c_mktsegment, round(c_acctbal + 100, 2) AS c_acctbal FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_mktsegment, round(c_acctbal, 2) FROM customer WHERE c_custkey % 11 = 0), " +
+        "j AS (SELECT coalesce(c.c_custkey, i.c_custkey) AS k, " +
+        "c.c_custkey IS NOT NULL AS in_cur, i.c_custkey IS NOT NULL AS in_inc, " +
+        "c.c_mktsegment AS cseg, c.c_acctbal AS cbal, c.valid_from AS cvf, " +
+        "i.c_mktsegment AS iseg, i.c_acctbal AS ibal, " +
+        "(c.c_mktsegment IS DISTINCT FROM i.c_mktsegment OR c.c_acctbal IS DISTINCT FROM i.c_acctbal) AS changed " +
+        "FROM cur c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey) " +
+        "SELECT k AS c_custkey, cseg AS c_mktsegment, cbal AS c_acctbal, cvf AS valid_from, " +
+        "CASE WHEN in_inc AND changed THEN TIMESTAMP '2001-06-01' END AS valid_to FROM j WHERE in_cur " +
+        "UNION ALL SELECT k, iseg, ibal, TIMESTAMP '2001-06-01', NULL FROM j WHERE in_inc AND (NOT in_cur OR changed) " +
+        "ORDER BY c_custkey, valid_from"),
+
+    "skew_salted_join" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
     "m6_nvarchar_promotion" ->
       ("SELECT col_name, promote FROM (" +

@@ -88,6 +88,61 @@ object Loads {
     * (a total order over row CONTENT). One shuffle by `keys`; no driver
     * involvement.
     */
+  /** L7 (extension — no reference counterpart): SCD Type-2 historization
+    * merge. `current` is a versioned dimension (`keys` ++ tracked
+    * attribute columns ++ `valid_from`/`valid_to`, open rows having
+    * `valid_to IS NULL`); `incoming` is an unversioned snapshot batch
+    * (`keys` ++ tracked, unique per key). Attribute changes close the open
+    * row at `effective` and open a new one; unchanged and absent keys pass
+    * through; unseen keys open fresh rows. Closed history never changes.
+    *
+    * Scale shape: closed history is a pass-through union (no shuffle); the
+    * open set joins `incoming` ONCE (full outer, broadcast when the batch
+    * is small) and each joined row emits its 1–2 output versions through a
+    * single array-explode — no per-leg re-filter of the join, so the plan
+    * reads each input exactly once.
+    */
+  def scd2(
+      current: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      effective: Column): DataFrame = {
+    val tracked = current.columns
+      .filterNot(c => keys.contains(c) || c == "valid_from" || c == "valid_to").toSeq
+    val history = current.filter(col("valid_to").isNotNull)
+    val open = current.filter(col("valid_to").isNull)
+
+    val cur = open.select(
+      (keys.map(col) ++ tracked.map(c => col(c).as(s"__cur_$c")) :+
+        col("valid_from").as("__cur_vf")): _*)
+      .withColumn("__in_cur", lit(true))
+    val inc = incoming.select(
+      (keys.map(col) ++ tracked.map(c => col(c).as(s"__inc_$c"))): _*)
+      .withColumn("__in_inc", lit(true))
+    val j = cur.join(inc, keys, "full_outer")
+
+    val inCur = coalesce(col("__in_cur"), lit(false))
+    val inInc = coalesce(col("__in_inc"), lit(false))
+    val changed = tracked.map(c => !(col(s"__cur_$c") <=> col(s"__inc_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def version(src: String, vf: Column, vt: Column) = struct(
+      tracked.map(c => col(s"__${src}_$c").as(c)) ++
+        Seq(vf.as("valid_from"), vt.as("valid_to")): _*)
+    val nullTs = lit(null).cast(open.schema("valid_to").dataType)
+    val versions =
+      when(inCur && inInc && changed,
+        array(version("cur", col("__cur_vf"), effective),
+          version("inc", effective, nullTs)))
+      .when(inCur, array(version("cur", col("__cur_vf"), nullTs)))
+      .otherwise(array(version("inc", effective, nullTs)))
+
+    val merged = j
+      .select(keys.map(col) :+ explode(versions).as("__v"): _*)
+      .select(current.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__v.$c").as(c)).toSeq: _*)
+    history.unionByName(merged)
+  }
+
   def upsert(
       existing: DataFrame,
       incoming: DataFrame,

@@ -88,4 +88,53 @@ class LoadsSpec extends AnyFunSuite {
     val incoming = li.limit(5)
     assert(Loads.overwrite(li, incoming).count() == 5)
   }
+
+  private val t0 = java.sql.Timestamp.valueOf("2001-01-01 00:00:00")
+  private val t1 = java.sql.Timestamp.valueOf("2001-06-01 00:00:00")
+  private val t2 = java.sql.Timestamp.valueOf("2001-12-01 00:00:00")
+
+  private def dim(rows: (Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])*) =
+    rows.toDF("k", "v", "valid_from", "valid_to")
+
+  test("L7 scd2: change closes the open row and opens a new one; unchanged and absent keys pass through") {
+    val current = dim((1L, "a", t0, None), (2L, "b", t0, None), (3L, "c", t0, None))
+    val incoming = Seq((1L, "a2"), (2L, "b")).toDF("k", "v") // 1 changed, 2 unchanged, 3 absent
+    val out = Loads.scd2(current, incoming, Seq("k"), lit(t1))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(out.toSeq == Seq(
+      (1L, "a", t0, Some(t1)), (1L, "a2", t1, None),
+      (2L, "b", t0, None),
+      (3L, "c", t0, None)))
+  }
+
+  test("L7 scd2: unseen keys open fresh rows; closed history is untouched") {
+    val current = dim((1L, "a", t0, Some(t1)), (1L, "a2", t1, None))
+    val incoming = Seq((1L, "a2"), (9L, "new")).toDF("k", "v")
+    val out = Loads.scd2(current, incoming, Seq("k"), lit(t2))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(out.toSeq == Seq(
+      (1L, "a", t0, Some(t1)), (1L, "a2", t1, None),
+      (9L, "new", t2, None)))
+  }
+
+  test("L7 scd2: applying the same snapshot twice is a no-op (idempotent)") {
+    val current = dim((1L, "a", t0, None), (2L, "b", t0, None))
+    val incoming = Seq((1L, "a2"), (2L, "b")).toDF("k", "v")
+    val once = Loads.scd2(current, incoming, Seq("k"), lit(t1))
+    val twice = Loads.scd2(once, incoming, Seq("k"), lit(t2))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("L7 scd2: three generations accumulate in order") {
+    val current = dim((1L, "v1", t0, None))
+    val g2 = Loads.scd2(current, Seq((1L, "v2")).toDF("k", "v"), Seq("k"), lit(t1))
+    val g3 = Loads.scd2(g2, Seq((1L, "v3")).toDF("k", "v"), Seq("k"), lit(t2))
+    val out = g3.orderBy("valid_from").collect()
+      .map(r => (r.getString(1), Option(r.getTimestamp(3))))
+    assert(out.toSeq == Seq(("v1", Some(t1)), ("v2", Some(t2)), ("v3", None)))
+    // exactly one open row per key
+    assert(g3.filter(col("valid_to").isNull).count() == 1)
+  }
 }

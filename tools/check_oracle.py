@@ -30,6 +30,11 @@ def main(sf_dir, out_dir):
             failures.append((name, "no spark output"))
             print(f"FAIL {name}: no spark output")
             continue
+        # pinned literal-VALUES oracles (PinnedOracles.scala) are captured
+        # at sf0.01, the driver's correctness scale — skip at other SFs
+        if "FROM (VALUES" in oracle[name] and "sf0.01" not in sf_dir.rstrip("/"):
+            print(f"PIN-SKIP {name} (pinned at sf0.01; checking {sf_dir})")
+            continue
         try:
             got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_df()
             want = con.execute(oracle[name]).fetch_df()
