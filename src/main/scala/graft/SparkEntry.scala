@@ -425,6 +425,17 @@ object SparkEntry {
         shingleK = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // transitive duplicate clusters: iterative min-label propagation over
+    // the exact-Jaccard pair graph (oracle: recursive CTE reachability)
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")
+    }),
+
     // pinned VALUES oracle (simhash needs Spark-side xxhash64; bit-exact
     // HOF cross-check in DedupSpec)
     "dedup_simhash" -> ((s, dir) => {
@@ -902,6 +913,19 @@ object SparkEntry {
         "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
         "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+
+    "dedup_components" ->
+      ("WITH RECURSIVE sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "walk(id, comp) AS (" +
+        "SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id) " +
+        "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id ORDER BY doc_id"),
 
     "dedup_embedding_cosine" ->
       ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +

@@ -191,6 +191,64 @@ object Dedup {
   def removeNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over a near-duplicate pair graph by iterative
+    * min-label propagation: every vertex starts labeled with its own id and
+    * repeatedly takes the minimum label among itself and its neighbors, so
+    * labels converge to the smallest id in each component in O(graph
+    * diameter) rounds (duplicate clusters are shallow — boilerplate stars,
+    * short chains — so rounds stay in the low single digits).
+    *
+    * Scale shape: each round is one edge↔label equi-join plus a per-vertex
+    * min — two key shuffles over (id, comp) pairs, never materializing the
+    * transitive closure. The driver sees only a one-row convergence probe
+    * per round. At very deep production graphs add periodic
+    * `localCheckpoint` to truncate lineage.
+    *
+    * Returns (id, comp) for every vertex that appears in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dstComp")), Seq("dst"))
+        .groupBy("src").agg(min("dstComp").as("nbrMin"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"))
+        .persist()
+      converged = next.alias("n")
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** From pairs to a dedup'd corpus via TRUE connected-components
+    * canonicalization: exactly one representative (the minimum id) survives
+    * per duplicate cluster, unlike [[removeNearDuplicates]]'s greedy
+    * keep-lowest policy which can keep several members of one transitive
+    * cluster (a~c, b~c keeps a AND b). Rows in no pair pass through.
+    */
+  def removeNearDuplicatesCC(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("comp") =!= col("id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact pairwise n-gram Jaccard similarity — the brute-force counterpart
     * of [[minhashLsh]] (its recall oracle in tests). O(n²) pair space: use
     * ONLY on small inputs or pre-blocked groups (`blockBy` restricts pairs

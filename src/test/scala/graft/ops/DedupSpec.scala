@@ -123,4 +123,28 @@ class DedupSpec extends AnyFunSuite {
     // default is finite
     assert(Dedup.DefaultMaxBucket < Int.MaxValue)
   }
+
+  test("connectedComponents: chain needs multiple propagation rounds, star and singleton pairs resolve") {
+    // chain 1-2-3-4-5-6 (diameter 5 exercises the iteration), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(comps(_) == 10L))
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    assert(comps.size == 12)
+  }
+
+  test("removeNearDuplicatesCC keeps one representative per cluster where greedy keeps several") {
+    // a~c, b~c: one transitive cluster {1,2,3}
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z"), (9L, "solo")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val greedy = Dedup.removeNearDuplicates(df, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val cc = Dedup.removeNearDuplicatesCC(df, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(greedy.toSeq == Seq(1L, 2L, 9L)) // greedy keeps both 1 and 2
+    assert(cc.toSeq == Seq(1L, 9L))         // CC keeps exactly min(cluster)
+  }
 }
