@@ -188,6 +188,13 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // M-extension: per-column data profile (nulls/distinct/min/max) in one
+    // aggregation pass — the data-side audit companion to M1 introspection
+    "m7_profile" -> ((s, dir) =>
+      graft.schema.Profile.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy("col_name")),
+
     // ---- M: schema tooling (M6 single-pass NVARCHAR promotion) ----
     "m6_nvarchar_promotion" -> ((s, dir) => {
       val sample = Tables.customer(s, dir).orderBy("c_custkey").limit(1000)
@@ -737,6 +744,14 @@ object SparkEntry {
       ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "m7_profile" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        .map(c => s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val FROM orders")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
 
     "m6_nvarchar_promotion" ->
       ("SELECT col_name, promote FROM (" +

@@ -1,0 +1,40 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-column data profiling: row count, null count, distinct count,
+  * min/max — the data-quality audit an ETL pipeline runs before/after a
+  * load (companion to [[Introspect]]'s schema-side audit; the reference has
+  * no data-side counterpart).
+  *
+  * Scale shape: ONE aggregation pass over the table produces every metric
+  * (per-column aggregates in a single `agg`), then the one result row
+  * explodes into per-column rows — no per-column scans, no driver loop.
+  * Exact `count_distinct` rewrites into Catalyst's expand (one shuffle
+  * leg per distinct column); at 100 TB pass `approx = true` to profile
+  * with `approx_count_distinct` (HLL++, single leg, ~2% error) instead.
+  */
+object Profile {
+
+  def profile(df: DataFrame, columns: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val metrics = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), metrics: _*)
+    val perCol = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_val"),
+      col(s"__mx_$c").as("max_val"))): _*)
+    one.select(explode(perCol).as("p")).select("p.*")
+  }
+}
