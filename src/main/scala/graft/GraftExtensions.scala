@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, ShingleHash, SimHash64}
+import graft.functions.{DotProduct, LshSignature, MinHashSig, ShingleHash, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hash"),
       info("graft_shingle_hash", "graft_shingle_hash(tokens, k) - hashed word k-shingles"),
       (args: Seq[Expression]) => ShingleHash(args(0), args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("graft_lsh_sig"),
+      info("graft_lsh_sig", "graft_lsh_sig(vec, planes) - random-hyperplane LSH bit signature"),
+      (args: Seq[Expression]) => LshSignature(args(0), args(1).eval().asInstanceOf[Int])))
   }
 }
 
@@ -49,5 +53,6 @@ object GraftFunctions {
     put("graft_simhash64", args => SimHash64(args.head))
     put("graft_minhash_sig", args => MinHashSig(args(0), args(1).eval().asInstanceOf[Int]))
     put("graft_shingle_hash", args => ShingleHash(args(0), args(1).eval().asInstanceOf[Int]))
+    put("graft_lsh_sig", args => LshSignature(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

@@ -647,6 +647,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // stream-stream interval join: view→purchase attribution within 1 h,
+    // both sides watermarked (state bounded by delay + lateness)
+    "stream_interval_join" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.streamIntervalJoin(
+        s, s"$dir/events.parquet", "ts", "user_id", "event_type",
+        leftValue = "view", rightValue = "purchase",
+        maxDelaySec = 3600, watermarkSec = 7200)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("user_id", col("user_id").cast("bigint"))
+        .orderBy("user_id")
+    }),
+
     // custom-state streaming (flatMapGroupsWithState): same result contract
     // as the batch events_sessionize, so it shares that oracle
     "stream_stateful_sessions" -> ((s, dir) => {
@@ -1037,6 +1050,14 @@ object SparkEntry {
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+
+    "stream_interval_join" ->
+      ("SELECT l.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND l.event_type = 'view' AND r.event_type = 'purchase' " +
+        "AND epoch_us(r.ts) >= epoch_us(l.ts) " +
+        "AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000 " +
+        "GROUP BY l.user_id ORDER BY user_id"),
 
     "events_asof_join" ->
       ("SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_us(p.ts) AS p_ts_us, " +

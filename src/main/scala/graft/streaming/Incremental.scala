@@ -248,6 +248,61 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Stream-stream interval join (inner): rows of `leftValue` type join
+    * rows of `rightValue` type on `keyCol` when the right event lands in
+    * `[left.ts, left.ts + maxDelaySec]` — the attribution/conversion join
+    * (view→purchase) as a genuinely streaming operator.
+    *
+    * Both sides carry a watermark and the join condition bounds both event
+    * times, so Spark can evict joined state: left rows age out once the
+    * right watermark passes `l_ts + maxDelaySec`, right rows once the left
+    * watermark passes `r_ts` — state is bounded by delay + lateness, not
+    * by stream length. Inner-join matches emit as they are found (no
+    * window-close wait), appended to a file sink; nothing accumulates on
+    * the driver. Returns the sink read back for verification.
+    */
+  def streamIntervalJoin(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      keyCol: String,
+      typeCol: String,
+      leftValue: String,
+      rightValue: String,
+      maxDelaySec: Long,
+      watermarkSec: Long): DataFrame = {
+    val src = streamSource(spark, srcPath)
+    // events.ts streams as raw nanos (LongType via nanosAsLong): µs-truncate
+    // like the batch reader so streaming and DuckDB agree on boundaries
+    val tsTs = src.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$tsCol div 1000"))
+      case _ => col(tsCol).cast("timestamp")
+    }
+    val left = src.filter(col(typeCol) === leftValue)
+      .select(col(keyCol).as(keyCol), tsTs.as("l_ts"))
+      .withWatermark("l_ts", s"$watermarkSec seconds")
+    val right = src.filter(col(typeCol) === rightValue)
+      .select(col(keyCol).as("__rk"), tsTs.as("r_ts"))
+      .withWatermark("r_ts", s"$watermarkSec seconds")
+    val joined = left.join(right,
+      col(keyCol) === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelaySec SECONDS"))
+      .select(col(keyCol), col("l_ts"), col("r_ts"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_ssjsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjckpt")
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink.toString)
+  }
+
   /** Continuous Method-2: stream new files and MERGE-upsert each
     * micro-batch into a JDBC target via `foreachBatch` — the reference's
     * daily extract + `ON DUPLICATE KEY UPDATE` load

@@ -31,4 +31,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 3)
     assert(r.getSeq[Long](2).length == 4)
   }
+
+  test("graft_lsh_sig from SQL matches the Column API") {
+    Tables.embeddings(spark, GraftSpark.Sf0001).limit(20).createOrReplaceTempView("emb_lsh")
+    val viaSql = spark.sql("SELECT graft_lsh_sig(embedding, 8) AS s FROM emb_lsh ORDER BY vec_id")
+      .collect().map(_.getLong(0))
+    val viaApi = spark.table("emb_lsh").orderBy("vec_id")
+      .select(VectorFunctions.lsh_signature(col("embedding"), 8))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
 }

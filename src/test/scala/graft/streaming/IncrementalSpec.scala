@@ -48,6 +48,26 @@ class IncrementalSpec extends AnyFunSuite {
       batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("streamIntervalJoin matches the batch interval join") {
+    import graft.GraftSpark
+    val evPath = s"${GraftSpark.Sf0001}/events.parquet"
+    val ev = Tables.events(spark, GraftSpark.Sf0001) // also sets nanosAsLong
+    val streamed = Incremental.streamIntervalJoin(spark, evPath,
+      "ts", "user_id", "event_type", "view", "purchase",
+      maxDelaySec = 3600, watermarkSec = 7200)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("l_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("r_ts"))
+    val batch = views.join(buys,
+      col("user_id") === col("u2") && col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select("user_id", "l_ts", "r_ts")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch.withColumn("l_ts", col("l_ts").cast(streamed.schema("l_ts").dataType))
+      .withColumn("r_ts", col("r_ts").cast(streamed.schema("r_ts").dataType))).isEmpty)
+  }
+
   test("streamingDedup drops duplicate keys arriving within the watermark") {
     // two copies of the same file in one source dir = every row duplicated
     val dir = Files.createTempDirectory("graft_sdedup")
