@@ -58,4 +58,57 @@ object FileLoads {
   /** Read back a partitioned target with partition pruning on `p_date`. */
   def readWindow(spark: SparkSession, path: String, fromDate: String): DataFrame =
     spark.read.parquet(path).filter(col("p_date") >= fromDate)
+
+  /** Compact a partitioned parquet target's small files: rewrite each
+    * `p_date` partition into `ceil(bytes / targetFileBytes)` files, sorted
+    * within files by `sortCols` so parquet row-group min/max statistics
+    * support data skipping on those columns.
+    *
+    * Incremental appends (daily micro-batches, streaming sinks) accrete
+    * one-file-per-task little files; at 100 TB the resulting
+    * open/footer-read overhead dominates scans. Compaction here is
+    * per-partition dynamic overwrite — ONLY partitions whose file count
+    * exceeds their target are rewritten, history stays untouched, and the
+    * job is a read+write of those partitions with no shuffle beyond the
+    * `repartition` that sets output file count.
+    *
+    * Returns the (partition → files before/after) plan it executed.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Map[String, (Int, Int)] = {
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+    val plan = parts.flatMap { p =>
+      val files = p.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      val bytes = files.map(_.length()).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (files.length > want) Some(p.getName -> (files.length, want)) else None
+    }.toMap
+    plan.foreach { case (part, (_, want)) =>
+      val partPath = s"$path/$part"
+      val df = spark.read.parquet(partPath)
+      val laid =
+        if (sortCols.nonEmpty) df.repartition(want).sortWithinPartitions(sortCols.map(col): _*)
+        else df.coalesce(want)
+      // write to a sibling temp dir, then atomically swap the partition in
+      val tmp = s"$path/.compact_tmp_$part"
+      laid.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val dst = new java.io.File(partPath)
+      val bak = new java.io.File(s"$path/.compact_old_$part")
+      if (!dst.renameTo(bak)) sys.error(s"compact: cannot stage $partPath")
+      if (!new java.io.File(tmp).renameTo(dst)) {
+        bak.renameTo(dst) // roll back
+        sys.error(s"compact: cannot publish $tmp")
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(bak)
+    }
+    plan
+  }
 }

@@ -59,4 +59,36 @@ class FileLoadsSpec extends AnyFunSuite {
     assert(count > 0 && notified == count)
     assert(spark.read.parquet(out).count() == count)
   }
+
+  test("compact merges small files per partition, preserves data, skips healthy partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val li = Tables.lineitem(spark, GraftSpark.Sf0001).limit(2000)
+    // simulate small-file accretion: 10 appends of 200 rows each
+    (0 until 10).foreach { i =>
+      FileLoads.append(li.filter(col("l_orderkey") % 10 === i), "l_shipdate", dir)
+    }
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().toSet
+    val beforeFiles = partFiles(dir)
+    assert(beforeFiles.values.exists(_ > 1), "fixture must start fragmented")
+
+    val plan = FileLoads.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024,
+      sortCols = Seq("l_orderkey"))
+    assert(plan.nonEmpty)
+    val afterFiles = partFiles(dir)
+    plan.foreach { case (part, (nBefore, nAfter)) =>
+      assert(afterFiles(part) == nAfter && nAfter < nBefore)
+    }
+    // untouched partitions keep their file layout
+    (beforeFiles.keySet -- plan.keySet).foreach { p =>
+      assert(afterFiles(p) == beforeFiles(p))
+    }
+    assert(spark.read.parquet(dir).collect().toSet == beforeRows)
+    // idempotent: a second pass finds nothing to do
+    assert(FileLoads.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024).isEmpty)
+  }
+
+  private def partFiles(dir: String): Map[String, Int] =
+    new java.io.File(dir).listFiles().filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+      .map(p => p.getName -> p.listFiles().count(_.getName.endsWith(".parquet"))).toMap
 }
