@@ -80,6 +80,25 @@ object FileLoads {
       targetFileBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Nil): Map[String, (Int, Int)] = {
     val root = new java.io.File(path)
+    // crash recovery: a prior run that died mid-swap leaves the partition
+    // staged as .compact_old_<part> with the live dir absent — restore it
+    // before planning (the tmp dir, if any, is incomplete and removed)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact_old_"))
+      .foreach { bak =>
+        val live = new java.io.File(root, bak.getName.stripPrefix(".compact_old_"))
+        if (!live.exists()) {
+          if (!bak.renameTo(live)) sys.error(s"compact: cannot restore ${bak.getName}")
+        }
+      }
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact_tmp_"))
+      .foreach { tmp =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(tmp)
+      }
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
     val plan = parts.flatMap { p =>

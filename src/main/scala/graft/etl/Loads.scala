@@ -153,7 +153,9 @@ object Loads {
       .unionByName(incoming.withColumn(srcCol, lit(0)))
     val residual = existing.schema.fields
       .filterNot(f => keys.contains(f.name) || tieBreak.contains(f.name))
-      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      // only orderable types may join the total order (maps — including
+      // nested inside structs/arrays — are not)
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       .map(f => col(f.name).desc)
     val ordering = (col(srcCol).asc +: tieBreak.map(col(_).desc)) ++ residual
     val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(ordering.toSeq: _*)

@@ -246,15 +246,16 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val isFloat = elemIsFloat
+    if (arr.numElements() != centroids(0).length) throw new IllegalArgumentException(
+      s"nearest_centroid: vector dim ${arr.numElements()} != centroid dim ${centroids(0).length}")
     var best = -1
     var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
-      val n = math.min(arr.numElements(), cen.length)
       var dot = 0.0
       var i = 0
-      while (i < n) {
+      while (i < cen.length) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         dot += x * cen(i)
         i += 1
@@ -280,11 +281,15 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val i = ctx.freshName("i")
       val sim = ctx.freshName("sim")
       s"""
+        if ($a.numElements() != $cenRef[0].length) {
+          throw new IllegalArgumentException("nearest_centroid: vector dim " +
+            $a.numElements() + " != centroid dim " + $cenRef[0].length);
+        }
         int $best = -1;
         double $bestSim = Double.NEGATIVE_INFINITY;
         for (int $c = 0; $c < $cenRef.length; $c++) {
           double[] $cen = $cenRef[$c];
-          int $n = java.lang.Math.min($a.numElements(), $cen.length);
+          int $n = $cen.length;
           double $dot = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             $dot += (double)$a.$get($i) * $cen[$i];

@@ -204,15 +204,24 @@ object Dedup {
     * per round. At very deep production graphs add periodic
     * `localCheckpoint` to truncate lineage.
     *
-    * Returns (id, comp) for every vertex that appears in `pairs`.
+    * Ids keep their native (orderable) type — long, string, … — with the
+    * minimum under that type's ordering as the component representative.
+    * Throws if labels have not converged within `maxIters` (silent
+    * non-convergence would dedup wrongly); duplicate clusters are shallow,
+    * so hitting the default bound means the pair graph is pathological.
+    *
+    * Returns (id, comp) for every vertex that appears in `pairs`. The
+    * result is persisted (it closes over `maxIters` rounds of joins —
+    * recomputing the lineage would redo the whole fixpoint); callers that
+    * are done with it may `unpersist()`.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
@@ -234,6 +243,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "the pair graph has a component of diameter > maxIters; raise maxIters")
     labels
   }
 

@@ -25,6 +25,11 @@ trait PageFetcher extends Serializable {
 
   /** Executor-side: one page's records as JSON-lines. */
   def fetch(pageRef: String): Iterator[String]
+
+  /** Driver-side: ONE page reference sufficient for schema inference,
+    * without enumerating (or fetching) the full page chain.
+    */
+  def samplePage(): Option[String] = planPages().headOption
 }
 
 /** Local directory of JSON-lines page files (one file ≙ one fetched OData
@@ -182,7 +187,12 @@ case class HttpPageFetcher(
     mapper.readTree(resp.body)
   }
 
-  override def planPages(): Seq[String] = {
+  // The nextLink protocol is inherently sequential: page N+1's URL lives in
+  // page N's body, so planning walks the chain once on the driver (bodies
+  // are read only for their nextLink; executors re-fetch page data in
+  // parallel). Memoized so inferSchema + planInputPartitions + re-plans
+  // share one walk per fetcher instance.
+  @transient private lazy val plannedPages: Seq[String] = {
     val urls = ArrayBuffer(serviceUrl)
     var node = page(serviceUrl)
     var next = Option(node.get("@odata.nextLink")).map(_.asText())
@@ -193,6 +203,13 @@ case class HttpPageFetcher(
     }
     urls.toSeq
   }
+
+  override def planPages(): Seq[String] = plannedPages
+
+  /** Schema inference needs one page — the service URL itself; never walk
+    * (and fetch) the whole chain for it.
+    */
+  override def samplePage(): Option[String] = Some(serviceUrl)
 
   override def fetch(pageRef: String): Iterator[String] = {
     val value = page(pageRef).get("value")

@@ -51,9 +51,9 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
       // metadata-only driver pass; data reads stay in executors
       case FilePageFetcher(path) => spark.read.json(path).schema
       case fetcher =>
-        // remote service: infer from the FIRST page only (driver-bounded);
-        // pass an explicit schema to skip this fetch entirely
-        val first = fetcher.planPages().headOption
+        // remote service: infer from ONE sample page (no chain walk, no
+        // full-entity fetch); pass an explicit schema to skip even this
+        val first = fetcher.samplePage()
           .map(p => fetcher.fetch(p).toSeq).getOrElse(Seq.empty)
         spark.read.json(spark.createDataset(first)(
           org.apache.spark.sql.Encoders.STRING)).schema

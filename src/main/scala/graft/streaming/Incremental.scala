@@ -122,7 +122,7 @@ object Incremental {
         keyCol: String,
         windowSec: Long,
         watermarkSec: Long): String =
-      memo.computeIfAbsent(s"$srcPath|$tsCol|$windowSec|$watermarkSec",
+      memo.computeIfAbsent(s"$srcPath|$tsCol|$keyCol|$windowSec|$watermarkSec",
         _ => materialize(spark, srcPath, tsCol, keyCol, windowSec, watermarkSec))
 
     private def materialize(
@@ -134,7 +134,7 @@ object Incremental {
         watermarkSec: Long): String = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import java.nio.file.attribute.FileTime
-      val key = s"$srcPath|$tsCol|$windowSec|$watermarkSec"
+      val key = s"$srcPath|$tsCol|$keyCol|$windowSec|$watermarkSec"
       val base = Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_stream_" + Integer.toHexString(key.hashCode))
       val data = base.resolve("data")
@@ -243,7 +243,8 @@ object Incremental {
     }
     q.awaitTermination()
     spark.read.parquet(sink.toString)
-      .filter(col(keyCol) =!= StagedStream.SentinelKey)
+      // null-safe: a NULL key group is real data, only the sentinel goes
+      .filter(!(col(keyCol) <=> StagedStream.SentinelKey))
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col(keyCol), col("n"), col("sum_val"))
   }

@@ -136,6 +136,18 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.size == 12)
   }
 
+  test("connectedComponents keeps native id types (string corpora) and fails loudly on non-convergence") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
+    // a 4-hop chain cannot converge in 1 round — must throw, not mislabel
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 1)
+    }
+  }
+
   test("removeNearDuplicatesCC keeps one representative per cluster where greedy keeps several") {
     // a~c, b~c: one transitive cluster {1,2,3}
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z"), (9L, "solo")).toDF("doc_id", "t")

@@ -56,6 +56,15 @@ class HttpPageFetcherSpec extends AnyFunSuite {
     assert(pages == Seq(Svc, s"$Svc?page=1", s"$Svc?page=2"))
   }
 
+  test("planPages memoizes the chain walk; samplePage never walks at all") {
+    val t = new FakeTransport
+    val f = fetcher(t)
+    assert(f.samplePage().contains(Svc))
+    assert(t.gets.isEmpty, "schema sampling must not fetch the page chain")
+    f.planPages(); f.planPages()
+    assert(t.gets.size == 3, s"chain must be walked once, saw ${t.gets.size} GETs")
+  }
+
   test("fetch unwraps the OData value array as JSON-lines") {
     val t = new FakeTransport
     val rows = fetcher(t).fetch(s"$Svc?page=1").toSeq
