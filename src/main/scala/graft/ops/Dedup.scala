@@ -96,6 +96,26 @@ object Dedup {
     * computed exactly once (no self-join, no persist). Giant buckets from
     * degenerate content are the skew risk: cap with `maxBucket`.
     */
+  /** Shared (id, band, bucket) rows for [[minhashLsh]] and its
+    * [[oversizedBuckets]] audit — ONE definition of the bucket formula so
+    * the audit can never drift from what the dedup actually hashes.
+    * Input must carry `id` and `shingle_set` columns.
+    */
+  private def minhashBuckets(
+      withSets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val withSig = withSets
+      .withColumn("sig", minhashSignature(col("shingle_set"), bands * rowsPerBand))
+    val bandCols = array((0 until bands).map { j =>
+      struct(
+        lit(j).as("band"),
+        xxhash64(lit("band"), lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
+          .as("bucket"))
+    }: _*)
+    withSig
+      .select(col("id"), explode(bandCols).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashLsh(
       df: DataFrame,
       idCol: String,
@@ -105,21 +125,10 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val withSets = df.select(
       col(idCol).as("id"),
       array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
-    val withSig = withSets.withColumn("sig", minhashSignature(col("shingle_set"), numHashes))
-
-    val bandCols = array((0 until bands).map { j =>
-      struct(
-        lit(j).as("band"),
-        xxhash64(lit("band"), lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
-          .as("bucket"))
-    }: _*)
-    val banded = withSig
-      .select(col("id"), explode(bandCols).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = minhashBuckets(withSets, bands, rowsPerBand)
 
     // Candidate generation WITHOUT a self-join: one aggregation groups ids
     // per (band, bucket), then ordered pairs explode from each bucket's id
@@ -163,20 +172,11 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val withSig = df.select(
-        col(idCol).as("id"),
-        array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
-      .withColumn("sig", minhashSignature(col("shingle_set"), numHashes))
-    val bandCols = array((0 until bands).map { j =>
-      struct(
-        lit(j).as("band"),
-        xxhash64(lit("band"), lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
-          .as("bucket"))
-    }: _*)
-    withSig
-      .select(col("id"), explode(bandCols).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val withSets = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+    minhashBuckets(withSets, bands, rowsPerBand)
+      .groupBy("band", "bucket")
       .agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") > maxBucket)
   }
