@@ -654,7 +654,8 @@ object SparkEntry {
       graft.streaming.Incremental.streamIntervalJoin(
         s, s"$dir/events.parquet", "ts", "user_id", "event_type",
         leftValue = "view", rightValue = "purchase",
-        maxDelaySec = 3600, watermarkSec = 7200)
+        maxDelaySec = 3600, watermarkSec = 7200,
+        statePartitions = 8) // state keys = active users in the join horizon
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .withColumn("user_id", col("user_id").cast("bigint"))
         .orderBy("user_id")

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnInterop
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native SimHash-64 over a token array (north-star dedup, SURVEY.md §7.5).
   *
@@ -297,6 +298,187 @@ case class ShingleHash(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native stopword-hit count: how many tokens (duplicates included) of the
+  * input array appear in `words`. Replaces the interpreted
+  * `filter(tokens, t -> t.isin(...))` HOF (per-token lambda dispatch, an
+  * allocated intermediate array per row) with one codegen'd hash-set pass.
+  * Quality scoring runs this per document over the whole corpus — it is
+  * map-side cost at 100 TB and must stay inside whole-stage codegen.
+  */
+case class StopwordCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"stopword_count expects array<string>, got $other")
+    }
+
+  // UTF8String has value-based equals/hashCode — a HashSet of them is the
+  // O(1) membership test; built once per task, shared via a reference obj.
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && wordSet.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val hits = ctx.freshName("hits")
+      s"""
+        int $hits = 0;
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $hits++;
+        }
+        ${ev.value} = $hits;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native single-pass language ID over a token array: per-language stopword
+  * hit counts (a token may belong to several languages' lists — membership
+  * is a token→bitmask lookup), winner = alphabetically-first language with
+  * the maximal non-zero count, else `und`.
+  *
+  * Replaces the composed-Column formulation (4 languages × interpreted
+  * `filter` HOF, each evaluated twice through `greatest` + the `when`
+  * chain = 8 lambda-dispatch passes per document — the slowest query of
+  * the round-2 bench at 10× the cost of any other text op). `langs` must be
+  * sorted by language code; ONE pass per document, no allocation.
+  */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  require(langs.nonEmpty && langs.size <= 31, "1..31 language lists")
+  require(langs.map(_._1) == langs.map(_._1).sorted,
+    "langs must be sorted by code (alphabetical tie-break contract)")
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_id expects array<string>, got $other")
+    }
+
+  @transient private lazy val maskMap: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    langs.zipWithIndex.foreach { case ((_, words), li) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << li)))
+      }
+    }
+    m
+  }
+
+  @transient private lazy val langNames: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+
+  @transient private lazy val und: UTF8String = UTF8String.fromString("und")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](langs.size)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val mask = maskMap.get(arr.getUTF8String(i))
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            val li = java.lang.Integer.numberOfTrailingZeros(m)
+            counts(li) += 1
+            m &= m - 1
+          }
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var bestIdx = -1
+    var li = 0
+    while (li < counts.length) {
+      if (counts(li) > best) { best = counts(li); bestIdx = li }
+      li += 1
+    }
+    if (bestIdx < 0) und else langNames(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("maskMap", maskMap, "java.util.HashMap")
+    val namesRef = ctx.addReferenceObj("langNames", langNames,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val undRef = ctx.addReferenceObj("und", und,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mask = ctx.freshName("mask")
+      val m = ctx.freshName("m")
+      val li = ctx.freshName("li")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      s"""
+        int[] $counts = new int[${langs.size}];
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            Integer $mask = (Integer) $mapRef.get($a.getUTF8String($i));
+            if ($mask != null) {
+              int $m = $mask.intValue();
+              while ($m != 0) {
+                $counts[Integer.numberOfTrailingZeros($m)]++;
+                $m &= $m - 1;
+              }
+            }
+          }
+        }
+        int $best = 0;
+        int $bestIdx = -1;
+        for (int $li = 0; $li < ${langs.size}; $li++) {
+          if ($counts[$li] > $best) { $best = $counts[$li]; $bestIdx = $li; }
+        }
+        ${ev.value} = ($bestIdx < 0) ? $undRef : $namesRef[$bestIdx];
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** SimHash-64 fingerprint of a token-array column. */
   def simhash64(tokens: Column): Column =
@@ -311,4 +493,12 @@ object TextFunctions {
   /** Hashed word-k-shingles (array<long>) of a token-array column. */
   def shingle_hash(tokens: Column, k: Int): Column =
     ColumnInterop.column(ShingleHash(ColumnInterop.expression(tokens), k))
+
+  /** Count of tokens (duplicates included) that appear in `words`. */
+  def stopword_count(tokens: Column, words: Seq[String]): Column =
+    ColumnInterop.column(StopwordCount(ColumnInterop.expression(tokens), words))
+
+  /** Single-pass language ID over a token array; `langs` sorted by code. */
+  def lang_id(tokens: Column, langs: Seq[(String, Seq[String])]): Column =
+    ColumnInterop.column(LangIdExpr(ColumnInterop.expression(tokens), langs))
 }

@@ -223,23 +223,29 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
+    var labels = cached
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dstComp")), Seq("dst"))
         .groupBy("src").agg(min("dstComp").as("nbrMin"))
-      val next = labels
+      // one join carries BOTH the new label and the old one, so the
+      // convergence probe is a filter-count on the persisted frame instead
+      // of a second labels join per round (round-2 form) — a label can only
+      // change by taking a strictly smaller neighbor minimum, so
+      // "converged" ⇔ no row has a changed comp after the least()
+      val joined = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"))
         .persist()
-      converged = next.alias("n")
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = joined.filter(col("comp") =!= col("prev")).isEmpty
+      cached.unpersist()
+      cached = joined // `labels` below is a projection of this cached frame
+      labels = joined.select("id", "comp")
       i += 1
     }
     edges.unpersist()

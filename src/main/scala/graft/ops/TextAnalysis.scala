@@ -50,7 +50,8 @@ object TextAnalysis {
     val nonAlnum = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double")
     val punctRatio = nonAlnum / greatest(length(text).cast("double"), lit(1.0))
     val uniqRatio = size(array_distinct(tokens)).cast("double") / greatest(nTok, lit(1.0))
-    val stopHits = size(filter(tokens, t => t.isin(StopwordsEn: _*))).cast("double")
+    val stopHits =
+      graft.functions.TextFunctions.stopword_count(tokens, StopwordsEn).cast("double")
     val stopRatio = stopHits / greatest(nTok, lit(1.0))
     val lengthOk = when(nTok.between(10, 100000), lit(1.0)).otherwise(lit(0.25))
     val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(1.0) - punctRatio)
@@ -80,22 +81,42 @@ object TextAnalysis {
     round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 4)
   }
 
-  /** Stopword-hit count for one language list. */
+  /** Stopword-hit count for one language list (native codegen'd
+    * [[graft.functions.StopwordCount]] — one hash-set pass, no lambda HOF).
+    */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
+    graft.functions.TextFunctions.stopword_count(split(text, " "), words)
+
+  /** The four (code → list) pairs, sorted by code — the [[langId]] scoring
+    * table and its tie-break order.
+    */
+  val LangTable: Seq[(String, Seq[String])] = Seq(
+    "de" -> StopwordsDe,
+    "en" -> StopwordsEn,
+    "es" -> StopwordsEs,
+    "fr" -> StopwordsFr)
 
   /** Language-ID heuristic: score = stopword hits per language; winner by
     * max score with deterministic alphabetical tie-break; 'und'
     * (undetermined) when no list scores at all. A real system uses
     * char-n-gram models; the Spark-side shape (per-doc expression-only
     * scoring, no shuffle) is identical.
+    *
+    * Native single-pass codegen'd expression
+    * ([[graft.functions.LangIdExpr]]); [[langIdHof]] is the composed-Column
+    * reference form it must agree with (cross-checked in TextAnalysisSpec).
     */
-  def langId(text: Column): Column = {
-    val scores = Seq(
-      "de" -> stopwordHits(text, StopwordsDe),
-      "en" -> stopwordHits(text, StopwordsEn),
-      "es" -> stopwordHits(text, StopwordsEs),
-      "fr" -> stopwordHits(text, StopwordsFr))
+  def langId(text: Column): Column =
+    graft.functions.TextFunctions.lang_id(split(text, " "), LangTable)
+
+  /** Composed-Column reference formulation of [[langId]] — 4 languages × 2
+    * interpreted `filter`-HOF evaluations per document; kept ONLY as the
+    * semantic cross-check oracle for the native expression.
+    */
+  def langIdHof(text: Column): Column = {
+    def hofHits(words: Seq[String]): Column =
+      size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
+    val scores = LangTable.map { case (name, words) => name -> hofHits(words) }
     val best = greatest(scores.map(_._2): _*)
     // alphabetical order of the seq gives the deterministic tie-break
     scores.foldRight(lit("und")) { case ((langName, score), elseCol) =>

@@ -271,7 +271,8 @@ object Incremental {
       leftValue: String,
       rightValue: String,
       maxDelaySec: Long,
-      watermarkSec: Long): DataFrame = {
+      watermarkSec: Long,
+      statePartitions: Int = 0): DataFrame = {
     val src = streamSource(spark, srcPath)
     // events.ts streams as raw nanos (LongType via nanosAsLong): µs-truncate
     // like the batch reader so streaming and DuckDB agree on boundaries
@@ -293,13 +294,26 @@ object Incremental {
       .select(col(keyCol), col("l_ts"), col("r_ts"))
     val sink = java.nio.file.Files.createTempDirectory("graft_ssjsink")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjckpt")
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", sink.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // a stream-stream join keeps FOUR state-store instances per partition
+    // (keyed + key-with-index, per side), so over-provisioned partitions
+    // multiply per-micro-batch store load/commit overhead 4× faster than a
+    // windowed agg does — size to join-key cardinality (see the
+    // windowedCountsAppend note), not to the session's shuffle default
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = try {
+      joined.writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     q.awaitTermination()
     spark.read.parquet(sink.toString)
   }

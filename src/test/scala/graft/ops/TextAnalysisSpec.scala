@@ -43,6 +43,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "es", "fr", "de", "und"))
   }
 
+  test("native langId agrees with the composed-HOF reference on fixture docs") {
+    val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001)
+    val mismatches = docs.select(
+        TextAnalysis.langId(col("text")).as("native"),
+        TextAnalysis.langIdHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("native stopword_count agrees with the filter-HOF form on fixture docs") {
+    import graft.functions.TextFunctions.stopword_count
+    val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001)
+    val tokens = split(col("text"), " ")
+    val mismatches = docs.select(
+        stopword_count(tokens, TextAnalysis.StopwordsEn).as("native"),
+        size(filter(tokens, t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq(("a b c", 1), ("c b a", 2), ("a b c", 3)).toDF("t", "id")
     val fps = df.orderBy("id").select(TextAnalysis.fingerprint("t")).collect()

@@ -2,8 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiling harness (test scope only): times the streaming
-  * windowed-count sub-stages at the driver bench's config.
+/** Dev profiling harness (test scope only): times declared queries by name
+  * at the driver bench's config and action (noop-sink write), N repetitions
+  * each. Usage: `Test/runMain graft.tools.Prof q1_agg lang_id ...`
+  * (no args = the round's current hot list).
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -12,25 +14,26 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "3").toInt
 
-    def time(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"PROF $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("lang_id", "text_quality", "stream_interval_join",
+        "dedup_components", "stream_window_counts", "m7_profile")
+
+    // same untimed warmup as Bench
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter("l_orderkey > 0").groupBy("l_returnflag").count().collect()
+
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"PROF $name%-24s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
-
-    def run(): Long = graft.streaming.Incremental.windowedCountsAppend(
-      spark, s"$dir/lineitem.parquet", "l_shipdate", "l_returnflag", "l_quantity",
-      windowSec = 30L * 86400, watermarkSec = 30L * 86400).count()
-
-    time("run1_cold_staged") { run() }
-    time("run2_warm_staged") { run() }
-    time("run3_warm_staged") { run() }
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    time("run4_shufpart_4") { run() }
-    time("run5_shufpart_4") { run() }
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.stop()
   }
 }
