@@ -688,6 +688,65 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
     }),
+
+    // Range join: every (purchase, prior view ≤1h) pair per user — the
+    // windowed-neighborhood generalization of the as-of join (which keeps
+    // only the latest such view).
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.rangeJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        lookback = expr("INTERVAL 1 HOUR"))
+        .select(
+          col("event_id").as("p_event_id"),
+          col("user_id"),
+          col("r_event_id").as("view_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_ts_us"),
+          unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
+        .orderBy("p_event_id", "view_event_id")
+    }),
+
+    // Per-dimension corpus statistics (mean/std per embedding dimension —
+    // the normalization/whitening pre-pass of an embedding pipeline): one
+    // posexplode + one 64-key aggregation, map-side partial.
+    "embedding_dim_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(
+          round(avg(col("x").cast("double")), 4).as("mean_x"),
+          round(stddev_samp(col("x").cast("double")), 4).as("sd_x"))
+        .withColumn("dim", col("dim").cast("bigint"))
+        .orderBy("dim")),
+
+    // Symmetric int8 quantization of the embedding column (ANN memory
+    // compression; exact-reproducible double arithmetic — see
+    // Vectors.quantizeInt8). Shuffle-free.
+    "embedding_quantize" -> ((s, dir) =>
+      graft.ops.Vectors.quantizeInt8(Tables.embeddings(s, dir), "embedding")
+        .select(
+          col("vec_id"),
+          round(col("q_scale"), 4).as("q_scale_r"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q_vec")).as("q_min"),
+          array_max(col("q_vec")).as("q_max"))
+        .orderBy("vec_id")),
+
+    // Incremental near-dup: a NEW BATCH (re-labeled copies of docs
+    // 100–149, simulating a re-crawl) deduped AGAINST the existing corpus
+    // — one (band,bucket) equi-join, no corpus self-join. Oracle:
+    // brute-force batch × corpus Jaccard.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.minhashLshIncremental(docs, batch, "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1091,5 +1150,49 @@ object SparkEntry {
         "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
         "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
         "WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    "events_range_join" ->
+      ("SELECT p.event_id AS p_event_id, p.user_id AS user_id, v.event_id AS view_event_id, " +
+        "epoch_us(p.ts) AS p_ts_us, epoch_us(v.ts) AS view_ts_us " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR " +
+        "ORDER BY p_event_id, view_event_id"),
+
+    "embedding_dim_stats" ->
+      ("SELECT CAST(r.i AS BIGINT) AS dim, " +
+        "round(avg(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) AS mean_x, " +
+        "round(stddev_samp(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) AS sd_x " +
+        "FROM embeddings, range(64) r(i) GROUP BY 1 ORDER BY dim"),
+
+    "embedding_quantize" ->
+      ("WITH s AS (SELECT vec_id, embedding, " +
+        "CASE WHEN list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') > 0 " +
+        "THEN 127.0 / list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') " +
+        "ELSE 0.0 END AS scale FROM embeddings), " +
+        "qq AS (SELECT vec_id, scale, " +
+        "list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT)) AS qv " +
+        "FROM s) " +
+        "SELECT vec_id, round(scale, 4) AS q_scale_r, " +
+        "CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum, " +
+        "CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min, " +
+        "CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max " +
+        "FROM qq ORDER BY vec_id"),
+
+    "dedup_incremental" ->
+      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+        "bsets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+        "csets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM bsets b, csets c " +
+        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id"),
   ) ++ PinnedOracles.sql
 }

@@ -157,6 +157,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup detection: MinHash+LSH candidates of a NEW BATCH
+    * against an EXISTING CORPUS — the "dedup the incoming crawl against
+    * what's already ingested" pipeline step. Only batch↔corpus pairs are
+    * produced (no corpus self-pairs: the corpus was already deduped; no
+    * batch self-pairs: run [[minhashLsh]] on the batch for those).
+    *
+    * Returns (batch_id, corpus_id, jaccard) with jaccard ≥ `threshold`.
+    *
+    * Scale shape: both sides compute signatures once (embarrassingly
+    * parallel), then ONE equi-join on (band, bucket) — the corpus is never
+    * self-joined, and with a deduped corpus its per-bucket cardinality
+    * stays low, so the join fan-out is |batch bucket| × |corpus bucket|
+    * per bucket, not quadratic in the corpus. `maxBucket` drops corpus
+    * buckets above the cap (boilerplate guard, as in [[minhashLsh]]).
+    * At 100 TB the corpus-side bucket table is the natural thing to
+    * PRECOMPUTE and store bucketed-by-(band,bucket); each daily batch then
+    * joins against it shuffle-free on the corpus side.
+    */
+  def minhashLshIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def sets(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+    val corpusSets = sets(corpus)
+    val batchSets = sets(batch)
+    val corpusBuckets = minhashBuckets(corpusSets, bands, rowsPerBand)
+    val batchBuckets = minhashBuckets(batchSets, bands, rowsPerBand)
+
+    val okBuckets = corpusBuckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    val pairIds = batchBuckets.withColumnRenamed("id", "batch_id")
+      .join(corpusBuckets.withColumnRenamed("id", "corpus_id").join(okBuckets, Seq("band", "bucket")),
+        Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+
+    pairIds
+      .join(batchSets.select(col("id").as("batch_id"), col("shingle_set").as("set_a")), Seq("batch_id"))
+      .join(corpusSets.select(col("id").as("corpus_id"), col("shingle_set").as("set_b")), Seq("corpus_id"))
+      .withColumn("__inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Observability for the `maxBucket` cap: the (band, bucket, n_ids)
     * buckets [[minhashLsh]] would DROP at the given parameters. Run (and
     * log/alert on) this next to a capped dedup pass — a non-empty result

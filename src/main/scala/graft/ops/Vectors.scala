@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Typed vector aggregations (`Aggregator` over `Dataset[T]` — the typed
   * API surface for custom aggregation state, SURVEY.md §2.10).
@@ -51,4 +52,25 @@ object Vectors {
       .mapValues(_._2)
       .agg(new CentroidAggregator(dim).toColumn.name("centroid"))
   }
+
+  /** Symmetric per-vector int8 quantization (the standard memory-compression
+    * step for ANN indexes: 4× smaller than float32, cosine/dot rankings
+    * nearly preserved). Adds `q_scale` (`127 / max|x|`, 0 for the
+    * all-zero vector) and `q_vec` (`array<int>` of
+    * `clamp(floor(x * q_scale + 0.5), -127, 127)`).
+    *
+    * All arithmetic is DOUBLE with an explicit `floor(x+0.5)` rounding rule,
+    * so any engine following IEEE-754 reproduces the quantized values
+    * bit-for-bit (the DuckDB oracle recomputes them exactly — no
+    * round-half-even vs round-half-up ambiguity). Shuffle-free, per-row.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__maxabs",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn("q_scale",
+        when(col("__maxabs") > 0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
+      .withColumn("q_vec", transform(col(vecCol), x =>
+        greatest(lit(-127), least(lit(127),
+          floor(x.cast("double") * col("q_scale") + lit(0.5)).cast("int")))))
+      .drop("__maxabs")
 }

@@ -46,6 +46,24 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute) // precision exact by construction; recall must hold here
   }
 
+  test("minhashLshIncremental: batch-vs-corpus pairs only, matches brute-force cross Jaccard") {
+    val batch = docs.filter(col("doc_id").between(100, 149))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val got = Dedup.minhashLshIncremental(docs, batch, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.8)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair crosses the batch/corpus boundary
+    assert(got.forall { case (b, c) => b >= 1000000L && c < 1000000L })
+    // brute-force cross oracle: batch × corpus exact Jaccard
+    val brute = Dedup.ngramJaccardPairs(docs.unionByName(batch), "doc_id", "text",
+        threshold = 0.8)
+      .filter(col("id_b") >= 1000000L && col("id_a") < 1000000L)
+      .select("id_b", "id_a").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.exists { case (b, c) => b - 1000000L == c }) // re-crawled copies found
+  }
+
   test("simhash: identical docs have identical fingerprints; hamming 0") {
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "a completely different sentence with many other words")).toDF("doc_id", "text")
