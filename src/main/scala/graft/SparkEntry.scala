@@ -394,6 +394,29 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // full CUBE (all grouping-set combinations, incl. the per-linestatus
+    // marginals ROLLUP omits)
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // window-frame moving aggregate: 7-row trailing mean per returnflag
+    // over the date-ordered daily quantity series
+    "q_moving_avg" -> ((s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_shipdate")
+        .agg(sum("l_quantity").as("day_qty"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_shipdate")
+        .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      daily
+        .withColumn("ma7", round(avg("day_qty").over(w), 4))
+        .withColumn("day_qty", round(col("day_qty"), 4))
+        .orderBy("l_returnflag", "l_shipdate")
+    }),
+
     // ---- North star: dedup ----
     "dedup_exact" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -486,6 +509,14 @@ object SparkEntry {
       graft.ops.Sampling.trainTestSplit(Tables.documents(s, dir), 0.2, col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
+
+    // deterministic per-stratum sampling (hash salted by the stratum) —
+    // pinned VALUES oracle; driver-side recomputation in SamplingSpec
+    "stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+          Tables.documents(s, dir), col("lang"), 0.1, col("doc_id"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
 
     // ---- North star: text analysis ----
     "text_stats" -> ((s, dir) =>
@@ -752,7 +783,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the two approximate-by-design
     * ANN queries (knn_ivf_ann, knn_lsh_ann — recall-asserted vs brute
-    * force in IvfSpec/SimilaritySpec instead); the four deterministic
+    * force in IvfSpec/SimilaritySpec instead); the five deterministic
     * Spark-side-hash queries carry PINNED literal-VALUES oracles
     * ([[PinnedOracles]], valid at sf0.01).
     */
@@ -952,6 +983,19 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_moving_avg" ->
+      ("WITH daily AS (SELECT l_returnflag, l_shipdate, sum(l_quantity) AS day_qty " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_returnflag, l_shipdate, round(day_qty, 4) AS day_qty, " +
+        "round(avg(day_qty) OVER (PARTITION BY l_returnflag ORDER BY l_shipdate " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7 " +
+        "FROM daily ORDER BY l_returnflag, l_shipdate"),
 
     // genuine dedup oracle (keep min doc_id per text) — at larger SFs the
     // fixture itself contains duplicate texts, so "just return documents"

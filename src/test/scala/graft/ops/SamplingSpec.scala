@@ -45,6 +45,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stratifiedSample membership matches a driver-side xxhash64 recomputation") {
+    // first-principles check backing the pinned stratified_sample oracle:
+    // hashWeight salts with the stratum first — xxhash64(lang, doc_id)
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val got = Sampling.stratifiedSample(docs, col("lang"), 0.1, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.select("doc_id", "lang").collect().map { r =>
+      val h1 = XxHash64Function.hash(UTF8String.fromString(r.getString(1)), StringType, 42L)
+      val h = XxHash64Function.hash(r.getLong(0), LongType, h1)
+      r.getLong(0) -> (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
+    }.filter(_._2 < 0.1).map(_._1).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("stratifiedSample keeps roughly the fraction within each stratum") {
     val sampled = Sampling.stratifiedSample(docs, col("lang"), 0.5, col("doc_id"))
     val perLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
