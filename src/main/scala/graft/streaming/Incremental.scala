@@ -209,8 +209,13 @@ object Incremental {
       statePartitions: Int = 0): DataFrame = {
     val staged = StagedStream.dir(spark, srcPath, tsCol, keyCol, windowSec, watermarkSec)
     val schema = spark.read.parquet(staged).schema
+    // all files land in ONE micro-batch (data + watermark-driver
+    // sentinels); the watermark advances past every real window at its
+    // end, and the engine's final no-data micro-batch
+    // (spark.sql.streaming.noDataMicroBatches, default on) emits the
+    // closed windows — 2 micro-batches total instead of one per file,
+    // halving the fixed per-batch state-store/commit overhead
     val in = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
     val agg = in
