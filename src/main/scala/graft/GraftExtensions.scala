@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, LshSignature, MinHashSig, ShingleHash, SimHash64}
+import graft.functions.{DotProduct, LangIdExpr, LshSignature, MinHashSig, ShingleHash, SimHash64, StopwordCount}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
@@ -40,6 +40,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_sig"),
       info("graft_lsh_sig", "graft_lsh_sig(vec, planes) - random-hyperplane LSH bit signature"),
       (args: Seq[Expression]) => LshSignature(args(0), args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("graft_stopword_count"),
+      info("graft_stopword_count",
+        "graft_stopword_count(tokens, array('the', ...)) - tokens present in the word list"),
+      (args: Seq[Expression]) => GraftExtensions.stopwordCount(args)))
+    e.injectFunction((
+      FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id",
+        "graft_lang_id(tokens) - stopword-vote language id over the built-in de/en/es/fr lists"),
+      (args: Seq[Expression]) => LangIdExpr(args.head, graft.ops.TextAnalysis.LangTable)))
+  }
+}
+
+object GraftExtensions {
+  /** Builder for the SQL form: the word list must be a foldable array of
+    * string literals (evaluated once at plan time).
+    */
+  private[graft] def stopwordCount(args: Seq[Expression]): Expression = {
+    require(args(1).foldable, "graft_stopword_count word list must be a literal array")
+    val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val words = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    StopwordCount(args(0), words)
   }
 }
 
@@ -54,5 +76,7 @@ object GraftFunctions {
     put("graft_minhash_sig", args => MinHashSig(args(0), args(1).eval().asInstanceOf[Int]))
     put("graft_shingle_hash", args => ShingleHash(args(0), args(1).eval().asInstanceOf[Int]))
     put("graft_lsh_sig", args => LshSignature(args(0), args(1).eval().asInstanceOf[Int]))
+    put("graft_stopword_count", GraftExtensions.stopwordCount)
+    put("graft_lang_id", args => LangIdExpr(args.head, graft.ops.TextAnalysis.LangTable))
   }
 }

@@ -678,6 +678,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal frame sampling (STUB frame content — deterministic slice
+    // hash; real decoder drops in per Multimodal.scala): one row per
+    // (payload, frame) — pinned VALUES oracle; driver-side hash
+    // recomputation in MultimodalSpec
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Tables.documents(s, dir).filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "doc_id", n = 3)
+        .orderBy("doc_id", "frame_idx")),
+
     // stream-stream interval join: view→purchase attribution within 1 h,
     // both sides watermarked (state bounded by delay + lateness)
     "stream_interval_join" -> ((s, dir) => {

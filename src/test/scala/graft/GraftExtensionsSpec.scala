@@ -32,6 +32,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2).length == 4)
   }
 
+  test("graft_lang_id / graft_stopword_count from SQL match the Column API") {
+    val r = spark.sql(
+      """SELECT graft_lang_id(split('the cat and the dog is here', ' ')) AS lang,
+        |       graft_stopword_count(split('the cat and the dog', ' '),
+        |                            array('the', 'and')) AS n""".stripMargin).head()
+    assert(r.getString(0) == "en")
+    assert(r.getInt(1) == 3)
+  }
+
   test("graft_lsh_sig from SQL matches the Column API") {
     Tables.embeddings(spark, GraftSpark.Sf0001).limit(20).createOrReplaceTempView("emb_lsh")
     val viaSql = spark.sql("SELECT graft_lsh_sig(embedding, 8) AS s FROM emb_lsh ORDER BY vec_id")

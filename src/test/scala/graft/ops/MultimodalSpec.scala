@@ -57,6 +57,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.groupBy("doc_id").count().filter(col("count") =!= 4).isEmpty)
   }
 
+  test("frameSample hashes match a driver-side xxhash64 recomputation") {
+    // first-principles check backing the pinned multimodal_frames oracle:
+    // frame_hash = xxhash64(payload, frame_idx) — seed-chained catalyst hash
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    val got = Multimodal.frameSample(mediaDf, "payload", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = mediaDf.select("doc_id", "payload").collect().flatMap { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      (0 until 3).map { i =>
+        val h = XxHash64Function.hash(bytes, BinaryType, 42L)
+        (r.getLong(0), i) -> XxHash64Function.hash(i, IntegerType, h)
+      }
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("withMediaMeta attaches the typed metadata struct") {
     val out = Multimodal.withMediaMeta(mediaDf, "payload",
       lit("png"), lit(64), lit(64), lit(0L))
