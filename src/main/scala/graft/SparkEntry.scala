@@ -712,6 +712,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // exact top-k over the int8-quantized corpus (4× smaller scan; cosine
+    // on quantized vectors — deterministic, hence oracle-backed, unlike
+    // the approximate LSH/IVF paths)
+    "knn_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF approximate ANN — no oracle (approximate by design): rows-only
     "knn_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1204,6 +1215,20 @@ object SparkEntry {
         "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
         "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
         "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
+        "WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    "knn_int8" ->
+      ("WITH qz AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * " +
+        "(CASE WHEN list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') > 0 " +
+        "THEN 127.0 / list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') ELSE 0.0 END) " +
+        "+ 0.5)))) AS qv FROM embeddings) " +
+        "SELECT q_id, n_id, sim, rank FROM (" +
+        "SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
+        "round(list_dot_product(q.qv, n.qv) / " +
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.qv, n.qv))), 4) AS sim " +
+        "FROM qz q, qz n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
         "WHERE rank <= 5 ORDER BY q_id, rank"),
 
     "events_range_join" ->

@@ -111,6 +111,27 @@ object Similarity {
     topKPerQuery(pairs, k)
   }
 
+  /** Exact top-k over the INT8-QUANTIZED corpus: both sides pass through
+    * [[graft.ops.Vectors.quantizeInt8]] and cosine runs on the quantized
+    * vectors — the memory-bound production pattern where the scanned corpus
+    * is 4× smaller than float32 (the `array<int>` values are widened to
+    * double only inside the codegen'd dot product; a columnar int8 store
+    * keeps the scan I/O at 1 byte/dim). Deterministic (quantization is
+    * exact-reproducible double arithmetic), so unlike the LSH/IVF paths
+    * this is ORACLE-checkable; int8 cosine drift vs float is bounded in
+    * VectorsSpec (<0.01 at 64 dims).
+    */
+  def int8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    def qz(df: DataFrame) = graft.ops.Vectors.quantizeInt8(df, vecCol)
+      .select(col(idCol), col("q_vec").cast("array<double>").as("__int8"))
+    bruteForceTopK(qz(queries), qz(corpus), idCol, "__int8", k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane `p`,
     * dimension `d`: ±1 from a fixed hash (no RNG — reproducible across
     * runs and engines).

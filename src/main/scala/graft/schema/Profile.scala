@@ -19,15 +19,27 @@ object Profile {
 
   def profile(df: DataFrame, columns: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val metrics = cols.flatMap { c =>
+    // Two aggregation passes, deliberately SPLIT: min/max over string
+    // columns have immutable agg buffers, which forces the whole aggregate
+    // into SortAggregate — combined with the count_distinct Expand that
+    // meant a full sort of rows × (cols+1). Separated, the basic pass is
+    // one keyless single-pass aggregate (no sort needed) and the distinct
+    // pass is counts-only, which stays in HashAggregate through the
+    // Expand. The two one-row results cross-join for free.
+    val basicMetrics = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
-          .as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val one = df.agg(count(lit(1)).as("__n"), metrics: _*)
+    val basic = df.agg(count(lit(1)).as("__n"), basicMetrics: _*)
+    val distincts = df.agg(
+      (if (approx) approx_count_distinct(col(cols.head)) else count_distinct(col(cols.head)))
+        .as(s"__nd_${cols.head}"),
+      cols.tail.map(c =>
+        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+          .as(s"__nd_$c")): _*)
+    val one = basic.crossJoin(distincts)
     val perCol = array(cols.map(c => struct(
       lit(c).as("col_name"),
       col("__n").as("n_rows"),

@@ -52,6 +52,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ANN recall $recall collapsed — bucketing broken?")
   }
 
+  test("int8TopK tracks the float top-k closely (quantization recall)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = Similarity.int8TopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & int8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantized top-k recall $recall too low")
+  }
+
   test("lshSignature is deterministic") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001).limit(10)
     val a = emb.select(Similarity.lshSignature(col("embedding"), 12)).collect().map(_.getLong(0))
