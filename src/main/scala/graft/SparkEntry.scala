@@ -496,10 +496,11 @@ object SparkEntry {
         .select(col("label"), col("embedding")).as[(Int, Array[Float])]
       graft.ops.Vectors.centroids(ds, 64).toDF("label", "centroid")
         .select(col("label"),
-          round(element_at(col("centroid"), 1), 4).as("c1"),
-          round(element_at(col("centroid"), 2), 4).as("c2"),
-          round(element_at(col("centroid"), 3), 4).as("c3"),
-          round(element_at(col("centroid"), 4), 4).as("c4"))
+          // + 0.0 collapses IEEE -0.0 (see embedding_dim_stats)
+          (round(element_at(col("centroid"), 1), 4) + lit(0.0)).as("c1"),
+          (round(element_at(col("centroid"), 2), 4) + lit(0.0)).as("c2"),
+          (round(element_at(col("centroid"), 3), 4) + lit(0.0)).as("c3"),
+          (round(element_at(col("centroid"), 4), 4) + lit(0.0)).as("c4"))
         .orderBy("label")
     }),
 
@@ -770,8 +771,10 @@ object SparkEntry {
         .select(posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("dim")
         .agg(
-          round(avg(col("x").cast("double")), 4).as("mean_x"),
-          round(stddev_samp(col("x").cast("double")), 4).as("sd_x"))
+          // + 0.0 collapses IEEE negative zero: round can yield -0.0, whose
+          // bit pattern hash-mismatches the oracle's +0.0 for equal values.
+          (round(avg(col("x").cast("double")), 4) + lit(0.0)).as("mean_x"),
+          (round(stddev_samp(col("x").cast("double")), 4) + lit(0.0)).as("sd_x"))
         .withColumn("dim", col("dim").cast("bigint"))
         .orderBy("dim")),
 
@@ -1095,8 +1098,8 @@ object SparkEntry {
         "ORDER BY id_a, id_b"),
 
     "embedding_centroids" ->
-      ("SELECT label, round(avg(embedding[1]), 4) AS c1, round(avg(embedding[2]), 4) AS c2, " +
-        "round(avg(embedding[3]), 4) AS c3, round(avg(embedding[4]), 4) AS c4 " +
+      ("SELECT label, round(avg(embedding[1]), 4) + 0.0 AS c1, round(avg(embedding[2]), 4) + 0.0 AS c2, " +
+        "round(avg(embedding[3]), 4) + 0.0 AS c3, round(avg(embedding[4]), 4) + 0.0 AS c4 " +
         "FROM embeddings GROUP BY label ORDER BY label"),
 
     "q_explode_wordcount" ->
@@ -1241,8 +1244,8 @@ object SparkEntry {
 
     "embedding_dim_stats" ->
       ("SELECT CAST(r.i AS BIGINT) AS dim, " +
-        "round(avg(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) AS mean_x, " +
-        "round(stddev_samp(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) AS sd_x " +
+        "round(avg(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) + 0.0 AS mean_x, " +
+        "round(stddev_samp(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) + 0.0 AS sd_x " +
         "FROM embeddings, range(64) r(i) GROUP BY 1 ORDER BY dim"),
 
     "embedding_quantize" ->
