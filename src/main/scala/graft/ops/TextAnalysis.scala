@@ -73,6 +73,22 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 
+  /** PII scrubbing for training corpora: replace e-mail addresses, then
+    * phone-number-shaped digit runs, with typed placeholder tokens. The
+    * patterns are deliberately RE2-safe (no lookarounds, no backrefs) so
+    * the exact same regexes run under Java regex and RE2-class engines —
+    * scrub order is fixed (e-mail first, so a phone-like digit run inside
+    * an address never half-matches). Pure per-row expression: at any scale
+    * this is map-side work fused into the document scan.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\s-]{6,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Within-document 3-gram repetition ratio (Gopher-style repetition
     * signal): 1 − |distinct 3-grams| / |3-grams|. 0 = no repetition.
     */
