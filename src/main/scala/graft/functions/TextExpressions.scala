@@ -479,6 +479,79 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Native intersection-size of two SORTED long arrays (ascending, no null
+  * elements): one O(n+m) merge pass, no allocation.
+  *
+  * `size(array_intersect(a, b))` builds a per-row hash set AND materializes
+  * the intersection array that the Jaccard formula immediately reduces to a
+  * count — per-candidate-pair cost in every near-dup verify step
+  * (ngram-Jaccard brute force, MinHash+LSH verification), which is the
+  * volume term of dedup at corpus scale. Callers sort each document's
+  * shingle set ONCE (`array_sort`, O(s log s) per document); the merge then
+  * runs per PAIR, where the savings multiply.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"intersect_count_sorted expects two array<long>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var hits = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { hits += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val hits = ctx.freshName("hits")
+      s"""
+        int $n = $a.numElements();
+        int $m = $b.numElements();
+        int $i = 0, $j = 0, $hits = 0;
+        while ($i < $n && $j < $m) {
+          long $x = $a.getLong($i);
+          long $y = $b.getLong($j);
+          if ($x == $y) { $hits++; $i++; $j++; }
+          else if ($x < $y) { $i++; }
+          else { $j++; }
+        }
+        ${ev.value} = $hits;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** SimHash-64 fingerprint of a token-array column. */
   def simhash64(tokens: Column): Column =
@@ -501,4 +574,9 @@ object TextFunctions {
   /** Single-pass language ID over a token array; `langs` sorted by code. */
   def lang_id(tokens: Column, langs: Seq[(String, Seq[String])]): Column =
     ColumnInterop.column(LangIdExpr(ColumnInterop.expression(tokens), langs))
+
+  /** Intersection size of two sorted (ascending, non-null) long arrays. */
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    ColumnInterop.column(IntersectCountSorted(
+      ColumnInterop.expression(a), ColumnInterop.expression(b)))
 }

@@ -127,7 +127,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withSets = df.select(
       col(idCol).as("id"),
-      array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+      array_sort(array_distinct(shingleHashes(col(textCol), shingleK))).as("shingle_set"))
     val banded = minhashBuckets(withSets, bands, rowsPerBand)
 
     // Candidate generation WITHOUT a self-join: one aggregation groups ids
@@ -150,7 +150,7 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingle_set", "set_b"), Seq("id_b"))
 
     candidates
-      .withColumn("__inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("__inter", graft.functions.TextFunctions.intersect_count_sorted(col("set_a"), col("set_b")).cast("double"))
       .withColumn("jaccard",
         col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
@@ -187,7 +187,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     def sets(df: DataFrame) = df.select(
       col(idCol).as("id"),
-      array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+      array_sort(array_distinct(shingleHashes(col(textCol), shingleK))).as("shingle_set"))
     val corpusSets = sets(corpus)
     val batchSets = sets(batch)
     val corpusBuckets = minhashBuckets(corpusSets, bands, rowsPerBand)
@@ -205,7 +205,7 @@ object Dedup {
     pairIds
       .join(batchSets.select(col("id").as("batch_id"), col("shingle_set").as("set_a")), Seq("batch_id"))
       .join(corpusSets.select(col("id").as("corpus_id"), col("shingle_set").as("set_b")), Seq("corpus_id"))
-      .withColumn("__inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("__inter", graft.functions.TextFunctions.intersect_count_sorted(col("set_a"), col("set_b")).cast("double"))
       .withColumn("jaccard",
         col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
@@ -229,7 +229,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withSets = df.select(
       col(idCol).as("id"),
-      array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+      array_sort(array_distinct(shingleHashes(col(textCol), shingleK))).as("shingle_set"))
     minhashBuckets(withSets, bands, rowsPerBand)
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("n_ids"))
@@ -337,12 +337,26 @@ object Dedup {
     val withSets = df.select(
         col(idCol).as("id"),
         blockBy.map(col).getOrElse(lit(0)).as("__blk"),
-        array_distinct(shingleHashes(col(textCol), shingleK)).as("shingle_set"))
+        array_sort(array_distinct(shingleHashes(col(textCol), shingleK))).as("shingle_set"))
     val a = withSets.select(col("__blk"), col("id").as("id_a"), col("shingle_set").as("set_a"))
     val b = withSets.select(col("__blk"), col("id").as("id_b"), col("shingle_set").as("set_b"))
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("__inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+    val paired = blockBy match {
+      case Some(_) =>
+        // real blocking keys distribute the hash join across the cluster
+        a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      case None =>
+        // all-pairs diagnostic path: the constant `__blk` key would hash
+        // every row into ONE shuffle partition — a single task doing all
+        // O(n²) comparisons. The contract bounds this path to a small slice,
+        // so broadcast one side and spread the other: each partition of `a`
+        // compares against the broadcast copy in parallel (BNLJ), and the
+        // repartition spreads what is typically a single parquet-split
+        // slice across the cluster.
+        a.drop("__blk").repartition(col("id_a"))
+          .join(broadcast(b.drop("__blk")), col("id_a") < col("id_b"))
+    }
+    paired
+      .withColumn("__inter", graft.functions.TextFunctions.intersect_count_sorted(col("set_a"), col("set_b")).cast("double"))
       .withColumn("jaccard",
         col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
