@@ -698,7 +698,11 @@ object SparkEntry {
         s, s"$dir/events.parquet", "ts", "user_id", "event_type",
         leftValue = "view", rightValue = "purchase",
         maxDelaySec = 3600, watermarkSec = 7200,
-        statePartitions = 8) // state keys = active users in the join horizon
+        // state keys = active users in the join horizon (1500 distinct users
+        // at sf0.1 → ~750 keys/partition; a stream-stream join keeps 4
+        // store instances per partition, so over-provisioning multiplies
+        // commit overhead — sized to cardinality, not the shuffle default)
+        statePartitions = 2)
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .withColumn("user_id", col("user_id").cast("bigint"))
         .orderBy("user_id")

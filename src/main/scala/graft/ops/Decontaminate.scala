@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora (north-star surface,
+  * BASELINE.json): remove training documents that share any word n-gram
+  * with an evaluation/benchmark set, the standard guard against test-set
+  * leakage in pretraining pipelines (public practice: GPT-3 App. C /
+  * Gopher-style 8-to-13-gram overlap checks).
+  *
+  * Scale shape: the benchmark side is SMALL by nature (eval suites are
+  * thousands of documents, the corpus is billions), so its distinct n-gram
+  * set is collected into a broadcast hash relation — the corpus side then
+  * streams map-side through explode → broadcast-join → group, with ONE
+  * shuffle keyed by doc id for the per-document hit count (or none at all
+  * for the semi/anti-join forms). The corpus is never self-joined and the
+  * n-gram space is never materialized globally.
+  *
+  * N-grams are space-joined word STRINGS (not hashes) so an external SQL
+  * engine computes the identical overlap — the exactness contract is
+  * cross-engine-checkable, unlike xxhash shingles.
+  */
+object Decontaminate {
+
+  /** Word n-grams of a space-tokenized text column, as strings. Documents
+    * shorter than `n` tokens yield no n-grams (they cannot contain a full
+    * window; mirrors the benchmark-overlap convention of skipping
+    * fragments).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, n), " ")))
+  }
+
+  /** Per-document contamination hits: (id, n_hits) for every corpus
+    * document sharing ≥1 distinct word n-gram with the benchmark set.
+    * Clean documents are absent from the result.
+    */
+  def contaminationHits(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The decontaminated corpus: documents with NO word-n-gram overlap with
+    * the benchmark set. The contaminated-id set is produced by a broadcast
+    * join on the exploded grams (map-side), then removed with an anti-join
+    * keyed by doc id — two shuffles of ID-width rows, never of documents.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val contaminatedIds = contaminationHits(corpus, bench, idCol, textCol, n)
+      .select(idCol)
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+}
