@@ -70,6 +70,22 @@ object SparkEntry {
     }
   }
 
+  /** Stateful-stream shuffle width derived from source size: ~1 partition
+    * per 16 MB of input, clamped to [2, defaultParallelism]. Keeps tiny
+    * fixtures from paying 32 partitions × 4 state-store commits per batch
+    * while still widening with the data at cluster scale.
+    */
+  private def statePartitionsFor(s: SparkSession, path: String): Int = {
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: java.io.IOException => 0L }
+    val byInput = (bytes / (16L << 20)).toInt
+    math.min(math.max(2, byInput), s.sparkContext.defaultParallelism)
+  }
+
   /** Pinned reference dates (fixture data is historical — FIXTURES.md §C). */
   private val LineitemRef = LocalDate.parse("2001-11-04") // max l_shipdate
   private val OrdersRef = LocalDate.parse("2001-08-01")   // max o_orderdate
@@ -489,6 +505,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // benchmark decontamination (Gopher-style 8-gram overlap): bench set =
+    // every 25th doc; a corpus doc sharing >=1 distinct word 8-gram with the
+    // bench set is contaminated. Bench grams broadcast; corpus streams
+    // map-side through explode -> broadcast-join.
+    "decontam_hits" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Decontaminate.contaminationHits(
+          docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // the decontaminated corpus: anti-join on the contaminated-id set
+    "decontam_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Decontaminate.decontaminate(
+          docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // typed Aggregator: per-label embedding centroid (first 4 dims shown)
     "embedding_centroids" -> ((s, dir) => {
       import s.implicits._
@@ -698,11 +733,12 @@ object SparkEntry {
         s, s"$dir/events.parquet", "ts", "user_id", "event_type",
         leftValue = "view", rightValue = "purchase",
         maxDelaySec = 3600, watermarkSec = 7200,
-        // state keys = active users in the join horizon (1500 distinct users
-        // at sf0.1 → ~750 keys/partition; a stream-stream join keeps 4
-        // store instances per partition, so over-provisioning multiplies
-        // commit overhead — sized to cardinality, not the shuffle default)
-        statePartitions = 2)
+        // state keys = active users in the join horizon. A stream-stream
+        // join keeps 4 store instances per partition, so over-provisioning
+        // multiplies commit overhead — size to the INPUT, not the shuffle
+        // default: ~1 partition per 16 MB of source parquet, clamped to
+        // [2, defaultParallelism] (sf0.1 → 2; 100 TB → defaultParallelism).
+        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .withColumn("user_id", col("user_id").cast("bigint"))
         .orderBy("user_id")
@@ -1100,6 +1136,23 @@ object SparkEntry {
         "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
         "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95 " +
         "ORDER BY id_a, id_b"),
+
+    "decontam_hits" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0) " +
+        "SELECT g.doc_id, count(*) AS n_hits FROM grams g JOIN bg USING (gram) " +
+        "GROUP BY 1 ORDER BY doc_id"),
+
+    "decontam_corpus" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
 
     "embedding_centroids" ->
       ("SELECT label, round(avg(embedding[1]), 4) + 0.0 AS c1, round(avg(embedding[2]), 4) + 0.0 AS c2, " +

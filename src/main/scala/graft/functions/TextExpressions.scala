@@ -552,6 +552,99 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native word n-grams of a raw text column as STRINGS (array<string>):
+  * whitespace-tokenize (any run of ASCII whitespace separates tokens; no
+  * empty tokens) and emit every window of `n` consecutive tokens joined by
+  * a single space. Documents shorter than `n` tokens yield an empty array.
+  *
+  * String grams (not hashes) are the decontamination contract — an external
+  * SQL engine must compute the identical overlap set (see
+  * [[graft.ops.Decontaminate]]). The HOF formulation
+  * (`split`+`filter`+`transform`+`slice`+`array_join`) is interpreted —
+  * five allocated intermediates and per-window lambda dispatch; this is one
+  * byte-level pass (token boundaries found directly on the UTF-8 bytes —
+  * multi-byte code points never collide with ASCII whitespace) with exactly
+  * one allocation per output gram. Gram extraction is the map-side cost of
+  * corpus decontamination, so it must stay codegen-resident.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams expects string, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      // one static call keeps the generated method tiny (JIT-friendly) and
+      // the byte-scan logic single-sourced with the interpreted path
+      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token boundary scan: starts/ends as parallel growable int arrays
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2)
+          ends = java.util.Arrays.copyOf(ends, m * 2)
+        }
+        starts(m) = s
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      var glen = n - 1 // single-space separators
+      var j = g
+      while (j < g + n) { glen += ends(j) - starts(j); j += 1 }
+      val gb = new Array[Byte](glen)
+      var pos = 0
+      j = g
+      while (j < g + n) {
+        if (j > g) { gb(pos) = ' '; pos += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), gb, pos, tl)
+        pos += tl
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(gb)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** SimHash-64 fingerprint of a token-array column. */
   def simhash64(tokens: Column): Column =
@@ -579,4 +672,8 @@ object TextFunctions {
   def intersect_count_sorted(a: Column, b: Column): Column =
     ColumnInterop.column(IntersectCountSorted(
       ColumnInterop.expression(a), ColumnInterop.expression(b)))
+
+  /** Word n-grams of a raw text column as space-joined strings. */
+  def word_ngrams(text: Column, n: Int): Column =
+    ColumnInterop.column(WordNgrams(ColumnInterop.expression(text), n))
 }

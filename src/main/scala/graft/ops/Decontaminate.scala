@@ -23,17 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Word n-grams of a space-tokenized text column, as strings. Documents
-    * shorter than `n` tokens yield no n-grams (they cannot contain a full
-    * window; mirrors the benchmark-overlap convention of skipping
-    * fragments).
+  /** Word n-grams of a whitespace-tokenized text column, as strings.
+    * Documents shorter than `n` tokens yield no n-grams (they cannot
+    * contain a full window; mirrors the benchmark-overlap convention of
+    * skipping fragments). Native codegen'd single pass
+    * ([[graft.functions.WordNgrams]]); [[wordNgramsHof]] is the interpreted
+    * cross-check oracle.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.word_ngrams(text, n)
+
+  /** Pure-HOF reference formulation of [[wordNgrams]] — interpreted, kept
+    * as the cross-check oracle for the native expression (they must agree
+    * exactly; see DecontaminateSpec). \s+ tokenization + empty-token
+    * filter: repeated/leading/trailing whitespace must not produce empty
+    * grams (they'd spuriously match across unrelated documents).
+    */
+  def wordNgramsHof(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
-    val toks = split(text, " ")
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, n), " ")))
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
   }
 
   /** Per-document contamination hits: (id, n_hits) for every corpus
@@ -57,8 +68,9 @@ object Decontaminate {
 
   /** The decontaminated corpus: documents with NO word-n-gram overlap with
     * the benchmark set. The contaminated-id set is produced by a broadcast
-    * join on the exploded grams (map-side), then removed with an anti-join
-    * keyed by doc id — two shuffles of ID-width rows, never of documents.
+    * join on the exploded grams (map-side) and distinct'd directly — no
+    * per-document hit-count aggregation — then removed with an anti-join
+    * keyed by doc id: shuffles carry only ID-width rows, never documents.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -66,8 +78,13 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val contaminatedIds = contaminationHits(corpus, bench, idCol, textCol, n)
-      .select(idCol)
+    val benchGrams = bench
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .distinct()
+    val contaminatedIds = corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(idCol).distinct()
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 }

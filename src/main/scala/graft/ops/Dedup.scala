@@ -326,6 +326,14 @@ object Dedup {
     * of [[minhashLsh]] (its recall oracle in tests). O(n²) pair space: use
     * ONLY on small inputs or pre-blocked groups (`blockBy` restricts pairs
     * to equal values of that column, e.g. language or near-equal length).
+    *
+    * HARD SIZE CONTRACT for the `blockBy = None` path: the full input
+    * (ids + shingle sets) is broadcast to every executor, so it must fit in
+    * driver/executor memory — Spark aborts a broadcast above
+    * `MAX_BROADCAST_TABLE_BYTES` (8 GB) with an explicit error rather than
+    * an OOM, and `maxBruteForceRows` fails fast far earlier (a plan-time
+    * count of a 2-column projection) with an actionable message. Above
+    * that, pass `blockBy` or use [[minhashLsh]].
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -333,7 +341,8 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.0,
-      blockBy: Option[String] = None): DataFrame = {
+      blockBy: Option[String] = None,
+      maxBruteForceRows: Long = 2000000L): DataFrame = {
     val withSets = df.select(
         col(idCol).as("id"),
         blockBy.map(col).getOrElse(lit(0)).as("__blk"),
@@ -352,6 +361,15 @@ object Dedup {
         // compares against the broadcast copy in parallel (BNLJ), and the
         // repartition spreads what is typically a single parquet-split
         // slice across the cluster.
+        //
+        // fail-fast size guard: a violated small-slice contract would OOM
+        // the broadcast build; a pruned id-only count scan is cheap next to
+        // the O(n²) work this path implies.
+        val nRows = df.select(col(idCol)).count()
+        require(nRows <= maxBruteForceRows,
+          s"ngramJaccardPairs(blockBy=None) broadcasts the full input: $nRows rows > " +
+            s"maxBruteForceRows=$maxBruteForceRows. Pass blockBy (distributed blocked join) " +
+            "or use minhashLsh for corpus-scale near-dup.")
         a.drop("__blk").repartition(col("id_a"))
           .join(broadcast(b.drop("__blk")), col("id_a") < col("id_b"))
     }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def grams(text: String, n: Int): Seq[String] = {
+    val df = Seq(Tuple1(text)).toDF("t")
+    df.select(Decontaminate.wordNgrams(col("t"), n).as("g"))
+      .head().getSeq[String](0)
+  }
+
+  test("wordNgrams: basic sliding window") {
+    assert(grams("a b c d", 2) == Seq("a b", "b c", "c d"))
+    assert(grams("a b c d", 4) == Seq("a b c d"))
+  }
+
+  test("wordNgrams: repeated/leading/trailing whitespace yields no empty tokens") {
+    assert(grams("  a   b\tc ", 2) == Seq("a b", "b c"))
+    assert(grams(" a  ", 1) == Seq("a"))
+  }
+
+  test("wordNgrams: empty and whitespace-only text yield no grams") {
+    assert(grams("", 1).isEmpty)
+    assert(grams("   ", 1).isEmpty)
+    assert(grams("\t \n", 3).isEmpty)
+  }
+
+  test("wordNgrams: documents shorter than n yield no grams") {
+    assert(grams("a b", 3).isEmpty)
+  }
+
+  test("native WordNgrams agrees with the interpreted HOF on fixture docs (cross-check oracle)") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    for (n <- Seq(1, 3, 8)) {
+      val diff = docs.select(
+          Decontaminate.wordNgrams(col("text"), n).as("native"),
+          Decontaminate.wordNgramsHof(col("text"), n).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.isEmpty, s"native/HOF n-gram mismatch at n=$n")
+    }
+    // whitespace-heavy synthetic edge cases through both paths
+    val edge = Seq("", " ", "  a  ", "a\tb\nc", " \t x  y \r\n z ").toDF("text")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val rows = edge.select(
+          Decontaminate.wordNgrams(col("text"), n).as("native"),
+          Decontaminate.wordNgramsHof(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
+
+  test("contaminationHits counts distinct shared grams per corpus doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick" + "quick brown"
+      (2L, "a completely different document here"),
+      (3L, "quick brown then the quick again")  // shares both grams too
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown cat")).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((1L, 2L), (3L, 2L)))
+  }
+
+  test("decontaminate removes exactly the contaminated ids") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val contaminated = Decontaminate
+      .contaminationHits(docs, bench, "doc_id", "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Decontaminate.decontaminate(docs, bench, "doc_id", "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- contaminated)
+    // the bench docs themselves are in the corpus, so they must be removed
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.forall(contaminated.contains))
+  }
+
+  test("bench gram set is broadcast (no corpus-side shuffle for the probe)") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val plan = Decontaminate.contaminationHits(docs, bench, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}

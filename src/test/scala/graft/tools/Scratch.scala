@@ -22,17 +22,13 @@ object Scratch {
       println(f"SCRATCH $name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    graft.etl.Tables.events(spark, dir)
-    Seq(8, 4, 2, 1).foreach { sp =>
-      time(s"interval_join_sp$sp") {
-        graft.streaming.Incremental.streamIntervalJoin(
-          spark, s"$dir/events.parquet", "ts", "user_id", "event_type",
-          leftValue = "view", rightValue = "purchase",
-          maxDelaySec = 3600, watermarkSec = 7200,
-          statePartitions = sp)
-          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
-          .write.format("noop").mode("overwrite").save()
-      }
+    time("decontam_hits") {
+      graft.SparkEntry.queries("decontam_hits")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("decontam_corpus") {
+      graft.SparkEntry.queries("decontam_corpus")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
