@@ -599,6 +599,52 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
+    "text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
+        .orderBy("doc_id")),
+
+    // PII scrubbing: fixture text carries no PII, so deterministic
+    // addresses/numbers are injected per doc id, then redacted — the
+    // oracle recomputes the identical injection + RE2-safe regexes
+    "text_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 (555) 010-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" now"))).as("scrubbed"))
+        .orderBy("doc_id")),
+
+    // sequence packing (concat-and-chunk): global token offsets via a
+    // two-level distributed prefix sum (range buckets + tiny offset
+    // window), then fixed 512-token chunk ranges per doc
+    "pack_chunks" -> ((s, dir) =>
+      graft.ops.Packing.packChunks(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), chunkTokens = 512, bucketWidth = 100)
+        .orderBy("doc_id")),
+
+    // the loader-facing inversion: one row per (chunk, doc) overlap with
+    // in-chunk spans — bounded explode, no extra shuffle
+    "pack_manifest" -> ((s, dir) => {
+      val packed = graft.ops.Packing.packChunks(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), chunkTokens = 512, bucketWidth = 100)
+      graft.ops.Packing.chunkManifest(packed, "doc_id", chunkTokens = 512)
+        .orderBy("chunk", "doc_id")
+    }),
+
+    // temperature-weighted source mixing: drop src0, halve src1, 2x src2,
+    // 2.5x src3 (hash-deterministic fractional copies) — pinned VALUES
+    // oracle (Spark-side xxhash64; recomputed driver-side in SamplingSpec)
+    "source_mix" -> ((s, dir) =>
+      graft.ops.Sampling.mixSources(Tables.documents(s, dir), col("source"),
+        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.5),
+        defaultRate = 1.0, col("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")),
+
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1136,6 +1182,39 @@ object SparkEntry {
         "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
         "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95 " +
         "ORDER BY id_a, id_b"),
+
+    "text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_scrub" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now', " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9()\\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed " +
+        "FROM documents ORDER BY doc_id"),
+
+    "pack_chunks" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t) " +
+        "SELECT doc_id, n_tokens, start_tok, CAST(start_tok // 512 AS BIGINT) AS chunk_start, " +
+        "CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS chunk_end FROM c ORDER BY doc_id"),
+
+    "pack_manifest" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t), " +
+        "p AS (SELECT doc_id, n_tokens, start_tok, start_tok // 512 AS cs, " +
+        "(start_tok + n_tokens - 1) // 512 AS ce FROM c), " +
+        "e AS (SELECT doc_id, n_tokens, start_tok, unnest(range(cs, ce + 1)) AS chunk FROM p) " +
+        "SELECT CAST(chunk AS BIGINT) AS chunk, doc_id, " +
+        "CAST(greatest(start_tok, chunk * 512) - start_tok AS BIGINT) AS doc_from, " +
+        "CAST(least(start_tok + n_tokens, (chunk + 1) * 512) - start_tok AS BIGINT) AS doc_to, " +
+        "CAST(greatest(start_tok, chunk * 512) - chunk * 512 AS BIGINT) AS chunk_offset " +
+        "FROM e ORDER BY chunk, doc_id"),
 
     "decontam_hits" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +

@@ -4,67 +4,98 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-sequence packing (concat-and-chunk): documents are
-  * concatenated in a deterministic order and the resulting token stream is
-  * cut into fixed-budget sequences — the standard pretraining pack where a
-  * document may span a sequence boundary and no sequence carries padding.
+/** Sequence packing for LLM pretraining (north-star surface): concatenate
+  * every document's tokens in a deterministic order and cut the stream into
+  * fixed-size training chunks — the standard concat-and-chunk batching shape
+  * (public practice: GPT-2/3-style pretraining packs documents back to back
+  * and slices every `chunkTokens`). The result maps each document to the
+  * inclusive range of chunk indices it overlaps, from which a loader can
+  * build exact (chunk → document spans) manifests.
   *
-  * The concatenation order is (shard, id): documents are first assigned to
-  * `shards` deterministic shards (`id % shards`), then packed in id order
-  * WITHIN each shard. Each shard owns its own sequence numbering, so the
-  * running-offset window partitions by shard and Spark packs all shards in
-  * parallel — the window never sees more than one shard's rows.
+  * Scale shape: the naive formulation is ONE global running sum —
+  * `sum(tokens) over (order by id)` with no partition key, which Spark
+  * executes by draining the whole corpus through a single task. Here the
+  * running sum is two-level, the classic distributed prefix sum:
   *
-  * Scale: a single global concatenation order would force one total-order
-  * window (one partition doing all the work). Sharding makes the cumsum
-  * embarrassingly parallel: at 100 TB, set `shards` to O(cluster cores) and
-  * each window partition packs ~corpus/shards tokens independently; the
-  * only shuffle is the hash exchange on shard. Packing quality is
-  * unaffected — budget overflow waste is zero by construction (documents
-  * split across sequences), and each shard wastes at most `budget-1`
-  * trailing tokens.
+  *   1. coarse RANGE BUCKETS of the order key bound each window partition —
+  *      per-bucket running sums run fully parallel;
+  *   2. per-bucket token totals (ONE row per bucket) roll up in a tiny
+  *      unpartitioned window — bounded by the bucket count, not the corpus —
+  *      and broadcast-join back as bucket offsets.
+  *
+  * At 100 TB nothing wider than `corpus / bucketWidth` rows ever passes
+  * through an unpartitioned operator, and the corpus itself only shuffles
+  * once (into range buckets).
   */
 object Packing {
 
-  /** Per-document pack placement: shard, token count, starting offset in
-    * the shard's concatenated token stream, and the first/last sequence
-    * (of `budget` tokens) the document lands in.
+  /** Chunk-range assignment per document.
+    *
+    * @param df          input with a unique numeric order key `idCol`
+    * @param idCol       unique, non-null, non-negative numeric pack order
+    * @param tokens      token-count expression (must be >= 1 per row —
+    *                    whitespace token counts satisfy this; empty text is
+    *                    one empty token)
+    * @param chunkTokens fixed training-sequence length in tokens
+    * @param bucketWidth id-range width of one prefix-sum bucket; choose so
+    *                    corpus/bucketWidth buckets ~ O(10^4) at target scale
+    * @return one row per input doc: (idCol, n_tokens, start_tok,
+    *         chunk_start, chunk_end) — `start_tok` is the doc's global
+    *         token offset, chunk indices inclusive
     */
-  def packSequences(
-      docs: DataFrame,
+  def packChunks(
+      df: DataFrame,
       idCol: String,
       tokens: Column,
-      budget: Int,
-      shards: Int): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
-    require(shards > 0, s"shards must be positive: $shards")
-    val w = Window.partitionBy("shard").orderBy(idCol)
+      chunkTokens: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val withTok = df.select(
+      col(idCol),
+      tokens.cast("bigint").as("n_tokens"),
+      expr(s"CAST($idCol AS BIGINT) div $bucketWidth").as("__bkt"))
+    // level 1: running sum inside each bucket (parallel across buckets)
+    val inBucket = Window.partitionBy("__bkt").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        tokens.cast("bigint").as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("first_seq", expr(s"start_tok div ${budget.toLong}"))
-      .withColumn("last_seq",
-        expr(s"(start_tok + n_tokens - 1) div ${budget.toLong}"))
+    val local = withTok.withColumn("__before",
+      coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+    // level 2: bucket offsets — one row per bucket, so the unpartitioned
+    // running sum is bounded by the bucket count
+    val offsets = withTok.groupBy("__bkt").agg(sum("n_tokens").as("__tot"))
+      .withColumn("__off",
+        coalesce(sum("__tot").over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bkt", "__off")
+    local.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("start_tok", col("__off") + col("__before"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("start_tok"),
+        expr(s"start_tok div $chunkTokens").as("chunk_start"),
+        expr(s"(start_tok + n_tokens - 1) div $chunkTokens").as("chunk_end"))
   }
 
-  /** Shard-level pack summary: sequences produced and trailing-token waste
-    * per shard (total waste across shards is the only padding the pack
-    * pays).
+  /** Chunk manifest — the inversion a training-data loader consumes: one
+    * row per (chunk, doc) overlap with the doc-token span that lands in the
+    * chunk (`doc_from` inclusive, `doc_to` exclusive) and the offset inside
+    * the chunk where it starts. Each doc explodes over a BOUNDED range
+    * (`n_tokens/chunkTokens + 1` chunks), so this adds no shuffle and no
+    * skew beyond [[packChunks]]' own.
     */
-  def packSummary(
-      docs: DataFrame,
-      idCol: String,
-      tokens: Column,
-      budget: Int,
-      shards: Int): DataFrame =
-    packSequences(docs, idCol, tokens, budget, shards)
-      .groupBy("shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        (max("last_seq") + 1L).as("n_sequences"))
-      .withColumn("waste_tokens",
-        col("n_sequences") * budget.toLong - col("n_tokens"))
+  def chunkManifest(packed: DataFrame, idCol: String, chunkTokens: Long): DataFrame = {
+    val c = lit(chunkTokens)
+    packed
+      .withColumn("chunk", explode(sequence(col("chunk_start"), col("chunk_end"))))
+      .withColumn("__g0", greatest(col("start_tok"), col("chunk") * c))
+      .withColumn("__g1", least(col("start_tok") + col("n_tokens"), (col("chunk") + 1) * c))
+      .select(
+        col("chunk"),
+        col(idCol),
+        (col("__g0") - col("start_tok")).as("doc_from"),
+        (col("__g1") - col("start_tok")).as("doc_to"),
+        (col("__g0") - col("chunk") * c).as("chunk_offset"))
+  }
 }

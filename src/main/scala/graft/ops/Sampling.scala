@@ -34,4 +34,42 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, strataCol: Column, fraction: Double, keys: Column*): DataFrame =
     df.filter(hashWeight((strataCol +: keys): _*) < fraction)
+
+  /** Weighted source mixing for corpus composition (the
+    * temperature-weighted source mix of public pretraining recipes — e.g.
+    * the GPT-3 / Pile corpus-weighting scheme): each row is emitted
+    * `floor(rate)` times plus one more with probability `frac(rate)`, where
+    * `rate` is its source's mixing rate (`defaultRate` when absent from the
+    * map). Subsumes downsampling (rate < 1 keeps that fraction) and integer
+    * or fractional upsampling (rate 2.3 → 2 or 3 copies).
+    *
+    * Deterministic: the fractional decision is the same stable hash as the
+    * rest of this object (salted by the source so sources decide
+    * independently) — the mix is reproducible row-for-row across runs,
+    * partitionings, and engines. Emission is one generator expression
+    * (`explode` of a per-row `sequence`), map-side fused into the scan: no
+    * shuffle, no driver involvement, bounded 1 + floor(rate) fan-out.
+    * Output carries a `copy` index (0-based) so upsampled replicas remain
+    * distinguishable downstream (e.g. for per-epoch shuffling salts).
+    */
+  def mixSources(
+      df: DataFrame,
+      sourceCol: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      keys: Column*): DataFrame = {
+    require(defaultRate >= 0, s"defaultRate must be >= 0: $defaultRate")
+    rates.foreach { case (s, r) => require(r >= 0, s"rate for '$s' must be >= 0: $r") }
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (srcVal, r)) =>
+      when(sourceCol === lit(srcVal), lit(r)).otherwise(acc)
+    }
+    val whole = floor(rate).cast("bigint")
+    val fracPart = rate - floor(rate)
+    val copies = whole +
+      when(hashWeight((sourceCol +: keys): _*) < fracPart, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

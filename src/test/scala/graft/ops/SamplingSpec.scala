@@ -62,6 +62,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("mixSources: rate 0 drops, integer rates replicate exactly, fractional rates match a driver-side hash recomputation") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rates = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.5)
+    val mixed = Sampling.mixSources(docs, col("source"), rates, 1.0, col("doc_id"))
+    val got = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("src0"))
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("src2") == 2 * perSource("src2"))
+    // unlisted sources keep defaultRate = 1.0 exactly
+    perSource.keys.filterNot(rates.contains).foreach(srcN =>
+      assert(got(srcN) == perSource(srcN), s"default-rate source $srcN changed"))
+    // fractional legs: recompute hashWeight(source, doc_id) < frac on the driver
+    val fracWant = docs.select("doc_id", "source").collect().flatMap { r =>
+      val rate = rates.getOrElse(r.getString(1), 1.0)
+      val h1 = XxHash64Function.hash(UTF8String.fromString(r.getString(1)), StringType, 42L)
+      val h = XxHash64Function.hash(r.getLong(0), LongType, h1)
+      val w = (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
+      val copies = rate.toLong + (if (w < rate - rate.floor) 1L else 0L)
+      Seq.fill(copies.toInt)(r.getString(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got == fracWant)
+    // copy index is a distinct 0..copies-1 per row
+    val badCopies = mixed.groupBy("doc_id").agg(
+        count(lit(1)).as("n"), countDistinct("copy").as("d"),
+        min("copy").as("lo"), max("copy").as("hi"))
+      .filter(col("n") =!= col("d") || col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(badCopies.isEmpty)
+  }
+
   test("stratifiedSample keeps roughly the fraction within each stratum") {
     val sampled = Sampling.stratifiedSample(docs, col("lang"), 0.5, col("doc_id"))
     val perLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

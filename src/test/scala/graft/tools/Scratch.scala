@@ -6,30 +6,18 @@ import org.apache.spark.sql.functions._
 /** Throwaway dissection harness for the current hot query (dev only). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter("l_orderkey > 0").groupBy("l_returnflag").count().collect()
-
-    def time(name: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      f
-      println(f"SCRATCH $name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    graft.SparkEntry.queries("source_mix")(spark, dir).collect().foreach { r =>
+      println(s"SCRATCH source_mix ('${r.getString(0)}', ${r.getLong(1)})")
     }
-
-    time("decontam_hits") {
-      graft.SparkEntry.queries("decontam_hits")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("decontam_corpus") {
-      graft.SparkEntry.queries("decontam_corpus")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
+    graft.SparkEntry.queries("pack_chunks")(spark, dir).show(5)
+    graft.SparkEntry.queries("text_scrub")(spark, dir).show(2, 200)
     spark.stop()
   }
 }
