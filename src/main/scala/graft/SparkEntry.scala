@@ -599,6 +599,21 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // C4/Gopher-style rule cascade with per-rule rejection accounting:
+    // first failed rule wins (length floor → repetition ceiling → quality
+    // floor); thresholds tuned so every branch fires on the fixture
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir), "text",
+        minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
+        .groupBy("reject_reason").agg(count(lit(1)).as("n"))
+        .orderBy("reject_reason")),
+
+    // per-doc top-5 TF-IDF terms: two partial aggs + term join + bounded
+    // window; N joins in as a broadcast 1-row aggregate (no collect)
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+
     // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
     "text_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1182,6 +1197,36 @@ object SparkEntry {
         "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
         "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95 " +
         "ORDER BY id_a, id_b"),
+
+    "quality_filter" ->
+      ("WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
+        "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
+        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
+        "FROM documents) " +
+        "SELECT CASE WHEN n_tokens < 20 THEN 'too_short' WHEN rep > 0.02 THEN 'repetitive' " +
+        "WHEN q < 0.85 THEN 'low_quality' ELSE 'kept' END AS reject_reason, CAST(count(*) AS BIGINT) AS n " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
+
+    "text_tfidf" ->
+      ("WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tc GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, df, round(tf * ln(CAST(nn AS DOUBLE) / df), 4) AS tfidf " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) " +
+        "SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
 
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +

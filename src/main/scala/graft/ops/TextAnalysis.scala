@@ -39,6 +39,45 @@ object TextAnalysis {
         round((length(t) - (size(tokens) - 1)).cast("double") / size(tokens).cast("double"), 4))
   }
 
+  /** Per-document top-k terms by TF-IDF (raw term frequency ×
+    * ln(N / document frequency) — the textbook weighting): the standard
+    * keyword/salience signal for corpus exploration and topic-balanced
+    * sampling.
+    *
+    * Scale shape: two partial-aggregated shuffles and one term-keyed join —
+    * (1) explode tokens → count per (doc, term); (2) document frequencies
+    * fall out of a second aggregate over those ALREADY-UNIQUE (doc, term)
+    * rows (never a `countDistinct` over raw tokens); (3) the corpus size N
+    * joins in as a broadcast 1-row aggregate, NOT a driver-side collect —
+    * the whole plan stays lazy/declarative. Top-k per doc is a bounded
+    * window (k rows survive per doc).
+    *
+    * Determinism across engines: the selection orders by the 4-dp-ROUNDED
+    * score (then term) so a 1-ulp `ln` difference between engines cannot
+    * reorder near-ties; the reported score is the same rounded value.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val termCounts = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = termCounts
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("__n").cast("double") / col("df").cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank").cast("bigint").as("rank"))
+  }
+
   /** Quality score in [0,1]: composite of length band, punctuation ratio,
     * stopword presence, and token diversity — the standard cheap pre-filter
     * heuristics for web-scale corpora (cf. C4/Gopher-style rules, public
@@ -58,6 +97,30 @@ object TextAnalysis {
     val diversityOk = when(uniqRatio >= 0.1, lit(1.0)).otherwise(uniqRatio * 10.0)
     val stopOk = least(stopRatio * lit(5.0), lit(1.0))
     round((lengthOk * 0.3 + punctOk * 0.2 + diversityOk * 0.3 + stopOk * 0.2), 4)
+  }
+
+  /** Composed corpus quality filter (the C4/Gopher-style rule cascade):
+    * tag every document with the FIRST rule it fails — length floor, then
+    * within-doc repetition ceiling, then composite quality floor — or
+    * 'kept'. Returning the reason (instead of silently dropping) is what
+    * real pipelines need: per-rule rejection rates are the primary
+    * data-quality dashboard, and audits need the rejected rows.
+    * Thresholds compare the same 4-dp-rounded values the individual metric
+    * queries report, so the decision is reproducible cross-engine.
+    * Expression-only: one map-side pass, no shuffle.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int,
+      maxRepetition: Double,
+      minQuality: Double): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("reject_reason",
+      when(tokenCount(t) < minTokens, lit("too_short"))
+        .when(repetitionRatio(t, 3) > maxRepetition, lit("repetitive"))
+        .when(qualityScore(t) < minQuality, lit("low_quality"))
+        .otherwise(lit("kept")))
   }
 
   // Tiny public stopword lists (frequency-top function words; public

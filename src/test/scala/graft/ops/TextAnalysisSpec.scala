@@ -117,4 +117,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_chars_obs") == 8L)
     assert(r.getAs[Double]("mean_token_len") == 2.0)
   }
+
+  test("tfidfTopTerms: hand-computed fixture, k bound, rank order") {
+    // 3 docs; 'rare' appears only in doc 0, 'shared' in all three
+    val df = Seq(
+      (0L, "rare shared shared"),
+      (1L, "shared other other"),
+      (2L, "shared unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 0: 'rare' tf=1 df=1 → ln(3)=1.0986; 'shared' tf=2 df=3 → 0
+    val d0 = out.filter(_.getLong(0) == 0L)
+    assert(d0.map(_.getString(1)).toSeq == Seq("rare", "shared"))
+    assert(d0.head.getDouble(4) == math.floor(math.log(3.0) * 10000 + 0.5) / 10000)
+    assert(d0(1).getDouble(4) == 0.0)
+    // every doc emits at most k rows, ranks are 1..n
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 2)
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("tfidfTopTerms: idf of a universal term is 0 regardless of tf") {
+    val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001).limit(50)
+    val n = docs.count()
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1000)
+    val universal = out.filter(col("df") === n)
+    assert(universal.filter(col("tfidf") =!= 0.0).isEmpty)
+  }
+
+  test("qualityFilter: first failed rule wins, kept docs pass all") {
+    val df = Seq(
+      (0L, "short"),                                      // < 3 tokens
+      (1L, ("x y z " * 20).trim),                         // long but repetitive
+      (2L, "the quick brown fox jumps over the lazy dog again and again for good measure today indeed truly")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(df, "text",
+        minTokens = 10, maxRepetition = 0.2, minQuality = 0.1)
+      .select("doc_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "too_short")
+    assert(out(1L) == "repetitive")
+    assert(out(2L) == "kept")
+  }
 }
