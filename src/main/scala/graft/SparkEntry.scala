@@ -844,6 +844,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // PQ + ADC + exact rerank: corpus scanned as 8 ints/vector (32x less
+    // I/O than float32); approximate -> recall vs brute force asserted in
+    // SimilaritySpec at these parameters (no SQL oracle by design)
+    "knn_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5, numSubspaces = 8, numCodes = 16)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Range join: every (purchase, prior view ≤1h) pair per user — the
     // windowed-neighborhood generalization of the as-of join (which keeps
     // only the latest such view).
@@ -907,9 +918,9 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the two approximate-by-design
-    * ANN queries (knn_ivf_ann, knn_lsh_ann — recall-asserted vs brute
-    * force in IvfSpec/SimilaritySpec instead); the five deterministic
+    * the same parquet tables. Omitted for the three approximate-by-design
+    * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann — recall-asserted
+    * vs brute force in IvfSpec/SimilaritySpec instead); the deterministic
     * Spark-side-hash queries carry PINNED literal-VALUES oracles
     * ([[PinnedOracles]], valid at sf0.01).
     */

@@ -306,6 +306,273 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: split the vector into `m` equal subspaces
+  * and emit, per subspace, the index of the L2-nearest codebook centroid
+  * (`codebooks(s)(c)` = centroid c of subspace s) — the classic PQ encoding
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; public method). A D-dim float vector compresses to m small
+  * ints, the memory-bound representation for corpus-scale ANN serving.
+  * Codebooks are driver-bounded (m × k × D/m doubles) and ride into codegen
+  * as a reference object — encoding is a zero-exchange map pass. Ties keep
+  * the lowest code index.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks(0).nonEmpty, "codebooks must be non-empty")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (arr.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"pq_encode: vector dim ${arr.numElements()} != m*dsub ${m * dsub}")
+    val isFloat = elemIsFloat
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (isFloat) arr.getFloat(s * dsub + i).toDouble
+                   else arr.getDouble(s * dsub + i)) - cen(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val dsub = ctx.freshName("dsub")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val cb = ctx.freshName("cb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+        int $m = $cbRef.length;
+        int $dsub = $cbRef[0][0].length;
+        if ($a.numElements() != $m * $dsub) {
+          throw new IllegalArgumentException("pq_encode: vector dim " +
+            $a.numElements() + " != m*dsub " + ($m * $dsub));
+        }
+        int[] $out = new int[$m];
+        for (int $s = 0; $s < $m; $s++) {
+          double[][] $cb = $cbRef[$s];
+          int $best = -1;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $cb.length; $c++) {
+            double[] $cen = $cb[$c];
+            double $d = 0.0;
+            for (int $i = 0; $i < $dsub; $i++) {
+              double $x = (double)$a.$get($s * $dsub + $i) - $cen[$i];
+              $d += $x * $x;
+            }
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $out[$s] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Query-side ADC lookup table: lut[s*k + c] = dot(query-subvector s,
+  * codebooks(s)(c)). Computed ONCE per query row (m × k × D/m flops), after
+  * which scoring any corpus row is m array lookups ([[PqAdcLut]]) — the
+  * asymmetric-distance-computation split that makes a PQ scan memory-bound
+  * instead of compute-bound.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks(0).nonEmpty, "codebooks must be non-empty")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut expects array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    if (arr.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"pq_lut: vector dim ${arr.numElements()} != m*dsub ${m * dsub}")
+    val isFloat = elemIsFloat
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val cen = codebooks(s)(c)
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) arr.getFloat(s * dsub + i).toDouble
+                  else arr.getDouble(s * dsub + i)
+          dot += x * cen(i)
+          i += 1
+        }
+        out(s * k + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val dsub = ctx.freshName("dsub")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        int $m = $cbRef.length;
+        int $k = $cbRef[0].length;
+        int $dsub = $cbRef[0][0].length;
+        if ($a.numElements() != $m * $dsub) {
+          throw new IllegalArgumentException("pq_lut: vector dim " +
+            $a.numElements() + " != m*dsub " + ($m * $dsub));
+        }
+        double[] $out = new double[$m * $k];
+        for (int $s = 0; $s < $m; $s++) {
+          for (int $c = 0; $c < $k; $c++) {
+            double[] $cen = $cbRef[$s][$c];
+            double $dot = 0.0;
+            for (int $i = 0; $i < $dsub; $i++) {
+              $dot += (double)$a.$get($s * $dsub + $i) * $cen[$i];
+            }
+            $out[$s * $k + $c] = $dot;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC scoring: sum(lut[s*k + codes[s]]) — m array lookups per corpus row.
+  * With an inner-product LUT this approximates dot(query, corpus vector);
+  * with a squared-norm LUT (a constant per codebook set) it reconstructs
+  * the approximate corpus norm. The hot inner loop of a PQ scan: no
+  * flops on the (huge) corpus side beyond m adds.
+  */
+case class PqAdcLut(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"k must be >= 1: $k")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc expects (array<double> lut, array<int> codes), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (lut.numElements() != m * k) throw new IllegalArgumentException(
+      s"pq_adc: lut length ${lut.numElements()} != m*k ${m * k}")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+        int $m = $r.numElements();
+        if ($l.numElements() != $m * $k) {
+          throw new IllegalArgumentException("pq_adc: lut length " +
+            $l.numElements() + " != m*k " + ($m * $k));
+        }
+        double $acc = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          $acc += $l.getDouble($s * $k + $r.getInt($s));
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Dot product of two array<float|double> columns, double accumulation. */
   def vec_dot(a: Column, b: Column): Column =
@@ -321,4 +588,17 @@ object VectorFunctions {
   /** 0-based index of the nearest centroid by cosine similarity. */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnInterop.column(NearestCentroid(ColumnInterop.expression(vec), centroids))
+
+  /** PQ codes (array<int>, one L2-nearest code per subspace). */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnInterop.column(PqEncode(ColumnInterop.expression(vec), codebooks))
+
+  /** Query-side inner-product ADC lookup table (array<double>, m*k). */
+  def pq_lut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnInterop.column(PqLut(ColumnInterop.expression(vec), codebooks))
+
+  /** ADC score: sum over subspaces of lut[s*k + codes[s]]. */
+  def pq_adc(lut: Column, codes: Column, k: Int): Column =
+    ColumnInterop.column(PqAdcLut(
+      ColumnInterop.expression(lut), ColumnInterop.expression(codes), k))
 }

@@ -132,6 +132,108 @@ object Similarity {
     bruteForceTopK(qz(queries), qz(corpus), idCol, "__int8", k)
   }
 
+  /** Approximate top-k via PRODUCT QUANTIZATION with asymmetric distance
+    * computation and exact rerank — the memory-bound corpus-scale serving
+    * path (Jégou et al., TPAMI 2011; public method). The corpus compresses
+    * to `numSubspaces` small ints per vector (64-dim float32 → 8 ints:
+    * 32× less scan I/O than float, 4× less than [[int8TopK]]); scoring a
+    * corpus row is `numSubspaces` table lookups, no flops.
+    *
+    * Stages: (1) TRAIN per-subspace codebooks — deterministic seeds (first
+    * `numCodes` vectors by id), then Lloyd iterations where assignment is
+    * the zero-exchange native [[graft.functions.PqEncode]] (codebooks ride
+    * into codegen as a reference object) and the mean update is ONE
+    * aggregation whose result is bounded by dim × numCodes rows (driver-
+    * safe collect, like IVF's centroids). (2) ENCODE the corpus once —
+    * map-side, no shuffle. (3) ADC SCAN — queries broadcast with
+    * precomputed inner-product LUTs ([[graft.functions.PqLut]]); corpus
+    * scanned once; approximate cosine = lut-sum / (q_norm × approx corpus
+    * norm from a constant norm²-LUT). (4) exact RERANK of the top
+    * `k × fetchFactor` ADC candidates (broadcast candidate ids, corpus
+    * streams map-side) — the standard two-stage recall repair.
+    *
+    * At 100 TB this composes with [[ivfTopK]]'s cluster pruning (IVF-PQ);
+    * here the flat ADC scan keeps the oracle surface simple. Approximate ⇒
+    * no SQL oracle; recall@k vs [[bruteForceTopK]] is asserted in
+    * SimilaritySpec at the declared query's parameters.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      lloydIters: Int = 2,
+      fetchFactor: Int = 4): DataFrame = {
+    require(numSubspaces >= 1 && numCodes >= 2 && fetchFactor >= 1)
+    import graft.functions.VectorFunctions.{pq_adc, pq_encode, pq_lut}
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+
+    // deterministic seeds: subvectors of the first numCodes corpus vectors
+    val seeds = c.orderBy("n_id").limit(numCodes).select("n_vec").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seeds.length == numCodes,
+      s"pqTopK: corpus has ${seeds.length} rows < numCodes=$numCodes")
+    val dim = seeds(0).length
+    require(dim % numSubspaces == 0,
+      s"pqTopK: dim $dim not divisible by numSubspaces=$numSubspaces")
+    val dsub = dim / numSubspaces
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(numSubspaces, numCodes)((s, i) =>
+        seeds(i).slice(s * dsub, (s + 1) * dsub))
+
+    // Lloyd: assignment is map-side (native expr); the update aggregate
+    // returns ≤ dim × numCodes rows — bounded, independent of corpus size
+    (0 until lloydIters).foreach { _ =>
+      val means = c
+        .withColumn("codes", pq_encode(col("n_vec"), codebooks))
+        .select(posexplode(col("n_vec")).as(Seq("pos", "x")), col("codes"))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "code", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val updated = codebooks.map(_.map(_.clone)) // empty codes keep old entry
+      means.foreach { r =>
+        val (s, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        updated(s)(code)(pos - s * dsub) = r.getDouble(3)
+      }
+      codebooks = updated
+    }
+
+    // constant norm²-LUT: approximate corpus norm reconstructs from codes
+    val normLut = array(Array.tabulate(numSubspaces * numCodes) { i =>
+      lit(codebooks(i / numCodes)(i % numCodes).map(x => x * x).sum)
+    }: _*)
+    val enc = c
+      .withColumn("codes", pq_encode(col("n_vec"), codebooks))
+      .withColumn("n_norm_sq", pq_adc(normLut, col("codes"), numCodes))
+      .select("n_id", "codes", "n_norm_sq")
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", vec_norm(col("q_vec")))
+      .withColumn("lut", pq_lut(col("q_vec"), codebooks))
+
+    // ADC scan: corpus scanned once, queries broadcast, m lookups per row
+    val adc = enc.crossJoin(broadcast(q.select("q_id", "lut", "q_norm")))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", pq_adc(col("lut"), col("codes"), numCodes) /
+        (col("q_norm") * sqrt(col("n_norm_sq"))))
+    val cands = topKPerQuery(adc, math.max(k * fetchFactor, k))
+      .select("q_id", "n_id")
+
+    // exact rerank: candidate ids (|Q| × fetch, small) broadcast; corpus
+    // vectors stream map-side through the join — no corpus shuffle
+    val candQ = cands.join(broadcast(q.select("q_id", "q_vec", "q_norm")), Seq("q_id"))
+    val exact = c.withColumn("n_norm", vec_norm(col("n_vec")))
+      .join(broadcast(candQ), Seq("n_id"))
+      .withColumn("sim",
+        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
+    topKPerQuery(exact, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane `p`,
     * dimension `d`: ±1 from a fixed hash (no RNG — reproducible across
     * runs and engines).

@@ -124,4 +124,58 @@ class SimilaritySpec extends AnyFunSuite {
       4L -> brute(Array(-1.0f, -1.0f, 0.0f)))
     assert(got == expect)
   }
+
+  test("pq expressions: encode/lut/adc agree with a driver-side recomputation") {
+    import graft.functions.VectorFunctions.{pq_adc, pq_encode, pq_lut}
+    // 2 subspaces × 2 codes × 2 dims — hand-checkable
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(2.0, 2.0), Array(-1.0, 0.0)))
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f, 1.9f, 2.2f)),  // sub0 → code 0, sub1 → code 0
+      (2L, Array(0.2f, 1.1f, -0.9f, 0.1f))  // sub0 → code 1, sub1 → code 1
+    ).toDF("id", "vec")
+    val got = df.select(col("id"),
+        pq_encode(col("vec"), cb).as("codes"),
+        pq_lut(col("vec"), cb).as("lut"))
+      .withColumn("adc", pq_adc(col("lut"), col("codes"), 2))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getSeq[Double](2).toSeq, r.getDouble(3))).toList
+    assert(got.map(g => (g._1, g._2)) == List((1L, Seq(0, 0)), (2L, Seq(1, 1))))
+    // lut row 1: [dot((0.9,0.1),(1,0)), dot(.,(0,1)), dot((1.9,2.2),(2,2)), dot(.,(-1,0))]
+    val lut1 = got.head._3.map(x => math.abs(x))
+    assert(math.abs(got.head._3(0) - 0.9) < 1e-6 && math.abs(got.head._3(2) - 8.2) < 1e-6)
+    assert(lut1.length == 4)
+    // adc = lut[0*2+0] + lut[1*2+0] (codes 0,0)
+    assert(math.abs(got.head._4 - (got.head._3(0) + got.head._3(2))) < 1e-12)
+  }
+
+  test("pqTopK recall vs exact at the DECLARED query parameters (k=5, m=8, 16 codes)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
+      numSubspaces = 8, numCodes = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"declared-parameter PQ ANN recall $recall collapsed")
+  }
+
+  test("pqTopK ranks are 1..k and reranked sims are exact cosines") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 20)
+    val out = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 3)
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
+        min("rank").as("lo"), max("rank").as("hi")).collect()
+    perQ.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getInt(2) == 1 && r.getInt(3) == 3)
+    }
+    // reranked similarity equals the true rounded cosine for those pairs
+    val joined = out.join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qv")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("nv")), Seq("n_id"))
+      .withColumn("want", round(Similarity.cosine(col("qv"), col("nv")), 4))
+      .filter(col("sim") =!= col("want"))
+    assert(joined.isEmpty)
+  }
 }
