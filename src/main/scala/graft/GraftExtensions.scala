@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, LangIdExpr, LshSignature, MinHashSig, ShingleHash, SimHash64, StopwordCount}
+import graft.functions.{DotProduct, IntersectCountSorted, LangIdExpr, LshSignature, MinHashSig, ShingleHash, SimHash64, StopwordCount, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
@@ -50,6 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_lang_id",
         "graft_lang_id(tokens) - stopword-vote language id over the built-in de/en/es/fr lists"),
       (args: Seq[Expression]) => LangIdExpr(args.head, graft.ops.TextAnalysis.LangTable)))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams",
+        "graft_word_ngrams(text, n) - space-joined word n-grams (whitespace tokens)"),
+      (args: Seq[Expression]) => WordNgrams(args(0), args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("graft_intersect_count_sorted"),
+      info("graft_intersect_count_sorted",
+        "graft_intersect_count_sorted(a, b) - intersection size of two sorted long arrays"),
+      (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))))
   }
 }
 
@@ -78,5 +88,7 @@ object GraftFunctions {
     put("graft_lsh_sig", args => LshSignature(args(0), args(1).eval().asInstanceOf[Int]))
     put("graft_stopword_count", GraftExtensions.stopwordCount)
     put("graft_lang_id", args => LangIdExpr(args.head, graft.ops.TextAnalysis.LangTable))
+    put("graft_word_ngrams", args => WordNgrams(args(0), args(1).eval().asInstanceOf[Int]))
+    put("graft_intersect_count_sorted", args => IntersectCountSorted(args(0), args(1)))
   }
 }

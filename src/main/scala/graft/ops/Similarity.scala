@@ -157,6 +157,58 @@ object Similarity {
     * no SQL oracle; recall@k vs [[bruteForceTopK]] is asserted in
     * SimilaritySpec at the declared query's parameters.
     */
+  /** Deterministic PQ codebook training over a (n_id, n_vec) frame: seeds
+    * = subvectors of the first `numCodes` vectors by id, then `lloydIters`
+    * k-means passes per subspace — ALL subspaces train in ONE aggregation
+    * per pass (assignment is the native [[graft.functions.PqEncode]],
+    * map-side; the mean update returns ≤ dim × numCodes rows). Codes with
+    * no assigned rows keep their previous centroid.
+    */
+  private[ops] def trainPqCodebooks(
+      c: DataFrame,
+      numSubspaces: Int,
+      numCodes: Int,
+      lloydIters: Int): Array[Array[Array[Double]]] = {
+    import graft.functions.VectorFunctions.pq_encode
+    val seeds = c.orderBy("n_id").limit(numCodes).select("n_vec").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seeds.length == numCodes,
+      s"trainPqCodebooks: corpus has ${seeds.length} rows < numCodes=$numCodes")
+    val dim = seeds(0).length
+    require(dim % numSubspaces == 0,
+      s"trainPqCodebooks: dim $dim not divisible by numSubspaces=$numSubspaces")
+    val dsub = dim / numSubspaces
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(numSubspaces, numCodes)((s, i) =>
+        seeds(i).slice(s * dsub, (s + 1) * dsub))
+    (0 until lloydIters).foreach { _ =>
+      val means = c
+        .withColumn("codes", pq_encode(col("n_vec"), codebooks))
+        .select(posexplode(col("n_vec")).as(Seq("pos", "x")), col("codes"))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "code", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val updated = codebooks.map(_.map(_.clone))
+      means.foreach { r =>
+        val (s, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        updated(s)(code)(pos - s * dsub) = r.getDouble(3)
+      }
+      codebooks = updated
+    }
+    codebooks
+  }
+
+  /** Constant norm²-LUT for a codebook set: approximate corpus norms
+    * reconstruct from codes via [[graft.functions.PqAdcLut]].
+    */
+  private def pqNormLut(codebooks: Array[Array[Array[Double]]]): Column = {
+    val numCodes = codebooks(0).length
+    array(Array.tabulate(codebooks.length * numCodes) { i =>
+      lit(codebooks(i / numCodes)(i % numCodes).map(x => x * x).sum)
+    }: _*)
+  }
+
   def pqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -171,42 +223,8 @@ object Similarity {
     import graft.functions.VectorFunctions.{pq_adc, pq_encode, pq_lut}
 
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-
-    // deterministic seeds: subvectors of the first numCodes corpus vectors
-    val seeds = c.orderBy("n_id").limit(numCodes).select("n_vec").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(seeds.length == numCodes,
-      s"pqTopK: corpus has ${seeds.length} rows < numCodes=$numCodes")
-    val dim = seeds(0).length
-    require(dim % numSubspaces == 0,
-      s"pqTopK: dim $dim not divisible by numSubspaces=$numSubspaces")
-    val dsub = dim / numSubspaces
-    var codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(numSubspaces, numCodes)((s, i) =>
-        seeds(i).slice(s * dsub, (s + 1) * dsub))
-
-    // Lloyd: assignment is map-side (native expr); the update aggregate
-    // returns ≤ dim × numCodes rows — bounded, independent of corpus size
-    (0 until lloydIters).foreach { _ =>
-      val means = c
-        .withColumn("codes", pq_encode(col("n_vec"), codebooks))
-        .select(posexplode(col("n_vec")).as(Seq("pos", "x")), col("codes"))
-        .withColumn("sub", (col("pos") / dsub).cast("int"))
-        .withColumn("code", element_at(col("codes"), col("sub") + 1))
-        .groupBy("sub", "code", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val updated = codebooks.map(_.map(_.clone)) // empty codes keep old entry
-      means.foreach { r =>
-        val (s, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
-        updated(s)(code)(pos - s * dsub) = r.getDouble(3)
-      }
-      codebooks = updated
-    }
-
-    // constant norm²-LUT: approximate corpus norm reconstructs from codes
-    val normLut = array(Array.tabulate(numSubspaces * numCodes) { i =>
-      lit(codebooks(i / numCodes)(i % numCodes).map(x => x * x).sum)
-    }: _*)
+    val codebooks = trainPqCodebooks(c, numSubspaces, numCodes, lloydIters)
+    val normLut = pqNormLut(codebooks)
     val enc = c
       .withColumn("codes", pq_encode(col("n_vec"), codebooks))
       .withColumn("n_norm_sq", pq_adc(normLut, col("codes"), numCodes))
@@ -226,6 +244,77 @@ object Similarity {
 
     // exact rerank: candidate ids (|Q| × fetch, small) broadcast; corpus
     // vectors stream map-side through the join — no corpus shuffle
+    val candQ = cands.join(broadcast(q.select("q_id", "q_vec", "q_norm")), Seq("q_id"))
+    val exact = c.withColumn("n_norm", vec_norm(col("n_vec")))
+      .join(broadcast(candQ), Seq("n_id"))
+      .withColumn("sim",
+        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
+    topKPerQuery(exact, k)
+  }
+
+  /** IVF-PQ: the production corpus-scale composition — IVF cluster pruning
+    * bounds WHICH rows are scored (a (cluster)-keyed equi-join, never a
+    * full scan per query) and PQ ADC bounds WHAT each scored row costs
+    * (m int lookups over an 8-int representation). Both index structures
+    * train with the shared deterministic builders
+    * ([[trainIvfCentroids]]/[[trainPqCodebooks]]); codes quantize RAW
+    * vectors (not residuals — the residual refinement of the original
+    * IVFADC is noted as future work), and the top ADC candidates rerank
+    * exactly like [[pqTopK]]. Recall floor vs brute force asserted in
+    * SimilaritySpec.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 8,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      lloydIters: Int = 2,
+      fetchFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{nearest_centroid, pq_adc, pq_encode, pq_lut}
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val centroids = trainIvfCentroids(c, nlist, lloydIters)
+    val codebooks = trainPqCodebooks(c, numSubspaces, numCodes, lloydIters)
+
+    // inverted lists carry ONLY (cluster, id, m ints, norm²) — the scan
+    // representation a 100 TB index actually persists
+    val lists = c
+      .withColumn("cluster", nearest_centroid(col("n_vec"), centroids.map(_._2)))
+      .withColumn("codes", pq_encode(col("n_vec"), codebooks))
+      .withColumn("n_norm_sq", pq_adc(pqNormLut(codebooks), col("codes"), numCodes))
+      .select("cluster", "n_id", "codes", "n_norm_sq")
+
+    val centroidDf = spark.createDataset(centroids.toSeq.map { case (i, v) => (i, v) })
+      .toDF("cluster", "c_vec")
+      .withColumn("c_norm", vec_norm(col("c_vec")))
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", vec_norm(col("q_vec")))
+      .withColumn("lut", pq_lut(col("q_vec"), codebooks))
+
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("__sim", vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("lut"), col("q_norm"), col("cluster"))
+
+    // ADC over probed lists only: each corpus row lives in ONE cluster, so
+    // a (q, n) pair appears at most once — no dedup needed
+    val adc = lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", pq_adc(col("lut"), col("codes"), numCodes) /
+        (col("q_norm") * sqrt(col("n_norm_sq"))))
+    val cands = topKPerQuery(adc, math.max(k * fetchFactor, k))
+      .select("q_id", "n_id")
+
     val candQ = cands.join(broadcast(q.select("q_id", "q_vec", "q_norm")), Seq("q_id"))
     val exact = c.withColumn("n_norm", vec_norm(col("n_vec")))
       .join(broadcast(candQ), Seq("n_id"))
@@ -279,43 +368,23 @@ object Similarity {
     * are only the corpus rows in those lists (a bucket equi-join — the
     * all-pairs space is never built), then exact cosine reranks.
     */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("n_norm", vec_norm(col("n_vec")))
-
-    // deterministic seeds: first nlist vectors by id
+  /** Deterministic IVF centroid training over a (n_id, n_vec) frame:
+    * seeds = first `nlist` vectors by id (no RNG), refined with
+    * `lloydIters` k-means passes. Assignment per pass is the zero-exchange
+    * native [[graft.functions.NearestCentroid]] (centroids are a codegen
+    * reference object); the mean update is a bounded aggregation
+    * (≤ nlist × dim rows collect — driver-safe by construction).
+    */
+  private[ops] def trainIvfCentroids(
+      c: DataFrame,
+      nlist: Int,
+      lloydIters: Int): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] = c.orderBy("n_id").limit(nlist)
       .select("n_vec").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble)).zipWithIndex.map(_.swap)
-
-    def centroidDf = spark.createDataset(centroids.toSeq.map { case (i, v) => (i, v) })
-      .toDF("cluster", "c_vec")
-      .withColumn("c_norm", vec_norm(col("c_vec")))
-
-    // Shuffle-free assignment: the centroid table is driver-bounded
-    // (nlist × dim doubles), so it rides into a native per-row argmax
-    // expression ([[graft.functions.NearestCentroid]]) — no
-    // monotonically_increasing_id, no per-row window, no Exchange between
-    // the corpus scan and its cluster id. This was the round-1 verdict's #2
-    // scale-killer (a |corpus| × nlist shuffle per Lloyd pass).
-    def assign(df: DataFrame, vecC: String): DataFrame =
-      df.withColumn("cluster",
-        graft.functions.VectorFunctions.nearest_centroid(col(vecC), centroids.map(_._2)))
-
-    // Lloyd refinement: recompute centroids as cluster means
     (0 until lloydIters).foreach { _ =>
-      val assigned = assign(c, "n_vec")
+      val assigned = c.withColumn("cluster",
+        graft.functions.VectorFunctions.nearest_centroid(col("n_vec"), centroids.map(_._2)))
       // element-wise mean per cluster: explode dims, average, re-assemble
       // in dimension order (map-side partial on (cluster, dim))
       val means = assigned
@@ -331,6 +400,39 @@ object Similarity {
       if (means.nonEmpty)
         centroids = means.sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i, v) }
     }
+    centroids
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
+
+    // Shuffle-free assignment: the centroid table is driver-bounded
+    // (nlist × dim doubles), so it rides into a native per-row argmax
+    // expression ([[graft.functions.NearestCentroid]]) — no
+    // monotonically_increasing_id, no per-row window, no Exchange between
+    // the corpus scan and its cluster id. This was the round-1 verdict's #2
+    // scale-killer (a |corpus| × nlist shuffle per Lloyd pass).
+    val centroids = trainIvfCentroids(c, nlist, lloydIters)
+
+    def centroidDf = spark.createDataset(centroids.toSeq.map { case (i, v) => (i, v) })
+      .toDF("cluster", "c_vec")
+      .withColumn("c_norm", vec_norm(col("c_vec")))
+
+    def assign(df: DataFrame, vecC: String): DataFrame =
+      df.withColumn("cluster",
+        graft.functions.VectorFunctions.nearest_centroid(col(vecC), centroids.map(_._2)))
 
     val lists = assign(c, "n_vec") // corpus with final cluster ids
 

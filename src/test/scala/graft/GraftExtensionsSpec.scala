@@ -50,4 +50,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(viaSql.toSeq == viaApi.toSeq)
   }
+
+  test("graft_word_ngrams / graft_intersect_count_sorted from SQL match the Column APIs") {
+    val r = spark.sql(
+      """SELECT graft_word_ngrams(' a  b c ', 2) AS g,
+        |       graft_intersect_count_sorted(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getInt(1) == 2)
+  }
 }

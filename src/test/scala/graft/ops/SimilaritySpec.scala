@@ -162,6 +162,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"declared-parameter PQ ANN recall $recall collapsed")
   }
 
+  test("ivfPqTopK: cluster pruning + ADC keeps a usable recall floor") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall collapsed")
+    // pruning really happened: every query emits exactly k rows regardless
+    val counts = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 8).groupBy("q_id").count().collect()
+    counts.foreach(r => assert(r.getLong(1) == 5L))
+  }
+
   test("pqTopK ranks are 1..k and reranked sims are exact cosines") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 20)
