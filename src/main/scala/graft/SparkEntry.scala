@@ -650,6 +650,13 @@ object SparkEntry {
         .orderBy("chunk", "doc_id")
     }),
 
+    // RAG-style sliding-window chunking: 64-token windows every 48 tokens
+    // (16-token overlap) — bounded map-side generator, no shuffle
+    "doc_chunks" -> ((s, dir) =>
+      graft.ops.Packing.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
     // temperature-weighted source mixing: drop src0, halve src1, 2x src2,
     // 2.5x src3 (hash-deterministic fractional copies) — pinned VALUES
     // oracle (Spark-side xxhash64; recomputed driver-side in SamplingSpec)
@@ -1271,6 +1278,14 @@ object SparkEntry {
         "CAST(least(start_tok + n_tokens, (chunk + 1) * 512) - start_tok AS BIGINT) AS doc_to, " +
         "CAST(greatest(start_tok, chunk * 512) - chunk * 512 AS BIGINT) AS chunk_offset " +
         "FROM e ORDER BY chunk, doc_id"),
+
+    "doc_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "e AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 16 - 1, 0) + 1, 48)) AS s FROM t) " +
+        "SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, " +
+        "array_to_string(tk[s+1:s+64], ' ') AS chunk_text, " +
+        "CAST(len(tk[s+1:s+64]) AS BIGINT) AS n_chunk_tokens " +
+        "FROM e ORDER BY doc_id, chunk_idx"),
 
     "decontam_hits" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +

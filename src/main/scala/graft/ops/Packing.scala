@@ -78,6 +78,41 @@ object Packing {
         expr(s"(start_tok + n_tokens - 1) div $chunkTokens").as("chunk_end"))
   }
 
+  /** Sliding-window document chunking (the RAG/embedding-index shape, and
+    * the long-document split step before [[packChunks]]): each document
+    * emits windows of at most `maxTokens` whitespace tokens, starting every
+    * `maxTokens - overlapTokens` tokens, so consecutive chunks share
+    * `overlapTokens` tokens of context. Every document emits at least one
+    * chunk; the final chunk may be short. Pure per-row generator (explode
+    * of a bounded sequence) — map-side, no shuffle, fan-out bounded by
+    * n_tokens / stride + 1.
+    *
+    * @return (idCol, chunk_idx, chunk_text, n_chunk_tokens)
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(overlapTokens >= 0 && overlapTokens < maxTokens,
+      s"overlapTokens must be in [0, maxTokens): $overlapTokens")
+    val stride = maxTokens - overlapTokens
+    val toks = split(col(textCol), " ")
+    val lastStart = greatest(size(toks) - overlapTokens - 1, lit(0))
+    df
+      .select(col(idCol), toks.as("__toks"),
+        posexplode(sequence(lit(0), lastStart, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .withColumn("__chunk", slice(col("__toks"), col("__start") + 1, lit(maxTokens)))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("bigint").as("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("bigint").as("n_chunk_tokens"))
+  }
+
   /** Chunk manifest — the inversion a training-data loader consumes: one
     * row per (chunk, doc) overlap with the doc-token span that lands in the
     * chunk (`doc_from` inclusive, `doc_to` exclusive) and the offset inside

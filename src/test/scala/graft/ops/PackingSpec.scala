@@ -56,6 +56,42 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: windows, overlap, short docs, reconstruction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than window
+      (3L, "")                                        // empty text = 1 empty token
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(df, "doc_id", "text", maxTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // stride 3: starts 0,3,6 cover t1..t10 with 1-token overlap; start 9 would
+    // add only already-covered tokens ⇒ lastStart = 10-1-1 = 8 → starts 0,3,6
+    assert(d1.map(_.getString(2)).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L))
+    // overlap: each consecutive pair shares exactly 1 token
+    d1.map(_.getString(2).split(" ").toSeq).sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(1) == b.take(1))
+      case _ =>
+    }
+    // short and empty docs still emit exactly one chunk
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("a b"))
+    assert(out.filter(_.getLong(0) == 3L).length == 1)
+    // every token of every doc appears in some chunk (coverage)
+    val fixture = Tables.documents(spark, GraftSpark.Sf0001)
+    val covered = Packing.chunkDocuments(fixture, "doc_id", "text", 64, 16)
+      .groupBy("doc_id")
+      .agg(sum(col("n_chunk_tokens")).as("chunked"),
+        max(col("chunk_idx")).as("max_idx"))
+    val bad = covered
+      .join(fixture.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens")), Seq("doc_id"))
+      // sum of chunk sizes = n_tokens + overlap × n_overlapping_boundaries
+      .filter(col("chunked") =!= col("n_tokens") + lit(16L) * col("max_idx"))
+    assert(bad.isEmpty)
+  }
+
   test("chunkManifest doc spans are within the doc and contiguous across its chunks") {
     val man = Packing.chunkManifest(packed(64), "doc_id", C)
       .orderBy("doc_id", "chunk").collect()
