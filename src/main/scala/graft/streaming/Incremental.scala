@@ -377,6 +377,54 @@ object Incremental {
     spark.table(qName)
   }
 
+  /** Streaming benchmark decontamination: documents arrive as a file
+    * stream and are dropped BEFORE landing in the corpus if they share any
+    * word n-gram with the (static, small-by-nature) benchmark set.
+    *
+    * The batch operator's explode → join → anti-join shape needs a
+    * streaming aggregation/self-join that append streams don't support
+    * without watermarks — and decontamination has no event time. Instead
+    * the bench side compiles ONCE into a sorted array of hashed n-grams
+    * (driver-bounded by the eval-suite contract; the ingest analogue of a
+    * broadcast) and each document is checked by a single codegen'd
+    * sorted-merge intersection ([[graft.functions.IntersectCountSorted]]
+    * over [[graft.functions.ShingleHash]] grams) — stateless, per-row,
+    * so any micro-batch cadence and sink compose. Documents shorter than
+    * `n` tokens are never contaminated (masked before the whole-text
+    * fallback of ShingleHash), matching
+    * [[graft.ops.Decontaminate.decontaminate]]; parity modulo the 2⁻⁶⁴
+    * gram-hash collision is asserted in IncrementalSpec.
+    */
+  def streamingDecontaminate(
+      spark: SparkSession,
+      srcPath: String,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    import graft.functions.TextFunctions.{intersect_count_sorted, shingle_hash}
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, "\\s+"), t => t =!= "")
+    def gramHashes(c: org.apache.spark.sql.Column) =
+      array_sort(array_distinct(shingle_hash(toks(c), n)))
+
+    val benchHashes: Array[Long] = bench
+      .filter(size(toks(col(textCol))) >= n)
+      .select(explode(gramHashes(col(textCol))).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val benchLit = typedLit(benchHashes)
+
+    val in = streamSource(spark, srcPath)
+    val hits = when(size(toks(col(textCol))) < n, lit(0))
+      .otherwise(intersect_count_sorted(gramHashes(col(textCol)), benchLit))
+    val kept = in.filter(hits === 0)
+    val qName = "graft_decontam_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = kept.writeStream.format("memory").queryName(qName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   /** One event for stateful sessionization. */
   case class SessionEvent(user_id: Long, ts_us: Long)
   /** Per-user session summary emitted by [[statefulSessionCounts]]. */

@@ -68,6 +68,18 @@ class IncrementalSpec extends AnyFunSuite {
       .withColumn("r_ts", col("r_ts").cast(streamed.schema("r_ts").dataType))).isEmpty)
   }
 
+  test("streamingDecontaminate matches the batch decontaminate doc-for-doc") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val streamed = Incremental.streamingDecontaminate(
+        spark, s"${GraftSpark.Sf0001}/documents.parquet", bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Decontaminate.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.size < docs.count()) // something was actually dropped
+  }
+
   test("streamingDedup drops duplicate keys arriving within the watermark") {
     // two copies of the same file in one source dir = every row duplicated
     val dir = Files.createTempDirectory("graft_sdedup")
