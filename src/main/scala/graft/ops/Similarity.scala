@@ -170,8 +170,11 @@ object Similarity {
       numCodes: Int,
       lloydIters: Int): Array[Array[Array[Double]]] = {
     import graft.functions.VectorFunctions.pq_encode
-    val seeds = c.orderBy("n_id").limit(numCodes).select("n_vec").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // cast keeps the trainer agnostic to float (raw corpus) vs double
+    // (residual) vector columns; float→double widening is exact
+    val seeds = c.orderBy("n_id").limit(numCodes)
+      .select(col("n_vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
     require(seeds.length == numCodes,
       s"trainPqCodebooks: corpus has ${seeds.length} rows < numCodes=$numCodes")
     val dim = seeds(0).length
@@ -234,11 +237,14 @@ object Similarity {
       .withColumn("q_norm", vec_norm(col("q_vec")))
       .withColumn("lut", pq_lut(col("q_vec"), codebooks))
 
-    // ADC scan: corpus scanned once, queries broadcast, m lookups per row
+    // ADC scan: corpus scanned once, queries broadcast, m lookups per row.
+    // The norm denominator is clamped: codes reconstructing to an all-zero
+    // centroid concatenation would otherwise yield NaN/Inf sims that
+    // pollute candidate ordering before the exact rerank.
     val adc = enc.crossJoin(broadcast(q.select("q_id", "lut", "q_norm")))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", pq_adc(col("lut"), col("codes"), numCodes) /
-        (col("q_norm") * sqrt(col("n_norm_sq"))))
+        (col("q_norm") * greatest(sqrt(col("n_norm_sq")), lit(1e-12))))
     val cands = topKPerQuery(adc, math.max(k * fetchFactor, k))
       .select("q_id", "n_id")
 
@@ -445,9 +451,12 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cluster"))
 
+    // each corpus row lives in exactly ONE cluster and the probe list is
+    // distinct per (q_id, cluster), so the candidate join cannot produce a
+    // duplicate (q_id, n_id) pair — no dedup operator (a full Exchange of
+    // the widest intermediate) is needed; uniqueness is asserted in IvfSpec
     val cands = probes.join(lists, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("sim",
         round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
     topKPerQuery(cands, k)
