@@ -263,11 +263,20 @@ object Similarity {
     * full scan per query) and PQ ADC bounds WHAT each scored row costs
     * (m int lookups over an 8-int representation). Both index structures
     * train with the shared deterministic builders
-    * ([[trainIvfCentroids]]/[[trainPqCodebooks]]); codes quantize RAW
-    * vectors (not residuals — the residual refinement of the original
-    * IVFADC is noted as future work), and the top ADC candidates rerank
-    * exactly like [[pqTopK]]. Recall floor vs brute force asserted in
-    * SimilaritySpec.
+    * ([[trainIvfCentroids]]/[[trainPqCodebooks]]).
+    *
+    * Codes quantize RESIDUALS vs the assigned IVF centroid (classic IVFADC,
+    * Jégou et al. TPAMI 2011): residual magnitudes are much smaller than
+    * raw vectors, so the same bit budget quantizes them finer. The ADC dot
+    * product decomposes exactly as q·n ≈ q·c(cluster) + q·r̂ — the first
+    * term is already computed per (query, probed cluster) during probe
+    * selection, the second is the LUT sum over the residual codes. The
+    * inverted lists store the EXACT vector norm (one double per row)
+    * instead of a code-reconstructed approximation: cheaper to score,
+    * exact, and independent of the residual re-centering. `residual=false`
+    * recovers the raw-vector encoding (kept as the recall comparison
+    * baseline in SimilaritySpec). Top ADC candidates rerank exactly like
+    * [[pqTopK]]. Recall floor vs brute force asserted in SimilaritySpec.
     */
   def ivfPqTopK(
       queries: DataFrame,
@@ -280,22 +289,38 @@ object Similarity {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       lloydIters: Int = 2,
-      fetchFactor: Int = 4): DataFrame = {
+      fetchFactor: Int = 4,
+      residual: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions.{nearest_centroid, pq_adc, pq_encode, pq_lut}
 
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val centroids = trainIvfCentroids(c, nlist, lloydIters)
-    val codebooks = trainPqCodebooks(c, numSubspaces, numCodes, lloydIters)
+    // cluster-indexed centroid matrix as a literal: the per-row residual is
+    // a map-side zip_with against element_at(matrix, cluster+1) — no join,
+    // no shuffle between the corpus scan and its encoded representation
+    val centroidMat = typedLit(centroids.map(_._2.toSeq).toSeq)
 
-    // inverted lists carry ONLY (cluster, id, m ints, norm²) — the scan
-    // representation a 100 TB index actually persists
-    val lists = c
-      .withColumn("cluster", nearest_centroid(col("n_vec"), centroids.map(_._2)))
-      .withColumn("codes", pq_encode(col("n_vec"), codebooks))
-      .withColumn("n_norm_sq", pq_adc(pqNormLut(codebooks), col("codes"), numCodes))
-      .select("cluster", "n_id", "codes", "n_norm_sq")
+    val assigned = c.withColumn("cluster",
+      nearest_centroid(col("n_vec"), centroids.map(_._2)))
+    val withEnc =
+      if (residual)
+        assigned.withColumn("enc_vec",
+          zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
+            (x, cc) => x.cast("double") - cc))
+      else
+        assigned.withColumn("enc_vec", col("n_vec"))
+    val codebooks = trainPqCodebooks(
+      withEnc.select(col("n_id"), col("enc_vec").as("n_vec")),
+      numSubspaces, numCodes, lloydIters)
+
+    // inverted lists carry ONLY (cluster, id, m ints, exact norm) — the
+    // scan representation a 100 TB index actually persists
+    val lists = withEnc
+      .withColumn("codes", pq_encode(col("enc_vec"), codebooks))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
+      .select("cluster", "n_id", "codes", "n_norm")
 
     val centroidDf = spark.createDataset(centroids.toSeq.map { case (i, v) => (i, v) })
       .toDF("cluster", "c_vec")
@@ -307,17 +332,23 @@ object Similarity {
 
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster").asc)
     val probes = q.crossJoin(broadcast(centroidDf))
-      .withColumn("__sim", vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("__qdotc", vec_dot(col("q_vec"), col("c_vec")))
+      .withColumn("__sim", col("__qdotc") / (col("q_norm") * col("c_norm")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("lut"), col("q_norm"), col("cluster"))
+      .select(col("q_id"), col("lut"), col("q_norm"), col("cluster"), col("__qdotc"))
 
     // ADC over probed lists only: each corpus row lives in ONE cluster, so
-    // a (q, n) pair appears at most once — no dedup needed
+    // a (q, n) pair appears at most once — no dedup needed. The exact-norm
+    // denominator is clamped so an all-zero corpus vector cannot emit
+    // NaN/Inf sims that pollute candidate ordering before the rerank.
+    val approxDot =
+      if (residual) col("__qdotc") + pq_adc(col("lut"), col("codes"), numCodes)
+      else pq_adc(col("lut"), col("codes"), numCodes)
     val adc = lists.join(broadcast(probes), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", pq_adc(col("lut"), col("codes"), numCodes) /
-        (col("q_norm") * sqrt(col("n_norm_sq"))))
+      .withColumn("sim", approxDot /
+        (col("q_norm") * greatest(col("n_norm"), lit(1e-12))))
     val cands = topKPerQuery(adc, math.max(k * fetchFactor, k))
       .select("q_id", "n_id")
 
@@ -378,29 +409,30 @@ object Similarity {
     * seeds = first `nlist` vectors by id (no RNG), refined with
     * `lloydIters` k-means passes. Assignment per pass is the zero-exchange
     * native [[graft.functions.NearestCentroid]] (centroids are a codegen
-    * reference object); the mean update is a bounded aggregation
-    * (≤ nlist × dim rows collect — driver-safe by construction).
+    * reference object); the mean update is the shared
+    * [[graft.ops.Vectors.CentroidAggregator]] — ONE row per input row into
+    * a map-side partial of dim-sized buffers (the earlier posexplode form
+    * put a Generate in the training pass, amplifying the corpus ×dim
+    * before the partial aggregation), collecting ≤ nlist × dim doubles —
+    * driver-safe by construction.
     */
   private[ops] def trainIvfCentroids(
       c: DataFrame,
       nlist: Int,
       lloydIters: Int): Array[(Int, Array[Double])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = c.orderBy("n_id").limit(nlist)
-      .select("n_vec").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).zipWithIndex.map(_.swap)
+      .select(col("n_vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+    val dim = if (centroids.isEmpty) 0 else centroids(0)._2.length
     (0 until lloydIters).foreach { _ =>
       val assigned = c.withColumn("cluster",
         graft.functions.VectorFunctions.nearest_centroid(col("n_vec"), centroids.map(_._2)))
-      // element-wise mean per cluster: explode dims, average, re-assemble
-      // in dimension order (map-side partial on (cluster, dim))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("n_vec")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("c_vec"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val ds = assigned
+        .select(col("cluster"), col("n_vec").cast("array<float>"))
+        .as[(Int, Array[Float])]
+      val means = graft.ops.Vectors.centroids(ds, dim).collect()
       // cluster ids are ARRAY INDICES into `centroids` — re-pack densely in
       // sorted order (empty clusters drop out of the means)
       if (means.nonEmpty)

@@ -47,6 +47,49 @@ class IvfSpec extends AnyFunSuite {
     assert(plan.contains("nearestcentroid") || plan.contains("NearestCentroid"), plan)
   }
 
+  test("ivfTopK candidates are unique (q_id, n_id) pairs with no dedup operator in the plan") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+    // k far beyond any probed-list size: a duplicate candidate pair from
+    // the (cluster) join would survive the top-k selection and show up
+    // here — one corpus row per cluster + distinct probes makes that
+    // impossible, which is why ivfTopK carries no dropDuplicates
+    val out = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 100000,
+      nlist = 8, nprobe = 8, lloydIters = 1)
+    assert(out.groupBy("q_id", "n_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("trainIvfCentroids matches a driver-side Lloyd recomputation") {
+    import spark.implicits._
+    val dim = 4
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => (i % 5 + d * 0.1 + 0.3).toFloat)))
+    val df = vecs.toDF("n_id", "n_vec")
+    val got = Similarity.trainIvfCentroids(df, nlist = 4, lloydIters = 2)
+    // driver-side Lloyd: same seeds, cosine argmax with low-index
+    // tie-break, per-cluster elementwise mean, dense re-pack
+    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+      val sims = cs.map { c =>
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b }.sum
+        dot / math.sqrt(c.map(x => x * x).sum)
+      }
+      sims.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+    }
+    var cent = vecs.sortBy(_._1).take(4).map(_._2.map(_.toDouble)).toArray
+    (0 until 2).foreach { _ =>
+      val groups = vecs.groupBy(v => nearest(v._2, cent)).toSeq.sortBy(_._1)
+      cent = groups.map { case (_, vs) =>
+        val sums = new Array[Double](dim)
+        vs.foreach(v => (0 until dim).foreach(d => sums(d) += v._2(d)))
+        sums.map(_ / vs.size)
+      }.toArray
+    }
+    assert(got.length == cent.length)
+    got.zip(cent).foreach { case ((_, g), w) =>
+      g.zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    }
+  }
+
   test("ivfTopK is deterministic across runs") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 5)

@@ -162,16 +162,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"declared-parameter PQ ANN recall $recall collapsed")
   }
 
-  test("ivfPqTopK: cluster pruning + ADC keeps a usable recall floor") {
+  test("ivfPqTopK: residual (IVFADC) codes beat raw-vector codes at the DECLARED parameters") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
-    val q = emb.filter(col("vec_id") < 50)
+    val q = emb.filter(col("vec_id") < 100)
     val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
-      nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16)
-      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF-PQ recall $recall collapsed")
+    def recallOf(residual: Boolean): Double = {
+      val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16, residual = residual)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val raw = recallOf(residual = false)
+    val res = recallOf(residual = true)
+    // residual magnitudes are smaller than raw vectors, so the same bit
+    // budget quantizes finer — recall must not regress and is expected to
+    // strictly improve on this fixture
+    assert(res >= raw, s"residual recall $res regressed vs raw-code recall $raw")
+    assert(res >= 0.5, s"declared-parameter IVF-PQ recall $res collapsed")
     // pruning really happened: every query emits exactly k rows regardless
     val counts = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
       nlist = 16, nprobe = 8).groupBy("q_id").count().collect()
