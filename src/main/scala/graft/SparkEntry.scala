@@ -812,13 +812,43 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // custom-state streaming (flatMapGroupsWithState): same result contract
-    // as the batch events_sessionize, so it shares that oracle
+    // custom-state streaming (flatMapGroupsWithState, event-time timeout,
+    // append-mode file sink): same result contract as the batch
+    // events_sessionize, so it shares that oracle
     "stream_stateful_sessions" -> ((s, dir) => {
       Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
       graft.streaming.Incremental.statefulSessionCounts(
-        s, s"$dir/events.parquet", "ts", "user_id", gapUs = 1800L * 1000000)
+        s, s"$dir/events.parquet", "ts", "user_id", gapUs = 1800L * 1000000,
+        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
         .orderBy("user_id")
+    }),
+
+    // streaming ingest dedup (dropDuplicatesWithinWatermark, append-mode
+    // file sink): with a horizon covering the whole fixture span, the kept
+    // rows projected to their keys are exactly the distinct keys. WHICH row
+    // of a dup group survives is stream-order-dependent, so only the keys
+    // are declared — deterministic and oracle-checkable
+    "stream_dedup" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.streamingDedup(
+        s, s"$dir/events.parquet", Seq("user_id", "event_type"), "ts",
+        watermark = "3650 days",
+        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .select(col("user_id").cast("bigint").as("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // streaming benchmark decontamination (stateless codegen'd filter at
+    // ingest, append-mode file sink): deterministic, shares the batch
+    // decontam_corpus semantics — docs sharing any word 8-gram with the
+    // bench set never land in the corpus
+    "stream_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.streaming.Incremental.streamingDecontaminate(
+        s, s"$dir/documents.parquet", docs.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 8)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // exact top-k over the int8-quantized corpus (4× smaller scan; cosine
@@ -858,6 +888,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb.filter(col("vec_id") < 100), emb,
         "vec_id", "embedding", k = 5, numSubspaces = 8, numCodes = 16)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-PQ composition — the 100 TB serving shape: cluster pruning bounds
+    // WHICH rows are scored, residual-PQ ADC bounds WHAT each row costs.
+    // Approximate -> no SQL oracle; recall (and residual > raw-code
+    // improvement) asserted at these parameters in SimilaritySpec
+    "knn_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+        numSubspaces = 8, numCodes = 16)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
     }),
@@ -925,11 +968,11 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the three approximate-by-design
-    * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann — recall-asserted
-    * vs brute force in IvfSpec/SimilaritySpec instead); the deterministic
-    * Spark-side-hash queries carry PINNED literal-VALUES oracles
-    * ([[PinnedOracles]], valid at sf0.01).
+    * the same parquet tables. Omitted for the four approximate-by-design
+    * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann, knn_ivfpq_ann —
+    * recall-asserted vs brute force in IvfSpec/SimilaritySpec instead);
+    * the deterministic Spark-side-hash queries carry PINNED literal-VALUES
+    * oracles ([[PinnedOracles]], valid at sf0.01).
     */
   def oracleSql: Map[String, String] = Map(
     "s1_full_scan" ->
@@ -1386,6 +1429,19 @@ object SparkEntry {
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
         "FROM x GROUP BY user_id ORDER BY user_id"),
+
+    "stream_dedup" ->
+      ("SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type " +
+        "FROM events ORDER BY user_id, event_type"),
+
+    "stream_decontam" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
 
     "stream_interval_join" ->
       ("SELECT l.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs " +

@@ -113,7 +113,37 @@ object Incremental {
     */
   private object StagedStream {
     val SentinelKey = "__graft_watermark_driver"
+    /** Sentinel key value for NUMERIC key columns ([[SentinelKey]] serves
+      * string keys): far outside any fixture id space.
+      */
+    val SentinelId = -987654321L
     private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Sentinel literal matching the key column's type. */
+    def sentinelFor(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.StringType => lit(SentinelKey)
+      case other => lit(SentinelId).cast(other)
+    }
+
+    /** Event-time column as TIMESTAMP: the events fixture streams `ts` as
+      * raw nanos (LongType via nanosAsLong) — µs-truncate like the batch
+      * reader; genuine date/timestamp columns just cast.
+      */
+    def tsAsTimestamp(dt: org.apache.spark.sql.types.DataType, tsCol: String) =
+      dt match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr(s"$tsCol div 1000"))
+        case _ => col(tsCol).cast("timestamp")
+      }
+
+    /** A timestamp re-expressed in the source column's type (raw nanos for
+      * LongType columns — the inverse of [[tsAsTimestamp]]).
+      */
+    def tsLiteral(dt: org.apache.spark.sql.types.DataType, ts: java.sql.Timestamp) =
+      dt match {
+        case org.apache.spark.sql.types.LongType => lit(ts.getTime * 1000000L)
+        case other => lit(ts).cast(other)
+      }
 
     def dir(
         spark: SparkSession,
@@ -153,14 +183,15 @@ object Incremental {
         // more window after that) so the post-sentinel watermark clears
         // every real window end
         val batch = spark.read.parquet(tmpData.toString)
-        val maxTs = batch.agg(max(col(tsCol).cast("timestamp"))).head().getTimestamp(0)
+        val tsType = batch.schema(tsCol).dataType
+        val maxTs = batch.agg(max(tsAsTimestamp(tsType, tsCol))).head().getTimestamp(0)
         val s1 = new java.sql.Timestamp(maxTs.getTime + (watermarkSec + 2 * windowSec) * 1000)
         val s2 = new java.sql.Timestamp(s1.getTime + windowSec * 1000)
         Seq(("sentinel_1.parquet", s1, 60L), ("sentinel_2.parquet", s2, 120L)).foreach {
           case (name, ts, mtimeOffsetSec) =>
             val row = batch.limit(1)
-              .withColumn(tsCol, lit(ts).cast(batch.schema(tsCol).dataType))
-              .withColumn(keyCol, lit(SentinelKey))
+              .withColumn(tsCol, tsLiteral(tsType, ts))
+              .withColumn(keyCol, sentinelFor(batch.schema(keyCol).dataType))
             val out = Files.createTempDirectory("graft_sentinel")
             row.coalesce(1).write.mode("overwrite").parquet(out.toString)
             val part = out.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -365,16 +396,35 @@ object Incremental {
       srcPath: String,
       keys: Seq[String],
       tsCol: String,
-      watermark: String): DataFrame = {
-    val in = streamSource(spark, srcPath)
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .withWatermark(tsCol, watermark)
+      watermark: String,
+      statePartitions: Int = 0): DataFrame = {
+    val src = streamSource(spark, srcPath)
+    // helper event-time column: the source ts may be raw nanos (events
+    // fixture) or date/timestamp; original columns pass through unchanged
+    val in = src
+      .withColumn("__graft_ts", StagedStream.tsAsTimestamp(src.schema(tsCol).dataType, tsCol))
+      .withWatermark("__graft_ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
-    val qName = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = in.writeStream.format("memory").queryName(qName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .drop("__graft_ts")
+    val sink = java.nio.file.Files.createTempDirectory("graft_dedupsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedupckpt")
+    // dedup state = one entry per distinct key in the horizon — size the
+    // store count to that, not the session's data-scale shuffle default
+    // (see the windowedCountsAppend note)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = try {
+      in.writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     q.awaitTermination()
-    spark.table(qName)
+    spark.read.parquet(sink.toString)
   }
 
   /** Streaming benchmark decontamination: documents arrive as a file
@@ -404,7 +454,7 @@ object Incremental {
       n: Int): DataFrame = {
     import graft.functions.TextFunctions.{intersect_count_sorted, shingle_hash}
     def toks(c: org.apache.spark.sql.Column) =
-      filter(split(c, "\\s+"), t => t =!= "")
+      filter(split(c, "[ \t\n\f\r]+"), t => t =!= "") // RE2 \s class (no 0x0B) — matches the DuckDB oracle
     def gramHashes(c: org.apache.spark.sql.Column) =
       array_sort(array_distinct(shingle_hash(toks(c), n)))
 
@@ -418,15 +468,22 @@ object Incremental {
     val hits = when(size(toks(col(textCol))) < n, lit(0))
       .otherwise(intersect_count_sorted(gramHashes(col(textCol)), benchLit))
     val kept = in.filter(hits === 0)
-    val qName = "graft_decontam_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = kept.writeStream.format("memory").queryName(qName)
+    // stateless per-row filter -> append-mode FILE sink: nothing accumulates
+    // on the driver, any micro-batch cadence composes
+    val sink = java.nio.file.Files.createTempDirectory("graft_decontamsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decontamckpt")
+    val q = kept.writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(qName)
+    spark.read.parquet(sink.toString)
   }
 
-  /** One event for stateful sessionization. */
-  case class SessionEvent(user_id: Long, ts_us: Long)
+  /** One event for stateful sessionization: `ts` is the watermarked
+    * event-time TIMESTAMP, `ts_us` the µs value the gap arithmetic uses.
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
   /** Per-user session summary emitted by [[statefulSessionCounts]]. */
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
   /** Per-user session state (public: encoder codegen needs constructor access). */
@@ -435,53 +492,96 @@ object Incremental {
   /** Custom-state streaming: per-user session counting with
     * `flatMapGroupsWithState` — the arbitrary-state surface
     * (`KeyValueGroupedDataset`) for session logic that windowed aggregation
-    * can't express. A new session starts when a user's gap exceeds
-    * `gapUs`. State is one tiny record per user, evicted here only at
-    * query end (bounded input; production adds a state timeout).
+    * can't express. A new session starts when a user's gap exceeds `gapUs`.
     *
-    * Returns the completed result for a bounded parquet input (one
-    * AvailableNow micro-batch). Events must arrive time-ordered per user
-    * within the batch (sorted input or low-traffic keys); the batch
-    * equivalent is the `events_sessionize` declared query.
+    * The 100 TB shape: APPEND mode with an EVENT-TIME TIMEOUT — a user's
+    * counts are emitted exactly once, when the watermark passes their last
+    * event + gap, and the state entry is removed; the sink is distributed
+    * files, nothing accumulates on the driver (the round-1 update-mode/
+    * memory-sink form materialized one row per user per batch into a
+    * driver-resident table). Bounded inputs are finalized by the
+    * [[StagedStream]] watermark-driver sentinels (a sentinel user id far
+    * outside the fixture space, filtered from the result); the watermark
+    * delay is sized to the source's event-time span so no user can time
+    * out mid-stream and double-emit regardless of how files batch.
+    *
+    * Events must arrive time-ordered per user across micro-batches (within
+    * one they are sorted); the batch equivalent is the `events_sessionize`
+    * declared query, whose oracle this shares.
     */
   def statefulSessionCounts(
       spark: SparkSession,
       srcPath: String,
       tsCol: String,
       userCol: String,
-      gapUs: Long): DataFrame = {
+      gapUs: Long,
+      statePartitions: Int = 0): DataFrame = {
     import spark.implicits._
-    val src = streamSource(spark, srcPath)
+    val gapSec = math.max(1L, gapUs / 1000000L)
+    // watermark delay > source event-time span: the watermark stays below
+    // every user's (last event + gap) until the sentinels arrive, so each
+    // user emits exactly once even if the files split across micro-batches
+    val rawSchemaDf = spark.read.parquet(srcPath)
+    val tsType = rawSchemaDf.schema(tsCol).dataType
+    val span = rawSchemaDf
+      .agg(max(StagedStream.tsAsTimestamp(tsType, tsCol)).cast("long")
+        - min(StagedStream.tsAsTimestamp(tsType, tsCol)).cast("long"))
+      .head().getLong(0)
+    val watermarkSec = span + gapSec
+    val staged = StagedStream.dir(spark, srcPath, tsCol, userCol,
+      windowSec = gapSec, watermarkSec = watermarkSec)
+    val schema = spark.read.parquet(staged).schema
+    val src = spark.readStream.schema(schema).parquet(staged)
     // events.ts streams as raw nanos (LongType, nanosAsLong) — µs = ns div 1000;
     // genuine timestamp columns go through unix_micros
-    val tsUs = src.schema(tsCol).dataType match {
+    val tsUs = schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
       case _ => unix_micros(col(tsCol).cast("timestamp"))
     }
     val in = src
-      .select(col(userCol).cast("long").as("user_id"), tsUs.as("ts_us"))
+      .select(col(userCol).cast("long").as("user_id"),
+        timestamp_micros(tsUs).as("ts"), tsUs.as("ts_us"))
+      .withWatermark("ts", s"$watermarkSec seconds")
       .as[SessionEvent]
 
     val fn: (Long, Iterator[SessionEvent], GroupState[SessState]) => Iterator[UserSessions] =
-      (user, events, state) => {
-        var s = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
-        events.toSeq.sortBy(e => e.ts_us).foreach { e =>
-          val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
-          s = SessState(s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0), e.ts_us)
+      (user, events, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed last event + gap: counts are final — emit
+          // once, drop the state
+          val s = state.get
+          state.remove()
+          Iterator.single(UserSessions(user, s.nEvents, s.nSessions))
+        } else {
+          var s = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
+          events.toSeq.sortBy(e => e.ts_us).foreach { e =>
+            val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
+            s = SessState(s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0), e.ts_us)
+          }
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTsUs / 1000L + gapUs / 1000L)
+          Iterator.empty
         }
-        state.update(s)
-        Iterator.single(UserSessions(user, s.nEvents, s.nSessions))
-      }
 
     val out = in.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
 
-    val qName = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(qName)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    val sink = java.nio.file.Files.createTempDirectory("graft_sesssink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessckpt")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = try {
+      out.writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     q.awaitTermination()
-    // update mode emits one row per user per micro-batch; keep the latest
-    spark.table(qName).groupBy("user_id")
-      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+    spark.read.parquet(sink.toString)
+      .filter(col("user_id") =!= StagedStream.SentinelId)
   }
 }
