@@ -31,15 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - MinHash signature (k hashes)"),
-      (args: Seq[Expression]) => MinHashSig(args(0), args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => MinHashSig(args(0), GraftExtensions.intLitArg("graft_minhash_sig", args, 2, 1, "k"))))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_hash"),
       info("graft_shingle_hash", "graft_shingle_hash(tokens, k) - hashed word k-shingles"),
-      (args: Seq[Expression]) => ShingleHash(args(0), args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => ShingleHash(args(0), GraftExtensions.intLitArg("graft_shingle_hash", args, 2, 1, "k"))))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_sig"),
       info("graft_lsh_sig", "graft_lsh_sig(vec, planes) - random-hyperplane LSH bit signature"),
-      (args: Seq[Expression]) => LshSignature(args(0), args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => LshSignature(args(0), GraftExtensions.intLitArg("graft_lsh_sig", args, 2, 1, "planes"))))
     e.injectFunction((
       FunctionIdentifier("graft_stopword_count"),
       info("graft_stopword_count",
@@ -54,7 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams",
         "graft_word_ngrams(text, n) - space-joined word n-grams (whitespace tokens)"),
-      (args: Seq[Expression]) => WordNgrams(args(0), args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => WordNgrams(args(0), GraftExtensions.intLitArg("graft_word_ngrams", args, 2, 1, "n"))))
     e.injectFunction((
       FunctionIdentifier("graft_intersect_count_sorted"),
       info("graft_intersect_count_sorted",
@@ -64,6 +64,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Arity + foldable-INT-literal validation for SQL function builders:
+    * a wrong arg count or a non-literal / non-INT argument (a column ref,
+    * `2L`, NULL) raises a proper AnalysisException with Spark's standard
+    * error classes instead of an opaque ClassCastException/NPE.
+    */
+  private[graft] def intLitArg(
+      fn: String, args: Seq[Expression], arity: Int, idx: Int, param: String): Int = {
+    import org.apache.spark.sql.AnalysisException
+    if (args.length != arity)
+      throw new AnalysisException("WRONG_NUM_ARGS", Map(
+        "functionName" -> s"`$fn`", "expectedNum" -> arity.toString,
+        "actualNum" -> args.length.toString), None)
+    val e = args(idx)
+    def bad: Nothing = throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+      "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+      "paramType" -> "\"INT\""), None)
+    if (!e.foldable || e.dataType != org.apache.spark.sql.types.IntegerType) bad
+    e.eval() match {
+      case i: Int => i
+      case _ => bad
+    }
+  }
+
   /** Builder for the SQL form: the word list must be a foldable array of
     * string literals (evaluated once at plan time).
     */
@@ -83,12 +106,12 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     put("graft_dot", args => DotProduct(args(0), args(1)))
     put("graft_simhash64", args => SimHash64(args.head))
-    put("graft_minhash_sig", args => MinHashSig(args(0), args(1).eval().asInstanceOf[Int]))
-    put("graft_shingle_hash", args => ShingleHash(args(0), args(1).eval().asInstanceOf[Int]))
-    put("graft_lsh_sig", args => LshSignature(args(0), args(1).eval().asInstanceOf[Int]))
+    put("graft_minhash_sig", args => MinHashSig(args(0), GraftExtensions.intLitArg("graft_minhash_sig", args, 2, 1, "k")))
+    put("graft_shingle_hash", args => ShingleHash(args(0), GraftExtensions.intLitArg("graft_shingle_hash", args, 2, 1, "k")))
+    put("graft_lsh_sig", args => LshSignature(args(0), GraftExtensions.intLitArg("graft_lsh_sig", args, 2, 1, "planes")))
     put("graft_stopword_count", GraftExtensions.stopwordCount)
     put("graft_lang_id", args => LangIdExpr(args.head, graft.ops.TextAnalysis.LangTable))
-    put("graft_word_ngrams", args => WordNgrams(args(0), args(1).eval().asInstanceOf[Int]))
+    put("graft_word_ngrams", args => WordNgrams(args(0), GraftExtensions.intLitArg("graft_word_ngrams", args, 2, 1, "n")))
     put("graft_intersect_count_sorted", args => IntersectCountSorted(args(0), args(1)))
   }
 }

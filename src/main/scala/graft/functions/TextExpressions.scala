@@ -596,8 +596,13 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordNgrams {
+  // token separators = RE2's \s class ([\t\n\f\r ]) so the DuckDB oracle's
+  // string_split_regex('\s+') produces the IDENTICAL overlap set. Java
+  // regex \s additionally matches vertical tab (0x0B) — deliberately NOT
+  // whitespace here (and excluded from the \s-free char classes used by
+  // the HOF/streaming tokenizers) to keep the cross-engine contract exact.
   private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 
   def compute(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes

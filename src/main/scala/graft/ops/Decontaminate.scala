@@ -35,13 +35,15 @@ object Decontaminate {
 
   /** Pure-HOF reference formulation of [[wordNgrams]] — interpreted, kept
     * as the cross-check oracle for the native expression (they must agree
-    * exactly; see DecontaminateSpec). \s+ tokenization + empty-token
-    * filter: repeated/leading/trailing whitespace must not produce empty
-    * grams (they'd spuriously match across unrelated documents).
+    * exactly; see DecontaminateSpec). Tokenization on RE2's \s class
+    * (`[ \t\n\f\r]+` — NOT Java's \s, which adds vertical tab; the DuckDB
+    * oracle's string_split_regex('\s+') is RE2) + empty-token filter:
+    * repeated/leading/trailing whitespace must not produce empty grams
+    * (they'd spuriously match across unrelated documents).
     */
   def wordNgramsHof(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
-    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    val toks = filter(split(text, "[ \t\n\f\r]+"), t => t =!= "")
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))

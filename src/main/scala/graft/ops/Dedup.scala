@@ -334,6 +334,12 @@ object Dedup {
     * an OOM, and `maxBruteForceRows` fails fast far earlier (a plan-time
     * count of a 2-column projection) with an actionable message. Above
     * that, pass `blockBy` or use [[minhashLsh]].
+    *
+    * NOTE: the `blockBy = None` guard makes this call EAGER — it runs a
+    * pruned count scan of the input at plan-construction time (every call
+    * pays one input scan even if the returned frame is never executed, and
+    * a streaming input would throw). The O(n²) work this path implies
+    * dwarfs that scan; `blockBy = Some(...)` stays fully lazy.
     */
   def ngramJaccardPairs(
       df: DataFrame,

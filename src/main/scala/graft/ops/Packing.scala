@@ -80,9 +80,10 @@ object Packing {
 
   /** Sliding-window document chunking (the RAG/embedding-index shape, and
     * the long-document split step before [[packChunks]]): each document
-    * emits windows of at most `maxTokens` whitespace tokens, starting every
-    * `maxTokens - overlapTokens` tokens, so consecutive chunks share
-    * `overlapTokens` tokens of context. Every document emits at least one
+    * emits windows of at most `maxTokens` space-separated tokens (single
+    * `' '` split, empty tokens preserved — the `tokenCount` convention,
+    * NOT `\s+` tokenization), starting every `maxTokens - overlapTokens`
+    * tokens, so consecutive chunks share `overlapTokens` tokens of context. Every document emits at least one
     * chunk; the final chunk may be short. Pure per-row generator (explode
     * of a bounded sequence) — map-side, no shuffle, fan-out bounded by
     * n_tokens / stride + 1.
