@@ -505,6 +505,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // exact-substring duplicate pairs (Lee et al. 2021): docs sharing a
+    // verbatim 6-token run; inverted gram index, map-side pair generation,
+    // boilerplate grams (df > 100) dropped — the cap is mirrored in the
+    // oracle SQL
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 6, maxDf = 100, minShared = 1L)
+        .orderBy("id_a", "id_b")),
+
+    // SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
+    // the pairwise term; at threshold 0.95 only the injected exact
+    // duplicates qualify and exact duplicates always co-cluster, so the
+    // output equals the brute-force pair set (oracle-checkable; the
+    // approximate regime at lower thresholds is recall-asserted in
+    // DedupSpec)
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Dedup.semanticPairs(emb.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.95, nlist = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // benchmark decontamination (Gopher-style 8-gram overlap): bench set =
     // every 25th doc; a corpus doc sharing >=1 distinct word 8-gram with the
     // bench set is contaminated. Bench grams broadcast; corpus streams
@@ -752,6 +776,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
+    }),
+
+    // k-NN majority-vote label prediction (weak supervision / topic
+    // tagging): exact top-5 neighbors, modal label, smaller label wins
+    // ties — deterministic, hence oracle-backed
+    "knn_label_vote" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.labelVote(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("q_id")
     }),
 
     // ---- Streaming (SURVEY.md §2.9): real Structured Streaming job,
@@ -1330,6 +1364,25 @@ object SparkEntry {
         "CAST(len(tk[s+1:s+64]) AS BIGINT) AS n_chunk_tokens " +
         "FROM e ORDER BY doc_id, chunk_idx"),
 
+    "dedup_substring" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
+        "i -> array_to_string(t[i+1:i+6], ' ')))) AS gram FROM tk WHERE len(t) >= 6), " +
+        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM grams a JOIN grams b USING (gram) " +
+        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, count(*) AS n_shared FROM p GROUP BY 1, 2 ORDER BY id_a, id_b"),
+
+    "dedup_semantic" ->
+      ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) " +
+        "SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine " +
+        "FROM aug a, aug b WHERE a.vec_id < b.vec_id) t " +
+        "WHERE cosine >= 0.95 ORDER BY id_a, id_b"),
+
     "decontam_hits" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
         "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
@@ -1482,6 +1535,19 @@ object SparkEntry {
         "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
         "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
         "WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    "knn_label_vote" ->
+      ("WITH nn AS (SELECT q_id, n_id FROM (" +
+        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) DESC, n.vec_id) AS rank " +
+        "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) t WHERE rank <= 5), " +
+        "votes AS (SELECT nn.q_id, l.label, count(*) AS votes FROM nn JOIN embeddings l ON nn.n_id = l.vec_id GROUP BY 1, 2) " +
+        "SELECT q_id, label AS pred_label, votes FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn FROM votes) w " +
+        "WHERE rn = 1 ORDER BY q_id"),
 
     "knn_int8" ->
       ("WITH qz AS (SELECT vec_id, " +

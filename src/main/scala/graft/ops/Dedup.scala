@@ -484,6 +484,102 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Exact-substring duplicate pairs (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2021): two documents are
+    * substring-duplicates when they share a verbatim run of `n` tokens.
+    * Emits (id_a, id_b, n_shared) with id_a < id_b and n_shared = the
+    * number of DISTINCT shared word n-grams, for pairs with
+    * n_shared >= `minShared`.
+    *
+    * Grams are space-joined word strings ([[Decontaminate.wordNgrams]],
+    * native codegen'd) so an external SQL engine computes the identical
+    * pair set — exact and oracle-checkable, unlike the MinHash estimate.
+    *
+    * Scale shape: ONE shuffle keyed by gram builds the inverted index
+    * (gram → id set); pairs are generated map-side from each posting list
+    * ([[orderedPairsOf]] — no second self-join of the exploded gram table),
+    * then ONE shuffle on (id_a, id_b) counts shared grams. Grams with
+    * document frequency above `maxDf` are DROPPED before pairing: a
+    * boilerplate gram shared by 100k documents would emit 5×10⁹ pairs from
+    * one posting list; runs this common are boilerplate, not plagiarism —
+    * detect them with [[Decontaminate.wordNgrams]] + groupBy, and strip or
+    * exact-dedup them first. The cap bounds per-list work at maxDf²; the
+    * same cap must appear in any cross-engine oracle for the outputs to
+    * match.
+    */
+  def substringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 6,
+      maxDf: Int = 1000,
+      minShared: Long = 1L): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(Decontaminate.wordNgrams(col(textCol), n))).as("gram"))
+    grams
+      .groupBy("gram").agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      // collect_set order is nondeterministic — orderedPairsOf orients each
+      // pair (least/greatest), so the emitted (id_a, id_b) keys are stable
+      .select(explode(orderedPairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023): cluster
+    * the embedding space with deterministic k-means ([[Similarity]]'s IVF
+    * trainer — seeds are the first `nlist` vectors by id, no RNG), then
+    * compare rows pairwise ONLY within a cluster, emitting
+    * (id_a, id_b, cosine) for intra-cluster pairs with cosine >=
+    * `threshold`. Feed the pairs to [[removeNearDuplicates]] /
+    * [[removeNearDuplicatesCC]] to materialize the pruned corpus.
+    *
+    * This is the shape that makes embedding dedup tractable at corpus
+    * scale: clustering bounds the quadratic term to Σ|cluster|² instead of
+    * |corpus|² — the paper's own motivation. Cluster assignment is the
+    * zero-Exchange native [[graft.functions.NearestCentroid]] argmax
+    * (centroids are driver-bounded at nlist × dim doubles and ride into
+    * codegen); the pair join shuffles once on the cluster id. Skewed
+    * clusters bound their own cost: a cluster of c rows emits c² candidate
+    * rows in one join partition — pick `nlist` so corpus/nlist fits a task,
+    * or exact-dedup first.
+    *
+    * APPROXIMATE by construction: a pair straddling a cluster boundary is
+    * missed (recall floor asserted in SemanticDedupSpec). For pairs at
+    * cosine ≈ 1 (exact/near-exact duplicates) the approximation is exact:
+    * identical vectors produce identical centroid distances and the argmax
+    * tie-breaks deterministically, so exact duplicates ALWAYS co-cluster —
+    * at a threshold that only exact-duplicate pairs reach, the output
+    * equals the brute-force pair set and is oracle-checkable.
+    */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    val c = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val centroids = Similarity.trainIvfCentroids(c, nlist, lloydIters)
+    val assigned = c
+      .withColumn("cluster",
+        graft.functions.VectorFunctions.nearest_centroid(col("n_vec"), centroids.map(_._2)))
+      .withColumn("nrm", vec_norm(col("n_vec")))
+    val a = assigned.select(col("cluster"), col("n_id").as("id_a"),
+      col("n_vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("n_id").as("id_b"),
+      col("n_vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(vec_dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** SimHash near-dup pairs: fingerprints are banded into four 16-bit
     * blocks; documents sharing any block are candidates (guaranteed recall
     * for hamming ≤ 3 by pigeonhole), then verified by full hamming distance

@@ -132,6 +132,44 @@ object Similarity {
     bruteForceTopK(qz(queries), qz(corpus), idCol, "__int8", k)
   }
 
+  /** k-NN majority-vote label prediction over a labeled corpus — the
+    * embedding-space classifier a curation pipeline uses for topic/domain
+    * tagging or weak supervision (label spreading from a small labeled
+    * seed set to the full corpus). For each query row: exact cosine top-k
+    * neighbors ([[bruteForceTopK]] — swap in [[ivfTopK]]/[[pqTopK]]
+    * candidates upstream for the ANN serving shape), then the modal
+    * neighbor label, ties broken by the smaller label.
+    *
+    * Emits (q_id, pred_label, votes). Deterministic end-to-end (top-k
+    * tie-breaks on rounded sim then n_id; the vote tie-breaks on label),
+    * so unlike classic kNN-with-RNG this is oracle-checkable.
+    *
+    * Scale shape: the top-k output is ≤ k rows per query, so the label
+    * join and the vote aggregation run on a k×|queries|-row frame — tiny
+    * next to the corpus scan that produced it. The label join shuffles by
+    * n_id against the (id, label) projection of the corpus; the vote is
+    * one more key shuffle on q_id. The corpus text/vector payload never
+    * travels past the top-k.
+    */
+  def labelVote(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("n_id"), col(labelCol).as("__lbl"))
+    val votes = nn.join(labels, Seq("n_id"))
+      .groupBy(col("q_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("__lbl").asc)
+    votes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+
   /** Approximate top-k via PRODUCT QUANTIZATION with asymmetric distance
     * computation and exact rerank — the memory-bound corpus-scale serving
     * path (Jégou et al., TPAMI 2011; public method). The corpus compresses

@@ -177,4 +177,75 @@ class DedupSpec extends AnyFunSuite {
     assert(greedy.toSeq == Seq(1L, 2L, 9L)) // greedy keeps both 1 and 2
     assert(cc.toSeq == Seq(1L, 9L))         // CC keeps exactly min(cluster)
   }
+
+  test("substringPairs: shared 6-token runs counted per pair, hand-checked") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), // grams: abcdef bcdefg cdefgh
+      (2L, "x a b c d e f y"), // shares "a b c d e f" with 1 and 4
+      (3L, "p q r s t u v w"), // no overlap
+      (4L, "a b c d e f g z")  // shares 2 grams with 1, 1 with 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringPairs(df, "doc_id", "text", n = 6)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("substringPairs: boilerplate grams above maxDf are dropped, at maxDf kept") {
+    val boiler = "one two three four five six"
+    val df = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.substringPairs(df, "doc_id", "text", n = 6, maxDf = 4).isEmpty)
+    assert(Dedup.substringPairs(df, "doc_id", "text", n = 6, maxDf = 5).count() == 10L)
+  }
+
+  test("substringPairs matches brute-force gram-set intersection on fixture docs") {
+    val slice = docs.filter(col("doc_id") < 150)
+    val grams = slice.select(col("doc_id"),
+      array_distinct(Decontaminate.wordNgramsHof(col("text"), 5)).as("g"))
+    val brute = grams.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      .crossJoin(grams.select(col("doc_id").as("id_b"), col("g").as("gb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_shared", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("n_shared") >= 1L)
+      .select("id_a", "id_b", "n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.substringPairs(slice, "doc_id", "text", n = 5, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("semanticPairs: exact-duplicate regime equals brute force (dups always co-cluster)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val dups = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val aug = emb.unionByName(dups)
+    val sem = Dedup.semanticPairs(aug, "vec_id", "embedding", threshold = 0.95, nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.embeddingCosinePairs(aug, "vec_id", "embedding",
+        threshold = 0.95, lshPlanes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem == brute && sem.size == 10)
+  }
+
+  test("semanticPairs: approximate regime — precision 1.0, recall bounded below on clustered data") {
+    // two well-separated direction clusters; within-cluster cosine is high,
+    // cross-cluster near zero — the k-means seeds (first 2 ids) land one
+    // per cluster, so intra-cluster pairs are all recovered
+    def jit(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.05f * (((i * 7 + d * 3) % 5) - 2) }
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // interleave ids so the deterministic seeds (first 2 ids) land one per
+    // cluster
+    val rows = (0 until 20).map(i => (i.toLong, jit(if (i % 2 == 0) a else b, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingCosinePairs(df, "vec_id", "embedding",
+        threshold = 0.9, lshPlanes = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticPairs(df, "vec_id", "embedding", threshold = 0.9, nlist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(brute))          // exact cosine verify ⇒ no false pair
+    assert(brute.nonEmpty)
+    assert(sem.size.toDouble / brute.size >= 0.9) // separated clusters ⇒ near-full recall
+  }
 }

@@ -202,4 +202,46 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("sim") =!= col("want"))
     assert(joined.isEmpty)
   }
+
+  test("labelVote: modal neighbor label wins, hand-checked geometry") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 2),
+      (4L, Array(0.1f, 0.9f), 2),
+      (5L, Array(0.95f, 0.05f), 3)).toDF("id", "vec", "label")
+    val q = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    // top-3 neighbors of (1,0): ids 1, 5, 2 -> labels 1, 3, 1 -> modal 1 (2 votes)
+    val out = Similarity.labelVote(q, corpus, "id", "vec", "label", k = 3).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getInt(1), out(0).getLong(2)) == ((10L, 1, 2L)))
+  }
+
+  test("labelVote: vote ties break to the smaller label") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.9f, 0.1f), 4)).toDF("id", "vec", "label")
+    val q = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    // k=2: one vote each for labels 7 and 4 -> smaller label 4 wins
+    val out = Similarity.labelVote(q, corpus, "id", "vec", "label", k = 2).collect()
+    assert((out(0).getLong(0), out(0).getInt(1), out(0).getLong(2)) == ((10L, 4, 1L)))
+  }
+
+  test("labelVote on fixture embeddings matches a window-function recomputation") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val got = Similarity.labelVote(emb.filter(col("vec_id") < 30), emb,
+      "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // independent formulation: explicit top-k join + groupBy + window
+    val nn = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 30), emb,
+      "vec_id", "embedding", k = 5)
+    val votes = nn.join(emb.select(col("vec_id").as("n_id"), col("label")), Seq("n_id"))
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("label").asc)
+    val want = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("q_id", "label", "votes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want && got.size == 30)
+  }
 }
