@@ -514,6 +514,21 @@ object SparkEntry {
           n = 6, maxDf = 100, minShared = 1L)
         .orderBy("id_a", "id_b")),
 
+    // the deduplicated corpus under the substring criterion: remove the
+    // greater member of every pair (greedy, matches removeNearDuplicates)
+    "dedup_substring_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.substringPairs(docs, "doc_id", "text",
+        n = 6, maxDf = 100, minShared = 1L)
+      Dedup.removeNearDuplicates(docs, pairs, "doc_id").orderBy("doc_id")
+    }),
+
+    // boilerplate audit: word 3-grams ranked by document frequency — how a
+    // pipeline finds the runs the substring maxDf cap drops
+    "corpus_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateGrams(Tables.documents(s, dir), "text",
+        n = 3, minDf = 2L, topN = 20)),
+
     // SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
     // the pairwise term; at threshold 0.95 only the injected exact
     // duplicates qualify and exact duplicates always co-cluster, so the
@@ -1372,6 +1387,23 @@ object SparkEntry {
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM grams a JOIN grams b USING (gram) " +
         "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, count(*) AS n_shared FROM p GROUP BY 1, 2 ORDER BY id_a, id_b"),
+
+    "dedup_substring_corpus" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
+        "i -> array_to_string(t[i+1:i+6], ' ')))) AS gram FROM tk WHERE len(t) >= 6), " +
+        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
+        "losers AS (SELECT DISTINCT b.doc_id AS id_b FROM grams a JOIN grams b USING (gram) " +
+        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id_b FROM losers) ORDER BY doc_id"),
+
+    "corpus_boilerplate" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> array_to_string(t[i+1:i+3], ' ')))) AS gram FROM tk WHERE len(t) >= 3) " +
+        "SELECT gram, count(*) AS df FROM grams GROUP BY gram HAVING count(*) >= 2 " +
+        "ORDER BY df DESC, gram LIMIT 20"),
 
     "dedup_semantic" ->
       ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +

@@ -528,6 +528,27 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus boilerplate report — the audit partner of
+    * [[substringPairs]]'s `maxDf` cap: the word n-grams that occur in the
+    * most documents, as (gram, df). Runs this common are boilerplate
+    * (headers, licence text, navigation chrome) that should be stripped or
+    * exact-deduped BEFORE pair generation; this query is how a pipeline
+    * operator finds them. One explode + one gram-keyed partial-aggregating
+    * count; the result is bounded by `topN` (per-partition top-N via the
+    * sort-limit pushdown, never a global gram table on the driver).
+    */
+  def boilerplateGrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int = 3,
+      minDf: Long = 2L,
+      topN: Int = 20): DataFrame =
+    df.select(explode(array_distinct(Decontaminate.wordNgrams(col(textCol), n))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(topN)
+
   /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023): cluster
     * the embedding space with deterministic k-means ([[Similarity]]'s IVF
     * trainer — seeds are the first `nlist` vectors by id, no RNG), then

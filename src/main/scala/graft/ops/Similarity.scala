@@ -199,8 +199,9 @@ object Similarity {
     * = subvectors of the first `numCodes` vectors by id, then `lloydIters`
     * k-means passes per subspace — ALL subspaces train in ONE aggregation
     * per pass (assignment is the native [[graft.functions.PqEncode]],
-    * map-side; the mean update returns ≤ dim × numCodes rows). Codes with
-    * no assigned rows keep their previous centroid.
+    * map-side; the mean update collects ≤ numSubspaces × numCodes
+    * dsub-wide centroid buffers). Codes with no assigned rows keep their
+    * previous centroid.
     */
   private[ops] def trainPqCodebooks(
       c: DataFrame,
@@ -222,18 +223,30 @@ object Similarity {
     var codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(numSubspaces, numCodes)((s, i) =>
         seeds(i).slice(s * dsub, (s + 1) * dsub))
+    val spark = c.sparkSession
+    import spark.implicits._
     (0 until lloydIters).foreach { _ =>
-      val means = c
+      // one aggregation trains ALL subspaces: explode to (subspace-scoped
+      // key, dsub-wide subvector) — ×numSubspaces row amplification, NOT
+      // the ×dim of a per-element posexplode (the r5 form) — then the
+      // shared dim-bounded mean aggregator. ≤ numSubspaces × numCodes
+      // buffer rows cross the shuffle; the collect is codebook-sized.
+      // (At true corpus scale, train on a deterministic hash sample first:
+      // df.filter(pmod(xxhash64(col(id)), F) === 0) — map-side, no sort.)
+      val subStructs = array((0 until numSubspaces).map { s =>
+        struct(
+          (lit(s * numCodes) + element_at(col("codes"), s + 1)).as("key"),
+          slice(col("n_vec"), s * dsub + 1, dsub).cast("array<float>").as("sub_vec"))
+      }: _*)
+      val ds = c
         .withColumn("codes", pq_encode(col("n_vec"), codebooks))
-        .select(posexplode(col("n_vec")).as(Seq("pos", "x")), col("codes"))
-        .withColumn("sub", (col("pos") / dsub).cast("int"))
-        .withColumn("code", element_at(col("codes"), col("sub") + 1))
-        .groupBy("sub", "code", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .collect()
+        .select(explode(subStructs).as("sc"))
+        .select(col("sc.key"), col("sc.sub_vec"))
+        .as[(Int, Array[Float])]
+      val means = graft.ops.Vectors.centroids(ds, dsub).collect()
       val updated = codebooks.map(_.map(_.clone))
-      means.foreach { r =>
-        val (s, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
-        updated(s)(code)(pos - s * dsub) = r.getDouble(3)
+      means.foreach { case (key, v) =>
+        updated(key / numCodes)(key % numCodes) = v
       }
       codebooks = updated
     }

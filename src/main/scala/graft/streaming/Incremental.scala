@@ -24,6 +24,30 @@ import graft.etl.{Sanitize, Windows}
   */
 object Incremental {
 
+  /** Starts a streaming query with `spark.sql.shuffle.partitions`
+    * temporarily set to `statePartitions` (when > 0) and blocks until it
+    * terminates, restoring the session value only AFTER termination.
+    *
+    * The restore MUST NOT happen right after `start()`: Structured
+    * Streaming captures the conf on the ASYNC micro-batch thread (first
+    * `OffsetSeqMetadata`), so an immediate restore raced that capture and
+    * nondeterministically launched the state store with the session
+    * default (32 under the bench) instead of the sized value.
+    * `AvailableNow` queries terminate on their own, so the session conf is
+    * still restored promptly.
+    */
+  private def runWithStatePartitions(
+      spark: SparkSession,
+      statePartitions: Int)(
+      startQuery: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try startQuery.awaitTermination()
+    finally if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming incremental refresh: new files → window filter → sanitize →
     * append to a parquet target. One `AvailableNow` micro-batch per
     * invocation, exactly-once via checkpoint — the reference's L5
@@ -262,10 +286,7 @@ object Incremental {
     // holds keys, so over-provisioning tiny-state streams multiplies fixed
     // overhead (measured 2× on the fixture). High-cardinality 100 TB
     // streams pass a correspondingly high value.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q = try {
+    runWithStatePartitions(spark, statePartitions) {
       agg.writeStream
         .format("parquet")
         .option("path", sink.toString)
@@ -273,11 +294,7 @@ object Incremental {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally {
-      if (statePartitions > 0)
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    q.awaitTermination()
     spark.read.parquet(sink.toString)
       // null-safe: a NULL key group is real data, only the sentinel goes
       .filter(!(col(keyCol) <=> StagedStream.SentinelKey))
@@ -335,10 +352,7 @@ object Incremental {
     // multiply per-micro-batch store load/commit overhead 4× faster than a
     // windowed agg does — size to join-key cardinality (see the
     // windowedCountsAppend note), not to the session's shuffle default
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q = try {
+    runWithStatePartitions(spark, statePartitions) {
       joined.writeStream
         .format("parquet")
         .option("path", sink.toString)
@@ -346,11 +360,7 @@ object Incremental {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally {
-      if (statePartitions > 0)
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    q.awaitTermination()
     spark.read.parquet(sink.toString)
   }
 
@@ -411,19 +421,12 @@ object Incremental {
     // dedup state = one entry per distinct key in the horizon — size the
     // store count to that, not the session's data-scale shuffle default
     // (see the windowedCountsAppend note)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q = try {
+    runWithStatePartitions(spark, statePartitions) {
       in.writeStream.format("parquet")
         .option("path", sink.toString)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally {
-      if (statePartitions > 0)
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    q.awaitTermination()
     spark.read.parquet(sink.toString)
   }
 
@@ -568,19 +571,12 @@ object Incremental {
 
     val sink = java.nio.file.Files.createTempDirectory("graft_sesssink")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sessckpt")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q = try {
+    runWithStatePartitions(spark, statePartitions) {
       out.writeStream.format("parquet")
         .option("path", sink.toString)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally {
-      if (statePartitions > 0)
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    q.awaitTermination()
     spark.read.parquet(sink.toString)
       .filter(col("user_id") =!= StagedStream.SentinelId)
   }

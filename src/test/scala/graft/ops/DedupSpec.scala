@@ -214,6 +214,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("boilerplateGrams ranks repeated 3-grams by doc frequency with deterministic ties") {
+    val df = Seq(
+      (1L, "legal header text body one"),
+      (2L, "legal header text body two"),
+      (3L, "legal header text other stuff"),
+      (4L, "unique content entirely here")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateGrams(df, "text", n = 3, minDf = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // df=3: "legal header text"; df=2: "header text body"; ties sort by gram
+    assert(out.head == (("legal header text", 3L)))
+    assert(out.toSeq.contains(("header text body", 2L)))
+    assert(out.forall(_._2 >= 2L))
+    val dfs = out.map(_._2)
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("semanticPairs: exact-duplicate regime equals brute force (dups always co-cluster)") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val dups = emb.filter(col("vec_id") < 10)
