@@ -562,10 +562,12 @@ object Dedup {
     * |corpus|² — the paper's own motivation. Cluster assignment is the
     * zero-Exchange native [[graft.functions.NearestCentroid]] argmax
     * (centroids are driver-bounded at nlist × dim doubles and ride into
-    * codegen); the pair join shuffles once on the cluster id. Skewed
-    * clusters bound their own cost: a cluster of c rows emits c² candidate
-    * rows in one join partition — pick `nlist` so corpus/nlist fits a task,
-    * or exact-dedup first.
+    * codegen); the pair join shuffles once on the cluster id. A skewed
+    * cluster emits c² candidate rows in one join partition, so clusters
+    * above `maxCluster` rows are DROPPED from pairing (recall loss, same
+    * opt-out rail as [[DefaultMaxBucket]] on the LSH paths) — audit them
+    * with [[oversizedClusters]] and either raise `nlist` or exact-dedup
+    * the degenerate mass first.
     *
     * APPROXIMATE by construction: a pair straddling a cluster boundary is
     * missed (recall floor asserted in SemanticDedupSpec). For pairs at
@@ -581,7 +583,8 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       nlist: Int = 16,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      maxCluster: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}
     val c = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val centroids = Similarity.trainIvfCentroids(c, nlist, lloydIters)
@@ -589,9 +592,15 @@ object Dedup {
       .withColumn("cluster",
         graft.functions.VectorFunctions.nearest_centroid(col("n_vec"), centroids.map(_._2)))
       .withColumn("nrm", vec_norm(col("n_vec")))
-    val a = assigned.select(col("cluster"), col("n_id").as("id_a"),
+    // the cap counts rows per cluster (one narrow agg) and drops oversized
+    // clusters BEFORE the quadratic join; window-over-cluster would carry
+    // vectors through an extra sort, the semi-join carries only ids
+    val small = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCluster).select("cluster")
+    val capped = assigned.join(broadcast(small), Seq("cluster"))
+    val a = capped.select(col("cluster"), col("n_id").as("id_a"),
       col("n_vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = assigned.select(col("cluster"), col("n_id").as("id_b"),
+    val b = capped.select(col("cluster"), col("n_id").as("id_b"),
       col("n_vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
@@ -599,6 +608,26 @@ object Dedup {
         round(vec_dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Audit for [[semanticPairs]]' `maxCluster` rail: (cluster, n_rows) for
+    * every k-means cluster holding more than `maxCluster` rows — the
+    * clusters whose pairs the cap silently drops. Same contract as
+    * [[oversizedBuckets]] for the LSH paths.
+    */
+  def oversizedClusters(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      lloydIters: Int = 2,
+      maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    val c = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val centroids = Similarity.trainIvfCentroids(c, nlist, lloydIters)
+    c.withColumn("cluster",
+        graft.functions.VectorFunctions.nearest_centroid(col("n_vec"), centroids.map(_._2)))
+      .groupBy("cluster").agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxCluster)
   }
 
   /** SimHash near-dup pairs: fingerprints are banded into four 16-bit

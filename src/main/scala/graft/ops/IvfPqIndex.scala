@@ -1,0 +1,226 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{nearest_centroid, pq_adc, pq_encode, pq_lut, vec_dot, vec_norm}
+
+/** A built IVF-PQ index: the state a 100 TB serving deployment persists
+  * once and queries many times.
+  *
+  * - `lists` — the inverted lists: one row per corpus vector,
+  *   (cluster, n_id, codes, n_norm). This is the ONLY corpus-sized part,
+  *   and it is (numSubspaces + 2) ints/doubles wide, not dim-wide: the
+  *   scan representation that makes ADC cheap.
+  * - `centroids` / `codebooks` — driver-bounded model state
+  *   (nlist × dim + numSubspaces × numCodes × dsub doubles) that rides
+  *   into codegen as literals on the query side.
+  *
+  * [[IvfPqIndex.write]] persists the lists as cluster-partitioned parquet
+  * (queries probe clusters → partition pruning skips unprobed lists on
+  * read) and the model state as a JSON sidecar; [[IvfPqIndex.read]] loads
+  * them back. Build → write → read → query equals build → query exactly
+  * (deterministic training, exact JSON double round-trip via
+  * `Double.toString`/`parseDouble`) — asserted in IvfPqIndexSpec.
+  */
+final case class IvfPqIndex(
+    lists: DataFrame,
+    centroids: Array[(Int, Array[Double])],
+    codebooks: Array[Array[Array[Double]]],
+    numCodes: Int,
+    residual: Boolean)
+
+object IvfPqIndex {
+
+  /** Trains the IVF + PQ model and encodes the corpus into inverted lists
+    * — the build half of [[Similarity.ivfPqTopK]] (identical maths; that
+    * method now composes [[build]] + [[topK]]).
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      lloydIters: Int = 2,
+      residual: Boolean = true): IvfPqIndex = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val centroids = Similarity.trainIvfCentroids(c, nlist, lloydIters)
+    // cluster-indexed centroid matrix as a literal: the per-row residual is
+    // a map-side zip_with against element_at(matrix, cluster+1) — no join,
+    // no shuffle between the corpus scan and its encoded representation
+    val centroidMat = typedLit(centroids.map(_._2.toSeq).toSeq)
+
+    val assigned = c.withColumn("cluster",
+      nearest_centroid(col("n_vec"), centroids.map(_._2)))
+    val withEnc =
+      if (residual)
+        assigned.withColumn("enc_vec",
+          zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
+            (x, cc) => x.cast("double") - cc))
+      else
+        assigned.withColumn("enc_vec", col("n_vec"))
+    val codebooks = Similarity.trainPqCodebooks(
+      withEnc.select(col("n_id"), col("enc_vec").as("n_vec")),
+      numSubspaces, numCodes, lloydIters)
+
+    // inverted lists carry ONLY (cluster, id, m ints, exact norm) — the
+    // scan representation a 100 TB index actually persists
+    val lists = withEnc
+      .withColumn("codes", pq_encode(col("enc_vec"), codebooks))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
+      .select("cluster", "n_id", "codes", "n_norm")
+
+    IvfPqIndex(lists, centroids, codebooks, numCodes, residual)
+  }
+
+  /** ADC search over a built (or loaded) index, exact-reranked against the
+    * raw corpus vectors — the query half of [[Similarity.ivfPqTopK]].
+    * `corpus` supplies the raw vectors for the rerank (a serving system
+    * keeps them alongside the index; only the ≤ |Q| × k × fetchFactor
+    * candidate ids ever join against it, broadcast).
+    */
+  def topK(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 8,
+      fetchFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidDf = spark
+      .createDataset(index.centroids.toSeq.map { case (i, v) => (i, v) })
+      .toDF("cluster", "c_vec")
+      .withColumn("c_norm", vec_norm(col("c_vec")))
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", vec_norm(col("q_vec")))
+      .withColumn("lut", pq_lut(col("q_vec"), index.codebooks))
+
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("__qdotc", vec_dot(col("q_vec"), col("c_vec")))
+      .withColumn("__sim", col("__qdotc") / (col("q_norm") * col("c_norm")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("lut"), col("q_norm"), col("cluster"), col("__qdotc"))
+
+    // ADC over probed lists only: each corpus row lives in ONE cluster, so
+    // a (q, n) pair appears at most once — no dedup needed. The exact-norm
+    // denominator is clamped so an all-zero corpus vector cannot emit
+    // NaN/Inf sims that pollute candidate ordering before the rerank.
+    val approxDot =
+      if (index.residual) col("__qdotc") + pq_adc(col("lut"), col("codes"), index.numCodes)
+      else pq_adc(col("lut"), col("codes"), index.numCodes)
+    val adc = index.lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", approxDot /
+        (col("q_norm") * greatest(col("n_norm"), lit(1e-12))))
+    val cands = Similarity.topKPerQuery(adc, math.max(k * fetchFactor, k))
+      .select("q_id", "n_id")
+
+    val candQ = cands.join(broadcast(q.select("q_id", "q_vec", "q_norm")), Seq("q_id"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val exact = c.withColumn("n_norm", vec_norm(col("n_vec")))
+      .join(broadcast(candQ), Seq("n_id"))
+      .withColumn("sim",
+        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
+    Similarity.topKPerQuery(exact, k)
+  }
+
+  /** Persists the index: inverted lists as cluster-partitioned parquet
+    * (probe-time partition pruning), model state as `_graft_index.json`.
+    */
+  def write(index: IvfPqIndex, path: String): Unit = {
+    index.lists.write.mode("overwrite").partitionBy("cluster")
+      .parquet(Paths.get(path, "lists").toString)
+    def arr(xs: Iterable[String]) = xs.mkString("[", ",", "]")
+    def dbls(xs: Array[Double]) = arr(xs.map(_.toString))
+    val json =
+      s"""{"numCodes":${index.numCodes},"residual":${index.residual},""" +
+        s""""centroids":${arr(index.centroids.sortBy(_._1).map(c => dbls(c._2)))},""" +
+        s""""codebooks":${arr(index.codebooks.map(cb => arr(cb.map(dbls))))}}"""
+    Files.write(Paths.get(path, "_graft_index.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Loads a persisted index. The hand-rolled parser accepts exactly what
+    * [[write]] emits (flat nested double arrays) — not general JSON.
+    */
+  def read(spark: SparkSession, path: String): IvfPqIndex = {
+    val lists = spark.read.parquet(Paths.get(path, "lists").toString)
+      .select("cluster", "n_id", "codes", "n_norm")
+    val json = new String(
+      Files.readAllBytes(Paths.get(path, "_graft_index.json")),
+      StandardCharsets.UTF_8)
+    def field(name: String): String = {
+      val i = json.indexOf("\"" + name + "\":")
+      require(i >= 0, s"missing field $name in $path/_graft_index.json")
+      json.substring(i + name.length + 3)
+    }
+    val numCodes = field("numCodes").takeWhile(_.isDigit).toInt
+    val residual = field("residual").startsWith("true")
+    // parse a nested [[..],[..]] structure into leaf double arrays by
+    // tracking bracket depth; leafDepth 2 = centroids, 3 = codebooks
+    def parseNested(s: String, leafDepth: Int): (Array[Array[Double]], Int) = {
+      val out = Array.newBuilder[Array[Double]]
+      var depth = 0
+      var i = 0
+      var leafStart = -1
+      var done = false
+      while (!done) {
+        s.charAt(i) match {
+          case '[' =>
+            depth += 1
+            if (depth == leafDepth) leafStart = i + 1
+          case ']' =>
+            if (depth == leafDepth && leafStart >= 0) {
+              val body = s.substring(leafStart, i).trim
+              out += (if (body.isEmpty) Array.empty[Double]
+                      else body.split(",").map(_.trim.toDouble))
+              leafStart = -1
+            }
+            depth -= 1
+            if (depth == 0) done = true
+          case _ => ()
+        }
+        i += 1
+      }
+      (out.result(), i)
+    }
+    val (centFlat, _) = parseNested(field("centroids"), 2)
+    val centroids = centFlat.zipWithIndex.map { case (v, i) => (i, v) }
+    // codebooks: split the depth-3 structure at depth-1 boundaries
+    val cbStr = field("codebooks")
+    val cbOuter = Array.newBuilder[Array[Array[Double]]]
+    var depth = 0
+    var i = 0
+    var start = -1
+    var done = false
+    while (!done) {
+      cbStr.charAt(i) match {
+        case '[' =>
+          depth += 1
+          if (depth == 2) start = i
+        case ']' =>
+          if (depth == 2) {
+            cbOuter += parseNested(cbStr.substring(start, i + 1), 2)._1
+            start = -1
+          }
+          depth -= 1
+          if (depth == 0) done = true
+        case _ => ()
+      }
+      i += 1
+    }
+    IvfPqIndex(lists, centroids, cbOuter.result(), numCodes, residual)
+  }
+}

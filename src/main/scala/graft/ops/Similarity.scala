@@ -328,6 +328,10 @@ object Similarity {
     * recovers the raw-vector encoding (kept as the recall comparison
     * baseline in SimilaritySpec). Top ADC candidates rerank exactly like
     * [[pqTopK]]. Recall floor vs brute force asserted in SimilaritySpec.
+    *
+    * Composes [[IvfPqIndex.build]] + [[IvfPqIndex.topK]] — persist the
+    * built index with [[IvfPqIndex.write]]/[[IvfPqIndex.read]] for the
+    * build-once / serve-many deployment shape.
     */
   def ivfPqTopK(
       queries: DataFrame,
@@ -342,73 +346,9 @@ object Similarity {
       lloydIters: Int = 2,
       fetchFactor: Int = 4,
       residual: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    import graft.functions.VectorFunctions.{nearest_centroid, pq_adc, pq_encode, pq_lut}
-
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val centroids = trainIvfCentroids(c, nlist, lloydIters)
-    // cluster-indexed centroid matrix as a literal: the per-row residual is
-    // a map-side zip_with against element_at(matrix, cluster+1) — no join,
-    // no shuffle between the corpus scan and its encoded representation
-    val centroidMat = typedLit(centroids.map(_._2.toSeq).toSeq)
-
-    val assigned = c.withColumn("cluster",
-      nearest_centroid(col("n_vec"), centroids.map(_._2)))
-    val withEnc =
-      if (residual)
-        assigned.withColumn("enc_vec",
-          zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
-            (x, cc) => x.cast("double") - cc))
-      else
-        assigned.withColumn("enc_vec", col("n_vec"))
-    val codebooks = trainPqCodebooks(
-      withEnc.select(col("n_id"), col("enc_vec").as("n_vec")),
-      numSubspaces, numCodes, lloydIters)
-
-    // inverted lists carry ONLY (cluster, id, m ints, exact norm) — the
-    // scan representation a 100 TB index actually persists
-    val lists = withEnc
-      .withColumn("codes", pq_encode(col("enc_vec"), codebooks))
-      .withColumn("n_norm", vec_norm(col("n_vec")))
-      .select("cluster", "n_id", "codes", "n_norm")
-
-    val centroidDf = spark.createDataset(centroids.toSeq.map { case (i, v) => (i, v) })
-      .toDF("cluster", "c_vec")
-      .withColumn("c_norm", vec_norm(col("c_vec")))
-
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", vec_norm(col("q_vec")))
-      .withColumn("lut", pq_lut(col("q_vec"), codebooks))
-
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(centroidDf))
-      .withColumn("__qdotc", vec_dot(col("q_vec"), col("c_vec")))
-      .withColumn("__sim", col("__qdotc") / (col("q_norm") * col("c_norm")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("lut"), col("q_norm"), col("cluster"), col("__qdotc"))
-
-    // ADC over probed lists only: each corpus row lives in ONE cluster, so
-    // a (q, n) pair appears at most once — no dedup needed. The exact-norm
-    // denominator is clamped so an all-zero corpus vector cannot emit
-    // NaN/Inf sims that pollute candidate ordering before the rerank.
-    val approxDot =
-      if (residual) col("__qdotc") + pq_adc(col("lut"), col("codes"), numCodes)
-      else pq_adc(col("lut"), col("codes"), numCodes)
-    val adc = lists.join(broadcast(probes), Seq("cluster"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", approxDot /
-        (col("q_norm") * greatest(col("n_norm"), lit(1e-12))))
-    val cands = topKPerQuery(adc, math.max(k * fetchFactor, k))
-      .select("q_id", "n_id")
-
-    val candQ = cands.join(broadcast(q.select("q_id", "q_vec", "q_norm")), Seq("q_id"))
-    val exact = c.withColumn("n_norm", vec_norm(col("n_vec")))
-      .join(broadcast(candQ), Seq("n_id"))
-      .withColumn("sim",
-        round(vec_dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    topKPerQuery(exact, k)
+    val index = IvfPqIndex.build(corpus, idCol, vecCol,
+      nlist, numSubspaces, numCodes, lloydIters, residual)
+    IvfPqIndex.topK(index, queries, corpus, idCol, vecCol, k, nprobe, fetchFactor)
   }
 
   /** Deterministic pseudo-random hyperplane component for plane `p`,

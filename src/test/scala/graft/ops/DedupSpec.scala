@@ -230,6 +230,22 @@ class DedupSpec extends AnyFunSuite {
     assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("semanticPairs maxCluster rail drops oversized clusters; oversizedClusters audits them") {
+    def jit(i: Int): Array[Float] =
+      Array(1.0f + 0.01f * (i % 3), 0.01f * (i % 5), 0.0f, 0.0f)
+    val df = (0 until 10).map(i => (i.toLong, jit(i))).toDF("vec_id", "embedding")
+    // nlist=1: every row lands in the single cluster of 10 rows
+    val capped = Dedup.semanticPairs(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, maxCluster = 5)
+    assert(capped.isEmpty) // the only cluster is oversized -> all pairs dropped
+    val audit = Dedup.oversizedClusters(df, "vec_id", "embedding",
+      nlist = 1, maxCluster = 5).collect()
+    assert(audit.length == 1 && audit(0).getLong(1) == 10L)
+    val uncapped = Dedup.semanticPairs(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, maxCluster = 100)
+    assert(uncapped.count() == 45L) // all 10-choose-2 pairs are near-identical
+  }
+
   test("semanticPairs: exact-duplicate regime equals brute force (dups always co-cluster)") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val dups = emb.filter(col("vec_id") < 10)

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class IvfPqIndexSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("n_id"), r.getAs[Double]("sim"))
+
+  test("build -> write -> read -> topK equals build -> topK exactly") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 30)
+    val built = IvfPqIndex.build(emb, "vec_id", "embedding",
+      nlist = 8, numSubspaces = 8, numCodes = 16, lloydIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    IvfPqIndex.write(built, dir)
+    val loaded = IvfPqIndex.read(spark, dir)
+
+    assert(loaded.numCodes == built.numCodes)
+    assert(loaded.residual == built.residual)
+    assert(loaded.centroids.map(_._1).toSeq == built.centroids.map(_._1).toSeq)
+    // exact double round-trip through the JSON sidecar
+    built.centroids.zip(loaded.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    assert(built.codebooks.length == loaded.codebooks.length)
+    built.codebooks.zip(loaded.codebooks).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    }
+    // lists round-trip (cluster partitioning preserved as a column)
+    val l0 = built.lists.orderBy("n_id")
+      .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("cluster"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Double]("n_norm")))
+    val l1 = loaded.lists.orderBy("n_id")
+      .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("cluster"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Double]("n_norm")))
+    assert(l0.toSeq == l1.toSeq)
+
+    val a = IvfPqIndex.topK(built, q, emb, "vec_id", "embedding", k = 5).collect().map(key).toSet
+    val b = IvfPqIndex.topK(loaded, q, emb, "vec_id", "embedding", k = 5).collect().map(key).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("ivfPqTopK composition equals explicit build + topK") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 20)
+    val composed = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4).collect().map(key).toSet
+    val idx = IvfPqIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val explicit = IvfPqIndex.topK(idx, q, emb, "vec_id", "embedding",
+      k = 5, nprobe = 4).collect().map(key).toSet
+    assert(composed == explicit && composed.nonEmpty)
+  }
+}
