@@ -39,6 +39,13 @@ object IvfPqIndex {
   /** Trains the IVF + PQ model and encodes the corpus into inverted lists
     * — the build half of [[Similarity.ivfPqTopK]] (identical maths; that
     * method now composes [[build]] + [[topK]]).
+    *
+    * `trainSampleMod > 1` trains BOTH quantizers on the deterministic hash
+    * sample `xxhash64(id) % trainSampleMod == 0` while still encoding the
+    * FULL corpus — the production pattern: k-means over billions of rows
+    * adds nothing over k-means on a few hundred thousand, so the training
+    * passes read 1/mod of the data (a map-side filter, no sort and no
+    * shuffle) and only the single encode pass touches everything.
     */
   def build(
       corpus: DataFrame,
@@ -48,9 +55,14 @@ object IvfPqIndex {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       lloydIters: Int = 2,
-      residual: Boolean = true): IvfPqIndex = {
+      residual: Boolean = true,
+      trainSampleMod: Int = 1): IvfPqIndex = {
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1: $trainSampleMod")
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val centroids = Similarity.trainIvfCentroids(c, nlist, lloydIters)
+    def sampled(df: DataFrame) =
+      if (trainSampleMod == 1) df
+      else df.filter(pmod(xxhash64(col("n_id")), lit(trainSampleMod.toLong)) === 0)
+    val centroids = Similarity.trainIvfCentroids(sampled(c), nlist, lloydIters)
     // cluster-indexed centroid matrix as a literal: the per-row residual is
     // a map-side zip_with against element_at(matrix, cluster+1) — no join,
     // no shuffle between the corpus scan and its encoded representation
@@ -66,7 +78,7 @@ object IvfPqIndex {
       else
         assigned.withColumn("enc_vec", col("n_vec"))
     val codebooks = Similarity.trainPqCodebooks(
-      withEnc.select(col("n_id"), col("enc_vec").as("n_vec")),
+      sampled(withEnc.select(col("n_id"), col("enc_vec").as("n_vec"))),
       numSubspaces, numCodes, lloydIters)
 
     // inverted lists carry ONLY (cluster, id, m ints, exact norm) — the

@@ -47,6 +47,25 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hash-sampled training still builds a usable index (full corpus encoded)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val q = emb.filter(col("vec_id") < 30)
+    val idx = IvfPqIndex.build(emb, "vec_id", "embedding",
+      nlist = 8, trainSampleMod = 2)
+    // every corpus row is encoded even though training saw ~half
+    assert(idx.lists.count() == emb.count())
+    val got = IvfPqIndex.topK(idx, q, emb, "vec_id", "embedding", k = 5, nprobe = 4)
+    val rows = got.collect()
+    assert(rows.length == 30 * 5)
+    // recall vs exact top-5 stays useful with sampled training
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"sampled-training recall $recall < 0.3")
+  }
+
   test("ivfPqTopK composition equals explicit build + topK") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 20)
