@@ -514,6 +514,19 @@ object SparkEntry {
           n = 6, maxDf = 100, minShared = 1L)
         .orderBy("id_a", "id_b")),
 
+    // containment dedup: short docs embedded verbatim in longer ones
+    // (Jaccard-invisible). Injected prefix-truncations of docs < 20 score
+    // containment 1.0 against their originals
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val trunc = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", substring_index(col("text"), " ", 15))
+      Dedup.containmentPairs(docs.unionByName(trunc), "doc_id", "text",
+          n = 6, maxDf = 100, minContainment = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // the deduplicated corpus under the substring criterion: remove the
     // greater member of every pair (greedy, matches removeNearDuplicates)
     "dedup_substring_corpus" -> ((s, dir) => {
@@ -553,6 +566,15 @@ object SparkEntry {
       graft.ops.Decontaminate.contaminationHits(
           docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    }),
+
+    // gram-level contamination forensics: WHICH bench grams each
+    // contaminated doc shares (one row per distinct shared gram)
+    "decontam_grams" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Decontaminate.contaminationGrams(
+          docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "gram")
     }),
 
     // the decontaminated corpus: anti-join on the contaminated-id set
@@ -1387,6 +1409,29 @@ object SparkEntry {
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM grams a JOIN grams b USING (gram) " +
         "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, count(*) AS n_shared FROM p GROUP BY 1, 2 ORDER BY id_a, id_b"),
+
+    "dedup_containment" ->
+      ("WITH aug AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[1:15], ' ') FROM documents WHERE doc_id < 20), " +
+        "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM aug), " +
+        "g AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 5), " +
+        "i -> array_to_string(t[i+1:i+6], ' '))) AS gs FROM tk WHERE len(t) >= 6), " +
+        "cnt AS (SELECT doc_id, len(gs) AS n_grams FROM g), " +
+        "grams AS (SELECT doc_id, unnest(gs) AS gram FROM g), " +
+        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared FROM grams a JOIN grams b USING (gram) " +
+        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, containment FROM (" +
+        "SELECT id_a, id_b, round(CAST(n_shared AS DOUBLE) / least(ca.n_grams, cb.n_grams), 4) AS containment " +
+        "FROM p JOIN cnt ca ON p.id_a = ca.doc_id JOIN cnt cb ON p.id_b = cb.doc_id) t " +
+        "WHERE containment >= 0.8 ORDER BY id_a, id_b"),
+
+    "decontam_grams" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0) " +
+        "SELECT g.doc_id, g.gram FROM grams g JOIN bg USING (gram) ORDER BY doc_id, gram"),
 
     "dedup_substring_corpus" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +

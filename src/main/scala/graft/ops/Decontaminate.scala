@@ -68,6 +68,27 @@ object Decontaminate {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Gram-level contamination forensics: the (id, gram) pairs behind
+    * [[contaminationHits]] — WHICH benchmark n-grams each contaminated
+    * document shares, the report an eval-integrity audit actually reads.
+    * Same broadcast shape as the hit count (bench grams broadcast, corpus
+    * map-side); output is hit-bounded, one row per distinct shared gram.
+    */
+  def contaminationGrams(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col(idCol), col("gram"))
+  }
+
   /** The decontaminated corpus: documents with NO word-n-gram overlap with
     * the benchmark set. The contaminated-id set is produced by a broadcast
     * join on the exploded grams (map-side) and distinct'd directly — no

@@ -528,6 +528,40 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Containment duplicate pairs: Jaccard misses a short document embedded
+    * verbatim in a long one (the intersection is small relative to the
+    * UNION), so quote-extraction and prefix-truncation dups survive
+    * [[minhashLsh]]. Containment `|A∩B| / min(|A|,|B|)` over distinct word
+    * n-gram sets catches them: a fully-embedded document scores 1.0
+    * regardless of the host's length.
+    *
+    * Same inverted-gram-index shape as [[substringPairs]] (one gram
+    * shuffle + map-side pair generation + one pair shuffle, `maxDf`
+    * boilerplate rail); per-document gram counts are computed MAP-SIDE
+    * (`size(array_distinct(...))` — no extra aggregation) and join the
+    * candidate pairs, which are candidate-bounded, never corpus-sized.
+    * Emits (id_a, id_b, containment) for pairs ≥ `minContainment`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 6,
+      maxDf: Int = 1000,
+      minContainment: Double = 0.8): DataFrame = {
+    val withCnt = df.select(
+      col(idCol).as("id"),
+      size(array_distinct(Decontaminate.wordNgrams(col(textCol), n))).cast("long").as("n_grams"))
+    val shared = substringPairs(df, idCol, textCol, n, maxDf, minShared = 1L)
+    shared
+      .join(withCnt.select(col("id").as("id_a"), col("n_grams").as("cnt_a")), Seq("id_a"))
+      .join(withCnt.select(col("id").as("id_b"), col("n_grams").as("cnt_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("cnt_a"), col("cnt_b")), 4))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Corpus boilerplate report — the audit partner of
     * [[substringPairs]]'s `maxDf` cap: the word n-grams that occur in the
     * most documents, as (gram, df). Runs this common are boilerplate

@@ -90,4 +90,17 @@ class DecontaminateSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("contaminationGrams rows roll up exactly to contaminationHits counts") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val grams = Decontaminate.contaminationGrams(docs, bench, "doc_id", "text", 8)
+    val rolled = grams.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = Decontaminate.contaminationHits(docs, bench, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rolled == hits && hits.nonEmpty)
+    // gram rows are distinct per (doc, gram)
+    assert(grams.count() == grams.distinct().count())
+  }
 }

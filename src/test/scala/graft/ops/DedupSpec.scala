@@ -214,6 +214,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("containmentPairs: embedded short doc scores 1.0 where Jaccard stays low") {
+    val host = "h1 h2 h3 h4 a b c d e f g h t1 t2 t3 t4"
+    val embedded = "a b c d e f g h" // 3 distinct 6-grams, all inside host
+    val df = Seq((1L, host), (2L, embedded), (3L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 6, minContainment = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair under Jaccard: 3 shared of (11 + 3 - 3) grams ≈ 0.27
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleK = 6, threshold = 0.8)
+    assert(jac.isEmpty)
+  }
+
   test("boilerplateGrams ranks repeated 3-grams by doc frequency with deterministic ties") {
     val df = Seq(
       (1L, "legal header text body one"),
