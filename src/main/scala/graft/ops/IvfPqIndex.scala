@@ -91,6 +91,39 @@ object IvfPqIndex {
     IvfPqIndex(lists, centroids, codebooks, numCodes, residual)
   }
 
+  /** Encodes a NEW batch of vectors with the index's existing model
+    * (centroids + codebooks) and appends the rows to the inverted lists —
+    * the daily-crawl maintenance shape: no retraining, one map-side encode
+    * pass over the batch only, then a lists union. The model drifts only
+    * as fast as the corpus distribution, so production rebuilds on a slow
+    * cadence while appending fast; with a persisted index, write the
+    * returned lists (or just the batch's) back with [[write]]'s layout.
+    * Batch ids are the caller's responsibility to keep disjoint (same
+    * contract as every load-append in `graft.etl.Loads`).
+    */
+  def append(
+      index: IvfPqIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): IvfPqIndex = {
+    val c = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val centroidMat = typedLit(index.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val assigned = c.withColumn("cluster",
+      nearest_centroid(col("n_vec"), index.centroids.sortBy(_._1).map(_._2)))
+    val withEnc =
+      if (index.residual)
+        assigned.withColumn("enc_vec",
+          zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
+            (x, cc) => x.cast("double") - cc))
+      else
+        assigned.withColumn("enc_vec", col("n_vec"))
+    val newLists = withEnc
+      .withColumn("codes", pq_encode(col("enc_vec"), index.codebooks))
+      .withColumn("n_norm", vec_norm(col("n_vec")))
+      .select("cluster", "n_id", "codes", "n_norm")
+    index.copy(lists = index.lists.unionByName(newLists))
+  }
+
   /** ADC search over a built (or loaded) index, exact-reranked against the
     * raw corpus vectors — the query half of [[Similarity.ivfPqTopK]].
     * `corpus` supplies the raw vectors for the rerank (a serving system

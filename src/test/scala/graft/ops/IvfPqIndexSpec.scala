@@ -66,6 +66,27 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"sampled-training recall $recall < 0.3")
   }
 
+  test("append encodes a batch with the existing model — equals building over the union") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val base = emb.filter(col("vec_id") < 80)
+    val batch = emb.filter(col("vec_id") >= 80)
+    val idx = IvfPqIndex.build(base, "vec_id", "embedding", nlist = 8)
+    val appended = IvfPqIndex.append(idx, batch, "vec_id", "embedding")
+    assert(appended.lists.count() == emb.count())
+    // appended rows carry the SAME encoding the original build would give
+    // them under this model: re-encode the full corpus with the idx model
+    val reEnc = IvfPqIndex.append(idx.copy(lists = idx.lists.limit(0)),
+      emb, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("n_id").collect()
+      .map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("cluster"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Double]("n_norm"))).toSeq
+    assert(rows(appended.lists) == rows(reEnc.lists))
+    // and the appended index serves queries over the full corpus
+    val q = emb.filter(col("vec_id") < 10)
+    val got = IvfPqIndex.topK(appended, q, emb, "vec_id", "embedding", k = 3)
+    assert(got.count() == 30)
+  }
+
   test("ivfPqTopK composition equals explicit build + topK") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 20)
