@@ -669,6 +669,27 @@ object SparkEntry {
         .groupBy("reject_reason").agg(count(lit(1)).as("n"))
         .orderBy("reject_reason")),
 
+    // composed end-to-end curation report: quality cascade, then substring
+    // dedup among the kept docs (losers = greater pair member), rolled up
+    // per source — the one-page summary a curation run actually publishes
+    "curation_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val flagged = TextAnalysis.qualityFilter(docs, "text",
+        minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
+      val kept = flagged.filter(col("reject_reason") === "kept")
+      val losers = Dedup.substringPairs(kept, "doc_id", "text",
+          n = 6, maxDf = 100, minShared = 1L)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      flagged.join(losers, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("reject_reason") =!= "kept", 1L).otherwise(0L)).as("n_quality_rejected"),
+          sum(when(col("reject_reason") === "kept" && col("is_dup") === 1, 1L).otherwise(0L)).as("n_dup_removed"),
+          sum(when(col("reject_reason") === "kept" && col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // per-doc top-5 TF-IDF terms: two partial aggs + term join + bounded
     // window; N joins in as a broadcast 1-row aggregate (no collect)
     "text_tfidf" -> ((s, dir) =>
@@ -1348,6 +1369,37 @@ object SparkEntry {
         "SELECT CASE WHEN n_tokens < 20 THEN 'too_short' WHEN rep > 0.02 THEN 'repetitive' " +
         "WHEN q < 0.85 THEN 'low_quality' ELSE 'kept' END AS reject_reason, CAST(count(*) AS BIGINT) AS n " +
         "FROM m GROUP BY 1 ORDER BY 1"),
+
+    "curation_report" ->
+      ("WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
+        "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
+        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
+        "FROM documents), " +
+        "flag AS (SELECT d.doc_id, d.source, CASE WHEN m.n_tokens < 20 THEN 'too_short' " +
+        "WHEN m.rep > 0.02 THEN 'repetitive' WHEN m.q < 0.85 THEN 'low_quality' ELSE 'kept' END AS rr " +
+        "FROM documents d JOIN m USING (doc_id)), " +
+        "kd AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM flag WHERE rr = 'kept')), " +
+        "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM kd), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
+        "i -> array_to_string(t[i+1:i+6], ' ')))) AS gram FROM tk WHERE len(t) >= 6), " +
+        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
+        "losers AS (SELECT DISTINCT b.doc_id FROM grams a JOIN grams b USING (gram) " +
+        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN rr <> 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_rejected, " +
+        "CAST(sum(CASE WHEN rr = 'kept' AND doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed, " +
+        "CAST(sum(CASE WHEN rr = 'kept' AND doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM flag GROUP BY source ORDER BY source"),
 
     "text_tfidf" ->
       ("WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
