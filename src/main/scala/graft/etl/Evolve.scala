@@ -1,0 +1,88 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema-drift alignment for load pipelines.
+  *
+  * The reference's templates bind the extract's column list at write time
+  * (e.g. the dynamic `INSERT` column list built from the fetched frame,
+  * `Template-to-MySQL/BigQuery-to-MySQL-Method-2.py:54-66`), so a source
+  * adding, dropping, or re-typing a column mid-schedule fails the load —
+  * or worse, positionally mis-writes. [[alignTo]] makes the disposition
+  * explicit and total:
+  *
+  * - target column missing from the incoming frame → typed NULL column
+  *   (appears as "new column backfilled with NULL", the standard warehouse
+  *   contract);
+  * - incoming column absent from the target → dropped (tolerant, the P2
+  *   convention) — or an error under `strict`;
+  * - same name, different type → cast when Spark's `Cast.canUpCast`
+  *   guarantees losslessness (int→long, float→double, date→timestamp…),
+  *   error otherwise (silent narrowing corrupts; an explicit
+  *   [[Sanitize]]/transform step should own lossy conversions);
+  * - columns re-ordered to the target order (positional writers — JDBC
+  *   batch INSERT, parquet append — see a stable layout).
+  *
+  * Pure projection: no shuffle, no data pass — safe to prepend to every
+  * load at any scale.
+  */
+object Evolve {
+
+  /** Aligns `incoming` to `target`: returns a frame with EXACTLY the
+    * target's columns, in target order. See object doc for the per-column
+    * disposition. Throws `IllegalArgumentException` on non-up-castable
+    * type drift, or (under `strict = true`) on extra incoming columns.
+    */
+  def alignTo(
+      incoming: DataFrame,
+      target: StructType,
+      strict: Boolean = false): DataFrame = {
+    val in = incoming.schema
+    val extras = in.fieldNames.filterNot(n => target.fieldNames.contains(n))
+    if (strict && extras.nonEmpty)
+      throw new IllegalArgumentException(
+        s"alignTo(strict): incoming has columns absent from target: ${extras.mkString(", ")}")
+    val cols = target.fields.map { tf =>
+      in.find(_.name == tf.name) match {
+        case None =>
+          lit(null).cast(tf.dataType).as(tf.name)
+        case Some(inf) if inf.dataType == tf.dataType =>
+          col(tf.name)
+        case Some(inf) if Cast.canUpCast(inf.dataType, tf.dataType) =>
+          col(tf.name).cast(tf.dataType).as(tf.name)
+        case Some(inf) =>
+          throw new IllegalArgumentException(
+            s"alignTo: column '${tf.name}' cannot losslessly cast " +
+              s"${inf.dataType.simpleString} -> ${tf.dataType.simpleString}; " +
+              "handle the conversion explicitly before the load")
+      }
+    }
+    incoming.select(cols.toSeq: _*)
+  }
+
+  /** Union of two frames under drift: each side aligns to the WIDENED
+    * common schema — per column, the up-cast supertype of the two sides'
+    * types (columns missing on one side backfill NULL). The incremental-
+    * load shape when history and fresh extract disagree on schema.
+    */
+  def unionEvolved(a: DataFrame, b: DataFrame): DataFrame = {
+    val bs = b.schema
+    val merged = StructType(
+      a.schema.fields.map { af =>
+        bs.find(_.name == af.name) match {
+          case Some(bf) if bf.dataType == af.dataType => af
+          case Some(bf) if Cast.canUpCast(bf.dataType, af.dataType) => af
+          case Some(bf) if Cast.canUpCast(af.dataType, bf.dataType) => af.copy(dataType = bf.dataType)
+          case Some(bf) =>
+            throw new IllegalArgumentException(
+              s"unionEvolved: column '${af.name}' has incompatible types " +
+                s"${af.dataType.simpleString} vs ${bf.dataType.simpleString}")
+          case None => af
+        }
+      } ++ bs.fields.filterNot(bf => a.schema.fieldNames.contains(bf.name)))
+    alignTo(a, merged).unionByName(alignTo(b, merged))
+  }
+}
