@@ -72,10 +72,14 @@ object GraftExtensions {
   private[graft] def intLitArg(
       fn: String, args: Seq[Expression], arity: Int, idx: Int, param: String): Int = {
     import org.apache.spark.sql.AnalysisException
+    // WRONG_NUM_ARGS has subclasses, and AnalysisException's constructor
+    // asserts class/subclass consistency while formatting — the bare class
+    // name would surface as a raw AssertionError, so the subclass (and its
+    // docroot param) is mandatory here
     if (args.length != arity)
-      throw new AnalysisException("WRONG_NUM_ARGS", Map(
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
         "functionName" -> s"`$fn`", "expectedNum" -> arity.toString,
-        "actualNum" -> args.length.toString), None)
+        "actualNum" -> args.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"), None)
     val e = args(idx)
     def bad: Nothing = throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
       "funcName" -> s"`$fn`", "paramName" -> s"`$param`",

@@ -35,24 +35,35 @@ object Evolve {
     * target's columns, in target order. See object doc for the per-column
     * disposition. Throws `IllegalArgumentException` on non-up-castable
     * type drift, or (under `strict = true`) on extra incoming columns.
+    *
+    * Name matching honors the session's `spark.sql.caseSensitive` (default
+    * false — a source re-casing `amount` → `Amount` still matches, like
+    * every other Spark resolution); a re-cased match keeps the TARGET's
+    * casing. Column references are backtick-quoted, so names containing
+    * dots align as plain columns, not nested-field paths.
     */
   def alignTo(
       incoming: DataFrame,
       target: StructType,
       strict: Boolean = false): DataFrame = {
+    val caseSensitive = incoming.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    def ref(n: String) = col("`" + n + "`")
     val in = incoming.schema
-    val extras = in.fieldNames.filterNot(n => target.fieldNames.contains(n))
+    val targetNames = target.fieldNames.map(norm).toSet
+    val extras = in.fieldNames.filterNot(n => targetNames.contains(norm(n)))
     if (strict && extras.nonEmpty)
       throw new IllegalArgumentException(
         s"alignTo(strict): incoming has columns absent from target: ${extras.mkString(", ")}")
     val cols = target.fields.map { tf =>
-      in.find(_.name == tf.name) match {
+      in.find(f => norm(f.name) == norm(tf.name)) match {
         case None =>
           lit(null).cast(tf.dataType).as(tf.name)
         case Some(inf) if inf.dataType == tf.dataType =>
-          col(tf.name)
+          ref(inf.name).as(tf.name)
         case Some(inf) if Cast.canUpCast(inf.dataType, tf.dataType) =>
-          col(tf.name).cast(tf.dataType).as(tf.name)
+          ref(inf.name).cast(tf.dataType).as(tf.name)
         case Some(inf) =>
           throw new IllegalArgumentException(
             s"alignTo: column '${tf.name}' cannot losslessly cast " +
@@ -69,10 +80,13 @@ object Evolve {
     * load shape when history and fresh extract disagree on schema.
     */
   def unionEvolved(a: DataFrame, b: DataFrame): DataFrame = {
+    val caseSensitive = a.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val bs = b.schema
     val merged = StructType(
       a.schema.fields.map { af =>
-        bs.find(_.name == af.name) match {
+        bs.find(f => norm(f.name) == norm(af.name)) match {
           case Some(bf) if bf.dataType == af.dataType => af
           case Some(bf) if Cast.canUpCast(bf.dataType, af.dataType) => af
           case Some(bf) if Cast.canUpCast(af.dataType, bf.dataType) => af.copy(dataType = bf.dataType)
@@ -82,7 +96,8 @@ object Evolve {
                 s"${af.dataType.simpleString} vs ${bf.dataType.simpleString}")
           case None => af
         }
-      } ++ bs.fields.filterNot(bf => a.schema.fieldNames.contains(bf.name)))
+      } ++ bs.fields.filterNot(bf =>
+        a.schema.fieldNames.exists(an => norm(an) == norm(bf.name))))
     alignTo(a, merged).unionByName(alignTo(b, merged))
   }
 }

@@ -63,33 +63,46 @@ object IvfPqIndex {
       if (trainSampleMod == 1) df
       else df.filter(pmod(xxhash64(col("n_id")), lit(trainSampleMod.toLong)) === 0)
     val centroids = Similarity.trainIvfCentroids(sampled(c), nlist, lloydIters)
-    // cluster-indexed centroid matrix as a literal: the per-row residual is
-    // a map-side zip_with against element_at(matrix, cluster+1) — no join,
-    // no shuffle between the corpus scan and its encoded representation
-    val centroidMat = typedLit(centroids.map(_._2.toSeq).toSeq)
-
-    val assigned = c.withColumn("cluster",
-      nearest_centroid(col("n_vec"), centroids.map(_._2)))
-    val withEnc =
-      if (residual)
-        assigned.withColumn("enc_vec",
-          zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
-            (x, cc) => x.cast("double") - cc))
-      else
-        assigned.withColumn("enc_vec", col("n_vec"))
+    val withEnc = residualEncode(c, centroids, residual)
     val codebooks = Similarity.trainPqCodebooks(
       sampled(withEnc.select(col("n_id"), col("enc_vec").as("n_vec"))),
       numSubspaces, numCodes, lloydIters)
+    IvfPqIndex(toLists(withEnc, codebooks), centroids, codebooks, numCodes, residual)
+  }
 
-    // inverted lists carry ONLY (cluster, id, m ints, exact norm) — the
-    // scan representation a 100 TB index actually persists
-    val lists = withEnc
+  /** Cluster assignment + (optional) residual re-centering for a
+    * (n_id, n_vec) frame — the map-side encode prefix shared by [[build]]
+    * and [[append]]. The cluster-indexed centroid matrix rides in as a
+    * literal: the residual is a zip_with against
+    * `element_at(matrix, cluster+1)` — no join, no shuffle between the
+    * corpus scan and its encoded representation.
+    */
+  private def residualEncode(
+      c: DataFrame,
+      centroids: Array[(Int, Array[Double])],
+      residual: Boolean): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val centroidMat = typedLit(sorted.map(_._2.toSeq).toSeq)
+    val assigned = c.withColumn("cluster",
+      nearest_centroid(col("n_vec"), sorted.map(_._2)))
+    if (residual)
+      assigned.withColumn("enc_vec",
+        zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
+          (x, cc) => x.cast("double") - cc))
+    else
+      assigned.withColumn("enc_vec", col("n_vec"))
+  }
+
+  /** Inverted-list projection: (cluster, id, m ints, exact norm) — the
+    * ONLY columns a 100 TB index persists per corpus row.
+    */
+  private def toLists(
+      withEnc: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withEnc
       .withColumn("codes", pq_encode(col("enc_vec"), codebooks))
       .withColumn("n_norm", vec_norm(col("n_vec")))
       .select("cluster", "n_id", "codes", "n_norm")
-
-    IvfPqIndex(lists, centroids, codebooks, numCodes, residual)
-  }
 
   /** Encodes a NEW batch of vectors with the index's existing model
     * (centroids + codebooks) and appends the rows to the inverted lists —
@@ -107,21 +120,9 @@ object IvfPqIndex {
       idCol: String,
       vecCol: String): IvfPqIndex = {
     val c = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val centroidMat = typedLit(index.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
-    val assigned = c.withColumn("cluster",
-      nearest_centroid(col("n_vec"), index.centroids.sortBy(_._1).map(_._2)))
-    val withEnc =
-      if (index.residual)
-        assigned.withColumn("enc_vec",
-          zip_with(col("n_vec"), element_at(centroidMat, col("cluster") + 1),
-            (x, cc) => x.cast("double") - cc))
-      else
-        assigned.withColumn("enc_vec", col("n_vec"))
-    val newLists = withEnc
-      .withColumn("codes", pq_encode(col("enc_vec"), index.codebooks))
-      .withColumn("n_norm", vec_norm(col("n_vec")))
-      .select("cluster", "n_id", "codes", "n_norm")
-    index.copy(lists = index.lists.unionByName(newLists))
+    val withEnc = residualEncode(c, index.centroids, index.residual)
+    index.copy(lists =
+      index.lists.unionByName(toLists(withEnc, index.codebooks)))
   }
 
   /** ADC search over a built (or loaded) index, exact-reranked against the

@@ -59,4 +59,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
     assert(r.getInt(1) == 2)
   }
+
+  test("SQL builder arity/foldability errors are proper AnalysisExceptions, not asserts") {
+    import org.apache.spark.sql.AnalysisException
+    // wrong arity: WRONG_NUM_ARGS has subclasses — the bare class name used
+    // to trip the formatter's assertion and surface a raw AssertionError
+    val arity = intercept[AnalysisException] {
+      spark.sql("SELECT graft_word_ngrams('a b c')").head()
+    }
+    assert(arity.getCondition.startsWith("WRONG_NUM_ARGS"))
+    assert(arity.getMessage.contains("graft_word_ngrams"))
+    // non-literal n: must say which parameter, not throw ClassCastException
+    Tables.documents(spark, GraftSpark.Sf0001).limit(5)
+      .select(col("doc_id").cast("int").as("doc_id"), col("text"))
+      .createOrReplaceTempView("doc_ext_v")
+    val fold = intercept[AnalysisException] {
+      spark.sql("SELECT graft_word_ngrams(text, doc_id) FROM doc_ext_v").head()
+    }
+    assert(fold.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // non-INT literal (2L)
+    val typed = intercept[AnalysisException] {
+      spark.sql("SELECT graft_word_ngrams('a b c', 2L)").head()
+    }
+    assert(typed.getCondition == "NON_FOLDABLE_ARGUMENT")
+  }
 }

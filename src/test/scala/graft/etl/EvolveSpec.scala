@@ -54,6 +54,21 @@ class EvolveSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
   }
 
+  test("alignTo: re-cased column matches under default case-insensitivity, keeps target casing") {
+    val incoming = Seq((1L, "x", 2.5)).toDF("ID", "Name", "AMOUNT")
+    val out = Evolve.alignTo(incoming, target)
+    assert(out.columns.toSeq == Seq("id", "name", "amount"))
+    val r = out.collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "x" && r.getDouble(2) == 2.5)
+  }
+
+  test("alignTo: dotted column names align as plain columns, not nested paths") {
+    val t = StructType(Seq(StructField("a.b", LongType), StructField("c", StringType)))
+    val incoming = Seq((1L, "z")).toDF("a.b", "c")
+    val r = Evolve.alignTo(incoming, t).collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "z")
+  }
+
   test("alignTo is a pure projection (no shuffle in the plan)") {
     val incoming = Seq((1, "x")).toDF("id", "name")
     val plan = Evolve.alignTo(incoming, target).queryExecution.executedPlan.toString
