@@ -482,6 +482,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quality-canonical near-dedup (RefinedWeb/FineWeb practice): the
+    // best-quality member of each duplicate cluster survives, not the
+    // min-id one; scores pre-rounded so winner selection is
+    // cross-engine-deterministic
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      Dedup.canonicalByQuality(docs, pairs, "doc_id",
+          round(TextAnalysis.qualityScore(col("text")), 4))
+        .withColumnRenamed("score", "quality")
+        .orderBy("doc_id")
+    }),
+
     // pinned VALUES oracle (simhash needs Spark-side xxhash64; bit-exact
     // HOF cross-check in DedupSpec)
     "dedup_simhash" -> ((s, dir) => {
@@ -834,6 +848,42 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
+    }),
+
+    // RAG-style retrieval: embedding top-k joined back to document
+    // metadata — the serving join is candidate-bounded (k × |Q| rows
+    // broadcast against the documents table), never a corpus shuffle
+    "doc_retrieval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val nn = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3)
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(nn.withColumnRenamed("n_id", "doc_id")), Seq("doc_id"))
+        .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+          col("doc_id"), col("sim"), col("lang"), col("source"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
+    // extract — re-cased names, a dropped column (NULL-backfilled), an
+    // int-narrowed key (re-widened via canUpCast), an extra column kept.
+    // Pure projections over each leg; one agg shuffle, nothing else.
+    "schema_evolution_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("O_ORDERKEY"),
+          col("o_custkey").cast("int").as("O_CustKey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      graft.etl.Evolve.unionEvolved(a, b)
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 4).as("sum_price"),
+          count(col("o_orderpriority")).as("n_priority"))
+        .orderBy("o_year")
     }),
 
     // k-NN majority-vote label prediction (weak supervision / topic
@@ -1338,6 +1388,34 @@ object SparkEntry {
         "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id) " +
         "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id ORDER BY doc_id"),
 
+    "dedup_canonical" ->
+      ("WITH RECURSIVE q AS (SELECT doc_id, round(" +
+        "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
+        ", 4) AS quality FROM documents WHERE doc_id < 500), " +
+        "sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "walk(id, comp) AS (" +
+        "SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id), " +
+        "comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id), " +
+        "ranked AS (SELECT c.id AS doc_id, q.quality, " +
+        "count(*) OVER (PARTITION BY c.comp) AS n_dups, " +
+        "row_number() OVER (PARTITION BY c.comp ORDER BY q.quality DESC, c.id) AS rn " +
+        "FROM comps c JOIN q ON q.doc_id = c.id) " +
+        "SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups, quality FROM ranked WHERE rn = 1 " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS n_dups, quality FROM q " +
+        "WHERE doc_id NOT IN (SELECT id FROM comps) ORDER BY doc_id"),
+
     "dedup_embedding_cosine" ->
       ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) " +
@@ -1664,6 +1742,23 @@ object SparkEntry {
         "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
         "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
         "WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    "doc_retrieval" ->
+      ("WITH nn AS (SELECT q_id, n_id, sim, rank FROM (" +
+        "SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM (" +
+        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
+        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
+        "FROM embeddings q, embeddings n WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id) p) t WHERE rank <= 3) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id AS doc_id, sim, d.lang, d.source " +
+        "FROM nn JOIN documents d ON nn.n_id = d.doc_id ORDER BY q_id, rank"),
+
+    "schema_evolution_union" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
+        "round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 4) AS sum_price, " +
+        "count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priority " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
 
     "knn_label_vote" ->
       ("WITH nn AS (SELECT q_id, n_id FROM (" +

@@ -322,6 +322,45 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup canonicalization keeping the BEST-scoring member of each
+    * duplicate cluster (RefinedWeb/FineWeb practice: survive the copy with
+    * the highest quality, not the smallest id — min-id keeps whatever
+    * crawl happened to be ingested first, which is often the boilerplate-
+    * laden mirror). Ties break to the smaller id, so the result is
+    * deterministic; `scoreCol` should be pre-rounded if the caller needs
+    * cross-engine reproducible comparisons.
+    *
+    * Returns the kept corpus as (idCol, n_dups, score): every row in no
+    * pair passes through with `n_dups = 1`; each cluster contributes its
+    * arg-max row with `n_dups = |cluster|`.
+    *
+    * Scale shape: the component labels cover only CLUSTERED ids (≪ corpus
+    * — they came out of a near-dup pair generator), so the corpus-side
+    * cost is one equi-join against that small frame plus a left-anti for
+    * the pass-through; the winner reduction shuffles clustered rows only,
+    * as a single max(struct) agg (no window, no second pass).
+    */
+  def canonicalByQuality(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val scored = df.select(col(idCol), scoreCol.as("score"))
+    val clustered = scored.join(comps, Seq(idCol))
+    // arg-max via one struct-ordered agg: (score asc, -id asc) maximized
+    // ⇒ highest score, then smallest id — field-wise struct comparison
+    val winners = clustered.groupBy("comp")
+      .agg(
+        max(struct(col("score").as("s"), (-col(idCol)).as("nid"))).as("w"),
+        count(lit(1)).as("n_dups"))
+      .select((-col("w.nid")).as(idCol), col("n_dups"), col("w.s").as("score"))
+    val singletons = scored
+      .join(comps.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), lit(1L).as("n_dups"), col("score"))
+    singletons.unionByName(winners)
+  }
+
   /** Exact pairwise n-gram Jaccard similarity — the brute-force counterpart
     * of [[minhashLsh]] (its recall oracle in tests). O(n²) pair space: use
     * ONLY on small inputs or pre-blocked groups (`blockBy` restricts pairs

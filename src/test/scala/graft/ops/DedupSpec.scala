@@ -178,6 +178,17 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.toSeq == Seq(1L, 9L))         // CC keeps exactly min(cluster)
   }
 
+  test("canonicalByQuality keeps the best-scoring member per cluster, min-id on ties") {
+    // cluster {1,2,3} via a~c, b~c; scores: 2 wins on quality; 4,5 tie → min id 4
+    val df = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7), (9L, 0.1))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalByQuality(df, pairs, "doc_id", col("q"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 3L, 0.9), (4L, 2L, 0.7), (9L, 1L, 0.1)))
+  }
+
   test("substringPairs: shared 6-token runs counted per pair, hand-checked") {
     val df = Seq(
       (1L, "a b c d e f g h"), // grams: abcdef bcdefg cdefgh
