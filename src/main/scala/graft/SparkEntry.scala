@@ -629,6 +629,17 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // per-source token-budget cap: greedy doc_id-ordered prefix per source
+    // under an 800-token budget (SQL-recomputable order; the hash-ordered
+    // unbiased form is the operator's documented default)
+    "source_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudget(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCount(col("text")).cast("bigint").as("tokens")),
+          col("source"), col("tokens"), budget = 800, col("doc_id"))
+        .orderBy("doc_id")),
+
     // ---- North star: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(Tables.documents(s, dir), "text")
@@ -1622,6 +1633,12 @@ object SparkEntry {
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, " +
         "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "source_token_budget" ->
+      ("SELECT doc_id, source, tokens, cum_tokens FROM (" +
+        "SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens, " +
+        "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens " +
+        "FROM documents) t WHERE cum_tokens <= 800 ORDER BY doc_id"),
 
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -71,5 +72,39 @@ object Sampling {
       .filter(col("__copies") > 0)
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
+  }
+
+  /** Deterministic per-stratum token-budget cap (the "sample each source
+    * down to N tokens" step of corpus-mixing recipes): rows are ordered
+    * within each stratum by `order` — pass [[hashWeight]] plus an id
+    * tiebreak for an unbiased deterministic sample, or an explicit column
+    * (e.g. the id, or quality descending for a best-first budget) — the
+    * running token total is computed, and a row survives iff its INCLUSIVE
+    * running total stays within `budget`: the greedy prefix that never
+    * exceeds the budget. A row larger than the remaining budget is dropped
+    * and does NOT refill from later rows — selection stays order-monotone,
+    * so a row's fate never changes when the corpus grows past it.
+    *
+    * Output adds `cum_tokens` (the inclusive running total) for per-stratum
+    * utilization audits.
+    *
+    * Scale: ONE shuffle by stratum + an in-partition (external) sort;
+    * strata cap independently in parallel. For a single corpus-sized
+    * stratum the unpartitioned window would serialize — use the two-level
+    * distributed prefix sum of [[Packing.packChunks]] (range buckets +
+    * bucket-offset roll-up) for that shape instead.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      strataCol: Column,
+      tokensCol: Column,
+      budget: Long,
+      order: Column*): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(order.nonEmpty, "tokenBudget needs a deterministic in-stratum order")
+    val w = Window.partitionBy(strataCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol.cast("bigint")).over(w))
+      .filter(col("cum_tokens") <= budget)
   }
 }

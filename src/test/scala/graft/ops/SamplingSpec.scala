@@ -95,6 +95,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(badCopies.isEmpty)
   }
 
+  test("tokenBudget keeps the greedy in-order prefix per stratum, never exceeding the budget") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 400L), ("a", 2L, 300L), ("a", 3L, 200L), ("a", 4L, 50L),
+      ("b", 5L, 900L), ("b", 6L, 100L),
+      ("c", 7L, 800L)
+    ).toDF("src", "id", "tokens")
+    val kept = Sampling.tokenBudget(df, col("src"), col("tokens"), 800L, col("id"))
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // a: 400,700 kept; 900 (id 3) exceeds -> dropped, and id 4 does NOT
+    // refill (cum stays monotone: 950 > 800). b: 900 > 800 drops both
+    // (id 6's cum is 1000). c: exactly at budget kept.
+    assert(kept.toSeq == Seq((1L, 400L), (2L, 700L), (7L, 800L)))
+    // stability: the kept set over a GROWN corpus is a superset story —
+    // earlier rows' fate is unchanged by appending later-ordered rows
+    val grown = df.unionByName(Seq(("a", 9L, 10L)).toDF("src", "id", "tokens"))
+    val keptGrown = Sampling.tokenBudget(grown, col("src"), col("tokens"), 800L, col("id"))
+      .filter(col("id") < 9).orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(keptGrown.toSeq == kept.toSeq)
+  }
+
   test("stratifiedSample keeps roughly the fraction within each stratum") {
     val sampled = Sampling.stratifiedSample(docs, col("lang"), 0.5, col("doc_id"))
     val perLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
