@@ -101,7 +101,7 @@ object Dedup {
     * the audit can never drift from what the dedup actually hashes.
     * Input must carry `id` and `shingle_set` columns.
     */
-  private def minhashBuckets(
+  private[ops] def minhashBuckets(
       withSets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val withSig = withSets
       .withColumn("sig", minhashSignature(col("shingle_set"), bands * rowsPerBand))
@@ -184,33 +184,13 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def sets(df: DataFrame) = df.select(
-      col(idCol).as("id"),
-      array_sort(array_distinct(shingleHashes(col(textCol), shingleK))).as("shingle_set"))
-    val corpusSets = sets(corpus)
-    val batchSets = sets(batch)
-    val corpusBuckets = minhashBuckets(corpusSets, bands, rowsPerBand)
-    val batchBuckets = minhashBuckets(batchSets, bands, rowsPerBand)
-
-    val okBuckets = corpusBuckets.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
-      .select("band", "bucket")
-    val pairIds = batchBuckets.withColumnRenamed("id", "batch_id")
-      .join(corpusBuckets.withColumnRenamed("id", "corpus_id").join(okBuckets, Seq("band", "bucket")),
-        Seq("band", "bucket"))
-      .select("batch_id", "corpus_id")
-      .distinct()
-
-    pairIds
-      .join(batchSets.select(col("id").as("batch_id"), col("shingle_set").as("set_a")), Seq("batch_id"))
-      .join(corpusSets.select(col("id").as("corpus_id"), col("shingle_set").as("set_b")), Seq("corpus_id"))
-      .withColumn("__inter", graft.functions.TextFunctions.intersect_count_sorted(col("set_a"), col("set_b")).cast("double"))
-      .withColumn("jaccard",
-        col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    // one definition of the semantics: build the corpus-side index state
+    // and query the batch against it — persist the index (MinHashIndex
+    // .write/.read) to skip the corpus re-encode on subsequent batches
+    MinHashIndex.query(
+      MinHashIndex.build(corpus, idCol, textCol, shingleK, bands, rowsPerBand),
+      batch, idCol, textCol, threshold, maxBucket)
 
   /** Observability for the `maxBucket` cap: the (band, bucket, n_ids)
     * buckets [[minhashLsh]] would DROP at the given parameters. Run (and

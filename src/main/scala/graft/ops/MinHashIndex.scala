@@ -1,0 +1,149 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A built MinHash-LSH dedup index: the corpus-side state the
+  * "dedup each incoming crawl batch against everything already ingested"
+  * pipeline (SURVEY.md north-star; the reference has no dedup at all)
+  * computes ONCE and joins against every day, instead of re-shingling and
+  * re-signing the full corpus per batch the way a from-scratch
+  * [[Dedup.minhashLshIncremental]] call would.
+  *
+  * - `buckets` — (band, bucket, id): one row per corpus doc per band, the
+  *   LSH candidate-join side. Persisted band-partitioned; a production
+  *   deployment stores it bucketed by (band, bucket) so the daily batch
+  *   join needs no corpus-side shuffle at all (the docstring contract of
+  *   [[Dedup.minhashLshIncremental]]).
+  * - `sets` — (id, shingle_set): the sorted-distinct shingle hashes that
+  *   the exact-Jaccard verify joins by candidate id. This is the only
+  *   corpus-sized state besides the buckets, and both are id+hash-width,
+  *   never text-width.
+  * - model state is just the three shape parameters (JSON sidecar); there
+  *   is no trained state — signatures are deterministic hashes, which is
+  *   what makes [[append]] exact (no model drift as the corpus grows,
+  *   unlike a trained [[IvfPqIndex]]).
+  *
+  * Build → write → read → query equals build → query exactly (asserted in
+  * MinHashIndexSpec), and [[Dedup.minhashLshIncremental]] is now literally
+  * `query(build(corpus), batch)` — one definition of the semantics.
+  */
+final case class MinHashIndex(
+    buckets: DataFrame,
+    sets: DataFrame,
+    shingleK: Int,
+    bands: Int,
+    rowsPerBand: Int)
+
+object MinHashIndex {
+
+  private[ops] def shingleSets(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      array_sort(array_distinct(Dedup.shingleHashes(col(textCol), k))).as("shingle_set"))
+
+  /** Shingles, signs and bands the corpus — two map-side passes fused into
+    * one scan each (no shuffle; the group-by that forms candidate buckets
+    * happens at [[query]] time against the much smaller batch).
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): MinHashIndex = {
+    val sets = shingleSets(corpus, idCol, textCol, shingleK)
+    MinHashIndex(
+      Dedup.minhashBuckets(sets, bands, rowsPerBand), sets,
+      shingleK, bands, rowsPerBand)
+  }
+
+  /** Encodes a NEW batch with the index's parameters and appends it — the
+    * post-ingest maintenance step after [[query]] cleared the batch. Pure
+    * map-side encode + union; nothing recomputes and nothing shuffles.
+    */
+  def append(
+      index: MinHashIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): MinHashIndex = {
+    val s = shingleSets(batch, idCol, textCol, index.shingleK)
+    index.copy(
+      buckets = index.buckets.unionByName(
+        Dedup.minhashBuckets(s, index.bands, index.rowsPerBand)),
+      sets = index.sets.unionByName(s))
+  }
+
+  /** Batch-vs-corpus near-dup pairs (batch_id, corpus_id, jaccard ≥
+    * threshold) — [[Dedup.minhashLshIncremental]] semantics against the
+    * prebuilt corpus state: ONE (band, bucket) equi-join for candidates
+    * (corpus never self-joins), exact verify only on candidate ids.
+    * `maxBucket` drops oversized CORPUS buckets (boilerplate guard).
+    */
+  def query(
+      index: MinHashIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val batchSets = shingleSets(batch, idCol, textCol, index.shingleK)
+    val batchBuckets = Dedup.minhashBuckets(batchSets, index.bands, index.rowsPerBand)
+    val okBuckets = index.buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    val pairIds = batchBuckets.withColumnRenamed("id", "batch_id")
+      .join(
+        index.buckets.withColumnRenamed("id", "corpus_id")
+          .join(okBuckets, Seq("band", "bucket")),
+        Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    pairIds
+      .join(batchSets.select(col("id").as("batch_id"), col("shingle_set").as("set_a")), Seq("batch_id"))
+      .join(index.sets.select(col("id").as("corpus_id"), col("shingle_set").as("set_b")), Seq("corpus_id"))
+      .withColumn("__inter",
+        graft.functions.TextFunctions.intersect_count_sorted(col("set_a"), col("set_b")).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Persists buckets (band-partitioned parquet), sets, and the parameter
+    * sidecar.
+    */
+  def write(index: MinHashIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").partitionBy("band")
+      .parquet(Paths.get(path, "buckets").toString)
+    index.sets.write.mode("overwrite")
+      .parquet(Paths.get(path, "sets").toString)
+    val json =
+      s"""{"shingleK":${index.shingleK},"bands":${index.bands},""" +
+        s""""rowsPerBand":${index.rowsPerBand}}"""
+    Files.write(Paths.get(path, "_graft_index.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def read(spark: SparkSession, path: String): MinHashIndex = {
+    val json = new String(
+      Files.readAllBytes(Paths.get(path, "_graft_index.json")),
+      StandardCharsets.UTF_8)
+    def intField(name: String): Int = {
+      val i = json.indexOf("\"" + name + "\":")
+      require(i >= 0, s"missing field $name in $path/_graft_index.json")
+      json.substring(i + name.length + 3).takeWhile(_.isDigit).toInt
+    }
+    MinHashIndex(
+      spark.read.parquet(Paths.get(path, "buckets").toString)
+        .select("id", "band", "bucket"),
+      spark.read.parquet(Paths.get(path, "sets").toString)
+        .select("id", "shingle_set"),
+      intField("shingleK"), intField("bands"), intField("rowsPerBand"))
+  }
+}

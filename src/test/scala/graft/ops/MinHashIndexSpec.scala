@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class MinHashIndexSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def docs = Tables.documents(spark, GraftSpark.Sf0001)
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard"))
+
+  test("build -> write -> read -> query equals build -> query exactly") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val built = MinHashIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_minhash_idx").toString
+    MinHashIndex.write(built, dir)
+    val loaded = MinHashIndex.read(spark, dir)
+
+    assert((loaded.shingleK, loaded.bands, loaded.rowsPerBand) ==
+      (built.shingleK, built.bands, built.rowsPerBand))
+    // bucket and set tables round-trip exactly
+    assert(loaded.buckets.orderBy("id", "band").collect().map(_.toSeq).toSeq ==
+      built.buckets.orderBy("id", "band").collect().map(_.toSeq).toSeq)
+    assert(loaded.sets.count() == built.sets.count())
+
+    val t = 0.3 // low threshold so the fixture yields pairs
+    val a = MinHashIndex.query(built, batch, "doc_id", "text", threshold = t)
+      .collect().map(key).toSet
+    val b = MinHashIndex.query(loaded, batch, "doc_id", "text", threshold = t)
+      .collect().map(key).toSet
+    assert(a == b)
+  }
+
+  test("query matches minhashLshIncremental (same definition) and finds injected dups") {
+    val corpus = docs.filter(col("doc_id") < 40)
+    val batch = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val viaIndex = MinHashIndex
+      .query(MinHashIndex.build(corpus, "doc_id", "text"), batch, "doc_id", "text")
+      .collect().map(key).toSet
+    val direct = Dedup.minhashLshIncremental(corpus, batch, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(viaIndex == direct)
+    // each injected exact dup is found against its corpus original
+    (0L until 10L).foreach { i =>
+      assert(viaIndex.contains((i + 5000000L, i, 1.0)))
+    }
+  }
+
+  test("append encodes with frozen parameters; appended docs are then queryable") {
+    val corpus = docs.filter(col("doc_id") < 30)
+    val day1 = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    val idx = MinHashIndex.append(
+      MinHashIndex.build(corpus, "doc_id", "text"), day1, "doc_id", "text")
+    assert(idx.sets.count() == 40)
+    // a copy of a day-1 doc now matches through the index
+    val probe = day1.filter(col("doc_id") === 35)
+      .withColumn("doc_id", lit(5000035L))
+    val hits = MinHashIndex.query(idx, probe, "doc_id", "text")
+      .collect().map(key)
+    assert(hits.exists(h => h._1 == 5000035L && h._2 == 35L && h._3 == 1.0))
+  }
+}
