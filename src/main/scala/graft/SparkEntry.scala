@@ -722,6 +722,16 @@ object SparkEntry {
         .orderBy("doc_id", "rank")),
 
     // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
+    // CCNet-style perplexity signal: per-doc mean unigram NLL under a
+    // model trained on the same corpus (the declared, oracle-exact form;
+    // nllScore also takes a frozen reference model + OOV floor)
+    "text_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.nllScore(docs, "doc_id", "text",
+          TextAnalysis.unigramModel(docs, "text"))
+        .orderBy("doc_id")
+    }),
+
     "text_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
@@ -1500,6 +1510,13 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) " +
         "SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank " +
         "FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
+
+    "text_perplexity" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq) " +
+        "SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
+        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id ORDER BY doc_id"),
 
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +

@@ -78,6 +78,46 @@ object TextAnalysis {
         col("tfidf"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** Unigram language-model token frequencies trained on a corpus: one
+    * (token, c) row per distinct space-separated token. The model for
+    * [[nllScore]] — the CCNet-style "perplexity filter" signal (public
+    * practice scores web text against a reference LM and drops the
+    * worst tail; a unigram model is its cheapest deterministic form).
+    * One explode + ONE count shuffle over tokens; vocab-sized output.
+    */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Mean per-token negative log-likelihood of each document under a
+    * unigram `model` (from [[unigramModel]], possibly trained on a
+    * DIFFERENT reference corpus): lower = more like the reference.
+    * Out-of-vocabulary tokens score as count `oovCount` (default 1 —
+    * add-one floor) so scoring a new batch against a frozen model is
+    * total. Perplexity is `exp(nll)` if wanted; the monotone nll is
+    * returned to keep the oracle in exact-roundable arithmetic.
+    *
+    * Scale: explode is map-side; the token→model join hash-shuffles
+    * tokens UNLESS the vocab broadcasts (it usually does — vocab grows
+    * sublinearly in corpus size), which also removes the stopword-skew
+    * hot keys; one final per-doc agg. Nothing driver-side.
+    */
+  def nllScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      oovCount: Long = 1L): DataFrame = {
+    val n = model.agg(sum("c").cast("double").as("__n"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .join(model, Seq("token"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__nll",
+        -log(coalesce(col("c"), lit(oovCount)).cast("double") / col("__n")))
+      .groupBy(idCol)
+      .agg(round(avg("__nll"), 4).as("nll"))
+  }
+
   /** Quality score in [0,1]: composite of length band, punctuation ratio,
     * stopword presence, and token diversity — the standard cheap pre-filter
     * heuristics for web-scale corpora (cf. C4/Gopher-style rules, public

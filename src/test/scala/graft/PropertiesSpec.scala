@@ -95,4 +95,103 @@ class PropertiesSpec extends AnyFunSuite {
       assert(l3Once.count() == existing.filter(windowPred).count() + incoming.count())
     }
   }
+
+  // ---- sampling / curation invariants over generated data ----
+
+  private val budgetRowsGen: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(1, 50)
+    rows <- Gen.listOfN(n, for {
+      src <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.choose(1L, 400L)
+    } yield (src, tok))
+  } yield rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) }
+
+  test("property: tokenBudget kept set equals the driver-side greedy prefix; never over budget") {
+    for (rows <- samples(budgetRowsGen, 8)) {
+      val budget = 600L
+      val df = rows.toDF("src", "id", "tokens")
+      val kept = graft.ops.Sampling
+        .tokenBudget(df, col("src"), col("tokens"), budget, col("id"))
+        .select("src", "id", "cum_tokens").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(_._2).scanLeft(("", -1L, 0L)) { case ((_, _, cum), (s, i, t)) =>
+          (s, i, cum + t)
+        }.tail.filter(_._3 <= budget)
+      }.toSet
+      assert(kept == want)
+      kept.groupBy(_._1).foreach { case (_, ks) =>
+        assert(ks.map(_._3).max <= budget)
+      }
+    }
+  }
+
+  private val clusterGen: Gen[(List[(Long, Double)], List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 16)
+    scores <- Gen.listOfN(n, Gen.choose(0.0, 1.0).map(s => math.rint(s * 100) / 100))
+    nPairs <- Gen.choose(0, 10)
+    pairs <- Gen.listOfN(nPairs, for {
+      a <- Gen.choose(0L, (n - 1).toLong)
+      b <- Gen.choose(0L, (n - 1).toLong)
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield (scores.zipWithIndex.map { case (s, i) => (i.toLong, s) },
+    pairs.filter(p => p._1 != p._2).distinct)
+
+  // 3 samples: each CC fixpoint is an iterative multi-job plan — more
+  // samples cost CI minutes without adding shape coverage beyond
+  // (no pairs / chain / star / multi-cluster), which 3 seeds already hit
+  test("property: canonicalByQuality keeps exactly one max-score member per component, all singletons") {
+    for (((rows, pairs), seed) <- samples(clusterGen, 3).zipWithIndex) {
+      val df = rows.toDF("id", "q")
+      if (pairs.isEmpty) {
+        val kept = graft.ops.Dedup
+          .canonicalByQuality(df, Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id", col("q"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(kept == rows.map(r => (r._1, 1L)).toSet, s"seed=$seed")
+      } else {
+        val pdf = pairs.toDF("id_a", "id_b")
+        val kept = graft.ops.Dedup.canonicalByQuality(df, pdf, "id", col("q"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        val byComp = rows.filter(r => parent.contains(r._1))
+          .groupBy(r => find(r._1))
+        val wantWinners = byComp.map { case (_, members) =>
+          val best = members.map(_._2).max
+          val id = members.filter(_._2 == best).map(_._1).min
+          (id, members.size.toLong, best)
+        }.toSet
+        val wantSingles = rows.filter(r => !parent.contains(r._1))
+          .map(r => (r._1, 1L, r._2)).toSet
+        assert(kept.toSet == wantWinners ++ wantSingles, s"seed=$seed")
+      }
+    }
+  }
+
+  test("property: nllScore equals a driver-side recomputation (self-trained, no OOV)") {
+    val textGen: Gen[List[String]] = for {
+      n <- Gen.choose(1, 15)
+      docs <- Gen.listOfN(n, Gen.listOf(Gen.oneOf("x", "y", "z", "w"))
+        .map(ts => if (ts.isEmpty) "x" else ts.mkString(" ")))
+    } yield docs
+    for (docs <- samples(textGen, 6)) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.ops.TextAnalysis
+        .nllScore(df, "id", "text", graft.ops.TextAnalysis.unigramModel(df, "text"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val toks = docs.map(_.split(" ", -1).toSeq)
+      val freq = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+      val n = toks.map(_.size).sum.toDouble
+      docs.indices.foreach { i =>
+        val want = toks(i).map(t => -math.log(freq(t) / n)).sum / toks(i).size
+        assert(math.abs(got(i.toLong) - math.rint(want * 1e4) / 1e4) < 1e-9, s"doc $i")
+      }
+    }
+  }
 }

@@ -146,6 +146,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(universal.filter(col("tfidf") =!= 0.0).isEmpty)
   }
 
+  test("nllScore: hand-computed unigram NLL; OOV floor scores frozen-model batches") {
+    import spark.implicits._
+    // corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
+    val corpus = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramModel(corpus, "text")
+    assert(model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 3L, "b" -> 1L))
+    val scored = TextAnalysis.nllScore(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lnA = -math.log(3.0 / 4.0)
+    val lnB = -math.log(1.0 / 4.0)
+    assert(math.abs(scored(1L) - math.rint(lnA * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(scored(2L) - math.rint((lnA + lnB) / 2 * 1e4) / 1e4) < 1e-9)
+    // frozen model scores an unseen token via the add-one OOV floor (1/4)
+    val batch = Seq((9L, "z z")).toDF("doc_id", "text")
+    val oov = TextAnalysis.nllScore(batch, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(oov(9L) - math.rint(lnB * 1e4) / 1e4) < 1e-9)
+  }
+
   test("qualityFilter: first failed rule wins, kept docs pass all") {
     val df = Seq(
       (0L, "short"),                                      // < 3 tokens
