@@ -49,7 +49,8 @@ object Evolve {
     val caseSensitive = incoming.sparkSession.conf
       .get("spark.sql.caseSensitive", "false").toBoolean
     def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
-    def ref(n: String) = col("`" + n + "`")
+    // embedded backticks double per Spark's quoted-identifier rule
+    def ref(n: String) = col("`" + n.replace("`", "``") + "`")
     val in = incoming.schema
     val targetNames = target.fieldNames.map(norm).toSet
     val extras = in.fieldNames.filterNot(n => targetNames.contains(norm(n)))

@@ -317,8 +317,9 @@ object Dedup {
     * Scale shape: the component labels cover only CLUSTERED ids (≪ corpus
     * — they came out of a near-dup pair generator), so the corpus-side
     * cost is one equi-join against that small frame plus a left-anti for
-    * the pass-through; the winner reduction shuffles clustered rows only,
-    * as a single max(struct) agg (no window, no second pass).
+    * the pass-through; the winner reduction shuffles clustered rows only
+    * (one rank-1 window partitioned by component — ids keep their native
+    * orderable type, so string/URL-hash ids work).
     */
   def canonicalByQuality(
       df: DataFrame,
@@ -328,13 +329,15 @@ object Dedup {
     val comps = connectedComponents(pairs).withColumnRenamed("id", idCol)
     val scored = df.select(col(idCol), scoreCol.as("score"))
     val clustered = scored.join(comps, Seq(idCol))
-    // arg-max via one struct-ordered agg: (score asc, -id asc) maximized
-    // ⇒ highest score, then smallest id — field-wise struct comparison
-    val winners = clustered.groupBy("comp")
-      .agg(
-        max(struct(col("score").as("s"), (-col(idCol)).as("nid"))).as("w"),
-        count(lit(1)).as("n_dups"))
-      .select((-col("w.nid")).as(idCol), col("n_dups"), col("w.s").as("score"))
+    // arg-max via rank-1 window over CLUSTERED rows only (ids keep their
+    // native orderable type — string/UUID ids work, like every other dedup
+    // operator; a negate-the-id struct-max trick would demand numeric ids)
+    val w = Window.partitionBy("comp").orderBy(col("score").desc, col(idCol).asc)
+    val winners = clustered
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("comp")))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("n_dups"), col("score"))
     val singletons = scored
       .join(comps.select(idCol), Seq(idCol), "left_anti")
       .select(col(idCol), lit(1L).as("n_dups"), col("score"))

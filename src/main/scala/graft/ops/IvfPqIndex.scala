@@ -1,7 +1,6 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -190,12 +189,10 @@ object IvfPqIndex {
       .parquet(Paths.get(path, "lists").toString)
     def arr(xs: Iterable[String]) = xs.mkString("[", ",", "]")
     def dbls(xs: Array[Double]) = arr(xs.map(_.toString))
-    val json =
+    IndexSidecar.write(path,
       s"""{"numCodes":${index.numCodes},"residual":${index.residual},""" +
         s""""centroids":${arr(index.centroids.sortBy(_._1).map(c => dbls(c._2)))},""" +
-        s""""codebooks":${arr(index.codebooks.map(cb => arr(cb.map(dbls))))}}"""
-    Files.write(Paths.get(path, "_graft_index.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+        s""""codebooks":${arr(index.codebooks.map(cb => arr(cb.map(dbls))))}}""")
   }
 
   /** Loads a persisted index. The hand-rolled parser accepts exactly what
@@ -204,14 +201,8 @@ object IvfPqIndex {
   def read(spark: SparkSession, path: String): IvfPqIndex = {
     val lists = spark.read.parquet(Paths.get(path, "lists").toString)
       .select("cluster", "n_id", "codes", "n_norm")
-    val json = new String(
-      Files.readAllBytes(Paths.get(path, "_graft_index.json")),
-      StandardCharsets.UTF_8)
-    def field(name: String): String = {
-      val i = json.indexOf("\"" + name + "\":")
-      require(i >= 0, s"missing field $name in $path/_graft_index.json")
-      json.substring(i + name.length + 3)
-    }
+    val json = IndexSidecar.readJson(path)
+    def field(name: String): String = IndexSidecar.field(json, name, path)
     val numCodes = field("numCodes").takeWhile(_.isDigit).toInt
     val residual = field("residual").startsWith("true")
     // parse a nested [[..],[..]] structure into leaf double arrays by

@@ -1,7 +1,6 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -123,22 +122,14 @@ object MinHashIndex {
       .parquet(Paths.get(path, "buckets").toString)
     index.sets.write.mode("overwrite")
       .parquet(Paths.get(path, "sets").toString)
-    val json =
+    IndexSidecar.write(path,
       s"""{"shingleK":${index.shingleK},"bands":${index.bands},""" +
-        s""""rowsPerBand":${index.rowsPerBand}}"""
-    Files.write(Paths.get(path, "_graft_index.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+        s""""rowsPerBand":${index.rowsPerBand}}""")
   }
 
   def read(spark: SparkSession, path: String): MinHashIndex = {
-    val json = new String(
-      Files.readAllBytes(Paths.get(path, "_graft_index.json")),
-      StandardCharsets.UTF_8)
-    def intField(name: String): Int = {
-      val i = json.indexOf("\"" + name + "\":")
-      require(i >= 0, s"missing field $name in $path/_graft_index.json")
-      json.substring(i + name.length + 3).takeWhile(_.isDigit).toInt
-    }
+    val json = IndexSidecar.readJson(path)
+    def intField(name: String): Int = IndexSidecar.intField(json, name, path)
     MinHashIndex(
       spark.read.parquet(Paths.get(path, "buckets").toString)
         .select("id", "band", "bucket"),

@@ -189,6 +189,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 3L, 0.9), (4L, 2L, 0.7), (9L, 1L, 0.1)))
   }
 
+  test("canonicalByQuality works on string ids (URL-hash corpora), min-id ties lexicographic") {
+    val df = Seq(("u1", 0.2), ("u2", 0.9), ("u3", 0.9), ("u9", 0.1)).toDF("url", "q")
+    val pairs = Seq(("u1", "u3"), ("u2", "u3")).toDF("id_a", "id_b")
+    val out = Dedup.canonicalByQuality(df, pairs, "url", col("q"))
+      .orderBy("url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("u2", 3L, 0.9), ("u9", 1L, 0.1)))
+  }
+
   test("substringPairs: shared 6-token runs counted per pair, hand-checked") {
     val df = Seq(
       (1L, "a b c d e f g h"), // grams: abcdef bcdefg cdefgh
