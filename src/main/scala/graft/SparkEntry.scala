@@ -484,17 +484,24 @@ object SparkEntry {
 
     // quality-canonical near-dedup (RefinedWeb/FineWeb practice): the
     // best-quality member of each duplicate cluster survives, not the
-    // min-id one; scores pre-rounded so winner selection is
-    // cross-engine-deterministic
+    // min-id one; qualityScore rounds to 4 dp internally, so winner
+    // selection is cross-engine-deterministic as-is
     "dedup_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleK = 3, threshold = 0.5)
       Dedup.canonicalByQuality(docs, pairs, "doc_id",
-          round(TextAnalysis.qualityScore(col("text")), 4))
+          TextAnalysis.qualityScore(col("text")))
         .withColumnRenamed("score", "quality")
         .orderBy("doc_id")
     }),
+
+    // C4/Dolma-style sub-document exact dedup: repeated 10-token spans cut
+    // corpus-wide (first occurrence survives), documents reassembled —
+    // content-level boilerplate removal, not row dedup
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(Tables.documents(s, dir), "doc_id", "text", spanTokens = 10)
+        .orderBy("doc_id")),
 
     // pinned VALUES oracle (simhash needs Spark-side xxhash64; bit-exact
     // HOF cross-check in DedupSpec)
@@ -721,7 +728,6 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
 
-    // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
     // CCNet-style perplexity signal: per-doc mean unigram NLL under a
     // model trained on the same corpus (the declared, oracle-exact form;
     // nllScore also takes a frozen reference model + OOV floor)
@@ -732,6 +738,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
     "text_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
@@ -861,6 +868,27 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
         .orderBy("event_type")),
+
+    // ---- E2E: the reference's Method-2 incremental template as ONE lazy
+    //      plan (its flagship composition, SURVEY.md §3.1): paged DSv2
+    //      source with the refresh predicate PUSHED DOWN ($filter — S9/
+    //      S10) → ±Inf sanitize (T1) → idempotent refresh-window merge
+    //      into the target (L5) → success-notification summary (O5).
+    //      `entry` runs this shape on sf0.001; this declares it under the
+    //      oracle. One union + one agg shuffle; the incoming leg reads
+    //      only the refresh window off the service ----
+    "e2e_method2_template" -> ((s, dir) => {
+      val windowPred = col("value") >= 5.0
+      val incoming = Sanitize.sanitizeInf(
+        s.read.format("graft-pages").option("path", PagedFixture.pagesDir(s, dir)).load()
+          .filter(windowPred))
+      val target = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      Loads.refreshWindow(target, incoming, windowPred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_records"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
 
     // ---- North star: similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
@@ -1409,6 +1437,21 @@ object SparkEntry {
         "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id) " +
         "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id ORDER BY doc_id"),
 
+    "dedup_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts, " +
+        "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_spans FROM documents), " +
+        "idx AS (SELECT doc_id, n_spans, ts, unnest(range(n_spans)) AS i FROM toks), " +
+        "spans AS (SELECT doc_id, CAST(i AS BIGINT) AS span_idx, " +
+        "array_to_string(ts[(CAST(i AS BIGINT)*10+1):(CAST(i AS BIGINT)*10+10)], ' ') AS span FROM idx), " +
+        "kept AS (SELECT doc_id, span_idx, span FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM spans) w " +
+        "WHERE rn = 1), " +
+        "reb AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text, count(*) AS n_kept " +
+        "FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(r.text, '') AS text, " +
+        "t.n_spans - coalesce(r.n_kept, 0) AS n_spans_dropped " +
+        "FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+
     "dedup_canonical" ->
       ("WITH RECURSIVE q AS (SELECT doc_id, round(" +
         "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
@@ -1761,6 +1804,15 @@ object SparkEntry {
     "s9_odata_paged_source" ->
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
         "FROM events WHERE value >= 5.0 GROUP BY event_type ORDER BY event_type"),
+
+    // the "service" pages materialize exactly events' 4 columns, so the
+    // composed pipeline re-expressed over the events table IS the oracle
+    "e2e_method2_template" ->
+      ("WITH tgt AS (SELECT event_id, user_id, event_type, value FROM events), " +
+        "merged AS (SELECT * FROM tgt WHERE NOT (value >= 5.0) " +
+        "UNION ALL SELECT * FROM tgt WHERE value >= 5.0) " +
+        "SELECT event_type, count(*) AS n_records, round(sum(value), 4) AS sum_value " +
+        "FROM merged GROUP BY event_type ORDER BY event_type"),
 
     "stream_window_counts" ->
       ("SELECT CAST(to_timestamp(CAST(floor(epoch(l_shipdate) / 2592000) AS BIGINT) * 2592000) AS TIMESTAMP) AS window_start, " +

@@ -686,6 +686,61 @@ object Dedup {
       .filter(col("n_rows") > maxCluster)
   }
 
+  /** Sub-document EXACT dedup over fixed token spans — the C4/Dolma-style
+    * "remove repeated boilerplate spans across the corpus" operator (C4
+    * deduplicates three-sentence spans; Dolma exact-dedups paragraphs; the
+    * span unit here is `spanTokens` consecutive space-separated tokens, the
+    * `tokenCount`/`chunkDocuments` convention). The FIRST occurrence of
+    * each distinct span — ordered by (id asc, span position asc) — is kept;
+    * every later occurrence is cut from its document. Documents are
+    * reassembled from their surviving spans in order; docs losing all spans
+    * come back with empty text (the operator dedups content, it never drops
+    * a document row — chain [[exact]] upstream for whole-doc dups).
+    *
+    * Emits (idCol, textCol, n_spans_dropped) — one row per input row.
+    *
+    * Scale shape: two key shuffles, no self-join. (1) winner selection is a
+    * rank-1 window partitioned by span text — shuffling the span content
+    * itself (like any exact content dedup; at corpus scale swap the
+    * partition key to a 128-bit content hash to keep the exchange narrow —
+    * 64-bit keys WILL collide at 100 TB span counts). (2) reassembly is one
+    * groupBy(id) of the surviving spans. The span frame is the corpus
+    * re-segmented, not amplified: each token appears in exactly one span.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 50): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
+    val toks = split(col(textCol), " ")
+    val base = df.select(
+      col(idCol).as("__id"),
+      toks.as("__toks"),
+      ceil(size(toks).cast("double") / spanTokens).cast("int").as("__n_spans"))
+    val spans = base.select(col("__id"),
+      posexplode(transform(sequence(lit(0), col("__n_spans") - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
+        .as(Seq("span_idx", "span")))
+    val w = Window.partitionBy("span").orderBy(col("__id").asc, col("span_idx").asc)
+    val rebuilt = spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("__id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span"))).as("__text"),
+        count(lit(1)).as("__n_kept"))
+    base.select(col("__id"), col("__n_spans"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        (col("__n_spans").cast("long") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_spans_dropped"))
+  }
+
   /** SimHash near-dup pairs: fingerprints are banded into four 16-bit
     * blocks; documents sharing any block are candidates (guaranteed recall
     * for hamming ≤ 3 by pigeonhole), then verified by full hamming distance

@@ -198,6 +198,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("u2", 3L, 0.9), ("u9", 1L, 0.1)))
   }
 
+  test("dedupSpans: first occurrence survives, later spans cut, docs reassembled") {
+    // spanTokens=2 → doc 1: [a b][c d]; doc 2: [a b][x y]; doc 3: [c d]
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c d", 0L), // owns the first occurrence of both its spans
+      (2L, "x y", 1L),     // "a b" already seen in doc 1
+      (3L, "", 1L)))       // its only span seen in doc 1 — empty, not dropped
+  }
+
+  test("dedupSpans: partial tail span is its own unit; intra-doc repeats cut") {
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    // spans: [a b][a b][a] — second "a b" is a later occurrence; tail "a"
+    // is a distinct 1-token span
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a b a", 1L)))
+  }
+
+  test("dedupSpans preserves every input row and total span accounting") {
+    val slice = docs.filter(col("doc_id") < 100)
+    val out = Dedup.dedupSpans(slice, "doc_id", "text", spanTokens = 10)
+    assert(out.count() == slice.count())
+    // spans kept + dropped == total spans of the input
+    val totalSpans = slice
+      .select(ceil(size(split(col("text"), " ")) / 10.0).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val kept = out.select(
+      (ceil(size(split(col("text"), " ")) / 10.0).cast("long") * when(col("text") =!= "", 1L).otherwise(0L)).as("k"),
+      col("n_spans_dropped"))
+    val agg = kept.agg(sum("k"), sum("n_spans_dropped")).head()
+    assert(agg.getLong(0) + agg.getLong(1) == totalSpans)
+  }
+
   test("substringPairs: shared 6-token runs counted per pair, hand-checked") {
     val df = Seq(
       (1L, "a b c d e f g h"), // grams: abcdef bcdefg cdefgh
