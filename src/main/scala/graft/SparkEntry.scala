@@ -496,6 +496,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus curation report: per-source doc/token counts, mean quality,
+    // exact length percentiles (Spark `percentile` is the exact
+    // interpolated aggregate — percentile_approx would not oracle-match).
+    // One partial-aggregating shuffle keyed by source.
+    "corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("__toks").as("n_tokens"),
+          round(avg("__q"), 4).as("avg_quality"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+        .orderBy("source")),
+
+    // Quality gate at a corpus-derived threshold (drop the bottom decile):
+    // the cutoff is a 1-row aggregate broadcast against the scan — no
+    // window over the whole corpus, no driver round-trip in the plan
+    "quality_gate" -> ((s, dir) => {
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      val thr = q.agg(expr("percentile(quality, 0.1)").as("__thr"))
+      q.crossJoin(broadcast(thr))
+        .filter(col("quality") >= col("__thr"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // C4/Dolma-style sub-document exact dedup: repeated 10-token spans cut
     // corpus-wide (first occurrence survives), documents reassembled —
     // content-level boilerplate removal, not row dedup
@@ -1158,6 +1188,21 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB rendering of [[graft.ops.TextAnalysis.qualityScore]] (already
+    * 4-dp rounded) — shared by the corpus-curation oracles; the older
+    * dedup_canonical / quality_filter / text_quality oracles carry their
+    * own inlined (byte-identical) copies.
+    */
+  private val QualitySql: String =
+    "round(" +
+      "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+      "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+      "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+      "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+      "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+      "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
+      ", 4)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the four approximate-by-design
     * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann, knn_ivfpq_ann —
@@ -1166,6 +1211,19 @@ object SparkEntry {
     * oracles ([[PinnedOracles]], valid at sf0.01).
     */
   def oracleSql: Map[String, String] = Map(
+    "corpus_stats" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+        s"round(avg($QualitySql), 4) AS avg_quality, " +
+        "round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, " +
+        "round(quantile_cont(n_chars, 0.95), 4) AS p95_chars " +
+        "FROM documents GROUP BY source ORDER BY source"),
+
+    "quality_gate" ->
+      (s"WITH q AS (SELECT doc_id, $QualitySql AS quality FROM documents), " +
+        "t AS (SELECT quantile_cont(quality, 0.1) AS thr FROM q) " +
+        "SELECT doc_id, quality FROM q, t WHERE quality >= thr ORDER BY doc_id"),
+
     "s1_full_scan" ->
       "SELECT * FROM region ORDER BY r_regionkey",
 
