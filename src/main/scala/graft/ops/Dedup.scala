@@ -517,17 +517,22 @@ object Dedup {
     * native codegen'd) so an external SQL engine computes the identical
     * pair set — exact and oracle-checkable, unlike the MinHash estimate.
     *
-    * Scale shape: ONE shuffle keyed by gram builds the inverted index
-    * (gram → id set); pairs are generated map-side from each posting list
-    * ([[orderedPairsOf]] — no second self-join of the exploded gram table),
-    * then ONE shuffle on (id_a, id_b) counts shared grams. Grams with
-    * document frequency above `maxDf` are DROPPED before pairing: a
-    * boilerplate gram shared by 100k documents would emit 5×10⁹ pairs from
-    * one posting list; runs this common are boilerplate, not plagiarism —
-    * detect them with [[Decontaminate.wordNgrams]] + groupBy, and strip or
-    * exact-dedup them first. The cap bounds per-list work at maxDf²; the
-    * same cap must appear in any cross-engine oracle for the outputs to
-    * match.
+    * Scale shape: the gram table shuffles twice — once into a narrow
+    * map-side-combined (gram, df) count, once into the inverted index —
+    * and the df filter runs BEFORE any posting list materializes: grams
+    * with document frequency outside [2, maxDf] are dropped by a gram-keyed
+    * semi-join, so no `collect_set` buffer ever holds more than `maxDf`
+    * ids (a boilerplate gram present in millions of docs would otherwise
+    * build its full id set in one aggregation buffer before the size
+    * filter could drop it — executor OOM). The semi-join output is already
+    * hash-partitioned by gram, so the posting-list aggregation adds no
+    * third exchange. Pairs are then generated map-side from each bounded
+    * posting list ([[orderedPairsOf]] — no self-join of the gram table),
+    * and ONE shuffle on (id_a, id_b) counts shared grams. Runs commoner
+    * than `maxDf` are boilerplate, not plagiarism — audit them with
+    * [[boilerplateGrams]], and strip or exact-dedup them first. The cap
+    * bounds per-list pair work at maxDf²; the same cap must appear in any
+    * cross-engine oracle for the outputs to match.
     */
   def substringPairs(
       df: DataFrame,
@@ -539,9 +544,14 @@ object Dedup {
     val grams = df.select(
       col(idCol).as("id"),
       explode(array_distinct(Decontaminate.wordNgrams(col(textCol), n))).as("gram"))
+    // df-first rail: count (narrow, map-side partials) → eligible grams →
+    // semi-join → THEN build posting lists, each bounded at maxDf ids
+    val eligible = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxDf))
+      .select("gram")
     grams
+      .join(eligible, Seq("gram"), "left_semi")
       .groupBy("gram").agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
       // collect_set order is nondeterministic — orderedPairsOf orients each
       // pair (least/greatest), so the emitted (id_a, id_b) keys are stable
       .select(explode(orderedPairsOf(col("ids"))).as("p"))
@@ -557,9 +567,9 @@ object Dedup {
     * n-gram sets catches them: a fully-embedded document scores 1.0
     * regardless of the host's length.
     *
-    * Same inverted-gram-index shape as [[substringPairs]] (one gram
-    * shuffle + map-side pair generation + one pair shuffle, `maxDf`
-    * boilerplate rail); per-document gram counts are computed MAP-SIDE
+    * Same inverted-gram-index shape as [[substringPairs]] (df-first
+    * bounded posting lists, map-side pair generation, one pair shuffle,
+    * `maxDf` boilerplate rail); per-document gram counts are computed MAP-SIDE
     * (`size(array_distinct(...))` — no extra aggregation) and join the
     * candidate pairs, which are candidate-bounded, never corpus-sized.
     * Emits (id_a, id_b, containment) for pairs ≥ `minContainment`.
@@ -699,13 +709,20 @@ object Dedup {
     *
     * Emits (idCol, textCol, n_spans_dropped) — one row per input row.
     *
+    * NULL text is treated as empty (the generator is total: every input
+    * row comes back, `n_spans_dropped` never NULL).
+    *
     * Scale shape: two key shuffles, no self-join. (1) winner selection is a
-    * rank-1 window partitioned by span text — shuffling the span content
-    * itself (like any exact content dedup; at corpus scale swap the
-    * partition key to a 128-bit content hash to keep the exchange narrow —
-    * 64-bit keys WILL collide at 100 TB span counts). (2) reassembly is one
-    * groupBy(id) of the surviving spans. The span frame is the corpus
-    * re-segmented, not amplified: each token appears in exactly one span.
+    * rank-1 window partitioned by a 128-bit span-content key — two
+    * independently-salted xxhash64s, so the exchange key stays 16 bytes
+    * regardless of span width, and the collision probability at 100 TB
+    * span counts (~10¹²) is ~10⁻¹³ (a single 64-bit key WOULD collide at
+    * that scale; two salted hashes colliding simultaneously on different
+    * spans is birthday-bounded at 2⁻¹²⁸ pair rate). A cross-hash collision
+    * would merge two distinct spans' windows — one span lost, no
+    * corruption beyond that. (2) reassembly is one groupBy(id) of the
+    * surviving spans. The span frame is the corpus re-segmented, not
+    * amplified: each token appears in exactly one span.
     */
   def dedupSpans(
       df: DataFrame,
@@ -713,16 +730,24 @@ object Dedup {
       textCol: String,
       spanTokens: Int = 50): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
-    val toks = split(col(textCol), " ")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     val base = df.select(
       col(idCol).as("__id"),
       toks.as("__toks"),
-      ceil(size(toks).cast("double") / spanTokens).cast("int").as("__n_spans"))
+      // greatest(…, 1) keeps the generator total: size ≥ 1 for any string
+      // ('' splits to ['']), but a defensive clamp beats a negative slice
+      // from sequence(0, -1) if an upstream ever feeds an empty array
+      greatest(ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
+        .as("__n_spans"))
     val spans = base.select(col("__id"),
       posexplode(transform(sequence(lit(0), col("__n_spans") - 1),
         i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
         .as(Seq("span_idx", "span")))
-    val w = Window.partitionBy("span").orderBy(col("__id").asc, col("span_idx").asc)
+      // 128-bit content key: the winner exchange/sort never carries span
+      // text as its key (spans are up to spanTokens tokens wide)
+      .withColumn("__k1", xxhash64(lit(0x5174a1L), col("span")))
+      .withColumn("__k2", xxhash64(lit(0x9e3779b9L), col("span")))
+    val w = Window.partitionBy("__k1", "__k2").orderBy(col("__id").asc, col("span_idx").asc)
     val rebuilt = spans
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

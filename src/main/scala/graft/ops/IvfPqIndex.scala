@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,13 +181,16 @@ object IvfPqIndex {
 
   /** Persists the index: inverted lists as cluster-partitioned parquet
     * (probe-time partition pruning), model state as `_graft_index.json`.
+    * Paths resolve through the Hadoop `FileSystem` API, so the index
+    * round-trips on local paths and object-store URIs (s3a://…) alike.
     */
   def write(index: IvfPqIndex, path: String): Unit = {
     index.lists.write.mode("overwrite").partitionBy("cluster")
-      .parquet(Paths.get(path, "lists").toString)
+      .parquet(new org.apache.hadoop.fs.Path(path, "lists").toString)
     def arr(xs: Iterable[String]) = xs.mkString("[", ",", "]")
     def dbls(xs: Array[Double]) = arr(xs.map(_.toString))
-    IndexSidecar.write(path,
+    IndexSidecar.write(
+      index.lists.sparkSession.sparkContext.hadoopConfiguration, path,
       s"""{"numCodes":${index.numCodes},"residual":${index.residual},""" +
         s""""centroids":${arr(index.centroids.sortBy(_._1).map(c => dbls(c._2)))},""" +
         s""""codebooks":${arr(index.codebooks.map(cb => arr(cb.map(dbls))))}}""")
@@ -199,11 +200,12 @@ object IvfPqIndex {
     * [[write]] emits (flat nested double arrays) — not general JSON.
     */
   def read(spark: SparkSession, path: String): IvfPqIndex = {
-    val lists = spark.read.parquet(Paths.get(path, "lists").toString)
+    val lists = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(path, "lists").toString)
       .select("cluster", "n_id", "codes", "n_norm")
-    val json = IndexSidecar.readJson(path)
+    val json = IndexSidecar.readJson(spark.sparkContext.hadoopConfiguration, path)
     def field(name: String): String = IndexSidecar.field(json, name, path)
-    val numCodes = field("numCodes").takeWhile(_.isDigit).toInt
+    val numCodes = IndexSidecar.intField(json, "numCodes", path)
     val residual = field("residual").startsWith("true")
     // parse a nested [[..],[..]] structure into leaf double arrays by
     // tracking bracket depth; leafDepth 2 = centroids, 3 = codebooks

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,26 +113,28 @@ object MinHashIndex {
   }
 
   /** Persists buckets (band-partitioned parquet), sets, and the parameter
-    * sidecar.
+    * sidecar. Paths resolve through the Hadoop `FileSystem` API, so the
+    * index round-trips on local paths and object-store URIs (s3a://…)
+    * alike — where a 100 TB index lives by definition.
     */
   def write(index: MinHashIndex, path: String): Unit = {
+    def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
     index.buckets.write.mode("overwrite").partitionBy("band")
-      .parquet(Paths.get(path, "buckets").toString)
-    index.sets.write.mode("overwrite")
-      .parquet(Paths.get(path, "sets").toString)
-    IndexSidecar.write(path,
+      .parquet(sub("buckets"))
+    index.sets.write.mode("overwrite").parquet(sub("sets"))
+    IndexSidecar.write(
+      index.buckets.sparkSession.sparkContext.hadoopConfiguration, path,
       s"""{"shingleK":${index.shingleK},"bands":${index.bands},""" +
         s""""rowsPerBand":${index.rowsPerBand}}""")
   }
 
   def read(spark: SparkSession, path: String): MinHashIndex = {
-    val json = IndexSidecar.readJson(path)
+    def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
+    val json = IndexSidecar.readJson(spark.sparkContext.hadoopConfiguration, path)
     def intField(name: String): Int = IndexSidecar.intField(json, name, path)
     MinHashIndex(
-      spark.read.parquet(Paths.get(path, "buckets").toString)
-        .select("id", "band", "bucket"),
-      spark.read.parquet(Paths.get(path, "sets").toString)
-        .select("id", "shingle_set"),
+      spark.read.parquet(sub("buckets")).select("id", "band", "bucket"),
+      spark.read.parquet(sub("sets")).select("id", "shingle_set"),
       intField("shingleK"), intField("bands"), intField("rowsPerBand"))
   }
 }

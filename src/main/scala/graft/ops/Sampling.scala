@@ -86,25 +86,78 @@ object Sampling {
     * so a row's fate never changes when the corpus grows past it.
     *
     * Output adds `cum_tokens` (the inclusive running total) for per-stratum
-    * utilization audits.
+    * utilization audits; `cum_tokens` is a reserved output name — the
+    * input must not already carry it (it would be silently replaced), and
+    * token counts must be >= 0 (a negative count breaks the monotone-prefix
+    * guarantee the greedy filter relies on; counts are not re-validated
+    * row-by-row).
     *
-    * Scale: ONE shuffle by stratum + an in-partition (external) sort;
-    * strata cap independently in parallel. For a single corpus-sized
-    * stratum the unpartitioned window would serialize — use the two-level
-    * distributed prefix sum of [[Packing.packChunks]] (range buckets +
-    * bucket-offset roll-up) for that shape instead.
+    * Scale: the two-level distributed prefix sum ([[Packing.packChunks]]'
+    * shape, generalized to arbitrary orderable keys). A
+    * `repartitionByRange(numBuckets, strata, order…)` slices every stratum
+    * into range buckets — bucket ids (`spark_partition_id`) are monotone in
+    * (strata, order…) by construction, so per-(stratum, bucket) running
+    * sums compose with a per-stratum bucket-offset roll-up whose window
+    * sees ONE ROW PER BUCKET, never the corpus. A single corpus-sized
+    * stratum therefore caps in parallel across `numBuckets` tasks instead
+    * of serializing through one unbounded-preceding window partition
+    * (the round-6 form — correct, but one executor sorted the whole
+    * stratum). The bucketization never changes values: prefix sums are
+    * associative, so `cum_tokens` is identical for ANY bucket boundaries.
+    *
+    * @param numBuckets range buckets for the prefix sum; 0 (default) sizes
+    *                   to 4 × defaultParallelism
     */
   def tokenBudget(
       df: DataFrame,
       strataCol: Column,
       tokensCol: Column,
       budget: Long,
+      order: Column*): DataFrame =
+    tokenBudget(df, strataCol, tokensCol, budget, 0, order: _*)
+
+  def tokenBudget(
+      df: DataFrame,
+      strataCol: Column,
+      tokensCol: Column,
+      budget: Long,
+      numBuckets: Int,
       order: Column*): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
     require(order.nonEmpty, "tokenBudget needs a deterministic in-stratum order")
-    val w = Window.partitionBy(strataCol).orderBy(order: _*)
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudget reserves the output column name 'cum_tokens'; rename the input column")
+    val n =
+      if (numBuckets > 0) numBuckets
+      else math.max(4 * df.sparkSession.sparkContext.defaultParallelism, 4)
+    // level 0: range-bucket on (strata, order…) — partition ids are
+    // monotone in the sort key, so they bound window partitions below
+    val bucketed = df
+      .repartitionByRange(n, (strataCol +: order): _*)
+      .withColumn("__tok", tokensCol.cast("bigint"))
+      .withColumn("__bkt", spark_partition_id())
+    // level 1: running sum inside each (stratum, bucket) — parallel
+    val wLocal = Window.partitionBy(strataCol, col("__bkt")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokensCol.cast("bigint")).over(w))
+    val local = bucketed.withColumn("__local", sum(col("__tok")).over(wLocal))
+    // level 2: per-stratum bucket offsets — one row per (stratum, bucket),
+    // so the running-sum window is bounded by numBuckets, not the corpus
+    // offset-side columns get distinct names: both legs derive from
+    // `bucketed`, so a same-named __bkt equality would resolve ambiguously
+    // (Spark degrades it to trivially-true) and cross-join a multi-bucket
+    // stratum's offsets
+    val offsets = bucketed.groupBy(strataCol.as("__s"), col("__bkt").as("__obkt"))
+      .agg(sum(col("__tok")).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.partitionBy(col("__s")).orderBy(col("__obkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__s"), col("__obkt"), col("__off"))
+    local
+      .join(broadcast(offsets),
+        strataCol <=> col("__s") && col("__bkt") === col("__obkt"))
+      .withColumn("cum_tokens", col("__off") + col("__local"))
       .filter(col("cum_tokens") <= budget)
+      .drop("__s", "__bkt", "__obkt", "__off", "__local", "__tok")
   }
 }

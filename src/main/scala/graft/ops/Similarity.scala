@@ -233,6 +233,13 @@ object Similarity {
       // buffer rows cross the shuffle; the collect is codebook-sized.
       // (At true corpus scale, train on a deterministic hash sample first:
       // df.filter(pmod(xxhash64(col(id)), F) === 0) — map-side, no sort.)
+      // PRECISION NOTE: the cast("array<float>") below narrows residual
+      // (double) subvectors to float32 at the aggregator boundary — a
+      // deliberate convention match with trainIvfCentroids (which also
+      // trains in float), introduced in the r6 single-aggregation rewrite.
+      // Codebook means therefore differ from an exact-double aggregation
+      // in the last float ulp; recall at declared parameters is asserted
+      // in SimilaritySpec and is insensitive to this.
       val subStructs = array((0 until numSubspaces).map { s =>
         struct(
           (lit(s * numCodes) + element_at(col("codes"), s + 1)).as("key"),

@@ -222,6 +222,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a b a", 1L)))
   }
 
+  test("dedupSpans: adversarial same-prefix spans stay distinct under the 128-bit hash key") {
+    // spans sharing long prefixes / differing only in the last token must
+    // not merge windows (each distinct span text keeps its own winner)
+    val df = Seq(
+      (1L, "p p p p p p p p p a"),  // spans (k=5): [p p p p p][p p p p a]
+      (2L, "p p p p p p p p p b"),  // [p p p p p](dup) [p p p p b]
+      (3L, "p p p p a"),            // dup of doc 1's 2nd span
+      (4L, "p p p p b")             // dup of doc 2's 2nd span
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "p p p p p p p p p a", 0L),
+      (2L, "p p p p b", 1L),
+      (3L, "", 1L),
+      (4L, "", 1L)))
+  }
+
+  test("dedupSpans: NULL text is total — treated as empty, accounting non-null") {
+    val df = Seq((1L, "x y"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // null → '' → single '' span; docs 2 and 3 share it, doc 2 wins it
+    assert(out.toSeq == Seq((1L, "x y", 0L), (2L, "", 0L), (3L, "", 1L)))
+  }
+
   test("dedupSpans preserves every input row and total span accounting") {
     val slice = docs.filter(col("doc_id") < 100)
     val out = Dedup.dedupSpans(slice, "doc_id", "text", spanTokens = 10)

@@ -38,6 +38,31 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("write/read round-trips over a file:// Hadoop URI (object-store API seam)") {
+    // exercises the Hadoop FileSystem path of IndexSidecar + the parquet
+    // legs through an explicit scheme'd URI — the same resolution an
+    // s3a:// path takes, minus the store
+    val corpus = docs.filter(col("doc_id") < 25)
+    val built = MinHashIndex.build(corpus, "doc_id", "text")
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_minhash_uri").toString
+    MinHashIndex.write(built, dir)
+    val loaded = MinHashIndex.read(spark, dir)
+    assert((loaded.shingleK, loaded.bands, loaded.rowsPerBand) ==
+      (built.shingleK, built.bands, built.rowsPerBand))
+    assert(loaded.buckets.count() == built.buckets.count())
+    assert(loaded.sets.count() == built.sets.count())
+  }
+
+  test("sidecar intField rejects malformed values with the path named") {
+    val e = intercept[IllegalArgumentException] {
+      IndexSidecar.intField("""{"bands":x}""", "bands", "/some/idx")
+    }
+    assert(e.getMessage.contains("bands") && e.getMessage.contains("/some/idx"))
+    // negative values parse with their sign (not silently truncated)
+    assert(IndexSidecar.intField("""{"k":-5}""", "k", "/p") == -5)
+  }
+
   test("query matches minhashLshIncremental (same definition) and finds injected dups") {
     val corpus = docs.filter(col("doc_id") < 40)
     val batch = docs.filter(col("doc_id") < 10)

@@ -116,6 +116,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptGrown.toSeq == kept.toSeq)
   }
 
+  test("tokenBudget: one giant stratum spanning many range buckets still sums exactly") {
+    import spark.implicits._
+    // 500 rows, ONE stratum, 8 explicit buckets: the distributed two-level
+    // prefix sum must agree with the driver-side greedy prefix even when
+    // the stratum crosses every bucket boundary (the shape the round-6
+    // single-window form serialized, and where an ambiguous bucket-join
+    // would duplicate rows)
+    val rows = (1L to 500L).map(i => ("web", i, (i * 7919L) % 97L + 1L))
+    val df = rows.toDF("src", "id", "tokens").repartition(16)
+    val budget = 9000L
+    val kept = Sampling.tokenBudget(df, col("src"), col("tokens"), budget, 8, col("id"))
+      .select("id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows.sortBy(_._2)
+      .scanLeft((0L, 0L)) { case ((_, cum), (_, i, t)) => (i, cum + t) }
+      .tail.filter(_._2 <= budget).toSet
+    assert(want.nonEmpty && kept == want)
+  }
+
+  test("tokenBudget rejects an input that already carries cum_tokens") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L, 0L)).toDF("src", "id", "tokens", "cum_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudget(df, col("src"), col("tokens"), 10L, col("id"))
+    }
+    assert(e.getMessage.contains("cum_tokens"))
+  }
+
   test("stratifiedSample keeps roughly the fraction within each stratum") {
     val sampled = Sampling.stratifiedSample(docs, col("lang"), 0.5, col("doc_id"))
     val perLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
