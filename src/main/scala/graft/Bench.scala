@@ -35,6 +35,12 @@ object Bench {
     // print AFTER the session shuts down so no stop() log lines interleave
     // with (or push out) the one JSON line the driver parses
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver captures a BOUNDED stdout tail (r5 lost 14 per-query
+    // numbers, r6 lost 18) — also write the record into the repo so the
+    // full per-query history survives regardless of capture truncation
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

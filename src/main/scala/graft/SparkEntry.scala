@@ -36,8 +36,11 @@ object SparkEntry {
 
     private def materialize(s: SparkSession, dir: String): String = {
       import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      // v2: pages carry ts_str (ISO-micros transaction time) so the
+      // Method-2 date-window $filter has a wire-format column to push —
+      // the name bump invalidates pre-r7 on-disk fixtures without it
       val base = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_pages_" + Integer.toHexString(dir.hashCode))
+        "graft_pages_v2_" + Integer.toHexString(dir.hashCode))
       val pages = base.resolve("pages")
       val marker = base.resolve("_SUCCESS")
       if (!Files.exists(marker)) {
@@ -47,7 +50,8 @@ object SparkEntry {
         val tmp = Files.createTempDirectory("graft_pages_build")
         val tmpPages = Files.createDirectory(tmp.resolve("pages"))
         val recs = Tables.events(s, dir)
-          .select("event_id", "user_id", "event_type", "value")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
           .orderBy("event_id").toJSON.collect()
         recs.grouped(2000).zipWithIndex.foreach { case (page, i) =>
           Files.writeString(tmpPages.resolve(f"page_$i%05d.json"), page.mkString("\n"))
@@ -67,6 +71,46 @@ object SparkEntry {
         }
       }
       pages.toString
+    }
+  }
+
+  /** Persisted-index fixtures for the build-once/serve-many declared
+    * queries: each index is built and written ONCE per (machine, sf-dir)
+    * — on-disk reuse with an atomic publish (same protocol as
+    * [[PagedFixture]]), in-JVM memoized — so the DECLARED query body is
+    * the serving path (read → query), exactly the deployment shape. Index
+    * builds are deterministic, so a lost cross-JVM race produces identical
+    * content. The `kind` tag carries a version suffix: bump it in the same
+    * commit as any index-format/maths change to invalidate stale fixtures.
+    */
+  private object IndexFixture {
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def dir(kind: String, sfDir: String)(build: String => Unit): String =
+      memo.computeIfAbsent(kind + ":" + sfDir, _ => materialize(kind, sfDir, build))
+
+    private def materialize(kind: String, sfDir: String, build: String => Unit): String = {
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_idx_${kind}_" + Integer.toHexString(sfDir.hashCode))
+      val marker = base.resolve("_GRAFT_DONE")
+      if (!Files.exists(marker)) {
+        val tmp = Files.createTempDirectory(s"graft_idx_${kind}_build")
+        build(tmp.toString)
+        Files.createFile(tmp.resolve("_GRAFT_DONE"))
+        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.FileSystemException =>
+            def rm(p: Path): Unit = {
+              if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+              Files.deleteIfExists(p)
+            }
+            rm(tmp)
+        }
+      }
+      base.toString
     }
   }
 
@@ -94,6 +138,10 @@ object SparkEntry {
   // cutoffs as SQL literals (UTC midnight)
   private val LiCut = "2001-10-05 00:00:00"  // LineitemRef - 30d
   private val OrdCut = "2001-07-02 00:00:00" // OrdersRef - 30d
+  // events fixture spans 2024-01-01..30; the Method-2 refresh window is the
+  // trailing week, as an ISO-micros literal (lexicographic = chronological)
+  private val EventsCut = "2024-01-24 00:00:00"
+  private val EventsCutIso = EventsCut + ".000000"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's Method-2 incremental extract whole: windowed scan →
@@ -901,19 +949,24 @@ object SparkEntry {
 
     // ---- E2E: the reference's Method-2 incremental template as ONE lazy
     //      plan (its flagship composition, SURVEY.md §3.1): paged DSv2
-    //      source with the refresh predicate PUSHED DOWN ($filter — S9/
-    //      S10) → ±Inf sanitize (T1) → idempotent refresh-window merge
-    //      into the target (L5) → success-notification summary (O5).
-    //      `entry` runs this shape on sf0.001; this declares it under the
-    //      oracle. One union + one agg shuffle; the incoming leg reads
-    //      only the refresh window off the service ----
+    //      source with the refresh DATE WINDOW pushed down ($filter on the
+    //      transaction time — S10/P4, exactly the reference's
+    //      'date_trans ge …' predicate) → ±Inf sanitize (T1) → idempotent
+    //      refresh-window merge into the target (P6/L5, the same predicate
+    //      driving the delete leg) → success-notification summary (O5).
+    //      The wire format carries ISO-micros strings, whose lexicographic
+    //      order IS chronological order, so one string comparison serves
+    //      both the page-side $filter and the target-side window. One
+    //      union + one agg shuffle; the incoming leg reads only the
+    //      refresh window off the service ----
     "e2e_method2_template" -> ((s, dir) => {
-      val windowPred = col("value") >= 5.0
+      val windowPred = col("ts_str") >= lit(EventsCutIso)
       val incoming = Sanitize.sanitizeInf(
         s.read.format("graft-pages").option("path", PagedFixture.pagesDir(s, dir)).load()
           .filter(windowPred))
       val target = Tables.events(s, dir)
-        .select("event_id", "user_id", "event_type", "value")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
       Loads.refreshWindow(target, incoming, windowPred)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_records"), round(sum("value"), 4).as("sum_value"))
@@ -988,17 +1041,39 @@ object SparkEntry {
         statePartitions = 8) // state keys = windows × 3 flags ≈ 75
         .orderBy("window_start", "l_returnflag")),
 
-    // ---- Multimodal plumbing (STUB decoder — see Multimodal.scala):
-    //      binary payload → features → stats; pinned VALUES oracle
-    //      (driver-side decoder recomputation in MultimodalSpec) ----
+    // ---- Multimodal decode, mixed-modality: even doc_ids carry a
+    //      deterministic synthetic PNG and decode FOR REAL via the JRE's
+    //      javax.imageio (mean-pooled luminance grid); odd doc_ids carry a
+    //      codec-less payload and take the marked FakeDecoder stub — one
+    //      format-dispatched partition-batched pass (Multimodal
+    //      .decodeFeaturesAuto). Pinned VALUES oracle; both branches
+    //      recomputed driver-side in MultimodalSpec ----
     "multimodal_decode" -> ((s, dir) => {
-      val media = Multimodal.resize(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "payload", width = 64, height = 64)
-      Multimodal.decodeFeatures(media, "payload", dim = 8)
-        .select(col("doc_id"),
+      val media = Multimodal.synthesizeMixedPayloads(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 64)
+        .select(col("doc_id"), col("format"),
           size(col("features")).cast("bigint").as("n_features"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // real image resize (nearest-neighbor resample + PNG re-encode) then
+    // real decode: features depend only on decoded pixels — lossless PNG
+    // makes the pin encoder-independent
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMixedPayloads(
+        Tables.documents(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .filter(col("format") === "png")
+      val resized = Multimodal.resizeImages(media, "payload", "format",
+        width = 8, height = 8)
+      Multimodal.decodeFeaturesAuto(resized, "payload", "format", dim = 16)
+        .select(col("doc_id"),
+          col("media_meta.width").as("out_w"),
+          col("media_meta.height").as("out_h"),
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
         .orderBy("doc_id")
     }),
@@ -1186,6 +1261,77 @@ object SparkEntry {
         shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
         .orderBy("batch_id", "corpus_id")
     }),
+
+    // The PERSISTED serving path of the same operator: corpus shingled,
+    // signed, and written ONCE (MinHashIndex.write — band-partitioned
+    // parquet + parameter sidecar, IndexFixture); the declared body is
+    // read → query, the daily-batch deployment shape. Deterministic
+    // hashes → same oracle as dedup_incremental.
+    "dedup_minhash_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.MinHashIndex.query(
+          graft.ops.MinHashIndex.read(s, idxDir), batch, "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // Persisted IVF-PQ serving: build + write once (cluster-partitioned
+    // lists + model sidecar), then read → ADC probe → exact rerank — the
+    // 100 TB ANN deployment shape. Approximate by design → rows-only
+    // (recall + write/read equality asserted in IvfPqIndexSpec).
+    "knn_ivfpq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = IndexFixture.dir("ivfpq1", dir) { tmp =>
+        graft.ops.IvfPqIndex.write(
+          graft.ops.IvfPqIndex.build(emb, "vec_id", "embedding",
+            nlist = 16, numSubspaces = 8, numCodes = 16), tmp)
+      }
+      graft.ops.IvfPqIndex.topK(
+          graft.ops.IvfPqIndex.read(s, idxDir),
+          emb.filter(col("vec_id") < 100), emb,
+          "vec_id", "embedding", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // The maxBucket cap's audit rail as a DECLARED query (no-silent-caps:
+    // a capped production dedup ships its own evidence): a corpus slice
+    // made degenerate — 60 re-id'd clones of one boilerplate line — joins
+    // the real docs, and the buckets the cap would drop surface as
+    // (band, n_ids). Bucket hashes are Spark-side; projecting them away
+    // keeps the audit oracle-checkable.
+    "dedup_oversized_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val degenerate = docs.filter(col("doc_id") < 60)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", lit("all rights reserved see terms of service for details"))
+      Dedup.oversizedBuckets(docs.unionByName(degenerate), "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 2, maxBucket = 50)
+        .select(col("band").cast("bigint").as("band"), col("n_ids"))
+        .orderBy("band")
+    }),
+
+    // The maxCluster rail of SemDeDup, declared: 60 exact copies of one
+    // embedding (identical vectors ALWAYS co-cluster) blow one k-means
+    // cluster past the cap; the audit reports it as (cluster, n_rows).
+    "dedup_oversized_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clones = emb.filter(col("vec_id") === 0)
+        .withColumn("__i", explode(sequence(lit(1L), lit(60L))))
+        .withColumn("vec_id", col("vec_id") + col("__i") * 1000000L)
+        .drop("__i")
+      Dedup.oversizedClusters(emb.unionByName(clones), "vec_id", "embedding",
+          nlist = 16, maxCluster = 50)
+        .select(col("cluster").cast("bigint").as("cluster"), col("n_rows"))
+        .orderBy("cluster")
+    }),
   )
 
   /** DuckDB rendering of [[graft.ops.TextAnalysis.qualityScore]] (already
@@ -1204,9 +1350,10 @@ object SparkEntry {
       ", 4)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the four approximate-by-design
-    * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann, knn_ivfpq_ann —
-    * recall-asserted vs brute force in IvfSpec/SimilaritySpec instead);
+    * the same parquet tables. Omitted for the five approximate-by-design
+    * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann, knn_ivfpq_ann,
+    * knn_ivfpq_persisted — recall-asserted vs brute force in IvfSpec/
+    * SimilaritySpec, persistence equality in IvfPqIndexSpec);
     * the deterministic Spark-side-hash queries carry PINNED literal-VALUES
     * oracles ([[PinnedOracles]], valid at sf0.01).
     */
@@ -1863,12 +2010,13 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
         "FROM events WHERE value >= 5.0 GROUP BY event_type ORDER BY event_type"),
 
-    // the "service" pages materialize exactly events' 4 columns, so the
-    // composed pipeline re-expressed over the events table IS the oracle
+    // the "service" pages materialize events' columns (ts as an ISO-micros
+    // string), so the composed pipeline re-expressed over the events table
+    // IS the oracle: the ts_str string window equals the timestamp window
     "e2e_method2_template" ->
-      ("WITH tgt AS (SELECT event_id, user_id, event_type, value FROM events), " +
-        "merged AS (SELECT * FROM tgt WHERE NOT (value >= 5.0) " +
-        "UNION ALL SELECT * FROM tgt WHERE value >= 5.0) " +
+      ("WITH tgt AS (SELECT event_id, user_id, event_type, value, ts FROM events), " +
+        s"merged AS (SELECT event_id, user_id, event_type, value FROM tgt WHERE NOT (ts >= TIMESTAMP '$EventsCut') " +
+        s"UNION ALL SELECT event_id, user_id, event_type, value FROM tgt WHERE ts >= TIMESTAMP '$EventsCut') " +
         "SELECT event_type, count(*) AS n_records, round(sum(value), 4) AS sum_value " +
         "FROM merged GROUP BY event_type ORDER BY event_type"),
 
@@ -1974,5 +2122,39 @@ object SparkEntry {
         "FROM bsets b, csets c " +
         "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
         "ORDER BY batch_id, corpus_id"),
+
+    // identical semantics through the persisted index (deterministic
+    // hashes — no model drift), so the incremental oracle carries over
+    "dedup_minhash_persisted" ->
+      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+        "bsets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+        "csets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM bsets b, csets c " +
+        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id"),
+
+    // every minhash band of the 60 identical clones shares one bucket of
+    // exactly 60 ids; real sf0.01 docs form no bucket above 50 (verified
+    // with the build) — 8 bands, 8 oversized buckets
+    "dedup_oversized_buckets" ->
+      ("SELECT CAST(band AS BIGINT) AS band, CAST(n_ids AS BIGINT) AS n_ids FROM (VALUES " +
+        (0 until 8).map(b => s"($b, 60)").mkString(", ") +
+        ") t(band, n_ids) ORDER BY band"),
+
+    // the 60 identical clones land (with 23 natural neighbors at sf0.01)
+    // in one k-means cluster — pinned from a verified run (k-means is
+    // deterministic: id-ordered seeds, no RNG); valid at sf0.01 like the
+    // PinnedOracles values
+    "dedup_oversized_clusters" ->
+      ("SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_rows AS BIGINT) AS n_rows " +
+        "FROM (VALUES (0, 83)) t(cluster, n_rows) ORDER BY cluster"),
   ) ++ PinnedOracles.sql
 }

@@ -1,5 +1,10 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,24 +13,36 @@ import org.apache.spark.sql.types._
   * image/audio/video payloads as opaque `binary` columns with typed
   * metadata; decode / feature-extract run per partition in batches.
   *
-  * The decode step is a **STUB** — image/audio codecs are not available in
-  * this container. [[FakeDecoder]] is a clearly-marked deterministic stand-in
-  * (features derived from a byte-content hash); the Spark-side plumbing —
-  * schema evolution, partition-batched execution, binary handling — is real
-  * and tested, and a real decoder drops in as a `Array[Byte] => Array[Float]`
-  * function with zero plan changes.
+  * IMAGE payloads decode for REAL: the JVM ships codecs for
+  * PNG/JPEG/GIF/BMP/WBMP/TIFF via `javax.imageio`, and [[ImageIODecoder]]
+  * turns a payload into normalized mean-pooled luminance features with no
+  * external dependency. AUDIO/VIDEO payloads have no JRE codec, so they
+  * route to the clearly-marked deterministic [[FakeDecoder]] stand-in;
+  * [[decodeFeaturesAuto]] dispatches per row on the format column — the
+  * mixed-modality corpus shape. The Spark-side plumbing — schema
+  * evolution, partition-batched execution, binary handling — is shared by
+  * both branches, and a real audio decoder drops in as another
+  * `Array[Byte] => Array[Float]` with zero plan changes.
   *
-  * Scale notes: `mapPartitions` keeps per-record decoder state (a real
-  * decoder's native context) initialized once per partition, not per row;
-  * binary payloads never pass through the driver; feature arrays stay
-  * columnar downstream. Skewed payload sizes → repartition upstream by a
-  * size-bucket column.
+  * Scale notes: `mapPartitions` keeps per-record decoder state initialized
+  * once per partition, not per row; binary payloads never pass through the
+  * driver; feature arrays stay columnar downstream. Skewed payload sizes →
+  * repartition upstream by a size-bucket column.
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake features from a rolling byte hash —
-    * stands in for an image/audio feature extractor (no codec libs in this
-    * environment). Replace with a real decoder at deployment.
+  // executor-side: never spill decode scratch to disk-cache temp files
+  ImageIO.setUseCache(false)
+
+  /** Image formats the JRE decodes natively (ImageIO reader set). */
+  val ImageFormats: Set[String] =
+    Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp", "tif", "tiff")
+
+  /** STUB decoder for payload types with NO codec in the JRE (audio,
+    * video): deterministic fake features from a rolling byte hash. Image
+    * payloads do NOT need this — use [[ImageIODecoder]] (or the
+    * [[decodeFeaturesAuto]] dispatch). Replace with a real audio/video
+    * extractor at deployment.
     */
   def FakeDecoder(dim: Int)(bytes: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L // large prime seed
@@ -35,6 +52,44 @@ object Multimodal {
       val x = h ^ (d.toLong * 0x9e3779b97f4a7c15L)
       val mixed = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
       ((mixed >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+  }
+
+  /** REAL image decoder (JRE `javax.imageio` — PNG/JPEG/GIF/BMP/TIFF):
+    * decodes the payload and mean-pools per-pixel luminance
+    * ((r + g + b) / 3·255) into a `grid`×`grid` cell matrix, row-major —
+    * `grid²` features in [0, 1]. Deterministic: pooling is explicit
+    * double-precision arithmetic over `getRGB` sRGB values (no
+    * Graphics2D scaler, whose interpolation is implementation-defined).
+    * Cells that receive no pixels (image narrower than the grid) are 0.
+    * Throws on an undecodable payload — dispatch non-image formats to
+    * their own decoder via [[decodeFeaturesAuto]].
+    */
+  def ImageIODecoder(grid: Int)(bytes: Array[Byte]): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a JRE-decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    var y = 0
+    while (y < h) {
+      val gy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val gx = x * grid / w
+        val rgb = img.getRGB(x, y)
+        val lum =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+        val c = gy * grid + gx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid) { i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
     }
   }
 
@@ -50,7 +105,7 @@ object Multimodal {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType), nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      // real decoders init native state HERE, once per partition
+      // decoders with native state init HERE, once per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val feats = if (bytes == null) null else dec(bytes)
@@ -59,10 +114,141 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Resize STUB: a real implementation decodes, scales to
-    * `width`×`height`, and re-encodes the payload; here the payload passes
-    * through (no codecs in this environment) and the metadata struct is
-    * updated — the schema/plumbing contract downstream operators rely on.
+  /** Format-dispatched decode over a MIXED-modality frame: rows whose
+    * `formatCol` is a JRE image format ([[ImageFormats]]) decode for real
+    * via [[ImageIODecoder]]; everything else (audio/video — no JRE codec)
+    * takes the [[FakeDecoder]] stand-in. One partition-batched pass, both
+    * decoders initialized once per partition; `dim` must be a perfect
+    * square (the image grid is `√dim`×`√dim`).
+    */
+  def decodeFeaturesAuto(
+      df: DataFrame,
+      binCol: String,
+      formatCol: String,
+      dim: Int = 64): DataFrame = {
+    val grid = math.sqrt(dim).toInt
+    require(grid * grid == dim, s"dim must be a perfect square: $dim")
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val fmtIdx = df.schema.fieldIndex(formatCol)
+    df.mapPartitions { rows =>
+      val image = ImageIODecoder(grid) _
+      val stub = FakeDecoder(dim) _
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val fmt = if (r.isNullAt(fmtIdx)) "" else r.getString(fmtIdx).toLowerCase
+        val feats =
+          if (bytes == null) null
+          else if (ImageFormats.contains(fmt)) image(bytes)
+          else stub(bytes)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic synthetic PNG (fixture generator for the image leg):
+    * every pixel's RGB is a SplitMix-style mix of (seed, x, y), losslessly
+    * PNG-encoded — decode is bit-exact everywhere, so features derived
+    * from these images are pinnable oracle values.
+    */
+  def syntheticPng(seed: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = seed ^ (x * 0x9e3779b97f4a7c15L) ^ (y * 0xc2b2ae3d27d4eb4fL)
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z ^= z >>> 29
+        img.setRGB(x, y, (z & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic mixed-modality payload synthesis over an id + text
+    * frame — the fixture shape for [[decodeFeaturesAuto]]: even ids carry
+    * a [[syntheticPng]] seeded by the id (format 'png', real decode path);
+    * odd ids carry the text's UTF-8 bytes as a codec-less payload (format
+    * 'wav', stub path). Executor-side generation (mapPartitions) — no
+    * payload ever crosses the driver.
+    */
+  def synthesizeMixedPayloads(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("format", StringType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val textIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (payload, fmt) =
+          if (id % 2 == 0) (syntheticPng(id), "png")
+          else {
+            val t = if (r.isNullAt(textIdx)) "" else r.getString(textIdx)
+            (t.getBytes("UTF-8"), "wav")
+          }
+        Row.fromSeq(r.toSeq :+ payload :+ fmt)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image resize for JRE-decodable payloads: deterministic
+    * nearest-neighbor resample (explicit index arithmetic — no Graphics2D
+    * interpolation) re-encoded as PNG, with `media_meta` updated; rows
+    * whose `formatCol` is not a JRE image format pass their payload
+    * through untouched (their resize belongs to the codec that can decode
+    * them) and only the metadata updates. Partition-batched like the
+    * decoders.
+    */
+  def resizeImages(
+      df: DataFrame,
+      binCol: String,
+      formatCol: String,
+      width: Int,
+      height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, s"bad target size: ${width}x$height")
+    val withMeta = resize(df, binCol, width, height)
+    val outSchema = withMeta.schema
+    val binIdx = withMeta.schema.fieldIndex(binCol)
+    val fmtIdx = withMeta.schema.fieldIndex(formatCol)
+    withMeta.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val fmt = if (r.isNullAt(fmtIdx)) "" else r.getString(fmtIdx).toLowerCase
+        val out =
+          if (bytes == null || !ImageFormats.contains(fmt)) r.toSeq
+          else {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            require(img != null, "payload is not a JRE-decodable image")
+            val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < height) {
+              val sy = y * img.getHeight / height
+              var x = 0
+              while (x < width) {
+                dst.setRGB(x, y, img.getRGB(x * img.getWidth / width, sy) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val buf = new ByteArrayOutputStream()
+            ImageIO.write(dst, "png", buf)
+            r.toSeq.updated(binIdx, buf.toByteArray)
+          }
+        Row.fromSeq(out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Metadata-only resize: the payload passes through and the metadata
+    * struct is updated — the schema contract downstream operators rely on
+    * when the payload's codec lives elsewhere (audio/video). For image
+    * payloads [[resizeImages]] resamples the pixels for real.
     */
   def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
     val hasMeta = df.columns.contains("media_meta")
@@ -75,9 +261,9 @@ object Multimodal {
   }
 
   /** Pseudo frame-sampling: explode `n` evenly-spaced "frames" per payload
-    * (STUB: frame content is a deterministic slice hash; a real
-    * implementation samples actual video frames). Output: one row per
-    * frame with `frame_idx` and `frame_hash`.
+    * (STUB: frame content is a deterministic slice hash — video codecs
+    * have no JRE decoder; a real implementation samples actual video
+    * frames). Output: one row per frame with `frame_idx` and `frame_hash`.
     */
   def frameSample(df: DataFrame, binCol: String, idCol: String, n: Int): DataFrame =
     df.select(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -41,6 +42,79 @@ class MultimodalSpec extends AnyFunSuite {
       val want = Multimodal.FakeDecoder(8)(texts(r.getLong(0)).getBytes("UTF-8"))
       assert(r.getSeq[Float](1).toSeq == want.toSeq)
     }
+  }
+
+  test("ImageIODecoder mean-pools luminance into the grid (crafted 2-band image)") {
+    // 4×4 image: top two rows black, bottom two rows white → grid 2 gives
+    // exactly [0, 0, 1, 1]
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (y < 2) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val feats = Multimodal.ImageIODecoder(2)(buf.toByteArray)
+    assert(feats.toSeq == Seq(0f, 0f, 1f, 1f))
+  }
+
+  test("ImageIODecoder is format-agnostic across JRE codecs (png/bmp agree)") {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (x * 32) << 16 | (y * 32))
+    def enc(fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, b)
+      b.toByteArray
+    }
+    // both losslessly encode 24-bit RGB → identical decoded features
+    assert(Multimodal.ImageIODecoder(4)(enc("png")).toSeq ==
+      Multimodal.ImageIODecoder(4)(enc("bmp")).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIODecoder(4)("not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("decodable"))
+  }
+
+  test("decodeFeaturesAuto dispatches: png rows decode for real, wav rows take the stub") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001).filter(col("doc_id") < 20)
+    val media = Multimodal.synthesizeMixedPayloads(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 64)
+      .select("doc_id", "format", "features").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "png")
+        val want = Multimodal.ImageIODecoder(8)(Multimodal.syntheticPng(id))
+        assert(r.getSeq[Float](2).toSeq == want.toSeq)
+      } else {
+        assert(r.getString(1) == "wav")
+        val want = Multimodal.FakeDecoder(64)(texts(id).getBytes("UTF-8"))
+        assert(r.getSeq[Float](2).toSeq == want.toSeq)
+      }
+    }
+  }
+
+  test("resizeImages: real nearest-neighbor resample, non-image payloads pass through") {
+    // 2×2 quadrant image upscaled to 4×4 must replicate each quadrant pixel
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xffffff); img.setRGB(1, 1, 0x000000)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val df = Seq(
+      (1L, buf.toByteArray, "png"),
+      (2L, "audio bytes".getBytes("UTF-8"), "wav")
+    ).toDF("id", "payload", "format")
+    val out = Multimodal.resizeImages(df, "payload", "format", 4, 4)
+      .orderBy("id").collect()
+    // decoded features of the resized image = the checkerboard at grid 2
+    val resized = out(0).getAs[Array[Byte]](1)
+    assert(Multimodal.ImageIODecoder(2)(resized).toSeq == Seq(0f, 1f, 1f, 0f))
+    // metadata updated on both rows; non-image payload untouched
+    assert(out.map(_.getAs[Row]("media_meta").getInt(1)).toSeq == Seq(4, 4))
+    assert(out(1).getAs[Array[Byte]](1).toSeq == "audio bytes".getBytes("UTF-8").toSeq)
   }
 
   test("decodeFeatures: null payloads yield null features") {
