@@ -392,6 +392,58 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_part"))
         .orderBy("l_returnflag")),
 
+    // Outer-join distribution (TPC-H Q13 shape): LEFT OUTER join keeps
+    // order-less customers (count(o_orderkey) = 0 for them — count of a
+    // NULL column, not count(*)), then a second aggregation over the
+    // per-customer counts. Two narrow shuffles; the outer join is the
+    // operator under test (semi/anti/inner are covered elsewhere).
+    "q13_outer_count" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20%
+    // of their part's average quantity. The per-part average joins back
+    // as an aggregate frame — Catalyst's decorrelation shape — and the
+    // brand dimension broadcasts into the fact scan.
+    "q17_small_qty" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+      val thr = l.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg("l_quantity") * 0.2).as("thr"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(thr, l("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg(
+          count(lit(1)).as("n_small"),
+          round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // Uncorrelated scalar subquery + anti join (TPC-H Q22 shape):
+    // positive-balance customers above the global mean balance with no
+    // RECENT orders. The global mean is a 1-row aggregate broadcast
+    // against the scan (no collect, no global window); the recency check
+    // is a left-anti join against the date-filtered orders scan.
+    "q22_rich_inactive" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("__avg"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
     "m1_introspect" -> ((s, dir) =>
       graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
@@ -1147,6 +1199,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // streaming NEAR-dup of an arriving batch against the PERSISTED
+    // MinHash index: stream-static (band,bucket) join, exactly-once per
+    // pair via the first-shared-band filter — ZERO streaming state, no
+    // watermark. Same semantics as dedup_incremental (shares its oracle
+    // shape); the corpus is never re-shingled (reads the persisted sets)
+    "stream_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      graft.streaming.Incremental.streamingNearDedup(
+          s, s"$dir/documents.parquet",
+          graft.ops.MinHashIndex.read(s, idxDir), "doc_id", "text",
+          threshold = 0.8,
+          batchTransform = df => df.filter(col("doc_id").between(100, 149))
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // exact top-k over the int8-quantized corpus (4× smaller scan; cosine
     // on quantized vectors — deterministic, hence oracle-backed, unlike
     // the approximate LSH/IVF paths)
@@ -1525,6 +1598,29 @@ object SparkEntry {
       ("SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, " +
         "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q13_outer_count" ->
+      ("SELECT c_count, custdist FROM (" +
+        "SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c.c_custkey, count(o.o_orderkey) AS c_count " +
+        "FROM customer c LEFT OUTER JOIN orders o " +
+        "ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED' " +
+        "GROUP BY c.c_custkey) pc GROUP BY c_count) t " +
+        "ORDER BY custdist DESC, c_count DESC"),
+
+    "q17_small_qty" ->
+      ("SELECT count(*) AS n_small, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE p.p_brand = 'Brand#1' AND l.l_quantity < (" +
+        "SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"),
+
+    "q22_rich_inactive" ->
+      ("SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 4) AS total_bal " +
+        "FROM customer c WHERE c_acctbal > (" +
+        "SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "m1_introspect" ->
       ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +
@@ -2108,6 +2204,25 @@ object SparkEntry {
         "FROM qq ORDER BY vec_id"),
 
     "dedup_incremental" ->
+      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+        "bsets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+        "csets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM bsets b, csets c " +
+        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id"),
+
+    // identical semantics through the persisted index via the STREAMING
+    // path (stateless exactly-once pair emission), so the incremental
+    // oracle carries over here too
+    "stream_dedup_incremental" ->
       ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
         "bsets AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +

@@ -96,25 +96,30 @@ object Dedup {
     * computed exactly once (no self-join, no persist). Giant buckets from
     * degenerate content are the skew risk: cap with `maxBucket`.
     */
+  /** Band-ordered bucket hashes of a minhash signature as ONE array
+    * column: element j (0-based) is band j's bucket id — the position IS
+    * the band, which is what lets the streaming path
+    * ([[graft.streaming.Incremental.streamingNearDedup]]) compare two
+    * rows' full banding in a single zip_with. Same formula as ever
+    * (xxhash64 over the band's signature slice).
+    */
+  private[graft] def bandBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      xxhash64(lit("band"), lit(j), slice(sigCol, j * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
   /** Shared (id, band, bucket) rows for [[minhashLsh]] and its
-    * [[oversizedBuckets]] audit — ONE definition of the bucket formula so
-    * the audit can never drift from what the dedup actually hashes.
-    * Input must carry `id` and `shingle_set` columns.
+    * [[oversizedBuckets]] audit — ONE definition of the bucket formula
+    * ([[bandBuckets]]) so the audit and the streaming path can never
+    * drift from what the dedup actually hashes. Input must carry `id`
+    * and `shingle_set` columns.
     */
   private[ops] def minhashBuckets(
-      withSets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val withSig = withSets
+      withSets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    withSets
       .withColumn("sig", minhashSignature(col("shingle_set"), bands * rowsPerBand))
-    val bandCols = array((0 until bands).map { j =>
-      struct(
-        lit(j).as("band"),
-        xxhash64(lit("band"), lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
-          .as("bucket"))
-    }: _*)
-    withSig
-      .select(col("id"), explode(bandCols).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+      .select(col("id"),
+        posexplode(bandBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
 
   def minhashLsh(
       df: DataFrame,

@@ -483,6 +483,98 @@ object Incremental {
     spark.read.parquet(sink.toString)
   }
 
+  /** Streaming NEAR-duplicate detection of an incoming document stream
+    * against a PERSISTED MinHash-LSH corpus index
+    * ([[graft.ops.MinHashIndex]]) — "dedup the crawl as it arrives
+    * against everything already ingested", the streaming form of
+    * [[graft.ops.Dedup.minhashLshIncremental]]. Emits
+    * (batch_id, corpus_id, jaccard ≥ threshold), exactly one row per
+    * pair.
+    *
+    * ZERO STATE by construction. LSH yields a candidate once per shared
+    * band, so a naive stream-static equi-join emits duplicate pairs —
+    * and the batch form's `distinct` is a streaming aggregation that
+    * append mode would need watermark state for (documents have no event
+    * time). Instead BOTH sides carry their full band-ordered bucket
+    * array ([[graft.ops.Dedup.bandBuckets]] — position = band) and a
+    * joined row survives only when its band is the FIRST index where the
+    * two arrays agree (one zip_with + array_position): the
+    * canonical-collision trick — exactly-once per pair, stateless, any
+    * micro-batch cadence composes.
+    *
+    * Scale shape: the stream side is map-side (shingle → sign → band)
+    * plus ONE (band, bucket) shuffle into the join; the corpus side
+    * reads the persisted `sets` table and re-derives signatures
+    * map-side (deterministic hashes — bit-identical to build time).
+    * The static legs re-execute per micro-batch, so this suits the
+    * coarse (minutes+) cadences crawl ingest actually runs at; corpus
+    * buckets above `maxBucket` are dropped exactly as in the batch path.
+    */
+  def streamingNearDedup(
+      spark: SparkSession,
+      srcPath: String,
+      index: graft.ops.MinHashIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket,
+      batchTransform: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.functions.TextFunctions.intersect_count_sorted
+    import graft.ops.Dedup
+    val bands = index.bands
+    val rpb = index.rowsPerBand
+
+    def withBuckets(df: DataFrame, setCol: String, arrOut: String): DataFrame =
+      df.withColumn("__sig", Dedup.minhashSignature(col(setCol), bands * rpb))
+        .withColumn(arrOut, Dedup.bandBuckets(col("__sig"), bands, rpb))
+        .drop("__sig")
+
+    // static corpus side: persisted sets (already hashed shingles — the
+    // corpus is never re-shingled) → map-side re-sign → exploded
+    // (band, bucket) join keys; oversized corpus buckets dropped via the
+    // persisted bucket table (same rail as the batch path)
+    val okBuckets = index.buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    val corpus = withBuckets(
+        index.sets.select(col("id").as("corpus_id"), col("shingle_set").as("set_b")),
+        "set_b", "ca")
+      .select(col("corpus_id"), col("set_b"), col("ca"),
+        posexplode(col("ca")).as(Seq("band", "bucket")))
+      .join(okBuckets, Seq("band", "bucket"))
+
+    // stream side: shingle → sign → band, all map-side on the micro-batch
+    val in = batchTransform(streamSource(spark, srcPath))
+    val batch = withBuckets(
+        in.select(col(idCol).as("batch_id"),
+          array_sort(array_distinct(
+            Dedup.shingleHashes(col(textCol), index.shingleK))).as("set_a")),
+        "set_a", "ba")
+      .select(col("batch_id"), col("set_a"), col("ba"),
+        posexplode(col("ba")).as(Seq("band", "bucket")))
+
+    val pairs = batch.join(corpus, Seq("band", "bucket"))
+      // keep ONLY the first band where the two bucket arrays agree —
+      // the stateless exactly-once-per-pair guarantee
+      .filter(col("band") ===
+        array_position(zip_with(col("ba"), col("ca"), (x, y) => x === y), true) - 1)
+      .withColumn("__inter",
+        intersect_count_sorted(col("set_a"), col("set_b")).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_neardedupsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedupckpt")
+    val q = pairs.writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink.toString)
+  }
+
   /** One event for stateful sessionization: `ts` is the watermarked
     * event-time TIMESTAMP, `ts_us` the µs value the gap arithmetic uses.
     */

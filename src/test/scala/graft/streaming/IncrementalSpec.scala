@@ -80,6 +80,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streamed.size < docs.count()) // something was actually dropped
   }
 
+  test("streamingNearDedup matches batch minhashLshIncremental pair-for-pair (zero state)") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val index = graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2)
+    def relabel(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") < 30).withColumn("doc_id", col("doc_id") + lit(7000000L))
+    val streamed = Incremental.streamingNearDedup(
+        spark, s"${GraftSpark.Sf0001}/documents.parquet", index, "doc_id", "text",
+        threshold = 0.3, batchTransform = relabel)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.minhashLshIncremental(docs, relabel(docs),
+        "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    // exactly-once emission: the injected exact dups collide on EVERY
+    // band, so duplicate-row leakage would show here first
+    (0L until 30L).foreach { i => assert(streamed.contains((i + 7000000L, i, 1.0))) }
+    assert(streamed.size == streamed.map(p => (p._1, p._2)).size)
+  }
+
   test("streamingDedup drops duplicate keys arriving within the watermark") {
     // two copies of the same file in one source dir = every row duplicated
     val dir = Files.createTempDirectory("graft_sdedup")
