@@ -868,6 +868,75 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // interpolated-bigram NLL (one step toward the CCNet n-gram reference
+    // filter): bigram MLE with unigram backoff, λ=0.7, self-trained —
+    // three model joins over map-side exploded pairs, one per-doc agg
+    "text_perplexity_bigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramNllScore(docs, "doc_id", "text",
+          TextAnalysis.bigramModel(docs, "text"),
+          TextAnalysis.unigramModel(docs, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // window-function rank family over the monthly revenue series:
+    // percent_rank / cume_dist / ntile(4) — standard-SQL semantics both
+    // engines implement identically
+    "q_window_rank_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      val w = Window.partitionBy("l_returnflag").orderBy("month")
+      monthly.select(
+          col("l_returnflag"), col("month"), col("rev"),
+          (round(percent_rank().over(w), 4) + lit(0.0)).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          ntile(4).over(w).cast("bigint").as("quartile"))
+        .orderBy("l_returnflag", "month")
+    }),
+
+    // per-dimension z-scoring of the embedding column (the whitening
+    // pre-pass): dim stats reduce to ONE broadcast row of (mu[], sd[])
+    // arrays — no collect, no per-row join — and standardization is a
+    // map-side indexed transform over each vector
+    "embedding_standardize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val stats = emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(
+          avg(col("x").cast("double")).as("mu"),
+          stddev_samp(col("x").cast("double")).as("sd"))
+      val statsRow = stats.agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).as("mus"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sd")))),
+          s => s.getField("sd")).as("sds"))
+      emb.crossJoin(broadcast(statsRow))
+        .withColumn("z", transform(col("embedding"), (x, i) =>
+          (x.cast("double") - element_at(col("mus"), i + 1)) /
+            element_at(col("sds"), i + 1)))
+        .select(
+          col("vec_id"),
+          (round(aggregate(col("z"), lit(0.0d), (a, x) => a + x), 4) + lit(0.0)).as("z_sum"),
+          (round(element_at(col("z"), 1), 4) + lit(0.0)).as("z1"))
+        .orderBy("vec_id")
+    }),
+
+    // sketch-based corpus profile: HyperLogLog++ distinct-text estimate +
+    // approximate percentiles per source — the O(1)-state forms of the
+    // exact corpus_stats aggregates. Approximate by design → rows-only
+    // (error vs exact asserted in TextAnalysisSpec)
+    "corpus_sketch_profile" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
+          percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000)).as("__pq"))
+        .select(col("source"), col("approx_distinct_texts"),
+          element_at(col("__pq"), 1).as("p50_chars"),
+          element_at(col("__pq"), 2).as("p95_chars"))
+        .orderBy("source")),
+
     // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
     "text_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1423,10 +1492,12 @@ object SparkEntry {
       ", 4)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the five approximate-by-design
-    * ANN queries (knn_ivf_ann, knn_lsh_ann, knn_pq_ann, knn_ivfpq_ann,
-    * knn_ivfpq_persisted — recall-asserted vs brute force in IvfSpec/
-    * SimilaritySpec, persistence equality in IvfPqIndexSpec);
+    * the same parquet tables. Omitted for the approximate-by-design
+    * queries: the five ANN paths (knn_ivf_ann, knn_lsh_ann, knn_pq_ann,
+    * knn_ivfpq_ann, knn_ivfpq_persisted — recall-asserted vs brute force
+    * in IvfSpec/SimilaritySpec, persistence equality in IvfPqIndexSpec)
+    * and the sketch profile (corpus_sketch_profile — HLL++/KLL error vs
+    * the exact aggregates asserted in TextAnalysisSpec);
     * the deterministic Spark-side-hash queries carry PINNED literal-VALUES
     * oracles ([[PinnedOracles]], valid at sf0.01).
     */
@@ -1861,6 +1932,40 @@ object SparkEntry {
         "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq) " +
         "SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
         "FROM tok JOIN freq USING (token), tot GROUP BY doc_id ORDER BY doc_id"),
+
+    "text_perplexity_bigram" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "pairs AS (SELECT doc_id, t[CAST(i+1 AS INT)] AS w1, t[CAST(i+2 AS INT)] AS w2 FROM " +
+        "(SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM tok WHERE len(t) >= 2) x), " +
+        "bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1), " +
+        "uc AS (SELECT token, count(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) u GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc) " +
+        "SELECT doc_id, round(avg(-ln(" +
+        "0.7 * (CAST(coalesce(b.c12, 0) AS DOUBLE) / greatest(CAST(coalesce(x.c1, 0) AS DOUBLE), 1.0)) + " +
+        "0.3 * (CAST(coalesce(u.c, 1) AS DOUBLE) / n))), 4) AS nll2 " +
+        "FROM pairs p LEFT JOIN bg b USING (w1, w2) LEFT JOIN ctx x USING (w1) " +
+        "LEFT JOIN uc u ON u.token = p.w2, tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_window_rank_family" ->
+      ("WITH monthly AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS month, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_returnflag, month, rev, " +
+        "round(percent_rank() OVER w, 4) + 0.0 AS pr, " +
+        "round(cume_dist() OVER w, 4) AS cd, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+        "FROM monthly WINDOW w AS (PARTITION BY l_returnflag ORDER BY month) " +
+        "ORDER BY l_returnflag, month"),
+
+    "embedding_standardize" ->
+      ("WITH e AS (SELECT vec_id, CAST(r.i AS BIGINT) AS dim, " +
+        "CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE) AS x FROM embeddings, range(64) r(i)), " +
+        "s AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sd FROM e GROUP BY dim) " +
+        "SELECT vec_id, round(sum((x - mu) / sd), 4) + 0.0 AS z_sum, " +
+        "round(max(CASE WHEN dim = 0 THEN (x - mu) / sd END), 4) + 0.0 AS z1 " +
+        "FROM e JOIN s USING (dim) GROUP BY vec_id ORDER BY vec_id"),
 
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +

@@ -118,6 +118,67 @@ object TextAnalysis {
       .agg(round(avg("__nll"), 4).as("nll"))
   }
 
+  /** Bigram language model trained on a corpus: one (w1, w2, c12) row per
+    * distinct adjacent space-separated token pair. Pair generation is one
+    * map-side zip of the token array with its own tail (no self-join);
+    * ONE count shuffle keyed by the pair; bigram-vocab-sized output.
+    * Single-token documents contribute nothing.
+    */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val m = greatest(size(toks) - 1, lit(0))
+    df.select(explode(zip_with(
+        slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+  }
+
+  /** Interpolated-bigram NLL (the step up from [[nllScore]] toward the
+    * CCNet 5-gram reference filter): each adjacent pair scores
+    * `-ln(λ·P(w2|w1) + (1−λ)·P(w2))` where `P(w2|w1) = c12/c1` uses the
+    * bigram model's own context totals (`c1 = Σ_w c(w1,w)`) and `P(w2)`
+    * backs off to the unigram model; a document's score is the mean over
+    * its pairs. The unigram floor keeps scoring total when the models
+    * are FROZEN reference models (OOV pairs back off; fully-OOV tokens
+    * take the add-one unigram floor). Documents with fewer than two
+    * tokens have no pairs and are absent from the output.
+    *
+    * Scale: pair explode is map-side; three model joins (bigram, context,
+    * unigram) hash-shuffle pairs unless the models broadcast (they
+    * usually do — model size grows sublinearly in corpus size); one
+    * per-doc agg. Nothing driver-side.
+    */
+  def bigramNllScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bigrams: DataFrame,
+      unigrams: DataFrame,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val ctx = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
+    val n = unigrams.agg(sum("c").cast("double").as("__n"))
+    val toks = split(col(textCol), " ")
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = df.select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    pairs
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(unigrams.select(col("token").as("w2"), col("c")), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__p",
+        lit(lambda) * (coalesce(col("c12"), lit(0L)).cast("double") /
+          greatest(coalesce(col("c1"), lit(0L)).cast("double"), lit(1.0))) +
+        lit(1.0 - lambda) * (coalesce(col("c"), lit(1L)).cast("double") / col("__n")))
+      .withColumn("__nll", -log(col("__p")))
+      .groupBy(idCol)
+      .agg(round(avg("__nll"), 4).as("nll2"))
+  }
+
   /** Quality score in [0,1]: composite of length band, punctuation ratio,
     * stopword presence, and token diversity — the standard cheap pre-filter
     * heuristics for web-scale corpora (cf. C4/Gopher-style rules, public

@@ -180,4 +180,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == "repetitive")
     assert(out(2L) == "kept")
   }
+
+  test("bigramNllScore: hand-computed interpolated probabilities on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNllScore(docs, "doc_id", "text",
+        TextAnalysis.bigramModel(docs, "text"),
+        TextAnalysis.unigramModel(docs, "text"), lambda = 0.7)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // c12: (a,b)=2, (b,a)=1; ctx: a=2, b=1; unigrams a=3 b=2, N=5
+    // doc1: -ln(.7*2/2+.3*2/5), -ln(.7*1/1+.3*3/5) -> mean(.19845,.12783)=.1631
+    // doc2: -ln(0.82) = .1985
+    assert(out.toSeq == Seq((1L, 0.1631), (2L, 0.1985)))
+  }
+
+  test("bigramNllScore is total under FROZEN models (OOV pairs back off, OOV tokens floored)") {
+    val ref = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val bg = TextAnalysis.bigramModel(ref, "text")
+    val uni = TextAnalysis.unigramModel(ref, "text")
+    val newDocs = Seq((9L, "zz qq zz")).toDF("doc_id", "text") // fully OOV
+    val out = TextAnalysis.bigramNllScore(newDocs, "doc_id", "text", bg, uni)
+      .collect()
+    assert(out.length == 1)
+    val nll = out(0).getDouble(1)
+    assert(!nll.isNaN && !nll.isInfinite && nll > 0)
+    // single-token docs have no pairs and are absent
+    val single = TextAnalysis.bigramNllScore(
+      Seq((3L, "word")).toDF("doc_id", "text"), "doc_id", "text", bg, uni)
+    assert(single.isEmpty)
+  }
+
+  test("sketch profile (HLL++ distinct, approx percentiles) tracks the exact aggregates") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val approx = docs.groupBy("source").agg(
+        approx_count_distinct(col("text"), 0.02).as("ad"),
+        element_at(percentile_approx(col("n_chars"), array(lit(0.5)), lit(10000)), 1).as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = docs.groupBy("source").agg(
+        countDistinct(col("text")).as("d"),
+        expr("percentile(n_chars, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (src, (d, p50)) =>
+      val (ad, ap50) = approx(src)
+      // rsd 0.02 is the asymptotic bound; tiny strata (tens of values)
+      // wobble a few counts — allow max(3, 10%)
+      assert(math.abs(ad - d).toDouble <= math.max(3.0, 0.10 * d),
+        s"$src HLL err: $ad vs $d")
+      // KLL percentile at high accuracy lands within one observed value
+      assert(math.abs(ap50 - p50) <= math.max(2.0, p50 * 0.05), s"$src p50: $ap50 vs $p50")
+    }
+  }
 }
