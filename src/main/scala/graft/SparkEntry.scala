@@ -1002,6 +1002,27 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // winnowing (MOSS) fingerprint selection: count + XOR-fold of each
+    // doc's selected local-minimum gram hashes — pinned VALUES oracle
+    // (gram hashes are Spark-side; driver-side window-min recomputation
+    // in TextAnalysisSpec)
+    "text_winnow" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text"), k = 4, window = 5).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("bigint").as("n_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+        .orderBy("doc_id")),
+
+    // winnowing-overlap pairs: docs sharing >= 2 selected fingerprints —
+    // the MOSS plagiarism-pair shape over a ~1/3-density index; pinned
+    // VALUES oracle (hash identities are Spark-side)
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, window = 5, maxDf = 100, minShared = 2L)
+        .orderBy("id_a", "id_b")),
+
     // Funnel analysis: users progressing view → click → purchase in
     // temporal order (conditional min-timestamps + ordered comparison).
     "events_funnel" -> ((s, dir) => {
@@ -1045,6 +1066,34 @@ object SparkEntry {
           unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
         .orderBy("p_event_id")
     }),
+
+    // Cohort retention: users grouped by first-seen week (the cohort),
+    // counted by distinct activity-week offset — the classic retention
+    // triangle. Two aggregations: per-user first week (one user-keyed
+    // shuffle), then distinct (cohort, offset, user) → counts.
+    "events_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("week", date_trunc("week", col("ts")))
+      val firstWeek = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(firstWeek, Seq("user_id"))
+        .withColumn("week_offset",
+          expr("CAST(datediff(week, cohort_week) AS BIGINT) div 7"))
+        .select(col("user_id"), col("cohort_week"), col("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Fixed-bin value histogram per event type (width_bucket semantics:
+    // 10 bins over [0, 100), underflow 0 / overflow 11 buckets kept) —
+    // one partial-aggregating shuffle on (type, bucket).
+    "events_value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value"))
+        .orderBy("event_type", "bucket")),
 
     // ---- Events: JSON prop extraction + agg (T2-adjacent; events table) ----
     "events_json_agg" -> ((s, dir) =>
@@ -2093,6 +2142,23 @@ object SparkEntry {
       ("SELECT word, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
         "GROUP BY word ORDER BY n DESC, word LIMIT 20"),
+
+    "events_retention_cohorts" ->
+      ("WITH ev AS (SELECT user_id, date_trunc('week', ts) AS week FROM events), " +
+        "fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id), " +
+        "act AS (SELECT DISTINCT e.user_id, f.cohort_week, " +
+        "CAST(datediff('day', f.cohort_week, e.week) // 7 AS BIGINT) AS week_offset " +
+        "FROM ev e JOIN fw f USING (user_id)) " +
+        "SELECT cohort_week, week_offset, count(*) AS n_users FROM act " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
+
+    // width_bucket semantics spelled out as arithmetic so the oracle
+    // needs no engine-specific builtin: underflow 0, overflow n+1
+    "events_value_histogram" ->
+      ("SELECT event_type, bucket, count(*) AS n, round(avg(value), 4) AS mean_value FROM (" +
+        "SELECT event_type, value, CAST(CASE WHEN value < 0 THEN 0 " +
+        "WHEN value >= 100 THEN 11 ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket " +
+        "FROM events) t GROUP BY 1, 2 ORDER BY event_type, bucket"),
 
     "events_from_json" ->
       ("SELECT event_type, " +

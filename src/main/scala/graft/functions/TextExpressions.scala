@@ -298,6 +298,97 @@ case class ShingleHash(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native winnowing selection (Schleimer–Wilkerson–Aiken 2003): over an
+  * array of gram hashes, the DISTINCT minima of every `w`-wide sliding
+  * window, in first-occurrence order — bit-identical to
+  * `array_distinct(transform(sequence(0, max(n-w, 0)), i ->
+  * array_min(slice(grams, i+1, w))))` but one codegen'd pass with no
+  * per-window slice allocation (the HOF form allocates a w-element array
+  * per gram and was the round-7 bench's slowest map-side operator).
+  * Arrays shorter than the window yield the single whole-array minimum.
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "winnow window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_select expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n > 0) {
+      val m = math.max(n - w, 0)
+      var i = 0
+      while (i <= m) {
+        var min = arr.getLong(i)
+        var j = i + 1
+        val end = math.min(i + w, n)
+        while (j < end) {
+          val x = arr.getLong(j)
+          if (x < min) min = x
+          j += 1
+        }
+        seen.add(min)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val min = ctx.freshName("min")
+      val x = ctx.freshName("x")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      val it = ctx.freshName("it")
+      val p = ctx.freshName("p")
+      s"""
+        int $n = $a.numElements();
+        java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
+        if ($n > 0) {
+          int $m = Math.max($n - $w, 0);
+          for (int $i = 0; $i <= $m; $i++) {
+            long $min = $a.getLong($i);
+            int $end = Math.min($i + $w, $n);
+            for (int $j = $i + 1; $j < $end; $j++) {
+              long $x = $a.getLong($j);
+              if ($x < $min) $min = $x;
+            }
+            $seen.add($min);
+          }
+        }
+        long[] $out = new long[$seen.size()];
+        java.util.Iterator<Long> $it = $seen.iterator();
+        int $p = 0;
+        while ($it.hasNext()) { $out[$p] = ((Long) $it.next()).longValue(); $p++; }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native stopword-hit count: how many tokens (duplicates included) of the
   * input array appear in `words`. Replaces the interpreted
   * `filter(tokens, t -> t.isin(...))` HOF (per-token lambda dispatch, an
@@ -664,6 +755,10 @@ object TextFunctions {
   /** Hashed word-k-shingles (array<long>) of a token-array column. */
   def shingle_hash(tokens: Column, k: Int): Column =
     ColumnInterop.column(ShingleHash(ColumnInterop.expression(tokens), k))
+
+  /** Distinct sliding-window minima of a hash array (winnowing selection). */
+  def winnow_select(hashes: Column, w: Int): Column =
+    ColumnInterop.column(WinnowSelect(ColumnInterop.expression(hashes), w))
 
   /** Count of tokens (duplicates included) that appear in `words`. */
   def stopword_count(tokens: Column, words: Seq[String]): Column =

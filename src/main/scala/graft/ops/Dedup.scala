@@ -546,11 +546,20 @@ object Dedup {
       n: Int = 6,
       maxDf: Int = 1000,
       minShared: Long = 1L): DataFrame = {
-    val grams = df.select(
+    invertedIndexPairs(df.select(
       col(idCol).as("id"),
-      explode(array_distinct(Decontaminate.wordNgrams(col(textCol), n))).as("gram"))
-    // df-first rail: count (narrow, map-side partials) → eligible grams →
-    // semi-join → THEN build posting lists, each bounded at maxDf ids
+      explode(array_distinct(Decontaminate.wordNgrams(col(textCol), n))).as("gram")),
+      maxDf, minShared)
+  }
+
+  /** Shared inverted-index pair engine for [[substringPairs]] and
+    * [[winnowPairs]]: (id, gram) rows → df-first cap (count narrow,
+    * map-side partials → eligible grams → semi-join, so no posting-list
+    * buffer exceeds maxDf ids) → map-side ordered pairs from each bounded
+    * list → one (id_a, id_b) count shuffle.
+    */
+  private def invertedIndexPairs(
+      grams: DataFrame, maxDf: Int, minShared: Long): DataFrame = {
     val eligible = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxDf))
       .select("gram")
@@ -564,6 +573,29 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Winnowing-overlap duplicate pairs (MOSS shape): documents sharing at
+    * least `minShared` winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]] — local minima of word-k-gram
+    * hashes). Sits between [[substringPairs]] (every shared gram counts —
+    * exact, heavier index) and [[minhashLsh]] (probabilistic): the
+    * fingerprint index is ~2/(window+1) the size of the full gram index,
+    * while the winnowing guarantee still catches every shared run of
+    * `window + k − 1` tokens. Same df-first bounded inverted-index shape
+    * and `maxDf` boilerplate rail as [[substringPairs]].
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 5,
+      maxDf: Int = 1000,
+      minShared: Long = 2L): DataFrame =
+    invertedIndexPairs(df.select(
+      col(idCol).as("id"),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, window)).as("gram")),
+      maxDf, minShared)
 
   /** Containment duplicate pairs: Jaccard misses a short document embedded
     * verbatim in a long one (the intersection is small relative to the

@@ -179,6 +179,39 @@ object TextAnalysis {
       .agg(round(avg("__nll"), 4).as("nll2"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS local-fingerprinting algorithm): hash every word
+    * k-gram (native [[graft.functions.ShingleHash]]), slide a window of
+    * `window` consecutive gram hashes, keep each window's MINIMUM, and
+    * distinct the kept values. The winnowing guarantee: two documents
+    * sharing a verbatim run of at least `window + k - 1` tokens share at
+    * least one fingerprint, at a selection density of ~2/(window+1) —
+    * position-robust where [[fingerprint]]'s whole-document hash is not.
+    * Expression-only and shuffle-free — the selection is the native
+    * codegen'd [[graft.functions.WinnowSelect]] (one pass, no per-window
+    * allocation; the HOF reference form [[winnowFingerprintsHof]] is the
+    * bit-equality cross-check in TextAnalysisSpec). Documents shorter
+    * than k tokens fingerprint their whole text (the
+    * [[graft.ops.Dedup.shingleHashes]] convention).
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, window: Int = 5): Column = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(window >= 1, s"window must be >= 1: $window")
+    graft.functions.TextFunctions.winnow_select(
+      graft.functions.TextFunctions.shingle_hash(split(text, " "), k), window)
+  }
+
+  /** Interpreted-HOF reference formulation of [[winnowFingerprints]] —
+    * kept as the cross-check oracle for the native expression (they must
+    * agree exactly; see TextAnalysisSpec).
+    */
+  def winnowFingerprintsHof(text: Column, k: Int = 4, window: Int = 5): Column = {
+    val grams = graft.functions.TextFunctions.shingle_hash(split(text, " "), k)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - window, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(window)))))
+  }
+
   /** Quality score in [0,1]: composite of length band, punctuation ratio,
     * stopword presence, and token diversity — the standard cheap pre-filter
     * heuristics for web-scale corpora (cf. C4/Gopher-style rules, public

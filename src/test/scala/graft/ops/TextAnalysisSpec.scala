@@ -229,4 +229,49 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(ap50 - p50) <= math.max(2.0, p50 * 0.05), s"$src p50: $ap50 vs $p50")
     }
   }
+
+  test("winnowFingerprints: selection equals a driver-side sliding-window-min over the gram hashes") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001).limit(40)
+    val k = 4; val w = 5
+    val rows = docs.select(
+        col("doc_id"),
+        graft.functions.TextFunctions.shingle_hash(split(col("text"), " "), k).as("grams"),
+        TextAnalysis.winnowFingerprints(col("text"), k, w).as("fps"))
+      .collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val grams = r.getSeq[Long](1)
+      val want = (0 to math.max(grams.length - w, 0))
+        .map(i => grams.slice(i, i + w).min).toSet
+      assert(r.getSeq[Long](2).toSet == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of window+k-1 tokens yields a shared fingerprint") {
+    val k = 4; val w = 5
+    // the shared run is w+k-1 = 8 tokens, embedded at different positions
+    val run = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"$run zeta eta theta iota kappa lambda")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // and winnowPairs surfaces the pair at minShared = 1
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k, w,
+        maxDf = 100, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("native winnow_select agrees with the HOF form bit-for-bit on fixture docs") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val mismatches = docs.select(
+        TextAnalysis.winnowFingerprints(col("text"), 4, 5).as("native"),
+        TextAnalysis.winnowFingerprintsHof(col("text"), 4, 5).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
