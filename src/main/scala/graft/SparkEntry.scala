@@ -831,6 +831,39 @@ object SparkEntry {
         .groupBy("reject_reason").agg(count(lit(1)).as("n"))
         .orderBy("reject_reason")),
 
+    // Gopher rule panel (Rae et al. 2021 §A1.1, public filter rules):
+    // per-rule violation counts over the corpus — the data-quality
+    // dashboard row. Expression-only panel, one global aggregation.
+    "quality_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "text",
+          coreStopwords = TextAnalysis.StopwordsEn)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("viol_word_count").cast("long")).as("n_word_count"),
+          sum(col("viol_mean_wordlen").cast("long")).as("n_mean_wordlen"),
+          sum(col("viol_symbol_ratio").cast("long")).as("n_symbol_ratio"),
+          sum(col("viol_alpha_ratio").cast("long")).as("n_alpha_ratio"),
+          sum(col("viol_stopwords").cast("long")).as("n_stopwords"),
+          sum((!col("viol_word_count") && !col("viol_mean_wordlen") &&
+            !col("viol_symbol_ratio") && !col("viol_alpha_ratio") &&
+            !col("viol_stopwords")).cast("long")).as("n_clean"))),
+
+    // Z-order (Morton) layout exhibit: interleave two dimension columns
+    // and aggregate per z-range bucket — every bucket's min–max box is
+    // tight in BOTH dimensions, which is exactly why range-partitioning
+    // by z (Scale.writeZOrdered) lets parquet row-group stats prune scans
+    // filtered on either column
+    "layout_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
+          pmod(col("l_partkey"), lit(1024)).as("y"))
+        .withColumn("z", graft.etl.Scale.zValue(col("x"), col("y"), bits = 10))
+        .groupBy(expr("z div 16384").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("z_bucket")),
+
     // composed end-to-end curation report: quality cascade, then substring
     // dedup among the kept docs (losers = greater pair member), rolled up
     // per source — the one-page summary a curation run actually publishes
@@ -1963,6 +1996,35 @@ object SparkEntry {
         "CAST(sum(CASE WHEN rr = 'kept' AND doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed, " +
         "CAST(sum(CASE WHEN rr = 'kept' AND doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
         "FROM flag GROUP BY source ORDER BY source"),
+
+    "quality_gopher_rules" ->
+      ("WITH m AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents), " +
+        "r AS (SELECT doc_id, " +
+        "NOT (len(t) BETWEEN 20 AND 100000) AS v_wc, " +
+        "NOT (round(CAST(length(text) - (len(t) - 1) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 4) BETWEEN 3.0 AND 10.0) AS v_ml, " +
+        "round(CAST(len(list_filter(t, w -> contains(w, '#') OR contains(w, '…'))) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 4) > 0.1 AS v_sr, " +
+        "round(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 4) < 0.8 AS v_ar, " +
+        "len(list_filter(['the','a','of','and','to','in','is','it','that','for'], sw -> list_contains(t, sw))) < 2 AS v_sw " +
+        "FROM m) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN v_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count, " +
+        "CAST(sum(CASE WHEN v_ml THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_wordlen, " +
+        "CAST(sum(CASE WHEN v_sr THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio, " +
+        "CAST(sum(CASE WHEN v_ar THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ratio, " +
+        "CAST(sum(CASE WHEN v_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords, " +
+        "CAST(sum(CASE WHEN NOT v_wc AND NOT v_ml AND NOT v_sr AND NOT v_ar AND NOT v_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_clean " +
+        "FROM r"),
+
+    "layout_zorder" ->
+      ("WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem), " +
+        "zt AS (SELECT x, y, " +
+        (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ") +
+        " AS z FROM d) " +
+        "SELECT z // 16384 AS z_bucket, count(*) AS n, " +
+        "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+        "FROM zt GROUP BY 1 ORDER BY z_bucket"),
 
     "text_tfidf" ->
       ("WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +

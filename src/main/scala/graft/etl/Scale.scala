@@ -49,4 +49,41 @@ object Scale {
 
   /** Read a bucketed table back. */
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Morton / Z-order value of two non-negative dimension columns (each
+    * `< 2^bits`): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Rows close in z are close in BOTH dimensions, so range
+    * partitioning + sorting by z bounds every file/row-group's min–max on
+    * every interleaved column at once — the multi-dimension data-skipping
+    * layout (the publicly documented OPTIMIZE ZORDER technique of
+    * lakehouse table formats). Statically unrolled shift/mask arithmetic —
+    * `2·bits` codegen'd terms, no UDF, no allocation.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-ordered parquet write: range-partition and sort by the interleaved
+    * key, so each output file covers a tight min–max box in both
+    * dimensions and parquet row-group statistics prune scans filtered on
+    * EITHER column. The layout lever for multi-predicate 100 TB scans;
+    * `numFiles` sizes output to the downstream reader's split target.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      a: String,
+      b: String,
+      path: String,
+      numFiles: Int,
+      bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

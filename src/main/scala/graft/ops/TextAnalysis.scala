@@ -257,6 +257,55 @@ object TextAnalysis {
         .otherwise(lit("kept")))
   }
 
+  /** Gopher-style quality rule panel (Rae et al. 2021, §A1.1 — the
+    * publicly documented web-text filter rules, thresholds
+    * parameterized): one boolean column per rule, TRUE = violation.
+    *
+    *   - `viol_word_count`   — token count outside [minWords, maxWords]
+    *   - `viol_mean_wordlen` — mean token length outside [3, 10]
+    *   - `viol_symbol_ratio` — '#'/'…' symbol-to-token ratio > 0.1
+    *   - `viol_alpha_ratio`  — fraction of tokens containing a letter
+    *                           < minAlphaRatio
+    *   - `viol_stopwords`    — fewer than 2 DISTINCT core stopwords
+    *
+    * All rules compare 4-dp-rounded ratios (cross-engine reproducible);
+    * expression-only, one map-side pass, no shuffle. Compose with a
+    * filter on `!viol_*` to drop, or aggregate the booleans for the
+    * per-rule violation-rate dashboard (`quality_gopher_rules`).
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minAlphaRatio: Double = 0.8,
+      coreStopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val t = col(textCol)
+    val tokens = split(t, " ")
+    val nTok = size(tokens).cast("double")
+    val meanLen =
+      round((length(t) - (size(tokens) - 1)).cast("double") / greatest(nTok, lit(1.0)), 4)
+    val symbolCount = size(filter(tokens, w => w.contains("#") || w.contains("…")))
+    val alphaCount = size(filter(tokens, w => w.rlike("[A-Za-z]")))
+    // filter the (tiny) stopword list against the tokens — each stopword
+    // counted once, a formulation both engines evaluate identically
+    val distinctStops = size(filter(array(coreStopwords.map(lit): _*),
+      sw => array_contains(tokens, sw)))
+    df.withColumn("viol_word_count", !size(tokens).between(minWords, maxWords))
+      .withColumn("viol_mean_wordlen", !meanLen.between(3.0, 10.0))
+      .withColumn("viol_symbol_ratio",
+        round(symbolCount.cast("double") / greatest(nTok, lit(1.0)), 4) > 0.1)
+      .withColumn("viol_alpha_ratio",
+        round(alphaCount.cast("double") / greatest(nTok, lit(1.0)), 4) < minAlphaRatio)
+      .withColumn("viol_stopwords", distinctStops < 2)
+  }
+
+  /** The Gopher paper’s own "must contain 2 of" stopword list (Rae et
+    * al. 2021 §A1.1) — the [[gopherRules]] default; corpora in other
+    * domains/languages pass their own list.
+    */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   // Tiny public stopword lists (frequency-top function words; public
   // knowledge). Used for quality scoring and the language-ID heuristic.
   val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

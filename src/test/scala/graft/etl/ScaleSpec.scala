@@ -34,4 +34,36 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("zValue interleaves bits (hand-computed) and orders by both dimensions") {
+    val df = Seq((1L, 2L), (3L, 3L), (0L, 0L), (1023L, 1023L)).toDF("x", "y")
+    val out = df.select(Scale.zValue(col("x"), col("y"), bits = 10)).collect()
+      .map(_.getLong(0))
+    // x=1 (bit0->pos0), y=2 (bit1->pos3): z = 1 + 8 = 9
+    assert(out(0) == 9L)
+    // x=3, y=3: positions 0,2 (x) + 1,3 (y) -> 0b1111 = 15
+    assert(out(1) == 15L)
+    assert(out(2) == 0L)
+    assert(out(3) == (1L << 20) - 1) // all 20 bits set
+  }
+
+  test("writeZOrdered: every output file is a tight min-max box in BOTH dimensions") {
+    val li = Tables.lineitem(spark, GraftSpark.Sf0001)
+      .select(pmod(col("l_orderkey"), lit(256)).as("x"), pmod(col("l_partkey"), lit(256)).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Scale.writeZOrdered(li, "x", "y", dir, numFiles = 8, bits = 8)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(
+        (max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.length >= 4)
+    // a random layout would give every file the full 0..255 span in both
+    // dims; z-ordering must bound the PRODUCT of spans well below 256^2
+    val avgArea = perFile.map(r => (r.getLong(1) + 1.0) * (r.getLong(2) + 1.0)).sum / perFile.length
+    assert(avgArea < 256.0 * 256.0 / 2, s"avg box area $avgArea not tighter than half the domain")
+    // rows survive the layout intact
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
 }

@@ -274,4 +274,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .count()
     assert(mismatches == 0)
   }
+
+  test("gopherRules: each rule fires on its crafted violator and not on the clean doc") {
+    val clean = (1 to 30).map(i => if (i % 3 == 0) "the" else if (i % 3 == 1) "and" else s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, "too short"),                                        // word count
+      (3L, (1 to 30).map(_ => "a").mkString(" ")),              // mean word len < 3
+      (4L, (1 to 30).map(i => s"#t$i").mkString(" ")),          // symbol ratio
+      (5L, (1 to 30).map(i => s"$i"). mkString(" ")),           // alpha ratio
+      (6L, (1 to 30).map(i => s"w$i").mkString(" "))            // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text")
+      .orderBy("doc_id").collect()
+    def v(r: org.apache.spark.sql.Row, c: String) = r.getAs[Boolean](c)
+    val cleanRow = out(0)
+    assert(!v(cleanRow, "viol_word_count") && !v(cleanRow, "viol_mean_wordlen") &&
+      !v(cleanRow, "viol_symbol_ratio") && !v(cleanRow, "viol_alpha_ratio") &&
+      !v(cleanRow, "viol_stopwords"))
+    assert(v(out(1), "viol_word_count"))
+    assert(v(out(2), "viol_mean_wordlen"))
+    assert(v(out(3), "viol_symbol_ratio"))
+    assert(v(out(4), "viol_alpha_ratio"))
+    assert(v(out(5), "viol_stopwords"))
+  }
 }
