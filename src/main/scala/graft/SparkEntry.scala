@@ -240,6 +240,34 @@ object SparkEntry {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // Bucketed CO-LOCATED join (etl.Scale.writeBucketed): both sides
+    // written bucketed+sorted on the join key, so the sort-merge join
+    // needs NO shuffle exchange on either side (ScaleSpec asserts the
+    // plan; here the RESULT faces the oracle). The pre-bucketed tables
+    // are the pre-partitioning answer for repeated big-big joins — at
+    // 100 TB the bucket write is paid once and every downstream join on
+    // the key is exchange-free.
+    "bucketed_join_colocated" -> ((s, dir) => {
+      val tag = Integer.toHexString(dir.hashCode)
+      val liT = s"li_bkt_$tag"
+      val oT = s"o_bkt_$tag"
+      if (!s.catalog.tableExists(liT)) {
+        graft.etl.Scale.dropManaged(s, liT) // clear any stale warehouse dir
+        graft.etl.Scale.dropManaged(s, oT)
+        graft.etl.Scale.writeBucketed(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+          liT, "l_orderkey", 8)
+        graft.etl.Scale.writeBucketed(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          oT, "l_orderkey", 8)
+      }
+      s.table(liT).join(s.table(oT), Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Skew-salted join (etl.Scale): results must be identical to the plain
     // join — the salt only changes the shuffle distribution
     "skew_salted_join" -> ((s, dir) => {
@@ -1654,6 +1682,13 @@ object SparkEntry {
         "ORDER BY c_custkey, valid_from"),
 
     "skew_salted_join" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    // the co-located bucketed join must equal the plain join — bucketing
+    // only changes the physical layout, never the result
+    "bucketed_join_colocated" ->
       ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),

@@ -50,6 +50,20 @@ object Scale {
   /** Read a bucketed table back. */
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Drop a managed table AND its warehouse location. The in-memory
+    * catalog forgets tables across JVMs while the warehouse directory
+    * survives, and `saveAsTable` then refuses the name
+    * (LOCATION_ALREADY_EXISTS) — so a re-creatable managed table must
+    * clear both.
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Morton / Z-order value of two non-negative dimension columns (each
     * `< 2^bits`): bit i of `a` lands at position 2i, bit i of `b` at
     * 2i+1. Rows close in z are close in BOTH dimensions, so range
@@ -66,6 +80,33 @@ object Scale {
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
+
+  /** Small-files compaction: rewrite a parquet dataset into
+    * `ceil(bytes / targetBytes)` files (Hadoop `FileSystem` content
+    * summary → explicit repartition → overwrite of `outPath`). The
+    * operational answer to streaming/append sinks accumulating thousands
+    * of KB-sized files — at 100 TB, scan parallelism and NameNode/
+    * object-store listing cost are both governed by file count, and a
+    * compaction pass is the standing maintenance job. Returns the file
+    * count written. Refuses `outPath == path`: parquet cannot overwrite
+    * its own input mid-scan; compact to a new location and swap
+    * atomically (rename or table-location flip).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      outPath: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    require(outPath != path, "compact(outPath) must differ from the input path")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n.toLong
   }
 
   /** Z-ordered parquet write: range-partition and sort by the interleaved
