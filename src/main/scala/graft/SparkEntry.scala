@@ -881,6 +881,22 @@ object SparkEntry {
     // tight in BOTH dimensions, which is exactly why range-partitioning
     // by z (Scale.writeZOrdered) lets parquet row-group stats prune scans
     // filtered on either column
+    // small-files compaction round-trip: write a fragmented copy (the
+    // streaming-sink shape), compact it to content-sized files
+    // (Scale.compact; file-count math spec'd in ScaleSpec), and face the
+    // oracle with the data read back — compaction must be layout-only,
+    // never data-changing
+    "layout_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(16).write.mode("overwrite").parquet(tmp + "/frag")
+      graft.etl.Scale.compact(s, tmp + "/frag", tmp + "/out", targetBytes = 8L << 20)
+      s.read.parquet(tmp + "/out")
+        .groupBy().agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+    }),
+
     "layout_zorder" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
@@ -1055,6 +1071,24 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+
+    // frequency-ranked vocabulary (tokenizer-training step): ONE corpus
+    // shuffle; the global ranking window runs over the bounded
+    // post-minCount vocabulary only
+    "vocab_build" -> ((s, dir) =>
+      TextAnalysis.buildVocab(Tables.documents(s, dir), "text",
+          minCount = 5L, maxVocab = 4096)
+        .orderBy("token_id")),
+
+    // token-id encoding against that vocabulary: exploded (id, pos,
+    // token_id) rows, OOV -> 0; broadcast join only — the corpus is
+    // never shuffled
+    "vocab_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 5L, maxVocab = 4096)
+      TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id", "pos")
+    }),
 
     // pinned VALUES oracle (xxhash64 is Spark-side; driver-side chain
     // recomputation in TextAnalysisSpec)
@@ -2050,6 +2084,13 @@ object SparkEntry {
         "CAST(sum(CASE WHEN NOT v_wc AND NOT v_ml AND NOT v_sr AND NOT v_ar AND NOT v_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_clean " +
         "FROM r"),
 
+    // compaction is layout-only: the compacted copy must aggregate
+    // identically to the source table
+    "layout_compact" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM lineitem"),
+
     "layout_zorder" ->
       ("WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem), " +
         "zt AS (SELECT x, y, " +
@@ -2071,6 +2112,25 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) " +
         "SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank " +
         "FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
+
+    "vocab_build" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "vc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM tok " +
+        "WHERE token <> '' GROUP BY 1 HAVING count(*) >= 5), " +
+        "ranked AS (SELECT token, CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS token_id, " +
+        "n_occurrences FROM vc) " +
+        "SELECT token, token_id, n_occurrences FROM ranked WHERE token_id <= 4096 ORDER BY token_id"),
+
+    "vocab_encode" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "vc AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1 HAVING count(*) >= 5), " +
+        "ranked AS (SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) AS INT) AS token_id FROM vc " +
+        "QUALIFY token_id <= 4096), " +
+        "lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+        "p AS (SELECT doc_id, CAST(unnest(range(len(l))) AS INT) AS pos, l FROM lists), " +
+        "e AS (SELECT doc_id, pos, l[pos + 1] AS token FROM p) " +
+        "SELECT e.doc_id, e.pos, coalesce(r.token_id, 0) AS token_id " +
+        "FROM e LEFT JOIN ranked r USING (token) ORDER BY doc_id, pos"),
 
     "text_perplexity" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +

@@ -400,4 +400,54 @@ object TextAnalysis {
       cast(0 as bigint),
       (acc, t) -> xxhash64(acc, t))
     """)
+
+  /** Frequency-ranked vocabulary over a corpus: tokens occurring at least
+    * `minCount` times, ids 1..maxVocab assigned by (count desc, token asc)
+    * — id 0 is reserved for out-of-vocabulary. The tokenizer-training step
+    * of an LLM data pipeline (word-level stand-in for BPE merges).
+    *
+    * Scale: the corpus sees exactly ONE shuffle (token count aggregate,
+    * map-side partial). The ranking window is global-ordered and therefore
+    * single-partition — but it runs over the POST-minCount vocabulary, not
+    * the corpus: bounded by the distinct-token count above threshold
+    * (≈ 10^6-10^7 even at 100 TB, Heaps' law), which one task sorts in
+    * memory. Empty tokens (split artifacts) are dropped.
+    */
+  def buildVocab(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      maxVocab: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token"))
+    df.select(explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .withColumn("token_id", row_number().over(w))
+      .filter(col("token_id") <= maxVocab)
+      .select("token", "token_id", "n_occurrences")
+  }
+
+  /** Token-id encoding of a corpus against a [[buildVocab]] vocabulary:
+    * one output row per token position `(id, pos, token_id)`, OOV → 0.
+    * The exploded (rather than array-valued) shape keeps the operator
+    * join-only: positions come from `posexplode`, ids from a BROADCAST
+    * left join against the bounded vocabulary — the corpus is never
+    * shuffled and never aggregated. Downstream packing
+    * ([[Packing.packChunks]]) re-assembles sequences when arrays are
+    * needed.
+    */
+  def encodeTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), " ")).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select("token", "token_id")), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
 }

@@ -298,4 +298,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v(out(4), "viol_alpha_ratio"))
     assert(v(out(5), "viol_stopwords"))
   }
+
+  test("buildVocab ranks by count desc then token, dense ids from 1, minCount/maxVocab honored") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare"),
+      (3L, "a c")).toDF("doc_id", "text")
+    // counts: a=4, b=4, c=2, rare=1
+    val v = TextAnalysis.buildVocab(docs, "text", minCount = 2L, maxVocab = 10)
+      .orderBy("token_id").collect()
+    assert(v.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1, 4L), ("b", 2, 4L), ("c", 3, 2L)))   // tie a/b broken by token asc
+    // maxVocab truncates the tail, ids stay the rank prefix
+    val v1 = TextAnalysis.buildVocab(docs, "text", minCount = 1L, maxVocab = 2)
+      .orderBy("token_id").collect()
+    assert(v1.map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("encodeTokens emits one row per position, OOV -> 0, decode round-trips in-vocab tokens") {
+    val docs = Seq((1L, "a b zzz a")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2L, maxVocab = 10)
+    val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .orderBy("pos").collect()
+    assert(enc.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 1), (1, 0), (2, 0), (3, 1)))  // a=1 (count 2); b, zzz OOV
+    // decoding the in-vocab positions restores the original tokens
+    val decoded = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .join(vocab, Seq("token_id")).orderBy("pos")
+      .select("token").as[String].collect()
+    assert(decoded.toSeq == Seq("a", "a"))
+  }
 }
