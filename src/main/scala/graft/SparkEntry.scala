@@ -1190,6 +1190,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value"))
         .orderBy("event_type", "bucket")),
 
+    // daily resample + forward fill: irregular events onto each user's
+    // dense daily grid, last observation carried forward — every stage
+    // co-partitioned on user_id (one shuffle); window partitions hold a
+    // key's DAYS, never its raw events
+    "events_resample_ffill" -> ((s, dir) =>
+      graft.ops.TimeSeries.resampleDailyFfill(
+          Tables.events(s, dir), "user_id", "ts", "value")
+        .withColumn("value_ffill", round(col("value_ffill"), 4))
+        .orderBy("user_id", "day")),
+
+    // blocked fuzzy linkage over part names: pairs form only within a
+    // brand block (semi-join rail drops oversized blocks), banded
+    // levenshtein gate keeps near-matches — Σ|block|² cost, never
+    // all-pairs
+    "link_fuzzy_parts" -> ((s, dir) =>
+      graft.ops.Linkage.fuzzyPairs(Tables.part(s, dir),
+          "p_partkey", "p_brand", "p_name", maxDist = 2, maxBlock = 100000L)
+        .orderBy("id_a", "id_b")),
+
+    // the linkage cap audit, declared: brands larger than the (tight,
+    // fixture-meaningful) cap, with sizes — a capped run ships its own
+    // evidence
+    "link_oversized_blocks" -> ((s, dir) =>
+      graft.ops.Linkage.oversizedBlocks(Tables.part(s, dir), "p_brand", 75L)
+        .orderBy("block")),
+
     // ---- Events: JSON prop extraction + agg (T2-adjacent; events table) ----
     "events_json_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2322,6 +2348,35 @@ object SparkEntry {
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, " +
         "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // resample: last-observation-per-day (ts desc, value desc tiebreak),
+    // dense per-user day spine, forward fill via IGNORE NULLS window
+    "events_resample_ffill" ->
+      ("WITH obs AS (SELECT user_id, CAST(ts AS DATE) AS day, value, " +
+        "row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, value DESC) AS rn FROM events), " +
+        "d1 AS (SELECT user_id, day, value FROM obs WHERE rn = 1), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM d1 GROUP BY user_id), " +
+        "j AS (SELECT s.user_id, s.day, d.value FROM spine s LEFT JOIN d1 d USING (user_id, day)) " +
+        "SELECT user_id, day, " +
+        "round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS value_ffill, " +
+        "value IS NOT NULL AS is_observed FROM j ORDER BY user_id, day"),
+
+    // fuzzy linkage: identical blocking + banded-distance gate; the SQL
+    // recomputes the unbanded distance (equal within the band by
+    // definition)
+    "link_fuzzy_parts" ->
+      ("WITH ok AS (SELECT p_brand, p_partkey, p_name FROM part WHERE p_brand IN " +
+        "(SELECT p_brand FROM part GROUP BY 1 HAVING count(*) <= 100000)) " +
+        "SELECT a.p_brand AS block, a.p_partkey AS id_a, a.p_name AS name_a, " +
+        "b.p_partkey AS id_b, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist " +
+        "FROM ok a JOIN ok b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey " +
+        "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2 ORDER BY id_a, id_b"),
+
+    "link_oversized_blocks" ->
+      ("SELECT p_brand AS block, CAST(count(*) AS BIGINT) AS n_rows FROM part " +
+        "GROUP BY 1 HAVING count(*) > 75 ORDER BY block"),
 
     "source_token_budget" ->
       ("SELECT doc_id, source, tokens, cum_tokens FROM (" +

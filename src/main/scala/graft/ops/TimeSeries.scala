@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream onto a
+  * per-key daily grid and forward-fill gaps — the feature-engineering
+  * step that turns event logs into fixed-frequency model inputs
+  * (north-star surface; the reference's closest shape is the Method-2
+  * date-window extract, `Template-to-MySQL/BigQuery-to-MySQL-Method-2
+  * .py:58`, which filters but never regularizes).
+  */
+object TimeSeries {
+
+  /** Daily resample + forward fill. Per key: (1) keep the LAST
+    * observation of each day (row_number over ts desc, value desc — the
+    * value tiebreak keeps selection deterministic under equal
+    * timestamps); (2) explode the key's min..max day span into a dense
+    * spine; (3) left-join observations and carry the last non-null value
+    * forward (`last(ignoreNulls)` over an unbounded-preceding window).
+    *
+    * Scale: everything is keyed by `keyCol` — one shuffle, reused by the
+    * dedup window, the spine aggregate, the join, and the fill window
+    * (co-partitioned stages). Each window partition holds one key's DAYS
+    * (span-bounded, ~10³ for years of data), never the raw events, so no
+    * single-partition serialization at any corpus size. Spine width is
+    * span × keys — dense by construction, the operator's stated output.
+    */
+  def resampleDailyFfill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val wDay = Window.partitionBy(col(keyCol), col("day"))
+      .orderBy(col(tsCol).desc, col(valueCol).desc)
+    val daily = df
+      .withColumn("day", to_date(col(tsCol)))
+      .withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("day"), col(valueCol).as("__obs"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col(keyCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val wFill = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last("__obs", ignoreNulls = true).over(wFill).as("value_ffill"),
+        col("__obs").isNotNull.as("is_observed"))
+  }
+}
