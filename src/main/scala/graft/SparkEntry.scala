@@ -794,6 +794,15 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Efraimidis–Spirakis weighted sample (k=50 by char length): map-side
+    // ES keys + global top-k heaps — no corpus sort, no shuffle
+    "weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+          Tables.documents(s, dir), 50, col("n_chars"), col("doc_id"))
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")),
+
     // per-source token-budget cap: greedy doc_id-ordered prefix per source
     // under an 800-token budget (SQL-recomputable order; the hash-ordered
     // unbiased form is the operator's documented default)
@@ -1199,6 +1208,15 @@ object SparkEntry {
           Tables.events(s, dir), "user_id", "ts", "value")
         .withColumn("value_ffill", round(col("value_ffill"), 4))
         .orderBy("user_id", "day")),
+
+    // per-key OLS trend: one hash aggregation (constant regression-moment
+    // state per key), integer-day regressor for cross-engine-exact inputs
+    "events_trend" -> ((s, dir) =>
+      graft.ops.TimeSeries.trend(Tables.events(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), round(col("slope"), 4).as("slope"),
+          round(col("r2"), 4).as("r2"), col("n"),
+          round(col("mean_value"), 4).as("mean_value"))
+        .orderBy("user_id")),
 
     // blocked fuzzy linkage over part names: pairs form only within a
     // brand block (semi-join rail drops oversized blocks), banded
@@ -2361,6 +2379,13 @@ object SparkEntry {
         "SELECT user_id, day, " +
         "round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS value_ffill, " +
         "value IS NOT NULL AS is_observed FROM j ORDER BY user_id, day"),
+
+    // trend: identical integer-day regressor (bit-exact x on both sides)
+    "events_trend" ->
+      ("WITH e AS (SELECT user_id, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x, value FROM events) " +
+        "SELECT user_id, round(regr_slope(value, x), 4) AS slope, " +
+        "round(regr_r2(value, x), 4) AS r2, CAST(regr_count(value, x) AS BIGINT) AS n, " +
+        "round(avg(value), 4) AS mean_value FROM e GROUP BY user_id ORDER BY user_id"),
 
     // fuzzy linkage: identical blocking + banded-distance gate; the SQL
     // recomputes the unbanded distance (equal within the band by

@@ -36,6 +36,54 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: Column, fraction: Double, keys: Column*): DataFrame =
     df.filter(hashWeight((strataCol +: keys): _*) < fraction)
 
+  /** Weighted sampling WITHOUT replacement via the public
+    * Efraimidis–Spirakis exponential-key scheme (Inf. Proc. Letters 97,
+    * 2006): each row gets key `-ln(u) / w` for a uniform `u` and weight
+    * `w`, and the k SMALLEST keys are exactly a weighted sample without
+    * replacement. `u` is this object's deterministic [[hashWeight]]
+    * (shifted half a bucket off 0 so `ln` is total) — reproducible
+    * row-for-row across runs and partitionings, like every sampler here.
+    * Rows with weight <= 0 or NULL are ineligible and filtered (ES keys
+    * are undefined there).
+    *
+    * Output adds `sample_key` (the selection key, for audits and as the
+    * deterministic tiebreak order). Scale: one map-side key computation +
+    * a global top-k (`TakeOrderedAndProject`) — per-partition heaps of k,
+    * a k·P driver merge, NO full sort and no shuffle of the corpus; k is
+    * driver-bounded by construction (same contract as any collect-k).
+    */
+  def weightedSample(df: DataFrame, k: Int, weightCol: Column, keys: Column*): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (pmod(xxhash64(keys: _*), lit(Buckets)).cast("double") + 0.5d) / Buckets.toDouble
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("sample_key", -log(u) / weightCol.cast("double"))
+      .orderBy(col("sample_key"))
+      .limit(k)
+  }
+
+  /** Per-stratum [[weightedSample]]: the k smallest ES keys within EACH
+    * stratum. One shuffle keyed by the stratum; the rank window sorts each
+    * stratum once (spillable sort, no driver involvement — use this form,
+    * not k × filter, when strata are many).
+    */
+  def weightedSamplePerStratum(
+      df: DataFrame,
+      strataCol: Column,
+      k: Int,
+      weightCol: Column,
+      keys: Column*): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (pmod(xxhash64((strataCol +: keys): _*), lit(Buckets)).cast("double") + 0.5d) /
+      Buckets.toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("sample_key"))
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("sample_key", -log(u) / weightCol.cast("double"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Weighted source mixing for corpus composition (the
     * temperature-weighted source mix of public pretraining recipes — e.g.
     * the GPT-3 / Pile corpus-weighting scheme): each row is emitted

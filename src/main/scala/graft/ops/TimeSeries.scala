@@ -49,4 +49,36 @@ object TimeSeries {
         last("__obs", ignoreNulls = true).over(wFill).as("value_ffill"),
         col("__obs").isNotNull.as("is_observed"))
   }
+
+  /** Per-key OLS trend of `valueCol` over event time: slope (units/day),
+    * r², pair count, and mean value — the "is this metric drifting"
+    * panel, one aggregation pass via Spark's linear-regression aggregates
+    * (`regr_slope`/`regr_r2`, covariance-based single-pass forms).
+    *
+    * The regressor is WHOLE DAYS since `origin` (integer datediff, then
+    * cast) — exactly representable, so cross-engine oracle comparison
+    * sees bit-identical inputs and differs only in summation order; and
+    * the day-granularity slope is the operationally meaningful
+    * units-per-day number. Keys with a single distinct day have zero x
+    * variance: slope/r² are NULL there (kept — the caller decides).
+    *
+    * Scale: one hash aggregation keyed by `keyCol` with map-side partial
+    * combine — constant state per key (the five regression moments), no
+    * window, no sort.
+    */
+  def trend(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      origin: String = "2024-01-01"): DataFrame = {
+    val x = datediff(col(tsCol).cast("date"), to_date(lit(origin))).cast("double")
+    df.withColumn("__x", x)
+      .groupBy(col(keyCol))
+      .agg(
+        regr_slope(col(valueCol), col("__x")).as("slope"),
+        regr_r2(col(valueCol), col("__x")).as("r2"),
+        regr_count(col(valueCol), col("__x")).as("n"),
+        avg(col(valueCol)).as("mean_value"))
+  }
 }

@@ -62,6 +62,59 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("weightedSample matches a driver-side Efraimidis-Spirakis recomputation; zero/null weights ineligible") {
+    // first-principles check backing the pinned weighted_sample oracle:
+    // key = -ln((pmod(xxhash64(id),1e6)+0.5)/1e6) / w, k smallest win
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val k = 50
+    val got = Sampling.weightedSample(docs, k, col("n_chars"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.select(col("doc_id"), col("n_chars").cast("double")).collect()
+      .flatMap { r =>
+        val w = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+        if (w <= 0) None
+        else {
+          val h = XxHash64Function.hash(r.getLong(0), LongType, 42L)
+          val u = ((((h % 1000000L) + 1000000L) % 1000000L).toDouble + 0.5) / 1000000.0
+          Some(r.getLong(0) -> (-math.log(u) / w))
+        }
+      }.sortBy(_._2).take(k).map(_._1).toSet
+    assert(got.size == k)
+    assert(got == want)
+    // heavier docs are sampled more often than light ones in aggregate:
+    // the sample's mean weight exceeds the corpus mean weight
+    val sampleMean = docs.filter(col("doc_id").isin(got.toSeq: _*))
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > corpusMean)
+  }
+
+  test("weightedSamplePerStratum: k smallest ES keys within each stratum, stratum-salted") {
+    val out = Sampling.weightedSamplePerStratum(
+      docs, col("lang"), 3, col("n_chars"), col("doc_id"))
+    val byLang = out.select("lang", "doc_id", "sample_key").collect()
+      .groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, rows) => assert(rows.length <= 3) }
+    // within a stratum the kept keys are the stratum's minima: every kept
+    // key must be <= the stratum's (k+1)-th smallest recomputed key
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val all = docs.select("doc_id", "lang", "n_chars").collect().map { r =>
+      val h1 = XxHash64Function.hash(UTF8String.fromString(r.getString(1)), StringType, 42L)
+      val h = XxHash64Function.hash(r.getLong(0), LongType, h1)
+      val u = ((((h % 1000000L) + 1000000L) % 1000000L).toDouble + 0.5) / 1000000.0
+      (r.getString(1), r.getLong(0), -math.log(u) / r.getLong(2).toDouble)
+    }
+    val wantTop = all.groupBy(_._1).map { case (lang, rows) =>
+      lang -> rows.sortBy(_._3).take(3).map(_._2).toSet
+    }
+    val gotTop = byLang.map { case (lang, rows) => lang -> rows.map(_.getLong(1)).toSet }
+    assert(gotTop == wantTop)
+  }
+
   test("mixSources: rate 0 drops, integer rates replicate exactly, fractional rates match a driver-side hash recomputation") {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.{LongType, StringType}

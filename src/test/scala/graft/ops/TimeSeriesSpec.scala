@@ -39,4 +39,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     val out = TimeSeries.resampleDailyFfill(ev, "user_id", "ts", "value").collect()
     assert(out.length == 1 && out(0).getAs[Double]("value_ffill") == 7.0)
   }
+
+  test("trend: slope/r2/n match first-principles OLS; single-day key yields NULL slope") {
+    // key 1: y = 2x + 5 exactly (days 0,1,2 from origin) -> slope 2, r2 1
+    // key 2: non-collinear points -> recompute OLS by hand
+    // key 3: one distinct day -> zero x variance -> NULL slope/r2
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-02 10:00:00"), 7.0),
+      (1L, ts("2024-01-03 10:00:00"), 9.0),
+      (2L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-02 00:00:00"), 5.0),
+      (2L, ts("2024-01-04 00:00:00"), 4.0),
+      (3L, ts("2024-01-05 01:00:00"), 8.0),
+      (3L, ts("2024-01-05 23:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.trend(ev, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+
+    def ols(pts: Seq[(Double, Double)]): (Double, Double) = {
+      val n = pts.size
+      val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val syy = pts.map { case (_, y) => (y - my) * (y - my) }.sum
+      (sxy / sxx, sxy * sxy / (sxx * syy))
+    }
+    val r1 = out(0)
+    assert(math.abs(r1.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(r1.getAs[Long]("n") == 3L)
+    val (s2, q2) = ols(Seq((0.0, 1.0), (1.0, 5.0), (3.0, 4.0)))
+    val r2 = out(1)
+    assert(math.abs(r2.getAs[Double]("slope") - s2) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("r2") - q2) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("mean_value") - 10.0 / 3) < 1e-9)
+    val r3 = out(2)
+    assert(r3.isNullAt(r3.fieldIndex("slope")) && r3.getAs[Long]("n") == 2L)
+  }
 }
