@@ -944,6 +944,18 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
 
+    // BM25 keyword retrieval: corpus explodes once, semi-joined against
+    // the broadcast query vocabulary BEFORE its one shuffle; df/N/avgdl
+    // broadcast back; pre-rounded scores rank deterministically
+    "text_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          qs, "q_id", "term", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // CCNet-style perplexity signal: per-doc mean unigram NLL under a
     // model trained on the same corpus (the declared, oracle-exact form;
     // nllScore also takes a frozen reference model + OOV floor)
@@ -2156,6 +2168,27 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) " +
         "SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank " +
         "FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
+
+    // BM25: identical tf/df/dl/avgdl decomposition; rank by the rounded
+    // score then doc_id (the cross-engine-stable order)
+    "text_bm25_search" ->
+      ("WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
+        "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
+        "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+        "s AS (SELECT q.q_id, tf.doc_id, " +
+        "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS sc " +
+        "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "agg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(sc), 4) AS score FROM s GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM agg) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "vocab_build" ->
       ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +

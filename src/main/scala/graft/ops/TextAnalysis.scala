@@ -78,6 +78,67 @@ object TextAnalysis {
         col("tfidf"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** BM25 keyword retrieval (Robertson–Spärck Jones probabilistic
+    * ranking, the Okapi BM25 form): top-k documents per query, where a
+    * query is a bag of terms and a document's score is
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)). The keyword complement of the
+    * embedding-based retrieval join (`doc_retrieval`).
+    *
+    * Scale: the corpus explodes ONCE and is semi-joined against the
+    * (broadcast) query vocabulary BEFORE its one shuffle — only postings
+    * of query terms ever leave the map side; doc length rides along with
+    * the posting rows, so no second corpus join. df/N/avgdl are
+    * vocabulary- and 1-row-sized aggregates, broadcast back. Top-k per
+    * query is a window over candidate docs only.
+    *
+    * Determinism across engines: ranking orders by the 4-dp-ROUNDED score
+    * (then doc id) — same convention as [[tfidfTopTerms]].
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTermCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val toks = split(col(textCol), " ")
+    val qTerms = queries.select(col(qTermCol).as("term")).distinct()
+    val tf = docs
+      .select(col(idCol), size(toks).cast("double").as("__dl"),
+        explode(toks).as("term"))
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("__dl")).as("dl"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(toks)).as("__avgdl"))
+    val scored = tf
+      .join(broadcast(docFreq), Seq("term"))
+      .join(broadcast(queries.select(col(qIdCol).as("q_id"), col(qTermCol).as("term"))),
+        Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__sc",
+        col("__idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(round(sum(col("__sc")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+        col(idCol), col("score"))
+  }
+
   /** Unigram language-model token frequencies trained on a corpus: one
     * (token, c) row per distinct space-separated token. The model for
     * [[nllScore]] — the CCNet-style "perplexity filter" signal (public

@@ -138,6 +138,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK: hand-computed scores, rare-term boost, k bound, non-matching docs absent") {
+    // corpus: 4 docs; 'rare' only in doc 3; 'common' in all but doc 3
+    val docs = Seq(
+      (0L, "common common filler filler"),
+      (1L, "common filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "rare filler")).toDF("doc_id", "text")
+    val qs = Seq((1L, "common"), (1L, "rare")).toDF("q_id", "term")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, "q_id", "term", k = 3)
+      .orderBy("q_id", "rank").collect()
+
+    def bm25(tf: Double, df: Double, dl: Double): Double = {
+      val n = 4.0; val avgdl = (4 + 2 + 6 + 2) / 4.0
+      val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // expected per-doc scores for the one query
+    val want = Map(
+      0L -> r4(bm25(2, 3, 4)),  // common tf=2
+      1L -> r4(bm25(1, 3, 2)),
+      2L -> r4(bm25(1, 3, 6)),
+      3L -> r4(bm25(1, 1, 2)))  // rare tf=1 df=1 → biggest idf
+    assert(out.length == 3)                       // k=3 bound (4 matching docs)
+    assert(out.forall(_.getLong(0) == 1L))
+    val got = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    got.foreach { case (id, sc) => assert(math.abs(sc - want(id)) < 1e-9, s"doc $id") }
+    // the rare-term doc outranks every common-term doc (idf dominance)
+    assert(out.head.getLong(2) == 3L)
+    // ranks are 1..3 and descending in score
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.sliding(2).forall(p => p(0).getDouble(3) >= p(1).getDouble(3)))
+  }
+
   test("tfidfTopTerms: idf of a universal term is 0 regardless of tf") {
     val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001).limit(50)
     val n = docs.count()
