@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, IntersectCountSorted, LangIdExpr, LshSignature, MinHashSig, ShingleHash, SimHash64, StopwordCount, WordNgrams}
+import graft.functions.{CharEntropy, DotProduct, IntersectCountSorted, LangIdExpr, LshSignature, MinHashSig, ShingleHash, SimHash64, StopwordCount, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_intersect_count_sorted",
         "graft_intersect_count_sorted(a, b) - intersection size of two sorted long arrays"),
       (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - Shannon entropy (nats) of the char distribution"),
+      (args: Seq[Expression]) => CharEntropy(args.head)))
   }
 }
 
@@ -117,5 +122,6 @@ object GraftFunctions {
     put("graft_lang_id", args => LangIdExpr(args.head, graft.ops.TextAnalysis.LangTable))
     put("graft_word_ngrams", args => WordNgrams(args(0), GraftExtensions.intLitArg("graft_word_ngrams", args, 2, 1, "n")))
     put("graft_intersect_count_sorted", args => IntersectCountSorted(args(0), args(1)))
+    put("graft_char_entropy", args => CharEntropy(args.head))
   }
 }

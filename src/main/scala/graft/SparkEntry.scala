@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Loads, Sanitize, Tables, Windows}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.schema.Ddl
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -859,6 +859,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // char-distribution Shannon entropy: native per-row expression inside
+    // whole-stage codegen — ZERO explode/shuffle (the oracle's formulation
+    // shuffles one row per CHARACTER; at 100 TB that intermediate is the
+    // corpus itself)
+    "text_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          round(graft.functions.TextFunctions.char_entropy(col("text")), 4)
+            .as("char_entropy"))
+        .orderBy("doc_id")),
+
     // C4/Gopher-style rule cascade with per-rule rejection accounting:
     // first failed rule wins (length floor → repetition ceiling → quality
     // floor); thresholds tuned so every branch fires on the fixture
@@ -1109,6 +1120,36 @@ object SparkEntry {
       val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 5L, maxVocab = 4096)
       TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
         .orderBy("doc_id", "pos")
+    }),
+
+    // BPE tokenizer training (Sennrich 2016): the ONLY corpus-scale pass
+    // is the word-count shuffle; the merge loop runs on the vocab-sized
+    // frequency table. Deterministic (count-desc/lhs/rhs tie-break) —
+    // pinned VALUES oracle (iterative; driver-side path-equality and
+    // hand-computed merges in BpeSpec)
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(Bpe.wordCounts(Tables.documents(s, dir), "text"),
+          numMerges = 30, minCount = 2)
+        .toDF("merge_rank", "lhs", "rhs")
+        .select(col("merge_rank").cast("bigint").as("merge_rank"),
+          col("lhs"), col("rhs"))
+        .orderBy("merge_rank")
+    }),
+
+    // BPE encoding with the merges trained on the same corpus: native
+    // codegen'd expression, one call per doc, zero shuffle — pinned
+    // VALUES oracle (train-state reproduction asserted in BpeSpec)
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.train(Bpe.wordCounts(docs, "text"),
+        numMerges = 30, minCount = 2)
+      docs.select(col("doc_id"),
+          graft.functions.BpeFunctions.bpe_encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_bpe_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("tokens_head"))
+        .orderBy("doc_id")
     }),
 
     // pinned VALUES oracle (xxhash64 is Spark-side; driver-side chain
@@ -2472,6 +2513,18 @@ object SparkEntry {
         "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
         "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
         ", 4) AS quality FROM documents ORDER BY doc_id"),
+
+    // entropy oracle: lateral-unnest one row per character, then the
+    // -Σ p·ln p aggregate; LEFT JOIN keeps zero-length docs at 0.0
+    "text_entropy" ->
+      ("WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch " +
+        "FROM documents, unnest(generate_series(1, len(text))) AS t(i)), " +
+        "cc AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c FROM ch GROUP BY 1, 2), " +
+        "nn AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY 1), " +
+        "e AS (SELECT cc.doc_id, round(-sum((c / n) * ln(c / n)), 4) AS char_entropy " +
+        "FROM cc JOIN nn USING (doc_id) GROUP BY 1) " +
+        "SELECT d.doc_id, d.n_chars, coalesce(e.char_entropy, 0.0) AS char_entropy " +
+        "FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id"),
 
     "lang_id" ->
       ("WITH scores AS (SELECT doc_id, " +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnInterop
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native SimHash-64 over a token array (north-star dedup, SURVEY.md §7.5).
@@ -741,6 +741,66 @@ object WordNgrams {
   }
 }
 
+/** Shannon entropy (nats) of a string's character distribution — the
+  * "character diversity" quality signal (low entropy flags repeated-char /
+  * keyboard-mash / boilerplate documents; a standard C4/Gopher-family
+  * heuristic complement). H = −Σ_c p(c)·ln p(c) over the UTF-16 chars of
+  * the value; empty/NULL-free input of length 0 scores 0.0.
+  *
+  * Scale: per-row scalar inside whole-stage codegen — the quality panel
+  * adds NO explode/groupBy (the naive formulation shuffles one row per
+  * CHARACTER, i.e. ~100 TB of intermediate for a 100 TB corpus). The char
+  * histogram is a sort + run-length scan of one per-row array, so the sum
+  * order is char-sorted and deterministic across partitionings.
+  *
+  * Cross-engine note: chars are UTF-16 units; identical to code-point
+  * entropy for BMP text (the oracle's DuckDB formulation counts code
+  * points).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy expects string, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropy.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CharEntropy$$.MODULE$$.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  def compute(text: UTF8String): Double = {
+    val chars = text.toString.toCharArray
+    val n = chars.length
+    if (n == 0) return 0.0
+    java.util.Arrays.sort(chars)
+    var h = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && chars(j) == chars(i)) j += 1
+      val p = (j - i).toDouble / n
+      h -= p * math.log(p)
+      i = j
+    }
+    h
+  }
+}
+
 object TextFunctions {
   /** SimHash-64 fingerprint of a token-array column. */
   def simhash64(tokens: Column): Column =
@@ -776,4 +836,8 @@ object TextFunctions {
   /** Word n-grams of a raw text column as space-joined strings. */
   def word_ngrams(text: Column, n: Int): Column =
     ColumnInterop.column(WordNgrams(ColumnInterop.expression(text), n))
+
+  /** Shannon entropy (nats) of a string's character distribution. */
+  def char_entropy(text: Column): Column =
+    ColumnInterop.column(CharEntropy(ColumnInterop.expression(text)))
 }

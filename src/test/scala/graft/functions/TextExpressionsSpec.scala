@@ -58,3 +58,55 @@ class IntersectCountSortedSpec extends AnyFunSuite {
     assert(df.select(intersect_count_sorted(col("a"), col("b"))).head().isNullAt(0))
   }
 }
+
+/** [[CharEntropy]]: hand-computed values, HOF cross-check (explode-based
+  * Spark SQL recomputation — an independent in-engine oracle), and
+  * interpreted-vs-codegen agreement.
+  */
+class CharEntropySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def interpreted(s: String): Double =
+    CharEntropy(Literal(s)).eval(null).asInstanceOf[Double]
+
+  test("hand-computed: uniform, single-char, empty") {
+    assert(interpreted("") == 0.0)
+    assert(interpreted("aaaa") == 0.0)
+    assert(math.abs(interpreted("aabb") - math.log(2)) < 1e-12)
+    assert(math.abs(interpreted("abab") - math.log(2)) < 1e-12)  // order-free
+    assert(math.abs(interpreted("abcd") - math.log(4)) < 1e-12)
+    // p = (1/2, 1/4, 1/4): H = 0.5 ln2 + 0.5 ln4
+    assert(math.abs(interpreted("aabc") - (0.5 * math.log(2) + 0.5 * math.log(4))) < 1e-12)
+  }
+
+  test("agrees with explode-based recomputation on real documents") {
+    val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001).limit(100)
+    val native = docs.select(col("doc_id"),
+      round(char_entropy(col("text")), 6).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // split(text, '') emits a trailing "" element — filter it
+    val plain = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(collect_list(col("c")).as("cs"))
+      .collect()
+      .map { r =>
+        val cs = r.getSeq[Long](1)
+        val n = cs.sum.toDouble
+        val h = -cs.map(c => c / n * math.log(c / n)).sum
+        r.getLong(0) -> BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    assert(plain.keySet == native.keySet)
+    plain.foreach { case (id, h) => assert(math.abs(h - native(id)) < 2e-6, s"doc $id") }
+  }
+
+  test("null propagation and codegen-vs-interpreted agreement") {
+    val df = Seq(Option("hello world"), None, Some("aabb")).toDF("t")
+    val got = df.select(char_entropy(col("t"))).collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
+    assert(math.abs(got(2).getDouble(0) - interpreted("aabb")) < 1e-15)
+    assert(math.abs(got(0).getDouble(0) - interpreted("hello world")) < 1e-15)
+  }
+}
