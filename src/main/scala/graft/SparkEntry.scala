@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Loads, Sanitize, Tables, Windows}
-import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
 import graft.schema.Ddl
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1009,6 +1009,21 @@ object SparkEntry {
     // pre-pass): dim stats reduce to ONE broadcast row of (mu[], sd[])
     // arrays — no collect, no per-row join — and standardization is a
     // map-side indexed transform over each vector
+    // PCA projection: one moment-aggregation pass (d·(d+3)/2-double
+    // buffer, map-side combined), driver Jacobi eigensolve of the 64×64
+    // covariance, then k native codegen'd dot products per row — the
+    // corpus never shuffles. Deterministic via sign-fixed eigenvectors;
+    // pinned VALUES oracle (eigensolve is Spark/JVM-side; brute-force
+    // eigenpair residual + projection parity asserted in PcaSpec)
+    "embedding_pca" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = Pca.fit(emb, "embedding", dim = 64, k = 4)
+      Pca.project(emb, "embedding", m)
+        .select(col("vec_id") +:
+          (1 to 4).map(i => round(col(s"pc$i"), 4).as(s"pc$i")): _*)
+        .orderBy("vec_id")
+    }),
+
     "embedding_standardize" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val stats = emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
