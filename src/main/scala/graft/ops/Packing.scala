@@ -114,6 +114,45 @@ object Packing {
         size(col("__chunk")).cast("bigint").as("n_chunk_tokens"))
   }
 
+  /** Conversation / training-sample assembly: collapse an ordered event or
+    * turn stream into one text per key — the step that turns raw
+    * interaction logs into SFT/chat training documents (and, generally,
+    * any group-and-concatenate document build). Turns sort INSIDE the
+    * aggregate (`array_sort` over collected (order…, text) structs —
+    * struct ordering is field-by-field, so `orderCols` then the text
+    * itself break ties deterministically) — input order and partitioning
+    * never affect the output.
+    *
+    * Scale: ONE shuffle keyed by `keyCols` with map-side partial
+    * collection; per-key state is the conversation itself, so memory is
+    * bounded by the longest conversation — the operator's natural
+    * contract (a key with unbounded turns needs a session cut first, e.g.
+    * [[graft.etl]] sessionization, exactly as a real chat corpus is cut).
+    * All-builtin expressions: collect/sort/transform/join stay codegen'd.
+    *
+    * @return one row per key: keyCols ++ (n_turns, first/last of
+    *         `orderCols.head`, conversation)
+    */
+  def assembleConversations(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(keyCols.nonEmpty, "assembleConversations needs at least one key column")
+    require(orderCols.nonEmpty, "assembleConversations needs a deterministic turn order")
+    val turn = struct((orderCols :+ textCol).map(col): _*)
+    val ord = orderCols.head
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col(ord)).as(s"first_$ord"),
+        max(col(ord)).as(s"last_$ord"),
+        array_join(
+          transform(array_sort(collect_list(turn)), t => t.getField(textCol)),
+          sep).as("conversation"))
+  }
+
   /** Chunk manifest — the inversion a training-data loader consumes: one
     * row per (chunk, doc) overlap with the doc-token span that lands in the
     * chunk (`doc_from` inclusive, `doc_to` exclusive) and the offset inside

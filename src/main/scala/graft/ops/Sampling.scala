@@ -122,6 +122,56 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-weighted mixture shares for corpus composition (the
+    * public multilingual-pretraining recipe — e.g. the mBERT/XLM-R
+    * `p_i ∝ n_i^τ` scheme, τ ∈ (0, 1] flattening the source distribution
+    * toward uniform): aggregates each source's size, raises it to `tau`,
+    * and emits the natural share, the temperature share, and the implied
+    * up/down-sampling factor (`p_temp / p_nat`) whose rates feed
+    * [[mixSources]] directly.
+    *
+    * Scale: ONE aggregate shuffle keyed by the source; the normalization
+    * totals are a 1-row aggregate broadcast back — the per-source table is
+    * vocabulary-sized (#sources), never corpus-sized, so every downstream
+    * step is driver-free and bounded.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      sourceCol: Column,
+      sizeCol: Column,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1]: $tau")
+    val per = df.groupBy(sourceCol.as("source"))
+      .agg(sum(sizeCol.cast("double")).as("n_size"))
+      .withColumn("__n_temp", pow(col("n_size"), lit(tau)))
+    val totals = per.agg(sum(col("n_size")).as("__tot_nat"), sum(col("__n_temp")).as("__tot_temp"))
+    per.join(broadcast(totals))
+      .withColumn("p_natural", col("n_size") / col("__tot_nat"))
+      .withColumn("p_temperature", col("__n_temp") / col("__tot_temp"))
+      .withColumn("upsample_factor", col("p_temperature") / col("p_natural"))
+      .drop("__n_temp", "__tot_nat", "__tot_temp")
+  }
+
+  /** Per-stratum document-count cap (the RefinedWeb-style per-domain cap:
+    * no single domain/source may contribute more than `k` documents): rows
+    * rank within their stratum by `order` and survive iff rank <= `k`.
+    * Pass [[hashWeight]] plus an id tiebreak for an unbiased deterministic
+    * cap, or an explicit column (e.g. quality descending) for a best-first
+    * cap. Output adds `stratum_rank` for utilization audits.
+    *
+    * Scale: ONE shuffle keyed by the stratum; the rank window is a
+    * spillable in-partition sort (no driver). A corpus-sized single
+    * stratum serializes its sort — if that is the expected shape, cap by
+    * token budget instead ([[tokenBudget]] is bucketed two-level).
+    */
+  def capPerStratum(df: DataFrame, strataCol: Column, k: Int, order: Column*): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(order.nonEmpty, "capPerStratum needs a deterministic in-stratum order")
+    val w = Window.partitionBy(strataCol).orderBy(order: _*)
+    df.withColumn("stratum_rank", row_number().over(w).cast("bigint"))
+      .filter(col("stratum_rank") <= k)
+  }
+
   /** Deterministic per-stratum token-budget cap (the "sample each source
     * down to N tokens" step of corpus-mixing recipes): rows are ordered
     * within each stratum by `order` — pass [[hashWeight]] plus an id
