@@ -1730,6 +1730,85 @@ object SparkEntry {
         .select(col("cluster").cast("bigint").as("cluster"), col("n_rows"))
         .orderBy("cluster")
     }),
+
+    // Snapshot diff (change-data audit between two corpus versions):
+    // old = docs minus the ids ≡3 (mod 11); new = docs minus ids ≡5
+    // (mod 13), with text revised where id ≡2 (mod 17) — every status
+    // class populated deterministically at any SF. Content fingerprints
+    // (per-column md5, separator-free) keep the join payload at
+    // (id, 16 bytes); the oracle recomputes the diff semantically.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+      val neu = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.ops.Snapshot.diff(old, neu, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-flattened mixture weights (p_i ∝ n_i^τ, τ=0.7) over
+    // per-source char mass — one source-keyed aggregate + broadcast
+    // totals, never corpus-wide state
+    "mix_temperature_weights" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureWeights(
+          Tables.documents(s, dir), col("source"), col("n_chars"), tau = 0.7)
+        .select(col("source"), col("n_size").cast("bigint").as("n_size"),
+          round(col("p_natural"), 6).as("p_natural"),
+          round(col("p_temperature"), 6).as("p_temperature"),
+          round(col("upsample_factor"), 6).as("upsample_factor"))
+        .orderBy("source")),
+
+    // RefinedWeb-style per-source doc cap: keep the 10 lowest-id docs per
+    // source (SQL-recomputable order; hashWeight gives the unbiased form)
+    // — one stratum-keyed rank window, spillable in-partition sort
+    "cap_per_stratum" -> ((s, dir) =>
+      graft.ops.Sampling.capPerStratum(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("source"), k = 10, col("doc_id"))
+        .orderBy("doc_id")),
+
+    // Chat-corpus assembly: events grouped per user into one ordered
+    // conversation document (turn sort INSIDE the aggregate — input order
+    // never matters); ONE key shuffle, per-key state = the conversation
+    "conversations_assemble" -> ((s, dir) =>
+      graft.ops.Packing.assembleConversations(
+          Tables.events(s, dir),
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          textCol = "event_type")
+        .orderBy("user_id")),
+
+    // Measured ANN recall as a DECLARED query — the driver record itself
+    // carries the recall evidence for the four no_oracle ANN paths (same
+    // parameters as their declared queries), not just a spec assertion.
+    // recall@5 = |ANN∩exact| / |exact| over all 100 queries. Exact top-5
+    // is localCheckpoint'ed (500 small rows) so brute force runs ONCE for
+    // the four comparisons. Every path is deterministic (id-ordered
+    // k-means/PQ seeds, hash-based LSH planes, no RNG) → pinned VALUES
+    // oracle, valid at sf0.01 like PinnedOracles.
+    "knn_recall_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id")).localCheckpoint()
+      val denom = exact.agg(count(lit(1)).cast("double").as("__n"))
+      def recallOf(algo: String, ann: org.apache.spark.sql.DataFrame) =
+        ann.select(col("q_id"), col("n_id"))
+          .join(exact, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).cast("double").as("__hits"))
+          .crossJoin(denom)
+          .select(lit(algo).as("algo"), round(col("__hits") / col("__n"), 4).as("recall_at_5"))
+      recallOf("ivf", Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4, lloydIters = 1))
+        .unionByName(recallOf("ivfpq", Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16)))
+        .unionByName(recallOf("lsh", Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          k = 5, numPlanes = 4, numBands = 8)))
+        .unionByName(recallOf("pq", Similarity.pqTopK(q, emb, "vec_id", "embedding",
+          k = 5, numSubspaces = 8, numCodes = 16)))
+        .orderBy("algo")
+    }),
   )
 
   /** DuckDB rendering of [[graft.ops.TextAnalysis.qualityScore]] (already
@@ -1751,7 +1830,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for the approximate-by-design
     * queries: the five ANN paths (knn_ivf_ann, knn_lsh_ann, knn_pq_ann,
     * knn_ivfpq_ann, knn_ivfpq_persisted — recall-asserted vs brute force
-    * in IvfSpec/SimilaritySpec, persistence equality in IvfPqIndexSpec)
+    * in IvfSpec/SimilaritySpec, persistence equality in IvfPqIndexSpec,
+    * and the MEASURED recall of the four ANN algorithms ships in the
+    * driver record via the pinned knn_recall_audit declared query)
     * and the sketch profile (corpus_sketch_profile — HLL++/KLL error vs
     * the exact aggregates asserted in TextAnalysisSpec);
     * the deterministic Spark-side-hash queries carry PINNED literal-VALUES
@@ -2780,5 +2861,49 @@ object SparkEntry {
     "dedup_oversized_clusters" ->
       ("SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_rows AS BIGINT) AS n_rows " +
         "FROM (VALUES (0, 83)) t(cluster, n_rows) ORDER BY cluster"),
+
+    // semantic recomputation of the diff (column-wise IS DISTINCT FROM):
+    // engine-independent of the Spark side's md5 fingerprint encoding
+    "snapshot_diff" ->
+      ("WITH old AS (SELECT * FROM documents WHERE doc_id % 11 != 3), " +
+        "neu AS (SELECT doc_id, CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END AS text, " +
+        "lang, source, n_chars FROM documents WHERE doc_id % 13 != 5) " +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang " +
+        "OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+
+    "mix_temperature_weights" ->
+      ("WITH per AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n_size FROM documents GROUP BY source), " +
+        "tot AS (SELECT sum(n_size) AS tn, sum(pow(n_size, 0.7)) AS tt FROM per) " +
+        "SELECT source, CAST(n_size AS BIGINT) AS n_size, " +
+        "round(n_size / tn, 6) AS p_natural, " +
+        "round(pow(n_size, 0.7) / tt, 6) AS p_temperature, " +
+        "round((pow(n_size, 0.7) / tt) / (n_size / tn), 6) AS upsample_factor " +
+        "FROM per, tot ORDER BY source"),
+
+    "cap_per_stratum" ->
+      ("SELECT doc_id, source, stratum_rank FROM (" +
+        "SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS stratum_rank " +
+        "FROM documents) t WHERE stratum_rank <= 10 ORDER BY doc_id"),
+
+    // pinned from a verified sf0.01 run (every ANN path is deterministic:
+    // id-ordered k-means/PQ seeds, hash-based LSH planes, no RNG); the
+    // recall these parameters buy at sf0.01 — the point of the audit is
+    // that the driver record carries the measured number
+    "knn_recall_audit" ->
+      ("SELECT CAST(algo AS VARCHAR) AS algo, CAST(recall_at_5 AS DOUBLE) AS recall_at_5 FROM (VALUES " +
+        "('ivf', 0.59), ('ivfpq', 0.528), ('lsh', 0.636), ('pq', 0.474)" +
+        ") t(algo, recall_at_5) ORDER BY algo"),
+
+    // string_agg with an explicit ORDER BY mirrors the in-aggregate struct
+    // sort ((ts, event_id) is unique, so the order is total on both sides)
+    "conversations_assemble" ->
+      ("SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts, " +
+        "string_agg(event_type, chr(10) ORDER BY ts, event_id) AS conversation " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
   ) ++ PinnedOracles.sql
 }

@@ -27,18 +27,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot hold: read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — the same
-    * ns→µs truncation DuckDB applies reading the file (FIXTURES.md §C).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations (Spark's µs TimestampType can't hold it → read raw nanos
+    * via `spark.sql.legacy.parquet.nanosAsLong` and truncate to µs, the
+    * same truncation DuckDB applies) and as TIMESTAMP(MICROS, NTZ) in
+    * others (reads natively). Dispatch on the dtype Spark actually read —
+    * never assume one fixture generation — and normalize to TimestampType
+    * (session TZ is UTC everywhere, so NTZ↔LTZ is value-identity).
+    * `FixtureContractSpec` pins the accepted dtypes and names this method
+    * as the adaptation point.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division (`div`), NOT `/`: double division loses µs precision
-    // at 1.7e18-scale nanos (observed ±1 µs vs DuckDB's truncation)
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division (`div`), NOT `/`: double division loses µs
+        // precision at 1.7e18-scale nanos (observed ±1 µs vs DuckDB)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * a capped run ship its own evidence (no silent caps).
   *
   * The reference's dedup story is exact keyed upsert only
-  * (`Template-to-MySQL/BigQuery-to-MySQL-Method-3.py` row-wise MERGE);
-  * approximate matching is north-star surface (BASELINE.json).
+  * (`Template-to-MySQL/PgSQL-to-MySQL-Method-1.py:76-82` row-wise
+  * `ON DUPLICATE KEY UPDATE`); approximate matching is north-star
+  * surface (BASELINE.json).
   */
 object Linkage {
 

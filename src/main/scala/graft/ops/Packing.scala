@@ -141,7 +141,10 @@ object Packing {
       sep: String = "\n"): DataFrame = {
     require(keyCols.nonEmpty, "assembleConversations needs at least one key column")
     require(orderCols.nonEmpty, "assembleConversations needs a deterministic turn order")
-    val turn = struct((orderCols :+ textCol).map(col): _*)
+    // NULL text renders as "" rather than vanishing: array_join silently
+    // DROPS null elements, which would desync `conversation` from `n_turns`
+    val turn = struct(
+      orderCols.map(col) :+ coalesce(col(textCol), lit("")).as(textCol): _*)
     val ord = orderCols.head
     df.groupBy(keyCols.map(col): _*)
       .agg(

@@ -141,10 +141,26 @@ object Sampling {
       sizeCol: Column,
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1]: $tau")
+    // fail LOUDLY on bad sizes instead of emitting NULL/NaN weights: a
+    // negative size would flow silently through pow(); an all-null/empty
+    // input would make every share NULL. assert_true is map-side and
+    // codegen'd (coalesce forces evaluation — a bare unused column would
+    // be pruned by Catalyst).
+    val sz = sizeCol.cast("double")
+    val checked = coalesce(
+      assert_true(sz.isNull || sz >= 0,
+        lit("temperatureWeights: size column must be >= 0")).cast("double"),
+      sz)
     val per = df.groupBy(sourceCol.as("source"))
-      .agg(sum(sizeCol.cast("double")).as("n_size"))
+      .agg(sum(checked).as("n_size"))
       .withColumn("__n_temp", pow(col("n_size"), lit(tau)))
-    val totals = per.agg(sum(col("n_size")).as("__tot_nat"), sum(col("__n_temp")).as("__tot_temp"))
+    val totals = per
+      .agg(sum(col("n_size")).as("__tot_nat"), sum(col("__n_temp")).as("__tot_temp"))
+      .select(
+        coalesce(assert_true(col("__tot_nat") > 0,
+          lit("temperatureWeights: total size must be > 0 (empty input or all-null sizes)"))
+          .cast("double"), col("__tot_nat")).as("__tot_nat"),
+        col("__tot_temp"))
     per.join(broadcast(totals))
       .withColumn("p_natural", col("n_size") / col("__tot_nat"))
       .withColumn("p_temperature", col("__n_temp") / col("__tot_temp"))

@@ -7,35 +7,46 @@ import org.apache.spark.sql.functions._
   * dataset (yesterday's crawl vs today's, pre- vs post-curation): every id
   * is classified `added` / `removed` / `changed` / `unchanged`.
   *
-  * Rows are compared by a CONTENT FINGERPRINT (md5 over the compare
-  * columns, NUL-separated with a sentinel for NULL) rather than
-  * column-by-column equality: at 100 TB a row can be megabytes wide, and
-  * the fingerprint reduces the join payload to (id, 16 bytes) — the full
-  * row never shuffles. md5 is engine-portable (identical hex in Spark,
-  * DuckDB, Python), so diffs reproduce across engines.
+  * Rows are compared by a CONTENT FINGERPRINT rather than column-by-column
+  * equality: at 100 TB a row can be megabytes wide, and the fingerprint
+  * reduces the join payload to (id, 16 bytes) — the full row never
+  * shuffles. The encoding is separator-free and therefore unambiguous on
+  * ANY value bytes: each column is md5'd individually (NULL → the literal
+  * token `null`, which contains non-hex characters so it can never collide
+  * with a 32-char hex digest) and the fixed-width digests are concatenated
+  * under an outer md5. Web-crawl text can contain any control character —
+  * separator-based encodings (`a<SEP>b`,`c` vs `a`,`b<SEP>c`) collide; this
+  * one cannot.
   *
-  * Scale: one projection per side (map-side fingerprinting, fused into the
-  * scan) + ONE full-outer equi-join keyed by the id — the minimum possible
-  * data movement for an arbitrary-id diff. Snapshots already bucketed by
+  * Duplicate ids are legal on either side: each side is reduced to one
+  * fingerprint per id over the MULTISET of its rows (order-independent
+  * sorted-digest roll-up), so `diff` always returns exactly one row per id
+  * and a duplicated-but-identical id set compares `unchanged`
+  * deterministically instead of fanning out through the join.
+  *
+  * Scale: map-side fingerprinting fused into each scan, a per-id partial
+  * aggregate, and ONE full-outer equi-join keyed by the id — the aggregate
+  * and the join hash-partition on the same key, so Spark reuses the
+  * exchange (one shuffle per side total). Snapshots already bucketed by
   * the id co-locate and diff with zero shuffle. No driver involvement at
-  * any size.
+  * any size. md5 is engine-portable (identical hex in Spark, DuckDB,
+  * Python), so fingerprints reproduce across engines.
   */
 object Snapshot {
 
-  /** NULL sentinel / separator: control chars that cannot appear in the
-    * textual rendering of real values, so `("a", null)` and `("anull",
-    * null-sep confusions)` cannot collide.
+  /** One (id, fingerprint) row per id: per-column md5 (NULL → `null`, not
+    * valid hex, hence unambiguous), outer md5 over the fixed-width
+    * concatenation, then an order-independent roll-up of the row-digest
+    * multiset per id.
     */
-  private val Sep = "\u0001"
-  private val NullMark = "\u0002"
-
-  /** Fingerprint the compare columns of one side down to (id, fp). */
   private def fingerprint(df: DataFrame, idCol: String, compareCols: Seq[String],
-      side: String): DataFrame =
-    df.select(
-      col(idCol).as(s"__${side}_id"),
-      md5(concat_ws(Sep, compareCols.map(c =>
-        coalesce(col(c).cast("string"), lit(NullMark))): _*)).as(s"__${side}_fp"))
+      side: String): DataFrame = {
+    val rowFp = md5(concat(compareCols.map(c =>
+      coalesce(md5(col(c).cast("string")), lit("null"))): _*))
+    df.select(col(idCol).as(s"__${side}_id"), rowFp.as("__fp"))
+      .groupBy(s"__${side}_id")
+      .agg(md5(concat_ws("", array_sort(collect_list(col("__fp"))))).as(s"__${side}_fp"))
+  }
 
   /** Diff snapshot `b` against snapshot `a` (a = old, b = new): one row
     * per id present in either side, with `status` ∈ `added` (only in b),

@@ -327,13 +327,9 @@ object Incremental {
       watermarkSec: Long,
       statePartitions: Int = 0): DataFrame = {
     val src = streamSource(spark, srcPath)
-    // events.ts streams as raw nanos (LongType via nanosAsLong): µs-truncate
-    // like the batch reader so streaming and DuckDB agree on boundaries
-    val tsTs = src.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr(s"$tsCol div 1000"))
-      case _ => col(tsCol).cast("timestamp")
-    }
+    // events.ts may stream as raw nanos (LongType via nanosAsLong) or a
+    // genuine timestamp — one shared dispatcher so every path adapts alike
+    val tsTs = StagedStream.tsAsTimestamp(src.schema(tsCol).dataType, tsCol)
     val left = src.filter(col(typeCol) === leftValue)
       .select(col(keyCol).as(keyCol), tsTs.as("l_ts"))
       .withWatermark("l_ts", s"$watermarkSec seconds")

@@ -104,4 +104,28 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("assembleConversations sorts turns inside the aggregate (input order irrelevant)") {
+    import spark.implicits._
+    // deliberately out of order, scattered across partitions
+    val turns = Seq((1L, 3L, "c"), (1L, 1L, "a"), (2L, 1L, "x"), (1L, 2L, "b"))
+      .toDF("user_id", "turn", "txt").repartition(3)
+    val out = Packing.assembleConversations(turns,
+        keyCols = Seq("user_id"), orderCols = Seq("turn"), textCol = "txt", sep = "|")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((3L, 1L, 3L, "a|b|c")))
+    assert(out(2L) == ((1L, 1L, 1L, "x")))
+  }
+
+  test("assembleConversations renders NULL-text turns as empty (n_turns stays in sync)") {
+    import spark.implicits._
+    val turns = Seq((1L, 1L, "a"), (1L, 2L, null.asInstanceOf[String]), (1L, 3L, "c"))
+      .toDF("user_id", "turn", "txt")
+    val out = Packing.assembleConversations(turns,
+        keyCols = Seq("user_id"), orderCols = Seq("turn"), textCol = "txt", sep = "|")
+      .collect().head
+    assert(out.getLong(1) == 3L, "the NULL-text turn still counts")
+    assert(out.getString(4) == "a||c", "the NULL-text turn holds its slot as empty")
+  }
 }

@@ -208,4 +208,68 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("temperatureWeights: tau=1 is the identity (factor 1, temp == natural)") {
+    import spark.implicits._
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("src", "n")
+    val w = Sampling.temperatureWeights(df, col("src"), col("n"), tau = 1.0)
+      .select("source", "p_natural", "p_temperature", "upsample_factor")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(w("a")._1 - 0.25) < 1e-12)
+    assert(math.abs(w("b")._1 - 0.75) < 1e-12)
+    w.values.foreach { case (nat, temp, factor) =>
+      assert(math.abs(temp - nat) < 1e-12)
+      assert(math.abs(factor - 1.0) < 1e-12)
+    }
+  }
+
+  test("temperatureWeights: tau<1 flattens toward uniform (small up, large down)") {
+    import spark.implicits._
+    val df = Seq(("small", 100L), ("large", 900L)).toDF("src", "n")
+    val w = Sampling.temperatureWeights(df, col("src"), col("n"), tau = 0.5)
+      .select("source", "p_natural", "p_temperature", "upsample_factor")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (sNat, sTemp, sFac) = w("small")
+    val (lNat, lTemp, lFac) = w("large")
+    assert(sTemp > sNat && sTemp < 0.5, "small source moves toward (not past) uniform")
+    assert(lTemp < lNat && lTemp > 0.5, "large source moves toward (not past) uniform")
+    assert(sFac > 1.0 && lFac < 1.0)
+    assert(math.abs(sTemp + lTemp - 1.0) < 1e-12, "temperature shares still normalize")
+  }
+
+  test("temperatureWeights fails loudly on negative or all-null sizes; empty in → empty out") {
+    import spark.implicits._
+    val neg = Seq(("a", 100L), ("b", -5L)).toDF("src", "n")
+    val e = intercept[Exception] {
+      Sampling.temperatureWeights(neg, col("src"), col("n"), tau = 0.5).collect()
+    }
+    assert(e.getMessage.contains(">= 0"), s"unexpected: ${e.getMessage}")
+    // all-NULL sizes: rows exist but carry no signal — NULL totals must
+    // raise, not emit NULL shares
+    val allNull = Seq(("a", null.asInstanceOf[java.lang.Long]), ("b", null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "n")
+    val e2 = intercept[Exception] {
+      Sampling.temperatureWeights(allNull, col("src"), col("n"), tau = 0.5).collect()
+    }
+    assert(e2.getMessage.contains("total size"), s"unexpected: ${e2.getMessage}")
+    // a genuinely empty input has nothing to weight: empty result, no error
+    val empty = Seq.empty[(String, Long)].toDF("src", "n")
+    assert(Sampling.temperatureWeights(empty, col("src"), col("n"), tau = 0.5).isEmpty)
+  }
+
+  test("capPerStratum keeps exactly the k first rows per stratum with ranks 1..k") {
+    val capped = Sampling.capPerStratum(
+        docs.select("doc_id", "source"), col("source"), 10, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.map(_._1).sorted.take(10).zipWithIndex.map { case (id, i) => (id, src, i + 1L) }
+      }.toSet
+    assert(capped.toSet == expected)
+    capped.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"stratum $src over the cap")
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length), s"ranks not 1..k in $src")
+    }
+  }
 }
