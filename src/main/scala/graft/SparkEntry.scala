@@ -1421,10 +1421,11 @@ object SparkEntry {
     // ---- Multimodal decode, mixed-modality: even doc_ids carry a
     //      deterministic synthetic PNG and decode FOR REAL via the JRE's
     //      javax.imageio (mean-pooled luminance grid); odd doc_ids carry a
-    //      codec-less payload and take the marked FakeDecoder stub — one
-    //      format-dispatched partition-batched pass (Multimodal
-    //      .decodeFeaturesAuto). Pinned VALUES oracle; both branches
-    //      recomputed driver-side in MultimodalSpec ----
+    //      genuine synthetic RIFF/WAVE PCM16 clip and decode FOR REAL via
+    //      the hand-parsed WavPcmDecoder (mean-pooled |amplitude| time
+    //      bins) — one format-dispatched partition-batched pass
+    //      (Multimodal.decodeFeaturesAuto). Pinned VALUES oracle; both
+    //      branches recomputed driver-side in MultimodalSpec ----
     "multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.synthesizeMixedPayloads(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),

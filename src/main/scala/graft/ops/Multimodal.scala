@@ -16,12 +16,16 @@ import org.apache.spark.sql.types._
   * IMAGE payloads decode for REAL: the JVM ships codecs for
   * PNG/JPEG/GIF/BMP/WBMP/TIFF via `javax.imageio`, and [[ImageIODecoder]]
   * turns a payload into normalized mean-pooled luminance features with no
-  * external dependency. AUDIO/VIDEO payloads have no JRE codec, so they
-  * route to the clearly-marked deterministic [[FakeDecoder]] stand-in;
+  * external dependency. AUDIO payloads decode for REAL too:
+  * [[WavPcmDecoder]] parses RIFF/WAVE PCM by hand (the container is a
+  * plain chunked byte layout — no codec needed for uncompressed PCM) and
+  * mean-pools absolute amplitude into time bins. VIDEO payloads have no
+  * JRE codec and no hand-parseable uncompressed layout, so they route to
+  * the clearly-marked deterministic [[FakeDecoder]] stand-in;
   * [[decodeFeaturesAuto]] dispatches per row on the format column — the
   * mixed-modality corpus shape. The Spark-side plumbing — schema
   * evolution, partition-batched execution, binary handling — is shared by
-  * both branches, and a real audio decoder drops in as another
+  * all branches, and a real video decoder drops in as another
   * `Array[Byte] => Array[Float]` with zero plan changes.
   *
   * Scale notes: `mapPartitions` keeps per-record decoder state initialized
@@ -38,10 +42,14 @@ object Multimodal {
   val ImageFormats: Set[String] =
     Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp", "tif", "tiff")
 
-  /** STUB decoder for payload types with NO codec in the JRE (audio,
-    * video): deterministic fake features from a rolling byte hash. Image
-    * payloads do NOT need this — use [[ImageIODecoder]] (or the
-    * [[decodeFeaturesAuto]] dispatch). Replace with a real audio/video
+  /** Audio container formats [[WavPcmDecoder]] parses by hand. */
+  val AudioFormats: Set[String] = Set("wav")
+
+  /** STUB decoder for payload types with NO codec in the JRE and no
+    * hand-parseable uncompressed layout (video): deterministic fake
+    * features from a rolling byte hash. Image payloads decode via
+    * [[ImageIODecoder]], WAV audio via [[WavPcmDecoder]] (or the
+    * [[decodeFeaturesAuto]] dispatch). Replace with a real video frame
     * extractor at deployment.
     */
   def FakeDecoder(dim: Int)(bytes: Array[Byte]): Array[Float] = {
@@ -93,6 +101,104 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder — hand-parsed RIFF/WAVE, uncompressed PCM 16-bit:
+    * walks the chunk list (`fmt ` + `data`, tolerating extra chunks like
+    * `LIST`), averages channels per frame, and mean-pools the absolute
+    * normalized amplitude (|s| / 32768) of each frame into `dim`
+    * evenly-spaced time bins — the 1-D analogue of [[ImageIODecoder]]'s
+    * luminance grid, features in [0, 1]. Pure byte arithmetic: no
+    * `javax.sound` (which needs an audio system) and no external codec —
+    * uncompressed PCM needs none. Deterministic everywhere. Bins past the
+    * last frame (clip shorter than `dim` frames) are 0. Throws on a
+    * non-RIFF payload, compressed/non-16-bit encodings, or a missing
+    * `data` chunk.
+    */
+  def WavPcmDecoder(dim: Int)(bytes: Array[Byte]): Array[Float] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "payload is not a RIFF/WAVE file")
+    var pos = 12
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(pos)
+      val size = u32(pos + 4).toInt
+      require(size >= 0 && pos + 8 + size <= bytes.length, s"truncated WAV chunk '$id'")
+      if (id == "fmt ") {
+        require(size >= 16, "malformed fmt chunk")
+        val audioFormat = u16(pos + 8)
+        require(audioFormat == 1, s"only uncompressed PCM supported (audioFormat=$audioFormat)")
+        channels = u16(pos + 10)
+        require(channels >= 1, s"bad channel count $channels")
+        val bits = u16(pos + 22)
+        require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned (odd sizes pad)
+    }
+    require(channels > 0, "WAV has no fmt chunk before data ended")
+    require(dataOff >= 0, "WAV has no data chunk")
+    val frameBytes = 2 * channels
+    val nFrames = dataLen / frameBytes
+    val sums = new Array[Double](dim)
+    val counts = new Array[Int](dim)
+    var f = 0
+    while (f < nFrames) {
+      val bin = f * dim / nFrames
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val raw = u16(dataOff + f * frameBytes + 2 * c).toShort
+        acc += raw
+        c += 1
+      }
+      sums(bin) += math.abs(acc / channels) / 32768.0
+      counts(bin) += 1
+      f += 1
+    }
+    Array.tabulate(dim) { i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+    }
+  }
+
+  /** Deterministic synthetic WAV (fixture generator for the audio leg):
+    * a genuine RIFF/WAVE PCM16 mono file whose samples are a
+    * SplitMix-style mix of (seed, i) — parse + decode is bit-exact
+    * everywhere, so features derived from these clips are pinnable oracle
+    * values, exactly like [[syntheticPng]].
+    */
+  def syntheticWav(seed: Long, nSamples: Int = 2048, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                  // PCM
+      .putShort(1)                  // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)       // byte rate
+      .putShort(2)                  // block align
+      .putShort(16)                 // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      var z = seed ^ (i * 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z ^= z >>> 29
+      buf.putShort((z & 0xffff).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Attach a `features: array<float>` column by running `decoder` over the
     * binary column, partition-batched. Schema-preserving plus one column.
     */
@@ -116,10 +222,11 @@ object Multimodal {
 
   /** Format-dispatched decode over a MIXED-modality frame: rows whose
     * `formatCol` is a JRE image format ([[ImageFormats]]) decode for real
-    * via [[ImageIODecoder]]; everything else (audio/video — no JRE codec)
-    * takes the [[FakeDecoder]] stand-in. One partition-batched pass, both
-    * decoders initialized once per partition; `dim` must be a perfect
-    * square (the image grid is `√dim`×`√dim`).
+    * via [[ImageIODecoder]], WAV rows decode for real via
+    * [[WavPcmDecoder]]; everything else (video — no JRE codec) takes the
+    * [[FakeDecoder]] stand-in. One partition-batched pass, decoders
+    * initialized once per partition; `dim` must be a perfect square (the
+    * image grid is `√dim`×`√dim`; audio uses `dim` time bins).
     */
   def decodeFeaturesAuto(
       df: DataFrame,
@@ -133,6 +240,7 @@ object Multimodal {
     val fmtIdx = df.schema.fieldIndex(formatCol)
     df.mapPartitions { rows =>
       val image = ImageIODecoder(grid) _
+      val audio = WavPcmDecoder(dim) _
       val stub = FakeDecoder(dim) _
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
@@ -140,6 +248,7 @@ object Multimodal {
         val feats =
           if (bytes == null) null
           else if (ImageFormats.contains(fmt)) image(bytes)
+          else if (AudioFormats.contains(fmt)) audio(bytes)
           else stub(bytes)
         Row.fromSeq(r.toSeq :+ feats)
       }
@@ -172,26 +281,24 @@ object Multimodal {
 
   /** Deterministic mixed-modality payload synthesis over an id + text
     * frame — the fixture shape for [[decodeFeaturesAuto]]: even ids carry
-    * a [[syntheticPng]] seeded by the id (format 'png', real decode path);
-    * odd ids carry the text's UTF-8 bytes as a codec-less payload (format
-    * 'wav', stub path). Executor-side generation (mapPartitions) — no
-    * payload ever crosses the driver.
+    * a [[syntheticPng]] seeded by the id (real image decode path); odd
+    * ids carry a genuine [[syntheticWav]] PCM clip seeded by the id (real
+    * audio decode path). Executor-side generation (mapPartitions) — no
+    * payload ever crosses the driver. (`textCol` is retained in the
+    * output frame; it seeds nothing since both payloads derive from the
+    * id alone.)
     */
   def synthesizeMixedPayloads(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val outSchema = df.schema
       .add(StructField("payload", BinaryType))
       .add(StructField("format", StringType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val textIdx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val (payload, fmt) =
           if (id % 2 == 0) (syntheticPng(id), "png")
-          else {
-            val t = if (r.isNullAt(textIdx)) "" else r.getString(textIdx)
-            (t.getBytes("UTF-8"), "wav")
-          }
+          else (syntheticWav(id), "wav")
         Row.fromSeq(r.toSeq :+ payload :+ fmt)
       }
     }(Encoders.row(outSchema))

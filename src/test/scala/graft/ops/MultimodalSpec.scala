@@ -73,12 +73,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("decodable"))
   }
 
-  test("decodeFeaturesAuto dispatches: png rows decode for real, wav rows take the stub") {
+  test("decodeFeaturesAuto dispatches: png and wav rows both decode for real") {
     val docs = Tables.documents(spark, GraftSpark.Sf0001).filter(col("doc_id") < 20)
     val media = Multimodal.synthesizeMixedPayloads(
       docs.select(col("doc_id"), col("text")), "doc_id", "text")
-    val texts = docs.select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val out = Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 64)
       .select("doc_id", "format", "features").collect()
     assert(out.length == 20)
@@ -90,10 +88,60 @@ class MultimodalSpec extends AnyFunSuite {
         assert(r.getSeq[Float](2).toSeq == want.toSeq)
       } else {
         assert(r.getString(1) == "wav")
-        val want = Multimodal.FakeDecoder(64)(texts(id).getBytes("UTF-8"))
+        val want = Multimodal.WavPcmDecoder(64)(Multimodal.syntheticWav(id))
         assert(r.getSeq[Float](2).toSeq == want.toSeq)
       }
     }
+  }
+
+  /** Hand-build a RIFF/WAVE PCM16 payload with explicit samples. */
+  private def wavBytes(samples: Seq[Seq[Short]], channels: Int): Array[Byte] = {
+    val dataLen = samples.length * 2 * channels
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(8000).putInt(8000 * 2 * channels).putShort((2 * channels).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(frame => frame.foreach(buf.putShort))
+    buf.array()
+  }
+
+  test("WavPcmDecoder mean-pools |amplitude| into time bins (crafted clip)") {
+    // 4 mono frames at half/quarter scale → dim 2 gives exactly the two
+    // bin means: [(0.5+0.5)/2, (0.25+0.25)/2] = [0.5, 0.25]
+    val clip = wavBytes(Seq(Seq(16384), Seq(-16384), Seq(8192), Seq(-8192))
+      .map(_.map(_.toShort)), channels = 1)
+    assert(Multimodal.WavPcmDecoder(2)(clip).toSeq == Seq(0.5f, 0.25f))
+    // shorter than dim: trailing bins are 0
+    val one = wavBytes(Seq(Seq(16384.toShort)), channels = 1)
+    assert(Multimodal.WavPcmDecoder(4)(one).toSeq == Seq(0.5f, 0f, 0f, 0f))
+  }
+
+  test("WavPcmDecoder averages channels per frame and rejects bad payloads") {
+    // stereo frame (1000, 3000) → mean 2000 → |2000|/32768
+    val stereo = wavBytes(Seq(Seq(1000.toShort, 3000.toShort)), channels = 2)
+    assert(Multimodal.WavPcmDecoder(1)(stereo).toSeq == Seq((2000.0 / 32768.0).toFloat))
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.WavPcmDecoder(4)("definitely not audio bytes".getBytes("UTF-8"))
+    }
+    assert(e1.getMessage.contains("RIFF"))
+    // 8-bit PCM (bits=8) must be rejected, not misread
+    val bad = wavBytes(Seq(Seq(0.toShort)), channels = 1)
+    bad(34) = 8 // bitsPerSample byte
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.WavPcmDecoder(4)(bad)
+    }
+    assert(e2.getMessage.contains("16-bit"))
+  }
+
+  test("syntheticWav round-trips through the decoder deterministically") {
+    val a = Multimodal.WavPcmDecoder(16)(Multimodal.syntheticWav(7L))
+    val b = Multimodal.WavPcmDecoder(16)(Multimodal.syntheticWav(7L))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(f => f >= 0f && f <= 1f))
+    // different seeds → different clips (mixing actually varies samples)
+    assert(a.toSeq != Multimodal.WavPcmDecoder(16)(Multimodal.syntheticWav(8L)).toSeq)
   }
 
   test("resizeImages: real nearest-neighbor resample, non-image payloads pass through") {
