@@ -764,6 +764,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // embedding-space decontamination: corpus vectors whose nearest
+    // BENCHMARK embedding (suite = every 25th vector re-id'd — exact
+    // leaked copies by construction) has cosine >= 0.95, with the argmax
+    // bench id as evidence — catches the paraphrase-style leakage exact
+    // 8-gram checks miss; suite-sized bench broadcast, corpus scanned
+    // once map-side, one id-width argmax shuffle
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bench = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("bench_id"), col("embedding"))
+      graft.ops.Decontaminate.semanticContamination(
+          emb, "vec_id", "embedding", bench, "bench_id", "embedding",
+          threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
+    // closed-form multinomial Naive Bayes language classifier, trained on
+    // the 80% doc_id-hash slice (label = lang): the trained state IS the
+    // (label, token) count relation — vocabulary-bounded, broadcastable;
+    // reported rows pruned to n >= 3 (the conditional stays exact)
+    "classify_nb_model" -> ((s, dir) => {
+      val train = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      graft.ops.NaiveBayes.model(train, "lang", "text")
+        .filter(col("n") >= 3)
+        .select(col("label"), col("token"), col("n"),
+          round(col("log_cond"), 4).as("log_cond"))
+        .orderBy("label", "token")
+    }),
+
+    // NB inference over the held-out 20%: argmax label per doc, scored
+    // from broadcast model count rows (no label×vocab dense grid); one
+    // (doc, label) hash aggregate + a |labels|-wide frame per doc
+    "classify_nb_predict" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.NaiveBayes.predict(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // per-source quality-score percentile calibration: percent_rank of
+    // the 4-dp quality score WITHIN each source, so one uniform
+    // `pct >= cut` keeps the same top fraction of every source
+    // (heterogeneous-corpus quantile thresholding); one id-width shuffle
+    "quality_percentile_by_source" -> ((s, dir) =>
+      TextAnalysis.qualityPercentileBySource(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
     // typed Aggregator: per-label embedding centroid (first 4 dims shown)
     "embedding_centroids" -> ((s, dir) => {
       import s.implicits._
@@ -964,6 +1013,26 @@ object SparkEntry {
         (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
           qs, "q_id", "term", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // persisted inverted-index BM25 serving: build + write once
+    // (term-range-partitioned postings → parquet footer-stat pruning
+    // under the query's term pushdown), read → score the SAME query set
+    // as text_bm25_search — identical results from the index alone, the
+    // corpus text never re-read (shares text_bm25_search's oracle)
+    "text_bm25_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val idxDir = IndexFixture.dir("bm25_1", dir) { tmp =>
+        graft.ops.Bm25Index.write(
+          graft.ops.Bm25Index.build(Tables.documents(s, dir), "doc_id", "text"),
+          tmp)
+      }
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      graft.ops.Bm25Index.topK(
+          graft.ops.Bm25Index.read(s, idxDir), qs, "q_id", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("q_id", "rank")
     }),
 
@@ -1266,6 +1335,15 @@ object SparkEntry {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value"))
         .orderBy("event_type", "bucket")),
+
+    // robust per-type anomaly flags: Hampel 3-MAD rule (median/MAD, not
+    // mean/stddev — one wild value can't drag its own threshold); the
+    // declared form is the exact-percentile oracle-parity path, the
+    // operator's approx_percentile switch is the O(1)-state scale path
+    "events_anomaly_mad" -> ((s, dir) =>
+      graft.ops.Outliers.madOutliers(
+          Tables.events(s, dir), "event_id", "event_type", "value", k = 3.0)
+        .orderBy("event_id")),
 
     // daily resample + forward fill: irregular events onto each user's
     // dense daily grid, last observation carried forward — every stage
@@ -1839,6 +1917,30 @@ object SparkEntry {
     * the deterministic Spark-side-hash queries carry PINNED literal-VALUES
     * oracles ([[PinnedOracles]], valid at sf0.01).
     */
+  /** One BM25 oracle, two declared paths: the from-scratch
+    * `text_bm25_search` and the index-served `text_bm25_persisted` must
+    * produce byte-identical results — sharing the oracle string states
+    * that contract in the driver record itself.
+    */
+  private val Bm25OracleSql: String =
+    "WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
+      "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
+      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
+      "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+      "s AS (SELECT q.q_id, tf.doc_id, " +
+      "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS sc " +
+      "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "agg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(sc), 4) AS score FROM s GROUP BY 1, 2), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM agg) " +
+      "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score " +
+      "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "corpus_stats" ->
       ("SELECT source, count(*) AS n_docs, " +
@@ -2309,24 +2411,8 @@ object SparkEntry {
 
     // BM25: identical tf/df/dl/avgdl decomposition; rank by the rounded
     // score then doc_id (the cross-engine-stable order)
-    "text_bm25_search" ->
-      ("WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
-        "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
-        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
-        "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
-        "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
-        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
-        "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
-        "s AS (SELECT q.q_id, tf.doc_id, " +
-        "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS sc " +
-        "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
-        "agg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(sc), 4) AS score FROM s GROUP BY 1, 2), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM agg) " +
-        "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score " +
-        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "text_bm25_search" -> Bm25OracleSql,
+    "text_bm25_persisted" -> Bm25OracleSql,
 
     "vocab_build" ->
       ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
@@ -2505,6 +2591,70 @@ object SparkEntry {
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
 
+    "decontam_semantic" ->
+      ("WITH bench AS (SELECT vec_id + 1000000 AS bench_id, embedding " +
+        "FROM embeddings WHERE vec_id % 25 = 0), " +
+        "p AS (SELECT e.vec_id, b.bench_id, " +
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine " +
+        "FROM embeddings e CROSS JOIN bench b), " +
+        "f AS (SELECT * FROM p WHERE cosine >= 0.95), " +
+        "r AS (SELECT vec_id, bench_id, cosine, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rk FROM f) " +
+        "SELECT vec_id, bench_id, cosine FROM r WHERE rk = 1 ORDER BY vec_id"),
+
+    "classify_nb_model" ->
+      ("WITH tok AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "cnt AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n FROM tok " +
+        "WHERE token <> '' GROUP BY 1, 2), " +
+        "voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cnt), " +
+        "lt AS (SELECT label, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1) " +
+        "SELECT label, token, n, round(ln(CAST(n AS DOUBLE) + 1.0) - ln(t + v), 4) AS log_cond " +
+        "FROM cnt JOIN lt USING (label), voc WHERE n >= 3 ORDER BY label, token"),
+
+    "classify_nb_predict" ->
+      ("WITH tok AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "cnt AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n FROM tok " +
+        "WHERE token <> '' GROUP BY 1, 2), " +
+        "voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cnt), " +
+        "lt AS (SELECT label, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id % 5 <> 0), " +
+        "dc AS (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS nd FROM documents " +
+        "WHERE doc_id % 5 <> 0 GROUP BY 1), " +
+        "ls AS (SELECT label, ln(nd / n) AS log_prior, ln(t + v) AS log_denom " +
+        "FROM lt JOIN dc USING (label), voc, nn), " +
+        "test AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "test2 AS (SELECT * FROM test WHERE token <> ''), " +
+        "nv AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS nv FROM test2 " +
+        "WHERE token IN (SELECT DISTINCT token FROM cnt) GROUP BY 1), " +
+        "hs AS (SELECT t.doc_id, c.label, sum(ln(CAST(c.n AS DOUBLE) + 1.0)) AS hit " +
+        "FROM test2 t JOIN cnt c USING (token) GROUP BY 1, 2), " +
+        "frame AS (SELECT d.doc_id, ls.label, " +
+        "ls.log_prior + coalesce(hs.hit, 0) - coalesce(nv.nv, 0) * ls.log_denom AS score " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d CROSS JOIN ls " +
+        "LEFT JOIN hs ON hs.doc_id = d.doc_id AND hs.label = ls.label " +
+        "LEFT JOIN nv ON nv.doc_id = d.doc_id), " +
+        "r AS (SELECT doc_id, label, round(score, 4) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 4) DESC, label) AS rk FROM frame) " +
+        "SELECT doc_id, label AS pred_label, score FROM r WHERE rk = 1 ORDER BY doc_id"),
+
+    "quality_percentile_by_source" ->
+      ("WITH m AS (SELECT doc_id, source, " +
+        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
+        "FROM documents) " +
+        "SELECT doc_id, source, q, " +
+        "round(percent_rank() OVER (PARTITION BY source ORDER BY q), 4) AS pct " +
+        "FROM m ORDER BY doc_id"),
+
     "embedding_centroids" ->
       ("SELECT label, round(avg(embedding[1]), 4) + 0.0 AS c1, round(avg(embedding[2]), 4) + 0.0 AS c2, " +
         "round(avg(embedding[3]), 4) + 0.0 AS c3, round(avg(embedding[4]), 4) + 0.0 AS c4 " +
@@ -2531,6 +2681,16 @@ object SparkEntry {
         "SELECT event_type, value, CAST(CASE WHEN value < 0 THEN 0 " +
         "WHEN value >= 100 THEN 11 ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket " +
         "FROM events) t GROUP BY 1, 2 ORDER BY event_type, bucket"),
+
+    "events_anomaly_mad" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+        "FROM events GROUP BY 1), " +
+        "mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad, " +
+        "any_value(m.med) AS med FROM events e JOIN med m USING (event_type) GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, e.value, round(m.med, 4) AS med, " +
+        "round(m.mad, 4) AS mad, round(abs(e.value - m.med), 4) AS dev " +
+        "FROM events e JOIN mad m USING (event_type) " +
+        "WHERE round(abs(e.value - m.med), 4) > round(3 * m.mad, 4) ORDER BY e.event_id"),
 
     "events_from_json" ->
       ("SELECT event_type, " +

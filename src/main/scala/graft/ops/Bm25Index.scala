@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A persisted BM25 inverted index: the build-once/serve-many form of
+  * [[TextAnalysis.bm25TopK]], the same deployment shape as
+  * [[MinHashIndex]]/[[IvfPqIndex]] — compute the corpus-side state ONCE,
+  * then answer every keyword query from the index without ever touching
+  * corpus text again. At 100 TB the corpus scan is the whole cost of an
+  * ad-hoc search; the index replaces it with a term-pruned postings read.
+  *
+  * - `postings` — (term, id, tf, dl): one row per distinct (doc, term).
+  *   Persisted REPARTITIONED BY RANGE ON term, so each parquet file holds
+  *   a contiguous term range and the term min/max footer stats let a
+  *   query's `term IN (…)` pushdown skip every file outside its terms —
+  *   the columnar analogue of a postings-list seek (no full postings scan
+  *   at serve time; `PushedFilters` carries the In predicate).
+  * - `terms` — (term, df): vocabulary-sized document frequencies.
+  * - `stats` — 1 row (n, avgdl): the corpus constants BM25 needs.
+  *
+  * Per-query work touches only the queried terms' postings rows:
+  * candidate docs × query terms, never the corpus. Identical scores to
+  * the from-scratch [[TextAnalysis.bm25TopK]] (asserted in Bm25IndexSpec;
+  * the declared `text_bm25_persisted` query shares `text_bm25_search`'s
+  * DuckDB oracle).
+  *
+  * Reference anchor: extends SURVEY.md §7.5 north-star surface — the
+  * reference has no search operator; public BM25 (Robertson/Sparck Jones)
+  * with the Lucene-style +1-free idf log form used by bm25TopK.
+  */
+final case class Bm25Index(
+    postings: DataFrame,
+    terms: DataFrame,
+    stats: DataFrame)
+
+object Bm25Index {
+
+  /** One corpus explode → (term, id, tf, dl) postings; df and the global
+    * (n, avgdl) fold out of the same scan's aggregates.
+    */
+  def build(corpus: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = split(col(textCol), " ")
+    val postings = corpus
+      .select(col(idCol).as("id"), size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "id")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val terms = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = corpus.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(toks)).as("avgdl"))
+    Bm25Index(postings, terms, stats)
+  }
+
+  /** Term sets up to this size push into the postings scan as a literal
+    * `In` predicate (real parquet `PushedFilters` → footer-stat file
+    * skipping against the term-range layout [[write]] produced); larger
+    * batches fall back to a broadcast semi-join, which still never scans
+    * corpus text but reads all postings files.
+    */
+  val MaxPushdownTerms = 1000
+
+  /** BM25 top-k per query from the index alone: (q_id, rank, id, score).
+    * The query's distinct terms — bounded by the query batch, not the
+    * corpus — prune the postings read (see [[MaxPushdownTerms]]);
+    * df/stats broadcast into the candidate rows, one (q_id, id)
+    * aggregate, one per-query top-k window over candidates only.
+    */
+  def topK(
+      index: Bm25Index,
+      queries: DataFrame,
+      qIdCol: String,
+      qTermCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val q = queries.select(col(qIdCol).as("q_id"), col(qTermCol).as("term"))
+    val qTerms = q.select("term").distinct()
+    // query-batch-sized collect (the one bounded-by-construction collect
+    // family this repo allows): a literal In is what reaches the parquet
+    // footer as a pushed filter; a semi-join would not
+    val littleTerms = qTerms.limit(MaxPushdownTerms + 1).collect().map(_.getString(0))
+    val pruned =
+      if (littleTerms.length <= MaxPushdownTerms)
+        index.postings.filter(col("term").isin(littleTerms.sorted.toIndexedSeq: _*))
+      else index.postings.join(broadcast(qTerms), Seq("term"), "left_semi")
+    val scored = pruned
+      .join(broadcast(index.terms.join(qTerms, Seq("term"), "left_semi")), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__sc",
+        col("__idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("q_id"), col("id"))
+      .agg(round(sum(col("__sc")), 4).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+        col("id"), col("score"))
+  }
+
+  /** Persists postings range-partitioned by term (contiguous term ranges
+    * per file → footer-stat pruning under term pushdown), the term
+    * dictionary, the 1-row stats, and a format sidecar. All paths resolve
+    * through the Hadoop `FileSystem` API — object-store URIs included.
+    */
+  def write(index: Bm25Index, path: String, numFiles: Int = 8): Unit = {
+    def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
+    index.postings
+      .repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "id")
+      .write.mode("overwrite").parquet(sub("postings"))
+    index.terms.write.mode("overwrite").parquet(sub("terms"))
+    index.stats.write.mode("overwrite").parquet(sub("stats"))
+    IndexSidecar.write(
+      index.postings.sparkSession.sparkContext.hadoopConfiguration, path,
+      """{"format":1}""")
+  }
+
+  def read(spark: SparkSession, path: String): Bm25Index = {
+    def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
+    val json = IndexSidecar.readJson(spark.sparkContext.hadoopConfiguration, path)
+    require(IndexSidecar.intField(json, "format", path) == 1,
+      s"unsupported bm25 index format at $path")
+    Bm25Index(
+      spark.read.parquet(sub("postings")).select("term", "id", "tf", "dl"),
+      spark.read.parquet(sub("terms")).select("term", "df"),
+      spark.read.parquet(sub("stats")).select("n", "avgdl"))
+  }
+}

@@ -110,4 +110,47 @@ object Decontaminate {
       .select(idCol).distinct()
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
+
+  /** Embedding-space contamination: corpus rows whose nearest benchmark
+    * embedding has cosine ≥ `threshold`, with that benchmark id as
+    * evidence — the semantic complement of the n-gram [[contaminationHits]]
+    * (public practice: paraphrased benchmark leakage survives exact-gram
+    * checks; SemDeDup-style cosine matching catches it).
+    *
+    * Output: (idCol, bench_id, cosine) — one row per contaminated corpus
+    * doc, its argmax benchmark neighbor (ties → lowest bench id), cosine
+    * rounded 4 dp.
+    *
+    * Scale shape: the benchmark side is suite-sized (thousands of rows,
+    * KB–MB of vectors) → broadcast nested-loop against the corpus scan,
+    * which is touched ONCE, map-side; the only shuffle is the per-corpus-id
+    * argmax aggregate, id-width. No corpus self-join, no index build —
+    * for a benchmark set small enough to broadcast, brute force IS the
+    * scale path.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    require(threshold > 0 && threshold <= 1, s"bad cosine threshold: $threshold")
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+      vec_norm(col(vecCol)).as("__cn"))
+    val b = bench.select(col(benchIdCol).as("bench_id"), col(benchVecCol).as("__bv"),
+      vec_norm(col(benchVecCol)).as("__bn"))
+    c.crossJoin(broadcast(b))
+      .withColumn("__cos",
+        round(vec_dot(col("__cv"), col("__bv")) / (col("__cn") * col("__bn")), 4))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__cid"))
+      .agg(max_by(struct(col("__cos"), (-col("bench_id")).as("__nb")),
+        struct(col("__cos"), (-col("bench_id")).as("__nb"))).as("__best"))
+      .select(col("__cid").as(idCol),
+        (-col("__best.__nb")).as("bench_id"),
+        col("__best.__cos").as("cosine"))
+  }
 }

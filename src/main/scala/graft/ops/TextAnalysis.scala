@@ -318,6 +318,33 @@ object TextAnalysis {
         .otherwise(lit("kept")))
   }
 
+  /** Per-source quality-score percentile calibration: each document's
+    * [[qualityScore]] re-expressed as its percent_rank WITHIN its source
+    * — the standard fix for heterogeneous corpora where one absolute
+    * quality threshold over-prunes clean sources and under-prunes noisy
+    * ones (public practice: per-domain quantile cuts in C4/RefinedWeb
+    * descendants). A downstream `pct >= cut` filter then keeps the same
+    * top fraction of EVERY source.
+    *
+    * Output: (idCol, srcCol, q, pct) — q is the 4-dp-rounded score,
+    * pct its percent_rank in the source (ties share a rank; ranking on
+    * the ROUNDED score makes tie groups identical cross-engine).
+    *
+    * Scale shape: score is expression-only map-side; the window sorts
+    * each source's (id, q) rows — source-count-partitioned, spillable,
+    * and only id+score wide, never text. One shuffle total.
+    */
+  def qualityPercentileBySource(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("q").asc)
+    df.select(col(idCol), col(srcCol), qualityScore(col(textCol)).as("q"))
+      .withColumn("pct", round(percent_rank().over(w), 4))
+  }
+
   /** Gopher-style quality rule panel (Rae et al. 2021, §A1.1 — the
     * publicly documented web-text filter rules, thresholds
     * parameterized): one boolean column per rule, TRUE = violation.

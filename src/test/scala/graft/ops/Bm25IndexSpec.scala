@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class Bm25IndexSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def docs = Tables.documents(spark, GraftSpark.Sf0001)
+
+  private def queries = {
+    import spark.implicits._
+    Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+      (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+  }
+
+  test("index-served topK equals the from-scratch bm25TopK exactly") {
+    val fromScratch = TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", queries, "q_id", "term", k = 10)
+    val served = Bm25Index.topK(
+        Bm25Index.build(docs, "doc_id", "text"), queries, "q_id", "term", k = 10)
+      .withColumnRenamed("id", "doc_id")
+    assert(served.exceptAll(fromScratch).isEmpty &&
+      fromScratch.exceptAll(served).isEmpty)
+  }
+
+  test("write → read round-trips: served results identical, postings equal") {
+    val dir = Files.createTempDirectory("graft_bm25_spec").toString
+    val built = Bm25Index.build(docs, "doc_id", "text")
+    Bm25Index.write(built, dir)
+    val read = Bm25Index.read(spark, dir)
+    assert(read.postings.exceptAll(built.postings).isEmpty &&
+      built.postings.exceptAll(read.postings).isEmpty)
+    val a = Bm25Index.topK(built, queries, "q_id", "term", k = 10)
+    val b = Bm25Index.topK(read, queries, "q_id", "term", k = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("serve path pushes the query terms into the postings parquet scan") {
+    val dir = Files.createTempDirectory("graft_bm25_push").toString
+    Bm25Index.write(Bm25Index.build(docs, "doc_id", "text"), dir)
+    val plan = Bm25Index.topK(Bm25Index.read(spark, dir),
+      queries, "q_id", "term", k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"expected a pushed In(term, …) filter on the postings scan:\n$plan")
+  }
+
+  test("oversized term batches fall back to the semi-join path with equal results") {
+    import spark.implicits._
+    val big = (0 until Bm25Index.MaxPushdownTerms + 50)
+      .map(i => (1L, s"zz_unseen_$i")).toDF("q_id", "term")
+      .unionByName(queries)
+    val idx = Bm25Index.build(docs, "doc_id", "text")
+    val viaBig = Bm25Index.topK(idx, big, "q_id", "term", k = 10)
+    // unseen terms contribute no postings rows, so scores match the small set
+    val viaSmall = Bm25Index.topK(idx, queries, "q_id", "term", k = 10)
+    assert(viaBig.exceptAll(viaSmall).isEmpty && viaSmall.exceptAll(viaBig).isEmpty)
+  }
+}

@@ -103,4 +103,38 @@ class DecontaminateSpec extends AnyFunSuite {
     // gram rows are distinct per (doc, gram)
     assert(grams.count() == grams.distinct().count())
   }
+
+  test("semanticContamination flags exact copies, keeps the argmax bench id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // exact copy of bench 100 AND bench 101
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to both → clean
+      (3L, Array(0.96f, 0.28f))  // cos vs (1,0) ≈ 0.96 → contaminated
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (101L, Array(1.0f, 0.0f))).toDF("bench_id", "embedding")
+    val got = Decontaminate.semanticContamination(
+        corpus, "vec_id", "embedding", bench, "bench_id", "embedding", 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // cosine tie between bench 100/101 → lowest bench id wins
+    assert(got(1L) == (100L, 1.0))
+    assert(got(3L)._1 == 100L && got(3L)._2 >= 0.95 && got(3L)._2 < 1.0)
+  }
+
+  test("semanticContamination broadcasts the bench side (corpus never shuffled wide)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("bench_id"), col("embedding"))
+    val q = Decontaminate.semanticContamination(
+      emb, "vec_id", "embedding", bench, "bench_id", "embedding", 0.95)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // every bench member is its own exact copy in the corpus → all flagged
+    val flagged = q.select("vec_id").collect().map(_.getLong(0)).toSet
+    val members = emb.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(members.subsetOf(flagged))
+  }
 }

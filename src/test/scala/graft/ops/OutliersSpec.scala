@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+import graft.etl.Tables
+
+class OutliersSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def crafted = {
+    import spark.implicits._
+    // group "a": values 1..9 plus one wild 1000 → med 5.5, deviations
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} → MAD 2.5; only the
+    // wild row exceeds 3·MAD = 7.5. group "b": tight cluster, no outlier.
+    val a = (1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+ (10L, "a", 1000.0)
+    val b = (11 to 15).map(i => (i.toLong, "b", 50.0 + (i % 3)))
+    (a ++ b).toDF("id", "g", "v")
+  }
+
+  test("madModel matches hand-computed median and MAD per group") {
+    val m = Outliers.madModel(crafted, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m("a") == ((5.5, 2.5)))
+    // b: values {50,51,52,50,51} → med 51; |dev| {1,0,1,1,0} → MAD 1
+    assert(m("b") == ((51.0, 1.0)))
+  }
+
+  test("madOutliers flags exactly the wild row under the 3-MAD rule") {
+    val got = Outliers.madOutliers(crafted, "id", "g", "v").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L))
+    val r = got.head
+    assert(r.getDouble(3) == 5.5 && r.getDouble(4) == 2.5 && r.getDouble(5) == 994.5)
+  }
+
+  test("a mean/stddev z-score would move its own threshold; MAD does not") {
+    // the wild row inflates stddev so much that 3-sigma barely flags it,
+    // while every clean row sits well inside 3-MAD — the reason for MAD
+    val stats = crafted.filter(col("g") === "a")
+      .agg(avg("v").as("mu"), stddev_pop("v").as("sd")).head()
+    val (mu, sd) = (stats.getDouble(0), stats.getDouble(1))
+    assert(math.abs(1000.0 - mu) / sd < 3.2, "wild point dominates its own sigma")
+    val flagged = Outliers.madOutliers(crafted, "id", "g", "v")
+      .filter(col("g") === "a").count()
+    assert(flagged == 1)
+  }
+
+  test("approx path stays within tolerance of exact on the events fixture") {
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    val exact = Outliers.madModel(ev, "event_type", "value", exact = true)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Outliers.madModel(ev, "event_type", "value", exact = false)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (g, (med, mad)) =>
+      assert(math.abs(approx(g)._1 - med) <= math.max(0.05 * math.abs(med), 0.5), s"$g med")
+      assert(math.abs(approx(g)._2 - mad) <= math.max(0.05 * math.abs(mad), 0.5), s"$g mad")
+    }
+  }
+}

@@ -362,4 +362,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("token").as[String].collect()
     assert(decoded.toSeq == Seq("a", "a"))
   }
+
+  test("qualityPercentileBySource: pct is a within-source percent_rank of q") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val got = TextAnalysis.qualityPercentileBySource(docs, "doc_id", "text", "source")
+    assert(got.count() == docs.count())
+    val rows = got.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // bounds + per-source extremes: min-q docs at 0.0, max-q docs at 1.0
+    assert(rows.forall { case (_, _, _, p) => p >= 0.0 && p <= 1.0 })
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      val minQ = grp.map(_._3).min
+      val maxQ = grp.map(_._3).max
+      assert(grp.filter(_._3 == minQ).forall(_._4 == 0.0), s"$src min-q pct != 0")
+      // percent_rank gives a tie group its FIRST row's rank: the max-q
+      // group sits at (n - |ties|) / (n - 1), which is 1.0 iff unique
+      if (grp.length > 1 && maxQ > minQ) {
+        val nTies = grp.count(_._3 == maxQ)
+        val want = math.rint((grp.length - nTies) / (grp.length - 1.0) * 1e4) / 1e4
+        assert(grp.filter(_._3 == maxQ).forall(_._4 == want),
+          s"$src max-q pct != $want")
+      }
+      // pct is monotone in q within the source; equal q → equal pct
+      grp.sortBy(r => (r._3, r._4)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4)
+          if (a._3 == b._3) assert(a._4 == b._4, s"$src tie group split")
+        case _ =>
+      }
+    }
+    // a uniform top-fraction cut keeps the same share of EVERY source
+    val kept = rows.filter(_._4 >= 0.8).groupBy(_._1).view.mapValues(_.length).toMap
+    val tot = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    tot.foreach { case (src, n) =>
+      val share = kept.getOrElse(src, 0).toDouble / n
+      assert(share > 0.05 && share < 0.45, s"$src kept share $share far from 0.2")
+    }
+  }
 }
