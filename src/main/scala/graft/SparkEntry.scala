@@ -828,6 +828,16 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // deterministic global training-order shuffle: dense 0-based pos =
+    // rank under md5(seed:id) — the shuffle-before-sharding step of an
+    // epoch pipeline; positions via the two-level range-bucketed prefix
+    // sum, so NO global single-partition sort (md5, not xxhash64, so the
+    // permutation recomputes in DuckDB — full oracle, not pinned)
+    "shuffle_order" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleOrder(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "epoch0")
+        .orderBy("pos")),
+
     // deterministic hash split — pinned VALUES oracle (Spark-side
     // xxhash64; driver-side recomputation in SamplingSpec)
     "train_test_split" -> ((s, dir) =>
@@ -2590,6 +2600,11 @@ object SparkEntry {
         "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+
+    "shuffle_order" ->
+      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+        "md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
+        "FROM documents ORDER BY pos"),
 
     "decontam_semantic" ->
       ("WITH bench AS (SELECT vec_id + 1000000 AS bench_id, embedding " +

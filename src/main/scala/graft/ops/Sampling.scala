@@ -274,4 +274,34 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__s", "__bkt", "__obkt", "__off", "__local", "__tok")
   }
+
+  /** Deterministic global training-order shuffle: every row gets a dense
+    * 0-based `pos` equal to its rank under `md5(seed ":" id)` (ties — md5
+    * collisions — broken by id). The "shuffle the corpus before sharding
+    * it into training files" step every epoch pipeline needs, as a pure
+    * function of (seed, id): re-runs reproduce the permutation exactly,
+    * and changing the seed is a fresh permutation. md5 (not xxhash64) so
+    * the SAME ordering is recomputable in standard SQL engines — the
+    * declared query carries a full DuckDB oracle instead of a pinned one.
+    *
+    * Scale: positions come from the two-level range-bucketed prefix sum
+    * ([[tokenBudget]] with unit weights) — per-bucket rank windows sort
+    * ~1/numBuckets of the corpus each, the bucket-offset roll-up window
+    * sees one row per bucket, and NO global single-partition sort exists
+    * anywhere. Downstream, `pos div shardSize` is the shard id.
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numBuckets: Int = 0): DataFrame = {
+    require(!df.columns.contains("__shuffle_key"),
+      "shuffleOrder reserves the column name '__shuffle_key'")
+    val keyed = df.withColumn("__shuffle_key",
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    tokenBudget(keyed, lit("__all"), lit(1L), Long.MaxValue, numBuckets,
+        col("__shuffle_key"), col(idCol))
+      .withColumn("pos", col("cum_tokens") - 1)
+      .drop("cum_tokens", "__shuffle_key")
+  }
 }

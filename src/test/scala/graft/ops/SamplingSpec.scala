@@ -272,4 +272,29 @@ class SamplingSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted.sameElements(1L to rows.length), s"ranks not 1..k in $src")
     }
   }
+
+  test("shuffleOrder matches a driver-side md5 sort and is a dense permutation") {
+    val got = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", "epoch0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"epoch0:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (hex(id), id)).sorted.map(_._2).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want)
+    // dense 0..n-1, no gaps or ties
+    assert(got.values.toSeq.sorted == (0L until got.size.toLong))
+  }
+
+  test("shuffleOrder: a new seed is a different permutation; same seed is stable") {
+    val a = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", "epoch0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", "epoch0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", "epoch1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a != c, "different seed must permute differently")
+    assert(c.values.toSeq.sorted == (0L until c.size.toLong))
+  }
 }
