@@ -477,6 +477,22 @@ object SparkEntry {
       graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
         .orderBy("ordinal_position")),
 
+    // M4/M5 as a driver-checked query: CREATE TABLE synthesis for the
+    // orders fixture in all four dialects — one row per dialect through
+    // the full type lattice (schema-sized driver compute, like M1;
+    // pinned oracle: the DDL strings are deterministic but the synthesis
+    // is JVM-side). Round-trip parse is asserted in DdlSpec.
+    "m4_ddl" -> ((s, dir) => {
+      import s.implicits._
+      import graft.schema.{Ddl, SqlDialect}
+      val schema = Tables.orders(s, dir).schema
+      Seq(SqlDialect.BigQuery, SqlDialect.MySql, SqlDialect.Postgres,
+          SqlDialect.SqlServer)
+        .map(d => (d.name, Ddl.schemaToDdl(schema, "orders_tgt", d)))
+        .toDF("dialect", "ddl")
+        .orderBy("dialect")
+    }),
+
     // ---- Window-function analytics (beyond-parity §2.5 surface) ----
     // Sessionization: 30-min-gap sessions per user over the events stream.
     "events_sessionize" -> ((s, dir) => {

@@ -81,6 +81,15 @@ object NaiveBayes {
     * argmax label per doc: (idCol, pred_label, score). Ranking compares
     * the 4-dp-ROUNDED score (FP sum-order noise absorbed), ties broken
     * by label — deterministic cross-engine.
+    *
+    * The smoothed log-likelihood folds per token:
+    * score(d,l) = prior_l + Σ_{occ: t∈V} (ln(c(t,l)+1) − ln(T_l+V)), so
+    * each vocabulary token carries a PRE-AGGREGATED per-label contribution
+    * array (vocab × |labels| rows — still vocabulary-bounded). The scored
+    * corpus is then touched exactly ONCE: one broadcast join on token,
+    * one explode over |labels| entries, one (doc, label) hash aggregate.
+    * The earlier two-leg form (separate in-vocab count + hit sum) read
+    * the corpus scan twice because each leg shuffled differently.
     */
   def predict(
       docs: DataFrame,
@@ -91,26 +100,28 @@ object NaiveBayes {
       trainTextCol: String): DataFrame = {
     val cnt = tokenCounts(train, labelCol, trainTextCol)
     val stats = labelStats(train, labelCol, trainTextCol)
+    // dense-in-label contribution per vocabulary token: missing (l, t)
+    // count rows contribute ln(0+1) − log_denom = −log_denom
+    val dense = cnt.select("token").distinct()
+      .crossJoin(broadcast(stats.select("label", "log_denom")))
+      .join(cnt, Seq("label", "token"), "left")
+      .withColumn("__contrib",
+        log(coalesce(col("n"), lit(0L)).cast("double") + lit(1.0)) - col("log_denom"))
+    val tokContribs = dense.groupBy("token")
+      .agg(collect_list(struct(col("label"), col("__contrib"))).as("__cs"))
     val toks = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
-    // occurrences of in-vocabulary tokens, per doc (the Σ's denominator leg)
-    val nVocab = toks
-      .join(broadcast(cnt.select("token").distinct()), Seq("token"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).cast("double").as("__nv"))
-    // Σ_occ ln(c(t,l)+1) per (doc, label) — only existing model rows join
-    val hits = toks
-      .join(broadcast(cnt.withColumn("__lnc",
-        log(col("n").cast("double") + lit(1.0)))
-        .select("token", "label", "__lnc")), Seq("token"))
-      .groupBy("id", "label").agg(sum(col("__lnc")).as("__hit"))
+    val sums = toks
+      .join(broadcast(tokContribs), Seq("token"))
+      .select(col("id"), explode(col("__cs")).as("__c"))
+      .groupBy(col("id"), col("__c.label").as("label"))
+      .agg(sum(col("__c.__contrib")).as("__sum"))
     val frame = docs.select(col(idCol).as("id"))
       .crossJoin(broadcast(stats))
-      .join(hits, Seq("id", "label"), "left")
-      .join(nVocab, Seq("id"), "left")
+      .join(sums, Seq("id", "label"), "left")
       .withColumn("score", round(
-        col("log_prior") + coalesce(col("__hit"), lit(0.0)) -
-          coalesce(col("__nv"), lit(0.0)) * col("log_denom"), 4))
+        col("log_prior") + coalesce(col("__sum"), lit(0.0)), 4))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("label").asc)
     frame.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
