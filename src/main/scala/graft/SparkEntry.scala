@@ -829,6 +829,27 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy("doc_id")),
 
+    // the curation operators composed END TO END as one lazy plan — the
+    // LLM-data analogue of e2e_method2_template: clone-injected corpus →
+    // quality rule cascade → 8-gram benchmark decontamination → exact
+    // dedup (deterministic winner). One declared query proves the stages
+    // compose without materialization barriers; each stage is also
+    // declared (and oracled) on its own.
+    "e2e_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val kept = TextAnalysis.qualityFilter(corpus, "text",
+          minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
+        .filter(col("reject_reason") === "kept").drop("reject_reason")
+      val clean = graft.ops.Decontaminate.decontaminate(
+        kept, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
+      Dedup.exact(clean, keys = Seq("text"), keepBy = "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // typed Aggregator: per-label embedding centroid (first 4 dims shown)
     "embedding_centroids" -> ((s, dir) => {
       import s.implicits._
@@ -2621,6 +2642,37 @@ object SparkEntry {
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         "md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
         "FROM documents ORDER BY pos"),
+
+    "e2e_curation_pipeline" ->
+      ("WITH corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50), " +
+        "m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
+        "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
+        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
+        "FROM corpus), " +
+        "kept AS (SELECT c.* FROM corpus c JOIN m USING (doc_id) " +
+        "WHERE m.n_tokens >= 20 AND m.rep <= 0.02 AND m.q >= 0.85), " +
+        "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM kept), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+        "btk AS (SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t " +
+        "FROM documents WHERE doc_id % 25 = 0), " +
+        "bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM btk WHERE len(t) >= 8), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)), " +
+        "clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+        "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM clean) " +
+        "SELECT doc_id, lang, source, n_chars FROM d WHERE rn = 1 ORDER BY doc_id"),
 
     "decontam_semantic" ->
       ("WITH bench AS (SELECT vec_id + 1000000 AS bench_id, embedding " +

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class E2eCurationSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def run = SparkEntry.queries("e2e_curation_pipeline")(spark, GraftSpark.Sf0001)
+
+  test("pipeline output is a strict filter of the clone-injected corpus") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val corpusIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet ++
+      docs.filter(col("doc_id") < 50).collect().map(_.getLong(0) + 1000000L)
+    val out = run.collect().map(_.getLong(0))
+    assert(out.nonEmpty && out.length < corpusIds.size, "some stage must prune")
+    assert(out.toSet.subsetOf(corpusIds), "no invented rows")
+    assert(out.length == out.distinct.length, "no duplicate ids")
+  }
+
+  test("each stage's semantics hold on the output") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val outIds = run.collect().map(_.getLong(0)).toSet
+    // decontam: no surviving doc shares an 8-gram with the bench slice —
+    // in particular no bench member survives (it matches itself)
+    val benchIds = docs.filter(col("doc_id") % 25 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.intersect(benchIds).isEmpty, "bench docs must be removed")
+    // dedup: a clone (id >= 1000000) may survive only if its original was
+    // pruned earlier — never alongside it (same text → one winner, min id)
+    val cloneSurvivors = outIds.filter(_ >= 1000000L).map(_ - 1000000L)
+    assert(cloneSurvivors.intersect(outIds).isEmpty,
+      "an original and its clone both survived exact dedup")
+    // quality: every survivor passes the gate thresholds it was filtered by
+    val q = graft.ops.TextAnalysis.qualityFilter(docs, "text", 20, 0.02, 0.85)
+      .filter(col("reject_reason") =!= "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.intersect(q).isEmpty, "a quality-rejected doc survived")
+  }
+}
