@@ -850,6 +850,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // M5 as a driver-checked query: the FULL cross-dialect type lattice —
+    // one row per (spark_type, dialect, nvarchar-variant) through
+    // TypeMap.toDialect, including the reference's VARCHAR(255) unknown-
+    // type fallback (notebook cell 5). Pinned oracle (JVM-side mapping);
+    // snapshot parity with DdlSpec.
+    "m5_type_lattice" -> ((s, dir) => {
+      import s.implicits._
+      import graft.schema.{SqlDialect, TypeMap}
+      import org.apache.spark.sql.types._
+      val cases: Seq[(String, DataType, Boolean)] = Seq(
+        ("string", StringType, false), ("string_nvarchar", StringType, true),
+        ("int", IntegerType, false), ("bigint", LongType, false),
+        ("float", FloatType, false), ("double", DoubleType, false),
+        ("decimal_38_9", DecimalType(38, 9), false),
+        ("decimal_20_10", DecimalType(20, 10), false),
+        ("boolean", BooleanType, false), ("timestamp", TimestampType, false),
+        ("date", DateType, false), ("binary", BinaryType, false),
+        ("fallback_array", ArrayType(IntegerType), false))
+      val rows = for {
+        (label, dt, nv) <- cases
+        d <- SqlDialect.all
+      } yield (label, d.name, TypeMap.toDialect(dt, d, nvarchar = nv))
+      rows.toDF("spark_type", "dialect", "sql_type")
+        .orderBy("spark_type", "dialect")
+    }),
+
     // typed Aggregator: per-label embedding centroid (first 4 dims shown)
     "embedding_centroids" -> ((s, dir) => {
       import s.implicits._
@@ -1886,6 +1912,22 @@ object SparkEntry {
           round(col("upsample_factor"), 6).as("upsample_factor"))
         .orderBy("source")),
 
+    // temperature weights MATERIALIZED: τ=0.5 factors → epoch-expanded
+    // corpus (floor(f) full copies + md5-thresholded fractional copy, so
+    // big sources downsample and small ones upsample deterministically);
+    // reported as per-(source, epoch) counts. Pure map-side explode.
+    "mix_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.ops.Sampling.temperatureWeights(
+        docs, col("source"), col("n_chars"), tau = 0.5)
+      graft.ops.Sampling.mixEpochs(
+          docs.join(broadcast(w.select(col("source"), col("upsample_factor"))),
+            "source"),
+          "doc_id", col("source"), col("upsample_factor"), seed = "mix0")
+        .groupBy("source", "epoch").agg(count(lit(1)).as("n"))
+        .orderBy("source", "epoch")
+    }),
+
     // RefinedWeb-style per-source doc cap: keep the 10 lowest-id docs per
     // source (SQL-recomputable order; hashWeight gives the unbiased form)
     // — one stratum-keyed rank window, spillable in-partition sort
@@ -2637,6 +2679,18 @@ object SparkEntry {
         "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+
+    "mix_epochs" ->
+      ("WITH per AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY 1), " +
+        "tot AS (SELECT sum(n) AS tn, sum(pow(n, 0.5)) AS tt FROM per), " +
+        "w AS (SELECT source, (pow(n, 0.5) / tt) / (n / tn) AS f FROM per, tot), " +
+        "j AS (SELECT d.doc_id, d.source, w.f FROM documents d JOIN w USING (source)), " +
+        "e AS (SELECT doc_id, source, f, unnest(range(CAST(floor(f) AS BIGINT) + 1)) AS epoch FROM j), " +
+        "k AS (SELECT * FROM e WHERE epoch < CAST(floor(f) AS BIGINT) " +
+        "OR substr(md5('mix0:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "lpad(lower(to_hex(CAST(floor((f - floor(f)) * 4294967296) AS BIGINT))), 8, '0')) " +
+        "SELECT source, CAST(epoch AS BIGINT) AS epoch, CAST(count(*) AS BIGINT) AS n " +
+        "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "shuffle_order" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +

@@ -275,6 +275,42 @@ object Sampling {
       .drop("__s", "__bkt", "__obkt", "__off", "__local", "__tok")
   }
 
+  /** Materializes per-source mixture factors into an epoch-expanded
+    * corpus — the step that turns [[temperatureWeights]]' abstract
+    * `upsample_factor` into actual training rows. A row with factor f
+    * yields floor(f) full copies (`epoch` 0..floor(f)-1) plus one
+    * fractional copy kept when the 32-bit md5 prefix of (seed:stratum:id)
+    * falls below frac(f)·2³² — so f < 1 DOWNSAMPLES deterministically and
+    * f > 1 upsamples, reproducible as a pure function of (seed, id).
+    * The md5-prefix-vs-hex-threshold comparison is plain SQL, so the
+    * declared query carries a full DuckDB oracle.
+    *
+    * Scale: pure map-side explode — no shuffle, no driver state; output
+    * size is Σ ceil(f_s)·|s|. Factors above `maxFactor` fail loudly
+    * (assert_true, map-side): a mis-set temperature must not silently
+    * explode the corpus by orders of magnitude.
+    */
+  def mixEpochs(
+      df: DataFrame,
+      idCol: String,
+      strataCol: Column,
+      factorCol: Column,
+      seed: String,
+      maxFactor: Double = 100.0): DataFrame = {
+    val f = coalesce(
+      assert_true(factorCol.isNotNull && factorCol >= 0 && factorCol <= maxFactor,
+        lit(s"mixEpochs: factor must be in [0, $maxFactor]")).cast("double"),
+      factorCol.cast("double"))
+    val full = floor(f).cast("long")
+    val thr = lpad(lower(hex(floor((f - floor(f)) * lit(4294967296.0)).cast("long"))),
+      8, "0")
+    val key = substring(
+      md5(concat_ws(":", lit(seed), strataCol.cast("string"), col(idCol).cast("string"))),
+      1, 8)
+    df.withColumn("epoch", explode(sequence(lit(0L), full)))
+      .filter(col("epoch") < full || key < thr)
+  }
+
   /** Deterministic global training-order shuffle: every row gets a dense
     * 0-based `pos` equal to its rank under `md5(seed ":" id)` (ties — md5
     * collisions — broken by id). The "shuffle the corpus before sharding

@@ -273,6 +273,63 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixEpochs: integer factors copy exactly, zero drops, fractional matches driver md5") {
+    import spark.implicits._
+    val data = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "c"))
+      .toDF("id", "src")
+    val factors = Map("a" -> 2.0, "b" -> 0.0, "c" -> 0.5)
+    val withF = data.withColumn("f",
+      when(col("src") === "a", 2.0).when(col("src") === "b", 0.0).otherwise(0.5))
+    val out = Sampling.mixEpochs(withF, "id", col("src"), col("f"), "s0")
+      .select("id", "src", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // src a: every doc exactly epochs {0, 1}; src b: gone
+    assert(out.filter(_._2 == "a").groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap ==
+      Map(1L -> Set(0L, 1L), 2L -> Set(0L, 1L)))
+    assert(!out.exists(_._2 == "b"))
+    // src c (f = 0.5): kept iff first 8 md5 hex digits of "s0:c:<id>" < 0x80000000
+    def key(src: String, id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"s0:$src:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val wantC = Seq(4L, 5L).filter(id => key("c", id) < "80000000").toSet
+    assert(out.filter(_._2 == "c").map(_._1).toSet == wantC)
+    assert(out.filter(_._2 == "c").forall(_._3 == 0L))
+  }
+
+  test("mixEpochs fails loudly on negative or runaway factors") {
+    import spark.implicits._
+    val bad = Seq((1L, "a", -0.5)).toDF("id", "src", "f")
+    val e = intercept[Exception] {
+      Sampling.mixEpochs(bad, "id", col("src"), col("f"), "s0").collect()
+    }
+    assert(e.getMessage.contains("factor must be"), s"unexpected: ${e.getMessage}")
+    val runaway = Seq((1L, "a", 1e6)).toDF("id", "src", "f")
+    val e2 = intercept[Exception] {
+      Sampling.mixEpochs(runaway, "id", col("src"), col("f"), "s0").collect()
+    }
+    assert(e2.getMessage.contains("factor must be"), s"unexpected: ${e2.getMessage}")
+  }
+
+  test("mixEpochs composed with temperatureWeights conserves expected mass") {
+    val w = Sampling.temperatureWeights(docs, col("source"), col("n_chars"), tau = 0.5)
+    val expanded = Sampling.mixEpochs(
+      docs.join(broadcast(w.select(col("source"), col("upsample_factor"))), "source"),
+      "doc_id", col("source"), col("upsample_factor"), "mix0")
+    // per source, realized rows ≈ factor × docs (hash fraction ±1 doc slack
+    // is exact in expectation; allow generous slack at fixture size)
+    val factors = w.select("source", "upsample_factor").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = expanded.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (src, n) =>
+      val want = factors(src) * n
+      val slack = math.max(4.0, 4 * math.sqrt(n))
+      assert(math.abs(got.getOrElse(src, 0L) - want) <= slack,
+        s"$src realized ${got.getOrElse(src, 0L)} vs expected $want")
+    }
+  }
+
   test("shuffleOrder matches a driver-side md5 sort and is a dense permutation") {
     val got = Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", "epoch0")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -66,4 +66,20 @@ class DdlSpec extends AnyFunSuite {
     val promos = Ddl.nvarcharPromotions(df, orderCol = "ord", sampleN = 10)
     assert(promos == Map("c" -> false))
   }
+
+  test("M5: the declared m5_type_lattice query is complete and consistent with TypeMap") {
+    val rows = graft.SparkEntry.queries("m5_type_lattice")(spark, graft.GraftSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // 13 spark-type cases × 4 dialects, no dialect missing
+    assert(rows.size == 13 * 4)
+    assert(rows.keys.map(_._2).toSet == Set("bigquery", "mysql", "postgres", "sqlserver"))
+    // spot-check the lattice corners incl. the VARCHAR(255) unknown fallback
+    assert(rows(("string_nvarchar", "sqlserver")) == "NVARCHAR(255)")
+    assert(rows(("string_nvarchar", "postgres")) == "VARCHAR(255)")
+    assert(rows(("decimal_38_9", "bigquery")) == "NUMERIC")
+    assert(rows(("decimal_20_10", "bigquery")) == "BIGNUMERIC")
+    assert(rows(("boolean", "mysql")) == "TINYINT(1)")
+    assert(rows(("fallback_array", "mysql")) == "VARCHAR(255)")
+    assert(rows(("fallback_array", "bigquery")) == "STRING")
+  }
 }
