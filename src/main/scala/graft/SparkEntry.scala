@@ -780,6 +780,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination — same exactness contract as
+    // decontam_corpus (prefilter + exact confirm ≡ exact), different
+    // bench set (every 20th doc) and gram width (5) so the two queries
+    // exercise distinct paths; the oracle is the exact recomputation
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Decontaminate.bloomDecontaminate(
+          docs, docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // embedding-space decontamination: corpus vectors whose nearest
     // BENCHMARK embedding (suite = every 25th vector re-id'd — exact
     // leaked copies by construction) has cosine >= 0.95, with the argmax
@@ -1221,6 +1232,23 @@ object SparkEntry {
             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
             lit(" now"))).as("scrubbed"))
         .orderBy("doc_id")),
+
+    // k-anonymity suppression: only rows whose (lang, source) group has
+    // >= 5 members are released — one count window keyed by the quasi
+    // tuple (one shuffle, no second corpus scan)
+    "anonymize_k" -> ((s, dir) =>
+      graft.ops.Anonymize.kAnonymize(
+          Tables.documents(s, dir), Seq("lang", "source"), k = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // rare-value generalization: sources with < 8 docs fold into 'other';
+    // released as the per-source histogram (the release-audit view)
+    "anonymize_generalize" -> ((s, dir) =>
+      graft.ops.Anonymize.generalizeRare(
+          Tables.documents(s, dir), "source", k = 8)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")),
 
     // sequence packing (concat-and-chunk): global token offsets via a
     // two-level distributed prefix sum (range buckets + tiny offset
@@ -2576,6 +2604,16 @@ object SparkEntry {
         "'\\+?[0-9][0-9()\\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed " +
         "FROM documents ORDER BY doc_id"),
 
+    "anonymize_k" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE (lang, source) IN (SELECT (lang, source) FROM documents " +
+        "GROUP BY lang, source HAVING count(*) >= 5) ORDER BY doc_id"),
+
+    "anonymize_generalize" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1) " +
+        "SELECT CASE WHEN n < 8 THEN 'other' ELSE source END AS source, " +
+        "CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1 ORDER BY source"),
+
     "pack_chunks" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id " +
@@ -2676,6 +2714,15 @@ object SparkEntry {
         "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
         "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
         "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+
+    "decontam_bloom" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4), " +
+        "i -> array_to_string(t[i+1:i+5], ' ')))) AS gram FROM tk WHERE len(t) >= 5), " +
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0), " +
         "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),

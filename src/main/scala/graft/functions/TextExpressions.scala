@@ -840,4 +840,33 @@ object TextFunctions {
   /** Shannon entropy (nats) of a string's character distribution. */
   def char_entropy(text: Column): Column =
     ColumnInterop.column(CharEntropy(ColumnInterop.expression(text)))
+
+  /** Bloom-filter membership probe over a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (the format
+    * `bloom_filter_agg` emits). `bloom` must be a CONSTANT (a `lit` of the
+    * collected sketch bytes) — the expression deserializes it once per
+    * task, not per row; `hashed` is the `xxhash64`-hashed probe value,
+    * matching the hash the aggregate side inserted. Spark registers the
+    * aggregate (`bloom_filter_agg`) but not the probe in its public SQL
+    * registry, hence this wrapper over the Catalyst expression the
+    * engine's own runtime row-level filtering uses.
+    */
+  def might_contain(bloom: Column, hashed: Column): Column =
+    ColumnInterop.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnInterop.expression(bloom), ColumnInterop.expression(hashed)))
+
+  /** Distributed Bloom-filter build over an `xxhash64`-hashed long column:
+    * the aggregate Spark's runtime row-level filtering plants on the build
+    * side of a join (internal registry only — not reachable as SQL
+    * `bloom_filter_agg` from the public session), exposed as a Column.
+    * Emits one binary row: the serialized sketch [[might_contain]] probes.
+    */
+  def bloom_filter_agg(hashed: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnInterop.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnInterop.expression(hashed), Literal(estimatedItems), Literal(numBits))
+        .toAggregateExpression())
+  }
 }

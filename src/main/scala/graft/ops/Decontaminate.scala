@@ -111,6 +111,61 @@ object Decontaminate {
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] behind a Bloom-filter prefilter — the form for when
+    * the benchmark-gram set is too large to broadcast as an exact hash
+    * relation (dozens of eval suites × 8..13-gram windows reach 10⁸–10⁹
+    * distinct grams, tens of GB of strings; a Bloom filter over their
+    * xxhash64 keys at 1% fpp is ~1.2 GB — broadcastable where the strings
+    * are not).
+    *
+    * Exactness is preserved: the Bloom pass only PREFILTERS. The corpus
+    * gram stream is probed map-side (`might_contain` — same codegen'd
+    * expression Spark's runtime row-level filtering injects); survivors
+    * (true hits + ~fpp false positives, a vanishing fraction of corpus
+    * grams) are confirmed with an exact semi-join against the real gram
+    * set — deliberately NOT broadcast-hinted, because this join sees only
+    * the survivor sliver and a plain shuffle join keyed on the gram is the
+    * form that still works when the bench side is broadcast-hostile. The
+    * final corpus is bit-identical to [[decontaminate]] (asserted in
+    * DecontaminateSpec), so the DuckDB oracle is the exact recomputation.
+    *
+    * The one action is collecting the built sketch itself (single binary
+    * row, size chosen by `fpp` — the same bounded-by-construction class as
+    * the IVF codebook collects); the build is a distributed
+    * `bloom_filter_agg` over the bench grams, not a driver loop.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val benchGrams = bench
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .distinct()
+    // sketch sizing needs the distinct-gram cardinality; exact count is a
+    // cheap aggregate of the (already shuffled-distinct) bench side
+    val nGrams = benchGrams.count()
+    if (nGrams == 0L) return corpus
+    // standard Bloom sizing: m = -n·ln(p)/ln(2)², floor 64 bits
+    val numBits = math.max(64L,
+      math.ceil(-nGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = benchGrams
+      .agg(graft.functions.TextFunctions.bloom_filter_agg(
+        xxhash64(col("gram")), nGrams, numBits))
+      .head().getAs[Array[Byte]](0)
+    val candidate = corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .filter(graft.functions.TextFunctions.might_contain(
+        lit(bloom), xxhash64(col("gram"))))
+    val contaminatedIds = candidate
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-space contamination: corpus rows whose nearest benchmark
     * embedding has cosine ≥ `threshold`, with that benchmark id as
     * evidence — the semantic complement of the n-gram [[contaminationHits]]

@@ -123,6 +123,35 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got(3L)._1 == 100L && got(3L)._2 >= 0.95 && got(3L)._2 < 1.0)
   }
 
+  test("bloomDecontaminate is bit-identical to exact decontaminate on fixture docs") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Decontaminate.decontaminate(docs, bench, "doc_id", "text", n = 5)
+    val bloom = Decontaminate.bloomDecontaminate(docs, bench, "doc_id", "text", n = 5)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // sanity: the bench members ARE their own exact copies → removed
+    val kept = bloom.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(_ % 20 == 0))
+    assert(kept.nonEmpty)
+  }
+
+  test("bloomDecontaminate: exact confirm survives an adversarially high fpp") {
+    // fpp near 1 makes almost every corpus gram a Bloom candidate — the
+    // exact confirm join must still produce the exact result
+    val docs = Tables.documents(spark, GraftSpark.Sf0001).limit(100)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Decontaminate.decontaminate(docs, bench, "doc_id", "text", n = 3)
+    val bloom = Decontaminate.bloomDecontaminate(docs, bench, "doc_id", "text", n = 3, fpp = 0.9)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  test("bloomDecontaminate: empty bench set returns the corpus unchanged") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val out = Decontaminate.bloomDecontaminate(
+      docs, docs.filter(col("doc_id") < 0), "doc_id", "text", n = 8)
+    assert(out.count() == docs.count())
+  }
+
   test("semanticContamination broadcasts the bench side (corpus never shuffled wide)") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val bench = emb.filter(col("vec_id") % 25 === 0)
