@@ -840,6 +840,17 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy("doc_id")),
 
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram log-ratio
+    // of target (lang=en) vs raw corpus distributions — B-bounded model
+    // broadcast into one scoring scan; md5 buckets keep the oracle a full
+    // SQL recomputation
+    "quality_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dsir.importanceWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // the curation operators composed END TO END as one lazy plan — the
     // LLM-data analogue of e2e_method2_template: clone-injected corpus →
     // quality rule cascade → 8-gram benchmark decontamination → exact
@@ -1928,6 +1939,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CDC round-trip: the change set diff(old→neu) applied back onto old
+    // must reproduce neu exactly (same old/neu churn as snapshot_diff);
+    // released as (id, metadata, md5(text)) so the dump stays id-width
+    "snapshot_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+      val neu = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.ops.Snapshot.applyChangeSet(
+          old, graft.ops.Snapshot.changeSet(old, neu, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-flattened mixture weights (p_i ∝ n_i^τ, τ=0.7) over
     // per-source char mass — one source-keyed aggregate + broadcast
     // totals, never corpus-wide state
@@ -2826,6 +2854,19 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 4) DESC, label) AS rk FROM frame) " +
         "SELECT doc_id, label AS pred_label, score FROM r WHERE rk = 1 ORDER BY doc_id"),
 
+    "quality_dsir" ->
+      ("WITH tk AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "g AS (SELECT doc_id, lang, unnest(list_transform(range(len(t) - 1), " +
+        "i -> array_to_string(t[i+1:i+2], ' '))) AS gram FROM tk WHERE len(t) >= 2), " +
+        "b AS (SELECT doc_id, lang, substr(md5(gram), 1, 2) AS bucket FROM g), " +
+        "raw AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS rc FROM b GROUP BY 1), " +
+        "tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS tc FROM b WHERE lang = 'en' GROUP BY 1), " +
+        "tot AS (SELECT (SELECT sum(rc) FROM raw) AS rn, (SELECT COALESCE(sum(tc), 0) FROM tgt) AS tn), " +
+        "d AS (SELECT raw.bucket, ln((COALESCE(tc, 0) + 1) / (tn + 256)) - ln((rc + 1) / (rn + 256)) AS delta " +
+        "FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot) " +
+        "SELECT b.doc_id, round(sum(delta), 4) AS log_w FROM b JOIN d USING (bucket) " +
+        "GROUP BY 1 ORDER BY doc_id"),
+
     "quality_percentile_by_source" ->
       ("WITH m AS (SELECT doc_id, source, " +
         "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
@@ -3220,6 +3261,11 @@ object SparkEntry {
         "OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' " +
         "ELSE 'unchanged' END AS status " +
         "FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+
+    "snapshot_apply" ->
+      ("SELECT doc_id, lang, source, n_chars, " +
+        "md5(CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END) AS text_md5 " +
+        "FROM documents WHERE doc_id % 13 != 5 ORDER BY doc_id"),
 
     "mix_temperature_weights" ->
       ("WITH per AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n_size FROM documents GROUP BY source), " +

@@ -79,4 +79,47 @@ object Snapshot {
       compareCols: Seq[String] = Nil): DataFrame =
     diff(a, b, idCol, compareCols)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** The CDC change set that carries snapshot `a` to snapshot `b`: one row
+    * per NON-unchanged id with `action` ∈ `insert` / `update` / `delete`
+    * and b's full payload for insert/update (NULL payload for delete) —
+    * the feed a MERGE/upsert sink consumes (the incremental-load analogue
+    * of the reference's delete-then-append refresh; see
+    * [[graft.etl.Loads]]).
+    *
+    * Shape: [[diff]]'s fingerprint join classifies ids (wide rows never
+    * shuffle), then ONLY the changed slice — typically a vanishing
+    * fraction of the corpus — joins back to `b` by id to pick up its
+    * payload. Unchanged rows are never rejoined, so a 100 TB snapshot
+    * pair with 0.1% churn moves ~0.1% of b through the payload join.
+    */
+  def changeSet(a: DataFrame, b: DataFrame, idCol: String,
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val d = diff(a, b, idCol, compareCols)
+      .filter(col("status") =!= "unchanged")
+      .withColumn("action",
+        when(col("status") === "added", lit("insert"))
+          .when(col("status") === "changed", lit("update"))
+          .otherwise(lit("delete")))
+      .select(col(idCol), col("action"))
+    d.join(b, Seq(idCol), "left_outer")
+      .select(Seq(col(idCol), col("action")) ++
+        b.columns.filterNot(_ == idCol).map(col).toSeq: _*)
+  }
+
+  /** Apply a [[changeSet]] to the OLD snapshot: delete/update ids drop out
+    * (id-width anti-join), insert/update payloads append — the result is
+    * exactly snapshot `b` for the compared columns (round-trip asserted in
+    * SnapshotSpec and the `snapshot_apply` driver query). `target`'s rows
+    * never shuffle wide: the anti-join keys on the id, and appended
+    * payload rows stream from the (churn-sized) change set.
+    */
+  def applyChangeSet(target: DataFrame, changes: DataFrame, idCol: String): DataFrame = {
+    val affected = changes.select(col(idCol))
+    val incoming = changes.filter(col("action") =!= "delete")
+      .drop("action")
+      .select(target.columns.map(col).toSeq: _*)
+    target.join(affected, Seq(idCol), "left_anti")
+      .unionByName(incoming)
+  }
 }

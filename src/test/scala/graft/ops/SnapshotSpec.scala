@@ -51,6 +51,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(statusMap(Snapshot.diff(a, bChanged, "id")) == Map(1L -> "changed"))
   }
 
+  test("changeSet carries b's payload for insert/update, NULLs for delete") {
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30)).toDF("id", "v", "n")
+    val b = Seq((2L, "y", 20), (3L, "zz", 30), (4L, "w", 40)).toDF("id", "v", "n")
+    val got = Snapshot.changeSet(a, b, "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ("delete", None, None),
+      3L -> ("update", Some("zz"), Some(30)),
+      4L -> ("insert", Some("w"), Some(40))))
+  }
+
+  test("applyChangeSet round-trip: apply(a, changeSet(a->b)) == b") {
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30)).toDF("id", "v", "n")
+    val b = Seq((2L, "y", 20), (3L, "zz", 30), (4L, "w", 40)).toDF("id", "v", "n")
+    val applied = Snapshot.applyChangeSet(a, Snapshot.changeSet(a, b, "id"), "id")
+    assert(applied.exceptAll(b).isEmpty && b.exceptAll(applied).isEmpty)
+  }
+
+  test("applyChangeSet round-trip on fixture documents (drop/modify/add churn)") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val old = docs.filter(col("doc_id") % 11 =!= 3)
+    val neu = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    val applied = Snapshot.applyChangeSet(old, Snapshot.changeSet(old, neu, "doc_id"), "doc_id")
+    assert(applied.exceptAll(neu).isEmpty && neu.exceptAll(applied).isEmpty)
+  }
+
   test("diff plan carries no extra exchange beyond the per-side shuffles") {
     // the per-id aggregate and the full-outer join key on the same column:
     // AQE/EnsureRequirements must not add a third shuffle per side
