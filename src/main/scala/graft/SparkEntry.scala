@@ -472,6 +472,228 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Bidirectional nation-pair trade volume (TPC-H Q7 shape). The two
+    // nations filter FIRST, shrinking supplier (broadcastable: 2/25 of
+    // suppliers) and customer BEFORE the fact join — at 100 TB the nation
+    // predicate must reach the dimension scans, not run after a full
+    // 4-way join. Customer stays a shuffle join (it scales with SF).
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val su = Tables.supplier(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("__snk"))
+        .select("s_suppkey", "supp_nation")
+      val c = Tables.customer(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("__cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("__cnk"))
+        .select("c_custkey", "cust_nation")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // National market share inside a region (TPC-H Q8 shape): one
+    // conditional-sum ratio per order year. Region+nation prune the
+    // customer side before the fact join; the part-type filter prunes
+    // lineitem via the part join (plain join — at scale a sixth of part
+    // does not broadcast; AQE picks the strategy at runtime).
+    "q8_market_share" -> ((s, dir) => {
+      val rnat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__rnk"))
+      val c = Tables.customer(s, dir)
+        .join(broadcast(rnat), col("c_nationkey") === col("__rnk"))
+        .select("c_custkey")
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val suNat = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__snk"))
+        .select("s_suppkey", "supp_nation")
+      val o = Tables.orders(s, dir)
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suNat), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+            sum(vol), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Top returned-revenue customers in a quarter (TPC-H Q10 shape):
+    // group by customer, rank by revenue, keep 20. The date window and
+    // returnflag filter push into the scans; nation broadcasts; the
+    // customer join shuffles on the (already-aggregated) custkey side.
+    "q10_returned_top" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Priority-class line counts (TPC-H Q12 shape, adapted: the fixture
+    // has no l_shipmode, so the pivot column is l_linestatus): one pass,
+    // two conditional sums, shipdate window pushed to the fact scan.
+    "q12_priority_class" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      val o = Tables.orders(s, dir)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Promo revenue share in one month (TPC-H Q14 shape): a ratio of
+    // conditional aggregates — single row out, no shuffle wider than the
+    // two partial sums. The month window prunes lineitem before the part
+    // join.
+    "q14_promo_share" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
+      val p = Tables.part(s, dir)
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) * 100.0 /
+            sum(vol), 4).as("promo_revenue"))
+    }),
+
+    // Distinct-supplier counts per part signature (TPC-H Q16 shape,
+    // adapted: no partsupp fixture — supplier relationships come from
+    // lineitem). countDistinct shuffles once on the group keys with the
+    // distinct supplier partial-aggregated map-side.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+      val l = Tables.lineitem(s, dir)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Large-quantity orders (TPC-H Q18 shape): the HAVING aggregate runs
+    // FIRST on lineitem alone (one key shuffle, heavy map-side combine),
+    // and only qualifying orderkeys — a tiny set — join back to orders
+    // and customer. Quantities are integral doubles, so the >250
+    // threshold has no float-boundary ambiguity against the oracle.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Disjunctive multi-attribute predicate (TPC-H Q19 shape): an
+    // OR-of-ANDs across part and lineitem attributes. The brand/size
+    // disjunction pushes to the part scan as one OR filter; the quantity
+    // bounds evaluate post-join (they reference both sides).
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val m1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)
+      val m2 = col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+        col("l_quantity").between(5, 40)
+      val m3 = col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+        col("l_quantity").between(10, 50)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(m1 || m2 || m3)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
+    // Link-graph centrality (north-star: web-graph quality signal for
+    // crawl curation). The customer↔supplier trade graph stands in for a
+    // host-link graph; 10 power-iteration rounds at damping 0.85. Each
+    // round is two key shuffles over (id, double) pairs; the edge table
+    // shuffles once up front (degree attach + persist), not per round.
+    "graph_pagerank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      // long vertex ids (customer = 2k, supplier = 2k+1): the graph is
+      // bipartite so the parity encoding is collision-free, and long keys
+      // shuffle/compare far cheaper than concatenated strings
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.pagerank(e, iterations = 10, damping = 0.85)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
+    // Euclidean Lloyd k-means over the embedding corpus (north-star:
+    // topic bucketing / cluster-balanced sampling). Deterministic seed
+    // (first k by vec_id), 4 mean updates, final assignment; assignment
+    // is zero-shuffle (centroid literals in codegen'd HOF distances), the
+    // update is one dim-sized-buffer key shuffle per round. Every step is
+    // plain relational algebra, so the DuckDB oracle replays the whole
+    // fixpoint exactly.
+    "embedding_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.lloyd(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 4)
+        .groupBy(col("cluster").cast("bigint").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), round(sum("d2"), 3).as("inertia"))
+        .orderBy("cluster")),
+
+    // Tokenizer-coverage calibration: per-source OOV rate against the
+    // corpus vocabulary (the go/no-go metric when pointing a trained
+    // tokenizer at a new source mix). Vocabulary broadcasts into the
+    // token scan — the corpus shuffles only for the per-source aggregate.
+    "vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 5L, maxVocab = 4096)
+      val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      toks.join(broadcast(vocab.select("token").withColumn("__in", lit(1))),
+          Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+        .orderBy("source")
+    }),
+
     // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
     "m1_introspect" -> ((s, dir) =>
       graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
@@ -2284,6 +2506,154 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q7_volume_shipping" ->
+      ("SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume " +
+        "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+
+    "q8_market_share" ->
+      ("SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) " +
+        "/ sum(volume), 4) AS mkt_share FROM (" +
+        "SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, " +
+        "l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey " +
+        "JOIN region r ON n1.n_regionkey = r.r_regionkey " +
+        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey " +
+        "WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') t " +
+        "GROUP BY o_year ORDER BY o_year"),
+
+    "q10_returned_top" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "WHERE o.o_orderdate >= TIMESTAMP '2000-10-01 00:00:00' " +
+        "AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00' " +
+        "AND l.l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    "q12_priority_class" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
+        "AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00' " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+
+    "q14_promo_share" ->
+      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) " +
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE l.l_shipdate >= TIMESTAMP '2000-09-01 00:00:00' " +
+        "AND l.l_shipdate < TIMESTAMP '2000-10-01 00:00:00'"),
+
+    "q16_supplier_cnt" ->
+      ("SELECT p_brand, p_type, p_size, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20, 25) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+
+    "q18_large_orders" ->
+      ("SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, sum_qty " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0) t " +
+        "ON o.o_orderkey = t.l_orderkey " +
+        "ORDER BY o_orderkey"),
+
+    "q19_disjunctive" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20) " +
+        "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20 AND l.l_quantity BETWEEN 5 AND 40) " +
+        "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40 AND l.l_quantity BETWEEN 10 AND 50)"),
+
+    // PageRank: the full 10-round power iteration unrolled as chained
+    // CTEs — DuckDB replays the exact recurrence (teleport 0.15/N +
+    // 0.85 × incoming rank/degree), so the declared query is pinned to
+    // the true fixpoint trajectory, not a rows-only check.
+    "graph_pagerank" -> {
+      val head =
+        "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, " +
+          "l_suppkey * 2 + 1 AS dst " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src), " +
+        "pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)"
+      val loop = (1 to 10).map(i =>
+        s"pr$i AS (SELECT nd.id, 0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS r " +
+          "FROM nodes nd CROSS JOIN nn LEFT JOIN " +
+          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
+          s"FROM edges e JOIN pr${i - 1} p ON p.id = e.src " +
+          "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
+        .mkString(", ", ", ", "")
+      head + loop + " SELECT id, round(r, 8) AS rank FROM pr10 ORDER BY id"
+    },
+
+    // Lloyd k-means: seed from the first 8 vec_ids, 4 assign+update
+    // rounds and a final assignment, all replayed in long (vec_id, dim,
+    // val) form — argmin ties break to the lowest cluster id on both
+    // sides, empty clusters keep their previous centroid on both sides.
+    "embedding_kmeans" -> {
+      val head =
+        "WITH vl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, " +
+          "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), " +
+        "seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl " +
+          "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s0), " +
+        "c0 AS (SELECT s.cl, v.dim, v.val FROM seed s JOIN vl v ON v.vec_id = s.vec_id)"
+      def assignCte(i: Int) =
+        s"a$i AS (SELECT vec_id, cl, d2 FROM (SELECT v.vec_id, c.cl, " +
+          "sum((v.val - c.val) * (v.val - c.val)) AS d2, " +
+          "row_number() OVER (PARTITION BY v.vec_id " +
+          "ORDER BY sum((v.val - c.val) * (v.val - c.val)), c.cl) AS rn " +
+          s"FROM vl v JOIN c${i - 1} c ON v.dim = c.dim " +
+          "GROUP BY v.vec_id, c.cl) t WHERE rn = 1)"
+      def updateCte(i: Int) =
+        s"c$i AS (SELECT p.cl, p.dim, coalesce(m.val, p.val) AS val " +
+          s"FROM c${i - 1} p LEFT JOIN " +
+          s"(SELECT a.cl, v.dim, avg(v.val) AS val FROM a$i a " +
+          "JOIN vl v ON v.vec_id = a.vec_id GROUP BY a.cl, v.dim) m " +
+          "ON m.cl = p.cl AND m.dim = p.dim)"
+      val mid = (1 to 4).map(i => assignCte(i) + ", " + updateCte(i))
+        .mkString(", ", ", ", "")
+      head + mid + ", " + assignCte(5) +
+        " SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_members, " +
+        "round(sum(d2), 3) AS inertia FROM a5 GROUP BY cl ORDER BY cluster"
+    },
+
+    "vocab_coverage" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tk AS (SELECT source, token FROM tok WHERE token <> ''), " +
+        "vc AS (SELECT token, count(*) AS n FROM tk GROUP BY token HAVING count(*) >= 5), " +
+        "vocab AS (SELECT token FROM (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rid FROM vc) r WHERE rid <= 4096) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate " +
+        "FROM tk LEFT JOIN vocab v ON v.token = tk.token " +
+        "GROUP BY source ORDER BY source"),
 
     "m1_introspect" ->
       ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +
