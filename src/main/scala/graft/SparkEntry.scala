@@ -694,6 +694,52 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): each English
+    // doc's best Spanish match by ratio margin over the doc↔embedding
+    // join. Exhaustive variant (target slice broadcasts); at corpus scale
+    // the candidate set comes from the ANN family with identical scoring.
+    "bitext_mine" -> ((s, dir) => {
+      val de = Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("lang"), col("embedding"))
+      graft.ops.Bitext.minePairs(de, "id", "lang", "embedding", "en", "es",
+          k = 4, marginThreshold = 1.0)
+        .orderBy("src_id")
+    }),
+
+    // Deterministic contrastive negative sampling over the labeled
+    // embedding corpus: k=4 off-label negatives per anchor from a
+    // hash-bucketed candidate slice (never the full corpus), ranked by
+    // md5(seed:anchor:cand) — reproducible and engine-recomputable.
+    "negative_sample" -> ((s, dir) =>
+      graft.ops.Sampling.negativeSample(
+          Tables.embeddings(s, dir).select("vec_id", "label"),
+          "vec_id", "label", k = 4, numBuckets = 16)
+        .orderBy("anchor_id", "neg_rank")),
+
+    // Image near-duplicate mining via perceptual hashing: smooth synthetic
+    // PNGs (+ nearest-neighbor-resized clones — the transform aHash is
+    // designed to survive), decoded for REAL through ImageIO, 8×8
+    // luminance grid → 64-bit average-hash, banded hamming pairs. The
+    // pipeline is decode → shuffle-free fingerprint expression → the same
+    // bucket-bounded pair mining as SimHash. Pinned oracle (JVM-side
+    // decode); clone recovery asserted first-principles in MultimodalSpec.
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .filter(col("doc_id") % 2 === 0)
+      val imgs = Multimodal.synthesizeWaveImages(ids, "doc_id")
+      val clones = Multimodal.resizeImages(
+          imgs.filter(col("doc_id") < 40), "payload", "format", 28, 28)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val all = imgs.unionByName(clones.select(imgs.columns.map(col): _*))
+      val feats = Multimodal.decodeFeatures(all, "payload", dim = 64,
+        decoder = Multimodal.ImageIODecoder(8))
+      Dedup.fingerprintPairs(
+          Multimodal.averageHash(feats, "features", "phash"),
+          "doc_id", "phash", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
     "m1_introspect" -> ((s, dir) =>
       graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
@@ -2654,6 +2700,41 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate " +
         "FROM tk LEFT JOIN vocab v ON v.token = tk.token " +
         "GROUP BY source ORDER BY source"),
+
+    "bitext_mine" ->
+      ("WITH de AS (SELECT d.doc_id AS id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v " +
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
+        "aa AS (SELECT id, v FROM de WHERE lang = 'en'), " +
+        "bb AS (SELECT id, v FROM de WHERE lang = 'es'), " +
+        "p AS (SELECT aa.id AS src_id, bb.id AS tgt_id, " +
+        "round(list_dot_product(aa.v, bb.v) / (sqrt(list_dot_product(aa.v, aa.v)) * " +
+        "sqrt(list_dot_product(bb.v, bb.v))), 4) AS sim FROM aa, bb), " +
+        "ra AS (SELECT src_id, avg(sim) AS m_a FROM (SELECT src_id, sim, " +
+        "row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn FROM p) t " +
+        "WHERE rn <= 4 GROUP BY src_id), " +
+        "rb AS (SELECT tgt_id, avg(sim) AS m_b FROM (SELECT tgt_id, sim, " +
+        "row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn FROM p) t " +
+        "WHERE rn <= 4 GROUP BY tgt_id), " +
+        "m AS (SELECT p.src_id, p.tgt_id, p.sim, " +
+        "round(p.sim / ((ra.m_a + rb.m_b) / 2), 4) AS margin " +
+        "FROM p JOIN ra ON ra.src_id = p.src_id JOIN rb ON rb.tgt_id = p.tgt_id), " +
+        "best AS (SELECT src_id, tgt_id, sim, margin FROM (SELECT m.*, " +
+        "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn FROM m) t " +
+        "WHERE rn = 1) " +
+        "SELECT src_id, tgt_id, sim, margin FROM best WHERE margin > 1.0 ORDER BY src_id"),
+
+    "negative_sample" ->
+      ("WITH cand AS (SELECT vec_id AS neg_id, label AS neg_label, " +
+        "(vec_id * 2654435761) % 16 AS b FROM embeddings), " +
+        "anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, " +
+        "(vec_id * 2654435761 + 1) % 16 AS b FROM embeddings), " +
+        "ranked AS (SELECT anchor_id, anchor_label, neg_id, neg_label, " +
+        "CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY " +
+        "md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), neg_id) AS INT) AS neg_rank " +
+        "FROM anch JOIN cand USING (b) " +
+        "WHERE neg_label <> anchor_label AND neg_id <> anchor_id) " +
+        "SELECT anchor_id, anchor_label, neg_rank, neg_id, neg_label " +
+        "FROM ranked WHERE neg_rank <= 4 ORDER BY anchor_id, neg_rank"),
 
     "m1_introspect" ->
       ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +

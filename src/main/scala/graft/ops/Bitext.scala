@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
+/** Margin-based parallel-corpus (bitext) mining over multilingual document
+  * embeddings — the standard way machine-translation / multilingual
+  * pretraining pipelines harvest aligned sentence/document pairs from two
+  * monolingual sides (ratio-margin scoring per Artetxe & Schwenk,
+  * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  * Embeddings", ACL 2019).
+  *
+  * Raw cosine is a poor mining criterion because some embeddings are
+  * "hubs" — similar to everything. The ratio margin normalizes each pair's
+  * cosine by the mean of both endpoints' top-k neighborhoods:
+  *
+  *   margin(x, y) = cos(x, y) / ((meanTopK(x→B) + meanTopK(y→A)) / 2)
+  *
+  * and keeps each source's best-margin target above a threshold.
+  */
+object Bitext {
+
+  /** Mine (src, tgt) candidate pairs between the `srcLang` and `tgtLang`
+    * slices of a (id, lang, vec) frame.
+    *
+    * This is the exhaustive variant: the target slice joins in full
+    * (broadcast — one language slice of a curation batch is the small
+    * side; the pair frame is then |A|×|B|). At corpus scale, generate the
+    * candidate pairs with the ANN family instead ([[Similarity.ivfTopK]] /
+    * [[Dedup.embeddingCosinePairs]]'s banded LSH) and apply the identical
+    * margin scoring over the candidate set — the formula only needs each
+    * endpoint's top-k, which the ANN result already is.
+    *
+    * Cosines are rounded to 4dp BEFORE ranking/margins (the repo-wide
+    * determinism convention — rank ties then break on id, so an external
+    * recomputation orders identically).
+    *
+    * Returns (src_id, tgt_id, sim, margin): each source's single best
+    * target by margin, where margin > `marginThreshold`.
+    */
+  def minePairs(
+      df: DataFrame,
+      idCol: String,
+      langCol: String,
+      vecCol: String,
+      srcLang: String,
+      tgtLang: String,
+      k: Int = 4,
+      marginThreshold: Double = 1.0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      col(vecCol).as("vec"), vec_norm(col(vecCol)).as("nrm"))
+    val a = base.filter(col("lang") === srcLang)
+      .select(col("id").as("src_id"), col("vec").as("va"), col("nrm").as("na"))
+    val b = base.filter(col("lang") === tgtLang)
+      .select(col("id").as("tgt_id"), col("vec").as("vb"), col("nrm").as("nb"))
+
+    val pairs = a.join(broadcast(b))
+      .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select("src_id", "tgt_id", "sim")
+
+    val rnA = row_number().over(Window.partitionBy("src_id").orderBy(col("sim").desc, col("tgt_id")))
+    val mA = pairs.withColumn("rn", rnA).filter(col("rn") <= k)
+      .groupBy("src_id").agg(avg("sim").as("m_a"))
+    val rnB = row_number().over(Window.partitionBy("tgt_id").orderBy(col("sim").desc, col("src_id")))
+    val mB = pairs.withColumn("rn", rnB).filter(col("rn") <= k)
+      .groupBy("tgt_id").agg(avg("sim").as("m_b"))
+
+    val scored = pairs
+      .join(mA, Seq("src_id"))
+      .join(mB, Seq("tgt_id"))
+      .withColumn("margin", round(col("sim") / ((col("m_a") + col("m_b")) / 2), 4))
+    val best = row_number().over(Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id")))
+    scored.withColumn("rn", best).filter(col("rn") === 1)
+      .filter(col("margin") > marginThreshold)
+      .select("src_id", "tgt_id", "sim", "margin")
+  }
+}

@@ -812,8 +812,32 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash64(textCol).as("fp"))
+      maxHamming: Int = 3): DataFrame =
+    fingerprintPairs(
+      df.select(col(idCol).as("id"), simhash64(textCol).as("fp")),
+      "id", "fp", maxHamming)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column (SimHash, image
+    * aHash per [[Multimodal.averageHash]], audio envelope hashes, …):
+    * fingerprints are banded into four 16-bit blocks; rows sharing any
+    * block are candidates (guaranteed recall for hamming ≤ 3 by
+    * pigeonhole; still high for slightly larger distances), verified by
+    * full hamming ≤ `maxHamming`. Returns (id_a, id_b, hamming).
+    *
+    * Same aggregation-not-self-join shape as [[minhashLsh]]: ids+fps are
+    * collected per (band, block) bucket, ordered pairs explode map-side,
+    * and only slim (id, fp) pairs ever shuffle. `maxBucket` caps
+    * degenerate buckets (e.g. the all-black-image fingerprint at corpus
+    * scale) exactly like the MinHash path — audit oversized buckets
+    * before trusting recall.
+    */
+  def fingerprintPairs(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
     val bandCols = array((0 until 4).map { j =>
       struct(
         lit(j).as("band"),
@@ -821,10 +845,14 @@ object Dedup {
     }: _*)
     val banded = fp.select(col("id"), col("fp"), explode(bandCols).as("bb"))
       .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("fp")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, greatest(size(col("xs")) - i - 1, lit(0))), y =>
+          struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("fp").as("fp_a"), y.getField("fp").as("fp_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.fp_a"), col("p.fp_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)

@@ -398,4 +398,83 @@ object Multimodal {
     df.withColumn("media_meta",
       struct(format.as("format"), width.as("width"), height.as("height"),
         durationMs.as("duration_ms")))
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic SMOOTH synthetic PNG: a low-frequency cosine-mixture
+    * luminance field, `lum(x,y) = 127.5·(1 + cos(2πfx·x/w + px)·cos(2πfy·y/h + py))`
+    * with seed-derived integer frequencies (1–3 cycles) and phases. Unlike
+    * [[syntheticPng]] (per-pixel noise, whose pooled cells all sit at the
+    * global mean and flip average-hash bits under any resample), this has
+    * the coarse structure perceptual hashing is designed for: grid-pooled
+    * luminance — and therefore [[averageHash]] — is stable under
+    * nearest-neighbor resizing. Pure arithmetic + lossless PNG: bit-exact
+    * everywhere.
+    */
+  def syntheticWavePng(seed: Long, w: Int = 32, h: Int = 32): Array[Byte] = {
+    // two additive cosine components (frequencies 1–4, independent phases,
+    // seed-varied mix weight): rich enough that distinct seeds rarely
+    // share an aHash sign pattern, smooth enough that resampled clones do
+    def p(i: Long): Double = ((mix64(seed + i) & 0x7fffffffL) % 6283) / 1000.0
+    def f(i: Long): Long = 1 + (mix64(seed + i) & 0x7fffffffL) % 4
+    val (fx1, fy1, px1, py1) = (f(0), f(1), p(2), p(3))
+    val (fx2, fy2, px2, py2) = (f(4), f(5), p(6), p(7))
+    val w2 = 0.3 + ((mix64(seed + 8) & 0x7fffffffL) % 1000) / 2500.0 // 0.3–0.7
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c1 = math.cos(2 * math.Pi * fx1 * x / w + px1) *
+          math.cos(2 * math.Pi * fy1 * y / h + py1)
+        val c2 = math.cos(2 * math.Pi * fx2 * x / w + px2) *
+          math.cos(2 * math.Pi * fy2 * y / h + py2)
+        val v = (1 - w2) * c1 + w2 * c2
+        val lum = math.max(0, math.min(255, (127.5 * (1 + v)).toInt))
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Executor-side [[syntheticWavePng]] payload synthesis over an id frame
+    * (fixture shape for the perceptual-hash dedup path — payloads never
+    * cross the driver). Adds `payload` (binary) + `format` ("png").
+    */
+  def synthesizeWaveImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("format", StringType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ syntheticWavePng(r.getLong(idIdx)) :+ "png"))
+    }(Encoders.row(outSchema))
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over a decoded feature
+    * vector: bit i is set iff feature i exceeds the vector's mean —
+    * with [[ImageIODecoder]]'s 8×8 luminance grid this is the classic
+    * 64-bit aHash. Pure codegen'd HOF arithmetic, shuffle-free; feed the
+    * result to [[Dedup.fingerprintPairs]] for banded near-dup mining.
+    * Requires ≤ 64 features.
+    */
+  def averageHash(df: DataFrame, featuresCol: String, outCol: String): DataFrame =
+    df.withColumn("__ah_mean",
+        expr(s"aggregate($featuresCol, 0D, (a, x) -> a + cast(x as double))") /
+          size(col(featuresCol)))
+      .withColumn(outCol, expr(
+        s"aggregate(zip_with($featuresCol, sequence(0, size($featuresCol) - 1), " +
+          "(f, i) -> if(cast(f as double) > __ah_mean, " +
+          "shiftleft(cast(1 as bigint), i), cast(0 as bigint))), " +
+          "cast(0 as bigint), (a, b) -> a | b)"))
+      .drop("__ah_mean")
 }

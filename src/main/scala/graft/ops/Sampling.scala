@@ -340,4 +340,46 @@ object Sampling {
       .withColumn("pos", col("cum_tokens") - 1)
       .drop("cum_tokens", "__shuffle_key")
   }
+
+  /** Deterministic NEGATIVE sampling for contrastive training: for each
+    * anchor row, `k` pseudo-random same-bucket rows with a DIFFERENT
+    * label, ranked by `md5(seed:anchor:cand)` — fully reproducible (the
+    * same anchor always draws the same negatives) and recomputable by any
+    * engine with md5.
+    *
+    * The anchor never scans the whole candidate set: both sides bucket by
+    * a multiplicative hash of their id (`id·2654435761 mod numBuckets`,
+    * Knuth's 2^32/φ constant — exact BIGINT arithmetic any engine
+    * reproduces; ids must stay below ~2^31 to avoid ANSI overflow, which
+    * corpus-scale callers should swap for xxhash64 + a pinned check), so
+    * the join fans out |corpus|/numBuckets candidates per anchor and the
+    * per-anchor rank window sorts only that slice. Scale `numBuckets`
+    * with the corpus to keep the slice constant-sized; anchors whose
+    * bucket holds fewer than `k` off-label rows yield fewer negatives —
+    * count them before training.
+    *
+    * Returns (anchor_id, anchor_label, neg_rank 1..k, neg_id, neg_label).
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      k: Int,
+      numBuckets: Int = 64,
+      seed: String = "neg"): DataFrame = {
+    val mult = 2654435761L
+    val cand = df.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"))
+      .withColumn("__b", pmod(col("neg_id") * mult, lit(numBuckets.toLong)))
+    val anch = df.select(col(idCol).as("anchor_id"), col(labelCol).as("anchor_label"))
+      .withColumn("__b", pmod(col("anchor_id") * mult + 1, lit(numBuckets.toLong)))
+    val w = Window.partitionBy("anchor_id").orderBy(col("__rk"), col("neg_id"))
+    anch.join(cand, Seq("__b"))
+      .filter(col("neg_label") =!= col("anchor_label") &&
+        col("neg_id") =!= col("anchor_id"))
+      .withColumn("__rk", md5(concat(lit(seed), lit(":"),
+        col("anchor_id").cast("string"), lit(":"), col("neg_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label")
+  }
 }

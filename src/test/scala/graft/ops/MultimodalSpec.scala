@@ -223,4 +223,65 @@ class MultimodalSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 2)
     assert(topk.count() == 6)
   }
+
+  test("averageHash matches a driver-side recomputation on decoded images") {
+    val ids = spark.range(0, 6).select(col("id").as("doc_id"))
+    val hashed = Multimodal.averageHash(
+      Multimodal.decodeFeatures(Multimodal.synthesizeWaveImages(ids, "doc_id"),
+        "payload", decoder = Multimodal.ImageIODecoder(8)),
+      "features", "phash")
+    hashed.select("doc_id", "features", "phash").collect().foreach { r =>
+      val f = r.getSeq[Float](1)
+      val mean = f.map(_.toDouble).sum / f.length
+      val want = f.zipWithIndex.map { case (v, i) =>
+        if (v.toDouble > mean) 1L << i else 0L }.reduce(_ | _)
+      assert(r.getLong(2) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("averageHash is invariant under exact 2x nearest-neighbor upscale") {
+    // 2x NN upscale duplicates each pixel into a 2x2 block, so 8x8 grid
+    // pooling averages the same source pixels -> identical hash
+    val ids = spark.range(0, 8).select(col("id").as("doc_id"))
+    val imgs = Multimodal.synthesizeWaveImages(ids, "doc_id")
+    val up = Multimodal.resizeImages(imgs, "payload", "format", 64, 64)
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.averageHash(
+        Multimodal.decodeFeatures(df, "payload", decoder = Multimodal.ImageIODecoder(8)),
+        "features", "phash")
+        .select("doc_id", "phash").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(imgs) == hashes(up))
+  }
+
+  test("phash near-dup mining: hamming<=3 clone pairs are ALWAYS recovered " +
+    "(banding pigeonhole), overall clone recovery is high") {
+    val ids = spark.range(0, 40).select((col("id") * 2).as("doc_id"))
+    val imgs = Multimodal.synthesizeWaveImages(ids, "doc_id")
+    val clones = Multimodal.resizeImages(imgs, "payload", "format", 28, 28)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val all = imgs.unionByName(clones.select(imgs.columns.map(col): _*))
+    val hashed = Multimodal.averageHash(
+      Multimodal.decodeFeatures(all, "payload", decoder = Multimodal.ImageIODecoder(8)),
+      "features", "phash")
+    val fps = hashed.select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = Dedup.fingerprintPairs(hashed, "doc_id", "phash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trueHamming = (0 until 40).map { i =>
+      val id = i * 2L
+      id -> java.lang.Long.bitCount(fps(id) ^ fps(id + 1000000L))
+    }
+    // pigeonhole guarantee: hamming<=3 implies one clean 16-bit band
+    trueHamming.filter(_._2 <= 3).foreach { case (id, hd) =>
+      assert(found.contains((id, id + 1000000L)), s"id $id hamming $hd missed")
+    }
+    val recovered = trueHamming.count { case (id, hd) =>
+      hd <= 6 && found.contains((id, id + 1000000L)) }
+    val eligible = trueHamming.count(_._2 <= 6)
+    assert(eligible > 20, s"resample perturbed too much: only $eligible <= 6")
+    // banding recall above hamming 3 is probabilistic (a 4–6-bit flip can
+    // touch all four bands) — assert a floor, not perfection
+    assert(recovered >= (eligible * 6) / 10, s"$recovered of $eligible recovered")
+  }
 }

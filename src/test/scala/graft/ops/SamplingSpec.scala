@@ -354,4 +354,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(a != c, "different seed must permute differently")
     assert(c.values.toSeq.sorted == (0L until c.size.toLong))
   }
+
+  test("negativeSample: off-label only, never self, at most k, dense ranks") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, (i % 3).toInt)).toSeq
+    val out = Sampling.negativeSample(rows.toDF("id", "label"), "id", "label",
+      k = 4, numBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, al, _, n, nl) =>
+      assert(al != nl, s"anchor $a drew same-label negative $n")
+      assert(a != n)
+    }
+    out.groupBy(_._1).foreach { case (a, ns) =>
+      val ranks = ns.map(_._3).sorted.toSeq
+      assert(ranks.length <= 4 && ranks == (1 to ranks.length),
+        s"anchor $a ranks $ranks")
+    }
+  }
+
+  test("negativeSample: deterministic, and ranks follow the md5 ordering") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, (i % 2).toInt)).toSeq
+    val df = rows.toDF("id", "label")
+    def run() = Sampling.negativeSample(df, "id", "label", k = 3, numBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(run() == run())
+    // driver-side recompute for one anchor: candidates in its bucket,
+    // off-label, ordered by md5("neg:a:c")
+    val b = (a: Long) => ((a * 2654435761L + 1) % 2)
+    val cb = (c: Long) => ((c * 2654435761L) % 2)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val anchor = 0L
+    val want = rows.filter { case (c, cl) => cb(c) == b(anchor) && cl != 0 && c != anchor }
+      .map(_._1).sortBy(c => (md5hex(s"neg:$anchor:$c"), c)).take(3)
+      .zipWithIndex.map { case (c, i) => (anchor, i + 1, c) }.toSet
+    assert(run().filter(_._1 == anchor) == want)
+  }
 }
