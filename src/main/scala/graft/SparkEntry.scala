@@ -707,6 +707,39 @@ object SparkEntry {
         .orderBy("src_id")
     }),
 
+    // l-diversity audit over the k-anonymous release: a k-anonymous group
+    // whose members all share one sensitive value still leaks it
+    // (homogeneity attack) — per quasi group, size + distinct sensitive
+    // count for the caller's l threshold. Sensitive stand-in: the
+    // doc-length bucket.
+    "anonymize_ldiversity" -> ((s, dir) =>
+      graft.ops.Anonymize.lDiversityAudit(
+          graft.ops.Anonymize.kAnonymize(
+            Tables.documents(s, dir), Seq("lang", "source"), k = 5)
+            .withColumn("len_bucket", (col("n_chars") % 16).cast("int")),
+          Seq("lang", "source"), "len_bucket")
+        .orderBy("lang", "source")),
+
+    // Count-Min heavy hitters vs ground truth: top-20 corpus tokens by
+    // exact count with the sketch estimate alongside (one-sided error
+    // est>=exact, overshoot bounded by eps*N). Pinned oracle (the sketch
+    // hash is JVM-side); the error bound is asserted in SketchesSpec.
+    "heavy_hitters" -> ((s, dir) =>
+      graft.ops.Sketches.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= ""),
+        "token", topK = 20)),
+
+    // Hour-of-day seasonal profile of event values per type: cell mean +
+    // seasonal index (cell/overall) — the normalization surface for
+    // seasonally-adjusted thresholds. Events aggregate once; the window
+    // runs over the 24-row-per-key profile only.
+    "events_seasonal_profile" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalProfile(
+          Tables.events(s, dir), "ts", "value", Seq("event_type"))
+        .orderBy("event_type", "hour_of_day")),
+
     // Deterministic contrastive negative sampling over the labeled
     // embedding corpus: k=4 off-label negatives per anchor from a
     // hash-bucketed candidate slice (never the full corpus), ranked by
@@ -2722,6 +2755,23 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn FROM m) t " +
         "WHERE rn = 1) " +
         "SELECT src_id, tgt_id, sim, margin FROM best WHERE margin > 1.0 ORDER BY src_id"),
+
+    "anonymize_ldiversity" ->
+      ("WITH rel AS (SELECT lang, source, n_chars FROM (" +
+        "SELECT d.*, count(*) OVER (PARTITION BY lang, source) AS gn FROM documents d) t " +
+        "WHERE gn >= 5) " +
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT CAST(n_chars % 16 AS INTEGER)) AS BIGINT) AS n_sensitive " +
+        "FROM rel GROUP BY lang, source ORDER BY lang, source"),
+
+    "events_seasonal_profile" ->
+      ("WITH cells AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, " +
+        "CAST(count(*) AS BIGINT) AS n, avg(value) AS m " +
+        "FROM events GROUP BY event_type, hour(ts)) " +
+        "SELECT event_type, hour_of_day, n, round(m, 4) AS mean_value, " +
+        "round(m / (sum(m * n) OVER (PARTITION BY event_type) / " +
+        "sum(n) OVER (PARTITION BY event_type)), 4) AS seasonal_index " +
+        "FROM cells ORDER BY event_type, hour_of_day"),
 
     "negative_sample" ->
       ("WITH cand AS (SELECT vec_id AS neg_id, label AS neg_label, " +

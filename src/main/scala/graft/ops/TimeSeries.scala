@@ -81,4 +81,32 @@ object TimeSeries {
         regr_count(col(valueCol), col("__x")).as("n"),
         avg(col(valueCol)).as("mean_value"))
   }
+
+  /** Hour-of-day seasonal profile per key: for each (key, hour 0–23)
+    * cell, the observation count, mean value, and seasonal index
+    * (cell mean ÷ the key's overall mean — >1 means that hour runs hot).
+    * The shape behind load normalization and seasonally-adjusted anomaly
+    * thresholds.
+    *
+    * One hash aggregate over the events (map-side partial), then a
+    * key-partitioned window over the ≤24-row-per-key profile — the wide
+    * data is touched once; the window sees only profile rows. The key
+    * overall mean is the n-weighted mean of the cell means (≡ the plain
+    * mean of the raw values).
+    */
+  def seasonalProfile(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val cells = df
+      .groupBy((keyCols.map(col) :+ hour(col(tsCol)).as("hour_of_day")): _*)
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("__mean"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    cells
+      .withColumn("__key_mean", sum(col("__mean") * col("n")).over(w) / sum("n").over(w))
+      .withColumn("mean_value", round(col("__mean"), 4))
+      .withColumn("seasonal_index", round(col("__mean") / col("__key_mean"), 4))
+      .drop("__mean", "__key_mean")
+  }
 }

@@ -77,4 +77,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     val r3 = out(2)
     assert(r3.isNullAt(r3.fieldIndex("slope")) && r3.getAs[Long]("n") == 2L)
   }
+
+  test("seasonalProfile: known-answer cells, index 1.0 for flat hours, weighted key mean") {
+    // key A: hour 0 runs at 10 (2 obs), hour 1 at 30 (1 obs)
+    //   key mean = (10*2 + 30*1)/3 = 50/3; idx(h0)=10/(50/3)=0.6, idx(h1)=1.8
+    // key B: flat 7s in two different hours -> both indices exactly 1.0
+    val rows = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:10:00"), 10.0),
+      ("A", Timestamp.valueOf("2024-01-02 00:50:00"), 10.0),
+      ("A", Timestamp.valueOf("2024-01-01 01:10:00"), 30.0),
+      ("B", Timestamp.valueOf("2024-01-01 03:00:00"), 7.0),
+      ("B", Timestamp.valueOf("2024-01-01 04:00:00"), 7.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.seasonalProfile(rows, "ts", "v", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("A", 0)) == ((2L, 10.0, 0.6)))
+    assert(out(("A", 1)) == ((1L, 30.0, 1.8)))
+    assert(out(("B", 3)) == ((1L, 7.0, 1.0)))
+    assert(out(("B", 4)) == ((1L, 7.0, 1.0)))
+  }
 }

@@ -35,6 +35,9 @@ PINS = {
     # ImageIO decode + aHash are JVM-side; clone recovery + hash-recompute
     # cross-checked in MultimodalSpec
     "multimodal_phash_dedup": (["id_a BIGINT", "id_b BIGINT", "hamming BIGINT"], "id_a, id_b"),
+    # Count-Min hashes are JVM-side; one-sided error bound asserted in
+    # SketchesSpec
+    "heavy_hitters": (["token VARCHAR", "exact_n BIGINT", "est_n BIGINT"], "exact_n DESC, token"),
     "source_mix": (["source VARCHAR", "n BIGINT"], "source"),
     # BPE is iterative (not SQL-expressible); deterministic by the
     # count-desc/lhs/rhs tie-break — path-equality + hand-computed merges
