@@ -707,6 +707,37 @@ object SparkEntry {
         .orderBy("src_id")
     }),
 
+    // Stream-static enrichment: streaming events join the static customer
+    // dimension (broadcast, stateless) and count per (7-day event-time
+    // window, market segment); watermark-closed via the sentinel harness.
+    "stream_enrich_static" -> ((s, dir) =>
+      graft.streaming.Incremental.streamEnrichStatic(
+          s, s"$dir/events.parquet", "ts", "user_id",
+          Tables.customer(s, dir), "c_custkey", "c_mktsegment",
+          windowSec = 7L * 86400, watermarkSec = 30L * 86400,
+          statePartitions = 8) // state keys = ~5 windows × 5 segments
+        .orderBy("window_start", "c_mktsegment")),
+
+    // Persisted tokenizer artifact: train BPE once, write the merges as a
+    // parquet sidecar, read them back and encode from the artifact alone —
+    // byte-identical to the from-scratch path (shares bpe_encode's pinned
+    // oracle), completing the build-once/serve-many family (MinHash, IVFPQ,
+    // BM25, now the tokenizer).
+    "bpe_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("bpe_1", dir) { tmp =>
+        Bpe.writeMerges(s,
+          Bpe.train(Bpe.wordCounts(docs, "text"), numMerges = 30, minCount = 2), tmp)
+      }
+      val merges = Bpe.readMerges(s, idxDir)
+      docs.select(col("doc_id"),
+          graft.functions.BpeFunctions.bpe_encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_bpe_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("tokens_head"))
+        .orderBy("doc_id")
+    }),
+
     // l-diversity audit over the k-anonymous release: a k-anonymous group
     // whose members all share one sensitive value still leaks it
     // (homogeneity attack) — per quasi group, size + distinct sensitive
@@ -2756,6 +2787,12 @@ object SparkEntry {
         "WHERE rn = 1) " +
         "SELECT src_id, tgt_id, sim, margin FROM best WHERE margin > 1.0 ORDER BY src_id"),
 
+    "stream_enrich_static" ->
+      ("SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
+        "c_mktsegment, count(*) AS n " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY window_start, c_mktsegment"),
+
     "anonymize_ldiversity" ->
       ("WITH rel AS (SELECT lang, source, n_chars FROM (" +
         "SELECT d.*, count(*) OVER (PARTITION BY lang, source) AS gn FROM documents d) t " +
@@ -3762,6 +3799,10 @@ object SparkEntry {
         "OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' " +
         "ELSE 'unchanged' END AS status " +
         "FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+
+    // the index-served encode must be byte-identical to the from-scratch
+    // path — share bpe_encode's pinned oracle
+    "bpe_persisted" -> PinnedOracles.sql("bpe_encode"),
 
     "snapshot_apply" ->
       ("SELECT doc_id, lang, source, n_chars, " +

@@ -167,4 +167,24 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Persist trained merges as a (merge_rank, lhs, rhs) parquet — the
+    * build-once/serve-many tokenizer artifact (train on the corpus once,
+    * ship the merges to every encode job). Spark's committer makes the
+    * write object-store-safe; the artifact is vocabulary-sized (KBs).
+    */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank.toLong, m.lhs, m.rhs))
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted merges in training order, ready for
+    * [[graft.functions.BpeFunctions.bpe_encode]]. Bounded driver collect
+    * (the merge list IS the model). */
+  def readMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("merge_rank").collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2))).toSeq
 }

@@ -302,6 +302,56 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Stream-STATIC enrichment join + windowed aggregation: the streaming
+    * events enrich against a bounded dimension (re-read per micro-batch,
+    * broadcast — the hint matters at real scale where the batch planner
+    * sees fresh dimension stats each micro-batch), then count per
+    * (event-time window, dimension value). The canonical "events × user
+    * segment" streaming shape; the static side holds NO streaming state —
+    * only the window aggregate does.
+    *
+    * Uses the staged-stream sentinel harness so the watermark provably
+    * closes every window inside the run (sentinel keys never survive the
+    * inner dimension join). Returns the append-mode sink read back.
+    */
+  def streamEnrichStatic(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      keyCol: String,
+      dim: DataFrame,
+      dimKeyCol: String,
+      dimValCol: String,
+      windowSec: Long,
+      watermarkSec: Long,
+      statePartitions: Int = 0): DataFrame = {
+    val staged = StagedStream.dir(spark, srcPath, tsCol, keyCol, windowSec, watermarkSec)
+    val schema = spark.read.parquet(staged).schema
+    val tsTs = StagedStream.tsAsTimestamp(schema(tsCol).dataType, tsCol)
+    val in = spark.readStream.schema(schema).parquet(staged)
+      .select(col(keyCol), tsTs.as("__ts"))
+      .withWatermark("__ts", s"$watermarkSec seconds")
+    val enriched = in.join(
+      broadcast(dim.select(col(dimKeyCol).as(keyCol), col(dimValCol))), Seq(keyCol))
+    val agg = enriched
+      .groupBy(window(col("__ts"), s"$windowSec seconds"), col(dimValCol))
+      .agg(count(lit(1)).as("n"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_sessink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sesckpt")
+    runWithStatePartitions(spark, statePartitions) {
+      agg.writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    spark.read.parquet(sink.toString)
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col(dimValCol), col("n"))
+  }
+
   /** Stream-stream interval join (inner): rows of `leftValue` type join
     * rows of `rightValue` type on `keyCol` when the right event lands in
     * `[left.ts, left.ts + maxDelaySec]` — the attribution/conversion join

@@ -96,4 +96,17 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1).getSeq[String](0).isEmpty)
     assert(got(2).isNullAt(0))
   }
+
+  test("writeMerges/readMerges round-trips the trained model in order") {
+    val docs = Seq("ab ab ab cd cd", "ab cd ab").toDF("text")
+    val merges = Bpe.train(Bpe.wordCounts(docs, "text"), numMerges = 5, minCount = 1)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    Bpe.writeMerges(spark, merges, dir)
+    val back = Bpe.readMerges(spark, dir)
+    assert(back == merges)
+    // encode from the artifact equals encode from the in-memory model
+    val a = docs.select(BpeFunctions.bpe_encode(col("text"), merges)).collect().toSeq
+    val b = docs.select(BpeFunctions.bpe_encode(col("text"), back)).collect().toSeq
+    assert(a == b)
+  }
 }

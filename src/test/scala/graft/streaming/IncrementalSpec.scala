@@ -146,4 +146,26 @@ class IncrementalSpec extends AnyFunSuite {
       .orderBy("window_start", "l_returnflag")
     assert(streamed.collect() === batch.collect())
   }
+
+  test("streamEnrichStatic matches the batch dimension-join aggregation; " +
+      "sentinel rows never leak through the static join") {
+    val windowSec = 7L * 86400
+    val dim = Tables.customer(spark, GraftSpark.Sf0001)
+    val streamed = Incremental.streamEnrichStatic(spark,
+      s"${GraftSpark.Sf0001}/events.parquet", "ts", "user_id",
+      dim, "c_custkey", "c_mktsegment",
+      windowSec, watermarkSec = 30L * 86400)
+      .orderBy("window_start", "c_mktsegment")
+    val batch = Tables.events(spark, GraftSpark.Sf0001)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("c_mktsegment"), col("n"))
+      .orderBy("window_start", "c_mktsegment")
+    val got = streamed.collect()
+    assert(got === batch.collect())
+    assert(got.map(_.getLong(2)).sum ==
+      Tables.events(spark, GraftSpark.Sf0001).count(), "every event enriched")
+  }
 }
