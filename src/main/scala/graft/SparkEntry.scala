@@ -771,6 +771,17 @@ object SparkEntry {
           Tables.events(s, dir), "ts", "value", Seq("event_type"))
         .orderBy("event_type", "hour_of_day")),
 
+    // Weighted source interleave: the training-order materialization of a
+    // mixture — per-source md5 shuffle, then stride-scheduled merge
+    // ((rank-0.5)/weight sort key) so a 3.0-weight source appears 3× as
+    // often at every stream prefix. Global positions via the bucketed
+    // two-level prefix sum — no single-partition sort.
+    "mix_interleave" -> ((s, dir) =>
+      graft.ops.Sampling.interleaveSources(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", "doc_id", Map("src0" -> 3.0, "src1" -> 0.5))
+        .orderBy("pos")),
+
     // Deterministic contrastive negative sampling over the labeled
     // embedding corpus: k=4 off-label negatives per anchor from a
     // hash-bucketed candidate slice (never the full corpus), ranked by
@@ -2809,6 +2820,15 @@ object SparkEntry {
         "round(m / (sum(m * n) OVER (PARTITION BY event_type) / " +
         "sum(n) OVER (PARTITION BY event_type)), 4) AS seasonal_index " +
         "FROM cells ORDER BY event_type, hour_of_day"),
+
+    "mix_interleave" ->
+      ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (" +
+        "PARTITION BY source ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS DOUBLE) AS rk " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, source, (rk - 0.5) / " +
+        "(CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.5 ELSE 1.0 END) AS sk FROM r) " +
+        "SELECT doc_id, source, CAST(row_number() OVER (ORDER BY sk, source, doc_id) - 1 AS BIGINT) AS pos " +
+        "FROM k ORDER BY pos"),
 
     "negative_sample" ->
       ("WITH cand AS (SELECT vec_id AS neg_id, label AS neg_label, " +

@@ -341,6 +341,44 @@ object Sampling {
       .drop("cum_tokens", "__shuffle_key")
   }
 
+  /** Weighted source INTERLEAVING — the training-order materialization of
+    * a mixture: each source's documents are shuffled deterministically
+    * (md5 rank within source), then the sources merge by stride
+    * scheduling: document i of source s sorts at key `(i + 0.5) / w_s`,
+    * so a source with twice the weight appears twice as often at every
+    * prefix of the stream (the interleave a weighted data loader
+    * produces, but precomputed as a column).
+    *
+    * One rank window per source partition, then the global position comes
+    * from [[tokenBudget]]'s range-bucketed two-level prefix sum over the
+    * stride key (the [[shuffleOrder]] technique) — NO single-partition
+    * global sort anywhere.
+    *
+    * Returns the input plus `pos` (0-based global training position).
+    * Weights must be positive; sources missing from `weights` get 1.0.
+    */
+  def interleaveSources(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      seed: String = "mix",
+      numBuckets: Int = 0): DataFrame = {
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val wExpr = weights.foldLeft(lit(1.0)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val rankInSrc = row_number().over(
+      Window.partitionBy(sourceCol).orderBy(
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), col(idCol)))
+    val keyed = df
+      .withColumn("__sk", (rankInSrc.cast("double") - lit(0.5)) / wExpr)
+    tokenBudget(keyed, lit("__all"), lit(1L), Long.MaxValue, numBuckets,
+        col("__sk"), col(sourceCol), col(idCol))
+      .withColumn("pos", col("cum_tokens") - 1)
+      .drop("cum_tokens", "__sk")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training: for each
     * anchor row, `k` pseudo-random same-bucket rows with a DIFFERENT
     * label, ranked by `md5(seed:anchor:cand)` — fully reproducible (the

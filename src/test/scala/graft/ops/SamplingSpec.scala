@@ -355,6 +355,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(c.values.toSeq.sorted == (0L until c.size.toLong))
   }
 
+  test("interleaveSources: stride scheduling — weight-2 source appears ~2x " +
+    "as often in every prefix; positions dense; deterministic") {
+    import spark.implicits._
+    val rows = ((0L until 40L).map(i => (i, "heavy")) ++
+      (100L until 120L).map(i => (i, "light"))).toSeq.toDF("id", "src")
+    val out = Sampling.interleaveSources(rows, "src", "id",
+      Map("heavy" -> 2.0, "light" -> 1.0), numBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq == (0L until 60L))
+    // exact stride property: in the first p positions, the heavy source
+    // contributes ceil/floor of 2/3·p (±1 boundary slack)
+    val ordered = out.sortBy(_._3).map(_._2)
+    Seq(6, 15, 30, 45, 60).foreach { p =>
+      val heavy = ordered.take(p).count(_ == "heavy")
+      assert(math.abs(heavy - (2.0 * p / 3)) <= 1.0, s"prefix $p: $heavy heavy")
+    }
+    val again = Sampling.interleaveSources(rows, "src", "id",
+      Map("heavy" -> 2.0, "light" -> 1.0), numBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("interleaveSources positions are bucket-count invariant (prefix sums associative)") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (i, s"s${i % 3}")).toSeq.toDF("id", "src")
+    def run(b: Int) = Sampling.interleaveSources(rows, "src", "id",
+      Map("s0" -> 1.5), numBuckets = b)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(1) == run(7))
+  }
+
   test("negativeSample: off-label only, never self, at most k, dense ranks") {
     import spark.implicits._
     val rows = (0L until 60L).map(i => (i, (i % 3).toInt)).toSeq
