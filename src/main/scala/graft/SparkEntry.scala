@@ -771,6 +771,35 @@ object SparkEntry {
           Tables.events(s, dir), "ts", "value", Seq("event_type"))
         .orderBy("event_type", "hour_of_day")),
 
+    // WordPiece vocabulary (frequency-ranked variant): every substring of
+    // the distinct-word table, word-initial raw / word-internal
+    // ##-prefixed, scored by summed word counts. Corpus touched once
+    // (wordCounts); the candidate explosion and ranking window are
+    // vocabulary-sized. Full DuckDB oracle.
+    "wordpiece_vocab" -> ((s, dir) =>
+      graft.ops.WordPiece.buildVocab(
+          Bpe.wordCounts(Tables.documents(s, dir), "text"),
+          maxPieceLen = 6, maxVocab = 2048, minCount = 5L)
+        .orderBy("piece_id")),
+
+    // WordPiece greedy longest-match encoding (BERT inference): native
+    // codegen'd expression, vocabulary as a plan-time HashSet reference
+    // object, whole-word [UNK] fallback — zero shuffle. Pinned oracle;
+    // driver-side greedy recomputation asserted in WordPieceSpec.
+    "wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.ops.WordPiece.buildVocab(Bpe.wordCounts(docs, "text"),
+          maxPieceLen = 6, maxVocab = 2048, minCount = 5L)
+        .orderBy("piece_id").collect().map(_.getString(0)).toSeq
+      docs.select(col("doc_id"),
+          graft.functions.WordPieceFunctions.wordpiece_encode(
+            col("text"), vocab, maxPieceLen = 6).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_wp_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("pieces_head"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted source interleave: the training-order materialization of a
     // mixture — per-source md5 shuffle, then stride-scheduled merge
     // ((rank-0.5)/weight sort key) so a 3.0-weight source appears 3× as
@@ -2820,6 +2849,20 @@ object SparkEntry {
         "round(m / (sum(m * n) OVER (PARTITION BY event_type) / " +
         "sum(n) OVER (PARTITION BY event_type)), 4) AS seasonal_index " +
         "FROM cells ORDER BY event_type, hour_of_day"),
+
+    "wordpiece_vocab" ->
+      ("WITH wc AS (SELECT word, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
+        "WHERE word <> '' GROUP BY word), " +
+        "pos AS (SELECT word, n, unnest(generate_series(1, length(word))) AS p FROM wc), " +
+        "pl AS (SELECT word, n, p, unnest(generate_series(1, 6)) AS l FROM pos), " +
+        "cand AS (SELECT CASE WHEN p = 1 THEN substr(word, p, l) " +
+        "ELSE '##' || substr(word, p, l) END AS piece, n FROM pl " +
+        "WHERE p + l - 1 <= length(word)), " +
+        "agg AS (SELECT piece, CAST(sum(n) AS BIGINT) AS freq FROM cand " +
+        "GROUP BY piece HAVING sum(n) >= 5), " +
+        "ranked AS (SELECT piece, CAST(row_number() OVER (ORDER BY freq DESC, piece) AS INT) AS piece_id, freq FROM agg) " +
+        "SELECT piece, piece_id, freq FROM ranked WHERE piece_id <= 2048 ORDER BY piece_id"),
 
     "mix_interleave" ->
       ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (" +

@@ -44,6 +44,9 @@ PINS = {
     # cross-checked in BpeSpec
     "bpe_train": (["merge_rank BIGINT", "lhs VARCHAR", "rhs VARCHAR"], "merge_rank"),
     "bpe_encode": (["doc_id BIGINT", "n_bpe_tokens BIGINT", "tokens_head VARCHAR"], "doc_id"),
+    # greedy longest-match is iterative (native expression); driver-side
+    # greedy recomputation cross-checked in WordPieceSpec
+    "wordpiece_encode": (["doc_id BIGINT", "n_wp_tokens BIGINT", "pieces_head VARCHAR"], "doc_id"),
     # eigensolve is Spark/JVM-side; sign-fixed deterministic components,
     # brute-force eigenpair residual + projection parity in PcaSpec
     "embedding_pca": (["vec_id BIGINT", "pc1 DOUBLE", "pc2 DOUBLE", "pc3 DOUBLE", "pc4 DOUBLE"], "vec_id"),
