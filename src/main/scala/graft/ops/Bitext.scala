@@ -57,9 +57,16 @@ object Bitext {
     val b = base.filter(col("lang") === tgtLang)
       .select(col("id").as("tgt_id"), col("vec").as("vb"), col("nrm").as("nb"))
 
+    // materialize the scored candidate set ONCE: the pair frame feeds
+    // three consumers (pair list, source-side top-k means, target-side
+    // top-k means) and without this the |A|×|B| cosine cross-join subtree
+    // is re-evaluated per consumer (3× the dominant cost — seen in the
+    // physical plan as three BroadcastNestedLoopJoin copies). Slim
+    // (src_id, tgt_id, sim) rows only — vectors never persist.
     val pairs = a.join(broadcast(b))
       .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .select("src_id", "tgt_id", "sim")
+      .localCheckpoint()
 
     val rnA = row_number().over(Window.partitionBy("src_id").orderBy(col("sim").desc, col("tgt_id")))
     val mA = pairs.withColumn("rn", rnA).filter(col("rn") <= k)
