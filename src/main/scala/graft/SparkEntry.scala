@@ -771,6 +771,54 @@ object SparkEntry {
           Tables.events(s, dir), "ts", "value", Seq("event_type"))
         .orderBy("event_type", "hour_of_day")),
 
+    // Forward as-of join (pandas merge_asof direction='forward'):
+    // time-to-conversion — each view matched to the user's EARLIEST
+    // at-or-after purchase. Same single keyed shuffle as backward.
+    "events_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.asOfJoin(views, purchases, Seq("user_id"), "ts", "ts",
+          direction = "forward")
+        .select(
+          col("event_id").as("v_event_id"),
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("v_ts_us"),
+          col("r_event_id").as("purchase_event_id"),
+          unix_micros(col("r_ts").cast("timestamp")).as("purchase_ts_us"))
+        .orderBy("v_event_id")
+    }),
+
+    // Nearest as-of join (direction='nearest'): each purchase to the view
+    // with the smallest absolute time gap, exact ties backward. One keyed
+    // shuffle; the second direction is a window sort, not an Exchange.
+    "events_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          direction = "nearest")
+        .select(
+          col("event_id").as("p_event_id"),
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_ts_us"),
+          col("r_event_id").as("view_event_id"),
+          unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
+        .orderBy("p_event_id")
+    }),
+
+    // Compressibility quality signal (CCNet/Gopher family): per-doc
+    // DEFLATE ratio — repetitive boilerplate compresses low, noise high.
+    // Partition-reused zlib state, map-side only. Pinned oracle; the
+    // repetitive < prose < random ordering is asserted in the spec.
+    "text_compression_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // WordPiece vocabulary (frequency-ranked variant): every substring of
     // the distinct-word table, word-initial raw / word-internal
     // ##-prefixed, scored by summed word counts. Corpus touched once
@@ -3673,6 +3721,28 @@ object SparkEntry {
         "ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
         "ON p.user_id = v.user_id AND p.ts >= v.ts " +
         "ORDER BY p_event_id"),
+
+    "events_asof_forward" ->
+      ("SELECT v_event_id, user_id, v_ts_us, purchase_event_id, purchase_ts_us FROM (" +
+        "SELECT v.event_id AS v_event_id, v.user_id AS user_id, epoch_us(v.ts) AS v_ts_us, " +
+        "p.event_id AS purchase_event_id, epoch_us(p.ts) AS purchase_ts_us, " +
+        "row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts ASC, p.event_id DESC) AS rn " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ON v.user_id = p.user_id AND p.ts >= v.ts) t " +
+        "WHERE rn = 1 ORDER BY v_event_id"),
+
+    "events_asof_nearest" ->
+      ("SELECT p_event_id, user_id, p_ts_us, view_event_id, view_ts_us FROM (" +
+        "SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_us(p.ts) AS p_ts_us, " +
+        "v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY " +
+        "abs(epoch_us(p.ts) - epoch_us(v.ts)), " +
+        "CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END, v.event_id DESC) AS rn " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id) t " +
+        "WHERE rn = 1 ORDER BY p_event_id"),
 
     "events_json_agg" ->
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +

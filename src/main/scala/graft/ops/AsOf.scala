@@ -30,6 +30,15 @@ object AsOf {
     *                   tolerance are discarded (pandas `merge_asof`
     *                   semantics).
     */
+  /** @param direction `"backward"` (default — latest right at-or-before,
+    *                   pandas `merge_asof` default), `"forward"` (earliest
+    *                   right at-or-after), or `"nearest"` (smaller absolute
+    *                   gap; exact ties resolve BACKWARD, documented since
+    *                   engines differ). All three run in the same single
+    *                   keyed shuffle — nearest adds a second window SORT
+    *                   over the already-partitioned union, not a second
+    *                   Exchange.
+    */
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,
@@ -38,7 +47,10 @@ object AsOf {
       rightTime: String,
       rightPrefix: String = "r_",
       inner: Boolean = true,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest: $direction")
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
 
@@ -55,18 +67,41 @@ object AsOf {
         lit(null).cast(lType).as("__l"),
         struct(right.columns.map(col).toSeq: _*).as("__r")): _*)
 
-    // at equal __ts the right row sorts first (side 0) ⇒ inclusive (≤) match
-    val w = Window.partitionBy(keys.map(col): _*)
+    // at equal __ts the right row sorts first (side 0) ⇒ inclusive match
+    // in BOTH directions; among equal-ts rights, `last` over __r asc picks
+    // the largest right struct — the documented deterministic tie-break
+    val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried0 = lTagged.unionByName(rTagged)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    // tolerance: a carried match older than (leftTime − tolerance) is void
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val union = lTagged.unionByName(rTagged)
+    val withMatch = direction match {
+      case "backward" =>
+        union.withColumn("__match", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        union.withColumn("__match", last(col("__r"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        union
+          .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wB))
+          .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wF))
+          .withColumn("__match",
+            when(col("__mf").isNull, col("__mb"))
+              .when(col("__mb").isNull, col("__mf"))
+              .when(col("__ts") - col("__mb")(rightTime) <=
+                col("__mf")(rightTime) - col("__ts"), col("__mb"))
+              .otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+    }
+    val carried0 = withMatch.filter(col("__side") === 1)
+    // tolerance: the two-sided bound is direction-universal (backward
+    // matches satisfy the upper bound trivially, forward the lower)
     val carried = tolerance.fold(carried0) { tol =>
       carried0.withColumn("__match",
         when(col("__match").isNotNull &&
-          col("__match")(rightTime) >= col("__ts") - tol, col("__match")))
+          col("__match")(rightTime) >= col("__ts") - tol &&
+          col("__match")(rightTime) <= col("__ts") + tol, col("__match")))
     }
 
     val filtered = if (inner) carried.filter(col("__match").isNotNull) else carried

@@ -538,4 +538,56 @@ object TextAnalysis {
       .join(broadcast(vocab.select("token", "token_id")), Seq("token"), "left")
       .select(col(idCol), col("pos"),
         coalesce(col("token_id"), lit(0)).as("token_id"))
+
+  /** Compressibility quality signal: per-document DEFLATE ratio
+    * (compressed ÷ raw UTF-8 bytes). Highly repetitive/boilerplate text
+    * compresses far below normal prose, and random noise compresses above
+    * it — the compression-ratio filter of the CCNet/Gopher-family quality
+    * panels (Rae et al. 2021 repetition analyses; public method).
+    *
+    * mapPartitions with ONE reused `java.util.zip.Deflater` per partition
+    * (the [[Multimodal.decodeFeatures]] decoder-state pattern — per-row
+    * allocation of native zlib state is the naive cost here). Map-side
+    * only, no shuffle. Deterministic for a fixed zlib/JVM build (pinned
+    * at sf0.01; the ORDERING property — repetitive < prose < random — is
+    * the spec's cross-check and is build-independent).
+    *
+    * Returns (id, n_bytes, deflate_bytes, compress_ratio·4dp); NULL text
+    * → 0 bytes, ratio NULL.
+    */
+  def compressionRatio(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val outSchema = StructType(df.select(idCol).schema.fields ++ Seq(
+      StructField("n_bytes", LongType),
+      StructField("deflate_bytes", LongType),
+      StructField("compress_ratio", DoubleType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { r =>
+        val id = r.get(idIdx)
+        if (r.isNullAt(txtIdx)) Row(id, 0L, 0L, null)
+        else {
+          val bytes = r.getString(txtIdx).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio =
+            if (bytes.length == 0) null
+            else java.lang.Double.valueOf(
+              math.round(n.toDouble / bytes.length * 10000).toDouble / 10000)
+          Row(id, bytes.length.toLong, n, ratio)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

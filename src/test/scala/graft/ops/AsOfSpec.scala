@@ -44,4 +44,41 @@ class AsOfSpec extends AnyFunSuite {
       .select("r_v").collect().map(_.getString(0)).sorted
     assert(out.toSeq == Seq("edge", "in"))
   }
+
+  test("direction=forward picks the earliest right at or after; inclusive at equality") {
+    val left = Seq((1L, 100L, "a"), (1L, 150L, "b"), (1L, 300L, "c")).toDF("k", "t", "name")
+    val right = Seq((1L, 50L, "past"), (1L, 150L, "eq"), (1L, 200L, "next")).toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t",
+      direction = "forward", inner = false)
+      .select("name", "r_v").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map("a" -> Some("eq"), "b" -> Some("eq"), "c" -> None))
+  }
+
+  test("direction=nearest picks the smaller gap; exact ties resolve backward") {
+    val left = Seq((1L, 100L, "tie"), (1L, 110L, "fwd"), (1L, 95L, "bwd")).toDF("k", "t", "name")
+    val right = Seq((1L, 90L, "early"), (1L, 110L, "late")).toDF("k", "t", "v")
+    // tie @100: gap 10 both ways -> backward ("early");
+    // fwd @110: exact match "late"; bwd @95: gap 5 back vs 15 fwd
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", direction = "nearest")
+      .select("name", "r_v").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("tie" -> "early", "fwd" -> "late", "bwd" -> "early"))
+  }
+
+  test("nearest with tolerance voids matches outside the two-sided window") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 60L, "far")).toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t",
+      direction = "nearest", inner = false, tolerance = Some(lit(20L)))
+      .select("r_v").head()
+    assert(out.isNullAt(0))
+  }
+
+  test("forward ties at the same right time break to the largest right row") {
+    val left = Seq((1L, 100L, "l")).toDF("k", "t", "name")
+    val right = Seq((1L, 150L, "r1"), (1L, 150L, "r2")).toDF("k", "t", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", direction = "forward")
+      .select("r_v").head().getString(0)
+    assert(out == "r2") // largest (k, t, v) struct wins, as documented
+  }
 }

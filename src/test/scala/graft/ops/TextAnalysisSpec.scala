@@ -399,4 +399,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(share > 0.05 && share < 0.45, s"$src kept share $share far from 0.2")
     }
   }
+
+  test("compressionRatio: repetitive < prose < random; deterministic; null/empty safe") {
+    import spark.implicits._
+    val rep = "spam " * 400
+    val prose = (1 to 80).map(i => s"word$i token$i mix${i % 7}").mkString(" ")
+    val rnd = {
+      var z = 42L
+      (1 to 2000).map { _ =>
+        z = z * 6364136223846793005L + 1442695040888963407L
+        ((z >>> 40) % 94 + 33).toChar
+      }.mkString
+    }
+    val df = Seq((1L, Some(rep)), (2L, Some(prose)), (3L, Some(rnd)),
+      (4L, Some("")), (5L, None)).toDF("id", "text")
+    val out = TextAnalysis.compressionRatio(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L)._3.get < out(2L)._3.get, "repetition must compress below prose")
+    assert(out(2L)._3.get < out(3L)._3.get, "prose must compress below random")
+    assert(out(4L)._1 == 0L && out(4L)._3.isEmpty, "empty text: 0 raw bytes, NULL ratio")
+    assert(out(5L)._1 == 0L && out(5L)._3.isEmpty, "null text: 0 bytes, NULL ratio")
+    // determinism (fixed zlib): byte counts identical across runs
+    val again = TextAnalysis.compressionRatio(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
 }

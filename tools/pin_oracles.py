@@ -47,6 +47,9 @@ PINS = {
     # greedy longest-match is iterative (native expression); driver-side
     # greedy recomputation cross-checked in WordPieceSpec
     "wordpiece_encode": (["doc_id BIGINT", "n_wp_tokens BIGINT", "pieces_head VARCHAR"], "doc_id"),
+    # DEFLATE byte counts are zlib-build-side; the repetitive<prose<random
+    # ordering is cross-checked in TextAnalysisSpec
+    "text_compression_ratio": (["doc_id BIGINT", "n_bytes BIGINT", "deflate_bytes BIGINT", "compress_ratio DOUBLE"], "doc_id"),
     # eigensolve is Spark/JVM-side; sign-fixed deterministic components,
     # brute-force eigenpair residual + projection parity in PcaSpec
     "embedding_pca": (["vec_id BIGINT", "pc1 DOUBLE", "pc2 DOUBLE", "pc3 DOUBLE", "pc4 DOUBLE"], "vec_id"),
