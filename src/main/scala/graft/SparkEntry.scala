@@ -1292,6 +1292,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Single-pass stage observability over the same curation pipeline:
+    // every stage's surviving-row count via the Observation API on ONE
+    // materializing action — vs the reference's one count() per task
+    // (O(stages × scan) at 100 TB). Oracle: plain SQL recomputation of
+    // each stage's cardinality.
+    "e2e_observed_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "1_quality" -> ((df: DataFrame) =>
+          TextAnalysis.qualityFilter(df, "text",
+              minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
+            .filter(col("reject_reason") === "kept").drop("reject_reason")),
+        "2_decontam" -> ((df: DataFrame) =>
+          graft.ops.Decontaminate.decontaminate(
+            df, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)),
+        "3_dedup" -> ((df: DataFrame) =>
+          Dedup.exact(df, keys = Seq("text"), keepBy = "doc_id")))
+      val (metrics, _) = graft.etl.Pipeline.observedStages(stages, corpus)(
+        _.write.format("noop").mode("overwrite").save())
+      metrics.toDF("stage", "n_rows").orderBy("stage")
+    }),
+
     // M5 as a driver-checked query: the FULL cross-dialect type lattice —
     // one row per (spark_type, dialect, nvarchar-variant) through
     // TypeMap.toDialect, including the reference's VARCHAR(255) unknown-
@@ -2487,6 +2513,43 @@ object SparkEntry {
     * produce byte-identical results — sharing the oracle string states
     * that contract in the driver record itself.
     */
+  /** Shared CTE prefix of the curation-pipeline oracles: corpus with
+    * injected clones → quality metrics (`kept`) → 8-gram decontamination
+    * (`clean`) → dedup ranking (`d`, winner at rn = 1). Used by both the
+    * row-level `e2e_curation_pipeline` oracle and the per-stage
+    * cardinality oracle of `e2e_observed_metrics`, so the two driver
+    * checks provably describe the same pipeline.
+    */
+  private val CurationOracleCtes: String =
+    "WITH corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50), " +
+      "m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+      "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
+      "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
+      "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
+      "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
+      "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
+      "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
+      "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
+      "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
+      "FROM corpus), " +
+      "kept AS (SELECT c.* FROM corpus c JOIN m USING (doc_id) " +
+      "WHERE m.n_tokens >= 20 AND m.rep <= 0.02 AND m.q >= 0.85), " +
+      "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM kept), " +
+      "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+      "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+      "btk AS (SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t " +
+      "FROM documents WHERE doc_id % 25 = 0), " +
+      "bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 7), " +
+      "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM btk WHERE len(t) >= 8), " +
+      "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)), " +
+      "clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+      "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM clean) "
+
   private val Bm25OracleSql: String =
     "WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
       "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
@@ -3422,35 +3485,16 @@ object SparkEntry {
         "FROM documents ORDER BY pos"),
 
     "e2e_curation_pipeline" ->
-      ("WITH corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50), " +
-        "m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
-        "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
-        "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
-        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
-        "FROM corpus), " +
-        "kept AS (SELECT c.* FROM corpus c JOIN m USING (doc_id) " +
-        "WHERE m.n_tokens >= 20 AND m.rep <= 0.02 AND m.q >= 0.85), " +
-        "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM kept), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
-        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
-        "btk AS (SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t " +
-        "FROM documents WHERE doc_id % 25 = 0), " +
-        "bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 7), " +
-        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM btk WHERE len(t) >= 8), " +
-        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)), " +
-        "clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
-        "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM clean) " +
+      (CurationOracleCtes +
         "SELECT doc_id, lang, source, n_chars FROM d WHERE rn = 1 ORDER BY doc_id"),
+
+    "e2e_observed_metrics" ->
+      (CurationOracleCtes +
+        "SELECT stage, n_rows FROM (" +
+        "SELECT '1_quality' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM kept " +
+        "UNION ALL SELECT '2_decontam', CAST(count(*) AS BIGINT) FROM clean " +
+        "UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM d WHERE rn = 1) t " +
+        "ORDER BY stage"),
 
     "decontam_semantic" ->
       ("WITH bench AS (SELECT vec_id + 1000000 AS bench_id, embedding " +

@@ -40,3 +40,37 @@ final case class Pipeline(
       Run.notifySuccess(notifier, name, df)
     }
 }
+
+object Pipeline {
+
+  /** Single-pass per-stage row metrics via Spark's `Observation` API: each
+    * stage's output is wrapped in `observe(count)`, the composed plan runs
+    * ONCE under `action`, and every stage's row count is harvested from
+    * the observation listeners afterwards — zero extra passes.
+    *
+    * The reference (and its naive Spark port) answers "how many rows
+    * survived each task?" with one `count()` action per stage — N extra
+    * full evaluations of ever-longer plan prefixes. `observe` attaches
+    * accumulator-backed metrics to the one materializing action instead,
+    * which is the difference between O(stages × scan) and O(scan) on a
+    * 100 TB input.
+    *
+    * Returns (stageName → rows) in stage order plus the final DataFrame's
+    * completed action result.
+    */
+  def observedStages[A](
+      stages: Seq[(String, DataFrame => DataFrame)],
+      input: DataFrame)(action: DataFrame => A): (Seq[(String, Long)], A) = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val observations = stages.map { case (n, _) => n -> Observation(s"graft_$n") }.toMap
+    val composed = stages.foldLeft(input) { case (df, (n, t)) =>
+      t(df).observe(observations(n), count(lit(1)).as("n_rows"))
+    }
+    val result = action(composed)
+    val metrics = stages.map { case (n, _) =>
+      n -> observations(n).get("n_rows").asInstanceOf[Long]
+    }
+    (metrics, result)
+  }
+}

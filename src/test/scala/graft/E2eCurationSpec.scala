@@ -37,4 +37,32 @@ class E2eCurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(outIds.intersect(q).isEmpty, "a quality-rejected doc survived")
   }
+
+  test("observedStages: per-stage counts from ONE action equal per-stage count() runs") {
+    import spark.implicits._
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val stages: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "a_filter" -> (df => df.filter(col("n_chars") > 200)),
+      "b_lang" -> (df => df.filter(col("lang") === "en")),
+      "c_dedup" -> (df => graft.ops.Dedup.exact(df, Seq("text"), "doc_id")))
+    val (metrics, total) = graft.etl.Pipeline.observedStages(stages, docs)(_.count())
+    val m = metrics.toMap
+    // independent recomputation, one count per prefix (the naive form)
+    val s1 = docs.filter(col("n_chars") > 200)
+    val s2 = s1.filter(col("lang") === "en")
+    val s3 = graft.ops.Dedup.exact(s2, Seq("text"), "doc_id")
+    assert(m("a_filter") == s1.count())
+    assert(m("b_lang") == s2.count())
+    assert(m("c_dedup") == s3.count())
+    assert(total == s3.count())
+    assert(metrics.map(_._1) == stages.map(_._1), "stage order preserved")
+  }
+
+  test("e2e_observed_metrics declared query reports monotone shrinking stages") {
+    val rows = SparkEntry.queries("e2e_observed_metrics")(spark, GraftSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq == Seq("1_quality", "2_decontam", "3_dedup"))
+    val ns = rows.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2) && ns(2) > 0)
+  }
 }

@@ -91,4 +91,21 @@ class FileLoadsSpec extends AnyFunSuite {
   private def partFiles(dir: String): Map[String, Int] =
     new java.io.File(dir).listFiles().filter(f => f.isDirectory && f.getName.startsWith("p_date="))
       .map(p => p.getName -> p.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+  test("format breadth: orc/csv/json sinks round-trip the documents table") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+      .select("doc_id", "lang", "source", "n_chars") // csv: flat columns only
+    val want = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    Seq("orc", "json", "csv").foreach { fmt =>
+      val dir = Files.createTempDirectory(s"graft_fmt_$fmt").toString
+      docs.write.mode("overwrite").format(fmt).option("header", "true").save(dir)
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true").load(dir)
+        .select(col("doc_id").cast("long"), col("lang"), col("source"),
+          col("n_chars").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(back == want, s"$fmt round-trip")
+    }
+  }
 }
