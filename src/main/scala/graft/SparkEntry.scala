@@ -287,6 +287,25 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
         .orderBy("col_name")),
 
+    // Expectation-suite validation (Great-Expectations shape): 8 named
+    // checks over lineitem in ONE aggregate pass — the promotion gate a
+    // training-data pipeline runs before shipping a table. Full SQL
+    // oracle (each check is a conditional count).
+    "data_quality_checks" -> ((s, dir) => {
+      import graft.schema.Validate.Check
+      graft.schema.Validate.run(Tables.lineitem(s, dir), Seq(
+        Check("key_not_null", col("l_orderkey").isNotNull),
+        Check("linenumber_positive", col("l_linenumber") >= 1),
+        Check("quantity_range", col("l_quantity").between(1, 50)),
+        Check("price_positive", col("l_extendedprice") > 0),
+        Check("discount_unit_interval", col("l_discount").between(0, 1)),
+        Check("tax_nonnegative", col("l_tax") >= 0),
+        Check("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+        Check("ship_in_fixture_era",
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("2002-01-01").cast("timestamp"))))
+    }),
+
     // ---- M: schema tooling (M6 single-pass NVARCHAR promotion) ----
     "m6_nvarchar_promotion" -> ((s, dir) => {
       val sample = Tables.customer(s, dir).orderBy("c_custkey").limit(1000)
@@ -2937,6 +2956,26 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn FROM m) t " +
         "WHERE rn = 1) " +
         "SELECT src_id, tgt_id, sim, margin FROM best WHERE margin > 1.0 ORDER BY src_id"),
+
+    "data_quality_checks" -> {
+      val checks = Seq(
+        "key_not_null" -> "l_orderkey IS NOT NULL",
+        "linenumber_positive" -> "l_linenumber >= 1",
+        "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_unit_interval" -> "l_discount BETWEEN 0 AND 1",
+        "tax_nonnegative" -> "l_tax >= 0",
+        "returnflag_domain" -> "l_returnflag IN ('A','N','R')",
+        "ship_in_fixture_era" ->
+          "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'")
+      "SELECT \"check\", n_rows, n_violations, passed FROM (" +
+        checks.map { case (n, p) =>
+          s"SELECT '$n' AS \"check\", CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations, " +
+            s"sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END) = 0 AS passed FROM lineitem"
+        }.mkString(" UNION ALL ") +
+        ") t ORDER BY \"check\""
+    },
 
     "stream_enrich_static" ->
       ("SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
