@@ -662,6 +662,80 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // Top-supplier (TPC-H Q15 shape): aggregate-of-aggregate — quarterly
+    // revenue per supplier, keep those equal to the global max. The max
+    // is a one-row aggregate broadcast against the per-supplier frame
+    // (no collect, no window over the full set).
+    "q15_top_supplier" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+      val rev = l.groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("__mx"))
+        .join(Tables.supplier(s, dir), col("supplier_no") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // Min-cost supplier (TPC-H Q2 shape, adapted: no partsupp — the
+    // supplier's offer price for a part is its min lineitem
+    // extendedprice): for small parts, which supplier offers each at the
+    // regional minimum. Correlated-min decorrelates to an aggregate
+    // joined back on the part key.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_size") <= 5)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val offers = Tables.lineitem(s, dir)
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
+        .agg(round(min("l_extendedprice"), 4).as("offer"))
+      val minOffer = offers.groupBy(col("l_partkey").as("__pk"))
+        .agg(min("offer").as("__min_offer"))
+      offers
+        .join(broadcast(p.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(minOffer, col("l_partkey") === col("__pk"))
+        .filter(col("offer") === col("__min_offer"))
+        .select(col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
+          col("s_name"), col("n_name"), col("offer"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // Image-dedup'd corpus: the perceptual-hash pairs resolved through
+    // TRUE connected components — one canonical image (min doc_id)
+    // survives each near-dup cluster, same machinery as the text corpus
+    // (dedup_components family). Bounded image set (< 500 payloads, the
+    // multimodal_resize convention — the synthetic wave family's hash
+    // space is deliberately coarse, so an unbounded set at bench scale
+    // degenerates into giant all-similar components that measure the
+    // fixture, not the operator); the decode materializes once for its
+    // three consumers (pairs, corpus side, canonical join). Pinned.
+    "multimodal_phash_corpus" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
+      val imgs = Multimodal.synthesizeWaveImages(ids, "doc_id")
+      val clones = Multimodal.resizeImages(
+          imgs.filter(col("doc_id") < 40), "payload", "format", 28, 28)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val all = imgs.unionByName(clones.select(imgs.columns.map(col): _*))
+      val hashed = Multimodal.averageHash(
+          Multimodal.decodeFeatures(all, "payload", dim = 64,
+            decoder = Multimodal.ImageIODecoder(8)),
+          "features", "phash")
+        .select("doc_id", "phash")
+        .localCheckpoint()
+      val pairs = Dedup.fingerprintPairs(hashed, "doc_id", "phash", maxHamming = 6)
+      Dedup.removeNearDuplicatesCC(hashed, pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Link-graph centrality (north-star: web-graph quality signal for
     // crawl curation). The customer↔supplier trade graph stands in for a
     // host-link graph; 10 power-iteration rounds at damping 0.85. Each
@@ -2873,6 +2947,29 @@ object SparkEntry {
     // CTEs — DuckDB replays the exact recurrence (teleport 0.15/N +
     // 0.85 × incoming rank/degree), so the declared query is pinned to
     // the true fixpoint trajectory, not a rows-only check.
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_revenue " +
+        "FROM supplier JOIN rev ON s_suppkey = supplier_no " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+        "ORDER BY s_suppkey"),
+
+    "q2_min_cost_supplier" ->
+      ("WITH offers AS (SELECT l_partkey, l_suppkey, s_name, n_name, " +
+        "round(min(l_extendedprice), 4) AS offer " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY l_partkey, l_suppkey, s_name, n_name) " +
+        "SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey, o.s_name, o.n_name, o.offer " +
+        "FROM offers o JOIN part p ON o.l_partkey = p.p_partkey " +
+        "WHERE p.p_size <= 5 AND o.offer = " +
+        "(SELECT min(o2.offer) FROM offers o2 WHERE o2.l_partkey = o.l_partkey) " +
+        "ORDER BY p_partkey, s_suppkey"),
+
     "graph_pagerank" -> {
       val head =
         "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, " +

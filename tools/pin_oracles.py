@@ -35,6 +35,7 @@ PINS = {
     # ImageIO decode + aHash are JVM-side; clone recovery + hash-recompute
     # cross-checked in MultimodalSpec
     "multimodal_phash_dedup": (["id_a BIGINT", "id_b BIGINT", "hamming BIGINT"], "id_a, id_b"),
+    "multimodal_phash_corpus": (["doc_id BIGINT", "phash BIGINT"], "doc_id"),
     # Count-Min hashes are JVM-side; one-sided error bound asserted in
     # SketchesSpec
     "heavy_hitters": (["token VARCHAR", "exact_n BIGINT", "est_n BIGINT"], "exact_n DESC, token"),
