@@ -662,6 +662,41 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // Important-stock (TPC-H Q11 shape): per-part inventory value kept
+    // only when above a FRACTION of the global total — group aggregate
+    // compared against a broadcast one-row aggregate (the
+    // HAVING-over-global-sum shape).
+    "q11_important_stock" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val value = sum(col("l_extendedprice") * col("l_quantity"))
+      val perPart = l.groupBy("l_partkey").agg(value.as("part_value"))
+      // 1.4× the MEAN part value: scale-invariant (a total-share cut like
+      // TPC-H's literal fraction empties as the part count grows)
+      val total = perPart.agg(avg("part_value").as("__avg"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > col("__avg") * 1.4)
+        .select(col("l_partkey"), round(col("part_value"), 4).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // Excess-supply suppliers (TPC-H Q20 shape, adapted: availability is
+    // shipped quantity): suppliers of PROMO parts whose total shipped
+    // quantity for such parts exceeds a threshold — a semi-join against
+    // an aggregate subquery, then the name lookup.
+    "q20_excess_supply" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val l = Tables.lineitem(s, dir)
+      val qualifying = l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("promo_qty"))
+        .filter(col("promo_qty") > 2900.0) // ≈ p88 of per-supplier promo qty, stable across SF
+      Tables.supplier(s, dir)
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("promo_qty"))
+        .orderBy("s_suppkey")
+    }),
+
     // Top-supplier (TPC-H Q15 shape): aggregate-of-aggregate — quarterly
     // revenue per supplier, keep those equal to the global max. The max
     // is a one-row aggregate broadcast against the per-supplier frame
@@ -2947,6 +2982,20 @@ object SparkEntry {
     // CTEs — DuckDB replays the exact recurrence (teleport 0.15/N +
     // 0.85 × incoming rank/degree), so the declared query is pinned to
     // the true fixpoint trajectory, not a rows-only check.
+    "q11_important_stock" ->
+      ("WITH pp AS (SELECT l_partkey, sum(l_extendedprice * l_quantity) AS pv " +
+        "FROM lineitem GROUP BY l_partkey) " +
+        "SELECT l_partkey, round(pv, 4) AS part_value FROM pp " +
+        "WHERE pv > (SELECT avg(pv) FROM pp) * 1.4 " +
+        "ORDER BY part_value DESC, l_partkey"),
+
+    "q20_excess_supply" ->
+      ("WITH q AS (SELECT l_suppkey, sum(l_quantity) AS promo_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_type = 'PROMO' GROUP BY l_suppkey HAVING sum(l_quantity) > 2900.0) " +
+        "SELECT s_suppkey, s_name, promo_qty FROM supplier " +
+        "JOIN q ON s_suppkey = l_suppkey ORDER BY s_suppkey"),
+
     "q15_top_supplier" ->
       ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue " +
