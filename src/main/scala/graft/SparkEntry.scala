@@ -979,8 +979,9 @@ object SparkEntry {
     // Weighted source interleave: the training-order materialization of a
     // mixture — per-source md5 shuffle, then stride-scheduled merge
     // ((rank-0.5)/weight sort key) so a 3.0-weight source appears 3× as
-    // often at every stream prefix. Global positions via the bucketed
-    // two-level prefix sum — no single-partition sort.
+    // often at every stream prefix. BOTH the in-source rank and the
+    // global positions ride the bucketed two-level prefix sum — no
+    // single-partition sort, not even for one giant source.
     "mix_interleave" -> ((s, dir) =>
       graft.ops.Sampling.interleaveSources(
           Tables.documents(s, dir).select("doc_id", "source"),
@@ -1382,7 +1383,8 @@ object SparkEntry {
     // per-source quality-score percentile calibration: percent_rank of
     // the 4-dp quality score WITHIN each source, so one uniform
     // `pct >= cut` keeps the same top fraction of every source
-    // (heterogeneous-corpus quantile thresholding); one id-width shuffle
+    // (heterogeneous-corpus quantile thresholding); rank decomposed onto
+    // the bucketed prefix sum + tie-group min — no whole-source window
     "quality_percentile_by_source" -> ((s, dir) =>
       TextAnalysis.qualityPercentileBySource(
           Tables.documents(s, dir), "doc_id", "text", "source")
@@ -2560,7 +2562,8 @@ object SparkEntry {
 
     // RefinedWeb-style per-source doc cap: keep the 10 lowest-id docs per
     // source (SQL-recomputable order; hashWeight gives the unbiased form)
-    // — one stratum-keyed rank window, spillable in-partition sort
+    // — rank via the bucketed two-level prefix sum: no window partition
+    // wider than one range bucket, so a giant source caps in parallel
     "cap_per_stratum" -> ((s, dir) =>
       graft.ops.Sampling.capPerStratum(
           Tables.documents(s, dir).select("doc_id", "source"),

@@ -62,9 +62,11 @@ object Sampling {
   }
 
   /** Per-stratum [[weightedSample]]: the k smallest ES keys within EACH
-    * stratum. One shuffle keyed by the stratum; the rank window sorts each
-    * stratum once (spillable sort, no driver involvement — use this form,
-    * not k × filter, when strata are many).
+    * stratum. The in-stratum rank is [[rankInStratum]]'s bucketed
+    * two-level prefix sum (keys as the tiebreak — ES keys are doubles, so
+    * exact ties are measure-zero but must not be left to partition
+    * order), so one giant stratum ranks in parallel across range buckets
+    * — use this form, not k × filter, when strata are many.
     */
   def weightedSamplePerStratum(
       df: DataFrame,
@@ -75,13 +77,11 @@ object Sampling {
     require(k >= 1, s"k must be >= 1: $k")
     val u = (pmod(xxhash64((strataCol +: keys): _*), lit(Buckets)).cast("double") + 0.5d) /
       Buckets.toDouble
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(col("sample_key"))
-    df.filter(weightCol.isNotNull && weightCol > 0)
+    val withKey = df.filter(weightCol.isNotNull && weightCol > 0)
       .withColumn("sample_key", -log(u) / weightCol.cast("double"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    rankInStratum(withKey, strataCol, 0, (col("sample_key") +: keys): _*)
+      .filter(col("stratum_rank") <= k)
+      .drop("stratum_rank")
   }
 
   /** Weighted source mixing for corpus composition (the
@@ -175,16 +175,15 @@ object Sampling {
     * cap, or an explicit column (e.g. quality descending) for a best-first
     * cap. Output adds `stratum_rank` for utilization audits.
     *
-    * Scale: ONE shuffle keyed by the stratum; the rank window is a
-    * spillable in-partition sort (no driver). A corpus-sized single
-    * stratum serializes its sort — if that is the expected shape, cap by
-    * token budget instead ([[tokenBudget]] is bucketed two-level).
+    * Scale: the rank comes from [[rankInStratum]]'s bucketed two-level
+    * prefix sum — no window partition ever wider than one range bucket,
+    * so a corpus-sized single stratum caps in parallel instead of
+    * serializing through one task's sort.
     */
   def capPerStratum(df: DataFrame, strataCol: Column, k: Int, order: Column*): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(order.nonEmpty, "capPerStratum needs a deterministic in-stratum order")
-    val w = Window.partitionBy(strataCol).orderBy(order: _*)
-    df.withColumn("stratum_rank", row_number().over(w).cast("bigint"))
+    rankInStratum(df, strataCol, 0, order: _*)
       .filter(col("stratum_rank") <= k)
   }
 
@@ -241,6 +240,34 @@ object Sampling {
     require(order.nonEmpty, "tokenBudget needs a deterministic in-stratum order")
     require(!df.columns.contains("cum_tokens"),
       "tokenBudget reserves the output column name 'cum_tokens'; rename the input column")
+    bucketedPrefixSum(df, strataCol, tokensCol, "cum_tokens", numBuckets, order: _*)
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** The bucketed two-level distributed prefix sum — the engine behind
+    * [[tokenBudget]], [[rankInStratum]], [[shuffleOrder]] and
+    * [[interleaveSources]]: an INCLUSIVE per-stratum running sum of
+    * `valueCol` under `order`, with no window partition ever wider than
+    * one range bucket.
+    *
+    * Level 0 range-buckets on (strata, order…), so bucket ids
+    * (`spark_partition_id`) are monotone in the sort key by construction;
+    * level 1 computes the running sum inside each (stratum, bucket) in
+    * parallel; level 2 rolls per-(stratum, bucket) totals into bucket
+    * offsets through a window that sees ONE ROW PER BUCKET, never the
+    * corpus. A corpus-sized single stratum therefore sums in parallel
+    * across `numBuckets` tasks instead of serializing through one
+    * unbounded-preceding window partition. Bucketization never changes
+    * values: prefix sums are associative, so the result is identical for
+    * ANY bucket boundaries.
+    */
+  private def bucketedPrefixSum(
+      df: DataFrame,
+      strataCol: Column,
+      valueCol: Column,
+      outName: String,
+      numBuckets: Int,
+      order: Column*): DataFrame = {
     val n =
       if (numBuckets > 0) numBuckets
       else math.max(4 * df.sparkSession.sparkContext.defaultParallelism, 4)
@@ -248,7 +275,7 @@ object Sampling {
     // monotone in the sort key, so they bound window partitions below
     val bucketed = df
       .repartitionByRange(n, (strataCol +: order): _*)
-      .withColumn("__tok", tokensCol.cast("bigint"))
+      .withColumn("__tok", valueCol.cast("bigint"))
       .withColumn("__bkt", spark_partition_id())
     // level 1: running sum inside each (stratum, bucket) — parallel
     val wLocal = Window.partitionBy(strataCol, col("__bkt")).orderBy(order: _*)
@@ -270,9 +297,33 @@ object Sampling {
     local
       .join(broadcast(offsets),
         strataCol <=> col("__s") && col("__bkt") === col("__obkt"))
-      .withColumn("cum_tokens", col("__off") + col("__local"))
-      .filter(col("cum_tokens") <= budget)
+      .withColumn(outName, col("__off") + col("__local"))
       .drop("__s", "__bkt", "__obkt", "__off", "__local", "__tok")
+  }
+
+  /** Distributed per-stratum rank: `row_number()` within each stratum
+    * under `order`, as the [[bucketedPrefixSum]] of 1 — so a corpus-sized
+    * single stratum ranks in parallel across range buckets instead of
+    * serializing through ONE `Window.partitionBy(stratum)` task (the
+    * classic giant-source scale-killer: at 100 TB with a handful of
+    * sources, that single task sorts ~20 TB). Equal to `row_number` when
+    * `order` is a total order (callers must pass a tiebreak, same
+    * contract as `row_number` determinism itself).
+    *
+    * Output adds `stratum_rank` (1-based, BIGINT). Backs
+    * [[capPerStratum]], [[weightedSamplePerStratum]] and
+    * [[interleaveSources]]' in-source rank, and
+    * [[TextAnalysis.qualityPercentileBySource]]'s percentile.
+    */
+  def rankInStratum(
+      df: DataFrame,
+      strataCol: Column,
+      numBuckets: Int,
+      order: Column*): DataFrame = {
+    require(order.nonEmpty, "rankInStratum needs a deterministic in-stratum order")
+    require(!df.columns.contains("stratum_rank"),
+      "rankInStratum reserves the output column name 'stratum_rank'; rename the input column")
+    bucketedPrefixSum(df, strataCol, lit(1L), "stratum_rank", numBuckets, order: _*)
   }
 
   /** Materializes per-source mixture factors into an epoch-expanded
@@ -349,10 +400,10 @@ object Sampling {
     * prefix of the stream (the interleave a weighted data loader
     * produces, but precomputed as a column).
     *
-    * One rank window per source partition, then the global position comes
-    * from [[tokenBudget]]'s range-bucketed two-level prefix sum over the
-    * stride key (the [[shuffleOrder]] technique) — NO single-partition
-    * global sort anywhere.
+    * BOTH ranks are range-bucketed two-level prefix sums: the in-source
+    * rank via [[rankInStratum]] and the global position via
+    * [[tokenBudget]] over the stride key (the [[shuffleOrder]] technique)
+    * — NO single-partition sort anywhere, not even for one giant source.
     *
     * Returns the input plus `pos` (0-based global training position).
     * Weights must be positive; sources missing from `weights` get 1.0.
@@ -368,11 +419,15 @@ object Sampling {
     val wExpr = weights.foldLeft(lit(1.0)) { case (acc, (s, w)) =>
       when(col(sourceCol) === s, lit(w)).otherwise(acc)
     }
-    val rankInSrc = row_number().over(
-      Window.partitionBy(sourceCol).orderBy(
-        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), col(idCol)))
-    val keyed = df
-      .withColumn("__sk", (rankInSrc.cast("double") - lit(0.5)) / wExpr)
+    // in-source rank via the bucketed prefix sum too — a row_number window
+    // here would serialize one giant source through a single task, the
+    // exact shape the global-position side already avoids
+    val ranked = rankInStratum(
+      df.withColumn("__mk", md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))),
+      col(sourceCol), numBuckets, col("__mk"), col(idCol))
+    val keyed = ranked
+      .withColumn("__sk", (col("stratum_rank").cast("double") - lit(0.5)) / wExpr)
+      .drop("stratum_rank", "__mk")
     tokenBudget(keyed, lit("__all"), lit(1L), Long.MaxValue, numBuckets,
         col("__sk"), col(sourceCol), col(idCol))
       .withColumn("pos", col("cum_tokens") - 1)

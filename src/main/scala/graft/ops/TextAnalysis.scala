@@ -330,19 +330,38 @@ object TextAnalysis {
     * pct its percent_rank in the source (ties share a rank; ranking on
     * the ROUNDED score makes tie groups identical cross-engine).
     *
-    * Scale shape: score is expression-only map-side; the window sorts
-    * each source's (id, q) rows — source-count-partitioned, spillable,
-    * and only id+score wide, never text. One shuffle total.
+    * Scale shape: score is expression-only map-side; the rank is
+    * [[Sampling.rankInStratum]]'s bucketed two-level prefix sum over
+    * (q, id) — no window partition ever spans a whole source, so one
+    * giant source percentiles in parallel across range buckets (the old
+    * `Window.partitionBy(source)` form pushed every row of a source
+    * through ONE task). percent_rank decomposes exactly:
+    * `rank() = min(row_number)` over the tie group (a hash aggregate on
+    * (source, q) + a (source, q)-keyed join back — AQE splits a skewed
+    * tie group), and the denominator `N - 1` rides a broadcast
+    * source-count aggregate. Only id+score wide, never text.
     */
   def qualityPercentileBySource(
       df: DataFrame,
       idCol: String,
       textCol: String,
       srcCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol)).orderBy(col("q").asc)
-    df.select(col(idCol), col(srcCol), qualityScore(col(textCol)).as("q"))
-      .withColumn("pct", round(percent_rank().over(w), 4))
+    val base = df.select(col(idCol), col(srcCol), qualityScore(col(textCol)).as("q"))
+    // total-order row number per source (id tiebreak), distributed
+    val rn = Sampling.rankInStratum(base, col(srcCol), 0, col("q"), col(idCol))
+    // rank() = min row_number within the (source, q) tie group — ties
+    // share a rank, identical to percent_rank's numerator
+    val tieRank = rn.groupBy(col(srcCol).as("__ts"), col("q").as("__tq"))
+      .agg(min(col("stratum_rank")).as("__rank"))
+    val counts = base.groupBy(col(srcCol).as("__cs"))
+      .agg(count(lit(1)).as("__n"))
+    rn.join(tieRank, col(srcCol) === col("__ts") && col("q") === col("__tq"))
+      .join(broadcast(counts), col(srcCol) === col("__cs"))
+      .withColumn("pct",
+        round(when(col("__n") > 1,
+          (col("__rank") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)), 4))
+      .select(col(idCol), col(srcCol), col("q"), col("pct"))
   }
 
   /** Gopher-style quality rule panel (Rae et al. 2021, §A1.1 — the

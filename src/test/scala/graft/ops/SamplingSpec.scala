@@ -423,4 +423,44 @@ class SamplingSpec extends AnyFunSuite {
       .zipWithIndex.map { case (c, i) => (anchor, i + 1, c) }.toSet
     assert(run().filter(_._1 == anchor) == want)
   }
+
+  test("rankInStratum equals row_number for every bucket count, including one giant stratum") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed strata: one stratum holds 90% of rows — the shape the
+    // bucketed prefix sum exists for (a partitionBy(stratum) window would
+    // push all of it through one task)
+    val df = docs.withColumn("stratum",
+      when(col("doc_id") % 10 < 9, lit("giant")).otherwise(col("source")))
+    val want = df.withColumn("stratum_rank",
+        row_number().over(Window.partitionBy("stratum").orderBy("doc_id")).cast("long"))
+      .select("doc_id", "stratum_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucket boundaries must never change values (prefix sums are
+    // associative) — try degenerate (1), default, and over-split counts
+    for (n <- Seq(1, 7, 64)) {
+      val got = Sampling.rankInStratum(df, col("stratum"), n, col("doc_id"))
+        .select("doc_id", "stratum_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"rank mismatch at numBuckets=$n")
+    }
+  }
+
+  test("weightedSamplePerStratum keeps the k smallest ES keys per stratum") {
+    val out = Sampling.weightedSamplePerStratum(
+      docs, col("source"), k = 5, col("n_chars"), col("doc_id"))
+    val perStratum = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(perStratum.nonEmpty)
+    perStratum.foreach { case (s, n) => assert(n <= 5, s"stratum $s kept $n > k") }
+    // selected rows are exactly the per-stratum minima of the full key set
+    val allKeys = Sampling.weightedSamplePerStratum(
+        docs, col("source"), k = Int.MaxValue, col("n_chars"), col("doc_id"))
+      .select("source", "doc_id", "sample_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = allKeys.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (x._3, x._2)).take(5).toSeq }.map(x => (x._1, x._2)).toSet
+    val got = out.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
 }
