@@ -824,14 +824,37 @@ object SparkEntry {
 
     // Margin-based bitext mining (Artetxe & Schwenk 2019): each English
     // doc's best Spanish match by ratio margin over the doc↔embedding
-    // join. Exhaustive variant (target slice broadcasts); at corpus scale
-    // the candidate set comes from the ANN family with identical scoring.
+    // join. Exhaustive variant (target slice broadcasts) — the recall
+    // anchor for the declared scale path, bitext_mine_ann below.
     "bitext_mine" -> ((s, dir) => {
       val de = Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("id"), col("lang"), col("embedding"))
       graft.ops.Bitext.minePairs(de, "id", "lang", "embedding", "en", "es",
           k = 4, marginThreshold = 1.0)
+        .orderBy("src_id")
+    }),
+
+    // Corpus-scale bitext mining: the SAME margin scorer fed by banded-LSH
+    // candidates instead of the |A|×|B| cross join — the declared scale
+    // path. Recall evidence ships in the record itself (the
+    // knn_recall_audit pattern): full-outer join against the exhaustive
+    // miner, `agree` per source. Deterministic (hash-based LSH planes,
+    // 4-dp rounding, id tiebreaks) → pinned VALUES oracle.
+    "bitext_mine_ann" -> ((s, dir) => {
+      val de = Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("lang"), col("embedding"))
+        .localCheckpoint() // feeds both miners — don't re-run the join twice
+      val exact = graft.ops.Bitext.minePairs(de, "id", "lang", "embedding",
+          "en", "es", k = 4, marginThreshold = 1.0)
+        .select(col("src_id"), col("tgt_id").as("exact_tgt_id"))
+      val ann = graft.ops.Bitext.minePairsAnn(de, "id", "lang", "embedding",
+          "en", "es", k = 4, marginThreshold = 1.0, lshPlanes = 2, lshBands = 16)
+        .select(col("src_id"), col("tgt_id").as("ann_tgt_id"),
+          col("sim"), col("margin"))
+      ann.join(exact, Seq("src_id"), "full_outer")
+        .withColumn("agree", col("ann_tgt_id") <=> col("exact_tgt_id"))
         .orderBy("src_id")
     }),
 

@@ -67,7 +67,22 @@ object Bitext {
       .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .select("src_id", "tgt_id", "sim")
       .localCheckpoint()
+    marginScore(pairs, k, marginThreshold)
+  }
 
+  /** The ratio-margin scorer over an already-generated candidate pair
+    * frame (src_id, tgt_id, sim) — shared by the exhaustive
+    * [[minePairs]] and the ANN-candidate [[minePairsAnn]]: per-endpoint
+    * top-k means, the ratio margin, and each source's single best target
+    * above `marginThreshold`. The per-endpoint windows partition by one
+    * id, so their width is that endpoint's CANDIDATE fan-out — bounded by
+    * construction on the ANN path (bands × maxBucket), |B| on the
+    * exhaustive path.
+    */
+  private def marginScore(
+      pairs: DataFrame,
+      k: Int,
+      marginThreshold: Double): DataFrame = {
     val rnA = row_number().over(Window.partitionBy("src_id").orderBy(col("sim").desc, col("tgt_id")))
     val mA = pairs.withColumn("rn", rnA).filter(col("rn") <= k)
       .groupBy("src_id").agg(avg("sim").as("m_a"))
@@ -83,5 +98,77 @@ object Bitext {
     scored.withColumn("rn", best).filter(col("rn") === 1)
       .filter(col("margin") > marginThreshold)
       .select("src_id", "tgt_id", "sim", "margin")
+  }
+
+  /** Corpus-scale [[minePairs]]: identical margin scoring, but the
+    * candidate pairs come from banded random-hyperplane LSH instead of
+    * the |A|×|B| cross join — each (band, bucket) yields only its
+    * cross-lingual src×tgt pairs, so the pair frame is
+    * Σ_buckets |src|·|tgt| with `maxBucket` capping degenerate buckets
+    * (the [[Dedup.embeddingCosinePairs]] banding, applied bipartite).
+    * The margin formula only needs each endpoint's top-k neighborhood,
+    * which the candidate set approximates — the standard ANN relaxation
+    * of Artetxe & Schwenk's scorer (their FAISS retrieval step).
+    *
+    * Recall caveat: a true pair hashing into no shared band is missed;
+    * audit with the exhaustive form on a sample (the declared
+    * `bitext_mine_ann` query carries exactly that side-by-side).
+    *
+    * Scale shape: the signature is a native codegen'd expression computed
+    * once per row; buckets group-by-shuffle slim (band, bucket, id, lang)
+    * rows; vectors re-attach by id join only for surviving candidates;
+    * no cross join, no broadcast of a corpus slice.
+    */
+  def minePairsAnn(
+      df: DataFrame,
+      idCol: String,
+      langCol: String,
+      vecCol: String,
+      srcLang: String,
+      tgtLang: String,
+      k: Int = 4,
+      marginThreshold: Double = 1.0,
+      lshPlanes: Int = 4,
+      lshBands: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    require(lshPlanes >= 1 && lshBands >= 1 && lshPlanes * lshBands <= 63,
+      s"need 1 <= lshPlanes*lshBands <= 63: $lshPlanes x $lshBands")
+    val base = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+        col(vecCol).as("vec"), vec_norm(col(vecCol)).as("nrm"))
+      .filter(col("lang").isin(srcLang, tgtLang))
+
+    val mask = (1L << lshPlanes) - 1
+    val bandCols = array((0 until lshBands).map { j =>
+      struct(
+        lit(j).as("band"),
+        shiftright(col("sig"), j * lshPlanes).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    // bipartite banding: collect each bucket's src ids and tgt ids
+    // separately, emit only cross-lingual pairs (sorted lists make the
+    // explode order deterministic; pair count is |src|·|tgt| per bucket)
+    val candidates = base
+      .withColumn("sig", graft.ops.Similarity.lshSignature(col("vec"), lshPlanes * lshBands))
+      .select(col("id"), col("lang"), explode(bandCols).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(
+        sort_array(collect_list(when(col("lang") === srcLang, col("id")))).as("src_ids"),
+        sort_array(collect_list(when(col("lang") === tgtLang, col("id")))).as("tgt_ids"))
+      .filter(size(col("src_ids")) >= 1 && size(col("tgt_ids")) >= 1 &&
+        (size(col("src_ids")) + size(col("tgt_ids"))) <= maxBucket)
+      .select(explode(col("src_ids")).as("src_id"), col("tgt_ids"))
+      .select(col("src_id"), explode(col("tgt_ids")).as("tgt_id"))
+      .distinct()
+
+    val a = base.filter(col("lang") === srcLang)
+      .select(col("id").as("src_id"), col("vec").as("va"), col("nrm").as("na"))
+    val b = base.filter(col("lang") === tgtLang)
+      .select(col("id").as("tgt_id"), col("vec").as("vb"), col("nrm").as("nb"))
+    val pairs = candidates
+      .join(a, Seq("src_id"))
+      .join(b, Seq("tgt_id"))
+      .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select("src_id", "tgt_id", "sim")
+      .localCheckpoint()
+    marginScore(pairs, k, marginThreshold)
   }
 }

@@ -59,6 +59,11 @@ PINS = {
     "m4_ddl": (["dialect VARCHAR", "ddl VARCHAR"], "dialect"),
     "m5_type_lattice": (["spark_type VARCHAR", "dialect VARCHAR", "sql_type VARCHAR"],
                         "spark_type, dialect"),
+    # LSH planes are JVM-side hashes; the pin carries the ANN-vs-exhaustive
+    # agreement record itself (BitextSpec asserts id-level recall >= 0.95
+    # and exact sim parity on agreeing pairs first-principles)
+    "bitext_mine_ann": (["src_id BIGINT", "ann_tgt_id BIGINT", "sim DOUBLE",
+                         "margin DOUBLE", "exact_tgt_id BIGINT", "agree BOOLEAN"], "src_id"),
 }
 
 
