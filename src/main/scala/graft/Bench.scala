@@ -63,7 +63,16 @@ object Bench {
       val render = (s: Either[String, Double]) => s.fold(jstr, f)
       s"\"" + k + "\":[" + render(a) + "," + render(b) + "]"
     }.mkString("{", ",", "}")
-    val localJson = json.dropRight(1) + s""","samples":$samplesJson}"""
+    // noise_ratio = max/min of the two samples per query: >~2 means a
+    // co-tenant stall hit one sample, not that the plan is slow — lets a
+    // reader separate stalls from plan cost at a glance (the r9 verdict's
+    // events_json_agg case: samples [8.14, 1.59] = ratio 5.1, plan fine)
+    val noiseJson = sampled.collect { case (k, (Right(a), Right(b))) =>
+      val ratio = if (math.min(a, b) > 0) math.max(a, b) / math.min(a, b) else 1.0
+      s"\"" + k + "\":" + f(ratio)
+    }.mkString("{", ",", "}")
+    val localJson = json.dropRight(1) +
+      s""","samples":$samplesJson,"noise_ratio":$noiseJson}"""
     // the driver captures a BOUNDED stdout tail (r5 lost 14 per-query
     // numbers, r6 lost 18) — also write the record into the repo so the
     // full per-query history survives regardless of capture truncation

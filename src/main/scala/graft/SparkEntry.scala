@@ -790,6 +790,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // DIRECTED PageRank with dangling-mass redistribution: customer →
+    // supplier edges make every supplier a pure sink, so each round its
+    // mass re-spreads uniformly (+ d·dm/N) — Σ rank stays exactly 1 (a
+    // proper distribution, asserted in GraphSpec). The oracle replays the
+    // 5-round fixpoint as an unrolled CTE including the dangling term.
+    "graph_pagerank_directed" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.pagerank(e, iterations = 5, damping = 0.85,
+          undirected = false)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
     // Euclidean Lloyd k-means over the embedding corpus (north-star:
     // topic bucketing / cluster-balanced sampling). Deterministic seed
     // (first k by vec_id), 4 mean updates, final assignment; assignment
@@ -1822,6 +1839,41 @@ object SparkEntry {
         .select(col("source"), col("approx_distinct_texts"),
           element_at(col("__pq"), 1).as("p50_chars"),
           element_at(col("__pq"), 2).as("p95_chars"))
+        .orderBy("source")),
+
+    // EXACT companion of corpus_sketch_profile with a full DuckDB oracle:
+    // exact distinct texts and exact interpolated percentiles per source.
+    // The sketch is the 100 TB path (mergeable, KB-sized state); this
+    // exact form shuffles the text column for the distinct — declared as
+    // the audit anchor the sketch's error is measured against (the
+    // knn_recall_audit pattern)
+    "corpus_profile_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("n_distinct_texts"),
+          round(element_at(percentile(col("n_chars"), array(lit(0.5), lit(0.95))), 1), 4)
+            .as("p50_chars"),
+          round(element_at(percentile(col("n_chars"), array(lit(0.5), lit(0.95))), 2), 4)
+            .as("p95_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("source")),
+
+    // Sketch-vs-exact error, carried in the driver record itself: HLL++
+    // estimate beside the exact distinct count, relative error per
+    // source. HLL register-max merge is order-insensitive → deterministic
+    // → pinned VALUES oracle. (The percentile sketch's merge is
+    // compression-order-sensitive, so its error stays a spec assertion.)
+    "corpus_profile_sketch_error" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count_distinct(col("text")).as("n_distinct_exact"),
+          approx_count_distinct(col("text"), 0.02).as("n_distinct_hll"))
+        .withColumn("rel_err",
+          round(abs(col("n_distinct_hll") - col("n_distinct_exact"))
+            / col("n_distinct_exact"), 4))
         .orderBy("source")),
 
     // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
@@ -3065,6 +3117,31 @@ object SparkEntry {
       head + loop + " SELECT id, round(r, 8) AS rank FROM pr10 ORDER BY id"
     },
 
+    // directed + dangling redistribution: same unrolled-CTE replay, with
+    // edges NOT mirrored, nodes = src ∪ dst, and each round adding the
+    // previous round's sink mass (dm) uniformly inside the damping term
+    "graph_pagerank_directed" -> {
+      val head =
+        "WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src, " +
+          "l_suppkey * 2 + 1 AS dst " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src), " +
+        "sinks AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM edges)), " +
+        "pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)"
+      val loop = (1 to 5).map(i =>
+        s"dm$i AS (SELECT coalesce(sum(p.r), 0) AS m FROM pr${i - 1} p " +
+          "JOIN sinks s ON s.id = p.id), " +
+        s"pr$i AS (SELECT nd.id, 0.15 / nn.n + 0.85 * (coalesce(c.s, 0) + dm$i.m / nn.n) AS r " +
+          s"FROM nodes nd CROSS JOIN nn CROSS JOIN dm$i LEFT JOIN " +
+          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
+          s"FROM edges e JOIN pr${i - 1} p ON p.id = e.src " +
+          "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
+        .mkString(", ", ", ", "")
+      head + loop + " SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id"
+    },
+
     // Lloyd k-means: seed from the first 8 vec_ids, 4 assign+update
     // rounds and a final assignment, all replayed in long (vec_id, dim,
     // val) form — argmin ties break to the lowest cluster id on both
@@ -3541,6 +3618,16 @@ object SparkEntry {
         "SELECT vec_id, round(sum((x - mu) / sd), 4) + 0.0 AS z_sum, " +
         "round(max(CASE WHEN dim = 0 THEN (x - mu) / sd END), 4) + 0.0 AS z1 " +
         "FROM e JOIN s USING (dim) GROUP BY vec_id ORDER BY vec_id"),
+
+    // exact profile: Spark `percentile` and DuckDB `quantile_cont` share
+    // the linear-interpolation definition (p·(n−1) rank)
+    "corpus_profile_exact" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "count(DISTINCT text) AS n_distinct_texts, " +
+        "round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, " +
+        "round(quantile_cont(n_chars, 0.95), 4) AS p95_chars, " +
+        "round(avg(n_chars), 4) AS avg_chars " +
+        "FROM documents GROUP BY source ORDER BY source"),
 
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +

@@ -63,6 +63,11 @@ object Pipeline {
       input: DataFrame)(action: DataFrame => A): (Seq[(String, Long)], A) = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
+    // a duplicate stage name would silently collapse to ONE Observation
+    // attached to two observe() calls — which fails at runtime
+    // (Observation is single-use) or reports the wrong stage's count
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"observedStages requires unique stage names: ${stages.map(_._1)}")
     val observations = stages.map { case (n, _) => n -> Observation(s"graft_$n") }.toMap
     val composed = stages.foldLeft(input) { case (df, (n, t)) =>
       t(df).observe(observations(n), count(lit(1)).as("n_rows"))

@@ -853,6 +853,9 @@ object Dedup {
           struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
             x.getField("fp").as("fp_a"), y.getField("fp").as("fp_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.fp_a"), col("p.fp_b"))
+      // duplicate input ids would slice-pair with themselves (the sorted
+      // pairing only guarantees id_a <= id_b) — keep the strict invariant
+      .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)

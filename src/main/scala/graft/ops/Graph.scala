@@ -31,12 +31,19 @@ object Graph {
     * [[Dedup.connectedComponents]].
     *
     * With `undirected = true` every edge is mirrored, so no vertex is
-    * dangling and the total rank mass is conserved at 1. For directed
-    * graphs with sinks, the dropped dangling mass makes scores relative
-    * rather than a proper distribution — fine for ranking; document-quality
-    * use only compares scores.
+    * dangling. For directed graphs, vertices with no out-edges (sinks)
+    * get the standard dangling-mass redistribution: their rank mass is
+    * spread uniformly (`+ d · danglingMass / N` inside the damping term),
+    * so the result is a proper probability distribution (Σ rank = 1) in
+    * both modes. The per-round dangling mass is a one-row aggregate over
+    * the (static, precomputed) sink set, broadcast back into the update —
+    * no driver collect; when the sink set is empty (always true
+    * undirected) the term is skipped entirely and the round plan is
+    * unchanged.
     *
-    * Returns (id, rank) for every vertex incident to an edge.
+    * Returns (id, rank) for every vertex incident to an edge — sources
+    * AND sinks (a pure-sink vertex appears with its teleport+inflow
+    * rank).
     */
   def pagerank(
       edges0: DataFrame,
@@ -56,7 +63,17 @@ object Graph {
     // shuffled ONCE for the whole power iteration, and at this node/edge
     // ratio AQE broadcasts the (node-sized) rank side into it
     val edgesDeg = edges.join(deg, Seq("src")).persist()
-    val nodes = edges.select(col("src").as("id")).distinct().persist()
+    // nodes = src ∪ dst: a pure-sink vertex (dst only) must still get a
+    // rank row and count in N — building from src alone silently dropped
+    // sinks on directed graphs
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().persist()
+    // the static sink set (no out-edges); its per-round mass redistributes
+    val dangling = nodes
+      .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .persist()
+    val hasDangling = !dangling.isEmpty
     // one scalar to the driver (same bounded-collect family as the
     // codebook training): folding N in as a literal keeps the teleport
     // term out of the per-round plan — a broadcast-aggregate form re-ran
@@ -71,6 +88,23 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("d")).as("contrib"))
+      val update =
+        if (hasDangling) {
+          // one-row dangling-mass aggregate, broadcast into the update —
+          // stays inside the round's single job, never a driver value
+          val dm = ranks.join(dangling, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          nodes.join(contrib, Seq("id"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit(teleport) + lit(damping) *
+                (coalesce(col("contrib"), lit(0.0)) + col("__dm") / lit(n))).as("rank"))
+        } else {
+          nodes.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              (lit(teleport) +
+                lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        }
       // localCheckpoint (eager) TRUNCATES the plan to a materialized leaf:
       // with plain persist() each round's logical plan still embedded every
       // prior round, and Catalyst re-analysis grew superlinearly — measured
@@ -79,16 +113,12 @@ object Graph {
       // executor loss for speed — on a production cluster pass a reliable
       // checkpoint dir via spark.sparkContext.setCheckpointDir + .checkpoint
       // for long chains; the round cost shape is identical.)
-      ranks = nodes
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(teleport) +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      ranks = update.localCheckpoint()
       i += 1
     }
     edgesDeg.unpersist()
     nodes.unpersist()
+    dangling.unpersist()
     ranks
   }
 }

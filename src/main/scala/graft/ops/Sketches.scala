@@ -30,14 +30,26 @@ object Sketches {
       eps: Double = 0.001,
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType,
+      StringType, StructField, StructType}
     val spark = df.sparkSession
-    import spark.implicits._
+    val dt = df.schema(colName).dataType
+    // countMinSketch supports exactly the string + integral types; fail
+    // loudly up front instead of a runtime ClassCastException on the
+    // winner rows
+    require(Seq(StringType, ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"heavyHitters supports string/integral columns, got $dt for '$colName'")
     val exact = df.groupBy(colName).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col(colName)).limit(topK)
     val sketch = df.stat.countMinSketch(colName, eps, confidence, seed)
-    exact.collect().toSeq
-      .map(r => (r.getString(0), r.getLong(1), sketch.estimateCount(r.getString(0))))
-      .toDF(colName, "exact_n", "est_n")
+    // estimateCount dispatches on the item's runtime type (string vs
+    // integral), so the winner rows keep their native column type
+    val rows = exact.collect().toSeq
+      .map(r => Row(r.get(0), r.getLong(1), sketch.estimateCount(r.get(0))))
+    val schema = StructType(Seq(StructField(colName, dt),
+      StructField("exact_n", LongType), StructField("est_n", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .orderBy(col("exact_n").desc, col(colName))
   }
 }

@@ -589,6 +589,11 @@ object TextAnalysis {
     val txtIdx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(level)
+      // native zlib state is off-heap: without an explicit end() it is
+      // only reclaimed at finalization, and a long-lived executor running
+      // many tasks accumulates it — release at task completion
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](1 << 16)
       rows.map { r =>
         val id = r.get(idIdx)

@@ -58,6 +58,14 @@ class E2eCurationSpec extends AnyFunSuite {
     assert(metrics.map(_._1) == stages.map(_._1), "stage order preserved")
   }
 
+  test("observedStages rejects duplicate stage names up front") {
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+    val dup: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "s" -> (df => df), "s" -> (df => df))
+    intercept[IllegalArgumentException](
+      graft.etl.Pipeline.observedStages(dup, docs)(_.count()))
+  }
+
   test("e2e_observed_metrics declared query reports monotone shrinking stages") {
     val rows = SparkEntry.queries("e2e_observed_metrics")(spark, GraftSpark.Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1))

@@ -55,4 +55,43 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     a.foreach { case (id, r) => assert(math.abs(r - b(id)) < 1e-12, id) }
   }
+
+  /** Driver-side reference for the DIRECTED form with dangling-mass
+    * redistribution: sinks' mass re-spreads uniformly inside the damping
+    * term each round.
+    */
+  private def referencePrDirected(
+      edges: Seq[(String, String)],
+      iters: Int,
+      d: Double): Map[String, Double] = {
+    val adj = edges.distinct
+    val out = adj.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.flatMap(e => Seq(e._1, e._2)).toSet
+    val sinks = nodes -- out.keySet
+    val n = nodes.size.toDouble
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val dm = sinks.toSeq.map(pr).sum
+      val contrib = adj.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / out(u).size }.sum).toMap
+      pr = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    pr
+  }
+
+  test("directed with sinks: sinks get rank rows, mass is conserved, reference matches") {
+    // b and e are pure sinks (dst only): star a→{b,e}, chain c→d→e
+    val dedges = Seq(("a", "b"), ("a", "e"), ("c", "d"), ("d", "e"))
+    val got = Graph.pagerank(dedges.toDF("src", "dst"),
+        iterations = 10, undirected = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "d", "e"), "sinks must appear")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"directed mass not conserved: ${got.values.sum}")
+    val want = referencePrDirected(dedges, 10, 0.85)
+    got.foreach { case (id, r) => assert(math.abs(r - want(id)) < 1e-12, id) }
+    // the double-fed sink outranks the singly-fed one
+    assert(got("e") > got("b"))
+  }
 }

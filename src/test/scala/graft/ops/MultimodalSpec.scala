@@ -283,5 +283,12 @@ class MultimodalSpec extends AnyFunSuite {
     // banding recall above hamming 3 is probabilistic (a 4–6-bit flip can
     // touch all four bands) — assert a floor, not perfection
     assert(recovered >= (eligible * 6) / 10, s"$recovered of $eligible recovered")
+
+    // duplicate input ids must never surface as self-pairs (the sorted
+    // slice pairing only guarantees id_a <= id_b)
+    val withDup = hashed.unionByName(hashed.limit(3))
+    val dupPairs = Dedup.fingerprintPairs(withDup, "doc_id", "phash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.forall { case (a, b) => a != b }, "self-pair leaked")
   }
 }

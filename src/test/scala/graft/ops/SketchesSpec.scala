@@ -46,4 +46,16 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("a", "b"))
   }
+
+  test("heavyHitters works on integral id columns, keeping the native type") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(7L) ++ Seq.fill(20)(3L) ++ (100L to 120L)).toDF("id")
+    val out = Sketches.heavyHitters(df, "id", topK = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L, 3L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(50L, 20L))
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1), "CM estimate must be one-sided"))
+    // unsupported column types fail loudly up front
+    val bad = Seq(1.5, 2.5).toDF("x")
+    intercept[IllegalArgumentException](Sketches.heavyHitters(bad, "x", topK = 1))
+  }
 }

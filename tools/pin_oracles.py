@@ -64,6 +64,10 @@ PINS = {
     # and exact sim parity on agreeing pairs first-principles)
     "bitext_mine_ann": (["src_id BIGINT", "ann_tgt_id BIGINT", "sim DOUBLE",
                          "margin DOUBLE", "exact_tgt_id BIGINT", "agree BOOLEAN"], "src_id"),
+    # HLL++ registers are JVM-side but order-insensitive (register max) →
+    # deterministic; the pin carries the sketch-vs-exact error record
+    "corpus_profile_sketch_error": (["source VARCHAR", "n_distinct_exact BIGINT",
+                                     "n_distinct_hll BIGINT", "rel_err DOUBLE"], "source"),
 }
 
 
