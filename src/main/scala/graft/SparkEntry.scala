@@ -2298,8 +2298,8 @@ object SparkEntry {
     }),
 
     // multimodal frame sampling (STUB frame content — deterministic slice
-    // hash; real decoder drops in per Multimodal.scala): one row per
-    // (payload, frame) — pinned VALUES oracle; driver-side hash
+    // hash; the REAL frame path is multimodal_video_frames below): one
+    // row per (payload, frame) — pinned VALUES oracle; driver-side hash
     // recomputation in MultimodalSpec
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
@@ -2307,6 +2307,38 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload", "doc_id", n = 3)
         .orderBy("doc_id", "frame_idx")),
+
+    // REAL video decode end-to-end: genuine RIFF/AVI payloads (24-bit
+    // BI_RGB DIB frames, synthesized executor-side, seeded by doc_id) are
+    // hand-parsed and 4 ACTUAL frames sampled per clip — decoded mean
+    // luminance + a pixel-bytes rolling hash per frame. Luminance ramps
+    // with the frame index by construction, visible in the pin. Pinned
+    // VALUES oracle; driver-side byte-parse recomputation in
+    // MultimodalSpec
+    "multimodal_video_frames" -> ((s, dir) =>
+      Multimodal.frameSampleVideo(
+        Multimodal.synthesizeAviPayloads(
+          Tables.documents(s, dir).filter(col("doc_id") < 40).select(col("doc_id")),
+          "doc_id"),
+        "payload", "doc_id", n = 4)
+        .orderBy("doc_id", "frame_idx")),
+
+    // REAL video feature decode via the format dispatcher: AVI rows take
+    // AviDibDecoder (per-frame mean luminance pooled into 9 time bins —
+    // 12 frames fill every bin); first/last bins expose the luminance
+    // ramp. Pinned VALUES oracle
+    "multimodal_video_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAviPayloads(
+        Tables.documents(s, dir).filter(col("doc_id") < 40).select(col("doc_id")),
+        "doc_id")
+      Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 9)
+        .select(col("doc_id"),
+          size(col("features")).cast("bigint").as("n_features"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("bin_first"),
+          round(element_at(col("features"), 9).cast("double"), 4).as("bin_last"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
+        .orderBy("doc_id")
+    }),
 
     // stream-stream interval join: view→purchase attribution within 1 h,
     // both sides watermarked (state bounded by delay + lateness)

@@ -19,13 +19,16 @@ import org.apache.spark.sql.types._
   * external dependency. AUDIO payloads decode for REAL too:
   * [[WavPcmDecoder]] parses RIFF/WAVE PCM by hand (the container is a
   * plain chunked byte layout — no codec needed for uncompressed PCM) and
-  * mean-pools absolute amplitude into time bins. VIDEO payloads have no
-  * JRE codec and no hand-parseable uncompressed layout, so they route to
-  * the clearly-marked deterministic [[FakeDecoder]] stand-in;
-  * [[decodeFeaturesAuto]] dispatches per row on the format column — the
-  * mixed-modality corpus shape. The Spark-side plumbing — schema
-  * evolution, partition-batched execution, binary handling — is shared by
-  * all branches, and a real video decoder drops in as another
+  * mean-pools absolute amplitude into time bins. VIDEO payloads in the
+  * uncompressed-AVI layout decode for REAL as well: [[AviDibDecoder]]
+  * hand-parses the RIFF/AVI container (BI_RGB DIB frames need no codec,
+  * the same reasoning as uncompressed PCM) and [[frameSampleVideo]]
+  * extracts actual frames; codec-bearing video (H.264 etc. — no JRE
+  * codec) routes to the clearly-marked deterministic [[FakeDecoder]]
+  * stand-in. [[decodeFeaturesAuto]] dispatches per row on the format
+  * column — the mixed-modality corpus shape. The Spark-side plumbing —
+  * schema evolution, partition-batched execution, binary handling — is
+  * shared by all branches, and an external codec drops in as another
   * `Array[Byte] => Array[Float]` with zero plan changes.
   *
   * Scale notes: `mapPartitions` keeps per-record decoder state initialized
@@ -45,12 +48,19 @@ object Multimodal {
   /** Audio container formats [[WavPcmDecoder]] parses by hand. */
   val AudioFormats: Set[String] = Set("wav")
 
+  /** Video container formats [[AviDibDecoder]] parses by hand
+    * (uncompressed BI_RGB DIB frames in a RIFF AVI — no codec needed,
+    * same reasoning as uncompressed PCM).
+    */
+  val VideoFormats: Set[String] = Set("avi")
+
   /** STUB decoder for payload types with NO codec in the JRE and no
-    * hand-parseable uncompressed layout (video): deterministic fake
-    * features from a rolling byte hash. Image payloads decode via
-    * [[ImageIODecoder]], WAV audio via [[WavPcmDecoder]] (or the
-    * [[decodeFeaturesAuto]] dispatch). Replace with a real video frame
-    * extractor at deployment.
+    * hand-parseable uncompressed layout (codec-bearing video/audio —
+    * H.264, MP3, …): deterministic fake features from a rolling byte
+    * hash. Image payloads decode via [[ImageIODecoder]], WAV audio via
+    * [[WavPcmDecoder]], uncompressed-AVI video via [[AviDibDecoder]] (or
+    * the [[decodeFeaturesAuto]] dispatch). Replace with an external
+    * codec binding at deployment.
     */
   def FakeDecoder(dim: Int)(bytes: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L // large prime seed
@@ -199,6 +209,231 @@ object Multimodal {
     buf.array()
   }
 
+  /** Parsed uncompressed-AVI layout: frame geometry plus the byte offset
+    * of each frame's DIB pixel block inside the payload.
+    */
+  private[ops] final case class AviLayout(
+      width: Int, height: Int, frameOffsets: IndexedSeq[Int]) {
+    /** bottom-up DIB rows, 4-byte-aligned stride */
+    val stride: Int = ((width * 3 + 3) / 4) * 4
+  }
+
+  /** Hand-parsed RIFF/AVI walk (the [[WavPcmDecoder]] chunk-walk applied
+    * to the AVI container): locates the `strf` BITMAPINFOHEADER inside
+    * the `hdrl` LIST (requiring 24-bit BI_RGB — uncompressed DIB needs no
+    * codec) and collects every `##db`/`##dc` frame chunk inside the
+    * `movi` LIST. Pure byte arithmetic, deterministic everywhere. Throws
+    * on non-AVI payloads, compressed streams, or truncated chunks.
+    */
+  private[ops] def parseAvi(bytes: Array[Byte]): AviLayout = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Int =
+      ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24))
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(bytes.length >= 24 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "payload is not a RIFF/AVI file")
+    var width = -1
+    var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "db" || id.substring(2) == "dc")
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = tag(pos)
+        val size = u32(pos + 4)
+        require(size >= 0 && pos + 8 + size <= to, s"truncated AVI chunk '$id'")
+        if (id == "LIST") {
+          val listType = tag(pos + 8)
+          walk(pos + 12, pos + 8 + size, inMovi || listType == "movi")
+        } else if (id == "strf" && width < 0) {
+          // BITMAPINFOHEADER: biSize, width, height, planes, bitCount, compression
+          require(size >= 40, "malformed strf chunk")
+          width = u32(pos + 8 + 4)
+          height = u32(pos + 8 + 8)
+          val bitCount = u16(pos + 8 + 14)
+          val compression = u32(pos + 8 + 16)
+          require(bitCount == 24 && compression == 0,
+            s"only 24-bit BI_RGB DIB frames supported (bits=$bitCount, fourcc=$compression)")
+        } else if (inMovi && isFrameChunk(id)) {
+          frames += pos + 8
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    require(width > 0 && height > 0, "AVI has no strf video header")
+    require(frames.nonEmpty, "AVI has no frame chunks in movi")
+    AviLayout(width, height, frames.toIndexedSeq)
+  }
+
+  /** Mean luminance of one DIB frame: rows are stored bottom-up as BGR
+    * triples with 4-byte-aligned stride; luminance = (r + g + b)/(3·255),
+    * matching [[ImageIODecoder]]'s definition.
+    */
+  private[ops] def aviFrameMeanLuma(bytes: Array[Byte], layout: AviLayout, off: Int): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < layout.height) {
+      val rowOff = off + (layout.height - 1 - y) * layout.stride
+      var x = 0
+      while (x < layout.width) {
+        val p = rowOff + x * 3
+        sum += ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) /
+          (3.0 * 255.0)
+        x += 1
+      }
+      y += 1
+    }
+    sum / (layout.width * layout.height)
+  }
+
+  /** REAL video decoder — hand-parsed uncompressed AVI ([[parseAvi]]):
+    * each frame's mean luminance, mean-pooled into `dim` evenly-spaced
+    * time bins — the temporal analogue of [[WavPcmDecoder]]'s amplitude
+    * bins, features in [0, 1]. Bins past the last frame (clip shorter
+    * than `dim` frames) are 0. Deterministic pure byte arithmetic.
+    */
+  def AviDibDecoder(dim: Int)(bytes: Array[Byte]): Array[Float] = {
+    val layout = parseAvi(bytes)
+    val n = layout.frameOffsets.length
+    val sums = new Array[Double](dim)
+    val counts = new Array[Int](dim)
+    var f = 0
+    while (f < n) {
+      val bin = f * dim / n
+      sums(bin) += aviFrameMeanLuma(bytes, layout, layout.frameOffsets(f))
+      counts(bin) += 1
+      f += 1
+    }
+    Array.tabulate(dim) { i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+    }
+  }
+
+  /** Deterministic synthetic AVI (fixture generator for the video leg):
+    * a genuine RIFF/AVI with `nFrames` uncompressed 24-bit BI_RGB DIB
+    * frames whose pixels are a SplitMix-style mix of (seed, frame, x, y)
+    * biased so mean luminance RAMPS with the frame index (each frame
+    * distinguishable — pooled features are monotone, not flat noise).
+    * Parse + decode is bit-exact everywhere, so features and frame
+    * hashes derived from these clips are pinnable oracle values, exactly
+    * like [[syntheticPng]] / [[syntheticWav]].
+    */
+  def syntheticAvi(seed: Long, w: Int = 8, h: Int = 8, nFrames: Int = 12): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    // hdrl LIST: avih + one strl (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(100000).putInt(frameBytes * 10).putInt(0).putInt(0)
+    buf.putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+    buf.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putInt(1).putInt(10) // scale/rate = 10 fps
+    buf.putInt(0).putInt(nFrames).putInt(frameBytes).putInt(-1).putInt(0)
+    buf.putShort(0.toShort).putShort(0.toShort)
+      .putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi LIST: one 00db DIB chunk per frame, rows bottom-up BGR
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(frameBytes)
+      // luminance floor ramps with f: frame means are strictly increasing
+      val floorByte = (f * 192) / math.max(nFrames - 1, 1)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row // DIB rows are bottom-up
+        var x = 0
+        while (x < w) {
+          var z = seed ^ (f * 0x9e3779b97f4a7c15L) ^
+            (x * 0xc2b2ae3d27d4eb4fL) ^ (y * 0x165667b19e3779f9L)
+          z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+          z ^= z >>> 29
+          // noise spans [floor, floor+63]: per-frame mean ≈ floor + 31.5
+          buf.put((floorByte + ((z >>> 0) & 0x3f)).toByte)
+          buf.put((floorByte + ((z >>> 8) & 0x3f)).toByte)
+          buf.put((floorByte + ((z >>> 16) & 0x3f)).toByte)
+          x += 1
+        }
+        var pad = w * 3
+        while (pad < stride) { buf.put(0.toByte); pad += 1 }
+        row += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic AVI payload synthesis over an id frame — the fixture
+    * shape for the real video leg ([[syntheticAvi]] seeded by the id,
+    * executor-side generation; payloads never cross the driver).
+    */
+  def synthesizeAviPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("format", StringType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticAvi(r.getLong(idIdx)) :+ "avi")
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL video frame sampling over uncompressed-AVI payloads: parse the
+    * container, pick `n` evenly-spaced ACTUAL frames, and emit each one's
+    * decoded mean luminance plus a rolling hash of its pixel bytes — one
+    * row per (payload, sampled frame). Partition-batched like the
+    * decoders; payloads never cross the driver. (The byte-hash
+    * [[frameSample]] remains for codec-less formats.)
+    */
+  def frameSampleVideo(df: DataFrame, binCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val outSchema = StructType(df.select(idCol).schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_no", IntegerType),
+      StructField("mean_luma", DoubleType),
+      StructField("frame_hash", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.flatMap { r =>
+      val id = r.get(idIdx)
+      val bytes = r.getAs[Array[Byte]](binIdx)
+      if (bytes == null) Iterator.empty
+      else {
+        val layout = parseAvi(bytes)
+        val total = layout.frameOffsets.length
+        val frameLen = layout.stride * layout.height
+        (0 until math.min(n, total)).iterator.map { i =>
+          val frameNo = i * total / math.min(n, total)
+          val off = layout.frameOffsets(frameNo)
+          val luma = math.round(
+            aviFrameMeanLuma(bytes, layout, off) * 10000).toDouble / 10000
+          var hsh = 1125899906842597L
+          var p = off
+          while (p < off + frameLen) { hsh = 31 * hsh + (bytes(p) & 0xff); p += 1 }
+          Row(id, i, frameNo, luma, hsh)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach a `features: array<float>` column by running `decoder` over the
     * binary column, partition-batched. Schema-preserving plus one column.
     */
@@ -223,10 +458,12 @@ object Multimodal {
   /** Format-dispatched decode over a MIXED-modality frame: rows whose
     * `formatCol` is a JRE image format ([[ImageFormats]]) decode for real
     * via [[ImageIODecoder]], WAV rows decode for real via
-    * [[WavPcmDecoder]]; everything else (video — no JRE codec) takes the
-    * [[FakeDecoder]] stand-in. One partition-batched pass, decoders
-    * initialized once per partition; `dim` must be a perfect square (the
-    * image grid is `√dim`×`√dim`; audio uses `dim` time bins).
+    * [[WavPcmDecoder]], uncompressed-AVI rows decode for real via
+    * [[AviDibDecoder]]; anything else (a codec-bearing format the JVM
+    * can't decode) takes the [[FakeDecoder]] stand-in. One
+    * partition-batched pass, decoders initialized once per partition;
+    * `dim` must be a perfect square (the image grid is `√dim`×`√dim`;
+    * audio and video use `dim` time bins).
     */
   def decodeFeaturesAuto(
       df: DataFrame,
@@ -241,6 +478,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       val image = ImageIODecoder(grid) _
       val audio = WavPcmDecoder(dim) _
+      val video = AviDibDecoder(dim) _
       val stub = FakeDecoder(dim) _
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
@@ -249,6 +487,7 @@ object Multimodal {
           if (bytes == null) null
           else if (ImageFormats.contains(fmt)) image(bytes)
           else if (AudioFormats.contains(fmt)) audio(bytes)
+          else if (VideoFormats.contains(fmt)) video(bytes)
           else stub(bytes)
         Row.fromSeq(r.toSeq :+ feats)
       }

@@ -291,4 +291,57 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dupPairs.forall { case (a, b) => a != b }, "self-pair leaked")
   }
+
+  test("syntheticAvi round-trips through parseAvi with the declared geometry") {
+    val bytes = Multimodal.syntheticAvi(7L, w = 6, h = 4, nFrames = 5)
+    val layout = Multimodal.parseAvi(bytes)
+    assert(layout.width == 6 && layout.height == 4)
+    assert(layout.frameOffsets.length == 5)
+    assert(layout.stride == 20) // 6*3=18 rounded up to the 4-byte boundary
+    // per-frame mean luminance ramps strictly with the frame index (the
+    // synthesis contract that makes frames distinguishable)
+    val lumas = layout.frameOffsets.map(off =>
+      Multimodal.aviFrameMeanLuma(bytes, layout, off))
+    assert(lumas.zip(lumas.tail).forall { case (a, b) => a < b }, s"not a ramp: $lumas")
+    assert(lumas.forall(l => l >= 0.0 && l <= 1.0))
+  }
+
+  test("AviDibDecoder via the auto dispatcher matches a driver-side byte recomputation") {
+    import spark.implicits._
+    val ids = Seq(3L, 4L).toDF("doc_id")
+    val media = Multimodal.synthesizeAviPayloads(ids, "doc_id")
+    val got = Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 9)
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    Seq(3L, 4L).foreach { id =>
+      val bytes = Multimodal.syntheticAvi(id)
+      val layout = Multimodal.parseAvi(bytes)
+      val n = layout.frameOffsets.length
+      val sums = new Array[Double](9)
+      val counts = new Array[Int](9)
+      (0 until n).foreach { f =>
+        sums(f * 9 / n) += Multimodal.aviFrameMeanLuma(bytes, layout, layout.frameOffsets(f))
+        counts(f * 9 / n) += 1
+      }
+      val want = (0 until 9).map(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat).toVector
+      assert(got(id) == want, s"id $id")
+    }
+  }
+
+  test("frameSampleVideo samples evenly-spaced REAL frames; corrupt payloads throw") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeAviPayloads(Seq(11L).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.frameSampleVideo(media, "payload", "doc_id", n = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_._2).toSeq == Seq(0, 3, 6, 9)) // 12 frames, stride 3
+    val lumas = rows.map(_._3)
+    assert(lumas.zip(lumas.tail).forall { case (a, b) => a < b })
+    // a non-AVI payload must fail loudly, not fake-decode
+    val junk = Seq((1L, "not a video".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.frameSampleVideo(junk, "payload", "doc_id", n = 2).collect()
+    }
+  }
 }

@@ -68,6 +68,12 @@ PINS = {
     # deterministic; the pin carries the sketch-vs-exact error record
     "corpus_profile_sketch_error": (["source VARCHAR", "n_distinct_exact BIGINT",
                                      "n_distinct_hll BIGINT", "rel_err DOUBLE"], "source"),
+    # hand-parsed RIFF/AVI decode is pure JVM byte arithmetic; driver-side
+    # byte recomputation cross-checked in MultimodalSpec
+    "multimodal_video_frames": (["doc_id BIGINT", "frame_idx INTEGER", "frame_no INTEGER",
+                                 "mean_luma DOUBLE", "frame_hash BIGINT"], "doc_id, frame_idx"),
+    "multimodal_video_decode": (["doc_id BIGINT", "n_features BIGINT", "bin_first DOUBLE",
+                                 "bin_last DOUBLE", "feat_sum DOUBLE"], "doc_id"),
 }
 
 
