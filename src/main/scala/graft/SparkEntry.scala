@@ -743,6 +743,73 @@ object SparkEntry {
         .orderBy("p_partkey", "s_suppkey")
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): pure scan — every
+    // predicate (date window, discount band, quantity cap) pushes to the
+    // parquet reader, one partial-aggregated 1-row sum, ZERO shuffle of
+    // data rows. The canary for filter pushdown staying intact.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"))),
+
+    // TPC-H Q9 shape (product-type profit by nation/year; adapted: no
+    // partsupp fixture, supply cost stands in as 80% of p_retailprice).
+    // part/supplier/nation broadcast into the lineitem scan; orders joins
+    // keyed — one fact shuffle, dimension-free aggregation
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      l.join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.8) * col("p_retailprice") * col("l_quantity")), 4)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting; adapted: no
+    // commit/receipt dates in the fixture — "late" = shipped > 60 days
+    // after the order date, scale-invariant). The classic double
+    // EXISTS/NOT-EXISTS rewrites to per-order distinct-supplier counts:
+    // s qualifies on order o iff o has >= 2 suppliers and s is o's ONLY
+    // late supplier. Two keyed aggregates + slim id joins — no
+    // correlated per-row subqueries, no row explosion
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val late = l.join(o, col("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val allSupp = l.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"))
+      val lateSupp = late.groupBy(col("l_orderkey").as("__lo"))
+        .agg(count_distinct(col("l_suppkey")).as("n_late_supp"))
+      late
+        .join(allSupp, Seq("l_orderkey"))
+        .join(lateSupp, col("l_orderkey") === col("__lo"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // Image-dedup'd corpus: the perceptual-hash pairs resolved through
     // TRUE connected components — one canonical image (min doc_id)
     // survives each near-dup cluster, same machinery as the text corpus
@@ -3128,6 +3195,39 @@ object SparkEntry {
         "WHERE p.p_size <= 5 AND o.offer = " +
         "(SELECT min(o2.offer) FROM offers o2 WHERE o2.l_partkey = o.l_partkey) " +
         "ORDER BY p_partkey, s_suppkey"),
+
+    "q6_forecast_revenue" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"),
+
+    "q9_product_profit" ->
+      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "round(sum(l_extendedprice * (1 - l_discount) " +
+        "- 0.8 * p_retailprice * l_quantity), 4) AS sum_profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%widget%' " +
+        "GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC"),
+
+    "q21_waiting_supplier" ->
+      ("WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders " +
+        "WHERE o_orderstatus = 'F'), " +
+        "late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem " +
+        "JOIN fo ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY), " +
+        "alls AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp " +
+        "FROM lineitem JOIN fo ON l_orderkey = o_orderkey GROUP BY l_orderkey), " +
+        "lates AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_late_supp " +
+        "FROM late GROUP BY l_orderkey) " +
+        "SELECT s_name, count(*) AS numwait " +
+        "FROM late JOIN alls USING (l_orderkey) JOIN lates USING (l_orderkey) " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE n_supp >= 2 AND n_late_supp = 1 " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"),
 
     "graph_pagerank" -> {
       val head =
