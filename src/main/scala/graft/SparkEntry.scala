@@ -1083,6 +1083,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
+    // substring frequencies → 2 count-EM rounds (Viterbi E-step over the
+    // DISTINCT-WORD table with the model broadcast, count-normalize
+    // M-step) → count-ranked prune with single-char retention. Iterative
+    // → pinned VALUES oracle; hand-computed EM + determinism asserted in
+    // UnigramSpec. Completes the subword trio (BPE / WordPiece / Unigram)
+    "unigram_train" -> ((s, dir) =>
+      graft.ops.Unigram.train(
+          Bpe.wordCounts(Tables.documents(s, dir), "text"),
+          maxPieceLen = 6, maxVocab = 512, emRounds = 2,
+          seedSize = 4096, minCount = 2L)
+        .orderBy("piece_id")),
+
+    // Unigram Viterbi encoding (SentencePiece inference): native
+    // codegen'd expression, model as a plan-time HashMap reference
+    // object, longer-final-piece tie rule, whole-word [UNK] fallback —
+    // zero shuffle. Pinned oracle; driver-side Viterbi recomputation
+    // asserted in UnigramSpec.
+    "unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.Unigram.train(Bpe.wordCounts(docs, "text"),
+          maxPieceLen = 6, maxVocab = 512, emRounds = 2,
+          seedSize = 4096, minCount = 2L)
+        .orderBy("piece_id").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toSeq
+      docs.select(col("doc_id"),
+          graft.functions.UnigramFunctions.unigram_encode(
+            col("text"), model, maxPieceLen = 6).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_ug_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("pieces_head"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted source interleave: the training-order materialization of a
     // mixture — per-source md5 shuffle, then stride-scheduled merge
     // ((rank-0.5)/weight sort key) so a 3.0-weight source appears 3× as

@@ -74,6 +74,10 @@ PINS = {
                                  "mean_luma DOUBLE", "frame_hash BIGINT"], "doc_id, frame_idx"),
     "multimodal_video_decode": (["doc_id BIGINT", "n_features BIGINT", "bin_first DOUBLE",
                                  "bin_last DOUBLE", "feat_sum DOUBLE"], "doc_id"),
+    # count-EM is iterative (not SQL-expressible); hand-computed Viterbi +
+    # driver-side recomputation cross-checked in UnigramSpec
+    "unigram_train": (["piece VARCHAR", "piece_id INTEGER", "logprob DOUBLE"], "piece_id"),
+    "unigram_encode": (["doc_id BIGINT", "n_ug_tokens BIGINT", "pieces_head VARCHAR"], "doc_id"),
 }
 
 
