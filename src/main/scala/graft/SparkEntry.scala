@@ -973,6 +973,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Persisted unigram model: train once, write the (piece, logprob)
+    // table as a parquet sidecar, read it back and encode from the
+    // artifact alone — byte-identical to the from-scratch path (shares
+    // unigram_encode's pinned oracle), extending the
+    // build-once/serve-many family to the third tokenizer.
+    "unigram_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("unigram_1", dir) { tmp =>
+        graft.ops.Unigram.writeModel(
+          graft.ops.Unigram.train(Bpe.wordCounts(docs, "text"),
+            maxPieceLen = 6, maxVocab = 512, emRounds = 2,
+            seedSize = 4096, minCount = 2L), tmp)
+      }
+      val model = graft.ops.Unigram.readModel(s, idxDir)
+      docs.select(col("doc_id"),
+          graft.functions.UnigramFunctions.unigram_encode(
+            col("text"), model, maxPieceLen = 6).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_ug_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("pieces_head"))
+        .orderBy("doc_id")
+    }),
+
     // l-diversity audit over the k-anonymous release: a k-anonymous group
     // whose members all share one sensitive value still leaks it
     // (homogeneity attack) — per quasi group, size + distinct sensitive
@@ -4444,6 +4467,9 @@ object SparkEntry {
     // the index-served encode must be byte-identical to the from-scratch
     // path — share bpe_encode's pinned oracle
     "bpe_persisted" -> PinnedOracles.sql("bpe_encode"),
+    // index-served ≡ from-scratch: sharing the oracle string states the
+    // artifact-parity contract in the driver record itself
+    "unigram_persisted" -> PinnedOracles.sql("unigram_encode"),
 
     "snapshot_apply" ->
       ("SELECT doc_id, lang, source, n_chars, " +

@@ -170,4 +170,19 @@ object Unigram {
       (p, i + 1, math.round(lp * 1e6) / 1e6)
     }.toDF("piece", "piece_id", "logprob")
   }
+
+  /** Persist a trained model as a parquet sidecar — the
+    * build-once/serve-many artifact family (MinHash, IVF-PQ, BM25, BPE,
+    * now Unigram). */
+  def writeModel(model: DataFrame, path: String): Unit =
+    model.select("piece", "piece_id", "logprob")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted model ready for
+    * [[graft.functions.UnigramFunctions.unigram_encode]]. Bounded driver
+    * collect (the piece table IS the model). */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Double)] =
+    spark.read.parquet(path).orderBy("piece_id").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toSeq
 }

@@ -68,4 +68,17 @@ class UnigramSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("persisted model round-trips byte-identically") {
+    val words = Bpe.wordCounts(
+      graft.etl.Tables.documents(spark, GraftSpark.Sf0001), "text")
+    val trained = Unigram.train(words, maxPieceLen = 6, maxVocab = 512,
+      emRounds = 2, seedSize = 4096, minCount = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_spec").toString
+    Unigram.writeModel(trained, dir)
+    val back = Unigram.readModel(spark, dir)
+    val want = trained.orderBy("piece_id").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toSeq
+    assert(back == want)
+  }
 }
