@@ -260,6 +260,13 @@ object Sampling {
     * unbounded-preceding window partition. Bucketization never changes
     * values: prefix sums are associative, so the result is identical for
     * ANY bucket boundaries.
+    *
+    * The STATIC plan shows the level-0 range exchange twice (the running
+    * sum and the offsets roll-up are two consumers of `bucketed`); at
+    * runtime AQE's exchange reuse collapses them — the final adaptive
+    * plan carries a `ReusedExchange` for the offsets leg (verified via
+    * `Plans --executed`), so the input is scanned and range-shuffled
+    * ONCE.
     */
   private def bucketedPrefixSum(
       df: DataFrame,
