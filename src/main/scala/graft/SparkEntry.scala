@@ -1663,6 +1663,19 @@ object SparkEntry {
           Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "epoch0")
         .orderBy("pos")),
 
+    // Curriculum training order (Bengio et al. 2009): unigram-NLL
+    // difficulty → 4 percentile tiers (easy first) → deterministic
+    // in-tier md5 shuffle → global position via the bucketed prefix sum.
+    // One broadcast percentile aggregate + map-side tier assignment; the
+    // whole order is plain SQL, so the oracle replays it end to end
+    "curriculum_order" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nll = TextAnalysis.nllScore(docs, "doc_id", "text",
+        TextAnalysis.unigramModel(docs, "text"))
+      graft.ops.Sampling.curriculumOrder(nll, "doc_id", col("nll"), tiers = 4)
+        .orderBy("pos")
+    }),
+
     // deterministic hash split — pinned VALUES oracle (Spark-side
     // xxhash64; driver-side recomputation in SamplingSpec)
     "train_test_split" -> ((s, dir) =>
@@ -3970,6 +3983,23 @@ object SparkEntry {
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         "md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
         "FROM documents ORDER BY pos"),
+
+    // full replay: NLL difficulty, percentile cuts (4-dp on both sides —
+    // Spark `percentile` ≡ DuckDB `quantile_cont`), strictly-below tier
+    // count, md5 in-tier shuffle, global row_number position
+    "curriculum_order" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq), " +
+        "sc AS (SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
+        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id), " +
+        "cuts AS (SELECT list_transform(quantile_cont(nll, [0.25, 0.5, 0.75]), " +
+        "c -> round(c, 4)) AS qs FROM sc), " +
+        "t AS (SELECT doc_id, nll, CAST(len(list_filter(qs, c -> nll > c)) AS INT) AS tier " +
+        "FROM sc, cuts) " +
+        "SELECT doc_id, nll, tier, CAST(row_number() OVER (ORDER BY tier, " +
+        "md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
+        "FROM t ORDER BY pos"),
 
     "e2e_curation_pipeline" ->
       (CurationOracleCtes +

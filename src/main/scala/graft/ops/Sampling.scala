@@ -441,6 +441,54 @@ object Sampling {
       .drop("cum_tokens", "__sk")
   }
 
+  /** Curriculum training order (the easy→hard curriculum of Bengio et
+    * al. 2009, "Curriculum Learning" — public method): rows split into
+    * `tiers` difficulty tiers at exact percentile cuts, shuffle
+    * deterministically WITHIN each tier (md5 of the seeded id, the
+    * [[shuffleOrder]] key), and receive a global 0-based training
+    * position — tier 0 (easiest) streams first. A row's tier is the
+    * number of cuts strictly below its difficulty; cuts are computed on
+    * 4-dp-rounded values and themselves 4-dp-rounded, so the boundary
+    * comparisons are identical cross-engine and the whole order carries
+    * a plain SQL oracle. NULL difficulty compares false against every
+    * cut and lands in tier 0.
+    *
+    * Scale: ONE 1-row exact-percentile aggregate broadcast back
+    * (tiers-bounded), tier assignment map-side (HOF count over the cut
+    * array), and the global position rides [[tokenBudget]]'s bucketed
+    * two-level prefix sum over (tier, shuffle key) — no global sort, no
+    * single-partition window.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: Column,
+      tiers: Int,
+      seed: String = "cur",
+      numBuckets: Int = 0): DataFrame = {
+    require(tiers >= 1, s"tiers must be >= 1: $tiers")
+    Seq("tier", "pos").foreach(c => require(!df.columns.contains(c),
+      s"curriculumOrder reserves the output column name '$c'"))
+    val base = df.withColumn("__diff", round(difficultyCol.cast("double"), 4))
+    val qs = (1 until tiers).map(_.toDouble / tiers)
+    val cuts =
+      if (qs.isEmpty) base.sparkSession.range(1).select(
+        array().cast("array<double>").as("__cuts"))
+      else base.agg(transform(
+        percentile(col("__diff"), array(qs.map(lit): _*)),
+        c => round(c, 4)).as("__cuts"))
+    val keyed = base
+      .crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        size(filter(col("__cuts"), c => col("__diff") > c)).cast("int"))
+      .withColumn("__ck",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    tokenBudget(keyed, lit("__all"), lit(1L), Long.MaxValue, numBuckets,
+        col("tier"), col("__ck"), col(idCol))
+      .withColumn("pos", col("cum_tokens") - 1)
+      .drop("cum_tokens", "__ck", "__cuts", "__diff")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training: for each
     * anchor row, `k` pseudo-random same-bucket rows with a DIFFERENT
     * label, ranked by `md5(seed:anchor:cand)` — fully reproducible (the

@@ -445,6 +445,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder: dense easy-first positions, monotone tiers, balanced cuts") {
+    val scored = docs.select(col("doc_id"), (col("n_chars") % 97).cast("double").as("difficulty"))
+    val out = Sampling.curriculumOrder(scored, "doc_id", col("difficulty"), tiers = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    val n = scored.count()
+    // dense 0..n-1 positions, exactly one per row
+    assert(out.map(_._4).sorted.toSeq == (0L until n))
+    // tier is monotone along the training order (easy streams first)
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(_._3).toSeq == byPos.map(_._3).sorted.toSeq)
+    // every tier-t row has difficulty <= every tier-(t+1) row's (cuts are
+    // percentiles of the difficulty itself)
+    val maxPerTier = out.groupBy(_._3).map { case (t, xs) => t -> xs.map(_._2).max }
+    val minPerTier = out.groupBy(_._3).map { case (t, xs) => t -> xs.map(_._2).min }
+    for (t <- 0 until 3 if maxPerTier.contains(t) && minPerTier.contains(t + 1))
+      assert(maxPerTier(t) <= minPerTier(t + 1), s"tier $t overlaps ${t + 1}")
+    // quartile cuts keep tiers within a reasonable band of n/4
+    out.groupBy(_._3).foreach { case (t, xs) =>
+      assert(xs.length > n / 8 && xs.length < n / 2, s"tier $t size ${xs.length}")
+    }
+    // deterministic
+    val again = Sampling.curriculumOrder(scored, "doc_id", col("difficulty"), tiers = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("weightedSamplePerStratum keeps the k smallest ES keys per stratum") {
     val out = Sampling.weightedSamplePerStratum(
       docs, col("source"), k = 5, col("n_chars"), col("doc_id"))
