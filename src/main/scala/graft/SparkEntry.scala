@@ -2396,6 +2396,20 @@ object SparkEntry {
         statePartitions = 8) // state keys = windows × 3 flags ≈ 75
         .orderBy("window_start", "l_returnflag")),
 
+    // Streaming trending event types: 7-day windows close in append mode
+    // (bounded watermark state), top-3 per CLOSED window ranks in a batch
+    // pass over the sink — ranking isn't expressible in append-mode
+    // streaming, so the Kappa split serves it from the closed windows.
+    // The rank window spans one window's key counts (vocab-bounded).
+    "stream_topk_trending" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw read
+      graft.streaming.Incremental.streamTopKPerWindow(
+        s, s"$dir/events.parquet", "ts", "event_type", "value",
+        windowSec = 7L * 86400, watermarkSec = 30L * 86400,
+        k = 3, statePartitions = 8) // state keys = ~5 windows × 5 types
+        .orderBy("window_start", "rank")
+    }),
+
     // ---- Multimodal decode, mixed-modality: even doc_ids carry a
     //      deterministic synthetic PNG and decode FOR REAL via the JRE's
     //      javax.imageio (mean-pooled luminance grid); odd doc_ids carry a
@@ -3433,6 +3447,16 @@ object SparkEntry {
         "c_mktsegment, count(*) AS n " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY 1, 2 ORDER BY window_start, c_mktsegment"),
+
+    // batch replay of the streamed windows + the serving-side rank
+    "stream_topk_trending" ->
+      ("WITH wc AS (SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
+        "event_type, count(*) AS n, round(sum(value), 4) AS sum_val " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT window_start, event_type, n, sum_val, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY window_start " +
+        "ORDER BY n DESC, event_type) AS rank FROM wc) t " +
+        "WHERE rank <= 3 ORDER BY window_start, rank"),
 
     "anonymize_ldiversity" ->
       ("WITH rel AS (SELECT lang, source, n_chars FROM (" +

@@ -302,6 +302,34 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Streaming trending-keys: windowed counts close in APPEND mode
+    * through [[windowedCountsAppend]]'s watermark/file-sink shape, then
+    * the top-`k` keys of each CLOSED window rank in a batch pass over the
+    * sink — the Kappa split (the stream owns window closure and bounded
+    * state; ranking, which append-mode streaming cannot express, serves
+    * from the sink). The rank window partitions by ONE window, so its
+    * width is that window's distinct-key count — key-vocabulary-bounded,
+    * never the event volume (the counts are already aggregated).
+    */
+  def streamTopKPerWindow(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      keyCol: String,
+      valCol: String,
+      windowSec: Long,
+      watermarkSec: Long,
+      k: Int,
+      statePartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val closed = windowedCountsAppend(spark, srcPath, tsCol, keyCol, valCol,
+      windowSec, watermarkSec, statePartitions)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col(keyCol))
+    closed.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Stream-STATIC enrichment join + windowed aggregation: the streaming
     * events enrich against a bounded dimension (re-read per micro-batch,
     * broadcast — the hint matters at real scale where the batch planner

@@ -168,4 +168,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).sum ==
       Tables.events(spark, GraftSpark.Sf0001).count(), "every event enriched")
   }
+
+  test("streamTopKPerWindow matches the batch windowed top-k and respects k") {
+    Tables.events(spark, GraftSpark.Sf0001)
+    val windowSec = 7L * 86400
+    val streamed = Incremental.streamTopKPerWindow(
+        spark, s"${GraftSpark.Sf0001}/events.parquet", "ts", "event_type", "value",
+        windowSec, watermarkSec = 30L * 86400, k = 2, statePartitions = 4)
+      .orderBy("window_start", "rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("event_type"))
+    val batch = Tables.events(spark, GraftSpark.Sf0001)
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_val"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_val"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 2)
+      .orderBy("window_start", "rank")
+    val got = streamed.collect()
+    assert(got === batch.collect())
+    got.groupBy(_.get(0)).foreach { case (ws, rows) =>
+      assert(rows.length <= 2, s"window $ws has ${rows.length} > k rows")
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to rows.length))
+    }
+  }
 }
