@@ -445,6 +445,21 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("rankInStratum and tokenBudget are invariant to input partitioning") {
+    // the prefix sums must be pure functions of (strata, order) — never
+    // of how the input happens to be partitioned when they run
+    def rk(parts: Int) = Sampling.rankInStratum(
+        docs.repartition(parts), col("source"), 5, col("doc_id"))
+      .select("doc_id", "stratum_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rk(3) == rk(11))
+    def tb(parts: Int) = Sampling.tokenBudget(
+        docs.repartition(parts), col("source"), col("n_chars"), 5000L, col("doc_id"))
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tb(3) == tb(11))
+  }
+
   test("curriculumOrder: dense easy-first positions, monotone tiers, balanced cuts") {
     val scored = docs.select(col("doc_id"), (col("n_chars") % 97).cast("double").as("difficulty"))
     val out = Sampling.curriculumOrder(scored, "doc_id", col("difficulty"), tiers = 4)
