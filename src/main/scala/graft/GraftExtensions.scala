@@ -65,6 +65,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_char_entropy",
         "graft_char_entropy(text) - Shannon entropy (nats) of the char distribution"),
       (args: Seq[Expression]) => CharEntropy(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(text, array('lh rh', ...)) - BPE encode with rank-ordered " +
+          "'lhs rhs' merge literals"),
+      (args: Seq[Expression]) => GraftExtensions.bpeEncode(args)))
+    e.injectFunction((
+      FunctionIdentifier("graft_wordpiece_encode"),
+      info("graft_wordpiece_encode",
+        "graft_wordpiece_encode(text, array(piece, ...), maxPieceLen) - WordPiece greedy " +
+          "longest-match encode against a literal vocabulary"),
+      (args: Seq[Expression]) => GraftExtensions.wordpieceEncode(args)))
+    e.injectFunction((
+      FunctionIdentifier("graft_unigram_encode"),
+      info("graft_unigram_encode",
+        "graft_unigram_encode(text, array(piece, ...), array(logprob, ...), maxPieceLen) - " +
+          "Viterbi unigram-LM encode against literal parallel piece/logprob arrays"),
+      (args: Seq[Expression]) => GraftExtensions.unigramEncode(args)))
   }
 }
 
@@ -101,9 +119,62 @@ object GraftExtensions {
     */
   private[graft] def stopwordCount(args: Seq[Expression]): Expression = {
     require(args(1).foldable, "graft_stopword_count word list must be a literal array")
-    val arr = args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val words = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    val words = stringArrayLit("graft_stopword_count", args(1))
     StopwordCount(args(0), words)
+  }
+
+  private def stringArrayLit(fn: String, e: Expression): Seq[String] = {
+    require(e.foldable, s"$fn: argument must be a literal array of strings")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  /** SQL builder: merges as rank-ordered 'lhs rhs' string literals (the
+    * model travels inside the plan — tokenizers are bounded vocab-sized).
+    */
+  private[graft] def bpeEncode(args: Seq[Expression]): Expression = {
+    val pairs = stringArrayLit("graft_bpe_encode", args(1)).map { s =>
+      val i = s.indexOf(' ')
+      require(i > 0 && i < s.length - 1,
+        s"graft_bpe_encode: merge '$s' must be 'lhs rhs'")
+      (s.substring(0, i), s.substring(i + 1))
+    }
+    graft.functions.BpeEncodeText(args(0), pairs, graft.ops.Bpe.EndOfWord)
+  }
+
+  private[graft] def wordpieceEncode(args: Seq[Expression]): Expression = {
+    val vocab = stringArrayLit("graft_wordpiece_encode", args(1))
+    val maxLen = intLitArg("graft_wordpiece_encode", args, 3, 2, "maxPieceLen")
+    graft.functions.WordPieceEncodeText(args(0), vocab, maxLen, graft.ops.WordPiece.Unk)
+  }
+
+  private[graft] def unigramEncode(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types._
+    val pieces = stringArrayLit("graft_unigram_encode", args(1))
+    require(args(2).foldable, "graft_unigram_encode: logprobs must be a literal array")
+    val arr = args(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // SQL decimal literals (`-1.5`) parse as DECIMAL, not DOUBLE — accept
+    // any numeric element type
+    val lps = args(2).dataType match {
+      case ArrayType(et, _) =>
+        (0 until arr.numElements()).map { i =>
+          et match {
+            case DoubleType => arr.getDouble(i)
+            case FloatType => arr.getFloat(i).toDouble
+            case dt: DecimalType => arr.getDecimal(i, dt.precision, dt.scale).toDouble
+            case IntegerType => arr.getInt(i).toDouble
+            case LongType => arr.getLong(i).toDouble
+            case other => throw new IllegalArgumentException(
+              s"graft_unigram_encode: logprob element type $other is not numeric")
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft_unigram_encode: logprobs must be an array, got $other")
+    }
+    require(pieces.length == lps.length,
+      s"graft_unigram_encode: ${pieces.length} pieces vs ${lps.length} logprobs")
+    val maxLen = intLitArg("graft_unigram_encode", args, 4, 3, "maxPieceLen")
+    graft.functions.UnigramEncodeText(args(0), pieces.zip(lps), maxLen, graft.ops.Unigram.Unk)
   }
 }
 
@@ -123,5 +194,8 @@ object GraftFunctions {
     put("graft_word_ngrams", args => WordNgrams(args(0), GraftExtensions.intLitArg("graft_word_ngrams", args, 2, 1, "n")))
     put("graft_intersect_count_sorted", args => IntersectCountSorted(args(0), args(1)))
     put("graft_char_entropy", args => CharEntropy(args.head))
+    put("graft_bpe_encode", GraftExtensions.bpeEncode)
+    put("graft_wordpiece_encode", GraftExtensions.wordpieceEncode)
+    put("graft_unigram_encode", GraftExtensions.unigramEncode)
   }
 }

@@ -83,4 +83,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(typed.getCondition == "NON_FOLDABLE_ARGUMENT")
   }
+
+  test("tokenizer encoders are callable from SQL with literal models") {
+    // WordPiece: 'un' + '##done' segments; unseen word -> [UNK]
+    val wp = spark.sql(
+      "SELECT graft_wordpiece_encode('undone zzz', array('un', '##done', 'z'), 6) AS t")
+      .head().getSeq[String](0)
+    assert(wp == Seq("un", "##done", "[UNK]"))
+    // Unigram: 'ab' (one piece, -2.0) beats a+b (-1.5-1.6); decimal
+    // literals (DECIMAL-typed in SQL) are accepted as logprobs
+    val ug = spark.sql(
+      "SELECT graft_unigram_encode('ab ax', array('a', 'b', 'ab'), " +
+        "array(-1.5, -1.6, -2.0), 6) AS t")
+      .head().getSeq[String](0)
+    assert(ug == Seq("ab", "[UNK]")) // 'x' uncoverable -> whole-word UNK
+    // BPE: merges as rank-ordered 'lhs rhs' literals, matching the API
+    val docs = Tables.documents(spark, GraftSpark.Sf0001).limit(10)
+    val merges = graft.ops.Bpe.train(
+      graft.ops.Bpe.wordCounts(docs, "text"), numMerges = 10, minCount = 2)
+    val lits = merges.sortBy(_.rank)
+      .map(m => s"'${m.lhs} ${m.rhs}'").mkString(", ")
+    docs.createOrReplaceTempView("doc_bpe_v")
+    val viaSql = spark.sql(
+      s"SELECT graft_bpe_encode(text, array($lits)) AS t FROM doc_bpe_v ORDER BY doc_id")
+      .collect().map(_.getSeq[String](0))
+    val viaApi = docs.orderBy("doc_id")
+      .select(graft.functions.BpeFunctions.bpe_encode(col("text"), merges))
+      .collect().map(_.getSeq[String](0))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
 }
