@@ -1997,6 +1997,54 @@ object SparkEntry {
           round(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy("source")),
 
+    // Exact audience overlap: distinct customers shared by every pair of
+    // order priorities — the set-intersection analytics KMV sketches
+    // approximate at scale. One distinct + one equi-join on the value,
+    // counts broadcast. Full DuckDB oracle; the anchor for
+    // audience_overlap_sketch's error record.
+    "audience_overlap_exact" -> ((s, dir) => {
+      val st = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), col("o_custkey")).distinct()
+      val a = st.select(col("grp").as("grp_a"), col("o_custkey"))
+      val b = st.select(col("grp").as("grp_b"), col("o_custkey").as("__ck"))
+      val common = a.join(b, col("o_custkey") === col("__ck") && col("grp_a") < col("grp_b"))
+        .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("n_common"))
+      val counts = st.groupBy(col("grp").as("__g")).agg(count(lit(1)).as("__n"))
+      common
+        .join(broadcast(counts), col("grp_a") === col("__g"))
+        .withColumnRenamed("__n", "__na").drop("__g")
+        .join(broadcast(counts), col("grp_b") === col("__g"))
+        .withColumnRenamed("__n", "__nb").drop("__g")
+        .select(col("grp_a"), col("grp_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("__na") + col("__nb") - col("n_common")), 4).as("jaccard"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
+    // KMV k-minimum-values set-overlap sketch (Bar-Yossef et al. 2002 —
+    // the theta-family estimator HLL can't provide): per-priority
+    // customer sketches are bounded mergeable k-arrays (partial
+    // aggregation: <= k longs per group per partition cross the shuffle),
+    // overlap estimation runs on the group-level sketch table only. The
+    // record carries estimate AND exact side by side (the
+    // corpus_profile_sketch_error pattern); xxhash64 → pinned oracle.
+    "audience_overlap_sketch" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val est = graft.ops.Kmv.overlap(
+        graft.ops.Kmv.sketch(o, col("o_orderpriority"), col("o_custkey"), 512), 512)
+      val st = o.select(col("o_orderpriority").as("g"), col("o_custkey")).distinct()
+      val exact = st.select(col("g").as("__ga"), col("o_custkey"))
+        .join(st.select(col("g").as("__gb"), col("o_custkey").as("__ck")),
+          col("o_custkey") === col("__ck") && col("__ga") < col("__gb"))
+        .groupBy("__ga", "__gb").agg(count(lit(1)).as("n_common_exact"))
+      est.join(exact, col("grp_a") === col("__ga") && col("grp_b") === col("__gb"))
+        .select(col("grp_a"), col("grp_b"), col("jaccard_est"),
+          col("n_common_est"), col("n_common_exact"),
+          round(abs(col("n_common_est") - col("n_common_exact")) /
+            col("n_common_exact"), 4).as("rel_err"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // Sketch-vs-exact error, carried in the driver record itself: HLL++
     // estimate beside the exact distinct count, relative error per
     // source. HLL register-max merge is order-insensitive → deterministic
@@ -3844,6 +3892,16 @@ object SparkEntry {
         "SELECT vec_id, round(sum((x - mu) / sd), 4) + 0.0 AS z_sum, " +
         "round(max(CASE WHEN dim = 0 THEN (x - mu) / sd END), 4) + 0.0 AS z1 " +
         "FROM e JOIN s USING (dim) GROUP BY vec_id ORDER BY vec_id"),
+
+    "audience_overlap_exact" ->
+      ("WITH st AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders), " +
+        "c AS (SELECT grp, count(*) AS n FROM st GROUP BY 1), " +
+        "p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common " +
+        "FROM st a JOIN st b ON a.o_custkey = b.o_custkey AND a.grp < b.grp GROUP BY 1, 2) " +
+        "SELECT grp_a, grp_b, n_common, " +
+        "round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 4) AS jaccard " +
+        "FROM p JOIN c ca ON ca.grp = grp_a JOIN c cb ON cb.grp = grp_b " +
+        "ORDER BY grp_a, grp_b"),
 
     // exact profile: Spark `percentile` and DuckDB `quantile_cont` share
     // the linear-interpolation definition (p·(n−1) rank)

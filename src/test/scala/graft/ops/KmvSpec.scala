@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+
+class KmvSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("unsaturated sketch is exact: distinct < k gives the true count and true jaccard") {
+    // A = {0..49}, B = {25..74}: |A∩B|=25, |A∪B|=75, J=1/3 — with k=256
+    // both sketches hold EVERY hash, so the estimates are exact
+    val df = ((0L until 50L).map(("A", _)) ++ (25L until 75L).map(("B", _)))
+      .toDF("grp", "v")
+    val sk = Kmv.sketch(df, col("grp"), col("v"), k = 256)
+    val est = sk.select(col("grp"), Kmv.estimateDistinct(col("kmv"), 256).as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est == Map("A" -> 50.0, "B" -> 50.0))
+    val ov = Kmv.overlap(sk, k = 256).collect().head
+    assert(ov.getString(0) == "A" && ov.getString(1) == "B")
+    assert(math.abs(ov.getDouble(2) - 25.0 / 75.0) < 1e-3, s"jaccard ${ov.getDouble(2)}")
+    assert(ov.getDouble(3) == 75.0)
+    assert(math.abs(ov.getDouble(4) - 25.0) < 0.05)
+  }
+
+  test("saturated estimator lands within 15% on 10k distinct values at k=256") {
+    val df = (0L until 10000L).map(("A", _)).toDF("grp", "v")
+    val sk = Kmv.sketch(df, col("grp"), col("v"), k = 256)
+    val n = sk.select(Kmv.estimateDistinct(col("kmv"), 256)).head().getDouble(0)
+    assert(math.abs(n - 10000) / 10000 < 0.15, s"estimate $n")
+    // the sketch is exactly k sorted ascending distinct values
+    val arr = sk.select("kmv").head().getSeq[Long](0)
+    assert(arr.length == 256 && arr == arr.sorted && arr.distinct.length == 256)
+  }
+
+  test("identical sets estimate jaccard 1, disjoint sets 0; partition-invariant") {
+    val df = ((0L until 5000L).map(("A", _)) ++ (0L until 5000L).map(("B", _)) ++
+      (100000L until 105000L).map(("C", _))).toDF("grp", "v")
+    def run(parts: Int) = Kmv.overlap(
+        Kmv.sketch(df.repartition(parts), col("grp"), col("v"), k = 128), k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(4)))
+      .toMap
+    val ov = run(3)
+    assert(ov(("A", "B"))._1 == 1.0)
+    assert(ov(("A", "C"))._1 == 0.0 && ov(("A", "C"))._2 == 0.0)
+    // the sketch is a pure function of the value set, not the partitioning
+    assert(run(3) == run(11))
+  }
+
+  test("overlap estimate tracks the true intersection on partially overlapping sets") {
+    // A = {0..5999}, B = {3000..8999}: J = 3000/9000 = 1/3
+    val df = ((0L until 6000L).map(("A", _)) ++ (3000L until 9000L).map(("B", _)))
+      .toDF("grp", "v")
+    val ov = Kmv.overlap(Kmv.sketch(df, col("grp"), col("v"), k = 256), k = 256)
+      .collect().head
+    assert(math.abs(ov.getDouble(2) - 1.0 / 3.0) < 0.08, s"jaccard ${ov.getDouble(2)}")
+    assert(math.abs(ov.getDouble(4) - 3000.0) / 3000.0 < 0.2, s"common ${ov.getDouble(4)}")
+  }
+}

@@ -74,6 +74,11 @@ PINS = {
                                  "mean_luma DOUBLE", "frame_hash BIGINT"], "doc_id, frame_idx"),
     "multimodal_video_decode": (["doc_id BIGINT", "n_features BIGINT", "bin_first DOUBLE",
                                  "bin_last DOUBLE", "feat_sum DOUBLE"], "doc_id"),
+    # xxhash64 minima are JVM-side; estimator accuracy + exactness-when-
+    # unsaturated cross-checked in KmvSpec, exact companions in-record
+    "audience_overlap_sketch": (["grp_a VARCHAR", "grp_b VARCHAR", "jaccard_est DOUBLE",
+                                 "n_common_est DOUBLE", "n_common_exact BIGINT",
+                                 "rel_err DOUBLE"], "grp_a, grp_b"),
     # count-EM is iterative (not SQL-expressible); hand-computed Viterbi +
     # driver-side recomputation cross-checked in UnigramSpec
     "unigram_train": (["piece VARCHAR", "piece_id INTEGER", "logprob DOUBLE"], "piece_id"),
