@@ -203,6 +203,26 @@ object SparkEntry {
       Loads.upsert(o, incoming, keys = Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // L8 incremental aggregate maintenance: the pre-cutoff rollup merges
+    // a RAW post-cutoff delta — delta partial-aggregated first, history
+    // touched only as the aggregate table (O(|delta| + |rollup|), never
+    // the accumulated facts). The oracle is the FULL recompute, so the
+    // driver record itself proves incremental ≡ from-scratch.
+    "l8_merge_aggregate" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val cut = lit("2000-01-01").cast("timestamp")
+      val existing = l.filter(col("l_shipdate") < cut)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("l_quantity").as("l_quantity"))
+      val delta = l.filter(col("l_shipdate") >= cut)
+      Loads.mergeAggregate(existing, delta, Seq("l_returnflag"),
+          Seq("l_quantity"), "n")
+        .select(col("l_returnflag"), col("n"),
+          round(col("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // L5 idempotent window refresh (vs L3's duplication).
     "l5_refresh_window" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3049,6 +3069,13 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+
+    // incremental ≡ from-scratch: the oracle recomputes the rollup over
+    // ALL facts in one pass
+    "l8_merge_aggregate" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
 
     "l5_refresh_window" ->
       (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$LiCut' " +

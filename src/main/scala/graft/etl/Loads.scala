@@ -164,4 +164,42 @@ object Loads {
       .filter(col("__graft_rn") === 1)
       .drop(srcCol, "__graft_rn")
   }
+
+  /** L8 (extension — incremental materialized-aggregate maintenance):
+    * refresh a keyed rollup from a DELTA of raw rows without rescanning
+    * history. Works for any ALGEBRAIC aggregate that merges by summation
+    * of partials — `count` via `n`, `sum` directly, `avg` as sum/n at
+    * read time (the standard partial-aggregate decomposition; min/max
+    * merge the same way with `greatest`/`least`, not covered here).
+    *
+    * `existing` holds one row per key with the partial columns
+    * (`sumCols` plus a `countCol`); `delta` is RAW incoming rows.
+    * The delta is partial-aggregated FIRST (map-side combine on the
+    * delta only — history is touched as an aggregate table, never as
+    * rows), then the two aggregate tables merge by key summation. The
+    * refresh cost is O(|delta| + |aggregate table|), independent of the
+    * raw history size — the property that makes daily rollup refresh
+    * viable at 100 TB of accumulated facts.
+    */
+  def mergeAggregate(
+      existing: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      countCol: String = "n"): DataFrame = {
+    require(keys.nonEmpty, "mergeAggregate needs at least one key")
+    val expected = ((keys ++ sumCols) :+ countCol).sorted
+    require(existing.columns.sorted.toSeq == expected,
+      s"existing must be exactly keys + sumCols + '$countCol': " +
+        s"got ${existing.columns.toSeq.sorted} want $expected")
+    val deltaAgg = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+      .select(existing.columns.map(col).toSeq: _*)
+    existing.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(countCol)).cast("long").as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+      .select(existing.columns.map(col).toSeq: _*)
+  }
 }

@@ -137,4 +137,29 @@ class LoadsSpec extends AnyFunSuite {
     // exactly one open row per key
     assert(g3.filter(col("valid_to").isNull).count() == 1)
   }
+
+  test("L8 mergeAggregate: incremental refresh equals the full recompute, chainable") {
+    def rollup(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"), sum("l_quantity").as("l_quantity"))
+    val cut1 = lit("1999-01-01").cast("timestamp")
+    val cut2 = lit("2001-01-01").cast("timestamp")
+    val existing = rollup(li.filter(col("l_shipdate") < cut1))
+    // two sequential deltas — maintenance must chain
+    val step1 = Loads.mergeAggregate(existing,
+      li.filter(col("l_shipdate") >= cut1 && col("l_shipdate") < cut2),
+      Seq("l_returnflag"), Seq("l_quantity"), "n")
+    val step2 = Loads.mergeAggregate(step1,
+      li.filter(col("l_shipdate") >= cut2),
+      Seq("l_returnflag"), Seq("l_quantity"), "n")
+    val got = step2.orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    val want = rollup(li).orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    assert(got.toSeq == want.toSeq)
+    // schema contract enforced loudly
+    intercept[IllegalArgumentException] {
+      Loads.mergeAggregate(existing.drop("n"), li, Seq("l_returnflag"),
+        Seq("l_quantity"), "n")
+    }
+  }
 }
