@@ -2125,6 +2125,33 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), chunkTokens = 512, bucketWidth = 100)
         .orderBy("doc_id")),
 
+    // THE training-data pipeline end to end in ONE lazy plan: quality
+    // gate → REAL BPE token counts (merges trained on the gated corpus,
+    // native codegen'd encode) → per-source token budget (bucketed
+    // prefix sum) → 512-token sequence packing. The composition the
+    // engine exists for — curate, tokenize, budget, pack — with no
+    // materialization between stages. BPE is JVM-iterative → pinned.
+    "e2e_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = TextAnalysis.qualityFilter(docs, "text", 20, 0.02, 0.85)
+        .filter(col("reject_reason") === "kept")
+        .select("doc_id", "source", "text")
+      val merges = Bpe.train(Bpe.wordCounts(kept, "text"),
+        numMerges = 30, minCount = 2)
+      val counted = kept.select(col("doc_id"), col("source"),
+        size(graft.functions.BpeFunctions.bpe_encode(col("text"), merges))
+          .cast("bigint").as("n_bpe"))
+      val budgeted = graft.ops.Sampling.tokenBudget(
+        counted, col("source"), col("n_bpe"), 20000L, col("doc_id"))
+      graft.ops.Packing.packChunks(
+          budgeted.drop("cum_tokens"), "doc_id", col("n_bpe"),
+          chunkTokens = 512, bucketWidth = 100)
+        .join(budgeted.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_tok"), col("chunk_start"), col("chunk_end"))
+        .orderBy("doc_id")
+    }),
+
     // the loader-facing inversion: one row per (chunk, doc) overlap with
     // in-chunk spans — bounded explode, no extra shuffle
     "pack_manifest" -> ((s, dir) => {

@@ -79,6 +79,12 @@ PINS = {
     "audience_overlap_sketch": (["grp_a VARCHAR", "grp_b VARCHAR", "jaccard_est DOUBLE",
                                  "n_common_est DOUBLE", "n_common_exact BIGINT",
                                  "rel_err DOUBLE"], "grp_a, grp_b"),
+    # BPE token counts are JVM-iterative; each composed stage carries its
+    # own green oracle (quality_filter SQL, bpe_encode pinned,
+    # source_token_budget SQL, pack_chunks SQL)
+    "e2e_tokenize_pack": (["doc_id BIGINT", "source VARCHAR", "n_tokens BIGINT",
+                           "start_tok BIGINT", "chunk_start BIGINT",
+                           "chunk_end BIGINT"], "doc_id"),
     # count-EM is iterative (not SQL-expressible); hand-computed Viterbi +
     # driver-side recomputation cross-checked in UnigramSpec
     "unigram_train": (["piece VARCHAR", "piece_id INTEGER", "logprob DOUBLE"], "piece_id"),
