@@ -2152,6 +2152,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Length-bucketed inference batching: global (len, id) rank via the
+    // bucketed prefix sum → 32-doc batches of similar-length docs, so
+    // each batch pads only to its own max. The record carries per-batch
+    // padding waste — the number the trick exists to minimize. Full
+    // DuckDB oracle (row_number replay)
+    "inference_batches" -> ((s, dir) =>
+      graft.ops.Packing.batchByLength(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok")),
+          "doc_id", col("n_tok"), batchSize = 32)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tok").as("min_len"), max("n_tok").as("max_len"),
+          (max("n_tok") * count(lit(1)) - sum("n_tok")).as("padding"))
+        .orderBy("batch")),
+
     // the loader-facing inversion: one row per (chunk, doc) overlap with
     // in-chunk spans — bounded explode, no extra shuffle
     "pack_manifest" -> ((s, dir) => {
@@ -3996,6 +4012,14 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t) " +
         "SELECT doc_id, n_tokens, start_tok, CAST(start_tok // 512 AS BIGINT) AS chunk_start, " +
         "CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS chunk_end FROM c ORDER BY doc_id"),
+
+    "inference_batches" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "r AS (SELECT doc_id, n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rk FROM t), " +
+        "b AS (SELECT n_tok, CAST((rk - 1) // 32 AS BIGINT) AS batch FROM r) " +
+        "SELECT batch, count(*) AS n_docs, min(n_tok) AS min_len, max(n_tok) AS max_len, " +
+        "CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding " +
+        "FROM b GROUP BY batch ORDER BY batch"),
 
     "pack_manifest" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +

@@ -176,4 +176,28 @@ object Packing {
         (col("__g1") - col("start_tok")).as("doc_to"),
         (col("__g0") - col("chunk") * c).as("chunk_offset"))
   }
+
+  /** Length-bucketed inference batching (the serving-side counterpart of
+    * [[packChunks]]): rows rank globally by (length, id) and batch
+    * `batchSize` at a time, so each batch holds similar-length documents
+    * and pads only to ITS OWN maximum — the standard sorted-batching
+    * trick that cuts padding waste from pad-to-global-max to
+    * pad-to-batch-max. Output adds `batch` (0-based) and keeps the
+    * length for downstream padding accounting.
+    *
+    * Scale: the global rank is [[Sampling.rankInStratum]]'s bucketed
+    * two-level prefix sum — no single-partition sort; batch assignment
+    * is map-side arithmetic on the rank.
+    */
+  def batchByLength(
+      df: DataFrame,
+      idCol: String,
+      lenCol: Column,
+      batchSize: Int,
+      numBuckets: Int = 0): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    Sampling.rankInStratum(df, lit("__all"), numBuckets, lenCol, col(idCol))
+      .withColumn("batch", ((col("stratum_rank") - 1) / batchSize).cast("bigint"))
+      .drop("stratum_rank")
+  }
 }

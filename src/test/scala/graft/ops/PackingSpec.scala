@@ -128,4 +128,29 @@ class PackingSpec extends AnyFunSuite {
     assert(out.getLong(1) == 3L, "the NULL-text turn still counts")
     assert(out.getString(4) == "a||c", "the NULL-text turn holds its slot as empty")
   }
+
+  test("batchByLength: full batches, length-monotone, and padding beats naive id-order batching") {
+    val lens = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("bigint").as("len"))
+    val out = Packing.batchByLength(lens, "doc_id", col("len"), batchSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length
+    val byBatch = out.groupBy(_._3)
+    // every batch full except possibly the last
+    byBatch.foreach { case (b, xs) =>
+      assert(xs.length == 32 || b == (n - 1) / 32, s"batch $b size ${xs.length}")
+    }
+    // batches are length-monotone: batch b's max <= batch b+1's min
+    val stats = byBatch.toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.map(_._2).min, xs.map(_._2).max) }
+    stats.zip(stats.tail).foreach { case ((b, _, mx), (_, mn2, _)) =>
+      assert(mx <= mn2, s"batch $b max $mx exceeds next min $mn2") }
+    // padding (pad-to-batch-max) strictly improves on naive id-order batches
+    def padding(assign: Seq[(Long, Long)]): Long =
+      assign.grouped(32).map(g => g.map(_._2).max * g.length - g.map(_._2).sum).sum
+    val sorted = out.sortBy(_._3).map(x => (x._1, x._2)).toSeq
+    val naive = out.sortBy(_._1).map(x => (x._1, x._2)).toSeq
+    assert(padding(sorted) < padding(naive),
+      s"sorted ${padding(sorted)} not below naive ${padding(naive)}")
+  }
 }
