@@ -1703,6 +1703,16 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    // EXACT stratified split: exactly round(0.25·n_s) docs per source go
+    // to test (the hash-threshold forms are only ~proportional) — rank by
+    // md5(seed:id) within source via the bucketed prefix sum, counts
+    // broadcast. Full DuckDB oracle replays the assignment row for row
+    "exact_stratified_split" -> ((s, dir) =>
+      graft.ops.Sampling.exactStratifiedSplit(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", col("source"), testFraction = 0.25)
+        .orderBy("doc_id")),
+
     // deterministic per-stratum sampling (hash salted by the stratum) —
     // pinned VALUES oracle; driver-side recomputation in SamplingSpec
     "stratified_sample" -> ((s, dir) =>
@@ -4143,6 +4153,13 @@ object SparkEntry {
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         "md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
         "FROM documents ORDER BY pos"),
+
+    "exact_stratified_split" ->
+      ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+        "SELECT doc_id, source, CASE WHEN rk <= CAST(round(n * 0.25) AS BIGINT) " +
+        "THEN 'test' ELSE 'train' END AS split FROM r ORDER BY doc_id"),
 
     // full replay: NLL difficulty, percentile cuts (4-dp on both sides —
     // Spark `percentile` ≡ DuckDB `quantile_cont`), strictly-below tier

@@ -441,6 +441,41 @@ object Sampling {
       .drop("cum_tokens", "__sk")
   }
 
+  /** EXACT stratified split: exactly `round(fraction · n_s)` rows of
+    * EACH stratum go to 'test' — the allocation-exact counterpart of
+    * [[trainTestSplit]]/[[stratifiedSample]], whose hash thresholds are
+    * only approximately proportional (binomial noise ~ √n per stratum).
+    * Rows rank within their stratum by md5(seed:id) — an unbiased
+    * deterministic order — and the first round(f·n_s) become 'test'.
+    * Reproducible and engine-recomputable (plain md5 + row_number).
+    *
+    * Scale: the in-stratum rank is [[rankInStratum]]'s bucketed prefix
+    * sum; stratum counts ride one broadcast aggregate. Use the hash
+    * threshold forms when growth-stability matters more than exact
+    * allocation (an exact split re-assigns rows as the corpus grows —
+    * inherent to exactness, not to this implementation).
+    */
+  def exactStratifiedSplit(
+      df: DataFrame,
+      idCol: String,
+      strataCol: Column,
+      testFraction: Double,
+      seed: String = "split"): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0, 1]: $testFraction")
+    val ranked = rankInStratum(
+      df.withColumn("__sk", md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))),
+      strataCol, 0, col("__sk"), col(idCol))
+    val counts = df.groupBy(strataCol.as("__cs")).agg(count(lit(1)).as("__cn"))
+    ranked
+      .join(broadcast(counts), strataCol <=> col("__cs"))
+      .withColumn("split",
+        when(col("stratum_rank") <=
+          round(col("__cn") * lit(testFraction), 0).cast("bigint"), lit("test"))
+          .otherwise(lit("train")))
+      .drop("__sk", "__cs", "__cn", "stratum_rank")
+  }
+
   /** Curriculum training order (the easy→hard curriculum of Bengio et
     * al. 2009, "Curriculum Learning" — public method): rows split into
     * `tiers` difficulty tiers at exact percentile cuts, shuffle

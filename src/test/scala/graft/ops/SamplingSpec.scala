@@ -445,6 +445,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactStratifiedSplit allocates exactly round(f*n) per stratum, even skewed") {
+    val df = docs.withColumn("stratum",
+      when(col("doc_id") % 10 < 9, lit("giant")).otherwise(col("source")))
+    val out = Sampling.exactStratifiedSplit(df, "doc_id", col("stratum"), 0.3)
+    val got = out.groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = df.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      val want = math.round(n * 0.3)
+      assert(got.getOrElse((s, "test"), 0L) == want, s"stratum $s: want $want")
+      assert(got.getOrElse((s, "train"), 0L) == n - want)
+    }
+    // deterministic row-for-row
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.exactStratifiedSplit(df, "doc_id", col("stratum"), 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
   test("rankInStratum and tokenBudget are invariant to input partitioning") {
     // the prefix sums must be pure functions of (strata, order) — never
     // of how the input happens to be partitioned when they run
