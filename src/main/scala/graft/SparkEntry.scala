@@ -908,6 +908,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_members"), round(sum("d2"), 3).as("inertia"))
         .orderBy("cluster")),
 
+    // Centroid-distance outlier pruning (the SemDeDup/DataComp-style
+    // noise filter): same kmeans fixpoint, then each cluster prunes its
+    // rows beyond the cluster's own p90 distance (one broadcast
+    // cluster-count-sized percentile aggregate — no global threshold
+    // under-pruning tight clusters). Assignment materialized once (slim
+    // id+cluster+distance rows) for its two consumers. Full DuckDB
+    // oracle shares the kmeans replay CTEs; 4-dp rounding on both sides
+    // keeps the flag FP-robust.
+    "embedding_prune_outliers" -> ((s, dir) => {
+      val assigned = graft.ops.Clustering.lloyd(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 4)
+        .select(col("vec_id"), col("cluster"), round(col("d2"), 4).as("d2r"))
+        .localCheckpoint() // feeds the cuts aggregate AND the prune join
+      val cuts = assigned.groupBy("cluster")
+        .agg(round(percentile(col("d2r"), lit(0.9)), 4).as("__cut"))
+      assigned.join(broadcast(cuts), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("d2r"),
+          (col("d2r") > col("__cut")).as("pruned"))
+        .orderBy("vec_id")
+    }),
+
     // Tokenizer-coverage calibration: per-source OOV rate against the
     // corpus vocabulary (the go/no-go metric when pointing a trained
     // tokenizer at a new source mix). Vocabulary broadcasts into the
@@ -2991,6 +3012,37 @@ object SparkEntry {
     }),
   )
 
+  /** Shared DuckDB replay of the `embedding_kmeans` fixpoint (seed from
+    * the first 8 vec_ids, 4 assign+update rounds, final assignment in
+    * `a5` as (vec_id, cl, d2)) — used by both the kmeans oracle and the
+    * centroid-distance outlier-pruning oracle, so the two driver checks
+    * provably describe the same clustering.
+    */
+  private val KmeansReplayCtes: String = {
+    val head =
+      "WITH vl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), " +
+      "seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl " +
+        "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s0), " +
+      "c0 AS (SELECT s.cl, v.dim, v.val FROM seed s JOIN vl v ON v.vec_id = s.vec_id)"
+    def assignCte(i: Int) =
+      s"a$i AS (SELECT vec_id, cl, d2 FROM (SELECT v.vec_id, c.cl, " +
+        "sum((v.val - c.val) * (v.val - c.val)) AS d2, " +
+        "row_number() OVER (PARTITION BY v.vec_id " +
+        "ORDER BY sum((v.val - c.val) * (v.val - c.val)), c.cl) AS rn " +
+        s"FROM vl v JOIN c${i - 1} c ON v.dim = c.dim " +
+        "GROUP BY v.vec_id, c.cl) t WHERE rn = 1)"
+    def updateCte(i: Int) =
+      s"c$i AS (SELECT p.cl, p.dim, coalesce(m.val, p.val) AS val " +
+        s"FROM c${i - 1} p LEFT JOIN " +
+        s"(SELECT a.cl, v.dim, avg(v.val) AS val FROM a$i a " +
+        "JOIN vl v ON v.vec_id = a.vec_id GROUP BY a.cl, v.dim) m " +
+        "ON m.cl = p.cl AND m.dim = p.dim)"
+    val mid = (1 to 4).map(i => assignCte(i) + ", " + updateCte(i))
+      .mkString(", ", ", ", "")
+    head + mid + ", " + assignCte(5)
+  }
+
   /** DuckDB rendering of [[graft.ops.TextAnalysis.qualityScore]] (already
     * 4-dp rounded) — shared by the corpus-curation oracles; the older
     * dedup_canonical / quality_filter / text_quality oracles carry their
@@ -3490,32 +3542,21 @@ object SparkEntry {
     // rounds and a final assignment, all replayed in long (vec_id, dim,
     // val) form — argmin ties break to the lowest cluster id on both
     // sides, empty clusters keep their previous centroid on both sides.
-    "embedding_kmeans" -> {
-      val head =
-        "WITH vl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, " +
-          "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), " +
-        "seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl " +
-          "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s0), " +
-        "c0 AS (SELECT s.cl, v.dim, v.val FROM seed s JOIN vl v ON v.vec_id = s.vec_id)"
-      def assignCte(i: Int) =
-        s"a$i AS (SELECT vec_id, cl, d2 FROM (SELECT v.vec_id, c.cl, " +
-          "sum((v.val - c.val) * (v.val - c.val)) AS d2, " +
-          "row_number() OVER (PARTITION BY v.vec_id " +
-          "ORDER BY sum((v.val - c.val) * (v.val - c.val)), c.cl) AS rn " +
-          s"FROM vl v JOIN c${i - 1} c ON v.dim = c.dim " +
-          "GROUP BY v.vec_id, c.cl) t WHERE rn = 1)"
-      def updateCte(i: Int) =
-        s"c$i AS (SELECT p.cl, p.dim, coalesce(m.val, p.val) AS val " +
-          s"FROM c${i - 1} p LEFT JOIN " +
-          s"(SELECT a.cl, v.dim, avg(v.val) AS val FROM a$i a " +
-          "JOIN vl v ON v.vec_id = a.vec_id GROUP BY a.cl, v.dim) m " +
-          "ON m.cl = p.cl AND m.dim = p.dim)"
-      val mid = (1 to 4).map(i => assignCte(i) + ", " + updateCte(i))
-        .mkString(", ", ", ", "")
-      head + mid + ", " + assignCte(5) +
+    "embedding_kmeans" ->
+      (KmeansReplayCtes +
         " SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_members, " +
-        "round(sum(d2), 3) AS inertia FROM a5 GROUP BY cl ORDER BY cluster"
-    },
+        "round(sum(d2), 3) AS inertia FROM a5 GROUP BY cl ORDER BY cluster"),
+
+    // the kmeans fixpoint replay extended with per-cluster p90 cuts —
+    // quantiles and comparisons both run on 4-dp-rounded distances so
+    // the prune flag is FP-robust cross-engine
+    "embedding_prune_outliers" ->
+      (KmeansReplayCtes +
+        ", d AS (SELECT vec_id, CAST(cl AS INT) AS cluster, round(d2, 4) AS d2r FROM a5)" +
+        ", cuts AS (SELECT cluster, round(quantile_cont(d2r, 0.9), 4) AS cut " +
+        "FROM d GROUP BY cluster) " +
+        "SELECT vec_id, cluster, d2r, (d2r > cut) AS pruned " +
+        "FROM d JOIN cuts USING (cluster) ORDER BY vec_id"),
 
     "vocab_coverage" ->
       ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents), " +

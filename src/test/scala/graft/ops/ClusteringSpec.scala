@@ -55,4 +55,28 @@ class ClusteringSpec extends AnyFunSuite {
         .agg(org.apache.spark.sql.functions.sum("d2")).head().getDouble(0)
     assert(inertia(4) <= inertia(0) + 1e-9) // Lloyd never increases inertia
   }
+
+  test("centroid-distance pruning: ~10% per cluster, and pruned rows are the farthest") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.etl.Tables.embeddings(spark, graft.GraftSpark.Sf0001)
+    val assigned = Clustering.lloyd(emb, "vec_id", "embedding", k = 8, iters = 4)
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 4).as("d2r"))
+      .localCheckpoint()
+    val cuts = assigned.groupBy("cluster")
+      .agg(round(percentile(col("d2r"), lit(0.9)), 4).as("cut"))
+    val out = assigned.join(broadcast(cuts), Seq("cluster"))
+      .withColumn("pruned", col("d2r") > col("cut"))
+      .collect().map(r => (r.getInt(0 + 0), r.getLong(1), r.getDouble(2), r.getBoolean(4)))
+    val n = out.length
+    val pruneRate = out.count(_._4).toDouble / n
+    assert(pruneRate > 0.05 && pruneRate < 0.15, s"global prune rate $pruneRate")
+    // within each cluster: every pruned distance exceeds every kept one
+    out.groupBy(_._1).foreach { case (cl, xs) =>
+      val (p, k2) = xs.partition(_._4)
+      if (p.nonEmpty && k2.nonEmpty)
+        assert(p.map(_._3).min > k2.map(_._3).max, s"cluster $cl overlap")
+      // per-cluster rate honors the p90 cut
+      assert(p.length <= math.ceil(xs.length * 0.11), s"cluster $cl pruned ${p.length}/${xs.length}")
+    }
+  }
 }
