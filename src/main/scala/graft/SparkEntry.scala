@@ -203,6 +203,22 @@ object SparkEntry {
       Loads.upsert(o, incoming, keys = Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // L8 in STREAMING: each micro-batch of raw facts partial-aggregates
+    // and merges into the parquet rollup via foreachBatch — the
+    // continuously-maintained materialized view, O(|batch| + |rollup|)
+    // per trigger. Shares l8_merge_aggregate's full-recompute oracle, so
+    // the record states streaming ≡ batch-incremental ≡ from-scratch.
+    "stream_rollup_maintain" -> ((s, dir) => {
+      val rollup = java.nio.file.Files
+        .createTempDirectory("graft_rollup").toString
+      graft.streaming.Incremental.streamRollupMaintain(
+          s, s"$dir/lineitem.parquet", rollup,
+          Seq("l_returnflag"), Seq("l_quantity"), "n")
+        .select(col("l_returnflag"), col("n"),
+          round(col("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // L8 incremental aggregate maintenance: the pre-cutoff rollup merges
     // a RAW post-cutoff delta — delta partial-aggregated first, history
     // touched only as the aggregate table (O(|delta| + |rollup|), never
@@ -3176,8 +3192,13 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
 
     // incremental ≡ from-scratch: the oracle recomputes the rollup over
-    // ALL facts in one pass
+    // ALL facts in one pass; the streaming maintenance shares it, so the
+    // record pins streaming ≡ batch-incremental ≡ full recompute
     "l8_merge_aggregate" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "stream_rollup_maintain" ->
       ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
         "round(sum(l_quantity), 4) AS sum_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),

@@ -468,6 +468,61 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming rollup maintenance: [[graft.etl.Loads.mergeAggregate]]
+    * applied PER MICRO-BATCH via foreachBatch — each batch of raw facts
+    * partial-aggregates and merges into the parquet rollup table, so the
+    * continuously-maintained aggregate costs O(|batch| + |rollup|) per
+    * trigger and never rescans accumulated history. The rollup must be
+    * GROUP-BOUNDED (dimension-sized — the materialized-view shape): each
+    * batch round-trips it through the driver to break the
+    * read-then-overwrite cycle on the same path (at production scale
+    * write a new snapshot dir and swap the read path instead; re-merging
+    * a replayed batch is prevented by the checkpoint's batch-id dedup).
+    *
+    * Returns the final rollup read back for verification.
+    */
+  def streamRollupMaintain(
+      spark: SparkSession,
+      srcPath: String,
+      rollupPath: String,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      countCol: String = "n",
+      checkpointPath: String = null): org.apache.spark.sql.DataFrame = {
+    val in = streamSource(spark, srcPath)
+    // the checkpoint is the incremental contract: re-running with the
+    // SAME checkpoint merges only files that arrived since the last run
+    // (a fresh checkpoint would re-merge history and double-count)
+    val ckpt =
+      if (checkpointPath != null) java.nio.file.Paths.get(checkpointPath)
+      else java.nio.file.Files.createTempDirectory("graft_rollupckpt")
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(rollupPath)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              // first batch: empty rollup with the contract schema
+              batch.groupBy(keys.map(col): _*)
+                .agg(count(lit(1)).cast("long").as(countCol),
+                  sumCols.map(c => sum(col(c)).as(c)): _*)
+                .limit(0)
+          }
+        val merged = graft.etl.Loads.mergeAggregate(
+          existing, batch, keys, sumCols, countCol)
+        // materialize BEFORE overwriting the dir being read
+        val rows = merged.collect()
+        val out = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
+        out.write.mode("overwrite").parquet(rollupPath)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(rollupPath)
+  }
+
   /** Streaming dedup at ingest: drop rows whose `keys` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is bounded by event time, unlike unbounded `dropDuplicates`). The

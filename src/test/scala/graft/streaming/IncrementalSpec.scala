@@ -193,4 +193,42 @@ class IncrementalSpec extends AnyFunSuite {
       assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("streamRollupMaintain: incremental across arrivals, exactly-once on replay") {
+    val src = Files.createTempDirectory("graft_rollup_src").toString
+    val rollup = Files.createTempDirectory("graft_rollup_tgt").toString + "/agg"
+    val ckpt = Files.createTempDirectory("graft_rollup_ck").toString
+    val li = Tables.lineitem(spark, GraftSpark.Sf0001)
+    def readRollup() = spark.read.parquet(rollup)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    def rollupOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"), sum("l_quantity").as("l_quantity"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    val scratch = Files.createTempDirectory("graft_rollup_scratch").toString
+    // streamSource globs plain files in the source dir — stage each
+    // arrival as a single part file moved in (never write subdirs there)
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+      val part = new java.io.File(s"$scratch/$name").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // arrival 1: first half of the facts
+    val first = li.filter(col("l_orderkey") % 2 === 0)
+    arrive(first, "p1")
+    Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_returnflag"), Seq("l_quantity"), "n", ckpt)
+    assert(readRollup().toSeq == rollupOf(first).toSeq)
+    // arrival 2: the rest — SAME checkpoint merges only the new file
+    arrive(li.filter(col("l_orderkey") % 2 =!= 0), "p2")
+    Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_returnflag"), Seq("l_quantity"), "n", ckpt)
+    assert(readRollup().toSeq == rollupOf(li).toSeq)
+    // replay with no new data: unchanged (exactly-once via the checkpoint)
+    Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_returnflag"), Seq("l_quantity"), "n", ckpt)
+    assert(readRollup().toSeq == rollupOf(li).toSeq)
+  }
 }
