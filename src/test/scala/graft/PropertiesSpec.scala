@@ -194,4 +194,43 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: KMV sketch of a union equals the merge of the parts' sketches") {
+    import graft.ops.Kmv
+    val setGen = Gen.listOfN(400, Gen.choose(0L, 5000L)).map(_.distinct)
+    for (seedIdx <- 0 until 5) {
+      val a = samples(setGen, 1).head.map(v => ("A", v))
+      val b = (0 until 1).flatMap(_ => samples(setGen.map(_.map(_ + seedIdx * 1000)), 1).head)
+        .map(v => ("A", v))
+      val k = 64
+      // sketch(A ∪ B) must equal the k smallest of sketch(A) ∪ sketch(B):
+      // the mergeability that makes the aggregation partial-safe
+      val spark2 = spark
+      import spark2.implicits._
+      def sk(rows: Seq[(String, Long)]) = Kmv.sketch(rows.toDF("g", "v"), col("g"), col("v"), k)
+        .select("kmv").head().getSeq[Long](0).toVector
+      val skU = sk(a ++ b)
+      val merged = (sk(a) ++ sk(b)).distinct.sorted.take(k).toVector
+      assert(skU == merged, s"seed $seedIdx")
+    }
+  }
+
+  test("property: mergeAggregate is split-invariant — any delta partitioning gives one rollup") {
+    val li = graft.etl.Tables.lineitem(spark, GraftSpark.Sf0001).limit(2000)
+      .localCheckpoint()
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"), sum("l_quantity").as("l_quantity"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.rint(r.getDouble(2) * 1e4))).toSeq
+    val full = norm(rollup(li))
+    for (m <- Seq(2, 3, 5)) {
+      // split the facts m ways by orderkey residue and fold them in
+      var acc = rollup(li.filter(col("l_orderkey") % m === 0))
+      (1 until m).foreach { r =>
+        acc = Loads.mergeAggregate(acc, li.filter(col("l_orderkey") % m === r),
+          Seq("l_returnflag"), Seq("l_quantity"), "n")
+      }
+      assert(norm(acc) == full, s"m=$m")
+    }
+  }
 }
