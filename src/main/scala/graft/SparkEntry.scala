@@ -306,6 +306,17 @@ object SparkEntry {
 
     // Skew-salted join (etl.Scale): results must be identical to the plain
     // join — the salt only changes the shuffle distribution
+    // Join-skew pre-flight: a synthetic hot key holding ~25% of rows is
+    // reported with its share and the salt factor that levels it
+    // (ceil(0.25·32) = 8 — exactly skew_salted_join's factor). One
+    // key-count aggregate + a broadcast totals row + bounded top-k
+    "skew_report" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("jkey",
+        when(col("l_orderkey") % 4 === 0, lit(0L)).otherwise(col("l_suppkey")))
+      graft.etl.Scale.skewReport(li, "jkey", topK = 10, parts = 32)
+        .orderBy(col("n").desc, col("jkey"))
+    }),
+
     "skew_salted_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
       val o = Tables.orders(s, dir)
@@ -3228,6 +3239,14 @@ object SparkEntry {
         "CASE WHEN in_inc AND changed THEN TIMESTAMP '2001-06-01' END AS valid_to FROM j WHERE in_cur " +
         "UNION ALL SELECT k, iseg, ibal, TIMESTAMP '2001-06-01', NULL FROM j WHERE in_inc AND (NOT in_cur OR changed) " +
         "ORDER BY c_custkey, valid_from"),
+
+    "skew_report" ->
+      ("WITH k AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_suppkey END AS jkey FROM lineitem), " +
+        "c AS (SELECT jkey, count(*) AS n FROM k GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, count(*) AS n_distinct_keys FROM c) " +
+        "SELECT jkey, n, round(n / tot, 6) AS share, " +
+        "greatest(1, CAST(ceil(n / tot * 32) AS BIGINT)) AS salt_factor, n_distinct_keys " +
+        "FROM c, t ORDER BY n DESC, jkey LIMIT 10"),
 
     "skew_salted_join" ->
       ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +

@@ -30,6 +30,38 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Join-skew pre-flight report: the `topK` heaviest values of a join
+    * key with each one's share of all rows and the salt factor that would
+    * spread it over `parts`-sized reducers — the diagnostic that decides
+    * between a plain join, AQE skew handling, and [[saltedJoin]]. A key
+    * holding share `s` of the rows occupies ≈ `s · parts` reducers' worth
+    * of work in one task; `salt_factor = ceil(s · parts)` is the
+    * replication that levels it (1 = not skewed, leave the join alone).
+    *
+    * Scale shape: one key-count aggregate (map-side partial), a 1-row
+    * totals broadcast, and a bounded top-k — only `topK` rows ever
+    * reach the driver/pair frame. Deterministic ties break on the key.
+    */
+  def skewReport(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int,
+      parts: Int): DataFrame = {
+    require(topK >= 1 && parts >= 1, s"bad topK=$topK / parts=$parts")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("__tot"),
+      count(lit(1)).as("n_distinct_keys"))
+    counts
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+      .crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("__tot"), 6).as("share"),
+        greatest(lit(1L),
+          ceil(col("n") / col("__tot") * parts).cast("bigint")).as("salt_factor"),
+        col("n_distinct_keys"))
+  }
+
   /** Write a bucketed + sorted table: joins/aggregations on the bucket key
     * against an equally-bucketed table need NO shuffle (bucket-local
     * sort-merge). This is the pre-partitioning answer for repeated big-big

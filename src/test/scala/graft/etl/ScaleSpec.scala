@@ -81,4 +81,20 @@ class ScaleSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Scale.compact(spark, src, src))
     assert(e.getMessage.contains("differ"))
   }
+
+  test("skewReport surfaces the hot key with the salt factor that levels it") {
+    import spark.implicits._
+    // one key holds half the rows; 40 cold keys share the rest
+    val rows = Seq.fill(400)(("hot", 1)) ++ (0 until 400).map(i => (s"k${i % 40}", 1))
+    val out = Scale.skewReport(rows.toDF("k", "v"), "k", topK = 5, parts = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(out.head._1 == "hot" && out.head._2 == 400L)
+    assert(math.abs(out.head._3 - 0.5) < 1e-6)
+    assert(out.head._4 == 8L, s"salt ${out.head._4}") // ceil(0.5 * 16)
+    out.tail.foreach { case (k, _, share, salt, _) =>
+      assert(salt == 1L, s"cold key $k salted $salt")
+      assert(share < 0.05)
+    }
+    assert(out.head._5 == 41L) // distinct keys
+  }
 }
