@@ -885,6 +885,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JOINT multimodal dedup: text near-dup edges (MinHash-LSH) UNION
+    // image near-dup edges (perceptual hash) resolve through ONE
+    // connected-components pass — a doc cloned in EITHER modality joins
+    // the same component and only the canonical min-id survives. 20 base
+    // docs get a text clone AND an image clone (3-node components); the
+    // corpus's own intra-text near-dups dedup too (it genuinely has
+    // them). Image side bounded to the planted set (the synthetic wave
+    // family's hash space is deliberately coarse — the phash_dedup
+    // convention). Pinned oracle.
+    "multimodal_joint_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
+        .select("doc_id", "text")
+      val textClones = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val imgCloneIds = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("image clone of "), col("doc_id")).as("text"))
+      val corpus = base.unionByName(textClones).unionByName(imgCloneIds)
+        .localCheckpoint() // feeds the text miner AND the final anti-join
+      val textPairs = Dedup.minhashLsh(corpus, "doc_id", "text")
+        .select("id_a", "id_b")
+      val baseImgs = Multimodal.synthesizeWaveImages(
+        base.filter(col("doc_id") < 40).select("doc_id"), "doc_id")
+      val cloneImgs = Multimodal.resizeImages(
+          baseImgs, "payload", "format", 28, 28)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val hashed = Multimodal.averageHash(
+          Multimodal.decodeFeatures(
+            baseImgs.unionByName(cloneImgs.select(baseImgs.columns.map(col): _*)),
+            "payload", dim = 64, decoder = Multimodal.ImageIODecoder(8)),
+          "features", "phash")
+        .select("doc_id", "phash")
+      val imgPairs = Dedup.fingerprintPairs(hashed, "doc_id", "phash", maxHamming = 6)
+        .select("id_a", "id_b")
+      Dedup.removeNearDuplicatesCC(
+          corpus.select("doc_id"),
+          textPairs.unionByName(imgPairs), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Link-graph centrality (north-star: web-graph quality signal for
     // crawl curation). The customer↔supplier trade graph stands in for a
     // host-link graph; 10 power-iteration rounds at damping 0.85. Each

@@ -79,6 +79,9 @@ PINS = {
     "audience_overlap_sketch": (["grp_a VARCHAR", "grp_b VARCHAR", "jaccard_est DOUBLE",
                                  "n_common_est DOUBLE", "n_common_exact BIGINT",
                                  "rel_err DOUBLE"], "grp_a, grp_b"),
+    # MinHash + phash edges are JVM-side; both edge families carry their
+    # own green pinned queries (dedup_minhash_lsh, multimodal_phash_*)
+    "multimodal_joint_dedup": (["doc_id BIGINT"], "doc_id"),
     # BPE token counts are JVM-iterative; each composed stage carries its
     # own green oracle (quality_filter SQL, bpe_encode pinned,
     # source_token_budget SQL, pack_chunks SQL)
