@@ -1810,6 +1810,19 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Per-stratum Efraimidis–Spirakis weighted sample: the k=5 smallest
+    // ES keys WITHIN EACH source — in-stratum rank via the bucketed
+    // prefix sum (no per-source single-task window). Pinned (xxhash ES
+    // keys); driver-side ES recomputation in SamplingSpec
+    "weighted_sample_per_stratum" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSamplePerStratum(
+          Tables.documents(s, dir), col("source"), k = 5,
+          col("n_chars"), col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("bigint").as("n_chars"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")),
+
     // Efraimidis–Spirakis weighted sample (k=50 by char length): map-side
     // ES keys + global top-k heaps — no corpus sort, no shuffle
     "weighted_sample" -> ((s, dir) =>

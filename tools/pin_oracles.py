@@ -31,6 +31,8 @@ PINS = {
     "multimodal_resize": (["doc_id BIGINT", "out_w INTEGER", "out_h INTEGER", "feat_sum DOUBLE"], "doc_id"),
     "stratified_sample": (["doc_id BIGINT", "lang VARCHAR"], "doc_id"),
     "weighted_sample": (["doc_id BIGINT", "n_chars BIGINT", "sample_key DOUBLE"], "doc_id"),
+    "weighted_sample_per_stratum": (["doc_id BIGINT", "source VARCHAR", "n_chars BIGINT",
+                                     "sample_key DOUBLE"], "doc_id"),
     "multimodal_frames": (["doc_id BIGINT", "frame_idx INTEGER", "frame_hash BIGINT"], "doc_id, frame_idx"),
     # ImageIO decode + aHash are JVM-side; clone recovery + hash-recompute
     # cross-checked in MultimodalSpec
