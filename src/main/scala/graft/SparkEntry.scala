@@ -885,6 +885,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The phash family's cap-audit rail (the dedup_oversized_buckets
+    // pattern for 64-bit fingerprints): 60 docs share ONE image, so all
+    // four 16-bit bands hold a 60-id bucket — over the maxBucket=50 cap,
+    // exactly what pair mining would silently drop. Pinned.
+    "multimodal_phash_oversized" -> ((s, dir) => {
+      val normal = Tables.documents(s, dir).select("doc_id")
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 200)
+      val degenerate = Tables.documents(s, dir).select("doc_id")
+        .filter(col("doc_id") < 60)
+        .select((col("doc_id") + 1000000L).as("doc_id"))
+        .withColumn("img_seed", lit(7L))
+      val normImgs = Multimodal.synthesizeWaveImages(normal, "doc_id")
+      val degImgs = Multimodal.synthesizeWaveImages(degenerate, "img_seed")
+        .select("doc_id", "payload", "format")
+      val hashed = Multimodal.averageHash(
+          Multimodal.decodeFeatures(
+            normImgs.unionByName(degImgs), "payload", dim = 64,
+            decoder = Multimodal.ImageIODecoder(8)),
+          "features", "phash")
+      Dedup.fingerprintOversizedBuckets(hashed, "doc_id", "phash", maxBucket = 50)
+        .select(col("band").cast("bigint").as("band"), col("n_ids"))
+        .orderBy("band")
+    }),
+
     // JOINT multimodal dedup: text near-dup edges (MinHash-LSH) UNION
     // image near-dup edges (perceptual hash) resolve through ONE
     // connected-components pass — a doc cloned in EITHER modality joins

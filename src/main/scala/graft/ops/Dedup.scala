@@ -831,6 +831,30 @@ object Dedup {
     * scale) exactly like the MinHash path — audit oversized buckets
     * before trusting recall.
     */
+  /** Audit rail for [[fingerprintPairs]]' capped banding: the
+    * (band, bucket) groups LARGER than `maxBucket` — which pair mining
+    * silently drops — with their sizes. The [[oversizedBuckets]] pattern
+    * for the 64-bit fingerprint family (image phash, SimHash-shaped
+    * fingerprints): run it beside any capped mining job so the
+    * recall-loss evidence ships with the result.
+    */
+  def fingerprintOversizedBuckets(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    val bandCols = array((0 until 4).map { j =>
+      struct(
+        lit(j).as("band"),
+        shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    fp.select(col("id"), explode(bandCols).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+  }
+
   def fingerprintPairs(
       df: DataFrame,
       idCol: String,

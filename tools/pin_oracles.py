@@ -84,6 +84,7 @@ PINS = {
     # MinHash + phash edges are JVM-side; both edge families carry their
     # own green pinned queries (dedup_minhash_lsh, multimodal_phash_*)
     "multimodal_joint_dedup": (["doc_id BIGINT"], "doc_id"),
+    "multimodal_phash_oversized": (["band BIGINT", "n_ids BIGINT"], "band"),
     # BPE token counts are JVM-iterative; each composed stage carries its
     # own green oracle (quality_filter SQL, bpe_encode pinned,
     # source_token_budget SQL, pack_chunks SQL)
