@@ -32,13 +32,29 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
-    val sampled = SparkEntry.queries.map { case (name, fn) =>
-      val a = once(fn)
-      val b = if (a.isRight) once(fn) else a
-      name -> (a, b)
+    // adaptive third sample: when the first two disagree by >1.5× one of
+    // them was a cold-path / co-tenant artifact (first-use codegen, index
+    // fixture build, box stall) — a third draw separates the plan's real
+    // cost from the one-off (r10 verdict item 3: text_bm25_persisted
+    // recorded 2.98 s cold vs 1.27 s warm; min-of-2 still kept the
+    // contaminated pair's spread in noise_ratio)
+    val sampled: Map[String, List[Either[String, Double]]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val a = once(fn)
+        val b = if (a.isRight) once(fn) else a
+        val two = List(a, b)
+        val noisy = (for { x <- a.toOption; y <- b.toOption }
+          yield math.max(x, y) / math.max(math.min(x, y), 1e-9) > 1.5).getOrElse(false)
+        name -> (if (noisy) two :+ once(fn) else two)
+      }
+    val results = sampled.collect {
+      case (n, ss) if ss.forall(_.isRight) =>
+        n -> ss.flatMap(_.toOption).min
     }
-    val results = sampled.collect { case (n, (Right(a), Right(b))) => n -> math.min(a, b) }
-    val errors = sampled.collect { case (n, (Left(e), _)) => n -> e }
+    val errors = sampled.collect {
+      case (n, ss) if ss.exists(_.isLeft) =>
+        n -> ss.collectFirst { case Left(e) => e }.get
+    }
     errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
     // 3-decimal seconds keep the line short: the driver captures a bounded
     // tail of stdout, and full-precision doubles for ~80 queries overflowed
@@ -57,19 +73,22 @@ object Bench {
     // with (or push out) the one JSON line the driver parses
     spark.stop()
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // BENCH_LOCAL.json additionally carries both raw samples per query so
+    // BENCH_LOCAL.json additionally carries every raw sample per query so
     // the per-round history can distinguish plan cost from box noise
-    val samplesJson = sampled.map { case (k, (a, b)) =>
+    val samplesJson = sampled.map { case (k, ss) =>
       val render = (s: Either[String, Double]) => s.fold(jstr, f)
-      s"\"" + k + "\":[" + render(a) + "," + render(b) + "]"
+      s"\"" + k + "\":[" + ss.map(render).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // noise_ratio = max/min of the two samples per query: >~2 means a
-    // co-tenant stall hit one sample, not that the plan is slow — lets a
-    // reader separate stalls from plan cost at a glance (the r9 verdict's
+    // noise_ratio = second-smallest / smallest over the retained samples:
+    // how reproducible the REPORTED (min) timing is. With the adaptive
+    // third sample above, a single cold/stalled draw no longer inflates
+    // the ratio — two clean draws exist to agree with each other (the r9
     // events_json_agg case: samples [8.14, 1.59] = ratio 5.1, plan fine)
-    val noiseJson = sampled.collect { case (k, (Right(a), Right(b))) =>
-      val ratio = if (math.min(a, b) > 0) math.max(a, b) / math.min(a, b) else 1.0
-      s"\"" + k + "\":" + f(ratio)
+    val noiseJson = sampled.collect {
+      case (k, ss) if ss.forall(_.isRight) =>
+        val sorted = ss.flatMap(_.toOption).sorted
+        val ratio = if (sorted.head > 0) sorted(1) / sorted.head else 1.0
+        s"\"" + k + "\":" + f(ratio)
     }.mkString("{", ",", "}")
     val localJson = json.dropRight(1) +
       s""","samples":$samplesJson,"noise_ratio":$noiseJson}"""

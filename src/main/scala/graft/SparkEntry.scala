@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Loads, Sanitize, Tables, Windows}
+import graft.etl.{FileLoads, Loads, Sanitize, Tables, Windows}
 import graft.ops.{Bpe, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
 import graft.schema.Ddl
 
@@ -213,30 +213,62 @@ object SparkEntry {
         .createTempDirectory("graft_rollup").toString
       graft.streaming.Incremental.streamRollupMaintain(
           s, s"$dir/lineitem.parquet", rollup,
-          Seq("l_returnflag"), Seq("l_quantity"), "n")
+          Seq("l_returnflag"),
+          Seq(Loads.AggSpec("l_quantity", "sum"),
+            Loads.AggSpec("l_extendedprice", "min"),
+            Loads.AggSpec("l_shipdate", "max")), "n", null)
         .select(col("l_returnflag"), col("n"),
-          round(col("l_quantity"), 4).as("sum_qty"))
+          round(col("l_quantity"), 4).as("sum_qty"),
+          round(col("l_extendedprice"), 4).as("min_price"),
+          col("l_shipdate").as("max_ship"))
         .orderBy("l_returnflag")
     }),
 
     // L8 incremental aggregate maintenance: the pre-cutoff rollup merges
     // a RAW post-cutoff delta — delta partial-aggregated first, history
     // touched only as the aggregate table (O(|delta| + |rollup|), never
-    // the accumulated facts). The oracle is the FULL recompute, so the
-    // driver record itself proves incremental ≡ from-scratch.
+    // the accumulated facts). Mixed agg algebra per column: sum, min
+    // (daily min price) and max (latest ship ts) partials each re-merge
+    // with their own associative fn. The oracle is the FULL recompute,
+    // so the driver record itself proves incremental ≡ from-scratch.
     "l8_merge_aggregate" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val cut = lit("2000-01-01").cast("timestamp")
       val existing = l.filter(col("l_shipdate") < cut)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).cast("long").as("n"),
-          sum("l_quantity").as("l_quantity"))
+          sum("l_quantity").as("l_quantity"),
+          min("l_extendedprice").as("l_extendedprice"),
+          max("l_shipdate").as("l_shipdate"))
       val delta = l.filter(col("l_shipdate") >= cut)
       Loads.mergeAggregate(existing, delta, Seq("l_returnflag"),
-          Seq("l_quantity"), "n")
+          Seq(Loads.AggSpec("l_quantity", "sum"),
+            Loads.AggSpec("l_extendedprice", "min"),
+            Loads.AggSpec("l_shipdate", "max")), "n")
         .select(col("l_returnflag"), col("n"),
-          round(col("l_quantity"), 4).as("sum_qty"))
+          round(col("l_quantity"), 4).as("sum_qty"),
+          round(col("l_extendedprice"), 4).as("min_price"),
+          col("l_shipdate").as("max_ship"))
         .orderBy("l_returnflag")
+    }),
+
+    // L9 partition-prune canary: events land DATE-PARTITIONED (the
+    // FileLoads layout a 100 TB fact table lives in), and the one-week
+    // read-back filters on the PARTITION column — the scan must list only
+    // the 7 matching partition dirs, never history (the file-layout
+    // analogue of q6's parquet filter pushdown; the reference's pushed
+    // date_trans windows, Template-to-MySQL/BigQuery-to-MySQL-Method-2
+    // .py:58). FileLoadsSpec asserts the scan's partitionFilters is
+    // non-empty. Full DuckDB oracle over the unpartitioned table.
+    "l9_partition_prune" -> ((s, dir) => {
+      val part = IndexFixture.dir("l9part", dir) { tmp =>
+        FileLoads.append(Tables.events(s, dir), "ts", tmp)
+      }
+      s.read.parquet(part)
+        .filter(col("p_date") >= "2024-01-10" && col("p_date") < "2024-01-17")
+        .groupBy(col("p_date").cast("string").as("p_date"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("p_date")
     }),
 
     // L5 idempotent window refresh (vs L3's duplication).
@@ -986,6 +1018,44 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Personalized PageRank (Haveliwala 2002): teleport AND dangling mass
+    // restart into the seed customers (ids < 50, i.e. custkey < 25) —
+    // stationary relevance RELATIVE to a trusted set, the seed-expansion
+    // quality signal for crawl curation. Σ rank = 1 (GraphSpec); rounds
+    // share graph_pagerank's two-key-shuffle shape; the oracle replays
+    // the 5-round fixpoint as an unrolled CTE with the seed vector.
+    "graph_ppr" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_custkey") < 25)
+        .select((col("c_custkey") * 2).as("id"))
+      graft.ops.Graph.personalizedPagerank(e, seeds, iterations = 5,
+          damping = 0.85, undirected = false)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
+    // Global triangle count over the supplier co-order graph (suppliers
+    // sharing a high-quantity order), by degree-ordered orientation
+    // (Schank & Wagner 2005 compact-forward): each edge orients toward
+    // the higher-(degree, id) endpoint, capping every out-degree at
+    // O(√|E|) — the wedge join survives power-law hubs, which generate
+    // only in-edges. Full DuckDB oracle replays the same orientation.
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val e = pairs.as("x").join(pairs.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.ops.Graph.triangleCount(e)
+    }),
+
     // Euclidean Lloyd k-means over the embedding corpus (north-star:
     // topic bucketing / cluster-balanced sampling). Deterministic seed
     // (first k by vec_id), 4 mean updates, final assignment; assignment
@@ -1054,25 +1124,47 @@ object SparkEntry {
 
     // Corpus-scale bitext mining: the SAME margin scorer fed by banded-LSH
     // candidates instead of the |A|×|B| cross join — the declared scale
-    // path. Recall evidence ships in the record itself (the
-    // knn_recall_audit pattern): full-outer join against the exhaustive
-    // miner, `agree` per source. Deterministic (hash-based LSH planes,
-    // 4-dp rounding, id tiebreaks) → pinned VALUES oracle.
+    // path, PURE ANN (the knn_lsh_ann pattern): no exhaustive side
+    // anywhere in the plan, so nothing here degrades to all-pairs at
+    // 100×. Recall evidence lives in the separate bounded
+    // `bitext_recall_audit` below (the knn_recall_audit pattern).
+    // Deterministic (hash-based LSH planes, 4-dp rounding, id tiebreaks)
+    // → pinned VALUES oracle.
     "bitext_mine_ann" -> ((s, dir) => {
       val de = Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("id"), col("lang"), col("embedding"))
+      graft.ops.Bitext.minePairsAnn(de, "id", "lang", "embedding",
+          "en", "es", k = 4, marginThreshold = 1.0, lshPlanes = 2, lshBands = 16)
+        .orderBy("src_id")
+    }),
+
+    // Bounded ANN-vs-exhaustive agreement audit for the bitext miner
+    // (knn_recall_audit pattern): the exhaustive |A|×|B| side is confined
+    // to a HARD-CAPPED source sample (en ids < 300 — a fixed absolute
+    // bound, not a fraction, so the audit cost is constant at any corpus
+    // scale); the target side stays full. Both miners run on the identical
+    // sampled frame, so disagreement isolates the LSH candidate recall,
+    // not sampling skew. One summary row: sampled sources, agreeing best
+    // targets, agreement rate.
+    "bitext_recall_audit" -> ((s, dir) => {
+      val de = Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("lang"), col("embedding"))
+        .filter(col("lang") =!= "en" || col("id") < 300)
         .localCheckpoint() // feeds both miners — don't re-run the join twice
       val exact = graft.ops.Bitext.minePairs(de, "id", "lang", "embedding",
           "en", "es", k = 4, marginThreshold = 1.0)
         .select(col("src_id"), col("tgt_id").as("exact_tgt_id"))
       val ann = graft.ops.Bitext.minePairsAnn(de, "id", "lang", "embedding",
           "en", "es", k = 4, marginThreshold = 1.0, lshPlanes = 2, lshBands = 16)
-        .select(col("src_id"), col("tgt_id").as("ann_tgt_id"),
-          col("sim"), col("margin"))
+        .select(col("src_id"), col("tgt_id").as("ann_tgt_id"))
       ann.join(exact, Seq("src_id"), "full_outer")
-        .withColumn("agree", col("ann_tgt_id") <=> col("exact_tgt_id"))
-        .orderBy("src_id")
+        .agg(
+          count(lit(1)).as("n_src"),
+          sum(when(col("ann_tgt_id") <=> col("exact_tgt_id"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("agreement", round(col("n_agree") / col("n_src"), 4))
     }),
 
     // Stream-static enrichment: streaming events join the static customer
@@ -2201,6 +2293,54 @@ object SparkEntry {
         .orderBy("grp_a", "grp_b")
     }),
 
+    // Full audience-overlap MATRIX from ONE sketch table: per
+    // priority-pair Jaccard, intersection AND difference estimates
+    // (|A∖B|̂ = n̂(A) − |A∩B|̂ — the set algebra HLL can't provide), with
+    // the exact difference counts beside them (the sketch_error
+    // pattern). The sketch table builds once; the matrix is pure array
+    // arithmetic over #groups² sketch rows, raw data untouched.
+    // xxhash64 sketches → pinned VALUES oracle.
+    "audience_overlap_matrix" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val est = graft.ops.Kmv.overlapMatrix(
+        graft.ops.Kmv.sketch(o, col("o_orderpriority"), col("o_custkey"), 512), 512)
+      val st = o.select(col("o_orderpriority").as("g"), col("o_custkey")).distinct()
+      val counts = st.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val exact = st.select(col("g").as("__ga"), col("o_custkey"))
+        .join(st.select(col("g").as("__gb"), col("o_custkey").as("__ck")),
+          col("o_custkey") === col("__ck") && col("__ga") < col("__gb"))
+        .groupBy("__ga", "__gb").agg(count(lit(1)).as("__nc"))
+        .join(broadcast(counts.select(col("g").as("__ga"), col("n").as("__na"))), Seq("__ga"))
+        .join(broadcast(counts.select(col("g").as("__gb"), col("n").as("__nb"))), Seq("__gb"))
+        .select(col("__ga"), col("__gb"),
+          (col("__na") - col("__nc")).as("n_diff_ab_exact"),
+          (col("__nb") - col("__nc")).as("n_diff_ba_exact"))
+      est.join(exact, col("grp_a") === col("__ga") && col("grp_b") === col("__gb"))
+        .select(col("grp_a"), col("grp_b"), col("jaccard_est"),
+          col("n_common_est"), col("n_diff_ab_est"), col("n_diff_ba_est"),
+          col("n_diff_ab_exact"), col("n_diff_ba_exact"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
+    // Multi-way KMV union: every priority's sketch merges into ONE union
+    // sketch inside a single bounded aggregate (no pairwise
+    // inclusion-exclusion cascade); its cardinality estimate sits beside
+    // the exact all-groups distinct count with the relative error in the
+    // record. xxhash64 → pinned VALUES oracle.
+    "audience_union_sketch" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val sk = graft.ops.Kmv.sketch(o, col("o_orderpriority"), col("o_custkey"), 512)
+        .localCheckpoint() // 5 sketch rows feed two consumers
+      val est = graft.ops.Kmv.unionAll(sk, 512)
+        .select(round(graft.ops.Kmv.estimateDistinct(col("kmv"), 512), 4).as("n_union_est"))
+      val exact = o.agg(count_distinct(col("o_custkey")).as("n_union_exact"))
+      sk.agg(count(lit(1)).as("n_groups")) // 1×1×1 — all sides single rows
+        .crossJoin(est).crossJoin(exact)
+        .select(col("n_groups"), col("n_union_est"), col("n_union_exact"),
+          round(abs(col("n_union_est") - col("n_union_exact")) /
+            col("n_union_exact"), 4).as("rel_err"))
+    }),
+
     // Sketch-vs-exact error, carried in the driver record itself: HLL++
     // estimate beside the exact distinct count, relative error per
     // source. HLL register-max merge is order-insensitive → deterministic
@@ -2599,6 +2739,28 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Hybrid retrieval: BM25 keyword leg + embedding-cosine leg fused by
+    // reciprocal-rank fusion (RRF, Cormack et al. 2009 — the standard
+    // hybrid-RAG combiner; rank-based, so the legs' incomparable score
+    // scales need no calibration). Both legs are top-10-bounded per
+    // query BEFORE fusion, so the fuse touches ≤ 20 candidate rows per
+    // query, never a corpus. n_legs carries the agreement signal. Full
+    // DuckDB oracle replaying both legs and the fusion.
+    "doc_retrieval_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      val bm25 = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          qs, "q_id", "term", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L)), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(bm25, vec), "q_id", "doc_id", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
     // extract — re-cased names, a dropped column (NULL-backfilled), an
     // int-narrowed key (re-widened via canUpCast), an extra column kept.
@@ -2738,6 +2900,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL Motion-JPEG video decode: genuine RIFF/AVI payloads whose
+    // frames are baseline JPEGs (the most common real-world AVI payload),
+    // audio strl deliberately FIRST in the header — parsed by the same
+    // hand-written RIFF walk, each sampled frame decoded through the
+    // JRE's ImageIO (zero new codec code). Mean luminance ramps with the
+    // frame index by construction and survives the lossy round-trip,
+    // visible in the pin. Pinned VALUES oracle; driver-side
+    // decode recomputation in MultimodalSpec
+    "multimodal_video_mjpeg" -> ((s, dir) =>
+      Multimodal.frameSampleVideo(
+        Multimodal.synthesizeMjpgPayloads(
+          Tables.documents(s, dir).filter(col("doc_id") < 40).select(col("doc_id")),
+          "doc_id"),
+        "payload", "doc_id", n = 4)
+        .orderBy("doc_id", "frame_idx")),
+
     // stream-stream interval join: view→purchase attribution within 1 h,
     // both sides watermarked (state bounded by delay + lateness)
     "stream_interval_join" -> ((s, dir) => {
@@ -2766,6 +2944,20 @@ object SparkEntry {
         s, s"$dir/events.parquet", "ts", "user_id", gapUs = 1800L * 1000000,
         statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
         .orderBy("user_id")
+    }),
+
+    // Native session_window streaming aggregation: gap-based dynamic
+    // windows merging in the state store (the built-in complement of
+    // stream_stateful_sessions' custom flatMapGroupsWithState — same
+    // 30-min gap, zero custom state code). One row per CLOSED session;
+    // the oracle replays the sessionization as gaps-and-islands SQL.
+    "stream_session_window" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.sessionWindowCounts(
+          s, s"$dir/events.parquet", "ts", "user_id", "value",
+          gapSec = 1800L, watermarkSec = 30L * 86400,
+          statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .orderBy("user_id", "session_start")
     }),
 
     // streaming ingest dedup (dropDuplicatesWithinWatermark, append-mode
@@ -3285,12 +3477,23 @@ object SparkEntry {
     // record pins streaming ≡ batch-incremental ≡ full recompute
     "l8_merge_aggregate" ->
       ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
-        "round(sum(l_quantity), 4) AS sum_qty " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(min(l_extendedprice), 4) AS min_price, " +
+        "max(l_shipdate) AS max_ship " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "stream_rollup_maintain" ->
       ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
-        "round(sum(l_quantity), 4) AS sum_qty " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(min(l_extendedprice), 4) AS min_price, " +
+        "max(l_shipdate) AS max_ship " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+
+    "l9_partition_prune" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS p_date, CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(sum(value), 4) AS sum_value FROM events " +
+        "WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10' " +
+        "AND strftime(ts, '%Y-%m-%d') < '2024-01-17' " +
+        "GROUP BY 1 ORDER BY p_date"),
 
     "l5_refresh_window" ->
       (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$LiCut' " +
@@ -3655,6 +3858,51 @@ object SparkEntry {
         .mkString(", ", ", ", "")
       head + loop + " SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id"
     },
+
+    // personalized teleport: the uniform 0.15/n term becomes 0.15·s(v)
+    // and the dangling mass re-enters through s(v), not 1/n
+    "graph_ppr" -> {
+      val head =
+        "WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src, " +
+          "l_suppkey * 2 + 1 AS dst " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), " +
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src), " +
+        "sinks AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM edges)), " +
+        "sk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes WHERE id % 2 = 0 AND id < 50), " +
+        "sn AS (SELECT nd.id, CASE WHEN nd.id % 2 = 0 AND nd.id < 50 " +
+          "THEN 1.0 / sk.k ELSE 0.0 END AS sv FROM nodes nd CROSS JOIN sk), " +
+        "pr0 AS (SELECT id, sv AS r FROM sn)"
+      val loop = (1 to 5).map(i =>
+        s"dm$i AS (SELECT coalesce(sum(p.r), 0) AS m FROM pr${i - 1} p " +
+          "JOIN sinks s ON s.id = p.id), " +
+        s"pr$i AS (SELECT sn.id, 0.15 * sn.sv + 0.85 * (coalesce(c.s, 0) + dm$i.m * sn.sv) AS r " +
+          s"FROM sn CROSS JOIN dm$i LEFT JOIN " +
+          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
+          s"FROM edges e JOIN pr${i - 1} p ON p.id = e.src " +
+          "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = sn.id)")
+        .mkString(", ", ", ", "")
+      head + loop + " SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id"
+    },
+
+    // identical degree-ordered orientation on both sides: the wedge and
+    // its closing edge key on the same (deg, id) total order
+    "graph_triangles" ->
+      ("WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45), " +
+        "e AS (SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b FROM pairs p1 " +
+        "JOIN pairs p2 ON p1.l_orderkey = p2.l_orderkey AND p1.l_suppkey < p2.l_suppkey), " +
+        "deg AS (SELECT id, count(*) AS dg FROM " +
+        "(SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id), " +
+        "o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u, " +
+        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v, " +
+        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN db.dg ELSE da.dg END AS vdg " +
+        "FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b), " +
+        "w AS (SELECT o1.v AS w1, o2.v AS w2 FROM o o1 JOIN o o2 " +
+        "ON o1.u = o2.u AND (o1.vdg < o2.vdg OR (o1.vdg = o2.vdg AND o1.v < o2.v))), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w " +
+        "WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, n_triangles FROM t"),
 
     // Lloyd k-means: seed from the first 8 vec_ids, 4 assign+update
     // rounds and a final assignment, all replayed in long (vec_id, dim,
@@ -4567,6 +4815,21 @@ object SparkEntry {
         "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
         "ELSE 'fr' END AS lang_pred FROM scores ORDER BY doc_id"),
 
+    // gaps-and-islands replay of the engine's session_window semantics:
+    // a session starts where the gap from the previous event exceeds
+    // 30 min; session_end = last event + gap
+    "stream_session_window" ->
+      ("WITH x AS (SELECT user_id, ts, value, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+        "SELECT min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 1800 SECONDS AS session_end, " +
+        "user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_val " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
     "stream_stateful_sessions" ->
       ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
         "SELECT user_id, count(*) AS n_events, " +
@@ -4685,6 +4948,39 @@ object SparkEntry {
         "FROM embeddings q, embeddings n WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id) p) t WHERE rank <= 3) " +
         "SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id AS doc_id, sim, d.lang, d.source " +
         "FROM nn JOIN documents d ON nn.n_id = d.doc_id ORDER BY q_id, rank"),
+
+    // hybrid RRF: both legs replayed to their top-10 ranks (the BM25 CTEs
+    // are Bm25OracleSql's; the cosine leg is knn_bruteforce's restricted
+    // to queries 1 and 2), fused by 1/(60+rank) and re-ranked
+    "doc_retrieval_hybrid" ->
+      ("WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
+        "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
+        "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+        "sc AS (SELECT q.q_id, tf.doc_id, " +
+        "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS s " +
+        "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "bagg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(s), 4) AS score FROM sc GROUP BY 1, 2), " +
+        "bm AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r FROM bagg), " +
+        "vp AS (SELECT qe.vec_id AS q_id, n.vec_id AS doc_id, " +
+        "round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
+        "FROM embeddings qe, embeddings n WHERE qe.vec_id IN (1, 2) AND qe.vec_id <> n.vec_id), " +
+        "vec AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS r FROM vp), " +
+        "contrib AS (SELECT q_id, doc_id, r FROM bm WHERE r <= 10 " +
+        "UNION ALL SELECT q_id, doc_id, r FROM vec WHERE r <= 10), " +
+        "fused AS (SELECT q_id, doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf, " +
+        "CAST(count(*) AS BIGINT) AS n_legs FROM contrib GROUP BY 1, 2), " +
+        "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank FROM fused) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_legs " +
+        "FROM rr WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "schema_evolution_union" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +

@@ -165,41 +165,73 @@ object Loads {
       .drop(srcCol, "__graft_rn")
   }
 
+  /** How one rollup column aggregates in [[mergeAggregate]]: `agg` is
+    * applied both to RAW delta rows and when re-merging partial tables —
+    * legal exactly because sum/min/max are associative and commutative
+    * (`sum` of sums, `min` of mins, `max` of maxes). `avg` is served at
+    * read time as sum/count; non-algebraic aggregates (median, distinct)
+    * don't decompose this way and are rejected at construction.
+    */
+  final case class AggSpec(column: String, agg: String) {
+    require(AggSpec.Fns.contains(agg),
+      s"agg must be one of ${AggSpec.Fns.keys.toSeq.sorted.mkString("/")}: '$agg'")
+  }
+
+  object AggSpec {
+    private[graft] val Fns: Map[String, Column => Column] =
+      Map("sum" -> (sum(_)), "min" -> (min(_)), "max" -> (max(_)))
+    /** The common all-sums shorthand. */
+    def sums(cols: Seq[String]): Seq[AggSpec] = cols.map(AggSpec(_, "sum"))
+  }
+
   /** L8 (extension — incremental materialized-aggregate maintenance):
     * refresh a keyed rollup from a DELTA of raw rows without rescanning
-    * history. Works for any ALGEBRAIC aggregate that merges by summation
-    * of partials — `count` via `n`, `sum` directly, `avg` as sum/n at
-    * read time (the standard partial-aggregate decomposition; min/max
-    * merge the same way with `greatest`/`least`, not covered here).
+    * history. Works for any ALGEBRAIC aggregate whose partials re-merge
+    * with an associative+commutative function — `count` via `countCol`
+    * (partials SUM), plus per-column [[AggSpec]]s for `sum`/`min`/`max`
+    * (each column re-merges with its own function); `avg` is sum/count
+    * at read time (the standard partial-aggregate decomposition).
     *
     * `existing` holds one row per key with the partial columns
-    * (`sumCols` plus a `countCol`); `delta` is RAW incoming rows.
+    * (`specs` plus a `countCol`); `delta` is RAW incoming rows.
     * The delta is partial-aggregated FIRST (map-side combine on the
     * delta only — history is touched as an aggregate table, never as
-    * rows), then the two aggregate tables merge by key summation. The
-    * refresh cost is O(|delta| + |aggregate table|), independent of the
-    * raw history size — the property that makes daily rollup refresh
-    * viable at 100 TB of accumulated facts.
+    * rows), then the two aggregate tables merge by key. The refresh
+    * cost is O(|delta| + |aggregate table|), independent of the raw
+    * history size — the property that makes daily rollup refresh viable
+    * at 100 TB of accumulated facts.
+    */
+  def mergeAggregate(
+      existing: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      specs: Seq[AggSpec],
+      countCol: String): DataFrame = {
+    require(keys.nonEmpty, "mergeAggregate needs at least one key")
+    require(specs.map(_.column).distinct.size == specs.size,
+      s"one AggSpec per column: ${specs.map(_.column)}")
+    val expected = ((keys ++ specs.map(_.column)) :+ countCol).sorted
+    require(existing.columns.sorted.toSeq == expected,
+      s"existing must be exactly keys + spec columns + '$countCol': " +
+        s"got ${existing.columns.toSeq.sorted} want $expected")
+    def reAgg(s: AggSpec): Column = AggSpec.Fns(s.agg)(col(s.column)).as(s.column)
+    val deltaAgg = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as(countCol), specs.map(reAgg): _*)
+      .select(existing.columns.map(col).toSeq: _*)
+    existing.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(countCol)).cast("long").as(countCol), specs.map(reAgg): _*)
+      .select(existing.columns.map(col).toSeq: _*)
+  }
+
+  /** [[mergeAggregate]] with every column summed — the original L8
+    * surface (kept as the common case's shorthand).
     */
   def mergeAggregate(
       existing: DataFrame,
       delta: DataFrame,
       keys: Seq[String],
       sumCols: Seq[String],
-      countCol: String = "n"): DataFrame = {
-    require(keys.nonEmpty, "mergeAggregate needs at least one key")
-    val expected = ((keys ++ sumCols) :+ countCol).sorted
-    require(existing.columns.sorted.toSeq == expected,
-      s"existing must be exactly keys + sumCols + '$countCol': " +
-        s"got ${existing.columns.toSeq.sorted} want $expected")
-    val deltaAgg = delta.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).cast("long").as(countCol),
-        sumCols.map(c => sum(col(c)).as(c)): _*)
-      .select(existing.columns.map(col).toSeq: _*)
-    existing.unionByName(deltaAgg)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col(countCol)).cast("long").as(countCol),
-        sumCols.map(c => sum(col(c)).as(c)): _*)
-      .select(existing.columns.map(col).toSeq: _*)
-  }
+      countCol: String = "n")(implicit d: DummyImplicit): DataFrame =
+    mergeAggregate(existing, delta, keys, AggSpec.sums(sumCols), countCol)
 }

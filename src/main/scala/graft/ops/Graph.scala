@@ -121,4 +121,151 @@ object Graph {
     dangling.unpersist()
     ranks
   }
+
+  /** Personalized PageRank (Haveliwala 2002, "Topic-Sensitive PageRank";
+    * public method): the [[pagerank]] power iteration with the teleport —
+    * and the dangling-mass redistribution — restarting into a SEED SET
+    * instead of the uniform distribution:
+    *
+    * `pr_{t+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} pr_t(u)/outdeg(u) + dm·s(v))`
+    *
+    * where `s(v) = 1/|S|` for seed vertices and 0 otherwise, and
+    * `pr_0 = s`. The result is the stationary relevance of every vertex
+    * RELATIVE to the seeds (Σ rank = 1) — the "documents related to this
+    * trusted set" signal crawl-curation pipelines use for seed-expanded
+    * quality scoring.
+    *
+    * Scale shape identical to [[pagerank]]: the seed weight attaches to
+    * the node frame ONCE (left join against the seed ids, no driver
+    * list); each round is the same two key shuffles + one-row dangling
+    * aggregate; lineage truncated per round with localCheckpoint.
+    * Vertices unreachable from the seeds converge to rank 0 — they are
+    * kept in the output (a pruned output would hide the reachability
+    * boundary the caller usually wants to see).
+    */
+  def personalizedPagerank(
+      edges0: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedIdCol: String = "id",
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      undirected: Boolean = false): DataFrame = {
+    val fwd = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val dir = if (undirected)
+      fwd.unionByName(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    else fwd
+    val edges = dir.distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
+    val edgesDeg = edges.join(deg, Seq("src")).persist()
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().persist()
+    val dangling = nodes
+      .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .persist()
+    val hasDangling = !dangling.isEmpty
+    // seed weights attach to the node frame once; seeds outside the graph
+    // carry no edges and are ignored (they could only ever hold teleport
+    // mass, which would break Σ rank = 1 over the GRAPH's vertices)
+    val seedIds = seeds.select(col(seedIdCol).as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi").persist()
+    val k = seedIds.count().toDouble
+    require(k > 0, "personalizedPagerank needs at least one seed vertex present in the graph")
+    val nodesW = nodes
+      .join(seedIds.withColumn("__isSeed", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__isSeed"), lit(1.0 / k)).otherwise(lit(0.0)).as("sv"))
+      .persist()
+
+    var ranks = nodesW.select(col("id"), col("sv").as("rank")).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("d")).as("contrib"))
+      val update =
+        if (hasDangling) {
+          val dm = ranks.join(dangling, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          nodesW.join(contrib, Seq("id"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("id"), col("sv"),
+              (lit(1.0 - damping) * col("sv") + lit(damping) *
+                (coalesce(col("contrib"), lit(0.0)) + col("__dm") * col("sv"))).as("rank"))
+        } else {
+          nodesW.join(contrib, Seq("id"), "left")
+            .select(col("id"), col("sv"),
+              (lit(1.0 - damping) * col("sv") +
+                lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        }
+      ranks = update.select("id", "rank").localCheckpoint()
+      i += 1
+    }
+    edgesDeg.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    seedIds.unpersist()
+    nodesW.unpersist()
+    ranks
+  }
+
+  /** Global triangle count by degree-ordered orientation (the
+    * compact-forward / Chiba–Nishizeki counting order; public method —
+    * Schank & Wagner 2005 analyze exactly this variant). Each undirected
+    * edge orients from its lower-(degree, id) endpoint to the higher one;
+    * every triangle then has exactly ONE vertex with two out-edges into
+    * it, so counting oriented wedges closed by an oriented edge counts
+    * each triangle exactly once.
+    *
+    * Scale: the orientation caps every vertex's out-degree at O(√|E|)
+    * (a vertex keeps only neighbors of equal-or-larger degree), so the
+    * wedge frame — the only quadratic term — is Σ outdeg², the minimum
+    * any join-based counter achieves; the closing check is a semi-join
+    * of wedges against the oriented edge table on its (src, dst) key.
+    * High-degree hubs, the power-law killer for the naive 3-way join,
+    * contribute only IN-edges and generate no wedges.
+    *
+    * Returns one row: (n_vertices, n_edges, n_triangles).
+    */
+  def triangleCount(
+      edges0: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = edges0
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b); carry the head's (deg, id)
+    // so the wedge join below can order its two heads without re-joining
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("vdg"))
+      .persist()
+    val e1 = oriented.select(col("u"), col("v").as("w1"), col("vdg").as("wd1"))
+    val e2 = oriented.select(col("u"), col("v").as("w2"), col("vdg").as("wd2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("wd1") < col("wd2") ||
+        (col("wd1") === col("wd2") && col("w1") < col("w2")))
+    val closed = wedges.join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+      Seq("w1", "w2"), "left_semi")
+    val out = closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
+      .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+    val res = out.localCheckpoint() // materialize before unpersisting the orientation
+    oriented.unpersist()
+    res
+  }
 }

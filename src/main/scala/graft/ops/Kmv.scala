@@ -90,6 +90,20 @@ object Kmv {
       .otherwise(lit((k - 1).toDouble) / greatest(f, lit(1e-18)))
   }
 
+  /** Multi-way union: merge EVERY group's sketch into one union sketch
+    * inside a single aggregate — one row, `kmv` = the k smallest hashes
+    * across all groups. The aggregation state is bounded (the input is
+    * the group-level sketch table, ≤ #groups·k hashes total, and the
+    * union sketch itself is ≤ k), and `collect_set` partials merge
+    * associatively, so this runs map-side-combined like [[sketch]].
+    * Estimating |A₁ ∪ … ∪ Aₘ| from the result costs one
+    * [[estimateDistinct]] — no pairwise inclusion-exclusion cascade.
+    */
+  def unionAll(sketches: DataFrame, k: Int): DataFrame =
+    sketches
+      .select(explode(col("kmv")).as("__h"))
+      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as("kmv"))
+
   /** All-pairs set-overlap estimates between the groups of a [[sketch]]
     * table: (grp_a, grp_b, jaccard_est, n_union_est, n_common_est).
     * Pure array arithmetic over the group-level sketch rows — the
@@ -110,4 +124,25 @@ object Kmv {
         round(col("__nu"), 4).as("n_union_est"),
         round(col("__j") * col("__nu"), 4).as("n_common_est"))
   }
+
+  /** [[overlap]] completed into the full audience algebra a
+    * mixture-planning user needs per pair: per-side cardinalities and the
+    * DIFFERENCE estimates |A∖B|̂ = max(n̂(A) − |A∩B|̂, 0) /
+    * |B∖A|̂ = max(n̂(B) − |A∩B|̂, 0) — the set operation HLL-family
+    * sketches cannot answer (no intersection ⇒ no difference). Same
+    * scale shape as [[overlap]]: pure array arithmetic over the
+    * group-level sketch table, never the raw data.
+    */
+  def overlapMatrix(sketches: DataFrame, k: Int): DataFrame =
+    overlap(sketches, k)
+      .join(sketches.select(col("grp").as("grp_a"), col("kmv").as("__ka")), Seq("grp_a"))
+      .join(sketches.select(col("grp").as("grp_b"), col("kmv").as("__kb")), Seq("grp_b"))
+      .withColumn("__na", estimateDistinct(col("__ka"), k))
+      .withColumn("__nb", estimateDistinct(col("__kb"), k))
+      .select(col("grp_a"), col("grp_b"), col("jaccard_est"),
+        col("n_union_est"), col("n_common_est"),
+        round(col("__na"), 4).as("n_a_est"),
+        round(col("__nb"), 4).as("n_b_est"),
+        round(greatest(col("__na") - col("n_common_est"), lit(0.0)), 4).as("n_diff_ab_est"),
+        round(greatest(col("__nb") - col("n_common_est"), lit(0.0)), 4).as("n_diff_ba_est"))
 }

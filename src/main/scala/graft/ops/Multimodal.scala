@@ -209,21 +209,35 @@ object Multimodal {
     buf.array()
   }
 
-  /** Parsed uncompressed-AVI layout: frame geometry plus the byte offset
-    * of each frame's DIB pixel block inside the payload.
+  /** `MJPG` fourcc as the little-endian u32 a BITMAPINFOHEADER carries. */
+  private val MjpgFourcc: Int = 0x47504A4D // 'M','J','P','G' little-endian
+
+  /** Parsed AVI layout: frame geometry, the video codec (`"dib"` for
+    * uncompressed BI_RGB, `"mjpg"` for Motion-JPEG), and each frame
+    * chunk's byte offset + size inside the payload (DIB frames are all
+    * `stride·height` bytes; MJPEG frames are variable-size baseline
+    * JPEGs).
     */
   private[ops] final case class AviLayout(
-      width: Int, height: Int, frameOffsets: IndexedSeq[Int]) {
+      width: Int, height: Int, codec: String,
+      frameOffsets: IndexedSeq[Int], frameSizes: IndexedSeq[Int]) {
     /** bottom-up DIB rows, 4-byte-aligned stride */
     val stride: Int = ((width * 3 + 3) / 4) * 4
   }
 
   /** Hand-parsed RIFF/AVI walk (the [[WavPcmDecoder]] chunk-walk applied
-    * to the AVI container): locates the `strf` BITMAPINFOHEADER inside
-    * the `hdrl` LIST (requiring 24-bit BI_RGB — uncompressed DIB needs no
-    * codec) and collects every `##db`/`##dc` frame chunk inside the
-    * `movi` LIST. Pure byte arithmetic, deterministic everywhere. Throws
-    * on non-AVI payloads, compressed streams, or truncated chunks.
+    * to the AVI container): locates the VIDEO stream's `strf`
+    * BITMAPINFOHEADER inside the `hdrl` LIST — keyed on the enclosing
+    * `strl`'s `strh` having fccType `vids`, so a file whose audio stream
+    * precedes the video stream parses correctly (an `auds` strl's strf is
+    * a ~16-byte WAVEFORMATEX, not a bitmap header) — and collects every
+    * `##db`/`##dc` frame chunk inside the `movi` LIST. Accepts 24-bit
+    * BI_RGB (uncompressed DIB — no codec needed) and `MJPG` (each frame a
+    * baseline JPEG the JRE's ImageIO decodes). DIB frame chunks are
+    * validated against `stride·height` so a short chunk fails loudly here
+    * instead of reading past its end downstream. Pure byte arithmetic,
+    * deterministic everywhere. Throws on non-AVI payloads, other codecs,
+    * or truncated chunks.
     */
   private[ops] def parseAvi(bytes: Array[Byte]): AviLayout = {
     def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
@@ -235,7 +249,10 @@ object Multimodal {
       "payload is not a RIFF/AVI file")
     var width = -1
     var height = -1
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var codec: String = null
+    var lastStrh = "" // fccType of the most recent strh — keys strf parsing
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     def isFrameChunk(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.substring(2) == "db" || id.substring(2) == "dc")
@@ -247,54 +264,96 @@ object Multimodal {
         require(size >= 0 && pos + 8 + size <= to, s"truncated AVI chunk '$id'")
         if (id == "LIST") {
           val listType = tag(pos + 8)
+          if (listType == "strl") lastStrh = "" // each stream declares its own strh
           walk(pos + 12, pos + 8 + size, inMovi || listType == "movi")
-        } else if (id == "strf" && width < 0) {
+        } else if (id == "strh") {
+          require(size >= 4, "malformed strh chunk")
+          lastStrh = tag(pos + 8)
+        } else if (id == "strf" && lastStrh == "vids" && codec == null) {
           // BITMAPINFOHEADER: biSize, width, height, planes, bitCount, compression
-          require(size >= 40, "malformed strf chunk")
+          require(size >= 40, "malformed video strf chunk")
           width = u32(pos + 8 + 4)
           height = u32(pos + 8 + 8)
           val bitCount = u16(pos + 8 + 14)
           val compression = u32(pos + 8 + 16)
-          require(bitCount == 24 && compression == 0,
-            s"only 24-bit BI_RGB DIB frames supported (bits=$bitCount, fourcc=$compression)")
+          if (compression == 0) {
+            require(bitCount == 24,
+              s"only 24-bit BI_RGB DIB frames supported (bits=$bitCount)")
+            codec = "dib"
+          } else if (compression == MjpgFourcc) {
+            codec = "mjpg"
+          } else {
+            require(requirement = false,
+              s"unsupported video codec fourcc $compression (want BI_RGB or MJPG)")
+          }
         } else if (inMovi && isFrameChunk(id)) {
-          frames += pos + 8
+          offs += pos + 8
+          sizes += size
         }
         pos += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
     walk(12, bytes.length, inMovi = false)
-    require(width > 0 && height > 0, "AVI has no strf video header")
-    require(frames.nonEmpty, "AVI has no frame chunks in movi")
-    AviLayout(width, height, frames.toIndexedSeq)
-  }
-
-  /** Mean luminance of one DIB frame: rows are stored bottom-up as BGR
-    * triples with 4-byte-aligned stride; luminance = (r + g + b)/(3·255),
-    * matching [[ImageIODecoder]]'s definition.
-    */
-  private[ops] def aviFrameMeanLuma(bytes: Array[Byte], layout: AviLayout, off: Int): Double = {
-    var sum = 0.0
-    var y = 0
-    while (y < layout.height) {
-      val rowOff = off + (layout.height - 1 - y) * layout.stride
-      var x = 0
-      while (x < layout.width) {
-        val p = rowOff + x * 3
-        sum += ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) /
-          (3.0 * 255.0)
-        x += 1
-      }
-      y += 1
+    require(width > 0 && height > 0 && codec != null, "AVI has no video strf header")
+    require(offs.nonEmpty, "AVI has no frame chunks in movi")
+    val layout = AviLayout(width, height, codec, offs.toIndexedSeq, sizes.toIndexedSeq)
+    if (codec == "dib") {
+      val expect = layout.stride * height
+      sizes.foreach(sz => require(sz == expect,
+        s"DIB frame chunk is $sz bytes, want stride*height = $expect"))
     }
-    sum / (layout.width * layout.height)
+    layout
   }
 
-  /** REAL video decoder — hand-parsed uncompressed AVI ([[parseAvi]]):
-    * each frame's mean luminance, mean-pooled into `dim` evenly-spaced
-    * time bins — the temporal analogue of [[WavPcmDecoder]]'s amplitude
-    * bins, features in [0, 1]. Bins past the last frame (clip shorter
-    * than `dim` frames) are 0. Deterministic pure byte arithmetic.
+  /** Mean luminance of frame `f`, codec-dispatched: DIB frames read the
+    * bottom-up BGR rows directly (4-byte-aligned stride); MJPEG frames
+    * decode the frame's JPEG bytes through the JRE's ImageIO and average
+    * `getRGB` pixels. Both use luminance = (r + g + b)/(3·255), matching
+    * [[ImageIODecoder]]'s definition.
+    */
+  private[ops] def aviFrameMeanLuma(bytes: Array[Byte], layout: AviLayout, f: Int): Double = {
+    val off = layout.frameOffsets(f)
+    if (layout.codec == "mjpg") {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes, off, layout.frameSizes(f)))
+      require(img != null, "MJPG frame is not a JRE-decodable JPEG")
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+          x += 1
+        }
+        y += 1
+      }
+      sum / (img.getWidth * img.getHeight)
+    } else {
+      var sum = 0.0
+      var y = 0
+      while (y < layout.height) {
+        val rowOff = off + (layout.height - 1 - y) * layout.stride
+        var x = 0
+        while (x < layout.width) {
+          val p = rowOff + x * 3
+          sum += ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) /
+            (3.0 * 255.0)
+          x += 1
+        }
+        y += 1
+      }
+      sum / (layout.width * layout.height)
+    }
+  }
+
+  /** REAL video decoder — hand-parsed AVI ([[parseAvi]]), covering both
+    * uncompressed BI_RGB DIB frames (pure byte arithmetic) and
+    * Motion-JPEG frames (each frame a baseline JPEG through the JRE's
+    * ImageIO — zero new codec code): each frame's mean luminance,
+    * mean-pooled into `dim` evenly-spaced time bins — the temporal
+    * analogue of [[WavPcmDecoder]]'s amplitude bins, features in [0, 1].
+    * Bins past the last frame (clip shorter than `dim` frames) are 0.
+    * Deterministic.
     */
   def AviDibDecoder(dim: Int)(bytes: Array[Byte]): Array[Float] = {
     val layout = parseAvi(bytes)
@@ -304,7 +363,7 @@ object Multimodal {
     var f = 0
     while (f < n) {
       val bin = f * dim / n
-      sums(bin) += aviFrameMeanLuma(bytes, layout, layout.frameOffsets(f))
+      sums(bin) += aviFrameMeanLuma(bytes, layout, f)
       counts(bin) += 1
       f += 1
     }
@@ -396,6 +455,104 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Deterministic synthetic Motion-JPEG AVI (fixture generator for the
+    * MJPEG video leg): a genuine RIFF/AVI whose `nFrames` `00dc` chunks
+    * are baseline JPEGs (ImageIO-encoded) of a smooth seed-derived cosine
+    * luminance field whose base level RAMPS with the frame index — frame
+    * means stay monotone even after the lossy JPEG round-trip. The AUDIO
+    * `strl` deliberately precedes the video `strl` (a layout real muxers
+    * produce) — the regression shape for [[parseAvi]] keying the video
+    * header on `strh` fccType rather than file order. Encode + decode
+    * both run through the same JRE, so derived features are pinnable
+    * oracle values like [[syntheticAvi]]'s.
+    */
+  def syntheticMjpgAvi(seed: Long, w: Int = 16, h: Int = 16, nFrames: Int = 12): Array[Byte] = {
+    val jpegs: IndexedSeq[Array[Byte]] = (0 until nFrames).map { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val base = 32 + (f * 160) / math.max(nFrames - 1, 1)
+      def phase(i: Long): Double = ((mix64(seed + i) & 0x7fffffffL) % 6283) / 1000.0
+      val px = phase(f.toLong * 2)
+      val py = phase(f.toLong * 2 + 1)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = math.cos(2 * math.Pi * x / w + px) * math.cos(2 * math.Pi * y / h + py)
+          val lum = math.max(0, math.min(255, base + (24 * v).toInt))
+          img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val strlAudSize = 4 + (8 + 56) + (8 + 16) // strh + WAVEFORMATEX strf
+    val strlVidSize = 4 + (8 + 56) + (8 + 40) // strh + BITMAPINFOHEADER strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlAudSize) + (8 + strlVidSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(100000).putInt(0).putInt(0).putInt(0)
+    buf.putInt(nFrames).putInt(0).putInt(2).putInt(0)
+    buf.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    // audio strl FIRST — its ~16-byte strf must NOT be taken for the
+    // bitmap header (the parseAvi strh-keying regression shape)
+    fourcc("LIST"); buf.putInt(strlAudSize); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("auds"); buf.putInt(0)
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putInt(1).putInt(8000) // scale/rate = 8 kHz
+    buf.putInt(0).putInt(0).putInt(0).putInt(-1).putInt(2)
+    buf.putShort(0.toShort).putShort(0.toShort)
+      .putShort(0.toShort).putShort(0.toShort)
+    fourcc("strf"); buf.putInt(16)
+    buf.putShort(1.toShort).putShort(1.toShort) // PCM, mono
+      .putInt(8000).putInt(16000)
+      .putShort(2.toShort).putShort(16.toShort)
+    // video strl: strh 'vids'/'MJPG' + strf with biCompression = MJPG
+    fourcc("LIST"); buf.putInt(strlVidSize); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putInt(1).putInt(10) // scale/rate = 10 fps
+    buf.putInt(0).putInt(nFrames).putInt(0).putInt(-1).putInt(0)
+    buf.putShort(0.toShort).putShort(0.toShort)
+      .putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(MjpgFourcc).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    jpegs.foreach { j =>
+      fourcc("00dc"); buf.putInt(j.length); buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte) // word alignment
+    }
+    buf.array()
+  }
+
+  /** Deterministic Motion-JPEG AVI payload synthesis over an id frame —
+    * the fixture shape for the MJPEG video leg ([[syntheticMjpgAvi]]
+    * seeded by the id, executor-side generation; payloads never cross the
+    * driver).
+    */
+  def synthesizeMjpgPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("format", StringType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticMjpgAvi(r.getLong(idIdx)) :+ "avi")
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL video frame sampling over uncompressed-AVI payloads: parse the
     * container, pick `n` evenly-spaced ACTUAL frames, and emit each one's
     * decoded mean luminance plus a rolling hash of its pixel bytes — one
@@ -419,12 +576,12 @@ object Multimodal {
       else {
         val layout = parseAvi(bytes)
         val total = layout.frameOffsets.length
-        val frameLen = layout.stride * layout.height
         (0 until math.min(n, total)).iterator.map { i =>
           val frameNo = i * total / math.min(n, total)
           val off = layout.frameOffsets(frameNo)
+          val frameLen = layout.frameSizes(frameNo) // = stride·height for DIB
           val luma = math.round(
-            aviFrameMeanLuma(bytes, layout, off) * 10000).toDouble / 10000
+            aviFrameMeanLuma(bytes, layout, frameNo) * 10000).toDouble / 10000
           var hsh = 1125899906842597L
           var p = off
           while (p < off + frameLen) { hsh = 31 * hsh + (bytes(p) & 0xff); p += 1 }

@@ -179,11 +179,29 @@ object Sampling {
     * prefix sum — no window partition ever wider than one range bucket,
     * so a corpus-sized single stratum caps in parallel instead of
     * serializing through one task's sort.
+    *
+    * Tie safety: [[rankInStratum]] requires a TOTAL order (with ties the
+    * per-row ranks inside a tie group depend on physical row order, so a
+    * tie group straddling `k` would split non-deterministically). Rather
+    * than trust every caller, a content-hash tiebreak
+    * (`xxhash64` over ALL input columns) is appended to `order` here:
+    * rows that differ anywhere order deterministically, and rows that are
+    * FULLY identical are interchangeable — whichever copies survive, the
+    * output multiset is the same. Callers that already pass a total order
+    * (the declared queries do) are unaffected: a tiebreak after a total
+    * order never reorders anything.
     */
   def capPerStratum(df: DataFrame, strataCol: Column, k: Int, order: Column*): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(order.nonEmpty, "capPerStratum needs a deterministic in-stratum order")
-    rankInStratum(df, strataCol, 0, order: _*)
+    // maps (incl. nested) are not hashable in Spark — leave them out of
+    // the tiebreak, same exclusion rule as Loads.upsert's residual order
+    val hashable = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name)).toSeq
+    val contentTiebreak =
+      if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
+    rankInStratum(df, strataCol, 0, (order :+ contentTiebreak): _*)
       .filter(col("stratum_rank") <= k)
   }
 

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * are always retained, so every trainable word stays segmentable (the
   * original paper prunes by likelihood loss; count pruning is the
   * deterministic simplification, and changes scores, not the shape).
-  * Viterbi ties break toward the LONGER final piece, then
-  * lexicographically — fully deterministic, so trained models and
-  * encodings are pinnable oracle values.
+  * Viterbi ties break toward the LONGER final piece (equal-score
+  * AND equal-final-length alternatives resolve by the DP recursion
+  * order — deterministic, since the scan order is fixed), so trained
+  * models and encodings are pinnable oracle values.
   *
   * Scale shape: the corpus is touched ONCE ([[Bpe.wordCounts]]); every
   * EM pass runs over the DISTINCT-WORD table (vocabulary-sized, not

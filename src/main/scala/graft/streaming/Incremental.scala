@@ -470,16 +470,93 @@ object Incremental {
 
   /** Streaming rollup maintenance: [[graft.etl.Loads.mergeAggregate]]
     * applied PER MICRO-BATCH via foreachBatch — each batch of raw facts
-    * partial-aggregates and merges into the parquet rollup table, so the
+    * partial-aggregates and merges into the parquet rollup, so the
     * continuously-maintained aggregate costs O(|batch| + |rollup|) per
     * trigger and never rescans accumulated history. The rollup must be
-    * GROUP-BOUNDED (dimension-sized — the materialized-view shape): each
-    * batch round-trips it through the driver to break the
-    * read-then-overwrite cycle on the same path (at production scale
-    * write a new snapshot dir and swap the read path instead; re-merging
-    * a replayed batch is prevented by the checkpoint's batch-id dedup).
+    * GROUP-BOUNDED (dimension-sized — the materialized-view shape).
     *
-    * Returns the final rollup read back for verification.
+    * Exactly-once by BATCH-STAMPED SNAPSHOTS: foreachBatch is
+    * at-least-once (the checkpoint's batch-id dedup only covers batches
+    * whose checkpoint commit completed — a crash between the rollup
+    * write and that commit replays the batch), so the merge itself must
+    * be idempotent. Each batch writes a fresh `snap_<batchId>` dir under
+    * `rollupPath` (never overwriting the snapshot being read — no
+    * driver round-trip of the rollup rows needed); a replayed batch
+    * finds its own COMMITTED snapshot (`_SUCCESS` present) and skips —
+    * a crash mid-write leaves no `_SUCCESS`, so the replay simply
+    * rewrites the same deterministic merge. Superseded snapshots are
+    * retired (latest two kept), bounding storage at 2× the rollup.
+    *
+    * Returns the final rollup (latest committed snapshot) for
+    * verification.
+    */
+  def streamRollupMaintain(
+      spark: SparkSession,
+      srcPath: String,
+      rollupPath: String,
+      keys: Seq[String],
+      specs: Seq[graft.etl.Loads.AggSpec],
+      countCol: String,
+      checkpointPath: String): org.apache.spark.sql.DataFrame = {
+    val in = streamSource(spark, srcPath)
+    // the checkpoint is the incremental contract: re-running with the
+    // SAME checkpoint merges only files that arrived since the last run
+    // (a fresh checkpoint would re-merge history and double-count)
+    val ckpt =
+      if (checkpointPath != null) java.nio.file.Paths.get(checkpointPath)
+      else java.nio.file.Files.createTempDirectory("graft_rollupckpt")
+    // Hadoop FS, not java.nio: the rollup lives wherever the table lives
+    // (HDFS/S3/local) — snapshot listing and retirement must go through
+    // the same filesystem the parquet writer commits to
+    val root = new org.apache.hadoop.fs.Path(rollupPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    // committed = has the parquet committer's _SUCCESS marker; a dir a
+    // crash left half-written is invisible here and gets rewritten
+    def committedSnaps(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap_") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(st => (st.getPath.getName.stripPrefix("snap_").toLong, st.getPath))
+        .sortBy(_._1)
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val snaps = committedSnaps()
+        if (snaps.exists(_._1 == batchId)) {
+          () // at-least-once replay of an already-committed batch: skip
+        } else {
+          val existing = snaps.filter(_._1 < batchId).lastOption match {
+            case Some((_, dir)) => spark.read.parquet(dir.toString)
+            case None =>
+              // first batch: empty rollup with the contract schema
+              batch.groupBy(keys.map(col): _*)
+                .agg(count(lit(1)).cast("long").as(countCol),
+                  specs.map(s =>
+                    graft.etl.Loads.AggSpec.Fns(s.agg)(col(s.column)).as(s.column)): _*)
+                .limit(0)
+          }
+          val merged = graft.etl.Loads.mergeAggregate(
+            existing, batch, keys, specs, countCol)
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(root, s"snap_$batchId").toString)
+          // retire superseded snapshots; keep two so the reader of the
+          // previous snapshot (a concurrent replay) is never yanked
+          committedSnaps().dropRight(2).foreach { case (_, dir) =>
+            fs.delete(dir, true)
+          }
+        }
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = committedSnaps()
+    require(fin.nonEmpty, s"no committed rollup snapshot under $rollupPath")
+    spark.read.parquet(fin.last._2.toString)
+  }
+
+  /** [[streamRollupMaintain]] with every column summed (the original L8
+    * surface).
     */
   def streamRollupMaintain(
       spark: SparkSession,
@@ -488,39 +565,60 @@ object Incremental {
       keys: Seq[String],
       sumCols: Seq[String],
       countCol: String = "n",
-      checkpointPath: String = null): org.apache.spark.sql.DataFrame = {
-    val in = streamSource(spark, srcPath)
-    // the checkpoint is the incremental contract: re-running with the
-    // SAME checkpoint merges only files that arrived since the last run
-    // (a fresh checkpoint would re-merge history and double-count)
-    val ckpt =
-      if (checkpointPath != null) java.nio.file.Paths.get(checkpointPath)
-      else java.nio.file.Files.createTempDirectory("graft_rollupckpt")
-    val q = in.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val existing =
-          try spark.read.parquet(rollupPath)
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              // first batch: empty rollup with the contract schema
-              batch.groupBy(keys.map(col): _*)
-                .agg(count(lit(1)).cast("long").as(countCol),
-                  sumCols.map(c => sum(col(c)).as(c)): _*)
-                .limit(0)
-          }
-        val merged = graft.etl.Loads.mergeAggregate(
-          existing, batch, keys, sumCols, countCol)
-        // materialize BEFORE overwriting the dir being read
-        val rows = merged.collect()
-        val out = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
-        out.write.mode("overwrite").parquet(rollupPath)
-      }
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(rollupPath)
+      checkpointPath: String = null)(
+      implicit d: DummyImplicit): org.apache.spark.sql.DataFrame =
+    streamRollupMaintain(spark, srcPath, rollupPath, keys,
+      graft.etl.Loads.AggSpec.sums(sumCols), countCol, checkpointPath)
+
+  /** Native gap-based SESSION windows (Spark's `session_window` — dynamic
+    * event-time windows that extend with each event and MERGE in the
+    * state store when a bridging event arrives), append mode to a file
+    * sink: one row per (key, closed session) with the session bounds,
+    * event count and value sum. The built-in-operator complement of
+    * [[statefulSessionCounts]]' custom flatMapGroupsWithState
+    * sessionizer — same gap semantics with zero custom state code; the
+    * session-merge logic comes from the engine.
+    *
+    * Scale: state holds only OPEN sessions inside the watermark horizon
+    * (closed sessions emit exactly once and leave state); the sink is
+    * distributed files. Same [[StagedStream]] sentinel harness as
+    * [[windowedCountsAppend]] — the watermark advances past every real
+    * session's close so the run drains deterministically.
+    */
+  def sessionWindowCounts(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      keyCol: String,
+      valCol: String,
+      gapSec: Long,
+      watermarkSec: Long,
+      statePartitions: Int = 0): DataFrame = {
+    val staged = StagedStream.dir(spark, srcPath, tsCol, keyCol, gapSec, watermarkSec)
+    val schema = spark.read.parquet(staged).schema
+    val in = spark.readStream.schema(schema)
+      .parquet(staged)
+      .withColumn("__graft_ts", StagedStream.tsAsTimestamp(schema(tsCol).dataType, tsCol))
+    val agg = in
+      .withWatermark("__graft_ts", s"$watermarkSec seconds")
+      .groupBy(session_window(col("__graft_ts"), s"$gapSec seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(valCol), 4).as("sum_val"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_sessionsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessionckpt")
+    runWithStatePartitions(spark, statePartitions) {
+      agg.writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    spark.read.parquet(sink.toString)
+      .filter(!(col(keyCol) <=> StagedStream.sentinelFor(schema(keyCol).dataType)))
+      .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col(keyCol), col("n_events"), col("sum_val"))
   }
 
   /** Streaming dedup at ingest: drop rows whose `keys` were already seen

@@ -42,6 +42,29 @@ class FileLoadsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") || scan.contains("p_date"), "pruning should appear in the scan")
   }
 
+  test("l9 canary: the one-week read-back scan carries NON-EMPTY partitionFilters " +
+      "(pruned at listing, not post-scan)") {
+    val path = Files.createTempDirectory("graft_fl_l9").toString + "/events"
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    FileLoads.append(ev, "ts", path)
+    val df = spark.read.parquet(path)
+      .filter(col("p_date") >= "2024-01-10" && col("p_date") < "2024-01-17")
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      s"scan lists ALL partitions — prune lost:\n$f"))
+    // and the pruned result is right
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.filter(date_format(col("ts"), "yyyy-MM-dd").between("2024-01-10", "2024-01-16"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("Pipeline composes lazily and notifies success count") {
     var notified = -1L
     val n = new graft.notify.Notifier {

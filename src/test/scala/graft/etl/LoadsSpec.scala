@@ -162,4 +162,33 @@ class LoadsSpec extends AnyFunSuite {
         Seq("l_quantity"), "n")
     }
   }
+
+  test("L8 mergeAggregate with mixed sum/min/max specs equals the full recompute, chainable") {
+    val specs = Seq(Loads.AggSpec("l_quantity", "sum"),
+      Loads.AggSpec("l_extendedprice", "min"),
+      Loads.AggSpec("l_shipdate", "max"))
+    def rollup(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"), sum("l_quantity").as("l_quantity"),
+        min("l_extendedprice").as("l_extendedprice"), max("l_shipdate").as("l_shipdate"))
+    def render(df: DataFrame) = df.orderBy("l_returnflag").collect().map(r =>
+      (r.getString(r.fieldIndex("l_returnflag")), r.getLong(r.fieldIndex("n")),
+        math.round(r.getDouble(r.fieldIndex("l_quantity")) * 1e4),
+        math.round(r.getDouble(r.fieldIndex("l_extendedprice")) * 1e4),
+        r.get(r.fieldIndex("l_shipdate")).toString)).toSeq
+    val cut1 = lit("1999-01-01").cast("timestamp")
+    val cut2 = lit("2001-01-01").cast("timestamp")
+    val step1 = Loads.mergeAggregate(rollup(li.filter(col("l_shipdate") < cut1)),
+      li.filter(col("l_shipdate") >= cut1 && col("l_shipdate") < cut2),
+      Seq("l_returnflag"), specs, "n")
+    val step2 = Loads.mergeAggregate(step1, li.filter(col("l_shipdate") >= cut2),
+      Seq("l_returnflag"), specs, "n")
+    assert(render(step2) == render(rollup(li)))
+    // a non-algebraic agg is rejected at spec construction
+    intercept[IllegalArgumentException](Loads.AggSpec("l_quantity", "median"))
+    // duplicate spec columns are rejected
+    intercept[IllegalArgumentException] {
+      Loads.mergeAggregate(rollup(li), li, Seq("l_returnflag"),
+        Seq(Loads.AggSpec("l_quantity", "sum"), Loads.AggSpec("l_quantity", "min")), "n")
+    }
+  }
 }

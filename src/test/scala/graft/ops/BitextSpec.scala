@@ -68,6 +68,19 @@ class BitextSpec extends AnyFunSuite {
     hit.foreach(k => assert(ann(k) == exact(k), s"sim mismatch on $k"))
   }
 
+  test("minePairsAnn's plan is free of nested-loop joins (pure ANN, no all-pairs side)") {
+    import org.apache.spark.sql.functions.col
+    val de = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+      .join(graft.etl.Tables.embeddings(spark, GraftSpark.Sf0001),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("id"), col("lang"), col("embedding"))
+    val plan = Bitext.minePairsAnn(de, "id", "lang", "embedding", "en", "es",
+        k = 4, marginThreshold = 1.0, lshPlanes = 2, lshBands = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in ANN plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in ANN plan:\n$plan")
+  }
+
   test("minePairsAnn never emits a same-language or self pair and respects maxBucket") {
     val out = Bitext.minePairsAnn(docs, "id", "lang", "vec", "en", "es",
       k = 2, marginThreshold = 0.0, lshPlanes = 1, lshBands = 8)

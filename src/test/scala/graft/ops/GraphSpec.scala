@@ -94,4 +94,67 @@ class GraphSpec extends AnyFunSuite {
     // the double-fed sink outranks the singly-fed one
     assert(got("e") > got("b"))
   }
+
+  /** Driver-side reference PPR: teleport and dangling mass restart into
+    * the seed distribution.
+    */
+  private def referencePpr(
+      edges: Seq[(String, String)],
+      seeds: Set[String],
+      iters: Int,
+      d: Double): Map[String, Double] = {
+    val adj = edges.distinct
+    val out = adj.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.flatMap(e => Seq(e._1, e._2)).toSet
+    val inGraphSeeds = seeds.intersect(nodes)
+    val sv = nodes.map(v =>
+      v -> (if (inGraphSeeds(v)) 1.0 / inGraphSeeds.size else 0.0)).toMap
+    var pr = sv
+    (0 until iters).foreach { _ =>
+      val dm = nodes.filter(v => !out.contains(v)).iterator.map(pr).sum
+      val contrib = adj.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / out(u).size }.sum).toMap
+      pr = nodes.map(v =>
+        v -> ((1 - d) * sv(v) + d * (contrib.getOrElse(v, 0.0) + dm * sv(v)))).toMap
+    }
+    pr
+  }
+
+  test("personalized pagerank: mass conserved, seeds dominate, reference matches, " +
+      "unreachable vertices converge to 0") {
+    // a,b seed component (a→b→a); c→d→e chain REACHED only from c (not a
+    // seed); f→a feeds the seeds but is unreachable from them
+    val dedges = Seq(("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"), ("f", "a"))
+    val got = Graph.personalizedPagerank(dedges.toDF("src", "dst"),
+        Seq("a", "zzz-not-in-graph").toDF("id"), iterations = 12, undirected = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "d", "e", "f"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
+    val want = referencePpr(dedges, Set("a", "zzz-not-in-graph"), 12, 0.85)
+    got.foreach { case (id, r) => assert(math.abs(r - want(id)) < 1e-12, id) }
+    assert(got("a") > got("b") && got("b") > 0.0)
+    // not reachable from the seed set → zero personalized rank
+    Seq("c", "d", "e", "f").foreach(v => assert(got(v) == 0.0, s"$v should be 0"))
+  }
+
+  test("personalizedPagerank rejects an all-out-of-graph seed set") {
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPagerank(Seq(("a", "b")).toDF("src", "dst"),
+        Seq("nope").toDF("id"), iterations = 2)
+    }
+  }
+
+  test("triangleCount matches brute force on a hand graph and ignores direction/duplicates") {
+    // K4 on {a,b,c,d} (4 triangles) + pendant e + disconnected edge f-g;
+    // fed with duplicates and mixed directions
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "c"), ("a", "e"), ("f", "g"))
+    val out = Graph.triangleCount(e.toDF("src", "dst")).collect().head
+    assert(out.getLong(0) == 7, s"vertices ${out.getLong(0)}") // a b c d e f g
+    assert(out.getLong(1) == 8, s"edges ${out.getLong(1)}")    // K4=6 + ae + fg
+    assert(out.getLong(2) == 4, s"triangles ${out.getLong(2)}")
+    // triangle-free bipartite graph counts zero
+    val bip = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    assert(Graph.triangleCount(bip.toDF("src", "dst")).collect().head.getLong(2) == 0)
+  }
 }

@@ -58,4 +58,42 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(ov.getDouble(2) - 1.0 / 3.0) < 0.08, s"jaccard ${ov.getDouble(2)}")
     assert(math.abs(ov.getDouble(4) - 3000.0) / 3000.0 < 0.2, s"common ${ov.getDouble(4)}")
   }
+
+  test("unionAll of group sketches equals the direct sketch of the pooled data") {
+    // merging per-group sketches must lose nothing vs sketching the
+    // union directly — the k smallest hashes of A∪B are a subset of
+    // (k smallest of A) ∪ (k smallest of B)
+    val df = ((0L until 6000L).map(("A", _)) ++ (3000L until 9000L).map(("B", _)) ++
+      (7000L until 11000L).map(("C", _))).toDF("grp", "v")
+    val merged = Kmv.unionAll(Kmv.sketch(df, col("grp"), col("v"), k = 256), k = 256)
+      .collect().head.getSeq[Long](0)
+    val direct = Kmv.sketch(df.withColumn("grp", lit("all")), col("grp"), col("v"), k = 256)
+      .collect().head.getSeq[Long](1)
+    assert(merged == direct, "one-aggregate union sketch != direct union sketch")
+    val est = Kmv.unionAll(Kmv.sketch(df, col("grp"), col("v"), k = 256), k = 256)
+      .select(Kmv.estimateDistinct(col("kmv"), 256).as("n")).collect().head.getDouble(0)
+    assert(math.abs(est - 11000.0) / 11000.0 < 0.15, s"union estimate $est")
+  }
+
+  test("overlapMatrix: difference estimates exact when unsaturated, consistent when saturated") {
+    // unsaturated: everything held exactly → diffs exact
+    val small = ((0L until 50L).map(("A", _)) ++ (25L until 75L).map(("B", _)))
+      .toDF("grp", "v")
+    val m = Kmv.overlapMatrix(Kmv.sketch(small, col("grp"), col("v"), k = 256), k = 256)
+      .collect().head
+    def f(row: org.apache.spark.sql.Row, c: String): Double =
+      row.getDouble(row.fieldIndex(c))
+    assert(math.abs(f(m, "n_diff_ab_est") - 25.0) < 0.1, s"ab ${f(m, "n_diff_ab_est")}")
+    assert(math.abs(f(m, "n_diff_ba_est") - 25.0) < 0.1, s"ba ${f(m, "n_diff_ba_est")}")
+    // saturated: |A∖B|=3000, |B∖A|=3000 within 25%
+    val big = ((0L until 6000L).map(("A", _)) ++ (3000L until 9000L).map(("B", _)))
+      .toDF("grp", "v")
+    val mb = Kmv.overlapMatrix(Kmv.sketch(big, col("grp"), col("v"), k = 256), k = 256)
+      .collect().head
+    assert(math.abs(f(mb, "n_diff_ab_est") - 3000.0) / 3000.0 < 0.25)
+    assert(math.abs(f(mb, "n_diff_ba_est") - 3000.0) / 3000.0 < 0.25)
+    // algebra consistency: n_a_est = common + diff_ab (by construction,
+    // modulo the max(…, 0) clamp and rounding)
+    assert(math.abs(f(mb, "n_a_est") - (f(mb, "n_common_est") + f(mb, "n_diff_ab_est"))) < 0.01)
+  }
 }

@@ -300,8 +300,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(layout.stride == 20) // 6*3=18 rounded up to the 4-byte boundary
     // per-frame mean luminance ramps strictly with the frame index (the
     // synthesis contract that makes frames distinguishable)
-    val lumas = layout.frameOffsets.map(off =>
-      Multimodal.aviFrameMeanLuma(bytes, layout, off))
+    val lumas = layout.frameOffsets.indices.map(f =>
+      Multimodal.aviFrameMeanLuma(bytes, layout, f))
     assert(lumas.zip(lumas.tail).forall { case (a, b) => a < b }, s"not a ramp: $lumas")
     assert(lumas.forall(l => l >= 0.0 && l <= 1.0))
   }
@@ -320,13 +320,70 @@ class MultimodalSpec extends AnyFunSuite {
       val sums = new Array[Double](9)
       val counts = new Array[Int](9)
       (0 until n).foreach { f =>
-        sums(f * 9 / n) += Multimodal.aviFrameMeanLuma(bytes, layout, layout.frameOffsets(f))
+        sums(f * 9 / n) += Multimodal.aviFrameMeanLuma(bytes, layout, f)
         counts(f * 9 / n) += 1
       }
       val want = (0 until 9).map(i =>
         if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat).toVector
       assert(got(id) == want, s"id $id")
     }
+  }
+
+  test("syntheticMjpgAvi parses as MJPG despite the audio strl coming first") {
+    val bytes = Multimodal.syntheticMjpgAvi(5L, w = 16, h = 16, nFrames = 6)
+    val layout = Multimodal.parseAvi(bytes)
+    assert(layout.codec == "mjpg")
+    assert(layout.width == 16 && layout.height == 16)
+    assert(layout.frameOffsets.length == 6)
+    // every frame chunk is a standalone baseline JPEG (SOI marker)
+    layout.frameOffsets.foreach { off =>
+      assert((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8,
+        s"frame at $off is not a JPEG")
+    }
+    // frame means ramp with the index and survive the lossy round-trip
+    val lumas = layout.frameOffsets.indices.map(f =>
+      Multimodal.aviFrameMeanLuma(bytes, layout, f))
+    assert(lumas.zip(lumas.tail).forall { case (a, b) => a < b }, s"not a ramp: $lumas")
+    // lossy JPEG still lands near the synthesis base level base/255 ± noise
+    lumas.zipWithIndex.foreach { case (l, f) =>
+      val base = (32 + (f * 160) / 5) / 255.0
+      assert(math.abs(l - base) < 0.05, s"frame $f luma $l far from base $base")
+    }
+  }
+
+  test("MJPEG frames decode through the dispatcher identically to a driver-side ImageIO pass") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeMjpgPayloads(Seq(9L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.frameSampleVideo(media, "payload", "doc_id", n = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    val bytes = Multimodal.syntheticMjpgAvi(9L)
+    val layout = Multimodal.parseAvi(bytes)
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2))
+    got.foreach { case (_, frameNo, luma, hash) =>
+      val want = math.round(
+        Multimodal.aviFrameMeanLuma(bytes, layout, frameNo) * 10000).toDouble / 10000
+      assert(luma == want, s"frame $frameNo luma")
+      val off = layout.frameOffsets(frameNo)
+      var h = 1125899906842597L
+      (off until off + layout.frameSizes(frameNo)).foreach(p => h = 31 * h + (bytes(p) & 0xff))
+      assert(hash == h, s"frame $frameNo hash")
+    }
+  }
+
+  test("parseAvi rejects a short DIB frame chunk instead of reading past it") {
+    val bytes = Multimodal.syntheticAvi(3L, w = 6, h = 4, nFrames = 2)
+    val layout = Multimodal.parseAvi(bytes)
+    // shrink the LAST frame chunk's declared size below stride*height
+    // (last, so the walk still reaches the end aligned): the parse must
+    // fail loudly, not let luma reads run past the chunk
+    val broken = bytes.clone()
+    val chunkHdr = layout.frameOffsets.last - 8
+    val small = layout.stride * layout.height - 4
+    broken(chunkHdr + 4) = (small & 0xff).toByte
+    broken(chunkHdr + 5) = ((small >> 8) & 0xff).toByte
+    broken(chunkHdr + 6) = 0; broken(chunkHdr + 7) = 0
+    val e = intercept[IllegalArgumentException](Multimodal.parseAvi(broken))
+    assert(e.getMessage.contains("stride*height"), e.getMessage)
   }
 
   test("frameSampleVideo samples evenly-spaced REAL frames; corrupt payloads throw") {

@@ -273,6 +273,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerStratum under a NON-total order: tie groups straddling k split " +
+      "deterministically and partitioning-invariantly (content-hash tiebreak)") {
+    import spark.implicits._
+    // 8 rows per stratum all TIED on the user's order column — only the
+    // appended content-hash tiebreak separates them
+    val tied = (0 until 16).map(i => (i.toLong, if (i < 8) "a" else "b", 1))
+      .toDF("id", "src", "ordkey")
+    def run(parts: Int) = Sampling.capPerStratum(
+        tied.repartition(parts), col("src"), 3, col("ordkey"))
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val first = run(1)
+    assert(first.count(_._2 == "a") == 3 && first.count(_._2 == "b") == 3,
+      s"cap must keep exactly k despite the all-tied order: $first")
+    assert(run(7) == first, "surviving set depends on physical partitioning")
+  }
+
   test("mixEpochs: integer factors copy exactly, zero drops, fractional matches driver md5") {
     import spark.implicits._
     val data = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "c"))

@@ -194,12 +194,54 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionWindowCounts (native session_window) matches batch gaps-and-islands sessionization") {
+    val gap = 1800L
+    val got = Incremental.sessionWindowCounts(spark,
+        s"${GraftSpark.Sf0001}/events.parquet", "ts", "user_id", "value",
+        gapSec = gap, watermarkSec = 30L * 86400, statePartitions = 4)
+      .select(unix_micros(col("session_start").cast("timestamp")).as("ss"),
+        unix_micros(col("session_end").cast("timestamp")).as("se"),
+        col("user_id"), col("n_events"), col("sum_val"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._3, t._1))
+    // batch replay: islands where the gap from the previous event > 30 min
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    val want = ev
+      .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gap * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "__sid")
+      .agg(min(col("ts")).as("session_start"),
+        (max(col("ts")) + expr(s"INTERVAL $gap SECONDS")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_val"))
+      .select(unix_micros(col("session_start")).as("ss"),
+        unix_micros(col("session_end")).as("se"),
+        col("user_id"), col("n_events"), col("sum_val"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._3, t._1))
+    assert(got.nonEmpty && got.length == want.length,
+      s"${got.length} streamed vs ${want.length} batch sessions")
+    assert(got.toSeq == want.toSeq)
+    // merge property implied: any bridged sessions would double-count rows
+    assert(got.map(_._4).sum == ev.count())
+  }
+
   test("streamRollupMaintain: incremental across arrivals, exactly-once on replay") {
     val src = Files.createTempDirectory("graft_rollup_src").toString
     val rollup = Files.createTempDirectory("graft_rollup_tgt").toString + "/agg"
     val ckpt = Files.createTempDirectory("graft_rollup_ck").toString
     val li = Tables.lineitem(spark, GraftSpark.Sf0001)
-    def readRollup() = spark.read.parquet(rollup)
+    // the rollup is now a dir of batch-stamped snapshots — read the
+    // latest COMMITTED one (the contract streamRollupMaintain returns)
+    def latestSnap() = new java.io.File(rollup).listFiles
+      .filter(f => f.getName.startsWith("snap_") && new java.io.File(f, "_SUCCESS").exists)
+      .maxBy(_.getName.stripPrefix("snap_").toLong)
+    def readRollup() = spark.read.parquet(latestSnap().toString)
       .orderBy("l_returnflag").collect()
       .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
     def rollupOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("l_returnflag")
@@ -221,6 +263,20 @@ class IncrementalSpec extends AnyFunSuite {
     Incremental.streamRollupMaintain(spark, src, rollup,
       Seq("l_returnflag"), Seq("l_quantity"), "n", ckpt)
     assert(readRollup().toSeq == rollupOf(first).toSeq)
+    // snapshot the checkpoint BEFORE arrival 2 — restoring it later
+    // simulates a crash AFTER the batch's rollup snapshot committed but
+    // BEFORE the checkpoint commit (foreachBatch's at-least-once window)
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      from.listFiles.foreach { f =>
+        val t = new java.io.File(to, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val ckptBefore = Files.createTempDirectory("graft_rollup_ck_pre").toString
+    copyDir(new java.io.File(ckpt), new java.io.File(ckptBefore))
     // arrival 2: the rest — SAME checkpoint merges only the new file
     arrive(li.filter(col("l_orderkey") % 2 =!= 0), "p2")
     Incremental.streamRollupMaintain(spark, src, rollup,
@@ -230,5 +286,12 @@ class IncrementalSpec extends AnyFunSuite {
     Incremental.streamRollupMaintain(spark, src, rollup,
       Seq("l_returnflag"), Seq("l_quantity"), "n", ckpt)
     assert(readRollup().toSeq == rollupOf(li).toSeq)
+    // AT-LEAST-ONCE replay: run against the PRE-arrival-2 checkpoint —
+    // the stream re-delivers p2 under its old batch id, whose snapshot
+    // already committed, so the merge must SKIP, not double-count
+    Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_returnflag"), Seq("l_quantity"), "n", ckptBefore)
+    assert(readRollup().toSeq == rollupOf(li).toSeq,
+      "replayed batch double-counted into the rollup")
   }
 }

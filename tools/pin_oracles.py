@@ -61,11 +61,16 @@ PINS = {
     "m4_ddl": (["dialect VARCHAR", "ddl VARCHAR"], "dialect"),
     "m5_type_lattice": (["spark_type VARCHAR", "dialect VARCHAR", "sql_type VARCHAR"],
                         "spark_type, dialect"),
-    # LSH planes are JVM-side hashes; the pin carries the ANN-vs-exhaustive
-    # agreement record itself (BitextSpec asserts id-level recall >= 0.95
-    # and exact sim parity on agreeing pairs first-principles)
-    "bitext_mine_ann": (["src_id BIGINT", "ann_tgt_id BIGINT", "sim DOUBLE",
-                         "margin DOUBLE", "exact_tgt_id BIGINT", "agree BOOLEAN"], "src_id"),
+    # LSH planes are JVM-side hashes; the declared query is PURE ANN (no
+    # exhaustive side in its plan) — recall evidence lives in the bounded
+    # bitext_recall_audit pin below, and BitextSpec asserts id-level
+    # recall >= 0.95 and exact sim parity first-principles
+    "bitext_mine_ann": (["src_id BIGINT", "tgt_id BIGINT", "sim DOUBLE",
+                         "margin DOUBLE"], "src_id"),
+    # the capped-sample ANN-vs-exhaustive agreement record (the
+    # knn_recall_audit pattern applied to the bitext miner)
+    "bitext_recall_audit": (["n_src BIGINT", "n_agree BIGINT", "agreement DOUBLE"],
+                            "n_src"),
     # HLL++ registers are JVM-side but order-insensitive (register max) →
     # deterministic; the pin carries the sketch-vs-exact error record
     "corpus_profile_sketch_error": (["source VARCHAR", "n_distinct_exact BIGINT",
@@ -76,11 +81,24 @@ PINS = {
                                  "mean_luma DOUBLE", "frame_hash BIGINT"], "doc_id, frame_idx"),
     "multimodal_video_decode": (["doc_id BIGINT", "n_features BIGINT", "bin_first DOUBLE",
                                  "bin_last DOUBLE", "feat_sum DOUBLE"], "doc_id"),
+    # MJPEG frames decode through the JRE's ImageIO (JPEG codec is
+    # JVM-side); ramp monotonicity + ImageIO recomputation in MultimodalSpec
+    "multimodal_video_mjpeg": (["doc_id BIGINT", "frame_idx INTEGER", "frame_no INTEGER",
+                                "mean_luma DOUBLE", "frame_hash BIGINT"], "doc_id, frame_idx"),
     # xxhash64 minima are JVM-side; estimator accuracy + exactness-when-
     # unsaturated cross-checked in KmvSpec, exact companions in-record
     "audience_overlap_sketch": (["grp_a VARCHAR", "grp_b VARCHAR", "jaccard_est DOUBLE",
                                  "n_common_est DOUBLE", "n_common_exact BIGINT",
                                  "rel_err DOUBLE"], "grp_a, grp_b"),
+    # the difference-completed matrix and the one-aggregate multi-way
+    # union share audience_overlap_sketch's rationale (exact companions
+    # ride in-row; estimator algebra cross-checked in KmvSpec)
+    "audience_overlap_matrix": (["grp_a VARCHAR", "grp_b VARCHAR", "jaccard_est DOUBLE",
+                                 "n_common_est DOUBLE", "n_diff_ab_est DOUBLE",
+                                 "n_diff_ba_est DOUBLE", "n_diff_ab_exact BIGINT",
+                                 "n_diff_ba_exact BIGINT"], "grp_a, grp_b"),
+    "audience_union_sketch": (["n_groups BIGINT", "n_union_est DOUBLE",
+                               "n_union_exact BIGINT", "rel_err DOUBLE"], "n_groups"),
     # MinHash + phash edges are JVM-side; both edge families carry their
     # own green pinned queries (dedup_minhash_lsh, multimodal_phash_*)
     "multimodal_joint_dedup": (["doc_id BIGINT"], "doc_id"),
