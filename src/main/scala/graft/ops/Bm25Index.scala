@@ -92,7 +92,10 @@ object Bm25Index {
     val scored = pruned
       .join(broadcast(index.terms.join(qTerms, Seq("term"), "left_semi")), Seq("term"))
       .join(broadcast(q), Seq("term"))
-      .crossJoin(broadcast(index.stats))
+      // limit(1) states the index-format contract (stats IS one row) in
+      // the plan itself, so a read-back stats table is provably bounded
+      // for plan audits — identical semantics, no extra work
+      .crossJoin(broadcast(index.stats.limit(1)))
       .withColumn("__idf",
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("__sc",
