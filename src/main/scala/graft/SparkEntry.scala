@@ -2761,6 +2761,47 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Largest-remainder budget apportionment: per-source token weights →
+    // EXACT integer allocations summing to the 100k budget (each source
+    // within 1 of its real quota — the Hamilton guarantee). All-integer
+    // div/mod arithmetic, so the full SQL oracle is bit-exact; the
+    // remainder-rank window spans #sources rows, never the corpus.
+    "mix_allocation" -> ((s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("__t"))
+        .groupBy("source").agg(sum("__t").as("n_tokens"))
+      graft.ops.Sampling.allocateBudget(perSource, col("source"), col("n_tokens"),
+          budget = 100000L)
+        .withColumnRenamed("stratum", "source")
+        .withColumnRenamed("weight", "n_tokens")
+        .orderBy("source")
+    }),
+
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): the
+    // embedding top-10 per query re-ranked by maximal marginal relevance
+    // (λ=0.7, keep 5) — each pick maximizes query relevance minus
+    // redundancy with what's already selected, the diversification step
+    // after doc_retrieval/doc_retrieval_hybrid. The greedy runs in a
+    // native expression over the ALREADY-BOUNDED candidate array —
+    // zero shuffle past the candidate groupBy. Deterministic (rounded
+    // scores, lower-id ties, input-order-invariant) → pinned VALUES
+    // oracle; driver-side recomputation in MmrSpec.
+    "doc_retrieval_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nn = Similarity.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L)), emb,
+        "vec_id", "embedding", k = 10)
+      nn.join(emb.select(col("vec_id").as("n_id"), col("embedding").as("vec")), Seq("n_id"))
+        .groupBy("q_id")
+        .agg(collect_list(struct(col("n_id").cast("bigint").as("id"),
+          col("sim").cast("double").as("sim"), col("vec"))).as("cands"))
+        .select(col("q_id"),
+          posexplode(graft.functions.MmrFunctions.mmr_select(col("cands"), 0.7, 5)))
+        .select(col("q_id"), (col("pos") + 1).cast("bigint").as("mmr_rank"),
+          col("col.id").as("doc_id"), col("col.mmr").as("mmr"))
+        .orderBy("q_id", "mmr_rank")
+    }),
+
     // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
     // extract — re-cased names, a dropped column (NULL-backfilled), an
     // int-narrowed key (re-widened via canUpCast), an extra column kept.
@@ -5146,6 +5187,20 @@ object SparkEntry {
         "round(pow(n_size, 0.7) / tt, 6) AS p_temperature, " +
         "round((pow(n_size, 0.7) / tt) / (n_size / tn), 6) AS upsample_factor " +
         "FROM per, tot ORDER BY source"),
+
+    // all-integer div/mod replay of the Hamilton apportionment — no
+    // float anywhere, so the compare is bit-exact by construction
+    "mix_allocation" ->
+      ("WITH wsrc AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w FROM wsrc), " +
+        "q AS (SELECT source, n_tokens, CAST((100000 * n_tokens) // w AS BIGINT) AS base, " +
+        "(100000 * n_tokens) % w AS rem FROM wsrc CROSS JOIN t), " +
+        "sp AS (SELECT CAST(sum(base) AS BIGINT) AS spent FROM q), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q) " +
+        "SELECT source, n_tokens, " +
+        "CAST(base + CASE WHEN rk <= 100000 - spent THEN 1 ELSE 0 END AS BIGINT) AS alloc " +
+        "FROM r CROSS JOIN sp ORDER BY source"),
 
     "cap_per_stratum" ->
       ("SELECT doc_id, source, stratum_rank FROM (" +

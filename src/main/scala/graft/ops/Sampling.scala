@@ -583,4 +583,54 @@ object Sampling {
       .filter(col("neg_rank") <= k)
       .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label")
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer `budget`
+    * over per-stratum INTEGER weights — the "how many training examples
+    * does each source actually get" step that turns mixture proportions
+    * into exact counts: Σ alloc == budget exactly, every stratum within
+    * 1 of its real-valued quota (the apportionment-theory guarantee).
+    *
+    * ALL-INTEGER arithmetic: base_i = (budget·w_i) div W and
+    * remainder_i = (budget·w_i) mod W, the `budget − Σ base` leftover
+    * units going to the largest remainders (ties: stratum ascending).
+    * No float ever appears, so the result is bit-identical on any
+    * engine — a full SQL oracle, unlike the float-quota variant where a
+    * 1-ulp `pow` difference could flip a floor. Requires
+    * budget·max(w) < 2⁶³ (checked map-side).
+    *
+    * Scale: `weights` is stratum-level (one row per source — already
+    * aggregated), so the two 1-row aggregates (W, Σ base) broadcast and
+    * the remainder-rank window spans #strata rows, never a corpus.
+    *
+    * Output: (stratum, weight, alloc).
+    */
+  def allocateBudget(
+      weights: DataFrame,
+      strataCol: Column,
+      weightCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val guard = lit(Long.MaxValue / math.max(budget, 1L))
+    val w = coalesce(
+      assert_true(weightCol >= 0 && weightCol <= guard,
+        lit(s"allocateBudget: weight out of [0, 2^63/$budget]")).cast("bigint"),
+      weightCol.cast("bigint"))
+    val base = weights.select(strataCol.as("stratum"), w.as("weight"))
+    val tot = base.agg(sum(col("weight")).cast("bigint").as("__w"))
+      .select(coalesce(
+        assert_true(col("__w") > 0, lit("allocateBudget: total weight must be > 0"))
+          .cast("bigint"), col("__w")).as("__w"))
+    val quotas = base.crossJoin(broadcast(tot))
+      // `div`, never `/`: Column./ is DOUBLE division, and a 1-ulp
+      // quotient under floor() would break the exact-integer contract
+      .withColumn("__base", expr(s"(${budget}L * weight) div __w"))
+      .withColumn("__rem", pmod(lit(budget) * col("weight"), col("__w")))
+    val spent = quotas.agg(sum(col("__base")).cast("bigint").as("__spent"))
+    val rk = Window.orderBy(col("__rem").desc, col("stratum").asc)
+    quotas.crossJoin(broadcast(spent))
+      .withColumn("__rk", row_number().over(rk))
+      .withColumn("alloc",
+        col("__base") + when(col("__rk") <= lit(budget) - col("__spent"), 1L).otherwise(0L))
+      .select(col("stratum"), col("weight"), col("alloc"))
+  }
 }

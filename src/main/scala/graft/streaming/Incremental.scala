@@ -555,6 +555,31 @@ object Incremental {
     spark.read.parquet(fin.last._2.toString)
   }
 
+  /** Read the rollup AS OF a batch id — time travel over the
+    * batch-stamped snapshots [[streamRollupMaintain]] retains (the
+    * latest committed snapshot with id ≤ `asOfBatch`; default = the
+    * current rollup). Bounded by the keep-2 retention: older history has
+    * been retired, and asking for it fails loudly instead of silently
+    * serving a newer state.
+    */
+  def readRollupSnapshot(
+      spark: SparkSession,
+      rollupPath: String,
+      asOfBatch: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(rollupPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.stripPrefix("snap_").toLong, st.getPath))
+      .sortBy(_._1)
+    val eligible = snaps.filter(_._1 <= asOfBatch)
+    require(eligible.nonEmpty,
+      s"no committed rollup snapshot with batch id <= $asOfBatch under $rollupPath " +
+        s"(retained: ${snaps.map(_._1).mkString(", ")})")
+    spark.read.parquet(eligible.last._2.toString)
+  }
+
   /** [[streamRollupMaintain]] with every column summed (the original L8
     * surface).
     */

@@ -32,6 +32,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "knn_recall_audit",   // bounded audit: ANN paths vs the brute anchor
     "doc_retrieval",      // brute top-k for 10 query docs, serving join
     "doc_retrieval_hybrid", // cosine leg = brute top-k for 2 query ids
+    "doc_retrieval_mmr",  // same capped brute candidate leg, MMR re-ranked
     "bitext_mine",        // exhaustive margin-mining anchor (one language slice)
     "bitext_recall_audit", // bounded audit: ANN vs exhaustive on en ids < 300
     "dedup_embedding_cosine", // pairwise cosine over a capped id slice

@@ -289,6 +289,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(7) == first, "surviving set depends on physical partitioning")
   }
 
+  test("allocateBudget: Hamilton apportionment sums exactly to the budget, " +
+      "each stratum within 1 of its real quota, all-integer determinism") {
+    import spark.implicits._
+    val w = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("src", "n")
+    val got = Sampling.allocateBudget(w, col("src"), col("n"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 4L))
+    // a classic remainder case: budget 10 over (1, 1, 1) → 4/3 quotas;
+    // the extra unit goes to the LOWEST stratum on the remainder tie
+    val tie = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("src", "n")
+    val t = Sampling.allocateBudget(tie, col("src"), col("n"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t.values.sum == 10L)
+    assert(t == Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+    // skewed weights: exact-total + within-1-of-quota invariants hold
+    val skew = Seq(("s1", 999999L), ("s2", 7L), ("s3", 1L), ("s4", 333L))
+      .toDF("src", "n")
+    val sk = Sampling.allocateBudget(skew, col("src"), col("n"), budget = 12345L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sk.map(_._3).sum == 12345L)
+    val totW = sk.map(_._2).sum.toDouble
+    sk.foreach { case (s, n, a) =>
+      val quota = 12345L * n / totW
+      assert(a >= math.floor(quota) && a <= math.ceil(quota), s"$s: $a vs quota $quota")
+    }
+    // loud failures: zero total weight, negative weight
+    intercept[Exception] {
+      Sampling.allocateBudget(Seq(("a", 0L)).toDF("src", "n"),
+        col("src"), col("n"), 5L).collect()
+    }
+    intercept[Exception] {
+      Sampling.allocateBudget(Seq(("a", -1L), ("b", 5L)).toDF("src", "n"),
+        col("src"), col("n"), 5L).collect()
+    }
+  }
+
   test("mixEpochs: integer factors copy exactly, zero drops, fractional matches driver md5") {
     import spark.implicits._
     val data = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "c"))

@@ -293,5 +293,18 @@ class IncrementalSpec extends AnyFunSuite {
       Seq("l_returnflag"), Seq("l_quantity"), "n", ckptBefore)
     assert(readRollup().toSeq == rollupOf(li).toSeq,
       "replayed batch double-counted into the rollup")
+    // time travel: AS OF the first batch id = the first arrival's rollup
+    val asOf0 = Incremental.readRollupSnapshot(spark, rollup, asOfBatch = 0L)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    assert(asOf0.toSeq == rollupOf(first).toSeq, "as-of-0 must be the pre-arrival-2 state")
+    assert(Incremental.readRollupSnapshot(spark, rollup)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+      .toSeq == rollupOf(li).toSeq)
+    // retired history fails loudly instead of silently serving newer state
+    intercept[IllegalArgumentException] {
+      Incremental.readRollupSnapshot(spark, rollup, asOfBatch = -1L)
+    }
   }
 }

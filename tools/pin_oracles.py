@@ -99,6 +99,10 @@ PINS = {
                                  "n_diff_ba_exact BIGINT"], "grp_a, grp_b"),
     "audience_union_sketch": (["n_groups BIGINT", "n_union_est DOUBLE",
                                "n_union_exact BIGINT", "rel_err DOUBLE"], "n_groups"),
+    # the MMR greedy is iterative (not SQL-expressible); driver-side
+    # recomputation + diversity/order-invariance properties in MmrSpec
+    "doc_retrieval_mmr": (["q_id BIGINT", "mmr_rank BIGINT", "doc_id BIGINT",
+                           "mmr DOUBLE"], "q_id, mmr_rank"),
     # MinHash + phash edges are JVM-side; both edge families carry their
     # own green pinned queries (dedup_minhash_lsh, multimodal_phash_*)
     "multimodal_joint_dedup": (["doc_id BIGINT"], "doc_id"),
