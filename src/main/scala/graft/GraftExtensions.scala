@@ -83,6 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_unigram_encode(text, array(piece, ...), array(logprob, ...), maxPieceLen) - " +
           "Viterbi unigram-LM encode against literal parallel piece/logprob arrays"),
       (args: Seq[Expression]) => GraftExtensions.unigramEncode(args)))
+    e.injectFunction((
+      FunctionIdentifier("graft_mmr_select"),
+      info("graft_mmr_select",
+        "graft_mmr_select(candidates, lambda, k) - MMR-diversify an " +
+          "array<struct<id, sim, vec>> candidate list; returns array<struct<id, mmr>>"),
+      (args: Seq[Expression]) => GraftExtensions.mmrSelect(args)))
   }
 }
 
@@ -176,6 +182,27 @@ object GraftExtensions {
     val maxLen = intLitArg("graft_unigram_encode", args, 4, 3, "maxPieceLen")
     graft.functions.UnigramEncodeText(args(0), pieces.zip(lps), maxLen, graft.ops.Unigram.Unk)
   }
+
+  /** SQL builder for [[graft.functions.MmrSelect]]: lambda must be a
+    * foldable numeric literal (SQL `0.7` parses as DECIMAL — any numeric
+    * type is accepted), k a foldable INT.
+    */
+  private[graft] def mmrSelect(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types._
+    val k = intLitArg("graft_mmr_select", args, 3, 2, "k")
+    val le = args(1)
+    require(le.foldable, "graft_mmr_select: lambda must be a numeric literal")
+    val lam = (le.dataType, le.eval()) match {
+      case (DoubleType, v: java.lang.Double) => v.doubleValue
+      case (FloatType, v: java.lang.Float) => v.doubleValue
+      case (dt: DecimalType, v: org.apache.spark.sql.types.Decimal) => v.toDouble
+      case (IntegerType, v: java.lang.Integer) => v.doubleValue
+      case (LongType, v: java.lang.Long) => v.doubleValue
+      case (dt, _) => throw new IllegalArgumentException(
+        s"graft_mmr_select: lambda must be numeric, got $dt")
+    }
+    graft.functions.MmrSelect(args(0), lam, k)
+  }
 }
 
 /** Same registrations for an ALREADY-RUNNING session (tests, REPL). */
@@ -197,5 +224,6 @@ object GraftFunctions {
     put("graft_bpe_encode", GraftExtensions.bpeEncode)
     put("graft_wordpiece_encode", GraftExtensions.wordpieceEncode)
     put("graft_unigram_encode", GraftExtensions.unigramEncode)
+    put("graft_mmr_select", GraftExtensions.mmrSelect)
   }
 }

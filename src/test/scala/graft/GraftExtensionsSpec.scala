@@ -112,4 +112,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(viaSql.toSeq == viaApi.toSeq)
   }
+
+  test("graft_mmr_select from SQL matches the Column API (DECIMAL lambda accepted)") {
+    // candidates: 10 ≈ 11 (near-dup), 12 orthogonal — MMR keeps diversity
+    val sql = spark.sql(
+      "SELECT graft_mmr_select(array(" +
+        "named_struct('id', 10L, 'sim', 0.90D, 'vec', array(1F, 0F, 0F)), " +
+        "named_struct('id', 11L, 'sim', 0.89D, 'vec', array(0.99F, 0.01F, 0F)), " +
+        "named_struct('id', 12L, 'sim', 0.50D, 'vec', array(0F, 1F, 0F))), 0.7, 3) AS s")
+      .select(explode(col("s")).as("e")).select("e.id", "e.mmr")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql.map(_._1) == Seq(10L, 12L, 11L))
+    import spark.implicits._
+    val api = Seq(Tuple1(Seq((10L, 0.90, Array(1f, 0f, 0f)),
+        (11L, 0.89, Array(0.99f, 0.01f, 0f)), (12L, 0.50, Array(0f, 1f, 0f)))))
+      .toDF("cands")
+      .select(explode(graft.functions.MmrFunctions.mmr_select(col("cands"), 0.7, 3)).as("e"))
+      .select("e.id", "e.mmr")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql == api)
+  }
 }
