@@ -1056,6 +1056,22 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(e)
     }),
 
+    // Per-supplier local clustering coefficient over the same co-order
+    // graph (Watts–Strogatz): each closed wedge credits its three
+    // corners via one explode — the per-vertex extension of
+    // graph_triangles with no second quadratic term. Full SQL oracle.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val e = pairs.as("x").join(pairs.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.ops.Graph.clusteringCoefficients(e)
+        .orderBy("id")
+    }),
+
     // Euclidean Lloyd k-means over the embedding corpus (north-star:
     // topic bucketing / cluster-balanced sampling). Deterministic seed
     // (first k by vec_id), 4 mean updates, final assignment; assignment
@@ -3944,6 +3960,30 @@ object SparkEntry {
         "WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)) " +
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, n_triangles FROM t"),
+
+    // the per-vertex extension: corner-explode the closed wedges, then
+    // lcc = 2·tri / (deg·(deg−1)) with the deg<2 → 0 convention
+    "graph_clustering_coeff" ->
+      ("WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45), " +
+        "e AS (SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b FROM pairs p1 " +
+        "JOIN pairs p2 ON p1.l_orderkey = p2.l_orderkey AND p1.l_suppkey < p2.l_suppkey), " +
+        "deg AS (SELECT id, count(*) AS dg FROM " +
+        "(SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id), " +
+        "o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u, " +
+        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v, " +
+        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN db.dg ELSE da.dg END AS vdg " +
+        "FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b), " +
+        "w AS (SELECT o1.u, o1.v AS w1, o2.v AS w2 FROM o o1 JOIN o o2 " +
+        "ON o1.u = o2.u AND (o1.vdg < o2.vdg OR (o1.vdg = o2.vdg AND o1.v < o2.v))), " +
+        "wc AS (SELECT u, w1, w2 FROM w " +
+        "WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)), " +
+        "c AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM " +
+        "(SELECT u AS id FROM wc UNION ALL SELECT w1 FROM wc UNION ALL SELECT w2 FROM wc) " +
+        "GROUP BY id) " +
+        "SELECT d.id, CAST(d.dg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, " +
+        "CASE WHEN d.dg >= 2 THEN round(2.0 * coalesce(c.triangles, 0) / (d.dg * (d.dg - 1)), 6) " +
+        "ELSE 0.0 END AS lcc " +
+        "FROM deg d LEFT JOIN c USING (id) ORDER BY d.id"),
 
     // Lloyd k-means: seed from the first 8 vec_ids, 4 assign+update
     // rounds and a final assignment, all replayed in long (vec_id, dim,

@@ -230,10 +230,15 @@ object Graph {
     *
     * Returns one row: (n_vertices, n_edges, n_triangles).
     */
-  def triangleCount(
+  /** Canonical undirected edges, per-vertex degrees, and the persisted
+    * degree-ordered orientation — the shared machinery of
+    * [[triangleCount]] and [[clusteringCoefficients]]. Caller unpersists
+    * the returned orientation.
+    */
+  private def orientedEdges(
       edges0: DataFrame,
-      srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     val canon = edges0
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -253,18 +258,69 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("db")).otherwise(col("da")).as("vdg"))
       .persist()
+    (canon, deg, oriented)
+  }
+
+  /** Closed oriented wedges (u, w1, w2) — one row per triangle, each
+    * triangle appearing exactly once (at its unique two-out-edge
+    * vertex u).
+    */
+  private def closedWedges(oriented: DataFrame): DataFrame = {
     val e1 = oriented.select(col("u"), col("v").as("w1"), col("vdg").as("wd1"))
     val e2 = oriented.select(col("u"), col("v").as("w2"), col("vdg").as("wd2"))
-    val wedges = e1.join(e2, Seq("u"))
+    e1.join(e2, Seq("u"))
       .filter(col("wd1") < col("wd2") ||
         (col("wd1") === col("wd2") && col("w1") < col("w2")))
-    val closed = wedges.join(oriented.select(col("u").as("w1"), col("v").as("w2")),
-      Seq("w1", "w2"), "left_semi")
-    val out = closed.agg(count(lit(1)).as("n_triangles"))
+      .join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+      .select("u", "w1", "w2")
+  }
+
+  def triangleCount(
+      edges0: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (canon, deg, oriented) = orientedEdges(edges0, srcCol, dstCol)
+    val out = closedWedges(oriented).agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
       .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
     val res = out.localCheckpoint() // materialize before unpersisting the orientation
+    oriented.unpersist()
+    res
+  }
+
+  /** Per-vertex triangle participation and LOCAL CLUSTERING COEFFICIENT
+    * (Watts & Strogatz 1998, "Collective dynamics of small-world
+    * networks"; public method): `lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`
+    * — the fraction of a vertex's neighbor pairs that are themselves
+    * connected, the standard cohesion signal (spam-farm detection,
+    * community quality) a link-graph curation pass scores.
+    *
+    * Same oriented wedge frame as [[triangleCount]] — each closed wedge
+    * credits its THREE corners through one map-side explode, so the
+    * per-vertex extension adds one explode + one count shuffle, never a
+    * second quadratic term. Vertices in no triangle report 0; degree-1
+    * vertices have no neighbor pair and report 0 by convention.
+    *
+    * Returns (id, deg, triangles, lcc), lcc rounded to 6 dp.
+    */
+  def clusteringCoefficients(
+      edges0: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (_, deg, oriented) = orientedEdges(edges0, srcCol, dstCol)
+    val tri = closedWedges(oriented)
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("dg").as("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("triangles") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+    val res = out.localCheckpoint()
     oriented.unpersist()
     res
   }

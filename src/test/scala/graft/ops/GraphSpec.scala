@@ -157,4 +157,21 @@ class GraphSpec extends AnyFunSuite {
     val bip = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
     assert(Graph.triangleCount(bip.toDF("src", "dst")).collect().head.getLong(2) == 0)
   }
+
+  test("clusteringCoefficients: hand-computed lcc on K4 + pendant, zeros for deg<2") {
+    // K4 on {a,b,c,d} + pendant e on a: a has deg 4, 3 of C(4,2)=6
+    // neighbor pairs connected (e pairs with nobody) → lcc 0.5;
+    // b/c/d have deg 3, all 3 pairs connected → lcc 1; e deg 1 → 0
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "e"))
+    val got = Graph.clusteringCoefficients(e.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("a") == ((4L, 3L, 0.5)))
+    Seq("b", "c", "d").foreach(v => assert(got(v) == ((3L, 3L, 1.0)), v))
+    assert(got("e") == ((1L, 0L, 0.0)))
+    // consistency with the global count: Σ per-vertex triangles = 3 · total
+    val total = Graph.triangleCount(e.toDF("src", "dst")).collect().head.getLong(2)
+    assert(got.values.map(_._2).sum == 3 * total)
+  }
 }

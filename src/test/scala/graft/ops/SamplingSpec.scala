@@ -289,6 +289,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(7) == first, "surviving set depends on physical partitioning")
   }
 
+  test("rankInStratum scans and range-shuffles its input ONCE at runtime " +
+      "(AQE ReusedExchange collapses the offsets leg)") {
+    // the static plan shows the level-0 range exchange twice (running sum
+    // + offsets roll-up are two consumers); the scale contract is that
+    // AQE's exchange reuse collapses them — pin it so a refactor that
+    // breaks reuse (e.g. non-identical child plans) fails here, not in a
+    // 2x-scan regression at the bench
+    val ranked = Sampling.rankInStratum(
+      docs.select("doc_id", "source"), col("source"), 8, col("doc_id"))
+    ranked.collect() // execute: AQE finalizes the adaptive plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"offsets leg no longer reuses the level-0 exchange:\n$plan")
+  }
+
   test("allocateBudget: Hamilton apportionment sums exactly to the budget, " +
       "each stratum within 1 of its real quota, all-integer determinism") {
     import spark.implicits._
