@@ -2648,6 +2648,23 @@ object SparkEntry {
           Tables.events(s, dir), "event_id", "event_type", "value", k = 3.0)
         .orderBy("event_id")),
 
+    // Winsorized robust stats per event type: values clamp into the
+    // per-type [p05, p95] band (one broadcast quantile model + a
+    // map-side clamp — no rows dropped, so N is unchanged), then the
+    // winsorized mean sits beside the raw mean. Spark `percentile` and
+    // DuckDB `quantile_cont` share the interpolation definition → full
+    // SQL oracle.
+    "events_winsorize" -> ((s, dir) =>
+      graft.ops.Outliers.winsorize(
+          Tables.events(s, dir), "event_type", "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("mean_raw"),
+          round(avg("value_w"), 4).as("mean_winsorized"),
+          first(col("q_lo")).as("p05"),
+          first(col("q_hi")).as("p95"))
+        .orderBy("event_type")),
+
     // daily resample + forward fill: irregular events onto each user's
     // dense daily grid, last observation carried forward — every stage
     // co-partitioned on user_id (one shuffle); window partitions hold a
@@ -4791,6 +4808,18 @@ object SparkEntry {
         "round(m.mad, 4) AS mad, round(abs(e.value - m.med), 4) AS dev " +
         "FROM events e JOIN mad m USING (event_type) " +
         "WHERE round(abs(e.value - m.med), 4) > round(3 * m.mad, 4) ORDER BY e.event_id"),
+
+    "events_winsorize" ->
+      ("WITH band AS (SELECT event_type, quantile_cont(value, 0.05) AS q_lo, " +
+        "quantile_cont(value, 0.95) AS q_hi FROM events GROUP BY 1), " +
+        "w AS (SELECT e.event_type, e.value, " +
+        "round(greatest(b.q_lo, least(b.q_hi, e.value)), 4) AS value_w, " +
+        "b.q_lo, b.q_hi FROM events e JOIN band b USING (event_type)) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "round(avg(value), 4) AS mean_raw, " +
+        "round(avg(value_w), 4) AS mean_winsorized, " +
+        "round(any_value(q_lo), 4) AS p05, round(any_value(q_hi), 4) AS p95 " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
 
     "events_from_json" ->
       ("SELECT event_type, " +

@@ -71,4 +71,37 @@ object Outliers {
         round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
         col("dev"))
   }
+
+  /** Winsorization (Tukey/Dixon, public practice): clamp each row's value
+    * into its group's [pLo, pHi] quantile band — the heavy-tail taming
+    * that makes mean-based statistics usable on telemetry and reward
+    * scores without DROPPING rows (trimming changes N; winsorizing keeps
+    * it). Adds `<valueCol>_w` (the clamped value) and the band columns.
+    *
+    * Scale: one per-group quantile aggregate (the [[madModel]] shape —
+    * `exact = false` switches to O(1)-state approx_percentile for
+    * corpus-sized groups), broadcast back into a map-side clamp — one
+    * shuffle, no window. Quantiles interpolate linearly (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`), so the band — and the
+    * 4-dp-rounded clamped values — are oracle-exact.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95,
+      exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1: $pLo, $pHi")
+    def q(p: Double) =
+      if (exact) call_function("percentile", col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(10000))
+    val band = df.groupBy(col(groupCol))
+      .agg(q(pLo).as("q_lo"), q(pHi).as("q_hi"))
+    df.join(broadcast(band), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        round(greatest(col("q_lo"), least(col("q_hi"), col(valueCol))), 4))
+      .withColumn("q_lo", round(col("q_lo"), 4))
+      .withColumn("q_hi", round(col("q_hi"), 4))
+  }
 }

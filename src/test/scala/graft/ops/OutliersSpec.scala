@@ -58,4 +58,25 @@ class OutliersSpec extends AnyFunSuite {
       assert(math.abs(approx(g)._2 - mad) <= math.max(0.05 * math.abs(mad), 0.5), s"$g mad")
     }
   }
+
+  test("winsorize clamps into the hand-computed quantile band, keeps N, tames the tail") {
+    import spark.implicits._
+    // 1..9 plus one wild 1000 in group a; q(0.05)/q(0.95) interpolate over
+    // the 10 sorted values: lo = 1 + 0.45*(2-1) = 1.45, hi = 9 + 0.55*(1000-9)
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)).toDF("g", "v")
+    val out = Outliers.winsorize(df, "g", "v", 0.05, 0.95)
+      .select("v", "v_w", "q_lo", "q_hi").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 10, "winsorize must not drop rows")
+    val (lo, hi) = (out.head._3, out.head._4)
+    assert(lo == 1.45 && hi == 554.05, s"band ($lo, $hi)")
+    out.foreach { case (v, w, _, _) =>
+      assert(w == math.max(lo, math.min(hi, math.round(v * 1e4) / 1e4)), s"v=$v w=$w")
+    }
+    // the winsorized mean sits far below the raw mean (tail tamed)
+    val rawMean = out.map(_._1).sum / 10
+    val wMean = out.map(_._2).sum / 10
+    assert(wMean < rawMean && wMean < 100, s"raw $rawMean winsorized $wMean")
+    intercept[IllegalArgumentException](Outliers.winsorize(df, "g", "v", 0.9, 0.1))
+  }
 }
