@@ -359,6 +359,15 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Join-cardinality pre-flight: EXACT pair count a self-join on the
+    // 5-value event_type key would produce (Σ n·n ≈ N²/5 — the quadratic
+    // blow-up the report exists to catch) from two count aggregates and a
+    // key-sized join — the data itself is never shuffled or paired
+    "join_cardinality_report" -> ((s, dir) =>
+      graft.etl.Scale.joinCardinalityReport(
+          Tables.events(s, dir), Tables.events(s, dir),
+          "event_type", "event_type", topK = 5)),
+
     // M-extension: per-column data profile (nulls/distinct/min/max) in one
     // aggregation pass — the data-side audit companion to M1 introspection
     "m7_profile" -> ((s, dir) =>
@@ -1250,6 +1259,14 @@ object SparkEntry {
           Seq("lang", "source"), "len_bucket")
         .orderBy("lang", "source")),
 
+    // ε-DP released counts (Laplace mechanism, deterministic seeded noise
+    // so the oracle replays it): per-event-type counts with ε=0.5 noise
+    // and the mechanism's 95th-percentile error bound beside each value
+    "dp_counts" -> ((s, dir) =>
+      graft.ops.Anonymize.dpCounts(
+          Tables.events(s, dir), "event_type", epsilon = 0.5, seed = "dp0")
+        .orderBy("event_type")),
+
     // Count-Min heavy hitters vs ground truth: top-20 corpus tokens by
     // exact count with the sketch estimate alongside (one-sided error
     // est>=exact, overshoot bounded by eps*N). Pinned oracle (the sketch
@@ -1924,6 +1941,23 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    // GROUP-integrity split: all of a user's events land in one split
+    // (no train/eval leakage across an entity); the query carries its own
+    // leak audit — `leaked_groups` counts users seen in BOTH splits and
+    // must be 0 by construction. md5-keyed → full SQL oracle
+    "grouped_split" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.groupedSplit(
+        Tables.events(s, dir), testFraction = 0.25, col("user_id"), seed = "split0")
+      val leak = sp.groupBy("user_id")
+        .agg(count_distinct(col("split")).as("__k"))
+        .agg(sum(when(col("__k") > 1, 1L).otherwise(0L)).as("leaked_groups"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_id")).as("n_groups"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    }),
+
     // EXACT stratified split: exactly round(0.25·n_s) docs per source go
     // to test (the hash-threshold forms are only ~proportional) — rank by
     // md5(seed:id) within source via the bucketed prefix sum, counts
@@ -2460,6 +2494,14 @@ object SparkEntry {
           (max("n_tok") * count(lit(1)) - sum("n_tok")).as("padding"))
         .orderBy("batch")),
 
+    // KV-cache prefix grouping: prompts sharing their first 2 tokens
+    // route to one group; the report carries the prefill tokens a
+    // RadixAttention-style cache saves per group ((n−1)·prefix_len).
+    // One key-shuffle of (prefix, len) pairs — prompt bodies never move
+    "inference_prefix_groups" -> ((s, dir) =>
+      graft.ops.Packing.prefixGroups(
+        Tables.documents(s, dir), "text", prefixTokens = 2, topK = 20)),
+
     // the loader-facing inversion: one row per (chunk, doc) overlap with
     // in-chunk spans — bounded explode, no extra shuffle
     "pack_manifest" -> ((s, dir) => {
@@ -2663,6 +2705,18 @@ object SparkEntry {
           round(avg("value_w"), 4).as("mean_winsorized"),
           first(col("q_lo")).as("p05"),
           first(col("q_hi")).as("p95"))
+        .orderBy("event_type")),
+
+    // PSI drift gate between the first two weeks (reference) and the rest
+    // (current) of each event type's value distribution — 5 equal-
+    // frequency bins from REFERENCE quantiles, Σ(p−q)·ln(p/q), 0.2 action
+    // threshold. Broadcast edge model + one (type, bin) count shuffle
+    "drift_psi" -> ((s, dir) =>
+      graft.ops.Drift.psi(
+          Tables.events(s, dir).withColumn("period",
+            when(col("ts") < lit("2024-01-15").cast("timestamp"), lit("ref"))
+              .otherwise(lit("cur"))),
+          "event_type", "value", "period")
         .orderBy("event_type")),
 
     // daily resample + forward fill: irregular events onto each user's

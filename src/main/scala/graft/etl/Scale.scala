@@ -62,6 +62,43 @@ object Scale {
         col("n_distinct_keys"))
   }
 
+  /** Join-cardinality pre-flight: the EXACT output row count an equi-join
+    * would produce — Σ over matching keys of n_left(k)·n_right(k) — plus
+    * the `topK` keys contributing the most pairs. This is the estimate
+    * that decides, BEFORE paying for a 100 TB shuffle, whether a join
+    * explodes (a 10⁹×10⁹ self-join on a 5-value key is 2·10¹⁷ pairs; the
+    * report says so from two count aggregates that cost two map-side
+    * partial scans and a #distinct-keys-sized equi-join).
+    *
+    * Scale shape: one groupBy per side (map-side partial → key-sized
+    * frames), an inner key join of the two COUNT frames (never the data),
+    * a 1-row totals aggregate broadcast back, and a bounded top-k.
+    * Deterministic ties break on the key.
+    */
+  def joinCardinalityReport(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val lc = left.groupBy(col(leftKey).as("join_key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).as("join_key"))
+      .agg(count(lit(1)).as("n_right"))
+    val pairs = lc.join(rc, Seq("join_key"))
+      .withColumn("pairs", col("n_left") * col("n_right"))
+    val tot = pairs.agg(sum(col("pairs")).as("est_total_pairs"),
+      count(lit(1)).as("n_join_keys"))
+    pairs
+      .orderBy(col("pairs").desc, col("join_key"))
+      .limit(topK)
+      .crossJoin(broadcast(tot))
+      .select(col("join_key"), col("n_left"), col("n_right"), col("pairs"),
+        round(col("pairs").cast("double") / col("est_total_pairs"), 6).as("share"),
+        col("est_total_pairs"), col("n_join_keys"))
+  }
+
   /** Write a bucketed + sorted table: joins/aggregations on the bucket key
     * against an equally-bucketed table need NO shuffle (bucket-local
     * sort-merge). This is the pre-partitioning answer for repeated big-big

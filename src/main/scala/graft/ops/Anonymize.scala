@@ -71,4 +71,42 @@ object Anonymize {
       .agg(count(lit(1)).as("n_rows"),
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
   }
+
+  /** ε-differentially-private group counts via the Laplace mechanism
+    * (Dwork et al., TCC 2006): each group's true count is released with
+    * additive Laplace(Δ/ε) noise, Δ = 1 for counting queries where one
+    * individual contributes one row. Noise is DETERMINISTIC per
+    * (seed, group) — a uniform u ∈ (0,1) from the 32-bit md5 prefix of
+    * `seed:group` (the repo's engine-recomputable randomness idiom,
+    * [[Sampling.mixEpochs]]) through the Laplace inverse CDF
+    * `-b·sign(u−½)·ln(1−2|u−½|)` — so a release is reproducible and
+    * auditable, and the oracle replays it in plain SQL. (A production
+    * release would also keep the seed secret; determinism here is the
+    * point — same seed = same release, no fresh privacy spend.)
+    *
+    * `err95` carries the mechanism's 95th-percentile absolute error
+    * `b·ln(20)` (Laplace tail: P(|X|>t) = e^(−t/b)) so consumers see the
+    * noise floor next to every released count. Scale: one map-side
+    * partial count aggregate; noise is a per-GROUP scalar expression —
+    * nothing beyond the group frame is touched.
+    */
+  def dpCounts(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double,
+      seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    val b = 1.0 / epsilon
+    val u = (conv(substring(md5(
+        concat_ws(":", lit(seed), col(groupCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / 4294967296.0d
+    val centered = u - 0.5d
+    val noise = (signum(centered) * log(lit(1.0d) - abs(centered) * 2.0d)) * -b
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + noise, 4).as("n_noisy"),
+        lit(epsilon).as("epsilon"),
+        round(lit(b * math.log(20.0)), 4).as("err95"))
+  }
 }

@@ -200,4 +200,38 @@ object Packing {
       .withColumn("batch", ((col("stratum_rank") - 1) / batchSize).cast("bigint"))
       .drop("stratum_rank")
   }
+
+  /** KV-cache prefix grouping for inference serving: prompts that share
+    * their first `prefixTokens` whitespace tokens are routed to the same
+    * group, so a prefix-caching server (public technique: RadixAttention /
+    * SGLang, vLLM automatic prefix caching) computes the shared prefix's
+    * KV once per group instead of once per prompt. Per group the report
+    * carries `n_docs`, the shared `prefix_len` (shorter prompts group by
+    * their full text, so the shared length is the group minimum),
+    * `total_tokens`, and `saved_tokens = (n_docs − 1) · prefix_len` — the
+    * prefill the cache eliminates. Groups rank by savings.
+    *
+    * Scale: one map-side prefix projection + one groupBy(prefix) — a
+    * key-shuffle of (prefix, len) pairs, never the prompt bodies; the
+    * report is top-`topK` bounded.
+    */
+  def prefixGroups(
+      df: DataFrame,
+      textCol: String,
+      prefixTokens: Int,
+      topK: Int): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1: $prefixTokens")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val toks = split(col(textCol), " ")
+    df.select(
+        array_join(slice(toks, 1, prefixTokens), " ").as("prefix"),
+        size(toks).cast("bigint").as("__len"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        least(min(col("__len")), lit(prefixTokens.toLong)).as("prefix_len"),
+        sum(col("__len")).as("total_tokens"))
+      .withColumn("saved_tokens", (col("n_docs") - 1L) * col("prefix_len"))
+      .orderBy(col("saved_tokens").desc, col("prefix"))
+      .limit(topK)
+  }
 }

@@ -29,6 +29,31 @@ object Sampling {
     df.withColumn("split",
       when(hashWeight(keys: _*) < testFraction, lit("test")).otherwise(lit("train")))
 
+  /** GROUP-integrity split: every row of a group (all of one user's
+    * events, all chunks of one document) lands in the SAME split, so
+    * evaluation never sees fragments of an entity the model trained on —
+    * the leakage row-level splits like [[trainTestSplit]](row-key) cannot
+    * prevent. Assignment hashes ONLY the group key (32-bit md5 prefix of
+    * `seed:group` vs the fraction threshold — the engine-recomputable
+    * idiom of [[mixEpochs]], so plain-SQL oracles replay it), making the
+    * split a pure map-side projection: no shuffle, no group table, and a
+    * group's assignment never changes as its rows grow across refreshes.
+    */
+  def groupedSplit(
+      df: DataFrame,
+      testFraction: Double,
+      groupCol: Column,
+      seed: String): DataFrame = {
+    require(testFraction > 0 && testFraction < 1,
+      s"testFraction must be in (0,1): $testFraction")
+    val h = conv(substring(md5(
+        concat_ws(":", lit(seed), groupCol.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val threshold = math.floor(testFraction * 4294967296.0d).toLong
+    df.withColumn("split",
+      when(h < threshold, lit("test")).otherwise(lit("train")))
+  }
+
   /** Deterministic fraction-per-stratum sampling: keep a row iff its hash
     * weight (salted by the stratum so strata sample independently) falls
     * below `fraction`.
