@@ -1259,13 +1259,46 @@ object SparkEntry {
           Seq("lang", "source"), "len_bucket")
         .orderBy("lang", "source")),
 
-    // ε-DP released counts (Laplace mechanism, deterministic seeded noise
-    // so the oracle replays it): per-event-type counts with ε=0.5 noise
-    // and the mechanism's 95th-percentile error bound beside each value
+    // ε-DP released counts (Laplace-mechanism SIMULATION — the seeded
+    // noise is deterministic BY DESIGN so the full DuckDB oracle replays
+    // it; see the loud caveat on Anonymize.dpCounts): per-event-type
+    // counts with ε=0.5 noise and the mechanism's 95th-percentile error
+    // bound beside each value
     "dp_counts" -> ((s, dir) =>
       graft.ops.Anonymize.dpCounts(
           Tables.events(s, dir), "event_type", epsilon = 0.5, seed = "dp0")
         .orderBy("event_type")),
+
+    // Sequential-composition DP ledger (Dwork & Roth Thm 3.14): three
+    // scheduled count releases against the same events table, each row
+    // tagged with its release's ε and the RUNNING Σε — the accounting a
+    // re-releasing pipeline must keep (privacy spend adds; a daily
+    // release at ε=0.5 burns 3.5/week). Full DuckDB oracle (deterministic
+    // simulation noise, per-release seeds); composition property
+    // first-principles in AnonymizeSpec.
+    "dp_ledger" -> ((s, dir) =>
+      graft.ops.Anonymize.dpLedger(
+          Tables.events(s, dir), "event_type", Seq(
+            graft.ops.Anonymize.DpRelease("r1_mon", 0.5, "dpa"),
+            graft.ops.Anonymize.DpRelease("r2_tue", 0.5, "dpb"),
+            graft.ops.Anonymize.DpRelease("r3_weekly", 1.0, "dpc")))
+        .orderBy("release_id", "event_type")),
+
+    // Clamped DP sum + two-query DP mean (Dwork & Roth §3.3/3.5; same
+    // deterministic-simulation caveat): values clamp into [0,100] BEFORE
+    // aggregation — bounded contribution caps the sum's sensitivity at
+    // 100, the step that keeps required noise finite under wild rows —
+    // sum on ε=1, mean as noisy-sum/noisy-count each on ε/2. Full oracle.
+    "dp_sum_mean" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.Anonymize.dpSum(ev, "event_type", "value",
+          lo = 0.0, hi = 100.0, epsilon = 1.0, seed = "dps")
+        .join(graft.ops.Anonymize.dpMean(ev, "event_type", "value",
+            lo = 0.0, hi = 100.0, epsilon = 1.0, seed = "dpm")
+          .select(col("event_type"), col("mean_noisy"), col("n_noisy")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
 
     // Count-Min heavy hitters vs ground truth: top-20 corpus tokens by
     // exact count with the sketch estimate alongside (one-sided error
@@ -2710,7 +2743,11 @@ object SparkEntry {
     // PSI drift gate between the first two weeks (reference) and the rest
     // (current) of each event type's value distribution — 5 equal-
     // frequency bins from REFERENCE quantiles, Σ(p−q)·ln(p/q), 0.2 action
-    // threshold. Broadcast edge model + one (type, bin) count shuffle
+    // threshold; groups with no reference slice surface as psi=NULL/
+    // drifted rows instead of vanishing. Broadcast edge model + one
+    // (type, bin) count shuffle. Full DuckDB oracle (quantile_cont
+    // replays Spark's exact interpolating percentile); the approx-
+    // percentile 100 TB leg is parity-pinned in DriftSpec
     "drift_psi" -> ((s, dir) =>
       graft.ops.Drift.psi(
           Tables.events(s, dir).withColumn("period",
@@ -2718,6 +2755,21 @@ object SparkEntry {
               .otherwise(lit("cur"))),
           "event_type", "value", "period")
         .orderBy("event_type")),
+
+    // Categorical PSI — the more common production drift check (source /
+    // language / label mix): per user cohort, drift of the EVENT-TYPE mix
+    // between the same two periods; bins are the category values, so no
+    // quantile model at all — ONE (cohort, type) count aggregate, roll-up
+    // windows span a cohort's category list. Full DuckDB oracle.
+    "drift_psi_categorical" -> ((s, dir) =>
+      graft.ops.Drift.psiCategorical(
+          Tables.events(s, dir)
+            .withColumn("period",
+              when(col("ts") < lit("2024-01-15").cast("timestamp"), lit("ref"))
+                .otherwise(lit("cur")))
+            .withColumn("cohort", pmod(col("user_id"), lit(4)).cast("string")),
+          "cohort", "event_type", "period")
+        .orderBy("cohort")),
 
     // daily resample + forward fill: irregular events onto each user's
     // dense daily grid, last observation carried forward — every stage
@@ -3662,6 +3714,20 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
+    // replays the pre-flight algebra exactly: per-side key counts, the
+    // count-frame join, Σ n_l·n_r, per-key share — never pairing the data
+    "join_cardinality_report" ->
+      ("WITH lc AS (SELECT event_type AS join_key, count(*) AS n_left FROM events GROUP BY 1), " +
+        "rc AS (SELECT event_type AS join_key, count(*) AS n_right FROM events GROUP BY 1), " +
+        "p AS (SELECT join_key, n_left, n_right, n_left * n_right AS pairs " +
+        "FROM lc JOIN rc USING (join_key)), " +
+        "t AS (SELECT CAST(sum(pairs) AS BIGINT) AS est_total_pairs, " +
+        "count(*) AS n_join_keys FROM p) " +
+        "SELECT join_key, n_left, n_right, pairs, " +
+        "round(CAST(pairs AS DOUBLE) / est_total_pairs, 6) AS share, " +
+        "est_total_pairs, n_join_keys FROM p, t " +
+        "ORDER BY pairs DESC, join_key LIMIT 5"),
+
     // the co-located bucketed join must equal the plain join — bucketing
     // only changes the physical layout, never the result
     "bucketed_join_colocated" ->
@@ -4153,6 +4219,51 @@ object SparkEntry {
         "CAST(count(DISTINCT CAST(n_chars % 16 AS INTEGER)) AS BIGINT) AS n_sensitive " +
         "FROM rel GROUP BY lang, source ORDER BY lang, source"),
 
+    // replays the deterministic Laplace simulation bit-for-bit: u from
+    // the 32-bit md5 prefix of 'dp0:<group>' (hex parsed via the 0x
+    // cast), inverse CDF −b·sign(u−½)·ln(1−2|u−½|) with b = 1/ε = 2
+    "dp_counts" ->
+      ("WITH g AS (SELECT event_type, count(*) AS n, " +
+        "(CAST('0x' || substr(md5('dp0:' || event_type), 1, 8) AS BIGINT) + 0.5) " +
+        "/ 4294967296.0 AS u FROM events GROUP BY event_type) " +
+        "SELECT event_type, round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) " +
+        "AS n_noisy, CAST(0.5 AS DOUBLE) AS epsilon, round(2.0 * ln(20), 4) AS err95 " +
+        "FROM g ORDER BY event_type"),
+
+    // the dp_counts replay once per scheduled release (per-release seed
+    // and b = 1/ε), tagged with the running Σε of sequential composition
+    "dp_ledger" ->
+      (Seq(("r1_mon", "dpa", 0.5, 0.5), ("r2_tue", "dpb", 0.5, 1.0),
+          ("r3_weekly", "dpc", 1.0, 2.0)).map { case (id, seed, eps, cum) =>
+        val b = 1.0 / eps
+        s"SELECT '$id' AS release_id, event_type, " +
+          s"round(n + (-$b) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) AS n_noisy, " +
+          s"CAST($eps AS DOUBLE) AS epsilon, round($b * ln(20), 4) AS err95, " +
+          s"round(CAST($cum AS DOUBLE), 4) AS eps_cumulative " +
+          s"FROM (SELECT event_type, count(*) AS n, " +
+          s"(CAST('0x' || substr(md5('$seed:' || event_type), 1, 8) AS BIGINT) + 0.5) " +
+          s"/ 4294967296.0 AS u FROM events GROUP BY event_type) g"
+      }.mkString("", " UNION ALL ", " ORDER BY release_id, event_type")),
+
+    // clamped sum (sensitivity 100, b = 100) + two-query mean (sum and
+    // count legs each on ε/2 → b = 200 and 2, sub-seeds :sum / :cnt)
+    "dp_sum_mean" ->
+      ("WITH lap AS (SELECT event_type, " +
+        "sum(greatest(0.0, least(100.0, value))) AS s, count(*) AS n, " +
+        "(CAST('0x' || substr(md5('dps:' || event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS us, " +
+        "(CAST('0x' || substr(md5('dpm:sum:' || event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS ums, " +
+        "(CAST('0x' || substr(md5('dpm:cnt:' || event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS umc " +
+        "FROM events GROUP BY event_type), " +
+        "r AS (SELECT event_type, " +
+        "round(s + (-100.0) * sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5)), 4) AS sum_noisy, " +
+        "s + (-200.0) * sign(ums - 0.5) * ln(1 - 2 * abs(ums - 0.5)) AS msn, " +
+        "n + (-2.0) * sign(umc - 0.5) * ln(1 - 2 * abs(umc - 0.5)) AS mnn " +
+        "FROM lap) " +
+        "SELECT event_type, sum_noisy, CAST(1.0 AS DOUBLE) AS epsilon, " +
+        "round(100.0 * ln(20), 4) AS err95, " +
+        "round(msn / greatest(mnn, 1.0), 4) AS mean_noisy, round(mnn, 4) AS n_noisy " +
+        "FROM r ORDER BY event_type"),
+
     "events_seasonal_profile" ->
       ("WITH cells AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, " +
         "CAST(count(*) AS BIGINT) AS n, avg(value) AS m " +
@@ -4611,6 +4722,18 @@ object SparkEntry {
         "CAST(len(tk[s+1:s+64]) AS BIGINT) AS n_chunk_tokens " +
         "FROM e ORDER BY doc_id, chunk_idx"),
 
+    // replays the prefix routing: first-2-token key (string_split keeps
+    // empties exactly like Spark split), group mins/sums, the
+    // (n_docs−1)·prefix_len savings formula, top-20 by savings
+    "inference_prefix_groups" ->
+      ("WITH t AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS prefix, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS l FROM documents), " +
+        "g AS (SELECT prefix, count(*) AS n_docs, least(min(l), 2) AS prefix_len, " +
+        "CAST(sum(l) AS BIGINT) AS total_tokens FROM t GROUP BY prefix) " +
+        "SELECT prefix, n_docs, CAST(prefix_len AS BIGINT) AS prefix_len, total_tokens, " +
+        "CAST((n_docs - 1) * prefix_len AS BIGINT) AS saved_tokens " +
+        "FROM g ORDER BY saved_tokens DESC, prefix LIMIT 20"),
+
     "dedup_substring" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
         "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
@@ -4712,6 +4835,20 @@ object SparkEntry {
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         "md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
         "FROM documents ORDER BY pos"),
+
+    // full replay of the group-keyed assignment: the 32-bit md5 prefix of
+    // 'split0:<user>' against floor(0.25·2³²) = 1073741824, the leak
+    // audit (groups seen in both splits — 0 by construction since the
+    // hash keys ONLY the group), and the per-split rollup
+    "grouped_split" ->
+      ("WITH s AS (SELECT user_id, CASE WHEN " +
+        "CAST('0x' || substr(md5('split0:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) " +
+        "< 1073741824 THEN 'test' ELSE 'train' END AS split FROM events), " +
+        "leak AS (SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_groups " +
+        "FROM (SELECT user_id, count(DISTINCT split) AS k FROM s GROUP BY 1) z) " +
+        "SELECT split, count(*) AS n_rows, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups, leaked_groups " +
+        "FROM s, leak GROUP BY split, leaked_groups ORDER BY split"),
 
     "exact_stratified_split" ->
       ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
@@ -4874,6 +5011,53 @@ object SparkEntry {
         "round(avg(value_w), 4) AS mean_winsorized, " +
         "round(any_value(q_lo), 4) AS p05, round(any_value(q_hi), 4) AS p95 " +
         "FROM w GROUP BY event_type ORDER BY event_type"),
+
+    // replays psi() exactly: quantile_cont ≡ Spark's interpolating
+    // percentile, the same >-edge bin chain, per-group share windows,
+    // eps clamps, 4-dp rounding — plus the novel-group union (groups
+    // with no 'ref' slice; empty on this fixture by construction)
+    "drift_psi" ->
+      ("WITH d AS (SELECT event_type AS g, value AS v, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END AS per FROM events), " +
+        "e AS (SELECT g, quantile_cont(v, 0.2) AS e1, quantile_cont(v, 0.4) AS e2, " +
+        "quantile_cont(v, 0.6) AS e3, quantile_cont(v, 0.8) AS e4 " +
+        "FROM d WHERE per = 'ref' GROUP BY g), " +
+        "b AS (SELECT d.g, 1 + CAST(v > e1 AS INT) + CAST(v > e2 AS INT) + " +
+        "CAST(v > e3 AS INT) + CAST(v > e4 AS INT) AS bin, per FROM d JOIN e USING (g)), " +
+        "c AS (SELECT g, bin, sum(CASE WHEN per = 'ref' THEN 1 ELSE 0 END) AS nr, " +
+        "sum(CASE WHEN per = 'cur' THEN 1 ELSE 0 END) AS nc FROM b GROUP BY g, bin), " +
+        "t AS (SELECT g, nr, nc, sum(nr) OVER (PARTITION BY g) AS tr, " +
+        "sum(nc) OVER (PARTITION BY g) AS tc FROM c), " +
+        "s AS (SELECT g, greatest(CAST(nr AS DOUBLE) / tr, 1e-6) AS p, " +
+        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nr, nc FROM t), " +
+        "a AS (SELECT g, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
+        "CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur FROM s GROUP BY g) " +
+        "SELECT g AS event_type, psi, n_ref, n_cur, psi > 0.2 AS drifted FROM a " +
+        "UNION ALL SELECT g, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), " +
+        "CAST(count(*) AS BIGINT), TRUE FROM d " +
+        "WHERE per = 'cur' AND g NOT IN (SELECT g FROM e) GROUP BY g " +
+        "ORDER BY event_type"),
+
+    // same roll-up over category bins (no quantile model); novel-cohort
+    // union empty on this fixture (all 4 cohorts span both periods)
+    "drift_psi_categorical" ->
+      ("WITH d AS (SELECT CAST(user_id % 4 AS VARCHAR) AS g, event_type AS bin, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END AS per FROM events), " +
+        "c AS (SELECT g, bin, sum(CASE WHEN per = 'ref' THEN 1 ELSE 0 END) AS nr, " +
+        "sum(CASE WHEN per = 'cur' THEN 1 ELSE 0 END) AS nc FROM d GROUP BY g, bin), " +
+        "t AS (SELECT g, nr, nc, sum(nr) OVER (PARTITION BY g) AS tr, " +
+        "sum(nc) OVER (PARTITION BY g) AS tc FROM c), " +
+        "s AS (SELECT g, greatest(CAST(nr AS DOUBLE) / tr, 1e-6) AS p, " +
+        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nr, nc, tr FROM t), " +
+        "a AS (SELECT g, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
+        "CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur " +
+        "FROM s WHERE tr > 0 GROUP BY g) " +
+        "SELECT g AS cohort, psi, n_ref, n_cur, psi > 0.2 AS drifted FROM a " +
+        "UNION ALL SELECT g, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), " +
+        "CAST(sum(nc) AS BIGINT), TRUE FROM " +
+        "(SELECT g, nc, sum(nr) OVER (PARTITION BY g) AS gtr FROM c) z " +
+        "WHERE gtr = 0 GROUP BY g " +
+        "ORDER BY cohort"),
 
     "events_from_json" ->
       ("SELECT event_type, " +

@@ -97,4 +97,37 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(out.head._5 == 41L) // distinct keys
   }
+
+  test("joinCardinalityReport: Σ n_l·n_r equals the ACTUAL join output size") {
+    // left {a×3, b×2, c×1}, right {a×2, b×4, d×5} → matched keys only:
+    // a = 3·2 = 6, b = 2·4 = 8, total 14 (c and d match nothing)
+    val left = (Seq.fill(3)("a") ++ Seq.fill(2)("b") :+ "c").zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("lk", "lv")
+    val right = (Seq.fill(2)("a") ++ Seq.fill(4)("b") ++ Seq.fill(5)("d")).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("rk", "rv")
+    val rep = Scale.joinCardinalityReport(left, right, "lk", "rk", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(rep.map(_._1).toSeq == Seq("b", "a"), "ranked by pair contribution")
+    assert(rep.map(t => t._1 -> t._4).toMap == Map("a" -> 6L, "b" -> 8L))
+    val actual = left.join(right, col("lk") === col("rk")).count()
+    assert(rep.head._6 == actual && actual == 14L,
+      s"pre-flight said ${rep.head._6}, real join produced $actual")
+    assert(rep.head._7 == 2L, "only matching keys count")
+    // shares sum to 1 when topK covers every key; per-row n_l·n_r = pairs
+    assert(math.abs(rep.map(_._5).sum - 1.0) < 1e-6)
+    rep.foreach { case (_, nl, nr, pairs, _, _, _) => assert(nl * nr == pairs) }
+  }
+
+  test("joinCardinalityReport plan never shuffles or pairs the data rows") {
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    val rep = Scale.joinCardinalityReport(ev, ev, "event_type", "event_type", topK = 5)
+    val plan = rep.queryExecution.executedPlan.toString
+    // the only join is between the two count frames (key-sized);
+    // the quadratic pair frame itself must never materialize
+    assert(!plan.contains("CartesianProduct"), plan)
+    val est = rep.collect().head.getLong(5)
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(est > (ev.count() / nTypes) * (ev.count() / nTypes), "quadratic blow-up surfaced")
+  }
 }

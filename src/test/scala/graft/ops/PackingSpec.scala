@@ -153,4 +153,36 @@ class PackingSpec extends AnyFunSuite {
     assert(padding(sorted) < padding(naive),
       s"sorted ${padding(sorted)} not below naive ${padding(naive)}")
   }
+
+  test("prefixGroups: hand-computed grouping and the (n−1)·prefix_len savings formula") {
+    import spark.implicits._
+    val prompts = Seq(
+      (1L, "summarize this text about cats"), // group "summarize this": 3 prompts
+      (2L, "summarize this text about dogs"),
+      (3L, "summarize this report"),
+      (4L, "translate to french hello"),      // group "translate to": 2 prompts
+      (5L, "translate to german goodbye"),
+      (6L, "hi")).toDF("doc_id", "text")      // 1-token prompt: groups by full text
+    val got = Packing.prefixGroups(prompts, "text", prefixTokens = 2, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // savings = (n_docs − 1) · prefix_len: the prefill a RadixAttention-
+    // style cache computes once per group instead of once per prompt
+    assert(got("summarize this") == ((3L, 2L, 13L, 4L)))
+    assert(got("translate to") == ((2L, 2L, 8L, 2L)))
+    // the short prompt's shared length is its own (1-token) length
+    assert(got("hi") == ((1L, 1L, 1L, 0L)))
+    got.foreach { case (p, (n, plen, _, saved)) =>
+      assert(saved == (n - 1) * plen, s"savings formula broken for '$p'")
+    }
+    intercept[IllegalArgumentException](Packing.prefixGroups(prompts, "text", 0, 10))
+    intercept[IllegalArgumentException](Packing.prefixGroups(prompts, "text", 2, 0))
+  }
+
+  test("prefixGroups ranks by savings and honors topK with deterministic ties") {
+    val out = Packing.prefixGroups(docs, "text", prefixTokens = 2, topK = 20).collect()
+    assert(out.length <= 20)
+    val saved = out.map(_.getLong(4)).toSeq
+    assert(saved == saved.sortBy(-_), "must be ranked by saved_tokens desc")
+  }
 }

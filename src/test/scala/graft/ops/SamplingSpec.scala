@@ -27,6 +27,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(split.exceptAll(origAssign).isEmpty, "existing rows must keep their split as corpus grows")
   }
 
+  test("groupedSplit: group integrity holds — leaked_groups is 0 by construction") {
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    val sp = Sampling.groupedSplit(ev, testFraction = 0.25, col("user_id"), seed = "split0")
+    // THE contract: no group may straddle splits (train/eval leakage)
+    val leaked = sp.groupBy("user_id")
+      .agg(count_distinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(leaked == 0L, "a user's events appeared in BOTH splits")
+    // disjoint + exhaustive, and the test share lands near the fraction
+    assert(sp.count() == ev.count())
+    val groups = sp.select("user_id", "split").distinct()
+    val frac = groups.filter(col("split") === "test").count().toDouble / groups.count()
+    assert(frac > 0.1 && frac < 0.4, s"test-group share $frac")
+  }
+
+  test("groupedSplit assignment matches a driver-side md5 recomputation") {
+    import spark.implicits._
+    val df = (0L until 200L).map(g => (g, s"row$g")).toDF("g", "payload")
+    val got = Sampling.groupedSplit(df, 0.25, col("g"), seed = "sd")
+      .select("g", "split").as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val threshold = math.floor(0.25 * 4294967296.0d).toLong
+    (0L until 200L).foreach { g =>
+      val hex = md.digest(s"sd:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val expect = if (java.lang.Long.parseLong(hex, 16) < threshold) "test" else "train"
+      assert(got(g) == expect, s"group $g")
+    }
+    intercept[IllegalArgumentException](Sampling.groupedSplit(df, 1.5, col("g"), "sd"))
+  }
+
+  test("groupedSplit is a pure map-side projection — no shuffle, no group table") {
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    val plan = Sampling.groupedSplit(ev, 0.25, col("user_id"), "split0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"groupedSplit must not shuffle:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("trainTestSplit assignment matches a driver-side xxhash64 recomputation") {
     // first-principles check backing the pinned train_test_split oracle:
     // re-derive pmod(xxhash64(doc_id), 1e6)/1e6 < 0.2 with catalyst's
