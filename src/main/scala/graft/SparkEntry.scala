@@ -2941,6 +2941,43 @@ object SparkEntry {
         .orderBy("q_id", "mmr_rank")
     }),
 
+    // Persisted-index hybrid serving (the 100 TB deployment shape): the
+    // SAME fused ranking as doc_retrieval_hybrid, but both legs served
+    // from the artifacts the engine already persists — BM25 postings
+    // (term-range-partitioned, query-term literal pushdown) and the
+    // IVF-PQ sidecar (ADC probe over the inverted lists + bounded exact
+    // rerank) — corpus text is never re-scanned and no leg is a brute
+    // cross join. All lists probed with a 16k-candidate exact rerank so
+    // the served cosine top-10 is exactly the brute ranking at the
+    // correctness scale (approximation risk carried by knn_recall_audit);
+    // shares doc_retrieval_hybrid's full DuckDB oracle — identical
+    // results from the indexes alone.
+    "doc_retrieval_hybrid_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val bm25Dir = IndexFixture.dir("bm25_1", dir) { tmp =>
+        graft.ops.Bm25Index.write(
+          graft.ops.Bm25Index.build(Tables.documents(s, dir), "doc_id", "text"), tmp)
+      }
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      val bm25 = graft.ops.Bm25Index.topK(
+          graft.ops.Bm25Index.read(s, bm25Dir), qs, "q_id", "term", k = 10)
+        .select(col("q_id"), col("id").as("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val ivfDir = IndexFixture.dir("ivfpq1", dir) { tmp =>
+        graft.ops.IvfPqIndex.write(
+          graft.ops.IvfPqIndex.build(emb, "vec_id", "embedding",
+            nlist = 16, numSubspaces = 8, numCodes = 16), tmp)
+      }
+      val vec = graft.ops.IvfPqIndex.topK(
+          graft.ops.IvfPqIndex.read(s, ivfDir),
+          emb.filter(col("vec_id").isin(1L, 2L)), emb,
+          "vec_id", "embedding", k = 10, nprobe = 16, fetchFactor = 16)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(bm25, vec), "q_id", "doc_id", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
     // extract — re-cased names, a dropped column (NULL-backfilled), an
     // int-narrowed key (re-widened via canUpCast), an extra column kept.
@@ -3607,6 +3644,42 @@ object SparkEntry {
       "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM agg) " +
       "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score " +
       "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
+  /** Hybrid RRF replay shared by `doc_retrieval_hybrid` (brute legs) and
+    * `doc_retrieval_hybrid_indexed` (persisted BM25 + IVF-PQ serving):
+    * both must land the IDENTICAL fused ranking — the BM25 CTEs are
+    * [[Bm25OracleSql]]'s, the cosine leg is knn_bruteforce's restricted
+    * to queries 1 and 2, fused by 1/(60+rank) and re-ranked.
+    */
+  private val HybridRrfOracleSql: String =
+    "WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
+      "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
+      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
+      "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+      "sc AS (SELECT q.q_id, tf.doc_id, " +
+      "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS s " +
+      "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "bagg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(s), 4) AS score FROM sc GROUP BY 1, 2), " +
+      "bm AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r FROM bagg), " +
+      "vp AS (SELECT qe.vec_id AS q_id, n.vec_id AS doc_id, " +
+      "round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
+      "FROM embeddings qe, embeddings n WHERE qe.vec_id IN (1, 2) AND qe.vec_id <> n.vec_id), " +
+      "vec AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS r FROM vp), " +
+      "contrib AS (SELECT q_id, doc_id, r FROM bm WHERE r <= 10 " +
+      "UNION ALL SELECT q_id, doc_id, r FROM vec WHERE r <= 10), " +
+      "fused AS (SELECT q_id, doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf, " +
+      "CAST(count(*) AS BIGINT) AS n_legs FROM contrib GROUP BY 1, 2), " +
+      "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank FROM fused) " +
+      "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_legs " +
+      "FROM rr WHERE rank <= 10 ORDER BY q_id, rank"
 
   def oracleSql: Map[String, String] = Map(
     "corpus_stats" ->
@@ -5299,36 +5372,11 @@ object SparkEntry {
 
     // hybrid RRF: both legs replayed to their top-10 ranks (the BM25 CTEs
     // are Bm25OracleSql's; the cosine leg is knn_bruteforce's restricted
-    // to queries 1 and 2), fused by 1/(60+rank) and re-ranked
-    "doc_retrieval_hybrid" ->
-      ("WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
-        "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
-        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
-        "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
-        "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
-        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
-        "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
-        "sc AS (SELECT q.q_id, tf.doc_id, " +
-        "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS s " +
-        "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
-        "bagg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(s), 4) AS score FROM sc GROUP BY 1, 2), " +
-        "bm AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r FROM bagg), " +
-        "vp AS (SELECT qe.vec_id AS q_id, n.vec_id AS doc_id, " +
-        "round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
-        "FROM embeddings qe, embeddings n WHERE qe.vec_id IN (1, 2) AND qe.vec_id <> n.vec_id), " +
-        "vec AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS r FROM vp), " +
-        "contrib AS (SELECT q_id, doc_id, r FROM bm WHERE r <= 10 " +
-        "UNION ALL SELECT q_id, doc_id, r FROM vec WHERE r <= 10), " +
-        "fused AS (SELECT q_id, doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf, " +
-        "CAST(count(*) AS BIGINT) AS n_legs FROM contrib GROUP BY 1, 2), " +
-        "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank FROM fused) " +
-        "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_legs " +
-        "FROM rr WHERE rank <= 10 ORDER BY q_id, rank"),
+    // to queries 1 and 2), fused by 1/(60+rank) and re-ranked. The
+    // index-served variant shares it verbatim: persisted-artifact serving
+    // must reproduce the brute hybrid ranking exactly.
+    "doc_retrieval_hybrid" -> HybridRrfOracleSql,
+    "doc_retrieval_hybrid_indexed" -> HybridRrfOracleSql,
 
     "schema_evolution_union" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +

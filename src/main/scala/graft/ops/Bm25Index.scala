@@ -89,18 +89,21 @@ object Bm25Index {
       if (littleTerms.length <= MaxPushdownTerms)
         index.postings.filter(col("term").isin(littleTerms.sorted.toIndexedSeq: _*))
       else index.postings.join(broadcast(qTerms), Seq("term"), "left_semi")
+    // the 1-row stats frame folds in as LITERALS via a provably-bounded
+    // collect (the index-format contract: stats IS one row — same
+    // bounded-collect family as the query-term pushdown above), so a
+    // serve plan carries ZERO nested-loop joins: every remaining join is
+    // an equi-join or a broadcast of query-batch-sized frames
+    val st = index.stats.select(col("n"), col("avgdl")).head()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
     val scored = pruned
       .join(broadcast(index.terms.join(qTerms, Seq("term"), "left_semi")), Seq("term"))
       .join(broadcast(q), Seq("term"))
-      // limit(1) states the index-format contract (stats IS one row) in
-      // the plan itself, so a read-back stats table is provably bounded
-      // for plan audits — identical semantics, no extra work
-      .crossJoin(broadcast(index.stats.limit(1)))
       .withColumn("__idf",
-        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("__sc",
         col("__idf") * col("tf") * (lit(k1) + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
       .groupBy(col("q_id"), col("id"))
       .agg(round(sum(col("__sc")), 4).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id").asc)

@@ -137,21 +137,23 @@ object IvfPqIndex {
       k: Int,
       nprobe: Int = 8,
       fetchFactor: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroidDf = spark
-      .createDataset(index.centroids.toSeq.map { case (i, v) => (i, v) })
-      .toDF("cluster", "c_vec")
-      .withColumn("c_norm", vec_norm(col("c_vec")))
-
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", vec_norm(col("q_vec")))
       .withColumn("lut", pq_lut(col("q_vec"), index.codebooks))
 
+    // probe selection rides the LITERAL centroid matrix through a
+    // generator (posexplode), not a join: the per-query nlist-row fanout
+    // is pure map-side compute — no BroadcastNestedLoopJoin anywhere in
+    // a serve plan (pos in the sorted literal IS the cluster id, the
+    // same indexing residualEncode uses for element_at)
+    val sortedCentroids = index.centroids.sortBy(_._1)
+    val centroidMat = typedLit(sortedCentroids.map(_._2.toSeq).toSeq)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(centroidDf))
+    val probes = q
+      .select(col("q_id"), col("lut"), col("q_norm"), col("q_vec"),
+        posexplode(centroidMat).as(Seq("cluster", "c_vec")))
       .withColumn("__qdotc", vec_dot(col("q_vec"), col("c_vec")))
-      .withColumn("__sim", col("__qdotc") / (col("q_norm") * col("c_norm")))
+      .withColumn("__sim", col("__qdotc") / (col("q_norm") * vec_norm(col("c_vec"))))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("lut"), col("q_norm"), col("cluster"), col("__qdotc"))
