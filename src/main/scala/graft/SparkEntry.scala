@@ -1010,6 +1010,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Incremental PageRank maintenance (the L8 merge-aggregate idea on
+    // the graph family): ranks computed on the 90% base graph (orders
+    // with o_orderkey % 10 != 0) WARM-START 3 power rounds on the full
+    // merged edge set — new vertices enter at 1/N, the vector
+    // renormalizes, rounds are the identical two-key-shuffle arithmetic
+    // — instead of a cold 10-round recompute. Full DuckDB oracle
+    // (base-5 + warm-3 unrolled CTEs); the convergence advantage over a
+    // cold start is first-principles-asserted in GraphSpec.
+    "graph_pagerank_incremental" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val all = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"),
+          (col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val base = all.filter(col("o_orderkey") % 10 =!= 0).select("src", "dst")
+      val prev = graft.ops.Graph.pagerank(base, iterations = 5, damping = 0.85)
+      graft.ops.Graph.pagerankWarmStart(all.select("src", "dst"), prev,
+          iterations = 3, damping = 0.85)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
     // DIRECTED PageRank with dangling-mass redistribution: customer →
     // supplier edges make every supplier a pure sink, so each round its
     // mass re-spreads uniformly (+ d·dm/N) — Σ rank stays exactly 1 (a
@@ -4099,6 +4122,48 @@ object SparkEntry {
           "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
         .mkString(", ", ", ", "")
       head + loop + " SELECT id, round(r, 8) AS rank FROM pr10 ORDER BY id"
+    },
+
+    // base-graph 5-round fixpoint (orders % 10 <> 0), then the warm
+    // start: completion at 1/N for new vertices, renormalization, and 3
+    // identical rounds on the merged graph — unrolled exactly like
+    // graph_pagerank's replay
+    "graph_pagerank_incremental" -> {
+      val head =
+        "WITH b0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 10 <> 0), " +
+        "eb AS (SELECT src, dst FROM b0 UNION SELECT dst, src FROM b0), " +
+        "nb AS (SELECT DISTINCT src AS id FROM eb), " +
+        "nnb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nb), " +
+        "degb AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM eb GROUP BY src), " +
+        "pb0 AS (SELECT id, 1.0 / nnb.n AS r FROM nb, nnb)"
+      val baseLoop = (1 to 5).map(i =>
+        s"pb$i AS (SELECT nd.id, 0.15 / nnb.n + 0.85 * coalesce(c.s, 0) AS r " +
+          "FROM nb nd CROSS JOIN nnb LEFT JOIN " +
+          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
+          s"FROM eb e JOIN pb${i - 1} p ON p.id = e.src " +
+          "JOIN degb dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
+        .mkString(", ", ", ", "")
+      val merge =
+        ", m0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "em AS (SELECT src, dst FROM m0 UNION SELECT dst, src FROM m0), " +
+        "nm AS (SELECT DISTINCT src AS id FROM em), " +
+        "nnm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nm), " +
+        "degm AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM em GROUP BY src), " +
+        "seed AS (SELECT nm.id, coalesce(p.r, 1.0 / nnm.n) AS r " +
+          "FROM nm CROSS JOIN nnm LEFT JOIN pb5 p ON p.id = nm.id), " +
+        "tot AS (SELECT sum(r) AS t FROM seed), " +
+        "pw0 AS (SELECT id, r / tot.t AS r FROM seed, tot)"
+      val warmLoop = (1 to 3).map(i =>
+        s"pw$i AS (SELECT nd.id, 0.15 / nnm.n + 0.85 * coalesce(c.s, 0) AS r " +
+          "FROM nm nd CROSS JOIN nnm LEFT JOIN " +
+          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
+          s"FROM em e JOIN pw${i - 1} p ON p.id = e.src " +
+          "JOIN degm dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
+        .mkString(", ", ", ", "")
+      head + baseLoop + merge + warmLoop +
+        " SELECT id, round(r, 8) AS rank FROM pw3 ORDER BY id"
     },
 
     // directed + dangling redistribution: same unrolled-CTE replay, with

@@ -68,26 +68,45 @@ case class MmrSelect(child: Expression, lambda: Double, k: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val total = arr.numElements()
     val isFloat = vecIsFloat
-    val ids = new Array[Long](n)
-    val sims = new Array[Double](n)
-    val vecs = new Array[Array[Double]](n)
+    // null candidate entries (or entries with a null vector) carry
+    // nothing rankable — SKIP them instead of NPE-ing mid-scan; vector
+    // lengths are validated once so a ragged batch fails with a
+    // descriptive error, not an ArrayIndexOutOfBounds deep in cos()
+    val idsB = new scala.collection.mutable.ArrayBuffer[Long](total)
+    val simsB = new scala.collection.mutable.ArrayBuffer[Double](total)
+    val vecsB = new scala.collection.mutable.ArrayBuffer[Array[Double]](total)
     var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 3)
-      ids(i) = row.getLong(0)
-      sims(i) = row.getDouble(1)
-      val vd = row.getArray(2)
-      val vec = new Array[Double](vd.numElements())
-      var j = 0
-      while (j < vec.length) {
-        vec(j) = if (isFloat) vd.getFloat(j).toDouble else vd.getDouble(j)
-        j += 1
+    var dim = -1
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          val vd = row.getArray(2)
+          val vec = new Array[Double](vd.numElements())
+          var j = 0
+          while (j < vec.length) {
+            vec(j) = if (isFloat) vd.getFloat(j).toDouble else vd.getDouble(j)
+            j += 1
+          }
+          if (dim < 0) dim = vec.length
+          else if (vec.length != dim)
+            throw new org.apache.spark.SparkException(
+              s"mmr_select: candidate id ${row.getLong(0)} has vector length " +
+                s"${vec.length}, expected $dim — all candidate vectors in one " +
+                "list must share a dimension")
+          idsB += row.getLong(0)
+          simsB += row.getDouble(1)
+          vecsB += vec
+        }
       }
-      vecs(i) = vec
       i += 1
     }
+    val n = idsB.length
+    val ids = idsB.toArray
+    val sims = simsB.toArray
+    val vecs = vecsB.toArray
     val norms = vecs.map(vv => math.sqrt(vv.map(x => x * x).sum))
     def cos(a: Int, b: Int): Double = {
       val va = vecs(a); val vb = vecs(b)

@@ -51,7 +51,48 @@ object Graph {
       dstCol: String = "dst",
       iterations: Int = 10,
       damping: Double = 0.85,
-      undirected: Boolean = true): DataFrame = {
+      undirected: Boolean = true): DataFrame =
+    pagerankFrom(edges0, None, srcCol, dstCol, iterations, damping, undirected)
+
+  /** Incremental PageRank maintenance — the [[graft.etl.Loads.mergeAggregate]]
+    * idea applied to the graph family: instead of recomputing the merged
+    * graph from the uniform vector, WARM-START the power iteration from
+    * the PREVIOUS run's rank vector (`prevRanks`: (id, rank)). Power
+    * iteration converges geometrically at rate `damping` from ANY
+    * probability vector, so starting ‖r_prev − r*‖ close (a small edge
+    * delta moves the fixpoint little) needs a small number of rounds
+    * where a cold start needs ~log(ε)/log(damping) — the daily-crawl
+    * maintenance pattern (publicly analyzed as "aggregation/restart"
+    * incremental PageRank, e.g. Langville & Meyer 2006 ch. 10).
+    *
+    * The warm vector adapts to the merged graph before iterating:
+    * vertices NEW in the merged edge set (absent from `prevRanks`) enter
+    * at the uniform 1/N; vertices that left the graph drop; the vector
+    * renormalizes to Σ = 1 (one bounded scalar aggregate, the same
+    * driver-literal family as the N count). Rounds are IDENTICAL to
+    * [[pagerank]] — same two key shuffles, same dangling handling, same
+    * per-round localCheckpoint — so the maintained result is the same
+    * deterministic arithmetic an unrolled SQL replay computes.
+    */
+  def pagerankWarmStart(
+      edges0: DataFrame,
+      prevRanks: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      undirected: Boolean = true): DataFrame =
+    pagerankFrom(edges0, Some(prevRanks), srcCol, dstCol, iterations, damping,
+      undirected)
+
+  private def pagerankFrom(
+      edges0: DataFrame,
+      warmStart: Option[DataFrame],
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      damping: Double,
+      undirected: Boolean): DataFrame = {
     val fwd = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val dir = if (undirected)
       fwd.unionByName(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -81,7 +122,21 @@ object Graph {
     val n = nodes.count().toDouble
     val teleport = (1.0 - damping) / n
 
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    var ranks = warmStart match {
+      case None =>
+        nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+      case Some(prev) =>
+        // complete (new vertices at 1/N), restrict (departed drop via the
+        // node join), renormalize to a probability vector — the scalar
+        // total is one bounded driver value, like the N count above
+        val seeded = nodes
+          .join(prev.select(col("id"), col("rank").as("__pr")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__pr"), lit(1.0 / n)).as("rank"))
+          .localCheckpoint()
+        val tot = seeded.agg(sum(col("rank"))).head().getDouble(0)
+        seeded.select(col("id"), (col("rank") / lit(tot)).as("rank"))
+          .localCheckpoint()
+    }
     var i = 0
     while (i < iterations) {
       val contrib = edgesDeg

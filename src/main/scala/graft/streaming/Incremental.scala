@@ -487,6 +487,18 @@ object Incremental {
     * rewrites the same deterministic merge. Superseded snapshots are
     * retired (latest two kept), bounding storage at 2× the rollup.
     *
+    * RUN-IDENTITY GUARD: batch ids are comparable only within ONE
+    * checkpoint lineage — a fresh checkpoint restarts them at 0, so its
+    * live batches would collide with historical `snap_<id>` dirs and be
+    * silently skipped as "already committed" (data loss). The rollup
+    * therefore carries a `_graft_query_id` stamp (the streaming query id
+    * from the checkpoint's `metadata` file — stable across checkpoint
+    * COPIES/restores, fresh for a new checkpoint), and a run whose
+    * checkpoint identity does not match the stamp fails loudly instead
+    * of merging. A null `checkpointPath` derives the stable
+    * `<rollupPath>/_checkpoint` instead of a throwaway temp dir, so the
+    * shorthand call is genuinely incremental across runs.
+    *
     * Returns the final rollup (latest committed snapshot) for
     * verification.
     */
@@ -502,15 +514,40 @@ object Incremental {
     // the checkpoint is the incremental contract: re-running with the
     // SAME checkpoint merges only files that arrived since the last run
     // (a fresh checkpoint would re-merge history and double-count)
-    val ckpt =
-      if (checkpointPath != null) java.nio.file.Paths.get(checkpointPath)
-      else java.nio.file.Files.createTempDirectory("graft_rollupckpt")
+    val ckptStr =
+      if (checkpointPath != null) checkpointPath
+      else new org.apache.hadoop.fs.Path(rollupPath, "_checkpoint").toString
     // Hadoop FS, not java.nio: the rollup lives wherever the table lives
     // (HDFS/S3/local) — snapshot listing and retirement must go through
     // the same filesystem the parquet writer commits to
     val root = new org.apache.hadoop.fs.Path(rollupPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
+    def readUtf8(p: org.apache.hadoop.fs.Path): String = {
+      val s = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(s), "UTF-8")
+      finally s.close()
+    }
+    // the streaming query id lives in <ckpt>/metadata as {"id":"<uuid>"}
+    // — present iff this checkpoint has run before
+    def checkpointQueryId(): Option[String] = {
+      val meta = new org.apache.hadoop.fs.Path(ckptStr, "metadata")
+      val mfs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!mfs.exists(meta)) None
+      else "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(readUtf8(meta)).map(_.group(1))
+    }
+    val stampPath = new org.apache.hadoop.fs.Path(root, "_graft_query_id")
+    if (fs.exists(stampPath)) {
+      val stamped = readUtf8(stampPath).trim
+      val current = checkpointQueryId()
+      require(current.contains(stamped),
+        s"rollup at $rollupPath was maintained by streaming query '$stamped' " +
+          s"but checkpoint '$ckptStr' carries ${current.fold("no run yet (fresh checkpoint)")(id => s"query '$id'")}: " +
+          "its batch ids would restart and live batches would be silently " +
+          "skipped as stale snapshots. Reuse the original checkpoint " +
+          "(or a restored copy of it), or start a fresh rollupPath.")
+    }
     // committed = has the parquet committer's _SUCCESS marker; a dir a
     // crash left half-written is invisible here and gets rewritten
     def committedSnaps(): Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -546,10 +583,16 @@ object Incremental {
           }
         }
       }
-      .option("checkpointLocation", ckpt.toString)
+      .option("checkpointLocation", ckptStr)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // stamp (once) the identity whose batch ids the snapshots carry; the
+    // metadata file exists now that the query has started
+    if (!fs.exists(stampPath)) checkpointQueryId().foreach { id =>
+      val out = fs.create(stampPath, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+    }
     val fin = committedSnaps()
     require(fin.nonEmpty, s"no committed rollup snapshot under $rollupPath")
     spark.read.parquet(fin.last._2.toString)

@@ -29,6 +29,28 @@ class MmrSpec extends AnyFunSuite {
     assert(out.head._2 == 0.63)
   }
 
+  test("null candidate entries and null vectors are skipped, not NPE'd") {
+    val x = Array(1f, 0f, 0f)
+    val y = Array(0f, 1f, 0f)
+    val out = Seq(Tuple1(Seq(Some((10L, 0.9, Some(x))), None,
+        Some((12L, 0.5, Some(y))), Some((13L, 0.8, Option.empty[Array[Float]])))))
+      .toDF("cands")
+      .select(explode(MmrFunctions.mmr_select(col("cands"), 0.7, 5)).as("s"))
+      .select(col("s.id")).as[Long].collect().toSeq
+    // the null element and the null-vector candidate vanish; the two
+    // real candidates rank normally
+    assert(out == Seq(10L, 12L), s"got $out")
+  }
+
+  test("mismatched vector lengths fail with a descriptive error, not AIOOBE") {
+    val e = intercept[org.apache.spark.SparkException] {
+      run(Seq((1L, 0.9, Array(1f, 0f, 0f)), (2L, 0.8, Array(1f, 0f))), 0.7, 5)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must share a dimension")), e.getMessage)
+  }
+
   test("selection is input-order invariant and ties break to the lower id") {
     val vs = Seq(
       (5L, 0.8, Array(1f, 0f, 0f)),

@@ -59,6 +59,31 @@ class OutliersSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize approx path: sketch band within tolerance of exact on the events fixture") {
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    def bands(exact: Boolean) =
+      Outliers.winsorize(ev, "event_type", "value", exact = exact)
+        .select("event_type", "q_lo", "q_hi").distinct()
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (e, a) = (bands(exact = true), bands(exact = false))
+    assert(e.keySet == a.keySet && e.nonEmpty)
+    e.foreach { case (g, (lo, hi)) =>
+      val span = hi - lo
+      assert(math.abs(a(g)._1 - lo) <= 0.05 * span, s"$g q_lo exact=$lo approx=${a(g)._1}")
+      assert(math.abs(a(g)._2 - hi) <= 0.05 * span, s"$g q_hi exact=$hi approx=${a(g)._2}")
+    }
+    // the clamped means the two paths produce must agree closely — the
+    // statistic downstream consumers actually read
+    def wMean(exact: Boolean) =
+      Outliers.winsorize(ev, "event_type", "value", exact = exact)
+        .groupBy("event_type").agg(avg("value_w").as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (em, am) = (wMean(exact = true), wMean(exact = false))
+    em.foreach { case (g, m) =>
+      assert(math.abs(am(g) - m) <= math.max(0.02 * math.abs(m), 0.5), s"$g mean")
+    }
+  }
+
   test("winsorize clamps into the hand-computed quantile band, keeps N, tames the tail") {
     import spark.implicits._
     // 1..9 plus one wild 1000 in group a; q(0.05)/q(0.95) interpolate over

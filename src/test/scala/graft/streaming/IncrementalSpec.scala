@@ -306,5 +306,44 @@ class IncrementalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Incremental.readRollupSnapshot(spark, rollup, asOfBatch = -1L)
     }
+    // RUN-IDENTITY GUARD: a FRESH checkpoint against the maintained
+    // rollup restarts batch ids at 0 — its live batches would collide
+    // with committed snap_0/snap_1 and be skipped as stale (silent data
+    // loss); the query-id stamp must reject the run instead
+    val freshCkpt = Files.createTempDirectory("graft_rollup_ck_fresh").toString
+    val e = intercept[IllegalArgumentException] {
+      Incremental.streamRollupMaintain(spark, src, rollup,
+        Seq("l_returnflag"), Seq("l_quantity"), "n", freshCkpt)
+    }
+    assert(e.getMessage.contains("silently"), e.getMessage)
+    assert(readRollup().toSeq == rollupOf(li).toSeq, "guard must not touch the rollup")
+  }
+
+  test("streamRollupMaintain: null checkpoint derives a stable one tied to the rollup") {
+    val src = Files.createTempDirectory("graft_rollup2_src").toString
+    val rollup = Files.createTempDirectory("graft_rollup2_tgt").toString + "/agg"
+    val li = Tables.lineitem(spark, GraftSpark.Sf0001)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = Files.createTempDirectory("graft_rollup2_scratch").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+      val part = new java.io.File(s"$scratch/$name").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    stage(li.filter(col("l_orderkey") % 2 === 0), "p1")
+    Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_returnflag"), Seq("l_quantity"), "n", null)
+    // the second shorthand run (still null) must be INCREMENTAL, not a
+    // re-merge: the derived <rollup>/_checkpoint carries the lineage
+    stage(li.filter(col("l_orderkey") % 2 =!= 0), "p2")
+    val out = Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_returnflag"), Seq("l_quantity"), "n", null)
+    val got = out.select("l_returnflag", "n").orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = li.groupBy("l_returnflag").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, "shorthand re-run double-counted or lost data")
+    assert(new java.io.File(rollup, "_checkpoint").isDirectory)
+    assert(new java.io.File(rollup, "_graft_query_id").isFile)
   }
 }
