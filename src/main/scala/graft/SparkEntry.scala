@@ -2589,6 +2589,22 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Confidence-calibration audit of the language gate (reliability
+    // diagram + ECE, Naeini et al. 2015): does "0.8 confident" MEAN 80%
+    // right against the recorded lang column? Five equal-width bins, the
+    // N-weighted mean |acc − conf| as the promotion-gate scalar. One
+    // bin-keyed aggregate over the corpus, nBins-row roll-up, broadcast
+    // ECE scalar. Full DuckDB oracle (the langIdHof hit counts).
+    "score_calibration" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langIdScored(col("text")).as("s"))
+        .select(col("s.confidence").as("confidence"),
+          (col("s.lang_pred") === col("lang")).cast("double").as("correct"))
+        .filter(col("confidence") > 0)
+      graft.ops.Calibration.reliability(scored, "confidence", "correct", nBins = 5)
+        .orderBy("bin")
+    }),
+
     // frequency-ranked vocabulary (tokenizer-training step): ONE corpus
     // shuffle; the global ranking window runs over the bounded
     // post-minCount vocabulary only
@@ -3001,6 +3017,34 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Offline retrieval evaluation (TREC practice: recall@k, MRR, nDCG —
+    // Järvelin & Kekäläinen 2002): the hybrid fused run scored against
+    // deterministic graded qrels (a doc's grade = how many of the
+    // query's terms it contains, 1..3) — the promotion gate for a new
+    // index or fusion config. Run and qrels are both query-key-bounded
+    // lists; every join is k-rows × judgments. Full DuckDB oracle.
+    "retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      val docs = Tables.documents(s, dir)
+      val bm25 = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          qs, "q_id", "term", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L)), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+      val run = graft.ops.Retrieval.rrfFuse(Seq(bm25, vec), "q_id", "doc_id", k = 10)
+      val qrels = docs
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        .join(broadcast(qs), Seq("term"))
+        .groupBy("q_id", "doc_id")
+        .agg(count(lit(1)).as("grade"))
+      graft.ops.RetrievalEval.evaluate(run, qrels, "q_id", "doc_id", "grade", k = 10)
+        .orderBy("q_id")
+    }),
+
     // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
     // extract — re-cased names, a dropped column (NULL-backfilled), an
     // int-narrowed key (re-widened via canUpCast), an extra column kept.
@@ -3044,6 +3088,18 @@ object SparkEntry {
         windowSec = 30L * 86400, watermarkSec = 30L * 86400,
         statePartitions = 8) // state keys = windows × 3 flags ≈ 75
         .orderBy("window_start", "l_returnflag")),
+
+    // Continuously-maintained drift gate (the Kappa split on the Drift
+    // family): daily event-type-mix counts close in append mode
+    // (watermark-bounded state), each closed day PSI-scores against the
+    // first week's reference profile in a batch pass over the sink.
+    // Full DuckDB oracle (epoch-aligned daily windows).
+    "stream_drift_monitor" -> ((s, dir) =>
+      graft.streaming.Incremental.streamDriftMonitor(
+          s, s"$dir/events.parquet", "ts", "event_type", "value",
+          refEnd = "2024-01-08",
+          statePartitions = 8) // state keys = ~30 days × 5 types
+        .orderBy("day")),
 
     // Streaming trending event types: 7-day windows close in append mode
     // (bounded watermark state), top-3 per CLOSED window ranks in a batch
@@ -3299,6 +3355,28 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb.filter(col("vec_id") < 100), emb,
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
         numSubspaces = 8, numCodes = 16)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Index MAINTENANCE serve (the daily-crawl shape IvfPqIndex.append
+    // exists for): train IVF+PQ on the 90% base corpus only, append the
+    // 10% batch through the FROZEN model (one map-side encode pass, no
+    // retraining), then serve from the merged lists — the incremental
+    // counterpart of graph_pagerank_incremental for the ANN family.
+    // Deterministic (same training, hash-free append) → pinned VALUES
+    // oracle; appended-vector retrievability is the planted-clone test
+    // in IvfPqIndexSpec.
+    "knn_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val appended = graft.ops.IvfPqIndex.append(
+        graft.ops.IvfPqIndex.build(base, "vec_id", "embedding",
+          nlist = 16, numSubspaces = 8, numCodes = 16),
+        batch, "vec_id", "embedding")
+      graft.ops.IvfPqIndex.topK(appended, emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 3, nprobe = 8)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
     }),
@@ -5301,6 +5379,33 @@ object SparkEntry {
         "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
         "ELSE 'fr' END AS lang_pred FROM scores ORDER BY doc_id"),
 
+    // lang_id's hit counts → winning-share confidence (4 dp), correctness
+    // vs the recorded lang, 5 equal-width bins, per-bin conf/acc/gap and
+    // the N-weighted ECE scalar on every row
+    "score_calibration" ->
+      ("WITH scores AS (SELECT doc_id, lang, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], t))) AS s_de, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS s_es, " +
+        "len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','de','et','un','les','des','en','du','que'], t))) AS s_fr " +
+        "FROM documents), " +
+        "p AS (SELECT lang, greatest(s_de, s_en, s_es, s_fr) AS best, " +
+        "s_de + s_en + s_es + s_fr AS tot, " +
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' " +
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' " +
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
+        "ELSE 'fr' END AS pred FROM scores), " +
+        "f AS (SELECT round(CAST(best AS DOUBLE) / tot, 4) AS conf, " +
+        "CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END AS y FROM p WHERE tot > 0), " +
+        "g AS (SELECT greatest(least(CAST(floor(conf * 5) AS BIGINT), 4), 0) + 1 AS bin, " +
+        "conf, y FROM f), " +
+        "b AS (SELECT bin, count(*) AS n, avg(conf) AS cr, avg(y) AS ar FROM g GROUP BY bin) " +
+        "SELECT bin, n, round(cr, 4) AS conf, round(ar, 4) AS acc, " +
+        "round(abs(ar - cr), 4) AS gap, " +
+        "(SELECT round(sum(n * abs(ar - cr)) / sum(n), 4) FROM b) AS ece " +
+        "FROM b ORDER BY bin"),
+
     // gaps-and-islands replay of the engine's session_window semantics:
     // a session starts where the gap from the previous event exceeds
     // 30 min; session_end = last event + gap
@@ -5414,6 +5519,28 @@ object SparkEntry {
         "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_val " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY window_start, l_returnflag"),
 
+    // epoch-aligned daily windows → first-week reference profile → the
+    // same eps-clamped PSI roll-up per later day, over the completed
+    // day × category grid
+    "stream_drift_monitor" ->
+      ("WITH c AS (SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS day, " +
+        "event_type AS cat, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "ref AS (SELECT cat, CAST(sum(n) AS BIGINT) AS nr FROM c " +
+        "WHERE day < TIMESTAMP '2024-01-08' GROUP BY 1), " +
+        "tr AS (SELECT CAST(sum(nr) AS BIGINT) AS t FROM ref), " +
+        "cur AS (SELECT day, cat, n FROM c WHERE day >= TIMESTAMP '2024-01-08'), " +
+        "days AS (SELECT DISTINCT day FROM cur), " +
+        "cats AS (SELECT cat FROM ref UNION SELECT cat FROM cur), " +
+        "j AS (SELECT d.day, k.cat, coalesce(r.nr, 0) AS nr, coalesce(u.n, 0) AS nc " +
+        "FROM days d CROSS JOIN cats k LEFT JOIN ref r USING (cat) " +
+        "LEFT JOIN cur u ON u.day = d.day AND u.cat = k.cat), " +
+        "t2 AS (SELECT day, nr, nc, sum(nc) OVER (PARTITION BY day) AS tc FROM j), " +
+        "s AS (SELECT day, greatest(CAST(nr AS DOUBLE) / t.t, 1e-6) AS p, " +
+        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nc FROM t2, tr t), " +
+        "a AS (SELECT day, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
+        "CAST(sum(nc) AS BIGINT) AS n_day FROM s GROUP BY day) " +
+        "SELECT day, psi, n_day, psi > 0.2 AS drifted FROM a ORDER BY day"),
+
     "knn_bruteforce" ->
       ("SELECT q_id, n_id, sim, rank FROM (" +
         "SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank FROM (" +
@@ -5442,6 +5569,32 @@ object SparkEntry {
     // must reproduce the brute hybrid ranking exactly.
     "doc_retrieval_hybrid" -> HybridRrfOracleSql,
     "doc_retrieval_hybrid_indexed" -> HybridRrfOracleSql,
+
+    // the hybrid replay (CTEs shared with HybridRrfOracleSql) feeding the
+    // TREC metric algebra: term-coverage graded qrels, recall@10, MRR,
+    // and nDCG@10 with IDCG over each query's 10 best grades
+    "retrieval_eval" ->
+      (HybridRrfOracleSql.stripSuffix(
+          "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_legs " +
+          "FROM rr WHERE rank <= 10 ORDER BY q_id, rank") +
+        ", run AS (SELECT q_id, doc_id, rank FROM rr WHERE rank <= 10), " +
+        "dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "qr AS (SELECT q.q_id, dt.doc_id, CAST(count(*) AS DOUBLE) AS g " +
+        "FROM dt JOIN q USING (term) GROUP BY 1, 2), " +
+        "nrel AS (SELECT q_id, count(*) AS n_rel FROM qr GROUP BY 1), " +
+        "ideal AS (SELECT q_id, sum((pow(2, g) - 1) / log2(rn + 1)) AS idcg FROM " +
+        "(SELECT q_id, g, row_number() OVER (PARTITION BY q_id ORDER BY g DESC) AS rn FROM qr) z " +
+        "WHERE rn <= 10 GROUP BY 1), " +
+        "mx AS (SELECT r.q_id, " +
+        "CAST(sum(CASE WHEN qr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "min(CASE WHEN qr.g IS NOT NULL THEN r.rank END) AS first_rel, " +
+        "sum(CASE WHEN qr.g IS NOT NULL THEN (pow(2, qr.g) - 1) / log2(r.rank + 1) ELSE 0 END) AS dcg " +
+        "FROM run r LEFT JOIN qr ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id GROUP BY 1) " +
+        "SELECT n.q_id, CAST(n.n_rel AS BIGINT) AS n_rel, coalesce(s.n_hit, 0) AS n_hit, " +
+        "round(coalesce(s.n_hit, 0) / CAST(n.n_rel AS DOUBLE), 4) AS recall_at_10, " +
+        "round(coalesce(1.0 / s.first_rel, 0), 4) AS mrr, " +
+        "round(coalesce(s.dcg, 0) / i.idcg, 4) AS ndcg_at_10 " +
+        "FROM nrel n JOIN ideal i USING (q_id) LEFT JOIN mx s USING (q_id) ORDER BY n.q_id"),
 
     "schema_evolution_union" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +

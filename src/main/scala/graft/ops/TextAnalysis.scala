@@ -493,6 +493,28 @@ object TextAnalysis {
     }
   }
 
+  /** [[langId]] with its CONFIDENCE exposed: a struct (lang_pred,
+    * confidence) where confidence = winning-language stopword hits /
+    * total stopword hits across all languages (rounded 4 dp; 0.0 for
+    * 'und' documents with no hits at all). The score every calibration
+    * audit of the language gate consumes ([[Calibration.reliability]]) —
+    * the same hit counts as [[langIdHof]], so a DuckDB oracle replays it
+    * with the same list_filter counts.
+    */
+  def langIdScored(text: Column): Column = {
+    def hofHits(words: Seq[String]): Column =
+      size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
+    val scores = LangTable.map { case (name, words) => name -> hofHits(words) }
+    val best = greatest(scores.map(_._2): _*)
+    val total = scores.map(_._2).reduce(_ + _)
+    val pred = scores.foldRight(lit("und")) { case ((langName, score), elseCol) =>
+      when(best > 0 && score === best, lit(langName)).otherwise(elseCol)
+    }
+    struct(pred.as("lang_pred"),
+      when(total > 0, round(best.cast("double") / total, 4))
+        .otherwise(lit(0.0)).as("confidence"))
+  }
+
   /** Order-sensitive document fingerprint: left-fold hash chain over the
     * token sequence (`acc_{i+1} = xxhash64(acc_i, token_i)`). Two documents
     * with the same tokens in different order fingerprint differently —

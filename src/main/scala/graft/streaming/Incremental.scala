@@ -302,6 +302,67 @@ object Incremental {
         col(keyCol), col("n"), col("sum_val"))
   }
 
+  /** Streaming drift monitor — the Kappa split applied to the
+    * [[graft.ops.Drift]] family: daily categorical-mix counts close in
+    * APPEND mode through [[windowedCountsAppend]] (watermark-bounded
+    * state, one (window × category) count per state key), then each
+    * closed day PSI-scores against the FIXED reference-period profile
+    * (windows before `refEnd`) in a batch pass over the sink:
+    *
+    *   psi(day) = Σ_cats (p_ref − q_day) · ln(p_ref / q_day)
+    *
+    * with the usual eps clamps, so a category that VANISHES on a day —
+    * or one the reference never saw — contributes its bounded ln-ratio
+    * instead of disappearing. The day × category grid is
+    * dimension-sized (closed-window profile), never event-sized; the
+    * reference total rides a broadcast one-row aggregate.
+    *
+    * Output per monitored day: (day, psi 4 dp, n_day, drifted at the
+    * classic 0.2 threshold) — the continuously-maintained form of the
+    * batch `drift_psi_categorical` gate.
+    */
+  def streamDriftMonitor(
+      spark: SparkSession,
+      srcPath: String,
+      tsCol: String,
+      catCol: String,
+      valCol: String,
+      refEnd: String,
+      windowSec: Long = 86400L,
+      watermarkSec: Long = 30L * 86400,
+      statePartitions: Int = 0,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps must be in (0, 0.5): $eps")
+    val closed = windowedCountsAppend(spark, srcPath, tsCol, catCol, valCol,
+      windowSec, watermarkSec, statePartitions)
+    val refEndTs = lit(refEnd).cast("timestamp_ntz")
+    val ref = closed.filter(col("window_start") < refEndTs)
+      .groupBy(col(catCol)).agg(sum(col("n")).as("__nr"))
+    val cur = closed.filter(col("window_start") >= refEndTs)
+      .select(col("window_start").as("day"), col(catCol), col("n").as("__nc"))
+    // day × category completion grid: categories from EITHER side, so
+    // vanished and novel categories both score (both frames are closed-
+    // window profiles — dimension-sized, the crossJoin is bounded)
+    val days = cur.select("day").distinct()
+    val cats = ref.select(col(catCol)).unionByName(cur.select(col(catCol))).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+    days.crossJoin(broadcast(cats))
+      .join(broadcast(ref), Seq(catCol), "left")
+      .join(cur, Seq("day", catCol), "left")
+      .withColumn("__nr", coalesce(col("__nr"), lit(0L)))
+      .withColumn("__nc", coalesce(col("__nc"), lit(0L)))
+      .crossJoin(broadcast(ref.agg(sum(col("__nr")).as("__tr"))))
+      .withColumn("__tc", sum(col("__nc")).over(w))
+      .withColumn("__p", greatest(col("__nr") / col("__tr"), lit(eps)))
+      .withColumn("__q", greatest(col("__nc") / col("__tc"), lit(eps)))
+      .groupBy(col("day"))
+      .agg(
+        round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 4)
+          .as("psi"),
+        sum(col("__nc")).as("n_day"))
+      .withColumn("drifted", col("psi") > 0.2d)
+  }
+
   /** Streaming trending-keys: windowed counts close in APPEND mode
     * through [[windowedCountsAppend]]'s watermark/file-sink shape, then
     * the top-`k` keys of each CLOSED window rank in a batch pass over the

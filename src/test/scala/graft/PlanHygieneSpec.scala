@@ -33,6 +33,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "doc_retrieval",      // brute top-k for 10 query docs, serving join
     "doc_retrieval_hybrid", // cosine leg = brute top-k for 2 query ids
     "doc_retrieval_mmr",  // same capped brute candidate leg, MMR re-ranked
+    "retrieval_eval",     // scores doc_retrieval_hybrid's run: same capped
+                          // 2-query brute cosine leg; eval joins are
+                          // k-rows × judgment lists
     "bitext_mine",        // exhaustive margin-mining anchor (one language slice)
     "bitext_recall_audit", // bounded audit: ANN vs exhaustive on en ids < 300
     "dedup_embedding_cosine", // pairwise cosine over a capped id slice

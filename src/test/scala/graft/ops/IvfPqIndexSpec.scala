@@ -87,6 +87,26 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(got.count() == 30)
   }
 
+  test("an appended vector is immediately retrievable (planted-clone probe)") {
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val idx = IvfPqIndex.build(base, "vec_id", "embedding",
+      nlist = 8, numSubspaces = 8, numCodes = 16)
+    val appended = IvfPqIndex.append(idx, batch, "vec_id", "embedding")
+    // probe with an exact CLONE of an appended batch vector under a new
+    // id: the appended row must come back as the top hit at cosine 1
+    val cloneSrc = batch.orderBy("vec_id").limit(1)
+    val srcId = cloneSrc.collect().head.getLong(0)
+    val probe = cloneSrc.withColumn("vec_id", lit(999999L))
+    val corpus = emb // raw vectors for the rerank include the batch
+    val top = IvfPqIndex.topK(appended, probe, corpus,
+        "vec_id", "embedding", k = 1, nprobe = 8)
+      .collect().head
+    assert(top.getLong(1) == srcId, s"expected appended vector $srcId, got ${top.getLong(1)}")
+    assert(top.getDouble(2) == 1.0, s"clone cosine ${top.getDouble(2)}")
+  }
+
   test("ivfPqTopK composition equals explicit build + topK") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 20)

@@ -231,6 +231,40 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got.map(_._4).sum == ev.count())
   }
 
+  test("streamDriftMonitor matches a driver-side PSI recomputation day for day") {
+    val got = Incremental.streamDriftMonitor(spark,
+        s"${GraftSpark.Sf0001}/events.parquet", "ts", "event_type", "value",
+        refEnd = "2024-01-08")
+      .collect()
+      .map(r => r.get(0).toString.take(10) ->
+        (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    // driver-side reference: daily (day, type) counts → first-week
+    // profile → eps-clamped Σ(p−q)ln(p/q) per later day
+    val raw = Tables.events(spark, GraftSpark.Sf0001)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).toString.take(10), r.getString(1), r.getLong(2)))
+    val refCounts = raw.filter(_._1 < "2024-01-08")
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tr = refCounts.values.sum.toDouble
+    val curByDay = raw.filter(_._1 >= "2024-01-08").groupBy(_._1)
+    assert(got.keySet == curByDay.keySet, "one psi row per monitored day")
+    val eps = 1e-6
+    curByDay.foreach { case (day, rows) =>
+      val cats = (refCounts.keySet ++ rows.map(_._2)).toSeq
+      val tc = rows.map(_._3).sum.toDouble
+      val dayCounts = rows.map(r => r._2 -> r._3).toMap
+      val psi = cats.map { cat =>
+        val p = math.max(refCounts.getOrElse(cat, 0L) / tr, eps)
+        val q = math.max(dayCounts.getOrElse(cat, 0L) / tc, eps)
+        (p - q) * math.log(p / q)
+      }.sum
+      assert(math.abs(got(day)._1 - psi) < 1e-3, s"$day psi ${got(day)._1} vs $psi")
+      assert(got(day)._2 == tc.toLong, s"$day n_day")
+      assert(got(day)._3 == (got(day)._1 > 0.2), s"$day drifted flag")
+    }
+  }
+
   test("streamRollupMaintain: incremental across arrivals, exactly-once on replay") {
     val src = Files.createTempDirectory("graft_rollup_src").toString
     val rollup = Files.createTempDirectory("graft_rollup_tgt").toString + "/agg"

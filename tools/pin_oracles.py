@@ -113,6 +113,12 @@ PINS = {
     "e2e_tokenize_pack": (["doc_id BIGINT", "source VARCHAR", "n_tokens BIGINT",
                            "start_tok BIGINT", "chunk_start BIGINT",
                            "chunk_end BIGINT"], "doc_id"),
+    # frozen-model append + serve is deterministic (same k-means training
+    # on the base slice, hash-free encode) but the PQ/IVF model is
+    # JVM-side; appended-row retrievability is the planted-clone test in
+    # IvfPqIndexSpec
+    "knn_index_append": (["q_id BIGINT", "rank BIGINT", "n_id BIGINT", "sim DOUBLE"],
+                         "q_id, rank"),
     # count-EM is iterative (not SQL-expressible); hand-computed Viterbi +
     # driver-side recomputation cross-checked in UnigramSpec
     "unigram_train": (["piece VARCHAR", "piece_id INTEGER", "logprob DOUBLE"], "piece_id"),
