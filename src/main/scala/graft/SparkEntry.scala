@@ -375,6 +375,15 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
         .orderBy("col_name")),
 
+    // M-extension: numeric quantile profile (p25/p50/p75/p95) in ONE
+    // aggregation pass — the distribution shape m7's min/max can't show;
+    // exact interpolating percentile ≡ DuckDB quantile_cont → full
+    // oracle; approx_percentile is the 100 TB leg (ProfileSpec parity)
+    "m8_quantile_profile" -> ((s, dir) =>
+      graft.schema.Profile.quantileProfile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
+
     // Expectation-suite validation (Great-Expectations shape): 8 named
     // checks over lineitem in ONE aggregate pass — the promotion gate a
     // training-data pipeline runs before shipping a table. Full SQL
@@ -1016,7 +1025,7 @@ object SparkEntry {
     // merged edge set — new vertices enter at 1/N, the vector
     // renormalizes, rounds are the identical two-key-shuffle arithmetic
     // — instead of a cold 10-round recompute. Full DuckDB oracle
-    // (base-5 + warm-3 unrolled CTEs); the convergence advantage over a
+    // (base-3 + warm-3 unrolled CTEs); the convergence advantage over a
     // cold start is first-principles-asserted in GraphSpec.
     "graph_pagerank_incremental" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1026,7 +1035,7 @@ object SparkEntry {
           (col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
       val base = all.filter(col("o_orderkey") % 10 =!= 0).select("src", "dst")
-      val prev = graft.ops.Graph.pagerank(base, iterations = 5, damping = 0.85)
+      val prev = graft.ops.Graph.pagerank(base, iterations = 3, damping = 0.85)
       graft.ops.Graph.pagerankWarmStart(all.select("src", "dst"), prev,
           iterations = 3, damping = 0.85)
         .select(col("id"), round(col("rank"), 8).as("rank"))
@@ -3917,6 +3926,15 @@ object SparkEntry {
           s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val FROM orders")
         .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
 
+    "m8_quantile_profile" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"SELECT '$c' AS col_name, " +
+          s"round(quantile_cont($c, 0.25), 4) AS p25, " +
+          s"round(quantile_cont($c, 0.5), 4) AS p50, " +
+          s"round(quantile_cont($c, 0.75), 4) AS p75, " +
+          s"round(quantile_cont($c, 0.95), 4) AS p95 FROM lineitem")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
+
     "m6_nvarchar_promotion" ->
       ("SELECT col_name, promote FROM (" +
         "SELECT 'c_mktsegment' AS col_name, CAST(max(CASE WHEN regexp_matches(c_mktsegment, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS promote " +
@@ -4202,7 +4220,7 @@ object SparkEntry {
       head + loop + " SELECT id, round(r, 8) AS rank FROM pr10 ORDER BY id"
     },
 
-    // base-graph 5-round fixpoint (orders % 10 <> 0), then the warm
+    // base-graph 3-round ranks (orders % 10 <> 0), then the warm
     // start: completion at 1/N for new vertices, renormalization, and 3
     // identical rounds on the merged graph — unrolled exactly like
     // graph_pagerank's replay
@@ -4215,7 +4233,7 @@ object SparkEntry {
         "nnb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nb), " +
         "degb AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM eb GROUP BY src), " +
         "pb0 AS (SELECT id, 1.0 / nnb.n AS r FROM nb, nnb)"
-      val baseLoop = (1 to 5).map(i =>
+      val baseLoop = (1 to 3).map(i =>
         s"pb$i AS (SELECT nd.id, 0.15 / nnb.n + 0.85 * coalesce(c.s, 0) AS r " +
           "FROM nb nd CROSS JOIN nnb LEFT JOIN " +
           "(SELECT e.dst, sum(p.r / dg.d) AS s " +
@@ -4230,7 +4248,7 @@ object SparkEntry {
         "nnm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nm), " +
         "degm AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM em GROUP BY src), " +
         "seed AS (SELECT nm.id, coalesce(p.r, 1.0 / nnm.n) AS r " +
-          "FROM nm CROSS JOIN nnm LEFT JOIN pb5 p ON p.id = nm.id), " +
+          "FROM nm CROSS JOIN nnm LEFT JOIN pb3 p ON p.id = nm.id), " +
         "tot AS (SELECT sum(r) AS t FROM seed), " +
         "pw0 AS (SELECT id, r / tot.t AS r FROM seed, tot)"
       val warmLoop = (1 to 3).map(i =>

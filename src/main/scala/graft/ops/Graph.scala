@@ -111,10 +111,15 @@ object Graph {
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().persist()
     // the static sink set (no out-edges); its per-round mass redistributes
-    val dangling = nodes
-      .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .persist()
-    val hasDangling = !dangling.isEmpty
+    // undirected mirroring makes every vertex a source BY CONSTRUCTION —
+    // skip the sink probe (a left-anti + isEmpty job per call) entirely
+    // instead of paying it to learn what the mirror already guarantees
+    val dangling =
+      if (undirected) null
+      else nodes
+        .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+        .persist()
+    val hasDangling = !undirected && !dangling.isEmpty
     // one scalar to the driver (same bounded-collect family as the
     // codebook training): folding N in as a literal keeps the teleport
     // term out of the per-round plan — a broadcast-aggregate form re-ran
@@ -173,7 +178,7 @@ object Graph {
     }
     edgesDeg.unpersist()
     nodes.unpersist()
-    dangling.unpersist()
+    if (dangling != null) dangling.unpersist()
     ranks
   }
 

@@ -49,4 +49,37 @@ object Profile {
       col(s"__mx_$c").as("max_val"))): _*)
     one.select(explode(perCol).as("p")).select("p.*")
   }
+
+  /** Numeric-column quantile profile — the distribution companion of
+    * [[profile]] (min/max say nothing about shape; a skew-aware loader
+    * wants the quartiles and the p95 tail). ONE aggregation pass computes
+    * every column's (p25, p50, p75, p95) — exact interpolating
+    * `percentile` by default (DuckDB `quantile_cont` parity → full SQL
+    * oracle); `approx = true` switches to `approx_percentile` sketches
+    * for 100 TB inputs (the [[graft.ops.Outliers]] convention), with the
+    * parity bound asserted in ProfileSpec.
+    */
+  def quantileProfile(
+      df: DataFrame,
+      columns: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "quantileProfile needs at least one numeric column")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    def q(c: String, p: Double) =
+      if (approx) percentile_approx(col(c), lit(p), lit(10000))
+      else call_function("percentile", col(c), lit(p))
+    val metrics = columns.flatMap { c =>
+      ps.zipWithIndex.map { case (p, i) =>
+        q(c, p).cast("double").as(s"__q${i}_$c")
+      }
+    }
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val perCol = array(columns.map(c => struct(
+      lit(c).as("col_name"),
+      round(col(s"__q0_$c"), 4).as("p25"),
+      round(col(s"__q1_$c"), 4).as("p50"),
+      round(col(s"__q2_$c"), 4).as("p75"),
+      round(col(s"__q3_$c"), 4).as("p95"))): _*)
+    one.select(explode(perCol).as("p")).select("p.*")
+  }
 }

@@ -35,4 +35,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(p.getLong(2) == 0L)
     assert(p.getLong(3) == orders.select(countDistinct("o_orderkey")).head().getLong(0))
   }
+
+  test("quantileProfile: hand-computed interpolated quartiles, one scan") {
+    import spark.implicits._
+    // 1..5: p25 interpolates to 2, p50 = 3, p75 = 4, p95 = 4.8
+    val vals = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val q = Profile.quantileProfile(vals, Seq("v")).head()
+    assert((q.getDouble(1), q.getDouble(2), q.getDouble(3), q.getDouble(4)) ==
+      ((2.0, 3.0, 4.0, 4.8)))
+    val plan = Profile.quantileProfile(vals, Seq("id", "v"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ".r.findAllIn(plan).size == 1, s"one scan only:\n$plan")
+    intercept[IllegalArgumentException](Profile.quantileProfile(vals, Nil))
+  }
+
+  test("quantileProfile approx leg stays within tolerance of exact on the fixture") {
+    val li = graft.etl.Tables.lineitem(spark, GraftSpark.Sf0001)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    def m(approx: Boolean) = Profile.quantileProfile(li, cols, approx).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (e, a) = (m(false), m(true))
+    e.foreach { case (c, qs) =>
+      qs.zip(a(c)).foreach { case (x, y) =>
+        assert(math.abs(y - x) <= math.max(0.01 * math.abs(x), 0.5), s"$c $x vs $y")
+      }
+    }
+  }
 }
