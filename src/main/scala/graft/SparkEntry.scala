@@ -216,7 +216,8 @@ object SparkEntry {
           Seq("l_returnflag"),
           Seq(Loads.AggSpec("l_quantity", "sum"),
             Loads.AggSpec("l_extendedprice", "min"),
-            Loads.AggSpec("l_shipdate", "max")), "n", null)
+            Loads.AggSpec("l_shipdate", "max")), "n", null,
+          snapshotPartitions = 1)
         .select(col("l_returnflag"), col("n"),
           round(col("l_quantity"), 4).as("sum_qty"),
           round(col("l_extendedprice"), 4).as("min_price"),
@@ -1693,6 +1694,19 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
         .orderBy("source")),
 
+    // Corpus-health Zipf fit: OLS on (ln rank, ln freq) over the top-1000
+    // terms — natural text sits near slope −1 (Zipf 1949); drift flags
+    // template spam / broken extraction corpus-wide in one row. Top-N via
+    // TakeOrdered (never a full vocabulary sort), regression on the
+    // bounded N-row frame; regr_* aggregates exist in both engines →
+    // full SQL oracle.
+    "corpus_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "text", topN = 1000)
+        .select(col("n_terms"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))),
+
     // Quality gate at a corpus-derived threshold (drop the bottom decile):
     // the cutoff is a 1-row aggregate broadcast against the scan — no
     // window over the whole corpus, no driver round-trip in the plan
@@ -2771,6 +2785,23 @@ object SparkEntry {
           Tables.events(s, dir), "event_id", "event_type", "value", k = 3.0)
         .orderBy("event_id")),
 
+    // Trailing EWMA per (user, event_type) series — the smoothed baseline
+    // drift/anomaly thresholds compare against. Adjusted weighting over a
+    // HARD 20-row lookback (truncated weight mass < 1e-3, below output
+    // rounding; see TimeSeries.ewma scale note); the window partitions by
+    // user×type, so partition count grows with the data. DuckDB replays
+    // the same frame list with indexed list lambdas → full SQL oracle.
+    "events_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewma(
+          Tables.events(s, dir),
+          keyCols = Seq("user_id", "event_type"),
+          orderCols = Seq("ts", "event_id"),
+          valueCol = "value", alpha = 0.3, lookback = 20)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_id")),
+
     // Winsorized robust stats per event type: values clamp into the
     // per-type [p05, p95] band (one broadcast quantile model + a
     // map-side clamp — no rows dropped, so N is unchanged), then the
@@ -3799,6 +3830,19 @@ object SparkEntry {
         "round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, " +
         "round(quantile_cont(n_chars, 0.95), 4) AS p95_chars " +
         "FROM documents GROUP BY source ORDER BY source"),
+
+    // replays zipfFit(): same whitespace tokens, same (freq DESC, token)
+    // total order at the top-1000 cut and in the rank numbering, ln-ln
+    // OLS via the shared regr_* aggregate definitions
+    "corpus_zipf_fit" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "vc AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY 1), " +
+        "top AS (SELECT token, freq FROM vc ORDER BY freq DESC, token LIMIT 1000), " +
+        "r AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE) AS rk FROM top) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_terms, " +
+        "round(regr_slope(ln(freq), ln(rk)), 6) AS slope, " +
+        "round(regr_intercept(ln(freq), ln(rk)), 6) AS intercept, " +
+        "round(regr_r2(ln(freq), ln(rk)), 6) AS r2 FROM r"),
 
     "quality_gate" ->
       (s"WITH q AS (SELECT doc_id, $QualitySql AS quality FROM documents), " +
@@ -5233,6 +5277,19 @@ object SparkEntry {
         "round(m.mad, 4) AS mad, round(abs(e.value - m.med), 4) AS dev " +
         "FROM events e JOIN mad m USING (event_type) " +
         "WHERE round(abs(e.value - m.med), 4) > round(3 * m.mad, 4) ORDER BY e.event_id"),
+
+    // replays ewma() exactly: the same 20-row frame list per
+    // (user, event_type) series, (1−α)^(s−pos) weights via DuckDB's
+    // 1-BASED indexed list lambdas (Spark's transform index is 0-based —
+    // hence len(l)-i here vs size(l)-1-i there), adjusted normalization
+    "events_ewma" ->
+      ("WITH t AS (SELECT event_id, user_id, event_type, value, " +
+        "list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l FROM events) " +
+        "SELECT event_id, user_id, event_type, round(value, 4) AS value, " +
+        "round(list_sum(list_transform(l, (x,i) -> x * pow(0.7, len(l) - i))) / " +
+        "list_sum(list_transform(l, (x,i) -> pow(0.7, len(l) - i))), 6) AS ewma " +
+        "FROM t ORDER BY event_id"),
 
     "events_winsorize" ->
       ("WITH band AS (SELECT event_type, quantile_cont(value, 0.05) AS q_lo, " +

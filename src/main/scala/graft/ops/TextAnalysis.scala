@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star surface,
@@ -635,5 +636,42 @@ object TextAnalysis {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Zipf power-law fit over the corpus term-frequency distribution — the
+    * one-row corpus-health gate: natural text follows `freq ∝ rank^s`
+    * with s ≈ −1 (Zipf 1949), and a corpus whose fitted slope or r²
+    * drifts from that is flagging boilerplate flooding, template spam, or
+    * a broken extraction pipeline long before per-document quality scores
+    * move. Fits ordinary least squares on (ln rank, ln freq) over the
+    * `topN` most frequent terms and returns
+    * `(n_terms, slope, intercept, r2)`.
+    *
+    * Scale: term counting is one hash aggregate with map-side combine;
+    * the top-N cut is `orderBy(…).limit(topN)` — Spark's TakeOrdered
+    * keeps only N rows per partition and never sorts the full vocabulary
+    * — and the rank window + regression aggregates then run on the
+    * N-row frame (bounded, the vocab-sized-window convention). Ties at
+    * the cut break on the term string, so the selected set is
+    * deterministic in any engine with the same total order.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2 for a regression: $topN")
+    val top = df
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.withColumn("__rank", row_number().over(w).cast("double"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        regr_slope(log(col("freq")), log(col("__rank"))).as("slope"),
+        regr_intercept(log(col("freq")), log(col("__rank"))).as("intercept"),
+        regr_r2(log(col("freq")), log(col("__rank"))).as("r2"))
   }
 }

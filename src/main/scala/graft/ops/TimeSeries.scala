@@ -109,4 +109,51 @@ object TimeSeries {
       .withColumn("seasonal_index", round(col("__mean") / col("__key_mean"), 4))
       .drop("__mean", "__key_mean")
   }
+
+  /** Trailing exponentially-weighted moving average per key — the
+    * smoothing primitive behind drift baselines and online anomaly
+    * thresholds. Adjusted weighting (the standard `ewm(adjust=true)`
+    * definition): at row n,
+    * `ewma_n = Σ_{k=0..K-1} (1−α)^k · x_{n−k}  /  Σ_{k=0..K-1} (1−α)^k`
+    * over the `lookback`-row trailing window (K = min(lookback, rows so
+    * far)), so early rows normalize by their own partial weight mass
+    * instead of decaying toward 0.
+    *
+    * The HARD `lookback` truncation is the scale contract: a full-history
+    * EWMA needs either a sequential scan per key (single-task windows for
+    * hot keys) or `pow` terms that overflow at row counts a 100 TB key
+    * can reach; truncating at K rows drops weight mass `(1−α)^K` (< 1e-3
+    * at the 20/0.3 defaults — below the 1e-6 output rounding at double
+    * precision) and keeps the frame bounded whatever the key's history.
+    * The window partitions by the key columns — group count grows with
+    * the data (user×type here), never a handful of giant partitions —
+    * and the weighted sum is `transform`+`aggregate` higher-order
+    * functions over the ≤K-element frame list: codegen'd, no UDF.
+    */
+  def ewma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double = 0.3,
+      lookback: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(lookback >= 1, s"lookback must be >= 1: $lookback")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val decay = lit(1.0 - alpha)
+    // frame list is oldest→newest; element i (0-based) of an s-element
+    // list gets weight (1−α)^(s−1−i)
+    val trail = collect_list(col(valueCol)).over(w)
+    val num = aggregate(
+      transform(col("__trail"), (x, i) => x * pow(decay, size(col("__trail")) - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    val den = aggregate(
+      transform(col("__trail"), (_, i) => pow(decay, size(col("__trail")) - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    df.withColumn("__trail", trail)
+      .withColumn("ewma", num / den)
+      .drop("__trail")
+  }
 }

@@ -534,7 +534,11 @@ object Incremental {
     * partial-aggregates and merges into the parquet rollup, so the
     * continuously-maintained aggregate costs O(|batch| + |rollup|) per
     * trigger and never rescans accumulated history. The rollup must be
-    * GROUP-BOUNDED (dimension-sized — the materialized-view shape).
+    * GROUP-BOUNDED (dimension-sized — the materialized-view shape);
+    * snapshots compact to a single file by default, and a rollup whose
+    * key space is data-sized (per-user, per-document) sets
+    * `snapshotPartitions > 1` to write each snapshot key-hashed in
+    * parallel instead of serializing the merge through one task.
     *
     * Exactly-once by BATCH-STAMPED SNAPSHOTS: foreachBatch is
     * at-least-once (the checkpoint's batch-id dedup only covers batches
@@ -570,7 +574,10 @@ object Incremental {
       keys: Seq[String],
       specs: Seq[graft.etl.Loads.AggSpec],
       countCol: String,
-      checkpointPath: String): org.apache.spark.sql.DataFrame = {
+      checkpointPath: String,
+      snapshotPartitions: Int): org.apache.spark.sql.DataFrame = {
+    require(snapshotPartitions >= 1,
+      s"snapshotPartitions must be >= 1: $snapshotPartitions")
     val in = streamSource(spark, srcPath)
     // the checkpoint is the incremental contract: re-running with the
     // SAME checkpoint merges only files that arrived since the last run
@@ -635,7 +642,16 @@ object Incremental {
           }
           val merged = graft.etl.Loads.mergeAggregate(
             existing, batch, keys, specs, countCol)
-          merged.coalesce(1).write.mode("overwrite")
+          // summary-sized rollups compact to one file; a data-sized
+          // rollup key space sets snapshotPartitions > 1 and the
+          // snapshot writes key-hashed in parallel instead (the
+          // coalesce(1) would otherwise serialize the whole merge
+          // through one task)
+          val sized =
+            if (snapshotPartitions > 1)
+              merged.repartition(snapshotPartitions, keys.map(col): _*)
+            else merged.coalesce(1)
+          sized.write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(root, s"snap_$batchId").toString)
           // retire superseded snapshots; keep two so the reader of the
           // previous snapshot (a concurrent replay) is never yanked
@@ -697,7 +713,8 @@ object Incremental {
       checkpointPath: String = null)(
       implicit d: DummyImplicit): org.apache.spark.sql.DataFrame =
     streamRollupMaintain(spark, srcPath, rollupPath, keys,
-      graft.etl.Loads.AggSpec.sums(sumCols), countCol, checkpointPath)
+      graft.etl.Loads.AggSpec.sums(sumCols), countCol, checkpointPath,
+      snapshotPartitions = 1)
 
   /** Native gap-based SESSION windows (Spark's `session_window` — dynamic
     * event-time windows that extend with each event and MERGE in the

@@ -425,4 +425,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == out.view.mapValues(_._2).toMap)
   }
+
+  test("zipfFit: exact power law recovers slope -1 with r2 = 1; topN cut applies") {
+    import spark.implicits._
+    // counts 12/6/4/3 = 12/rank exactly: ln f = ln 12 − 1·ln r → perfect fit
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, "text").head()
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    // topN = 2 keeps only the head ranks (freq DESC, token tiebreak)
+    val top2 = TextAnalysis.zipfFit(docs, "text", topN = 2).head()
+    assert(top2.getAs[Long]("n_terms") == 2L)
+    assert(math.abs(top2.getAs[Double]("slope") + 1.0) < 1e-9)
+    intercept[IllegalArgumentException](TextAnalysis.zipfFit(docs, "text", topN = 1))
+  }
 }

@@ -96,4 +96,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(("B", 3)) == ((1L, 7.0, 1.0)))
     assert(out(("B", 4)) == ((1L, 7.0, 1.0)))
   }
+
+  test("ewma: hand-computed adjusted weights, hard lookback, per-key isolation") {
+    // key A values 1,2,4 at α=0.3 (adjusted):
+    //   row1 = 1
+    //   row2 = (0.7·1 + 2) / (0.7 + 1)            = 1.5882352941…
+    //   row3 = (0.49·1 + 0.7·2 + 4) / (0.49+0.7+1) = 2.6894977169…
+    val ev = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1L, 1.0),
+      ("A", ts("2024-01-01 01:00:00"), 2L, 2.0),
+      ("A", ts("2024-01-01 02:00:00"), 3L, 4.0),
+      ("B", ts("2024-01-01 00:30:00"), 4L, 100.0) // must not bleed into A
+    ).toDF("k", "ts", "id", "v")
+    def run(lookback: Int) = TimeSeries
+      .ewma(ev, Seq("k"), Seq("ts", "id"), "v", alpha = 0.3, lookback = lookback)
+      .orderBy("id").collect().map(r => math.round(r.getAs[Double]("ewma") * 1e6) / 1e6)
+    assert(run(20).toSeq == Seq(1.0, 1.588235, 2.689498, 100.0))
+    // lookback 2 truncates row3's frame to [2,4]: (0.7·2 + 4) / 1.7
+    assert(run(2).toSeq == Seq(1.0, 1.588235, 3.176471, 100.0))
+    // α = 1 ignores history entirely
+    val raw = TimeSeries.ewma(ev, Seq("k"), Seq("ts", "id"), "v", alpha = 1.0)
+      .orderBy("id").collect().map(_.getAs[Double]("ewma"))
+    assert(raw.toSeq == Seq(1.0, 2.0, 4.0, 100.0))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(ev, Seq("k"), Seq("ts"), "v", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(ev, Seq("k"), Seq("ts"), "v", lookback = 0))
+  }
 }

@@ -380,4 +380,44 @@ class IncrementalSpec extends AnyFunSuite {
     assert(new java.io.File(rollup, "_checkpoint").isDirectory)
     assert(new java.io.File(rollup, "_graft_query_id").isFile)
   }
+
+  test("streamRollupMaintain: snapshotPartitions > 1 writes parallel key-hashed snapshots") {
+    val src = Files.createTempDirectory("graft_rollup3_src").toString
+    val rollup = Files.createTempDirectory("graft_rollup3_tgt").toString + "/agg"
+    val li = Tables.lineitem(spark, GraftSpark.Sf0001)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = Files.createTempDirectory("graft_rollup3_scratch").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+      val part = new java.io.File(s"$scratch/$name").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    stage(li.filter(col("l_orderkey") % 2 === 0), "p1")
+    // data-sized rollup key (per-order) → the coalesce(1) escape hatch
+    val out = Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_orderkey"), graft.etl.Loads.AggSpec.sums(Seq("l_quantity")), "n",
+      null, snapshotPartitions = 3)
+    val snap = new java.io.File(rollup).listFiles
+      .filter(f => f.getName.startsWith("snap_") && new java.io.File(f, "_SUCCESS").exists)
+      .maxBy(_.getName.stripPrefix("snap_").toLong)
+    assert(snap.listFiles.count(_.getName.endsWith(".parquet")) == 3,
+      "snapshot must be written in snapshotPartitions parallel files")
+    // still exactly the merge result, and a second arrival stays incremental
+    stage(li.filter(col("l_orderkey") % 2 =!= 0), "p2")
+    val out2 = Incremental.streamRollupMaintain(spark, src, rollup,
+      Seq("l_orderkey"), graft.etl.Loads.AggSpec.sums(Seq("l_quantity")), "n",
+      null, snapshotPartitions = 3)
+    val got = out2.agg(count(lit(1)), sum("n"), round(sum("l_quantity"), 4))
+      .head()
+    val want = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), sum("n")).head()
+    assert(got.getLong(0) == want.getLong(0), "distinct key count drifted")
+    assert(got.getLong(1) == want.getLong(1), "row mass drifted")
+    assert(got.getDouble(2) ==
+      math.round(li.agg(sum("l_quantity")).head().getDouble(0) * 1e4) / 1e4)
+    intercept[IllegalArgumentException](
+      Incremental.streamRollupMaintain(spark, src, rollup,
+        Seq("l_orderkey"), graft.etl.Loads.AggSpec.sums(Seq("l_quantity")), "n",
+        null, snapshotPartitions = 0))
+  }
 }
