@@ -2261,6 +2261,28 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // BM25 index MAINTENANCE serve: build the inverted index on the
+    // 6/7 base corpus only, fold the held-out 1/7 in through
+    // Bm25Index.append (postings additive, df sums, closed-form
+    // (n, avgdl) recombination — O(|Δ|) work), then serve the SAME query
+    // set — BM25 append is EXACT, so the result matches a full rebuild
+    // and the query shares text_bm25_search's oracle (the incremental
+    // counterpart of knn_index_append, without that family's
+    // frozen-model approximation).
+    "text_bm25_index_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val appended = graft.ops.Bm25Index.append(
+        graft.ops.Bm25Index.build(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      graft.ops.Bm25Index.topK(appended, qs, "q_id", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("q_id", "rank")
+    }),
+
     // CCNet-style perplexity signal: per-doc mean unigram NLL under a
     // model trained on the same corpus (the declared, oracle-exact form;
     // nllScore also takes a frozen reference model + OOV floor)
@@ -2784,6 +2806,25 @@ object SparkEntry {
       graft.ops.Outliers.madOutliers(
           Tables.events(s, dir), "event_id", "event_type", "value", k = 3.0)
         .orderBy("event_id")),
+
+    // Trailing time-RANGE window — the rate-limit/velocity feature shape
+    // (events and value mass in the last 24h per user, evaluated AT each
+    // event). RANGE frames bound by the ORDER value, not row count, and
+    // include all peers of an equal timestamp — so the result is
+    // deterministic under ties, where a ROWS frame would not be. Epoch
+    // seconds carry the order in both engines; partitioning is per-user
+    // (group count grows with the data).
+    "events_trailing_24h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("__epoch"))
+        .rangeBetween(-86400L, 0L)
+      Tables.events(s, dir)
+        .withColumn("__epoch", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("value")).over(w), 4).as("value_24h"))
+        .orderBy("event_id")
+    }),
 
     // Trailing EWMA per (user, event_type) series — the smoothed baseline
     // drift/anomaly thresholds compare against. Adjusted weighting over a
@@ -4861,6 +4902,10 @@ object SparkEntry {
     "text_bm25_search" -> Bm25OracleSql,
     "text_bm25_persisted" -> Bm25OracleSql,
 
+    // append is exact (postings additive, stats closed-form), so the
+    // appended-index serve replays the SAME full-corpus BM25 oracle
+    "text_bm25_index_append" -> Bm25OracleSql,
+
     "vocab_build" ->
       ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
         "vc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM tok " +
@@ -5277,6 +5322,16 @@ object SparkEntry {
         "round(m.mad, 4) AS mad, round(abs(e.value - m.med), 4) AS dev " +
         "FROM events e JOIN mad m USING (event_type) " +
         "WHERE round(abs(e.value - m.med), 4) > round(3 * m.mad, 4) ORDER BY e.event_id"),
+
+    // the same RANGE frame over epoch seconds: [cur−86400, cur]
+    // inclusive, all equal-timestamp peers in frame
+    "events_trailing_24h" ->
+      ("SELECT event_id, user_id, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_24h, " +
+        "round(sum(value) OVER w, 4) AS value_24h " +
+        "FROM (SELECT *, epoch(ts) AS ep FROM events) t " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ep " +
+        "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
 
     // replays ewma() exactly: the same 20-row frame list per
     // (user, event_type) series, (1−α)^(s−pos) weights via DuckDB's

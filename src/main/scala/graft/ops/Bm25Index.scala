@@ -55,6 +55,49 @@ object Bm25Index {
     Bm25Index(postings, terms, stats)
   }
 
+  /** Incremental index maintenance: fold a batch of NEW documents into an
+    * existing index without touching the old corpus. Postings are purely
+    * additive under disjoint doc ids, per-term document frequencies sum,
+    * and the (n, avgdl) stats recombine in closed form
+    * (`avgdl' = (n·avgdl + Σdl_Δ)/(n + n_Δ)`) — so unlike the ANN
+    * family's frozen-model approximation ([[IvfPqIndex.append]]), the
+    * appended index serves EXACTLY like a rebuild on the merged corpus
+    * (asserted in Bm25IndexSpec). The delta pays one build pass over
+    * ITSELF only: daily-crawl maintenance is O(|Δ|), never O(|corpus|).
+    *
+    * Doc-id disjointness is the caller's contract (re-appending a live id
+    * would double-count its postings); checking it costs a distinct over
+    * the full postings, so it is opt-in via `verifyDisjoint` for
+    * fixture-sized audits rather than paid on every production append.
+    */
+  def append(
+      index: Bm25Index,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      verifyDisjoint: Boolean = false): Bm25Index = {
+    val d = build(delta, idCol, textCol)
+    if (verifyDisjoint) {
+      val overlap = index.postings.select("id").distinct()
+        .join(d.postings.select("id").distinct(), Seq("id"), "left_semi")
+      require(overlap.isEmpty,
+        "Bm25Index.append requires delta doc ids disjoint from the base index")
+    }
+    val postings = index.postings.unionByName(d.postings)
+    val terms = index.terms.unionByName(d.terms)
+      .groupBy("term").agg(sum("df").as("df"))
+    // both sides are 1-row stats frames (the index-format contract) —
+    // the broadcast-scalar crossJoin family, collapsed to literals at
+    // serve time by topK's bounded stats collect
+    val stats = index.stats.crossJoin(
+        d.stats.select(col("n").as("__dn"), col("avgdl").as("__davgdl")))
+      .select(
+        (col("n") + col("__dn")).as("n"),
+        ((col("n") * col("avgdl") + col("__dn") * col("__davgdl")) /
+          (col("n") + col("__dn"))).as("avgdl"))
+    Bm25Index(postings, terms, stats)
+  }
+
   /** Term sets up to this size push into the postings scan as a literal
     * `In` predicate (real parquet `PushedFilters` → footer-stat file
     * skipping against the term-range layout [[write]] produced); larger

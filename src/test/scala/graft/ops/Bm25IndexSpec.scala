@@ -61,4 +61,38 @@ class Bm25IndexSpec extends AnyFunSuite {
     val viaSmall = Bm25Index.topK(idx, queries, "q_id", "term", k = 10)
     assert(viaBig.exceptAll(viaSmall).isEmpty && viaSmall.exceptAll(viaBig).isEmpty)
   }
+
+  test("append equals a full rebuild: postings, df, stats, and served results") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val appended = Bm25Index.append(
+      Bm25Index.build(base, "doc_id", "text"), delta, "doc_id", "text")
+    val rebuilt = Bm25Index.build(docs, "doc_id", "text")
+    assert(appended.postings.exceptAll(rebuilt.postings).isEmpty &&
+      rebuilt.postings.exceptAll(appended.postings).isEmpty)
+    assert(appended.terms.exceptAll(rebuilt.terms).isEmpty &&
+      rebuilt.terms.exceptAll(appended.terms).isEmpty)
+    val (sa, sr) = (appended.stats.head(), rebuilt.stats.head())
+    assert(sa.getDouble(0) == sr.getDouble(0))
+    assert(math.abs(sa.getDouble(1) - sr.getDouble(1)) < 1e-9,
+      s"avgdl recombination drifted: ${sa.getDouble(1)} vs ${sr.getDouble(1)}")
+    val a = Bm25Index.topK(appended, queries, "q_id", "term", k = 10)
+    val b = Bm25Index.topK(rebuilt, queries, "q_id", "term", k = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "appended-index serve must be EXACTLY the rebuilt-index serve")
+  }
+
+  test("append verifyDisjoint rejects a delta that re-ships live doc ids") {
+    val idx = Bm25Index.build(docs.filter(col("doc_id") < 100), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bm25Index.append(idx, docs.filter(col("doc_id") < 10), "doc_id", "text",
+        verifyDisjoint = true)
+    }
+    // disjoint delta passes the same audit
+    val ok = Bm25Index.append(idx,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 110),
+      "doc_id", "text", verifyDisjoint = true)
+    assert(ok.stats.head().getDouble(0) ==
+      docs.filter(col("doc_id") < 110).count().toDouble)
+  }
 }
