@@ -473,6 +473,87 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Market-basket co-occurrence: frequent part pairs within orders with
+    // lift above chance (the 2-itemset Apriori core, ops/Basket.scala).
+    // The pair explosion is bounded by basket size squared — never by
+    // corpus size — and the infrequent-item prefilter is the
+    // downward-closure prune that keeps the candidate space tractable at
+    // any scale.
+    "basket_pairs" -> ((s, dir) =>
+      graft.ops.Basket.frequentPairs(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minItemSupport = 40L, minPairSupport = 2L)
+        .orderBy("item_a", "item_b")),
+
+    // Directed association rules over the same pair frame: confidence
+    // P(consequent|antecedent) is asymmetric, so each pair yields two
+    // candidate rules from ONE pass (exploded, not re-selected); the
+    // 0.045 floor lands inside the corpus's [2/49, 2/40] confidence band
+    // so the filter provably discards AND keeps rows.
+    "basket_rules" -> ((s, dir) =>
+      graft.ops.Basket.rules(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minItemSupport = 40L, minPairSupport = 2L, minConfidence = 0.045)
+        .orderBy("antecedent", "consequent")),
+
+    // RFM segmentation (recency/frequency/monetary quintile scores per
+    // customer) — the classic audience-segmentation rollup. Quintile
+    // edges come from ONE exact-percentile aggregate broadcast as a
+    // 1-row scalar (the skewReport crossJoin pattern) and scores are
+    // edge comparisons — no customer-wide ntile window, so the plan has
+    // no single-task rank at any scale. Edge parity with the oracle is
+    // the m8_quantile_profile precedent (Spark percentile ≡ DuckDB
+    // quantile_cont, linear interpolation).
+    "customer_rfm" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          datediff(lit("2001-08-01").cast("timestamp"), max(col("o_orderdate")))
+            .as("rec_days"),
+          count(lit(1)).as("freq"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+      val edges = base.agg(
+        expr("percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("re"),
+        expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fe"),
+        expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("me"))
+      // smaller-is-better (recency) counts edges ABOVE the value;
+      // bigger-is-better counts edges below — top quintile scores 5
+      def scoreDesc(c: Column, e: String): Column =
+        (1 to 4).map(i => (c < element_at(col(e), i)).cast("int")).reduce(_ + _) + 1
+      def scoreAsc(c: Column, e: String): Column =
+        (1 to 4).map(i => (c > element_at(col(e), i)).cast("int")).reduce(_ + _) + 1
+      base.crossJoin(broadcast(edges))
+        .select(col("o_custkey"), col("rec_days"), col("freq"), col("monetary"),
+          scoreDesc(col("rec_days"), "re").as("r_score"),
+          scoreAsc(col("freq"), "fe").as("f_score"),
+          scoreAsc(col("monetary"), "me").as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("o_custkey")
+    }),
+
+    // Bloom semi-join reduction: the fact side is pruned MAP-SIDE through
+    // a sketch built from the selective dim (1.4% of orders) before any
+    // shuffle — at 100 TB the join's exchange then moves ≈ matching rows
+    // instead of the whole lineitem. False positives pass the filter but
+    // die in the join, so the result is exact and the plain-SQL oracle
+    // replays it with no bloom at all (Scale.bloomSemiReduce;
+    // ScaleSpec pins the subset/superset contract).
+    "bloom_pruned_join" -> ((s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2000-04-01").cast("timestamp"))
+      graft.etl.Scale.bloomSemiReduce(
+          Tables.lineitem(s, dir), "l_orderkey", dim, "o_orderkey",
+          expectedItems = 100000L, numBits = 800000L)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // NOT EXISTS as a left-anti join.
     "q_anti_join" -> ((s, dir) => {
       val recent = Tables.orders(s, dir)
@@ -1114,6 +1195,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Community detection over the customer–supplier graph: 5 rounds of
+    // deterministic synchronous label propagation (self-vote damps the
+    // bipartite oscillation, min-label ties — Graph.labelPropagation),
+    // reported as community sizes. Fixed round count makes the fixpoint
+    // a pure function of the edges, so the oracle replays all 5 rounds
+    // as nested SQL (the graph_pagerank unrolled-loop precedent).
+    "graph_communities" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.labelPropagation(e, iterations = 5)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    }),
+
     // Euclidean Lloyd k-means over the embedding corpus (north-star:
     // topic bucketing / cluster-balanced sampling). Deterministic seed
     // (first k by vec_id), 4 mean updates, final assignment; assignment
@@ -1651,6 +1750,36 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
         shingleK = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+
+    // EXACT similarity join at scale: the complete Jaccard pair set —
+    // provably identical to the brute-force anchor above (asserted in
+    // SimJoinSpec at three thresholds) — through a prefix-filtered plan
+    // with NO cross join (SSJoin/PPJoin prefix-filtering principle:
+    // rarity-ordered shingle prefixes of length n−⌈t·n⌉+1 must collide
+    // for any pair with J ≥ t). Declared over the FULL corpus, no slice
+    // bound: candidate posting lists hold only each doc's rarest
+    // shingles, so the plan stays linear-shuffle at 100 TB where the
+    // anchor's cross join is slice-bounded by necessity.
+    "simjoin_prefix_exact" -> ((s, dir) =>
+      graft.ops.SimJoin.prefixJaccard(
+          Tables.documents(s, dir), "doc_id", "text",
+          shingleK = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // incremental EXACT similarity join: the daily-crawl shape — every
+    // batch↔corpus pair with J ≥ 0.5, complete (unlike dedup_incremental's
+    // LSH recall), under the CORPUS-frozen rarity order (unseen batch
+    // shingles take df 0 without invalidating prebuilt corpus prefixes —
+    // the proof and the O(|batch|) increment argument in
+    // SimJoin.incrementalPairs' doc); the corpus is never self-paired
+    "simjoin_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.SimJoin.incrementalPairs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleK = 3, threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
 
     // transitive duplicate clusters: iterative min-label propagation over
     // the exact-Jaccard pair graph (oracle: recursive CTE reachability)
@@ -2738,6 +2867,24 @@ object SparkEntry {
         sum(when(col("v").isNotNull, 1).otherwise(0)).as("n_viewed"),
         sum(when(col("v") < col("c"), 1).otherwise(0)).as("n_clicked_after_view"),
         sum(when(col("v") < col("c") && col("c") < col("p"), 1).otherwise(0)).as("n_full_funnel"))
+    }),
+
+    // First-order Markov transition matrix over per-user event streams:
+    // next-event distribution per current event type (lead over the
+    // per-user timeline; (ts, event_id) ordering is deterministic under
+    // timestamp ties). The row-normalizing window partitions by
+    // event_type — a |types|²-row frame, model-sized by construction.
+    "events_transition_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy("event_type")), 4))
+        .orderBy("event_type", "next_type")
     }),
 
     // Native session_window sessionization (same contract as the lag-based
@@ -4067,6 +4214,67 @@ object SparkEntry {
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
+    // the same distinct→frequent→pair-count→lift pipeline in plain SQL
+    // (the oracle may pair via self-join; the engine never does)
+    "basket_pairs" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n FROM it), " +
+        "f AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM it GROUP BY 1 HAVING count(*) >= 40), " +
+        "fi AS (SELECT ok, pk FROM it JOIN f USING (pk)), " +
+        "p AS (SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS support " +
+        "FROM fi a JOIN fi b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2) " +
+        "SELECT item_a, item_b, support, " +
+        "round(support * nb.n / (fa.s * fb.s), 4) AS lift " +
+        "FROM p JOIN f fa ON fa.pk = item_a JOIN f fb ON fb.pk = item_b CROSS JOIN nb " +
+        "WHERE support >= 2 ORDER BY item_a, item_b"),
+
+    // two directed rules per undirected pair via UNION ALL; confidence
+    // filtered unrounded like the engine
+    "basket_rules" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n FROM it), " +
+        "f AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM it GROUP BY 1 HAVING count(*) >= 40), " +
+        "fi AS (SELECT ok, pk FROM it JOIN f USING (pk)), " +
+        "p AS (SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS support " +
+        "FROM fi a JOIN fi b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+        "j AS (SELECT item_a, item_b, support, fa.s AS sa, fb.s AS sb, nb.n AS n " +
+        "FROM p JOIN f fa ON fa.pk = item_a JOIN f fb ON fb.pk = item_b CROSS JOIN nb " +
+        "WHERE support >= 2) " +
+        "SELECT antecedent, consequent, support, round(conf, 4) AS confidence, " +
+        "round(lift, 4) AS lift FROM (" +
+        "SELECT item_a AS antecedent, item_b AS consequent, support, " +
+        "support / CAST(sa AS DOUBLE) AS conf, support * n / (sa * sb) AS lift FROM j " +
+        "UNION ALL SELECT item_b, item_a, support, support / CAST(sb AS DOUBLE), " +
+        "support * n / (sa * sb) FROM j) t " +
+        "WHERE conf >= 0.045 ORDER BY antecedent, consequent"),
+
+    // the same quintile edges via quantile_cont; boolean edge
+    // comparisons replayed as integer adds
+    "customer_rfm" ->
+      ("WITH base AS (SELECT o_custkey, " +
+        "CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-01 00:00:00') AS INT) AS rec_days, " +
+        "CAST(count(*) AS BIGINT) AS freq, round(sum(o_totalprice), 2) AS monetary " +
+        "FROM orders GROUP BY 1), " +
+        "e AS (SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS re, " +
+        "quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fe, " +
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS me FROM base) " +
+        "SELECT o_custkey, rec_days, freq, monetary, r_score, f_score, m_score, " +
+        "r_score * 100 + f_score * 10 + m_score AS rfm FROM (" +
+        "SELECT o_custkey, rec_days, freq, monetary, " +
+        "1 + CAST(rec_days < re[1] AS INT) + CAST(rec_days < re[2] AS INT) + CAST(rec_days < re[3] AS INT) + CAST(rec_days < re[4] AS INT) AS r_score, " +
+        "1 + CAST(freq > fe[1] AS INT) + CAST(freq > fe[2] AS INT) + CAST(freq > fe[3] AS INT) + CAST(freq > fe[4] AS INT) AS f_score, " +
+        "1 + CAST(monetary > me[1] AS INT) + CAST(monetary > me[2] AS INT) + CAST(monetary > me[3] AS INT) + CAST(monetary > me[4] AS INT) AS m_score " +
+        "FROM base, e) t ORDER BY o_custkey"),
+
+    // no bloom in the oracle: the reduction is correctness-neutral by
+    // construction (FPs are removed by the join), which is the point
+    "bloom_pruned_join" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
     "q_anti_join" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
@@ -4303,6 +4511,28 @@ object SparkEntry {
           "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
         .mkString(", ", ", ", "")
       head + loop + " SELECT id, round(r, 8) AS rank FROM pr10 ORDER BY id"
+    },
+
+    // 5 LPA rounds unrolled: per round, one neighbor-vote join + the
+    // self-vote UNION ALL, then the (cnt DESC, label ASC) argmax
+    "graph_communities" -> {
+      val head =
+        "WITH be AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "edges AS (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be), " +
+        "r0 AS (SELECT id, id AS label FROM (SELECT DISTINCT src AS id FROM edges) t)"
+      val rounds = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"c$i AS (SELECT id, label, CAST(sum(c) AS BIGINT) AS cnt FROM (" +
+          s"SELECT e.dst AS id, l.label, count(*) AS c FROM edges e " +
+          s"JOIN $p l ON e.src = l.id GROUP BY 1, 2 " +
+          s"UNION ALL SELECT id, label, 1 FROM $p) u GROUP BY 1, 2), " +
+          s"r$i AS (SELECT id, label FROM (SELECT id, label, " +
+          "row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn " +
+          s"FROM c$i) w WHERE rn = 1)"
+      }.mkString(", ", ", ", "")
+      head + rounds + " SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members " +
+        "FROM r5 GROUP BY 1 ORDER BY community"
     },
 
     // base-graph 3-round ranks (orders % 10 <> 0), then the warm
@@ -4730,6 +4960,31 @@ object SparkEntry {
         "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
         "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+
+    // same all-pairs formulation WITHOUT the slice bound — the oracle
+    // checks the prefix-filtered plan returns the complete pair set
+    "simjoin_prefix_exact" ->
+      ("WITH sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+
+    // brute bipartite all-pairs over the same mod-5 split
+    "simjoin_incremental" ->
+      ("WITH sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM sets b, sets c WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 " +
+        "AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.5 " +
+        "ORDER BY batch_id, corpus_id"),
 
     "dedup_components" ->
       ("WITH RECURSIVE sets AS (SELECT doc_id, list_distinct(" +
@@ -5332,6 +5587,16 @@ object SparkEntry {
         "FROM (SELECT *, epoch(ts) AS ep FROM events) t " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ep " +
         "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+
+    // same per-user lead + per-type row normalization
+    "events_transition_matrix" ->
+      ("WITH nxt AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+        "c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n FROM nxt " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT event_type, next_type, n, " +
+        "round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p " +
+        "FROM c ORDER BY event_type, next_type"),
 
     // replays ewma() exactly: the same 20-row frame list per
     // (user, event_type) series, (1−α)^(s−pos) weights via DuckDB's

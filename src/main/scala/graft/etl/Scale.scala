@@ -99,6 +99,41 @@ object Scale {
         col("est_total_pairs"), col("n_join_keys"))
   }
 
+  /** Bloom semi-join reduction: prune a 100 TB fact table down to the
+    * rows that MIGHT join a selective dim BEFORE the join's shuffle —
+    * the classic distributed-join reduction (Bloom, CACM 1970; the same
+    * sketch Spark's own runtime row-level filtering plants on broadcast
+    * joins, exposed here as an explicit, composable step for the cases
+    * the planner's heuristics skip: non-broadcast dims, multi-stage
+    * reuse of one filter, pruning before an expensive transform).
+    *
+    * One pass over the dim builds the sketch (mergeable partial
+    * aggregation — a single KB–MB binary row is all that reaches the
+    * driver, the model-bounded-collect convention); the fact side then
+    * filters map-side through the codegen'd probe
+    * ([[graft.functions.TextFunctions.might_contain]]) with zero
+    * shuffle. False positives (rate set by `numBits` vs the dim's
+    * distinct count) only let extra rows THROUGH — the join after the
+    * reduction removes them, so composed results stay exact while the
+    * shuffle moves only ≈ matching rows + ε instead of the full fact.
+    */
+  def bloomSemiReduce(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      numBits: Long): DataFrame = {
+    require(expectedItems > 0 && numBits > 0,
+      s"bad expectedItems=$expectedItems / numBits=$numBits")
+    val sketch = dim
+      .agg(graft.functions.TextFunctions.bloom_filter_agg(
+        xxhash64(col(dimKey)), expectedItems, numBits).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    fact.filter(graft.functions.TextFunctions.might_contain(
+      lit(sketch), xxhash64(col(factKey))))
+  }
+
   /** Write a bucketed + sorted table: joins/aggregations on the bucket key
     * against an equally-bucketed table need NO shuffle (bucket-local
     * sort-merge). This is the pre-partitioning answer for repeated big-big

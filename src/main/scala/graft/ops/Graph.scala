@@ -384,4 +384,57 @@ object Graph {
     oriented.unpersist()
     res
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007), made fully deterministic: every vertex starts
+    * labeled with its own id; each round it adopts the label most frequent
+    * among its neighbors PLUS ITSELF (the self-vote is the standard
+    * oscillation damper for bipartite structure under synchronous
+    * updates), ties broken by the SMALLEST label. Fixed `iterations`
+    * rounds — no convergence test, so the result is a pure function of
+    * (edges, iterations) and a plain (if 5×-nested) SQL oracle can replay
+    * it round for round.
+    *
+    * Edges are made undirected + distinct internally (simple graph —
+    * neighbor votes are per neighbor, not per parallel edge). Per round:
+    * one labels-to-edges join keyed by vertex, one (id, label) count
+    * aggregate, one per-vertex argmax via a single `max(struct)` — no
+    * window, no driver involvement; `localCheckpoint` per round keeps the
+    * lineage flat (the iterative-loop convention of this file).
+    *
+    * Returns (id, label) — vertices sharing a label are one community.
+    */
+  def labelPropagation(
+      edges0: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val und = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iterations) {
+      val votes = und.join(labels, und("src") === labels("id"))
+        .select(und("dst").as("id"), col("label"))
+        .unionByName(labels.select(col("id"), col("label")))
+        .groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+      val next = votes
+        // max over (cnt, -label): highest count, then smallest label —
+        // one aggregate, no per-vertex window
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+    }
+    und.unpersist()
+    labels
+  }
 }

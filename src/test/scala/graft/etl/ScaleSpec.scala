@@ -130,4 +130,42 @@ class ScaleSpec extends AnyFunSuite {
     val nTypes = ev.select("event_type").distinct().count()
     assert(est > (ev.count() / nTypes) * (ev.count() / nTypes), "quadratic blow-up surfaced")
   }
+
+  test("bloomSemiReduce keeps every matching row and prunes most others") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(k => (k, s"f$k")).toDF("fk", "payload")
+    val dim = Seq(10L, 20L, 30L, 40L, 50L).toDF("dk")
+    val pruned = Scale.bloomSemiReduce(fact, "fk", dim, "dk",
+      expectedItems = 1000L, numBits = 100000L)
+    // superset of the true semi-join (no false negatives — the Bloom
+    // contract), subset of the fact, and with these sizes ≈ exact
+    val kept = pruned.select("fk").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 20L, 30L, 40L, 50L).subsetOf(kept), "false negative!")
+    assert(kept.size < 100, s"pruned only to ${kept.size} of 2000")
+    // composed with the real join the result is exact despite any FPs
+    val joined = pruned.join(dim, col("fk") === col("dk")).count()
+    assert(joined == 5L)
+  }
+
+  test("bloomSemiReduce probes map-side: no shuffle above the fact scan") {
+    import spark.implicits._
+    // parquet-backed fact — a LocalRelation would eagerly fold the
+    // filter away and hide the probe from the plan
+    val fact = Tables.events(spark, GraftSpark.Sf0001)
+    val dim = (1L to 10L).toDF("dk")
+    val pruned = Scale.bloomSemiReduce(fact, "event_id", dim, "dk",
+      expectedItems = 100L, numBits = 10000L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pruning itself must not shuffle:\n$plan")
+    assert(plan.contains("might_contain"), s"probe not in plan:\n$plan")
+  }
+
+  test("bloomSemiReduce validates sketch sizing") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException](
+      Scale.bloomSemiReduce(df, "k", df, "k", expectedItems = 0L, numBits = 10L))
+    intercept[IllegalArgumentException](
+      Scale.bloomSemiReduce(df, "k", df, "k", expectedItems = 10L, numBits = 0L))
+  }
 }

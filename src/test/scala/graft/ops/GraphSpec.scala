@@ -213,4 +213,53 @@ class GraphSpec extends AnyFunSuite {
     val total = Graph.triangleCount(e.toDF("src", "dst")).collect().head.getLong(2)
     assert(got.values.map(_._2).sum == 3 * total)
   }
+
+  /** Driver-side reference LPA: synchronous, self-vote, min-label ties. */
+  private def referenceLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keySet.map(v => v -> v).toMap
+    (0 until iters).foreach { _ =>
+      lab = adj.keySet.map { v =>
+        val votes = (adj(v).map(lab) :+ lab(v)).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        val best = votes.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation: two planted cliques with a bridge separate cleanly") {
+    // cliques {1,2,3,4} and {10,11,12,13}, one bridge 4–10
+    def clique(vs: Seq[Long]) = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L))
+    val got = Graph.labelPropagation(e.toDF("src", "dst"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referenceLpa(e, 5))
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct.size == 1, "clique 1 is one community")
+    assert(Seq(10L, 11L, 12L, 13L).map(got).distinct.size == 1, "clique 2 is one community")
+    assert(got(1L) != got(10L), "the bridge must not merge the cliques")
+  }
+
+  test("labelPropagation matches the reference on a bipartite graph (oscillation damped)") {
+    // complete bipartite K(3,3): the synchronous-LPA worst case — the
+    // self-vote must keep it deterministic and convergent
+    val e = for (a <- Seq(1L, 2L, 3L); b <- Seq(20L, 21L, 22L)) yield (a, b)
+    for (it <- Seq(1, 2, 5)) {
+      val got = Graph.labelPropagation(e.toDF("src", "dst"), iterations = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == referenceLpa(e, it), s"diverged at iterations=$it")
+    }
+  }
+
+  test("labelPropagation: duplicate and reversed edges do not change votes") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val dup = e ++ e.map(_.swap) ++ e
+    val a = Graph.labelPropagation(e.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.labelPropagation(dup.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

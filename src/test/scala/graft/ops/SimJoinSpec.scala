@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+
+class SimJoinSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  // 1-grams make the shingle set the word set — Jaccards are hand-sized.
+  // d1 {a,b,c,d,e}, d2 {a,b,c,d,f}: 4/6 = 0.6667. d3 = d1: 1.0.
+  // d4 {x,y,z}: below threshold with everything (d4∩d5 = {x}: 1/4).
+  private def crafted = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),
+      (3L, "a b c d e"),
+      (4L, "x y z"),
+      (5L, "x q")).toDF("doc_id", "text")
+  }
+
+  test("hand-computed pairs at threshold 0.6, nothing else") {
+    val got = SimJoin.prefixJaccard(crafted, "doc_id", "text",
+        shingleK = 1, threshold = 0.6)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.6667), (1L, 3L, 1.0), (2L, 3L, 0.6667)))
+  }
+
+  test("length bound alone cannot admit a sub-threshold pair") {
+    // d4/d5 pass no prefix-shingle collision above threshold 0.5:
+    // jaccard {x,y,z}/{x,q} = 1/4 — must NOT be emitted even though the
+    // sets share a token.
+    val got = SimJoin.prefixJaccard(crafted, "doc_id", "text",
+        shingleK = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((4L, 5L)))
+  }
+
+  // Completeness: the prefix-filtered join must return EXACTLY the
+  // brute-force all-pairs result (Dedup.ngramJaccardPairs — the O(n²)
+  // anchor) on a corpus of sliding token windows, where pair Jaccard
+  // decays smoothly with window distance and many pairs sit right at
+  // the threshold boundary.
+  test("matches the exhaustive anchor exactly on sliding-window docs") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (i until i + 12).map(j => s"t${j % 60}").mkString(" "))
+    }.toDF("doc_id", "text")
+
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val fast = SimJoin.prefixJaccard(docs, "doc_id", "text",
+        shingleK = 3, threshold = t)
+      val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = t)
+      assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+        s"prefix-filter result diverged from exhaustive at t=$t")
+    }
+  }
+
+  test("short texts fall back to the whole-text shingle like the anchor") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "ab"), (3L, "cd ef")).toDF("doc_id", "text")
+    val got = SimJoin.prefixJaccard(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("incrementalPairs matches brute bipartite, batch grams unseen by corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus: sliding windows over t0..t59; batch: overlapping windows
+    // PLUS docs of entirely new tokens (u*) — the frozen-order df-0 path
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, (i until i + 12).map(j => s"t${j % 60}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = ((0 until 10).map { i =>
+      (1000L + i, (i * 3 until i * 3 + 12).map(j => s"t${j % 60}").mkString(" "))
+    } ++ Seq((2000L, (0 until 12).map(j => s"u$j").mkString(" ")),
+             (2001L, ((0 until 6).map(j => s"u$j") ++ (0 until 6).map(j => s"t$j")).mkString(" "))))
+      .toDF("doc_id", "text")
+
+    for (t <- Seq(0.4, 0.7)) {
+      val got = SimJoin.incrementalPairs(corpus, batch, "doc_id", "text",
+        shingleK = 3, threshold = t)
+      // brute bipartite reference (test-only cross join)
+      val cs = corpus.select(col("doc_id").as("corpus_id"),
+        array_sort(array_distinct(Dedup.shingleHashes(col("text"), 3))).as("sc"))
+      val bs = batch.select(col("doc_id").as("batch_id"),
+        array_sort(array_distinct(Dedup.shingleHashes(col("text"), 3))).as("sb"))
+      val brute = bs.crossJoin(cs)
+        .withColumn("__i", graft.functions.TextFunctions
+          .intersect_count_sorted(col("sb"), col("sc")).cast("double"))
+        .withColumn("__j", col("__i") / (size(col("sb")) + size(col("sc")) - col("__i")))
+        .filter(col("__j") >= t)
+        .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
+      assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+        s"incremental diverged from brute bipartite at t=$t")
+    }
+  }
+
+  test("incrementalPairs emits no self-side pairs") {
+    import spark.implicits._
+    val docs = (0 until 10).map { i =>
+      (i.toLong, (i until i + 5).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val ids = SimJoin.incrementalPairs(docs, docs, "doc_id", "text",
+        shingleK = 1, threshold = 0.9)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // identical frames on both sides: only identity cross-pairs appear,
+    // never a corpus↔corpus or batch↔batch pair with distinct ids beyond
+    // what true bipartite similarity dictates
+    assert(ids.nonEmpty && ids.forall { case (b, c) => b == c })
+  }
+
+  test("threshold domain is validated") {
+    intercept[IllegalArgumentException](
+      SimJoin.prefixJaccard(crafted, "doc_id", "text", threshold = 0.0))
+    intercept[IllegalArgumentException](
+      SimJoin.prefixJaccard(crafted, "doc_id", "text", threshold = 1.1))
+  }
+}
