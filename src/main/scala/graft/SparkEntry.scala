@@ -3084,6 +3084,72 @@ object SparkEntry {
           round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type")),
 
+    // Lag-1..7 autocorrelation of each event type's daily-count series
+    // (ops/TimeSeries.acf): the seasonality read-out behind cadence
+    // decisions. Raw events collapse to a (type × day) count aggregate
+    // FIRST; lag products come from one keyed self-join of that series
+    // after a 7-way lag explode — no unpartitioned window, and integer
+    // counts keep both engines' devs bit-identical.
+    "events_acf" -> ((s, dir) =>
+      graft.ops.TimeSeries.acf(Tables.events(s, dir), "event_type", "ts", maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    // Single mean-shift changepoint per event type over the daily-count
+    // series (CUSUM-equivalent split statistic, ops/TimeSeries
+    // .meanShiftChangepoint): windows partition by TYPE over day frames
+    // (span-bounded), the argmax is a bounded row_number pick, ties to
+    // the earliest day; integer cums make the argmax engine-stable.
+    "events_changepoint" -> ((s, dir) =>
+      graft.ops.TimeSeries.meanShiftChangepoint(Tables.events(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // Welch unequal-variance t-test between every event-type pair over
+    // `value` (ops/Stats.welchPairs): ONE moment aggregate over the
+    // data, then a k²-row (k = 5 types) pairs join — the experiment
+    // read-out as a single-scan plan.
+    "ab_welch_ttest" -> ((s, dir) =>
+      graft.ops.Stats.welchPairs(Tables.events(s, dir), "event_type", "value")
+        .orderBy("group_a", "group_b")),
+
+    // Pearson chi-square independence of user cohort (user_id parity) vs
+    // event type + Cramér's V (ops/Stats.chiSquare): one contingency
+    // aggregate; margins and expecteds are cell-count-sized.
+    "ab_chi_square" -> ((s, dir) =>
+      graft.ops.Stats.chiSquare(
+        Tables.events(s, dir)
+          .withColumn("cohort", (col("user_id") % 2).cast("string")),
+        "cohort", "event_type")),
+
+    // Declarative data-quality gate (etl/DataQuality): ALL column
+    // predicates per table fold into ONE aggregation pass (adding a
+    // check never adds a scan), uniqueness is one distinct-count,
+    // referential integrity one keys-only left-anti join. The 1..45
+    // quantity band is deliberately tighter than the data (quantities
+    // run to 50) so the report provably discriminates — pass AND fail
+    // rows both appear.
+    "dq_expectations" -> ((s, dir) => {
+      import graft.etl.DataQuality._
+      val li = Tables.lineitem(s, dir)
+      report(Seq(
+        columnChecks(li, Seq(
+          ColCheck("lineitem.quantity_in_1_45",
+            col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 45),
+          ColCheck("lineitem.extendedprice_positive",
+            col("l_extendedprice").isNull || col("l_extendedprice") <= 0),
+          ColCheck("lineitem.shipdate_not_null", col("l_shipdate").isNull))),
+        columnChecks(Tables.events(s, dir), Seq(
+          ColCheck("events.event_type_accepted",
+            col("event_type").isNull ||
+              !col("event_type").isin("click", "view", "purchase", "error", "signup")),
+          ColCheck("events.value_not_null", col("value").isNull))),
+        unique(Tables.customer(s, dir), "customer.custkey_unique", Seq("c_custkey")),
+        foreignKey(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders.custkey_fk"),
+        foreignKey(li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem.orderkey_fk")))
+        .orderBy("check_name")
+    }),
+
     // ---- S9/S10: the paged OData-style DSv2 source, driven end-to-end —
     //      the "service" pages are materialized from the events fixture
     //      (simulating the remote entity), then read back page-parallel

@@ -130,6 +130,85 @@ object TimeSeries {
     * and the weighted sum is `transform`+`aggregate` higher-order
     * functions over the ≤K-element frame list: codegen'd, no UDF.
     */
+  /** Lag-k autocorrelation (ACF) of each group's daily event-count
+    * series, lags `1..maxLag`: `r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)²`
+    * with the global series mean μ (the standard biased estimator —
+    * Box & Jenkins). Counts (not value sums) make every input integer,
+    * so both engines see bit-identical devs.
+    *
+    * Scale: the raw stream collapses to a (group × day) count aggregate
+    * first — everything after runs on the series frame, never the
+    * events. Per-group mean/denominator are group-sized (broadcast);
+    * the lag products come from ONE equi-join of the series to itself
+    * on (group, day+lag) after a maxLag-way explode — keyed shuffle,
+    * no window over an unpartitioned series, no driver collect.
+    */
+  def acf(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val mu = daily.groupBy("g").agg(avg("x").as("mu"))
+    val dev = daily.join(broadcast(mu), Seq("g"))
+      .select(col("g"), col("day"), (col("x") - col("mu")).as("dev"))
+      .localCheckpoint() // feeds the denominator and BOTH join sides
+    val denom = dev.groupBy("g").agg(sum(col("dev") * col("dev")).as("ss"))
+    val lags = array((1 to maxLag).map(lit): _*)
+    val prods = dev
+      .withColumn("lag", explode(lags))
+      .withColumn("day2", date_add(col("day"), col("lag")))
+      .join(dev.select(col("g"), col("day").as("day2"), col("dev").as("dev2")),
+        Seq("g", "day2"))
+      .groupBy(col("g"), col("lag"))
+      .agg(sum(col("dev") * col("dev2")).as("num"), count(lit(1)).as("n_pairs"))
+    prods.join(broadcast(denom), Seq("g"))
+      .select(col("g").as(groupCol), col("lag"),
+        round(col("num") / col("ss"), 4).as("acf"), col("n_pairs"))
+  }
+
+  /** Single changepoint per group: the day split maximizing the scaled
+    * mean shift `|μ_left − μ_right| · √(t·(n−t)/n)` over the group's
+    * daily-count series (the CUSUM-equivalent two-sample statistic at
+    * every split — Page 1954 / Hinkley 1970). Counts keep the cumulative
+    * sums integer-exact, so the argmax is engine-stable.
+    *
+    * Scale: one (group × day) count aggregate, then windows PARTITIONED
+    * BY GROUP whose frames hold the group's DAYS (span-bounded, ~10³
+    * for years) — never raw events; group totals broadcast back. The
+    * winning split per group is a bounded row_number pick, ties to the
+    * earliest day.
+    */
+  def meanShiftChangepoint(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val tot = daily.groupBy("g")
+      .agg(sum("x").as("tot"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("g").orderBy("day")
+    val scored = daily.join(broadcast(tot), Seq("g"))
+      .withColumn("cum", sum("x").over(w))
+      .withColumn("t", row_number().over(w))
+      .filter(col("t") < col("n_days"))
+      .withColumn("mean_before", col("cum") / col("t"))
+      .withColumn("mean_after", (col("tot") - col("cum")) / (col("n_days") - col("t")))
+      .withColumn("score",
+        abs(col("mean_before") - col("mean_after")) *
+          sqrt(col("t") * (col("n_days") - col("t")) / col("n_days")))
+    val pick = Window.partitionBy("g").orderBy(col("score").desc, col("day"))
+    scored.withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
+      .select(col("g").as(groupCol), col("day").as("split_day"),
+        col("n_days"), round(col("mean_before"), 4).as("mean_before"),
+        round(col("mean_after"), 4).as("mean_after"),
+        round(col("score"), 4).as("score"))
+  }
+
   def ewma(
       df: DataFrame,
       keyCols: Seq[String],
