@@ -6256,5 +6256,102 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts, " +
         "string_agg(event_type, chr(10) ORDER BY ts, event_id) AS conversation " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // replays TimeSeries.acf exactly: the same (type × day) count
+    // aggregate, the same span densify (zero-count days are real
+    // observations), full-series mean, and the lag-k dev products —
+    // integer counts keep devs bit-identical in both engines
+    "events_acf" ->
+      ("WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT g, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+        "grid AS (SELECT g, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "dense AS (SELECT grid.g, grid.day, coalesce(daily.x, 0) AS x " +
+        "FROM grid LEFT JOIN daily ON grid.g = daily.g AND grid.day = daily.day), " +
+        "mu AS (SELECT g, avg(x) AS mu FROM dense GROUP BY 1), " +
+        "dev AS (SELECT dense.g, day, x - mu AS dev FROM dense JOIN mu ON dense.g = mu.g), " +
+        "den AS (SELECT g, sum(dev * dev) AS ss FROM dev GROUP BY 1), " +
+        "lg AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS lag), " +
+        "pr AS (SELECT a.g, lg.lag, sum(a.dev * b.dev) AS num, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM dev a CROSS JOIN lg JOIN dev b ON a.g = b.g AND b.day = a.day + lg.lag GROUP BY 1, 2) " +
+        "SELECT pr.g AS event_type, pr.lag, round(pr.num / den.ss, 4) AS acf, pr.n_pairs " +
+        "FROM pr JOIN den ON pr.g = den.g ORDER BY event_type, lag"),
+
+    // replays meanShiftChangepoint: integer day-count cums make every
+    // mean/score identical down to the bit in both engines, so the
+    // (score DESC, day) argmax is engine-stable before rounding
+    "events_changepoint" ->
+      ("WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT g, sum(x) AS tot, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1), " +
+        "sc AS (SELECT daily.g, day, n_days, tot, " +
+        "sum(x) OVER (PARTITION BY daily.g ORDER BY day) AS cum, " +
+        "CAST(row_number() OVER (PARTITION BY daily.g ORDER BY day) AS DOUBLE) AS t " +
+        "FROM daily JOIN tot ON daily.g = tot.g), " +
+        "scored AS (SELECT g, day, n_days, cum / t AS mean_before, " +
+        "(tot - cum) / (n_days - t) AS mean_after, " +
+        "abs(cum / t - (tot - cum) / (n_days - t)) * sqrt(t * (n_days - t) / n_days) AS score " +
+        "FROM sc WHERE t < n_days), " +
+        "pick AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY score DESC, day) AS rk FROM scored) " +
+        "SELECT g AS event_type, day AS split_day, n_days, round(mean_before, 4) AS mean_before, " +
+        "round(mean_after, 4) AS mean_after, round(score, 4) AS score " +
+        "FROM pick WHERE rk = 1 ORDER BY event_type"),
+
+    // replays Stats.welchPairs: one moment aggregate per group, the
+    // textbook t / Welch–Satterthwaite df on the k-row pairs join
+    "ab_welch_ttest" ->
+      ("WITH st AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n, " +
+        "avg(value) AS mean, var_samp(value) AS vr FROM events GROUP BY 1) " +
+        "SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b, " +
+        "round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b, " +
+        "round((a.mean - b.mean) / sqrt(a.vr / a.n + b.vr / b.n), 4) AS t_stat, " +
+        "round(pow(a.vr / a.n + b.vr / b.n, 2) / " +
+        "(pow(a.vr / a.n, 2) / (a.n - 1) + pow(b.vr / b.n, 2) / (b.n - 1)), 2) AS df_welch, " +
+        "abs((a.mean - b.mean) / sqrt(a.vr / a.n + b.vr / b.n)) > 1.96 AS significant " +
+        "FROM st a JOIN st b ON a.g < b.g ORDER BY group_a, group_b"),
+
+    // replays Stats.chiSquare over the user-parity cohort: contingency
+    // cells, margins, expecteds e = rt·ct/n, Cramér's V from the
+    // UNROUNDED chi2 (as the Spark select does)
+    "ab_chi_square" ->
+      ("WITH cc AS (SELECT CAST(user_id % 2 AS VARCHAR) AS r, event_type AS c, " +
+        "CAST(count(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2), " +
+        "rt AS (SELECT r, sum(o) AS rtot FROM cc GROUP BY 1), " +
+        "ct AS (SELECT c, sum(o) AS ctot FROM cc GROUP BY 1), " +
+        "nn AS (SELECT sum(o) AS n, CAST(count(DISTINCT r) AS BIGINT) AS nr, " +
+        "CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cc), " +
+        "term AS (SELECT (o - rtot * ctot / n) * (o - rtot * ctot / n) / (rtot * ctot / n) AS term, " +
+        "n, nr, nc FROM cc JOIN rt ON cc.r = rt.r JOIN ct ON cc.c = ct.c CROSS JOIN nn), " +
+        "agg AS (SELECT n, nr, nc, sum(term) AS chi2 FROM term GROUP BY n, nr, nc) " +
+        "SELECT round(chi2, 4) AS chi2, (nr - 1) * (nc - 1) AS dof, CAST(n AS BIGINT) AS n, " +
+        "round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 4) AS cramers_v FROM agg"),
+
+    // replays etl/DataQuality.report check by check: conditional-count
+    // column gates, the distinct-count uniqueness surplus, and the
+    // left-anti referential orphans (NULL fks are orphans on both sides)
+    "dq_expectations" ->
+      ("SELECT check_name, CAST(violations AS BIGINT) AS violations, " +
+        "CAST(total AS BIGINT) AS total, violations = 0 AS pass FROM (" +
+        "SELECT 'lineitem.quantity_in_1_45' AS check_name, " +
+        "sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS violations, " +
+        "count(*) AS total FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.extendedprice_positive', " +
+        "sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END), count(*) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.shipdate_not_null', " +
+        "sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), count(*) FROM lineitem " +
+        "UNION ALL SELECT 'events.event_type_accepted', " +
+        "sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','error','signup') THEN 1 ELSE 0 END), " +
+        "count(*) FROM events " +
+        "UNION ALL SELECT 'events.value_not_null', " +
+        "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(*) FROM events " +
+        "UNION ALL SELECT 'customer.custkey_unique', " +
+        "count(*) - count(DISTINCT c_custkey), count(*) FROM customer " +
+        "UNION ALL SELECT 'orders.custkey_fk', " +
+        "sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*) " +
+        "FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey " +
+        "UNION ALL SELECT 'lineitem.orderkey_fk', " +
+        "sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*) " +
+        "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) od ON l.l_orderkey = od.o_orderkey" +
+        ") t ORDER BY check_name"),
   ) ++ PinnedOracles.sql
 }

@@ -34,11 +34,17 @@ object DataQuality {
     */
   def columnChecks(df: DataFrame, checks: Seq[ColCheck]): DataFrame = {
     require(checks.nonEmpty, "columnChecks needs at least one check")
-    val aggs = checks.map(c =>
+    // checks are aliased positionally (__c0, __c1, …), never by their
+    // display name: check names are dotted ("table.check") and col(name)
+    // would parse the dot as struct access (UNRESOLVED_COLUMN)
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
       coalesce(sum(when(c.violation, lit(1L)).otherwise(lit(0L))), lit(0L))
-        .as(c.name)) :+ count(lit(1)).as("__total")
+        .as(s"__c$i")
+    } :+ count(lit(1)).as("__total")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val kv = checks.flatMap(c => Seq(lit(c.name), col(c.name)))
+    val kv = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c.name), col(s"__c$i"))
+    }
     one.select(explode(map(kv: _*)).as(Seq("check_name", "violations")),
         col("__total").as("total"))
   }

@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source-vs-target reconciliation by control totals — the audit a load
+  * pipeline runs AFTER a refresh to prove nothing was dropped or doubled
+  * in flight. Per bucket (e.g. ship month) it compares row counts and
+  * exact control sums and flags mismatched buckets, which localizes a
+  * short load to the partition that must be replayed. The reference
+  * ships loads unverified (pandas `to_sql`, fire-and-forget —
+  * `Template-to-MySQL/BigQuery-to-MySQL-Method-1.py:54-82`); this is the
+  * standard warehouse control-totals audit on top of L1–L6.
+  *
+  * Scale design: ONE aggregation pass per side (bucket-keyed — the
+  * shuffle is bucket-count-sized after partial aggregation), then a
+  * full-outer join of two bucket-sized frames; a missing bucket on
+  * either side surfaces as a 0-vs-n row rather than vanishing. Control
+  * measures must be EXACT (integral) columns: double sums are
+  * order-dependent across partitions, so a fp control total could flag
+  * a phantom mismatch on a perfectly loaded bucket — the caller casts
+  * money to cents / quantities to longs (`measures` are arbitrary
+  * integral expressions).
+  */
+object Recon {
+
+  /** Compare `source` and `target` per `bucket`: row counts plus one
+    * exact control sum per named measure. Returns one row per bucket
+    * present on EITHER side: (bucket, n_src, n_tgt, <m>_src, <m>_tgt …,
+    * match — true iff every count and control sum agrees).
+    */
+  def controlTotals(
+      source: DataFrame,
+      target: DataFrame,
+      bucket: Column,
+      measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.nonEmpty, "controlTotals needs at least one measure")
+    def side(df: DataFrame, tag: String) =
+      df.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          measures.map { case (n, c) =>
+            sum(c.cast("long")).as(s"${n}_$tag")
+          }: _*)
+    val s = side(source, "src")
+    val t = side(target, "tgt")
+    val joined = s.join(t, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_src", "n_tgt") ++
+        measures.flatMap { case (n, _) => Seq(s"${n}_src", s"${n}_tgt") })
+    val ok = measures.foldLeft(col("n_src") === col("n_tgt")) {
+      case (acc, (n, _)) => acc && col(s"${n}_src") === col(s"${n}_tgt")
+    }
+    joined.withColumn("match", ok)
+  }
+}

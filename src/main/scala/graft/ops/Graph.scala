@@ -425,16 +425,45 @@ object Graph {
         .unionByName(labels.select(col("id"), col("label")))
         .groupBy("id", "label").agg(count(lit(1)).as("cnt"))
       val next = votes
-        // max over (cnt, -label): highest count, then smallest label —
-        // one aggregate, no per-vertex window
+        // min over (-cnt, label): highest count, then smallest label —
+        // one aggregate, no per-vertex window. Negating the COUNT (not
+        // the label) keeps the tie-break valid for any orderable vertex
+        // id type: negating a string label would cast to double and
+        // null every label after round 1
         .groupBy("id")
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("label"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("m"))
+        .select(col("id"), col("m.lb").as("label"))
         .localCheckpoint()
       labels.unpersist()
       labels = next
     }
     und.unpersist()
     labels
+  }
+
+  /** Degree distribution of the undirected graph: (degree, n_vertices),
+    * plus each bucket's share — the first diagnostic run on any graph
+    * before choosing partitioning (a heavy right tail ⇒ salt the hub
+    * joins; [[pagerank]]'s dangling handling ⇒ degree-0 never occurs
+    * here since isolated vertices have no edge row). Uses the same
+    * undirected-distinct edge semantics as [[labelPropagation]].
+    *
+    * Scale: two aggregates — per-vertex degree (vertex-keyed shuffle),
+    * then the histogram (degree-keyed; rows = distinct degrees, which
+    * grows like the max degree, never like the data). The share divides
+    * by a broadcast 1-row total.
+    */
+  def degreeHistogram(
+      edges0: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+    hist.crossJoin(broadcast(hist.agg(sum("n_vertices").as("__tot"))))
+      .select(col("degree"), col("n_vertices"),
+        round(col("n_vertices") / col("__tot").cast("double"), 6).as("share"))
   }
 }

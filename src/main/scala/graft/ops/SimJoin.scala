@@ -38,6 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object SimJoin {
 
+  /** Slack subtracted from the prefix-length and length-bound products:
+    * `t·n` in binary fp can land one ulp ABOVE the exact value at
+    * integer boundaries (e.g. t = 0.6, n = 5), which would shorten the
+    * prefix / reject a pair whose true Jaccard equals the threshold.
+    * Both uses are candidate LOWER bounds, so loosening by 1e-9 keeps
+    * the completeness guarantee at any representable threshold (the
+    * exact Jaccard verify still filters on the unrounded value).
+    */
+  private val BoundEps = 1e-9
+
   /** All pairs `(id_a < id_b, jaccard)` with word-`shingleK`-gram Jaccard
     * ≥ `threshold` (filtered on the unrounded value; `jaccard` reported
     * rounded to 4). Shingle identities match [[Dedup.shingles]]: texts
@@ -79,7 +89,7 @@ object SimJoin {
       .localCheckpoint()
 
     // prefix of length n − ⌈t·n⌉ + 1 (≥ 1), rarest shingles first
-    val prefixLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
+    val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(BoundEps)).cast("int") + 1
     val prefixes = sorted.select(col("id"), col("n"),
       explode(slice(col("pref_order"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
 
@@ -94,7 +104,7 @@ object SimJoin {
       .select(col("p.id_a.id").as("id_a"), col("p.id_a.n").as("n_a"),
         col("p.id_b.id").as("id_b"), col("p.id_b.n").as("n_b"))
       .filter(least(col("n_a"), col("n_b")) >=
-        lit(threshold) * greatest(col("n_a"), col("n_b")))
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(BoundEps))
       .select("id_a", "id_b")
       .distinct()
 
@@ -161,7 +171,7 @@ object SimJoin {
     val batchSorted = sortedSide(grams(batch), "left").localCheckpoint()
 
     def prefixes(side: DataFrame) = {
-      val prefixLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
+      val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(BoundEps)).cast("int") + 1
       side.select(col("id"), col("n"),
         explode(slice(col("pref_order"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
     }
@@ -174,7 +184,7 @@ object SimJoin {
       .join(prefixes(corpusSorted)
         .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
       .filter(least(col("n_b"), col("n_c")) >=
-        lit(threshold) * greatest(col("n_b"), col("n_c")))
+        lit(threshold) * greatest(col("n_b"), col("n_c")) - lit(BoundEps))
       .select("batch_id", "corpus_id")
       .distinct()
 

@@ -78,4 +78,48 @@ object Stats {
         round(sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1))), 4)
           .as("cramers_v"))
   }
+
+  /** Divergence between two slices' categorical distributions —
+    * KL(P‖Q), KL(Q‖P) and the bounded, symmetric Jensen–Shannon
+    * divergence (natural log; Kullback & Leibler 1951, Lin 1991). The
+    * mixture-monitoring read-out: "did the source mix of this week's
+    * corpus drift from last week's?" complements [[graft.ops.Drift.psi]]
+    * the way JS complements PSI in the public drift literature.
+    *
+    * Categories absent from one side make plain KL infinite; shares are
+    * clamped at `eps` (the Drift.psi convention) so a novel category
+    * surfaces as a LARGE finite term instead of poisoning the sum.
+    * Returns ONE row: (n_categories, kl_pq, kl_qp, js), rounded to 6.
+    *
+    * Scale: one count aggregate per slice (category-sized after partial
+    * aggregation), a category-sized full-outer join, then a 1-row sum —
+    * the data is scanned once per slice, nothing downstream is
+    * data-sized.
+    */
+  def distributionDivergence(
+      p: DataFrame,
+      q: DataFrame,
+      catCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    def shares(df: DataFrame, tag: String) = {
+      val c = df.groupBy(col(catCol).as("cat"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      c.crossJoin(broadcast(c.agg(sum("n").as("tot"))))
+        .select(col("cat"), (col("n") / col("tot")).as(tag))
+    }
+    val joined = shares(p, "ps").join(shares(q, "qs"), Seq("cat"), "full_outer")
+      .select(col("cat"),
+        greatest(coalesce(col("ps"), lit(0.0)), lit(eps)).as("ps"),
+        greatest(coalesce(col("qs"), lit(0.0)), lit(eps)).as("qs"))
+    val m = (col("ps") + col("qs")) / 2
+    joined
+      .select(col("ps"), col("qs"),
+        (col("ps") * log(col("ps") / col("qs"))).as("t_pq"),
+        (col("qs") * log(col("qs") / col("ps"))).as("t_qp"),
+        (col("ps") * log(col("ps") / m) / 2 + col("qs") * log(col("qs") / m) / 2).as("t_js"))
+      .agg(count(lit(1)).as("n_categories"),
+        round(sum("t_pq"), 6).as("kl_pq"),
+        round(sum("t_qp"), 6).as("kl_qp"),
+        round(sum("t_js"), 6).as("js"))
+  }
 }

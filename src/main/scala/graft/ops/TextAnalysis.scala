@@ -674,4 +674,35 @@ object TextAnalysis {
         regr_intercept(log(col("freq")), log(col("__rank"))).as("intercept"),
         regr_r2(log(col("freq")), log(col("__rank"))).as("r2"))
   }
+
+  /** Flesch reading-ease and Flesch–Kincaid grade per document (Flesch
+    * 1948; Kincaid et al. 1975) with the standard automated proxies:
+    * words = non-empty whitespace tokens, sentences = runs of `.!?`
+    * (min 1), syllables = vowel-group runs `[aeiouy]+` in the lowercased
+    * text (vowel runs cannot cross a space, so the per-word and
+    * whole-text counts agree). A quality-filter feature beside
+    * [[corpusQuality]]: readability scoring is the classic curation
+    * signal the Gopher/C4 rule sets cite.
+    *
+    * Per-row codegen'd built-ins only (regexp_count / size / filter —
+    * no UDF, no shuffle): the plan is a projection over the corpus scan.
+    */
+  def readability(text: Column): Seq[Column] = {
+    val words = size(filter(split(text, " "), t => t =!= lit("")))
+      .cast("double")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("double")
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
+    val flesch =
+      lit(206.835) - lit(1.015) * (words / sentences) -
+        lit(84.6) * (syllables / words)
+    val grade =
+      lit(0.39) * (words / sentences) + lit(11.8) * (syllables / words) -
+        lit(15.59)
+    Seq(words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      round(flesch, 4).as("flesch"),
+      round(grade, 4).as("fk_grade"))
+  }
 }

@@ -136,6 +136,14 @@ object TimeSeries {
     * Box & Jenkins). Counts (not value sums) make every input integer,
     * so both engines see bit-identical devs.
     *
+    * The series is DENSIFIED over each group's [min day, max day] span
+    * before the moments: a calendar day with zero events is a real
+    * observation (x = 0), not a missing row — without it, lag pairs
+    * spanning quiet days silently vanish and r_k is biased high for
+    * sparse groups. The grid is span-bounded (~10³ rows/group for
+    * years of data, same bound as [[meanShiftChangepoint]]), built by
+    * one `sequence` explode off the group-sized span frame.
+    *
     * Scale: the raw stream collapses to a (group × day) count aggregate
     * first — everything after runs on the series frame, never the
     * events. Per-group mean/denominator are group-sized (broadcast);
@@ -149,9 +157,14 @@ object TimeSeries {
       tsCol: String,
       maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
-    val daily = df
+    val counted = df
       .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).cast("double").as("x"))
+    val grid = counted.groupBy("g")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("g"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val daily = grid.join(counted, Seq("g", "day"), "left")
+      .select(col("g"), col("day"), coalesce(col("x"), lit(0.0)).as("x"))
     val mu = daily.groupBy("g").agg(avg("x").as("mu"))
     val dev = daily.join(broadcast(mu), Seq("g"))
       .select(col("g"), col("day"), (col("x") - col("mu")).as("dev"))
@@ -234,5 +247,43 @@ object TimeSeries {
     df.withColumn("__trail", trail)
       .withColumn("ewma", num / den)
       .drop("__trail")
+  }
+
+  /** Inter-arrival time distribution: the gap between consecutive events
+    * WITHIN each `partitionCols` series (e.g. one user's events of one
+    * type), aggregated per `reportCol` — the cadence read-out behind
+    * session timeouts, staleness SLOs and crawl-revisit policy. Returns
+    * per report group: gap count, mean/p50/p95/max gap in seconds
+    * (exact interpolating percentile at declared scale; the documented
+    * 100 TB switch is `percentile_approx`, the [[graft.ops.Outliers]]
+    * convention).
+    *
+    * Scale: the lag window partitions by the FULL series key — group
+    * count grows with the data (user × type), never a handful of giant
+    * partitions — and (ts, tieCol) is a total order, so the gap frame is
+    * deterministic. Gaps are integer MICROSECONDS (`unix_micros`): both
+    * the aggregate and the DuckDB oracle see identical longs, and the
+    * percentile interpolation starts from the same exact inputs.
+    */
+  def interarrivalStats(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      reportCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    require(partitionCols.nonEmpty, "interarrivalStats needs a series key")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(w))
+      .filter(col("__gap").isNotNull)
+    gaps.groupBy(col(reportCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("__gap")) / 1e6, 4).as("mean_gap_s"),
+        round(expr("percentile(__gap, 0.5)") / 1e6, 4).as("p50_gap_s"),
+        round(expr("percentile(__gap, 0.95)") / 1e6, 4).as("p95_gap_s"),
+        round(max(col("__gap")) / 1e6, 4).as("max_gap_s"))
   }
 }

@@ -591,8 +591,12 @@ object Incremental {
     val root = new org.apache.hadoop.fs.Path(rollupPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
+    // resolve the FileSystem from the path itself: the checkpoint may
+    // live on a different filesystem/scheme than the rollup, and opening
+    // a foreign path through the rollup's handle throws 'Wrong FS'
     def readUtf8(p: org.apache.hadoop.fs.Path): String = {
-      val s = fs.open(p)
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val s = pfs.open(p)
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(s), "UTF-8")
       finally s.close()
     }

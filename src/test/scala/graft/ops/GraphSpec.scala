@@ -262,4 +262,19 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("labelPropagation: string vertex ids keep labels non-null (tie-break regression)") {
+    // the old tie-break negated the LABEL column, which casts a string
+    // id to double → null after round 1; the fixed tie-break negates
+    // the COUNT. Same two-clique shape as the numeric test, string ids.
+    def clique(vs: Seq[String]) = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val e = clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a4" -> "b1")
+    val got = Graph.labelPropagation(e.toDF("src", "dst"), iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.values.forall(_ != null), "no label may be nulled by the tie-break")
+    assert(Seq("a1", "a2", "a3", "a4").map(got).distinct.size == 1)
+    assert(Seq("b1", "b2", "b3", "b4").map(got).distinct.size == 1)
+    assert(got("a1") != got("b2"), "the bridge must not merge the cliques")
+  }
 }

@@ -122,4 +122,20 @@ class SimJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SimJoin.prefixJaccard(crafted, "doc_id", "text", threshold = 1.1))
   }
+
+  test("exact-threshold pair survives fp round-up at the length bound") {
+    // 0.28 · 25 = 7.000000000000001 in binary fp (one ulp ABOVE the
+    // exact 7): without the BoundEps slack the length bound
+    // least(7,25) >= t·greatest rejects this pair and ceil(t·n) = 8
+    // shortens the big doc's prefix — both on a pair whose TRUE Jaccard
+    // is exactly the threshold. A ⊂ B, |A| = 7, |B| = 25: J = 7/25 = 0.28.
+    import spark.implicits._
+    val big = (0 until 25).map(i => s"w$i").mkString(" ")
+    val small = (0 until 7).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val got = SimJoin.prefixJaccard(docs, "doc_id", "text",
+        shingleK = 1, threshold = 0.28)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.28)))
+  }
 }

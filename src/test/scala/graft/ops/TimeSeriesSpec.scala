@@ -97,6 +97,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(("B", 4)) == ((1L, 7.0, 1.0)))
   }
 
+  test("acf: zero-event calendar days are real observations (densify regression)") {
+    // one group, daily counts 2,1,0,3 over four consecutive days — day 3
+    // has NO events and must enter the series as x = 0, not vanish.
+    // μ = 1.5, devs (0.5,−0.5,−1.5,1.5), ss = 5:
+    //   r1 = (−0.25+0.75−2.25)/5 = −0.35 over 3 pairs (two span the gap)
+    //   r2 = (−0.75−0.75)/5     = −0.30 over 2 pairs
+    //   r3 = 0.75/5             =  0.15 over 1 pair
+    val ev = Seq(
+      ("g", ts("2024-01-01 01:00:00")), ("g", ts("2024-01-01 02:00:00")),
+      ("g", ts("2024-01-02 01:00:00")),
+      ("g", ts("2024-01-04 01:00:00")), ("g", ts("2024-01-04 02:00:00")),
+      ("g", ts("2024-01-04 03:00:00"))
+    ).toDF("grp", "ts")
+    val got = TimeSeries.acf(ev, "grp", "ts", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getAs[Int]("lag"), r.getAs[Double]("acf"), r.getAs[Long]("n_pairs")))
+    assert(got.toSeq == Seq((1, -0.35, 3L), (2, -0.3, 2L), (3, 0.15, 1L)))
+  }
+
+  test("meanShiftChangepoint: planted shift found at the exact split, hand-scored") {
+    // daily counts 1,1,5,5 — the t=2 split scores |1−5|·√(2·2/4) = 4,
+    // strictly above both one-sided splits (2.3094)
+    val rows = Seq(1, 1, 5, 5).zipWithIndex.flatMap { case (k, d) =>
+      (0 until k).map(i => ("g", ts(s"2024-02-0${d + 1} 0$i:00:00")))
+    }
+    val got = TimeSeries.meanShiftChangepoint(rows.toDF("grp", "ts"), "grp", "ts")
+      .collect().map(r => (r.getAs[Date]("split_day").toString,
+        r.getAs[Long]("n_days"), r.getAs[Double]("mean_before"),
+        r.getAs[Double]("mean_after"), r.getAs[Double]("score")))
+    assert(got.toSeq == Seq(("2024-02-02", 4L, 1.0, 5.0, 4.0)))
+  }
+
   test("ewma: hand-computed adjusted weights, hard lookback, per-key isolation") {
     // key A values 1,2,4 at α=0.3 (adjusted):
     //   row1 = 1
