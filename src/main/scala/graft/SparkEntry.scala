@@ -3150,6 +3150,162 @@ object SparkEntry {
         .orderBy("check_name")
     }),
 
+    // GDPR right-to-be-forgotten cascade (etl/Erasure): subjects =
+    // every 97th customer; the delete set flows customer → orders
+    // (same subject keys) → lineitem (via the deleted orders' keys) as
+    // keys-only left-semi joins — no driver key collection, slim
+    // checkpointed key frames between steps. Output is the per-table
+    // audit ledger a regulator asks for.
+    "l10_cascade_delete" -> ((s, dir) => {
+      import graft.etl.Erasure._
+      val cust = Tables.customer(s, dir)
+      val subjects = cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
+        .select(col("c_custkey"))
+      cascadeDelete(subjects, Seq(
+        CascadeStep("customer", cust, "c_custkey"),
+        CascadeStep("orders", Tables.orders(s, dir), "o_custkey",
+          emitKey = Some("o_orderkey")),
+        CascadeStep("lineitem", Tables.lineitem(s, dir), "l_orderkey",
+          from = Some("orders"))))
+        .orderBy("table_name")
+    }),
+
+    // Post-load reconciliation by ship-month control totals (etl/Recon):
+    // the target leg simulates a short load (the 1994-03 partition never
+    // arrived), so the report provably discriminates — every other month
+    // matches, that one shows n_tgt = 0. Control sums are EXACT longs
+    // (quantity, price cents): double sums are partition-order-dependent
+    // and would flag phantom mismatches.
+    "recon_control_totals" -> ((s, dir) => {
+      val src = Tables.lineitem(s, dir)
+      val tgt = src.filter(!(col("l_shipdate") >= lit("1994-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1994-04-01").cast("timestamp")))
+      graft.etl.Recon.controlTotals(src, tgt,
+          to_date(date_trunc("month", col("l_shipdate"))),
+          Seq("qty" -> col("l_quantity"),
+            "cents" -> round(col("l_extendedprice") * 100)))
+        .orderBy("bucket")
+    }),
+
+    // Inter-arrival gap distribution per event type (ops/TimeSeries
+    // .interarrivalStats): gaps within each (user, type) series — the
+    // lag window partitions by the full series key (group count grows
+    // with the data), gaps are integer microseconds so the exact
+    // percentile starts from identical longs in both engines.
+    "events_interarrival" -> ((s, dir) =>
+      graft.ops.TimeSeries.interarrivalStats(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "event_type", "ts", "event_id")
+        .orderBy("event_type")),
+
+    // Source-mix divergence between the even- and odd-doc_id corpus
+    // halves (ops/Stats.distributionDivergence): KL both ways + JS, the
+    // mixture-drift read-out beside drift_psi. Two count aggregates, a
+    // category-sized join, one row out.
+    "mix_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Stats.distributionDivergence(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "source")
+    }),
+
+    // Degree histogram of the customer–supplier graph (ops/Graph
+    // .degreeHistogram) — the hub/tail diagnostic behind salting
+    // decisions; histogram rows grow like the max degree, never the data.
+    "graph_degree_histogram" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.degreeHistogram(e).orderBy("degree")
+    }),
+
+    // Recall/precision audit of the banded-LSH dedup path against the
+    // EXACT prefix-filtered join on the same planted-clone corpus and
+    // threshold (the knn_recall_audit pattern for the dedup family).
+    // minhashLsh verifies candidates on true Jaccard, so precision must
+    // be 1.0 by construction; recall is what the band parameters buy.
+    "dedup_lsh_recall_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val corpus = docs.unionByName(dups)
+      val exact = graft.ops.SimJoin.prefixJaccard(corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.8).select("id_a", "id_b").localCheckpoint()
+      val lsh = graft.ops.Dedup.minhashLsh(corpus, "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+        .select("id_a", "id_b").localCheckpoint()
+      val common = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          round(col("n_common") / col("n_exact").cast("double"), 4).as("recall"),
+          round(col("n_common") / col("n_lsh").cast("double"), 4).as("precision"))
+    }),
+
+    // Flesch / Flesch–Kincaid readability per document (ops/TextAnalysis
+    // .readability): codegen'd regexp counts over the corpus scan — the
+    // classic curation signal beside the Gopher-rule quality gates.
+    "text_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: graft.ops.TextAnalysis.readability(col("text")): _*)
+        .orderBy("doc_id")),
+
+    // Last-touch revenue attribution: each purchase credits the LAST
+    // non-purchase touch of the same user within 7 days (ops/AsOf
+    // backward join + tolerance — the union/window plan, user-keyed,
+    // never a per-purchase scan); unmatched purchases fall to 'direct'.
+    // The asOfJoin tie-break (largest right struct at equal ts) is
+    // mirrored in the oracle's (ts, event_type, event_id) DESC pick.
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      graft.ops.AsOf.asOfJoin(purchases, touches, Seq("user_id"), "ts", "ts",
+          inner = false, tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .select(coalesce(col("r_event_type"), lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("attributed_value"))
+        .orderBy("channel")
+    }),
+
+    // Incremental duplicate-cluster maintenance (ops/Dedup
+    // .connectedComponentsIncremental): yesterday's LABELS (not its pair
+    // graph) + today's batch↔corpus exact pairs → the merged components;
+    // the oracle recomputes from scratch over the full pair set (the
+    // l8_merge_aggregate / graph_pagerank_incremental equality pattern).
+    "dedup_components_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldDocs = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      val oldLabels = Dedup.connectedComponents(
+        graft.ops.SimJoin.prefixJaccard(oldDocs, "doc_id", "text",
+          shingleK = 3, threshold = 0.5).select("id_a", "id_b"))
+      val newPairs = graft.ops.SimJoin.incrementalPairs(oldDocs, batch,
+          "doc_id", "text", shingleK = 3, threshold = 0.5)
+        .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+      Dedup.connectedComponentsIncremental(oldLabels, newPairs)
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")
+    }),
+
+    // 7-day trailing active users by KMV sketch algebra (ops/Kmv
+    // .trailingDistinct): daily sketches merge in bucket-space — the
+    // exact COUNT(DISTINCT)-per-window alternative re-reads 7 days of
+    // raw data per day. k=256 saturates on this fixture, so the pin
+    // records genuine estimates; KmvSpec pins the estimator error.
+    "audience_trailing_kmv" -> ((s, dir) =>
+      graft.ops.Kmv.trailingDistinct(
+        graft.ops.Kmv.sketch(Tables.events(s, dir),
+          to_date(col("ts")), col("user_id"), k = 256),
+        windowLen = 7, k = 256).orderBy("bucket")),
+
     // ---- S9/S10: the paged OData-style DSv2 source, driven end-to-end —
     //      the "service" pages are materialized from the events fixture
     //      (simulating the remote entity), then read back page-parallel
@@ -6353,5 +6509,120 @@ object SparkEntry {
         "sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*) " +
         "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) od ON l.l_orderkey = od.o_orderkey" +
         ") t ORDER BY check_name"),
+
+    // replays Erasure.cascadeDelete: subjects → orders via the subject
+    // keys, lineitem via the DELETED orders' keys (two-hop cascade)
+    "l10_cascade_delete" ->
+      ("WITH subj AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0), " +
+        "del_o AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_custkey IN (SELECT k FROM subj)) " +
+        "SELECT table_name, CAST(n_deleted AS BIGINT) AS n_deleted, CAST(n_remaining AS BIGINT) AS n_remaining FROM (" +
+        "SELECT 'customer' AS table_name, " +
+        "sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END) AS n_deleted, " +
+        "sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END) AS n_remaining FROM customer " +
+        "UNION ALL SELECT 'orders', " +
+        "sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END) FROM orders " +
+        "UNION ALL SELECT 'lineitem', " +
+        "sum(CASE WHEN l_orderkey IN (SELECT k FROM del_o) THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN l_orderkey IN (SELECT k FROM del_o) THEN 0 ELSE 1 END) FROM lineitem" +
+        ") t ORDER BY table_name"),
+
+    // replays Recon.controlTotals with the simulated 1994-03 short load:
+    // exact long control sums, full-outer bucket join, zero-fill
+    "recon_control_totals" ->
+      ("WITH src AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_src, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_src, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_src " +
+        "FROM lineitem GROUP BY 1), " +
+        "tgt AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_tgt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_tgt, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_tgt " +
+        "FROM lineitem WHERE NOT (l_shipdate >= TIMESTAMP '1994-03-01' AND l_shipdate < TIMESTAMP '1994-04-01') GROUP BY 1) " +
+        "SELECT bucket, coalesce(n_src, 0) AS n_src, coalesce(qty_src, 0) AS qty_src, coalesce(cents_src, 0) AS cents_src, " +
+        "coalesce(n_tgt, 0) AS n_tgt, coalesce(qty_tgt, 0) AS qty_tgt, coalesce(cents_tgt, 0) AS cents_tgt, " +
+        "(coalesce(n_src, 0) = coalesce(n_tgt, 0) AND coalesce(qty_src, 0) = coalesce(qty_tgt, 0) " +
+        "AND coalesce(cents_src, 0) = coalesce(cents_tgt, 0)) AS match " +
+        "FROM src FULL OUTER JOIN tgt USING (bucket) ORDER BY bucket"),
+
+    // replays interarrivalStats: identical integer-microsecond gaps in
+    // both engines, quantile_cont ≡ Spark's interpolating percentile
+    "events_interarrival" ->
+      ("WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap FROM events) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+        "round(avg(gap) / 1e6, 4) AS mean_gap_s, " +
+        "round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_gap_s, " +
+        "round(quantile_cont(gap, 0.95) / 1e6, 4) AS p95_gap_s, " +
+        "round(max(gap) / 1e6, 4) AS max_gap_s " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"),
+
+    // replays distributionDivergence over the doc_id-parity halves:
+    // shares from exact integer counts, eps clamp, natural log
+    "mix_divergence" ->
+      ("WITH p AS (SELECT source, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS ps " +
+        "FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "q AS (SELECT source, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS qs " +
+        "FROM documents WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "j AS (SELECT greatest(coalesce(ps, 0), 1e-6) AS ps, greatest(coalesce(qs, 0), 1e-6) AS qs " +
+        "FROM p FULL OUTER JOIN q USING (source)) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_categories, " +
+        "round(sum(ps * ln(ps / qs)), 6) AS kl_pq, " +
+        "round(sum(qs * ln(qs / ps)), 6) AS kl_qp, " +
+        "round(sum(ps * ln(ps / ((ps + qs) / 2)) / 2 + qs * ln(qs / ((ps + qs) / 2)) / 2), 6) AS js " +
+        "FROM j"),
+
+    // same undirected-distinct edge set as the graph_pagerank oracle
+    "graph_degree_histogram" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM ed GROUP BY 1), " +
+        "h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY 1) " +
+        "SELECT degree, n_vertices, " +
+        "round(n_vertices / CAST(sum(n_vertices) OVER () AS DOUBLE), 6) AS share " +
+        "FROM h ORDER BY degree"),
+
+    // replays attribution_last_touch: same 7-day backward window, same
+    // (ts, event_type, event_id) DESC tie-break as the asOfJoin's
+    // largest-right-struct rule, unmatched purchases → 'direct'
+    "attribution_last_touch" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, ts, event_type, event_id FROM events WHERE event_type <> 'purchase'), " +
+        "m AS (SELECT p.event_id, p.value, t.event_type, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_type DESC, t.event_id DESC) AS rk " +
+        "FROM p LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 7 DAY) " +
+        "SELECT coalesce(event_type, 'direct') AS channel, CAST(count(*) AS BIGINT) AS n_purchases, " +
+        "round(sum(value), 4) AS attributed_value " +
+        "FROM m WHERE rk = 1 GROUP BY 1 ORDER BY 1"),
+
+    // from-scratch recomputation over the FULL pair set (old∪new, no
+    // batch-internal pairs — the incrementalPairs contract): equality
+    // with the label-carried incremental path is the maintenance proof
+    "dedup_components_incremental" ->
+      ("WITH RECURSIVE sets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
+        "AND NOT (a.doc_id >= 400 AND b.doc_id >= 400) " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "walk(id, comp) AS (" +
+        "SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id) " +
+        "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id ORDER BY doc_id"),
+
+    // replays readability(): same word/sentence/vowel-group proxies —
+    // the regexes use only classes and + (identical Java/RE2 semantics)
+    "text_readability" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) AS w, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y FROM documents) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences, " +
+        "CAST(y AS BIGINT) AS n_syllables, " +
+        "round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch, " +
+        "round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4) AS fk_grade " +
+        "FROM m ORDER BY doc_id"),
   ) ++ PinnedOracles.sql
 }

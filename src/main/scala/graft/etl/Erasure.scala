@@ -43,7 +43,7 @@ object Erasure {
 
   /** Run the cascade from `subjects` (a single-column frame of subject
     * keys) through `steps`, in order. Returns the ledger
-    * (table, n_deleted, n_remaining), one row per step.
+    * (table_name, n_deleted, n_remaining), one row per step.
     */
   def cascadeDelete(subjects: DataFrame, steps: Seq[CascadeStep]): DataFrame = {
     require(subjects.columns.length == 1,
@@ -68,7 +68,7 @@ object Erasure {
       val nDel = deleted.agg(count(lit(1)).as("n_deleted"))
       val nTot = st.df.agg(count(lit(1)).as("__t"))
       nDel.crossJoin(nTot).select(
-        lit(st.table).as("table"),
+        lit(st.table).as("table_name"),
         col("n_deleted"),
         (col("__t") - col("n_deleted")).as("n_remaining"))
     }

@@ -295,6 +295,36 @@ object Dedup {
     labels
   }
 
+  /** Incremental connected components — the L8 maintenance idea applied
+    * to the duplicate-cluster graph: fold a NEW batch's pair edges into
+    * yesterday's component labeling WITHOUT re-reading or re-pairing the
+    * corpus pair graph. The old labels are a contraction of the old
+    * graph (every vertex wired to its component's min id), so running
+    * min-label propagation over (label edges ∪ new pairs) yields exactly
+    * the from-scratch components of (old pairs ∪ new pairs): each old
+    * component is connected through its representative, and labels are
+    * already the component minima. At 100 TB the label table (one slim
+    * row per clustered doc) replaces the full pair graph as the carried
+    * state — the same state-vs-recompute trade as
+    * [[graft.ops.Graph.pagerankWarmStart]].
+    *
+    * `labels` is (id, comp) from a previous [[connectedComponents]] run;
+    * `newPairs` are this batch's duplicate pairs (e.g.
+    * [[minhashLshIncremental]] batch↔corpus output). Returns the merged
+    * (id, comp) labeling, comp = min member id of the MERGED component.
+    */
+  def connectedComponentsIncremental(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val labelPairs = labels.select(col("id").as(aCol), col("comp").as(bCol))
+    connectedComponents(
+      labelPairs.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIters)
+  }
+
   /** From pairs to a dedup'd corpus via TRUE connected-components
     * canonicalization: exactly one representative (the minimum id) survives
     * per duplicate cluster, unlike [[removeNearDuplicates]]'s greedy

@@ -145,4 +145,34 @@ object Kmv {
         round(col("__nb"), 4).as("n_b_est"),
         round(greatest(col("__na") - col("n_common_est"), lit(0.0)), 4).as("n_diff_ab_est"),
         round(greatest(col("__nb") - col("n_common_est"), lit(0.0)), 4).as("n_diff_ba_est"))
+
+  /** Trailing-window distinct timeline: per bucket of a [[sketch]] table
+    * (grp = the bucket label, sorted ascending — ISO dates sort
+    * chronologically), the bucket's own distinct estimate AND the
+    * distinct estimate of the last `windowLen` buckets' UNION, by KMV
+    * merge. This is the sketch-algebra answer to "7-day active users,
+    * daily": an exact COUNT(DISTINCT) per trailing window re-reads
+    * `windowLen` days of raw data per day — O(span · window) scans at
+    * 100 TB — while the sketches merge in bucket-space (array concat +
+    * sort + slice k, codegen'd).
+    *
+    * Scale: the window runs UNPARTITIONED over the bucket table — that
+    * frame is span-sized (≤ ~10³ rows for years of days, each row ≤ k
+    * longs), the same bounded class as the changepoint/vocab windows,
+    * NEVER the raw data. Merging is associative, so the same sketches
+    * also answer monthly/any-window roll-ups without touching the data
+    * again.
+    */
+  def trailingDistinct(sketches: DataFrame, windowLen: Int, k: Int): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be >= 1: $windowLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("grp").rowsBetween(-(windowLen - 1), 0)
+    sketches
+      .withColumn("__merged",
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv")).over(w)))),
+          1, k))
+      .select(col("grp").as("bucket"),
+        round(estimateDistinct(col("kmv"), k), 4).as("distinct_est"),
+        round(estimateDistinct(col("__merged"), k), 4).as("trailing_est"))
+  }
 }

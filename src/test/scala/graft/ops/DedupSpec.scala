@@ -154,6 +154,31 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.size == 12)
   }
 
+  test("connectedComponentsIncremental equals from-scratch on the merged pair set") {
+    // old graph {1-2, 3-4} → labels {1→1, 2→1, 3→3, 4→3}; a new batch
+    // pair 2-3 bridges the two old components, 5-6 is brand new
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldPairs)
+    val newPairs = Seq((2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+        oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == scratch, "label-carried merge must equal the from-scratch components")
+    assert((1L to 4L).forall(inc(_) == 1L), "the bridge merges both old components to min id 1")
+    assert(inc(5L) == 5L && inc(6L) == 5L)
+  }
+
+  test("connectedComponentsIncremental with no new pairs reproduces the old labels") {
+    val oldPairs = Seq((7L, 8L), (8L, 9L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldPairs)
+    val inc = Dedup.connectedComponentsIncremental(labels,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("connectedComponents keeps native id types (string corpora) and fails loudly on non-convergence") {
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs).collect()

@@ -277,4 +277,13 @@ class GraphSpec extends AnyFunSuite {
     assert(Seq("b1", "b2", "b3", "b4").map(got).distinct.size == 1)
     assert(got("a1") != got("b2"), "the bridge must not merge the cliques")
   }
+
+  test("degreeHistogram: path graph buckets, duplicate/reversed edges collapse") {
+    // path 1–2–3: degrees 1,2,1 → histogram (1 → 2 vertices, 2 → 1)
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 1L), (1L, 2L)) // dups + reversal
+    val got = Graph.degreeHistogram(e.toDF("src", "dst"))
+      .orderBy("degree").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.666667), (2L, 1L, 0.333333)))
+  }
 }

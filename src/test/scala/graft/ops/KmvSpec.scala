@@ -96,4 +96,34 @@ class KmvSpec extends AnyFunSuite {
     // modulo the max(…, 0) clamp and rounding)
     assert(math.abs(f(mb, "n_a_est") - (f(mb, "n_common_est") + f(mb, "n_diff_ab_est"))) < 0.01)
   }
+
+  test("trailingDistinct: exact when unsaturated, window slides, len 1 = per-bucket") {
+    // d1 {1,2}, d2 {2,3}, d3 {4}; windowLen 2:
+    //   d1 → |{1,2}| = 2, d2 → |{1,2,3}| = 3, d3 → |{2,3,4}| = 3
+    val df = Seq(
+      ("d1", 1L), ("d1", 2L), ("d1", 2L),
+      ("d2", 2L), ("d2", 3L),
+      ("d3", 4L)).toDF("day", "u")
+    val sk = Kmv.sketch(df, col("day"), col("u"), k = 16)
+    val got = Kmv.trailingDistinct(sk, windowLen = 2, k = 16)
+      .orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("d1", 2.0, 2.0), ("d2", 2.0, 3.0), ("d3", 1.0, 3.0)))
+    val one = Kmv.trailingDistinct(sk, windowLen = 1, k = 16)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(one.forall { case (d, t) => d == t },
+      "windowLen 1 trailing must equal the per-bucket estimate")
+    intercept[IllegalArgumentException](Kmv.trailingDistinct(sk, 0, 16))
+  }
+
+  test("trailingDistinct: saturated trailing union lands within 15% at k=256") {
+    // two buckets of 5000 distinct users with 2500 shared: union 7500
+    val df = ((0L until 5000L).map(("d1", _)) ++ (2500L until 7500L).map(("d2", _)))
+      .toDF("day", "u")
+    val got = Kmv.trailingDistinct(Kmv.sketch(df, col("day"), col("u"), k = 256),
+        windowLen = 2, k = 256)
+      .orderBy("bucket").collect()
+    assert(math.abs(got(1).getDouble(2) - 7500.0) / 7500.0 < 0.15,
+      s"trailing union est ${got(1).getDouble(2)} vs exact 7500")
+  }
 }

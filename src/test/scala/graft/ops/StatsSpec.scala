@@ -64,4 +64,35 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") == 0.0)
     assert(r.getAs[Double]("cramers_v") == 0.0)
   }
+
+  test("distributionDivergence: hand-computed mirrored 2-category split") {
+    // P = {a: 3/4, b: 1/4}, Q = {a: 1/4, b: 3/4}:
+    //   KL(P‖Q) = KL(Q‖P) = ½·ln 3 = 0.549306
+    //   JS = 0.130812 (< ln 2, symmetric)
+    val p = (Seq.fill(3)("a") ++ Seq.fill(1)("b")).toDF("cat")
+    val q = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).toDF("cat")
+    val r = Stats.distributionDivergence(p, q, "cat").collect().head
+    assert(r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Double]("kl_pq") == 0.549306)
+    assert(r.getAs[Double]("kl_qp") == 0.549306)
+    assert(r.getAs[Double]("js") == 0.130812)
+  }
+
+  test("distributionDivergence: identical slices diverge by zero") {
+    val p = Seq("a", "a", "b", "c").toDF("cat")
+    val r = Stats.distributionDivergence(p, p, "cat").collect().head
+    assert(r.getAs[Double]("kl_pq") == 0.0)
+    assert(r.getAs[Double]("kl_qp") == 0.0)
+    assert(r.getAs[Double]("js") == 0.0)
+  }
+
+  test("distributionDivergence: a category absent from one side stays finite (eps clamp)") {
+    val p = Seq("a", "b").toDF("cat")
+    val q = Seq("a", "a").toDF("cat")
+    val r = Stats.distributionDivergence(p, q, "cat").collect().head
+    assert(r.getAs[Long]("n_categories") == 2L)
+    assert(!r.getAs[Double]("kl_pq").isInfinite && r.getAs[Double]("kl_pq") > 0)
+    // JS is bounded by ln 2 even with the clamp
+    assert(r.getAs[Double]("js") <= math.log(2) + 1e-9)
+  }
 }

@@ -443,4 +443,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(top2.getAs[Double]("slope") + 1.0) < 1e-9)
     intercept[IllegalArgumentException](TextAnalysis.zipfFit(docs, "text", topN = 1))
   }
+
+  test("readability: hand-computed Flesch / FK grade on a two-sentence text") {
+    // "Hello world. This is fun!": 5 words, 2 sentences, 6 vowel groups
+    // (he-llo has e+o, world o, this i, is i, fun u) →
+    //   flesch = 206.835 − 1.015·2.5 − 84.6·1.2 = 102.7775
+    //   grade  = 0.39·2.5 + 11.8·1.2 − 15.59   = −0.455
+    val df = Seq((1L, "Hello world. This is fun!")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id") +: TextAnalysis.readability(col("text")): _*)
+      .collect().head
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    assert(r.getAs[Double]("flesch") == 102.7775)
+    assert(r.getAs[Double]("fk_grade") == -0.455)
+  }
+
+  test("readability: no sentence terminator counts as one sentence; longer words score harder") {
+    val df = Seq(
+      (1L, "see the cat run"),
+      (2L, "extraordinarily sophisticated terminological considerations")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +: TextAnalysis.readability(col("text")): _*)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_sentences") == 1L)
+    assert(got(1).getAs[Long]("n_sentences") == 1L)
+    assert(got(0).getAs[Double]("flesch") > got(1).getAs[Double]("flesch"),
+      "simple monosyllables must read easier than sesquipedalian prose")
+    assert(got(0).getAs[Double]("fk_grade") < got(1).getAs[Double]("fk_grade"))
+  }
 }

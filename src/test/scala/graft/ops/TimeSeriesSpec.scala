@@ -129,6 +129,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("2024-02-02", 4L, 1.0, 5.0, 4.0)))
   }
 
+  test("interarrivalStats: hand-computed gaps, single-event series drop out") {
+    // user 1 / type x at t = 0s, 10s, 40s → gaps 10s, 30s:
+    //   mean 20, p50 = 20 (interpolated), p95 = 29, max 30
+    // user 1 / type y has ONE event → no gap row, type y absent.
+    // user 2 / type x gaps must NOT mix into user 1's series: one 5s gap
+    // pulls the type-x aggregate to n=3, mean 15.
+    val ev = Seq(
+      (1L, 1L, "x", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "x", ts("2024-01-01 00:00:10")),
+      (3L, 1L, "x", ts("2024-01-01 00:00:40")),
+      (4L, 1L, "y", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "x", ts("2024-01-01 09:00:00")),
+      (6L, 2L, "x", ts("2024-01-01 09:00:05"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = TimeSeries.interarrivalStats(ev,
+        Seq("user_id", "event_type"), "event_type", "ts", "event_id")
+      .orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_gap_s"), r.getAs[Double]("p50_gap_s"),
+        r.getAs[Double]("p95_gap_s"), r.getAs[Double]("max_gap_s")))
+    assert(got.toSeq == Seq(("x", 3L, 15.0, 10.0, 28.0, 30.0)))
+  }
+
   test("ewma: hand-computed adjusted weights, hard lookback, per-key isolation") {
     // key A values 1,2,4 at α=0.3 (adjusted):
     //   row1 = 1

@@ -71,6 +71,17 @@ PINS = {
     # knn_recall_audit pattern applied to the bitext miner)
     "bitext_recall_audit": (["n_src BIGINT", "n_agree BIGINT", "agreement DOUBLE"],
                             "n_src"),
+    # LSH band hashes are JVM-side; the exact side (prefix join) and the
+    # verified-candidate LSH side both carry green oracles of their own —
+    # this pin is the measured recall/precision record at the declared
+    # band parameters (precision = 1.0 is asserted structurally: lsh
+    # verifies candidates on true Jaccard)
+    "dedup_lsh_recall_audit": (["n_exact BIGINT", "n_lsh BIGINT", "n_common BIGINT",
+                                "recall DOUBLE", "precision DOUBLE"], "n_exact"),
+    # KMV minima are JVM-side xxhash64 (deterministic, no RNG); estimator
+    # exactness-when-unsaturated + trailing-merge algebra in KmvSpec
+    "audience_trailing_kmv": (["bucket VARCHAR", "distinct_est DOUBLE",
+                               "trailing_est DOUBLE"], "bucket"),
     # HLL++ registers are JVM-side but order-insensitive (register max) →
     # deterministic; the pin carries the sketch-vs-exact error record
     "corpus_profile_sketch_error": (["source VARCHAR", "n_distinct_exact BIGINT",
