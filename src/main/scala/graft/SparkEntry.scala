@@ -5,9 +5,9 @@ import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{FileLoads, Loads, Sanitize, Tables, Windows}
-import graft.ops.{Bpe, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
-import graft.schema.Ddl
+import graft.etl.{Loads, Sanitize, Tables, Windows}
+import graft.queries._
+import graft.queries.Fixtures.{LineitemRef, WindowDays}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,129 +19,6 @@ import graft.schema.Ddl
   * column names and 4-dp rounding on computed doubles).
   */
 object SparkEntry {
-
-  /** Fixture "service" pages for the S9/S10 paged DSv2 source, materialized
-    * from the events table ONCE per (machine, sf-dir) — on-disk reuse keyed
-    * by the sf dir, in-JVM memoized. Round 1 collected the events table to
-    * the driver and wrote a fresh leaked temp dir on EVERY invocation of the
-    * declared query (so the bench timed driver serialization and the query
-    * closure contained a `.collect()` — both called out in the verdict);
-    * now the declared query body is only the DSv2 read + aggregation.
-    */
-  private object PagedFixture {
-    private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-    def pagesDir(s: SparkSession, dir: String): String =
-      memo.computeIfAbsent(dir, _ => materialize(s, dir))
-
-    private def materialize(s: SparkSession, dir: String): String = {
-      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-      // v2: pages carry ts_str (ISO-micros transaction time) so the
-      // Method-2 date-window $filter has a wire-format column to push —
-      // the name bump invalidates pre-r7 on-disk fixtures without it
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_pages_v2_" + Integer.toHexString(dir.hashCode))
-      val pages = base.resolve("pages")
-      val marker = base.resolve("_SUCCESS")
-      if (!Files.exists(marker)) {
-        // pages are deterministic (ordered by event_id), so a lost
-        // cross-JVM race just builds identical content; the atomic move
-        // publishes whole dirs only
-        val tmp = Files.createTempDirectory("graft_pages_build")
-        val tmpPages = Files.createDirectory(tmp.resolve("pages"))
-        val recs = Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
-          .orderBy("event_id").toJSON.collect()
-        recs.grouped(2000).zipWithIndex.foreach { case (page, i) =>
-          Files.writeString(tmpPages.resolve(f"page_$i%05d.json"), page.mkString("\n"))
-        }
-        Files.createFile(tmp.resolve("_SUCCESS"))
-        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException |
-               _: java.nio.file.FileSystemException =>
-            // another JVM published first — use theirs, drop ours
-            def rm(p: Path): Unit = {
-              if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-              Files.deleteIfExists(p)
-            }
-            rm(tmp)
-        }
-      }
-      pages.toString
-    }
-  }
-
-  /** Persisted-index fixtures for the build-once/serve-many declared
-    * queries: each index is built and written ONCE per (machine, sf-dir)
-    * — on-disk reuse with an atomic publish (same protocol as
-    * [[PagedFixture]]), in-JVM memoized — so the DECLARED query body is
-    * the serving path (read → query), exactly the deployment shape. Index
-    * builds are deterministic, so a lost cross-JVM race produces identical
-    * content. The `kind` tag carries a version suffix: bump it in the same
-    * commit as any index-format/maths change to invalidate stale fixtures.
-    */
-  private object IndexFixture {
-    private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-    def dir(kind: String, sfDir: String)(build: String => Unit): String =
-      memo.computeIfAbsent(kind + ":" + sfDir, _ => materialize(kind, sfDir, build))
-
-    private def materialize(kind: String, sfDir: String, build: String => Unit): String = {
-      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_idx_${kind}_" + Integer.toHexString(sfDir.hashCode))
-      val marker = base.resolve("_GRAFT_DONE")
-      if (!Files.exists(marker)) {
-        val tmp = Files.createTempDirectory(s"graft_idx_${kind}_build")
-        build(tmp.toString)
-        Files.createFile(tmp.resolve("_GRAFT_DONE"))
-        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException |
-               _: java.nio.file.FileSystemException =>
-            def rm(p: Path): Unit = {
-              if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-              Files.deleteIfExists(p)
-            }
-            rm(tmp)
-        }
-      }
-      base.toString
-    }
-  }
-
-  /** Stateful-stream shuffle width derived from source size: ~1 partition
-    * per 16 MB of input, clamped to [2, defaultParallelism]. Keeps tiny
-    * fixtures from paying 32 partitions × 4 state-store commits per batch
-    * while still widening with the data at cluster scale.
-    */
-  private def statePartitionsFor(s: SparkSession, path: String): Int = {
-    val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(p).getLength
-      } catch { case _: java.io.IOException => 0L }
-    val byInput = (bytes / (16L << 20)).toInt
-    math.min(math.max(2, byInput), s.sparkContext.defaultParallelism)
-  }
-
-  /** Pinned reference dates (fixture data is historical — FIXTURES.md §C). */
-  private val LineitemRef = LocalDate.parse("2001-11-04") // max l_shipdate
-  private val OrdersRef = LocalDate.parse("2001-08-01")   // max o_orderdate
-  private val WindowDays = 30
-
-  // cutoffs as SQL literals (UTC midnight)
-  private val LiCut = "2001-10-05 00:00:00"  // LineitemRef - 30d
-  private val OrdCut = "2001-07-02 00:00:00" // OrdersRef - 30d
-  // events fixture spans 2024-01-01..30; the Method-2 refresh window is the
-  // trailing week, as an ISO-micros literal (lexicographic = chronological)
-  private val EventsCut = "2024-01-24 00:00:00"
-  private val EventsCutIso = EventsCut + ".000000"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's Method-2 incremental extract whole: windowed scan →
@@ -156,6473 +33,25 @@ object SparkEntry {
       Windows.insideRefreshWindow(col("l_shipdate"), LineitemRef, WindowDays))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2 + north-star ops. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- S: scans (S1 full scan / P1 project-all) ----
-    "s1_full_scan" -> ((s, dir) =>
-      Tables.region(s, dir).orderBy("r_regionkey")),
-
-    // S2/S4/S6/S8 class: windowed incremental extract (P4 predicate) —
-    // ONE logical filter standing for the reference's four hand-written
-    // dialect variants; Catalyst pushes it to the parquet scan.
-    "s2_window_extract" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ---- T: row-level transforms ----
-    "t1_sanitize_inf" -> ((s, dir) =>
-      Sanitize.sanitizeInf(Tables.lineitem(s, dir))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    "p2_drop_column" -> ((s, dir) =>
-      Sanitize.dropColumns(Tables.part(s, dir), "p_type", "@odata.etag")
-        .orderBy("p_partkey")),
-
-    // ---- L: load/merge semantics ----
-    "l2_overwrite" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
-      Loads.overwrite(li, incoming).orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // L3 faithful: retention-delete + append — DUPLICATES the overlap,
-    // exactly like the reference (SURVEY.md §2.6 semantic note).
-    "l3_retain_then_append" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
-      Loads.retainThenAppend(li, incoming,
-        retainPred = Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "l4_upsert" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val incoming = o.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      Loads.upsert(o, incoming, keys = Seq("o_orderkey")).orderBy("o_orderkey")
-    }),
-
-    // L8 in STREAMING: each micro-batch of raw facts partial-aggregates
-    // and merges into the parquet rollup via foreachBatch — the
-    // continuously-maintained materialized view, O(|batch| + |rollup|)
-    // per trigger. Shares l8_merge_aggregate's full-recompute oracle, so
-    // the record states streaming ≡ batch-incremental ≡ from-scratch.
-    "stream_rollup_maintain" -> ((s, dir) => {
-      val rollup = java.nio.file.Files
-        .createTempDirectory("graft_rollup").toString
-      graft.streaming.Incremental.streamRollupMaintain(
-          s, s"$dir/lineitem.parquet", rollup,
-          Seq("l_returnflag"),
-          Seq(Loads.AggSpec("l_quantity", "sum"),
-            Loads.AggSpec("l_extendedprice", "min"),
-            Loads.AggSpec("l_shipdate", "max")), "n", null,
-          snapshotPartitions = 1)
-        .select(col("l_returnflag"), col("n"),
-          round(col("l_quantity"), 4).as("sum_qty"),
-          round(col("l_extendedprice"), 4).as("min_price"),
-          col("l_shipdate").as("max_ship"))
-        .orderBy("l_returnflag")
-    }),
-
-    // L8 incremental aggregate maintenance: the pre-cutoff rollup merges
-    // a RAW post-cutoff delta — delta partial-aggregated first, history
-    // touched only as the aggregate table (O(|delta| + |rollup|), never
-    // the accumulated facts). Mixed agg algebra per column: sum, min
-    // (daily min price) and max (latest ship ts) partials each re-merge
-    // with their own associative fn. The oracle is the FULL recompute,
-    // so the driver record itself proves incremental ≡ from-scratch.
-    "l8_merge_aggregate" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-      val cut = lit("2000-01-01").cast("timestamp")
-      val existing = l.filter(col("l_shipdate") < cut)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).cast("long").as("n"),
-          sum("l_quantity").as("l_quantity"),
-          min("l_extendedprice").as("l_extendedprice"),
-          max("l_shipdate").as("l_shipdate"))
-      val delta = l.filter(col("l_shipdate") >= cut)
-      Loads.mergeAggregate(existing, delta, Seq("l_returnflag"),
-          Seq(Loads.AggSpec("l_quantity", "sum"),
-            Loads.AggSpec("l_extendedprice", "min"),
-            Loads.AggSpec("l_shipdate", "max")), "n")
-        .select(col("l_returnflag"), col("n"),
-          round(col("l_quantity"), 4).as("sum_qty"),
-          round(col("l_extendedprice"), 4).as("min_price"),
-          col("l_shipdate").as("max_ship"))
-        .orderBy("l_returnflag")
-    }),
-
-    // L9 partition-prune canary: events land DATE-PARTITIONED (the
-    // FileLoads layout a 100 TB fact table lives in), and the one-week
-    // read-back filters on the PARTITION column — the scan must list only
-    // the 7 matching partition dirs, never history (the file-layout
-    // analogue of q6's parquet filter pushdown; the reference's pushed
-    // date_trans windows, Template-to-MySQL/BigQuery-to-MySQL-Method-2
-    // .py:58). FileLoadsSpec asserts the scan's partitionFilters is
-    // non-empty. Full DuckDB oracle over the unpartitioned table.
-    "l9_partition_prune" -> ((s, dir) => {
-      val part = IndexFixture.dir("l9part", dir) { tmp =>
-        FileLoads.append(Tables.events(s, dir), "ts", tmp)
-      }
-      s.read.parquet(part)
-        .filter(col("p_date") >= "2024-01-10" && col("p_date") < "2024-01-17")
-        .groupBy(col("p_date").cast("string").as("p_date"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
-        .orderBy("p_date")
-    }),
-
-    // L5 idempotent window refresh (vs L3's duplication).
-    "l5_refresh_window" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
-      Loads.refreshWindow(li, incoming,
-        Windows.insideRefreshWindow(col("l_shipdate"), LineitemRef, WindowDays))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // L6/P5: standalone retention DELETE as retain-filter.
-    "l6_delete_where" -> ((s, dir) =>
-      Loads.deleteWhere(Tables.orders(s, dir),
-        Windows.olderThanWindow(col("o_orderdate"), OrdersRef, WindowDays))
-        .orderBy("o_orderkey")),
-
-    // L7 (extension): SCD Type-2 historization — one snapshot batch with
-    // changed, unchanged, and brand-new keys against an all-open dimension
-    "l7_scd2" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      def attrs(bal: Column) = Seq(col("c_custkey"), col("c_mktsegment"),
-        round(bal, 2).as("c_acctbal"))
-      val current = c.select(attrs(col("c_acctbal")): _*)
-        .withColumn("valid_from", lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
-        .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
-      val incoming = c.filter(col("c_custkey") % 7 === 0)
-        .select(attrs(col("c_acctbal") + 100): _*)
-        .unionByName(c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0)
-          .select(attrs(col("c_acctbal")): _*))
-        .unionByName(c.filter(col("c_custkey") % 11 === 0)
-          .select((attrs(col("c_acctbal")).tail :+
-            (col("c_custkey") + 1000000L).as("c_custkey")): _*)
-          .select("c_custkey", "c_mktsegment", "c_acctbal"))
-      Loads.scd2(current, incoming, Seq("c_custkey"),
-        lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
-        .orderBy("c_custkey", "valid_from")
-    }),
-
-    // Bucketed CO-LOCATED join (etl.Scale.writeBucketed): both sides
-    // written bucketed+sorted on the join key, so the sort-merge join
-    // needs NO shuffle exchange on either side (ScaleSpec asserts the
-    // plan; here the RESULT faces the oracle). The pre-bucketed tables
-    // are the pre-partitioning answer for repeated big-big joins — at
-    // 100 TB the bucket write is paid once and every downstream join on
-    // the key is exchange-free.
-    "bucketed_join_colocated" -> ((s, dir) => {
-      val tag = Integer.toHexString(dir.hashCode)
-      val liT = s"li_bkt_$tag"
-      val oT = s"o_bkt_$tag"
-      if (!s.catalog.tableExists(liT)) {
-        graft.etl.Scale.dropManaged(s, liT) // clear any stale warehouse dir
-        graft.etl.Scale.dropManaged(s, oT)
-        graft.etl.Scale.writeBucketed(
-          Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
-          liT, "l_orderkey", 8)
-        graft.etl.Scale.writeBucketed(
-          Tables.orders(s, dir)
-            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
-          oT, "l_orderkey", 8)
-      }
-      s.table(liT).join(s.table(oT), Seq("l_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
-        .orderBy("o_orderstatus")
-    }),
-
-    // Skew-salted join (etl.Scale): results must be identical to the plain
-    // join — the salt only changes the shuffle distribution
-    // Join-skew pre-flight: a synthetic hot key holding ~25% of rows is
-    // reported with its share and the salt factor that levels it
-    // (ceil(0.25·32) = 8 — exactly skew_salted_join's factor). One
-    // key-count aggregate + a broadcast totals row + bounded top-k
-    "skew_report" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).withColumn("jkey",
-        when(col("l_orderkey") % 4 === 0, lit(0L)).otherwise(col("l_suppkey")))
-      graft.etl.Scale.skewReport(li, "jkey", topK = 10, parts = 32)
-        .orderBy(col("n").desc, col("jkey"))
-    }),
-
-    "skew_salted_join" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      graft.etl.Scale.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
-        .orderBy("o_orderstatus")
-    }),
-
-    // Join-cardinality pre-flight: EXACT pair count a self-join on the
-    // 5-value event_type key would produce (Σ n·n ≈ N²/5 — the quadratic
-    // blow-up the report exists to catch) from two count aggregates and a
-    // key-sized join — the data itself is never shuffled or paired
-    "join_cardinality_report" -> ((s, dir) =>
-      graft.etl.Scale.joinCardinalityReport(
-          Tables.events(s, dir), Tables.events(s, dir),
-          "event_type", "event_type", topK = 5)),
-
-    // M-extension: per-column data profile (nulls/distinct/min/max) in one
-    // aggregation pass — the data-side audit companion to M1 introspection
-    "m7_profile" -> ((s, dir) =>
-      graft.schema.Profile.profile(Tables.orders(s, dir),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
-        .orderBy("col_name")),
-
-    // M-extension: numeric quantile profile (p25/p50/p75/p95) in ONE
-    // aggregation pass — the distribution shape m7's min/max can't show;
-    // exact interpolating percentile ≡ DuckDB quantile_cont → full
-    // oracle; approx_percentile is the 100 TB leg (ProfileSpec parity)
-    "m8_quantile_profile" -> ((s, dir) =>
-      graft.schema.Profile.quantileProfile(Tables.lineitem(s, dir),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("col_name")),
-
-    // Expectation-suite validation (Great-Expectations shape): 8 named
-    // checks over lineitem in ONE aggregate pass — the promotion gate a
-    // training-data pipeline runs before shipping a table. Full SQL
-    // oracle (each check is a conditional count).
-    "data_quality_checks" -> ((s, dir) => {
-      import graft.schema.Validate.Check
-      graft.schema.Validate.run(Tables.lineitem(s, dir), Seq(
-        Check("key_not_null", col("l_orderkey").isNotNull),
-        Check("linenumber_positive", col("l_linenumber") >= 1),
-        Check("quantity_range", col("l_quantity").between(1, 50)),
-        Check("price_positive", col("l_extendedprice") > 0),
-        Check("discount_unit_interval", col("l_discount").between(0, 1)),
-        Check("tax_nonnegative", col("l_tax") >= 0),
-        Check("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
-        Check("ship_in_fixture_era",
-          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("2002-01-01").cast("timestamp"))))
-    }),
-
-    // ---- M: schema tooling (M6 single-pass NVARCHAR promotion) ----
-    "m6_nvarchar_promotion" -> ((s, dir) => {
-      val sample = Tables.customer(s, dir).orderBy("c_custkey").limit(1000)
-      Seq("c_mktsegment", "c_name").map { c =>
-        sample.agg(Ddl.needsNvarchar(col(c)).cast("bigint").as("promote"))
-          .select(lit(c).as("col_name"), col("promote"))
-      }.reduce(_ unionByName _).orderBy("col_name")
-    }),
-
-    // ---- O5: success-notification record count ----
-    "o5_notify_count" -> ((s, dir) =>
-      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_records"))),
-
-    // ---- Aggregation / join headliners (engine capability beyond the
-    //      reference's remote-pushed SQL; SURVEY.md §2.5) ----
-    "q1_agg" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
-
-    "q3_join_topk" -> ((s, dir) => {
-      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
-      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-        .limit(10)
-    }),
-
-    // Join chain over the dimension hierarchy (broadcast dims; the fact
-    // table streams unshuffled into the joins).
-    "q5_join_chain" -> ((s, dir) => {
-      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-      val n = Tables.nation(s, dir)
-      val su = Tables.supplier(s, dir)
-      val l = Tables.lineitem(s, dir)
-      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
-        .orderBy("n_name")
-    }),
-
-    // Correlated EXISTS as a left-semi join with a non-equi condition.
-    "q4_semi_join" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
-      val l = Tables.lineitem(s, dir)
-      o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // Market-basket co-occurrence: frequent part pairs within orders with
-    // lift above chance (the 2-itemset Apriori core, ops/Basket.scala).
-    // The pair explosion is bounded by basket size squared — never by
-    // corpus size — and the infrequent-item prefilter is the
-    // downward-closure prune that keeps the candidate space tractable at
-    // any scale.
-    "basket_pairs" -> ((s, dir) =>
-      graft.ops.Basket.frequentPairs(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
-          minItemSupport = 40L, minPairSupport = 2L)
-        .orderBy("item_a", "item_b")),
-
-    // Directed association rules over the same pair frame: confidence
-    // P(consequent|antecedent) is asymmetric, so each pair yields two
-    // candidate rules from ONE pass (exploded, not re-selected); the
-    // 0.045 floor lands inside the corpus's [2/49, 2/40] confidence band
-    // so the filter provably discards AND keeps rows.
-    "basket_rules" -> ((s, dir) =>
-      graft.ops.Basket.rules(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
-          minItemSupport = 40L, minPairSupport = 2L, minConfidence = 0.045)
-        .orderBy("antecedent", "consequent")),
-
-    // RFM segmentation (recency/frequency/monetary quintile scores per
-    // customer) — the classic audience-segmentation rollup. Quintile
-    // edges come from ONE exact-percentile aggregate broadcast as a
-    // 1-row scalar (the skewReport crossJoin pattern) and scores are
-    // edge comparisons — no customer-wide ntile window, so the plan has
-    // no single-task rank at any scale. Edge parity with the oracle is
-    // the m8_quantile_profile precedent (Spark percentile ≡ DuckDB
-    // quantile_cont, linear interpolation).
-    "customer_rfm" -> ((s, dir) => {
-      val base = Tables.orders(s, dir)
-        .groupBy("o_custkey")
-        .agg(
-          datediff(lit("2001-08-01").cast("timestamp"), max(col("o_orderdate")))
-            .as("rec_days"),
-          count(lit(1)).as("freq"),
-          round(sum(col("o_totalprice")), 2).as("monetary"))
-      val edges = base.agg(
-        expr("percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("re"),
-        expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fe"),
-        expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("me"))
-      // smaller-is-better (recency) counts edges ABOVE the value;
-      // bigger-is-better counts edges below — top quintile scores 5
-      def scoreDesc(c: Column, e: String): Column =
-        (1 to 4).map(i => (c < element_at(col(e), i)).cast("int")).reduce(_ + _) + 1
-      def scoreAsc(c: Column, e: String): Column =
-        (1 to 4).map(i => (c > element_at(col(e), i)).cast("int")).reduce(_ + _) + 1
-      base.crossJoin(broadcast(edges))
-        .select(col("o_custkey"), col("rec_days"), col("freq"), col("monetary"),
-          scoreDesc(col("rec_days"), "re").as("r_score"),
-          scoreAsc(col("freq"), "fe").as("f_score"),
-          scoreAsc(col("monetary"), "me").as("m_score"))
-        .withColumn("rfm",
-          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-        .orderBy("o_custkey")
-    }),
-
-    // Bloom semi-join reduction: the fact side is pruned MAP-SIDE through
-    // a sketch built from the selective dim (1.4% of orders) before any
-    // shuffle — at 100 TB the join's exchange then moves ≈ matching rows
-    // instead of the whole lineitem. False positives pass the filter but
-    // die in the join, so the result is exact and the plain-SQL oracle
-    // replays it with no bloom at all (Scale.bloomSemiReduce;
-    // ScaleSpec pins the subset/superset contract).
-    "bloom_pruned_join" -> ((s, dir) => {
-      val dim = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("2000-03-01").cast("timestamp") &&
-          col("o_orderdate") < lit("2000-04-01").cast("timestamp"))
-      graft.etl.Scale.bloomSemiReduce(
-          Tables.lineitem(s, dir), "l_orderkey", dim, "o_orderkey",
-          expectedItems = 100000L, numBits = 800000L)
-        .join(dim, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // NOT EXISTS as a left-anti join.
-    "q_anti_join" -> ((s, dir) => {
-      val recent = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
-      Tables.customer(s, dir)
-        .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    }),
-
-    // Set operations: EXCEPT / INTERSECT on distinct key sets.
-    "setop_except" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .select("o_custkey").distinct()
-      val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
-        .select("o_custkey").distinct()
-      early.except(late).orderBy("o_custkey")
-    }),
-
-    "setop_intersect" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .select("o_custkey").distinct()
-      val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
-        .select("o_custkey").distinct()
-      early.intersect(late).orderBy("o_custkey")
-    }),
-
-    // Scalar-function parity sweep: string, date, conditional/null
-    // built-ins evaluated identically by both engines.
-    "q_scalar_functions" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .select(
-          col("o_orderkey"),
-          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
-          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
-          year(col("o_orderdate")).cast("bigint").as("yr"),
-          month(col("o_orderdate")).cast("bigint").as("mo"),
-          when(col("o_totalprice") > 100000.0, lit("big")).otherwise(lit("small")).as("size_band"),
-          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
-          length(col("o_orderpriority")).cast("bigint").as("prio_len"))
-        .orderBy("o_orderkey")),
-
-    // Statistical aggregates: exact interpolated median, sample stddev.
-    "q_stats_agg" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
-          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          round(min("l_quantity"), 4).as("min_qty"),
-          round(max("l_quantity"), 4).as("max_qty"))
-        .orderBy("l_returnflag")),
-
-    // Distinct aggregates.
-    "q_distinct_agg" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"))
-        .orderBy("l_returnflag")),
-
-    // Outer-join distribution (TPC-H Q13 shape): LEFT OUTER join keeps
-    // order-less customers (count(o_orderkey) = 0 for them — count of a
-    // NULL column, not count(*)), then a second aggregation over the
-    // per-customer counts. Two narrow shuffles; the outer join is the
-    // operator under test (semi/anti/inner are covered elsewhere).
-    "q13_outer_count" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
-      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-        .groupBy(c("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-
-    // Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20%
-    // of their part's average quantity. The per-part average joins back
-    // as an aggregate frame — Catalyst's decorrelation shape — and the
-    // brand dimension broadcasts into the fact scan.
-    "q17_small_qty" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
-      val thr = l.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((avg("l_quantity") * 0.2).as("thr"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(thr, l("l_partkey") === col("t_partkey"))
-        .filter(col("l_quantity") < col("thr"))
-        .agg(
-          count(lit(1)).as("n_small"),
-          round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
-    }),
-
-    // Uncorrelated scalar subquery + anti join (TPC-H Q22 shape):
-    // positive-balance customers above the global mean balance with no
-    // RECENT orders. The global mean is a 1-row aggregate broadcast
-    // against the scan (no collect, no global window); the recency check
-    // is a left-anti join against the date-filtered orders scan.
-    "q22_rich_inactive" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
-      val avgBal = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg("c_acctbal").as("__avg"))
-      c.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("__avg"))
-        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("total_bal"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // Bidirectional nation-pair trade volume (TPC-H Q7 shape). The two
-    // nations filter FIRST, shrinking supplier (broadcastable: 2/25 of
-    // suppliers) and customer BEFORE the fact join — at 100 TB the nation
-    // predicate must reach the dimension scans, not run after a full
-    // 4-way join. Customer stays a shuffle join (it scales with SF).
-    "q7_volume_shipping" -> ((s, dir) => {
-      val nat = Tables.nation(s, dir)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
-      val su = Tables.supplier(s, dir)
-        .join(broadcast(nat.select(col("n_nationkey").as("__snk"),
-          col("n_name").as("supp_nation"))), col("s_nationkey") === col("__snk"))
-        .select("s_suppkey", "supp_nation")
-      val c = Tables.customer(s, dir)
-        .join(broadcast(nat.select(col("n_nationkey").as("__cnk"),
-          col("n_name").as("cust_nation"))), col("c_nationkey") === col("__cnk"))
-        .select("c_custkey", "cust_nation")
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
-        .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("bigint").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    }),
-
-    // National market share inside a region (TPC-H Q8 shape): one
-    // conditional-sum ratio per order year. Region+nation prune the
-    // customer side before the fact join; the part-type filter prunes
-    // lineitem via the part join (plain join — at scale a sixth of part
-    // does not broadcast; AQE picks the strategy at runtime).
-    "q8_market_share" -> ((s, dir) => {
-      val rnat = Tables.nation(s, dir)
-        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey").as("__rnk"))
-      val c = Tables.customer(s, dir)
-        .join(broadcast(rnat), col("c_nationkey") === col("__rnk"))
-        .select("c_custkey")
-      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
-        .select("p_partkey")
-      val suNat = Tables.supplier(s, dir)
-        .join(broadcast(Tables.nation(s, dir)
-          .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("__snk"))
-        .select("s_suppkey", "supp_nation")
-      val o = Tables.orders(s, dir)
-      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      Tables.lineitem(s, dir)
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suNat), col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === col("c_custkey"))
-        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
-        .agg(round(
-          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
-            sum(vol), 4).as("mkt_share"))
-        .orderBy("o_year")
-    }),
-
-    // Top returned-revenue customers in a quarter (TPC-H Q10 shape):
-    // group by customer, rank by revenue, keep 20. The date window and
-    // returnflag filter push into the scans; nation broadcasts; the
-    // customer join shuffles on the (already-aggregated) custkey side.
-    "q10_returned_top" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("2000-10-01").cast("timestamp") &&
-          col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
-      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
-      val c = Tables.customer(s, dir)
-      val n = Tables.nation(s, dir)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey").asc)
-        .limit(20)
-    }),
-
-    // Priority-class line counts (TPC-H Q12 shape, adapted: the fixture
-    // has no l_shipmode, so the pivot column is l_linestatus): one pass,
-    // two conditional sums, shipdate window pushed to the fact scan.
-    "q12_priority_class" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
-      val o = Tables.orders(s, dir)
-      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy("l_linestatus")
-        .agg(
-          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-        .orderBy("l_linestatus")
-    }),
-
-    // Promo revenue share in one month (TPC-H Q14 shape): a ratio of
-    // conditional aggregates — single row out, no shuffle wider than the
-    // two partial sums. The month window prunes lineitem before the part
-    // join.
-    "q14_promo_share" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("2000-09-01").cast("timestamp") &&
-          col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
-      val p = Tables.part(s, dir)
-      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      l.join(p, l("l_partkey") === p("p_partkey"))
-        .agg(round(
-          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) * 100.0 /
-            sum(vol), 4).as("promo_revenue"))
-    }),
-
-    // Distinct-supplier counts per part signature (TPC-H Q16 shape,
-    // adapted: no partsupp fixture — supplier relationships come from
-    // lineitem). countDistinct shuffles once on the group keys with the
-    // distinct supplier partial-aggregated map-side.
-    "q16_supplier_cnt" -> ((s, dir) => {
-      val p = Tables.part(s, dir)
-        .filter(col("p_brand") =!= "Brand#1" &&
-          col("p_size").isin(1, 5, 10, 15, 20, 25))
-      val l = Tables.lineitem(s, dir)
-      l.join(p, l("l_partkey") === p("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-          col("p_size"))
-    }),
-
-    // Large-quantity orders (TPC-H Q18 shape): the HAVING aggregate runs
-    // FIRST on lineitem alone (one key shuffle, heavy map-side combine),
-    // and only qualifying orderkeys — a tiny set — join back to orders
-    // and customer. Quantities are integral doubles, so the >250
-    // threshold has no float-boundary ambiguity against the oracle.
-    "q18_large_orders" -> ((s, dir) => {
-      val big = Tables.lineitem(s, dir)
-        .groupBy("l_orderkey")
-        .agg(sum("l_quantity").as("sum_qty"))
-        .filter(col("sum_qty") > 250.0)
-      val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
-      o.join(big, o("o_orderkey") === big("l_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .select(col("c_custkey"), col("o_orderkey"),
-          round(col("o_totalprice"), 4).as("o_totalprice"), col("sum_qty"))
-        .orderBy("o_orderkey")
-    }),
-
-    // Disjunctive multi-attribute predicate (TPC-H Q19 shape): an
-    // OR-of-ANDs across part and lineitem attributes. The brand/size
-    // disjunction pushes to the part scan as one OR filter; the quantity
-    // bounds evaluate post-join (they reference both sides).
-    "q19_disjunctive" -> ((s, dir) => {
-      val p = Tables.part(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val m1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
-        col("l_quantity").between(1, 20)
-      val m2 = col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
-        col("l_quantity").between(5, 40)
-      val m3 = col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
-        col("l_quantity").between(10, 50)
-      l.join(p, l("l_partkey") === p("p_partkey"))
-        .filter(m1 || m2 || m3)
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
-    }),
-
-    // Important-stock (TPC-H Q11 shape): per-part inventory value kept
-    // only when above a FRACTION of the global total — group aggregate
-    // compared against a broadcast one-row aggregate (the
-    // HAVING-over-global-sum shape).
-    "q11_important_stock" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-      val value = sum(col("l_extendedprice") * col("l_quantity"))
-      val perPart = l.groupBy("l_partkey").agg(value.as("part_value"))
-      // 1.4× the MEAN part value: scale-invariant (a total-share cut like
-      // TPC-H's literal fraction empties as the part count grows)
-      val total = perPart.agg(avg("part_value").as("__avg"))
-      perPart.crossJoin(broadcast(total))
-        .filter(col("part_value") > col("__avg") * 1.4)
-        .select(col("l_partkey"), round(col("part_value"), 4).as("part_value"))
-        .orderBy(col("part_value").desc, col("l_partkey"))
-    }),
-
-    // Excess-supply suppliers (TPC-H Q20 shape, adapted: availability is
-    // shipped quantity): suppliers of PROMO parts whose total shipped
-    // quantity for such parts exceeds a threshold — a semi-join against
-    // an aggregate subquery, then the name lookup.
-    "q20_excess_supply" -> ((s, dir) => {
-      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
-        .select("p_partkey")
-      val l = Tables.lineitem(s, dir)
-      val qualifying = l.join(p, l("l_partkey") === p("p_partkey"))
-        .groupBy("l_suppkey")
-        .agg(sum("l_quantity").as("promo_qty"))
-        .filter(col("promo_qty") > 2900.0) // ≈ p88 of per-supplier promo qty, stable across SF
-      Tables.supplier(s, dir)
-        .join(qualifying, col("s_suppkey") === col("l_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("promo_qty"))
-        .orderBy("s_suppkey")
-    }),
-
-    // Top-supplier (TPC-H Q15 shape): aggregate-of-aggregate — quarterly
-    // revenue per supplier, keep those equal to the global max. The max
-    // is a one-row aggregate broadcast against the per-supplier frame
-    // (no collect, no window over the full set).
-    "q15_top_supplier" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
-      val rev = l.groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("total_revenue"))
-      val mx = rev.agg(max("total_revenue").as("__mx"))
-      rev.crossJoin(broadcast(mx))
-        .filter(col("total_revenue") === col("__mx"))
-        .join(Tables.supplier(s, dir), col("supplier_no") === col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
-    }),
-
-    // Min-cost supplier (TPC-H Q2 shape, adapted: no partsupp — the
-    // supplier's offer price for a part is its min lineitem
-    // extendedprice): for small parts, which supplier offers each at the
-    // regional minimum. Correlated-min decorrelates to an aggregate
-    // joined back on the part key.
-    "q2_min_cost_supplier" -> ((s, dir) => {
-      val p = Tables.part(s, dir).filter(col("p_size") <= 5)
-      val su = Tables.supplier(s, dir)
-      val n = Tables.nation(s, dir)
-      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-      val offers = Tables.lineitem(s, dir)
-        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
-        .agg(round(min("l_extendedprice"), 4).as("offer"))
-      val minOffer = offers.groupBy(col("l_partkey").as("__pk"))
-        .agg(min("offer").as("__min_offer"))
-      offers
-        .join(broadcast(p.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-        .join(minOffer, col("l_partkey") === col("__pk"))
-        .filter(col("offer") === col("__min_offer"))
-        .select(col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
-          col("s_name"), col("n_name"), col("offer"))
-        .orderBy("p_partkey", "s_suppkey")
-    }),
-
-    // TPC-H Q6 shape (forecast revenue change): pure scan — every
-    // predicate (date window, discount band, quantity cap) pushes to the
-    // parquet reader, one partial-aggregated 1-row sum, ZERO shuffle of
-    // data rows. The canary for filter pushdown staying intact.
-    "q6_forecast_revenue" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-          col("l_discount").between(0.02, 0.04) &&
-          col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
-          .as("revenue"))),
-
-    // TPC-H Q9 shape (product-type profit by nation/year; adapted: no
-    // partsupp fixture, supply cost stands in as 80% of p_retailprice).
-    // part/supplier/nation broadcast into the lineitem scan; orders joins
-    // keyed — one fact shuffle, dimension-free aggregation
-    "q9_product_profit" -> ((s, dir) => {
-      val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
-      val su = Tables.supplier(s, dir)
-      val n = Tables.nation(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      l.join(broadcast(p), col("l_partkey") === p("p_partkey"))
-        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(o, col("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("n_name").as("nation"),
-          year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(
-          col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            lit(0.8) * col("p_retailprice") * col("l_quantity")), 4)
-          .as("sum_profit"))
-        .orderBy(col("nation"), col("o_year").desc)
-    }),
-
-    // TPC-H Q21 shape (suppliers who kept orders waiting; adapted: no
-    // commit/receipt dates in the fixture — "late" = shipped > 60 days
-    // after the order date, scale-invariant). The classic double
-    // EXISTS/NOT-EXISTS rewrites to per-order distinct-supplier counts:
-    // s qualifies on order o iff o has >= 2 suppliers and s is o's ONLY
-    // late supplier. Two keyed aggregates + slim id joins — no
-    // correlated per-row subqueries, no row explosion
-    "q21_waiting_supplier" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-      val l = Tables.lineitem(s, dir)
-      val su = Tables.supplier(s, dir)
-      val late = l.join(o, col("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey").distinct()
-      val allSupp = l.join(o.select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(count_distinct(col("l_suppkey")).as("n_supp"))
-      val lateSupp = late.groupBy(col("l_orderkey").as("__lo"))
-        .agg(count_distinct(col("l_suppkey")).as("n_late_supp"))
-      late
-        .join(allSupp, Seq("l_orderkey"))
-        .join(lateSupp, col("l_orderkey") === col("__lo"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
-        .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(10)
-    }),
-
-    // Image-dedup'd corpus: the perceptual-hash pairs resolved through
-    // TRUE connected components — one canonical image (min doc_id)
-    // survives each near-dup cluster, same machinery as the text corpus
-    // (dedup_components family). Bounded image set (< 500 payloads, the
-    // multimodal_resize convention — the synthetic wave family's hash
-    // space is deliberately coarse, so an unbounded set at bench scale
-    // degenerates into giant all-similar components that measure the
-    // fixture, not the operator); the decode materializes once for its
-    // three consumers (pairs, corpus side, canonical join). Pinned.
-    "multimodal_phash_corpus" -> ((s, dir) => {
-      val ids = Tables.documents(s, dir).select("doc_id")
-        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
-      val imgs = Multimodal.synthesizeWaveImages(ids, "doc_id")
-      val clones = Multimodal.resizeImages(
-          imgs.filter(col("doc_id") < 40), "payload", "format", 28, 28)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      val all = imgs.unionByName(clones.select(imgs.columns.map(col): _*))
-      val hashed = Multimodal.averageHash(
-          Multimodal.decodeFeatures(all, "payload", dim = 64,
-            decoder = Multimodal.ImageIODecoder(8)),
-          "features", "phash")
-        .select("doc_id", "phash")
-        .localCheckpoint()
-      val pairs = Dedup.fingerprintPairs(hashed, "doc_id", "phash", maxHamming = 6)
-      Dedup.removeNearDuplicatesCC(hashed, pairs, "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // The phash family's cap-audit rail (the dedup_oversized_buckets
-    // pattern for 64-bit fingerprints): 60 docs share ONE image, so all
-    // four 16-bit bands hold a 60-id bucket — over the maxBucket=50 cap,
-    // exactly what pair mining would silently drop. Pinned.
-    "multimodal_phash_oversized" -> ((s, dir) => {
-      val normal = Tables.documents(s, dir).select("doc_id")
-        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 200)
-      val degenerate = Tables.documents(s, dir).select("doc_id")
-        .filter(col("doc_id") < 60)
-        .select((col("doc_id") + 1000000L).as("doc_id"))
-        .withColumn("img_seed", lit(7L))
-      val normImgs = Multimodal.synthesizeWaveImages(normal, "doc_id")
-      val degImgs = Multimodal.synthesizeWaveImages(degenerate, "img_seed")
-        .select("doc_id", "payload", "format")
-      val hashed = Multimodal.averageHash(
-          Multimodal.decodeFeatures(
-            normImgs.unionByName(degImgs), "payload", dim = 64,
-            decoder = Multimodal.ImageIODecoder(8)),
-          "features", "phash")
-      Dedup.fingerprintOversizedBuckets(hashed, "doc_id", "phash", maxBucket = 50)
-        .select(col("band").cast("bigint").as("band"), col("n_ids"))
-        .orderBy("band")
-    }),
-
-    // JOINT multimodal dedup: text near-dup edges (MinHash-LSH) UNION
-    // image near-dup edges (perceptual hash) resolve through ONE
-    // connected-components pass — a doc cloned in EITHER modality joins
-    // the same component and only the canonical min-id survives. 20 base
-    // docs get a text clone AND an image clone (3-node components); the
-    // corpus's own intra-text near-dups dedup too (it genuinely has
-    // them). Image side bounded to the planted set (the synthetic wave
-    // family's hash space is deliberately coarse — the phash_dedup
-    // convention). Pinned oracle.
-    "multimodal_joint_dedup" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
-        .select("doc_id", "text")
-      val textClones = base.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      val imgCloneIds = base.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("image clone of "), col("doc_id")).as("text"))
-      val corpus = base.unionByName(textClones).unionByName(imgCloneIds)
-        .localCheckpoint() // feeds the text miner AND the final anti-join
-      val textPairs = Dedup.minhashLsh(corpus, "doc_id", "text")
-        .select("id_a", "id_b")
-      val baseImgs = Multimodal.synthesizeWaveImages(
-        base.filter(col("doc_id") < 40).select("doc_id"), "doc_id")
-      val cloneImgs = Multimodal.resizeImages(
-          baseImgs, "payload", "format", 28, 28)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      val hashed = Multimodal.averageHash(
-          Multimodal.decodeFeatures(
-            baseImgs.unionByName(cloneImgs.select(baseImgs.columns.map(col): _*)),
-            "payload", dim = 64, decoder = Multimodal.ImageIODecoder(8)),
-          "features", "phash")
-        .select("doc_id", "phash")
-      val imgPairs = Dedup.fingerprintPairs(hashed, "doc_id", "phash", maxHamming = 6)
-        .select("id_a", "id_b")
-      Dedup.removeNearDuplicatesCC(
-          corpus.select("doc_id"),
-          textPairs.unionByName(imgPairs), "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // Link-graph centrality (north-star: web-graph quality signal for
-    // crawl curation). The customer↔supplier trade graph stands in for a
-    // host-link graph; 10 power-iteration rounds at damping 0.85. Each
-    // round is two key shuffles over (id, double) pairs; the edge table
-    // shuffles once up front (degree attach + persist), not per round.
-    "graph_pagerank" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      // long vertex ids (customer = 2k, supplier = 2k+1): the graph is
-      // bipartite so the parity encoding is collision-free, and long keys
-      // shuffle/compare far cheaper than concatenated strings
-      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ops.Graph.pagerank(e, iterations = 10, damping = 0.85)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // Incremental PageRank maintenance (the L8 merge-aggregate idea on
-    // the graph family): ranks computed on the 90% base graph (orders
-    // with o_orderkey % 10 != 0) WARM-START 3 power rounds on the full
-    // merged edge set — new vertices enter at 1/N, the vector
-    // renormalizes, rounds are the identical two-key-shuffle arithmetic
-    // — instead of a cold 10-round recompute. Full DuckDB oracle
-    // (base-3 + warm-3 unrolled CTEs); the convergence advantage over a
-    // cold start is first-principles-asserted in GraphSpec.
-    "graph_pagerank_incremental" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val all = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select(col("o_orderkey"),
-          (col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      val base = all.filter(col("o_orderkey") % 10 =!= 0).select("src", "dst")
-      val prev = graft.ops.Graph.pagerank(base, iterations = 3, damping = 0.85)
-      graft.ops.Graph.pagerankWarmStart(all.select("src", "dst"), prev,
-          iterations = 3, damping = 0.85)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // DIRECTED PageRank with dangling-mass redistribution: customer →
-    // supplier edges make every supplier a pure sink, so each round its
-    // mass re-spreads uniformly (+ d·dm/N) — Σ rank stays exactly 1 (a
-    // proper distribution, asserted in GraphSpec). The oracle replays the
-    // 5-round fixpoint as an unrolled CTE including the dangling term.
-    "graph_pagerank_directed" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ops.Graph.pagerank(e, iterations = 5, damping = 0.85,
-          undirected = false)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // Personalized PageRank (Haveliwala 2002): teleport AND dangling mass
-    // restart into the seed customers (ids < 50, i.e. custkey < 25) —
-    // stationary relevance RELATIVE to a trusted set, the seed-expansion
-    // quality signal for crawl curation. Σ rank = 1 (GraphSpec); rounds
-    // share graph_pagerank's two-key-shuffle shape; the oracle replays
-    // the 5-round fixpoint as an unrolled CTE with the seed vector.
-    "graph_ppr" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      val seeds = Tables.customer(s, dir)
-        .filter(col("c_custkey") < 25)
-        .select((col("c_custkey") * 2).as("id"))
-      graft.ops.Graph.personalizedPagerank(e, seeds, iterations = 5,
-          damping = 0.85, undirected = false)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // Global triangle count over the supplier co-order graph (suppliers
-    // sharing a high-quantity order), by degree-ordered orientation
-    // (Schank & Wagner 2005 compact-forward): each edge orients toward
-    // the higher-(degree, id) endpoint, capping every out-degree at
-    // O(√|E|) — the wedge join survives power-law hubs, which generate
-    // only in-edges. Full DuckDB oracle replays the same orientation.
-    "graph_triangles" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val e = pairs.as("x").join(pairs.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.ops.Graph.triangleCount(e)
-    }),
-
-    // Per-supplier local clustering coefficient over the same co-order
-    // graph (Watts–Strogatz): each closed wedge credits its three
-    // corners via one explode — the per-vertex extension of
-    // graph_triangles with no second quadratic term. Full SQL oracle.
-    "graph_clustering_coeff" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val e = pairs.as("x").join(pairs.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.ops.Graph.clusteringCoefficients(e)
-        .orderBy("id")
-    }),
-
-    // Community detection over the customer–supplier graph: 5 rounds of
-    // deterministic synchronous label propagation (self-vote damps the
-    // bipartite oscillation, min-label ties — Graph.labelPropagation),
-    // reported as community sizes. Fixed round count makes the fixpoint
-    // a pure function of the edges, so the oracle replays all 5 rounds
-    // as nested SQL (the graph_pagerank unrolled-loop precedent).
-    "graph_communities" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ops.Graph.labelPropagation(e, iterations = 5)
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy("community")
-    }),
-
-    // Euclidean Lloyd k-means over the embedding corpus (north-star:
-    // topic bucketing / cluster-balanced sampling). Deterministic seed
-    // (first k by vec_id), 4 mean updates, final assignment; assignment
-    // is zero-shuffle (centroid literals in codegen'd HOF distances), the
-    // update is one dim-sized-buffer key shuffle per round. Every step is
-    // plain relational algebra, so the DuckDB oracle replays the whole
-    // fixpoint exactly.
-    "embedding_kmeans" -> ((s, dir) =>
-      graft.ops.Clustering.lloyd(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 8, iters = 4)
-        .groupBy(col("cluster").cast("bigint").as("cluster"))
-        .agg(count(lit(1)).as("n_members"), round(sum("d2"), 3).as("inertia"))
-        .orderBy("cluster")),
-
-    // Centroid-distance outlier pruning (the SemDeDup/DataComp-style
-    // noise filter): same kmeans fixpoint, then each cluster prunes its
-    // rows beyond the cluster's own p90 distance (one broadcast
-    // cluster-count-sized percentile aggregate — no global threshold
-    // under-pruning tight clusters). Assignment materialized once (slim
-    // id+cluster+distance rows) for its two consumers. Full DuckDB
-    // oracle shares the kmeans replay CTEs; 4-dp rounding on both sides
-    // keeps the flag FP-robust.
-    "embedding_prune_outliers" -> ((s, dir) => {
-      val assigned = graft.ops.Clustering.lloyd(
-          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 4)
-        .select(col("vec_id"), col("cluster"), round(col("d2"), 4).as("d2r"))
-        .localCheckpoint() // feeds the cuts aggregate AND the prune join
-      val cuts = assigned.groupBy("cluster")
-        .agg(round(percentile(col("d2r"), lit(0.9)), 4).as("__cut"))
-      assigned.join(broadcast(cuts), Seq("cluster"))
-        .select(col("vec_id"), col("cluster"), col("d2r"),
-          (col("d2r") > col("__cut")).as("pruned"))
-        .orderBy("vec_id")
-    }),
-
-    // Tokenizer-coverage calibration: per-source OOV rate against the
-    // corpus vocabulary (the go/no-go metric when pointing a trained
-    // tokenizer at a new source mix). Vocabulary broadcasts into the
-    // token scan — the corpus shuffles only for the per-source aggregate.
-    "vocab_coverage" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 5L, maxVocab = 4096)
-      val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-      toks.join(broadcast(vocab.select("token").withColumn("__in", lit(1))),
-          Seq("token"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
-        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
-        .orderBy("source")
-    }),
-
-    // Margin-based bitext mining (Artetxe & Schwenk 2019): each English
-    // doc's best Spanish match by ratio margin over the doc↔embedding
-    // join. Exhaustive variant (target slice broadcasts) — the recall
-    // anchor for the declared scale path, bitext_mine_ann below.
-    "bitext_mine" -> ((s, dir) => {
-      val de = Tables.documents(s, dir)
-        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("id"), col("lang"), col("embedding"))
-      graft.ops.Bitext.minePairs(de, "id", "lang", "embedding", "en", "es",
-          k = 4, marginThreshold = 1.0)
-        .orderBy("src_id")
-    }),
-
-    // Corpus-scale bitext mining: the SAME margin scorer fed by banded-LSH
-    // candidates instead of the |A|×|B| cross join — the declared scale
-    // path, PURE ANN (the knn_lsh_ann pattern): no exhaustive side
-    // anywhere in the plan, so nothing here degrades to all-pairs at
-    // 100×. Recall evidence lives in the separate bounded
-    // `bitext_recall_audit` below (the knn_recall_audit pattern).
-    // Deterministic (hash-based LSH planes, 4-dp rounding, id tiebreaks)
-    // → pinned VALUES oracle.
-    "bitext_mine_ann" -> ((s, dir) => {
-      val de = Tables.documents(s, dir)
-        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("id"), col("lang"), col("embedding"))
-      graft.ops.Bitext.minePairsAnn(de, "id", "lang", "embedding",
-          "en", "es", k = 4, marginThreshold = 1.0, lshPlanes = 2, lshBands = 16)
-        .orderBy("src_id")
-    }),
-
-    // Bounded ANN-vs-exhaustive agreement audit for the bitext miner
-    // (knn_recall_audit pattern): the exhaustive |A|×|B| side is confined
-    // to a HARD-CAPPED source sample (en ids < 300 — a fixed absolute
-    // bound, not a fraction, so the audit cost is constant at any corpus
-    // scale); the target side stays full. Both miners run on the identical
-    // sampled frame, so disagreement isolates the LSH candidate recall,
-    // not sampling skew. One summary row: sampled sources, agreeing best
-    // targets, agreement rate.
-    "bitext_recall_audit" -> ((s, dir) => {
-      val de = Tables.documents(s, dir)
-        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("id"), col("lang"), col("embedding"))
-        .filter(col("lang") =!= "en" || col("id") < 300)
-        .localCheckpoint() // feeds both miners — don't re-run the join twice
-      val exact = graft.ops.Bitext.minePairs(de, "id", "lang", "embedding",
-          "en", "es", k = 4, marginThreshold = 1.0)
-        .select(col("src_id"), col("tgt_id").as("exact_tgt_id"))
-      val ann = graft.ops.Bitext.minePairsAnn(de, "id", "lang", "embedding",
-          "en", "es", k = 4, marginThreshold = 1.0, lshPlanes = 2, lshBands = 16)
-        .select(col("src_id"), col("tgt_id").as("ann_tgt_id"))
-      ann.join(exact, Seq("src_id"), "full_outer")
-        .agg(
-          count(lit(1)).as("n_src"),
-          sum(when(col("ann_tgt_id") <=> col("exact_tgt_id"), 1L).otherwise(0L))
-            .as("n_agree"))
-        .withColumn("agreement", round(col("n_agree") / col("n_src"), 4))
-    }),
-
-    // Stream-static enrichment: streaming events join the static customer
-    // dimension (broadcast, stateless) and count per (7-day event-time
-    // window, market segment); watermark-closed via the sentinel harness.
-    "stream_enrich_static" -> ((s, dir) =>
-      graft.streaming.Incremental.streamEnrichStatic(
-          s, s"$dir/events.parquet", "ts", "user_id",
-          Tables.customer(s, dir), "c_custkey", "c_mktsegment",
-          windowSec = 7L * 86400, watermarkSec = 30L * 86400,
-          statePartitions = 8) // state keys = ~5 windows × 5 segments
-        .orderBy("window_start", "c_mktsegment")),
-
-    // Persisted tokenizer artifact: train BPE once, write the merges as a
-    // parquet sidecar, read them back and encode from the artifact alone —
-    // byte-identical to the from-scratch path (shares bpe_encode's pinned
-    // oracle), completing the build-once/serve-many family (MinHash, IVFPQ,
-    // BM25, now the tokenizer).
-    "bpe_persisted" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val idxDir = IndexFixture.dir("bpe_1", dir) { tmp =>
-        Bpe.writeMerges(s,
-          Bpe.train(Bpe.wordCounts(docs, "text"), numMerges = 30, minCount = 2), tmp)
-      }
-      val merges = Bpe.readMerges(s, idxDir)
-      docs.select(col("doc_id"),
-          graft.functions.BpeFunctions.bpe_encode(col("text"), merges).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_bpe_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 8)).as("tokens_head"))
-        .orderBy("doc_id")
-    }),
-
-    // Persisted unigram model: train once, write the (piece, logprob)
-    // table as a parquet sidecar, read it back and encode from the
-    // artifact alone — byte-identical to the from-scratch path (shares
-    // unigram_encode's pinned oracle), extending the
-    // build-once/serve-many family to the third tokenizer.
-    "unigram_persisted" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val idxDir = IndexFixture.dir("unigram_1", dir) { tmp =>
-        graft.ops.Unigram.writeModel(
-          graft.ops.Unigram.train(Bpe.wordCounts(docs, "text"),
-            maxPieceLen = 6, maxVocab = 512, emRounds = 2,
-            seedSize = 4096, minCount = 2L), tmp)
-      }
-      val model = graft.ops.Unigram.readModel(s, idxDir)
-      docs.select(col("doc_id"),
-          graft.functions.UnigramFunctions.unigram_encode(
-            col("text"), model, maxPieceLen = 6).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_ug_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 8)).as("pieces_head"))
-        .orderBy("doc_id")
-    }),
-
-    // l-diversity audit over the k-anonymous release: a k-anonymous group
-    // whose members all share one sensitive value still leaks it
-    // (homogeneity attack) — per quasi group, size + distinct sensitive
-    // count for the caller's l threshold. Sensitive stand-in: the
-    // doc-length bucket.
-    "anonymize_ldiversity" -> ((s, dir) =>
-      graft.ops.Anonymize.lDiversityAudit(
-          graft.ops.Anonymize.kAnonymize(
-            Tables.documents(s, dir), Seq("lang", "source"), k = 5)
-            .withColumn("len_bucket", (col("n_chars") % 16).cast("int")),
-          Seq("lang", "source"), "len_bucket")
-        .orderBy("lang", "source")),
-
-    // ε-DP released counts (Laplace-mechanism SIMULATION — the seeded
-    // noise is deterministic BY DESIGN so the full DuckDB oracle replays
-    // it; see the loud caveat on Anonymize.dpCounts): per-event-type
-    // counts with ε=0.5 noise and the mechanism's 95th-percentile error
-    // bound beside each value
-    "dp_counts" -> ((s, dir) =>
-      graft.ops.Anonymize.dpCounts(
-          Tables.events(s, dir), "event_type", epsilon = 0.5, seed = "dp0")
-        .orderBy("event_type")),
-
-    // Sequential-composition DP ledger (Dwork & Roth Thm 3.14): three
-    // scheduled count releases against the same events table, each row
-    // tagged with its release's ε and the RUNNING Σε — the accounting a
-    // re-releasing pipeline must keep (privacy spend adds; a daily
-    // release at ε=0.5 burns 3.5/week). Full DuckDB oracle (deterministic
-    // simulation noise, per-release seeds); composition property
-    // first-principles in AnonymizeSpec.
-    "dp_ledger" -> ((s, dir) =>
-      graft.ops.Anonymize.dpLedger(
-          Tables.events(s, dir), "event_type", Seq(
-            graft.ops.Anonymize.DpRelease("r1_mon", 0.5, "dpa"),
-            graft.ops.Anonymize.DpRelease("r2_tue", 0.5, "dpb"),
-            graft.ops.Anonymize.DpRelease("r3_weekly", 1.0, "dpc")))
-        .orderBy("release_id", "event_type")),
-
-    // Clamped DP sum + two-query DP mean (Dwork & Roth §3.3/3.5; same
-    // deterministic-simulation caveat): values clamp into [0,100] BEFORE
-    // aggregation — bounded contribution caps the sum's sensitivity at
-    // 100, the step that keeps required noise finite under wild rows —
-    // sum on ε=1, mean as noisy-sum/noisy-count each on ε/2. Full oracle.
-    "dp_sum_mean" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.ops.Anonymize.dpSum(ev, "event_type", "value",
-          lo = 0.0, hi = 100.0, epsilon = 1.0, seed = "dps")
-        .join(graft.ops.Anonymize.dpMean(ev, "event_type", "value",
-            lo = 0.0, hi = 100.0, epsilon = 1.0, seed = "dpm")
-          .select(col("event_type"), col("mean_noisy"), col("n_noisy")),
-          Seq("event_type"))
-        .orderBy("event_type")
-    }),
-
-    // Count-Min heavy hitters vs ground truth: top-20 corpus tokens by
-    // exact count with the sketch estimate alongside (one-sided error
-    // est>=exact, overshoot bounded by eps*N). Pinned oracle (the sketch
-    // hash is JVM-side); the error bound is asserted in SketchesSpec.
-    "heavy_hitters" -> ((s, dir) =>
-      graft.ops.Sketches.heavyHitters(
-        Tables.documents(s, dir)
-          .select(explode(split(col("text"), " ")).as("token"))
-          .filter(col("token") =!= ""),
-        "token", topK = 20)),
-
-    // Hour-of-day seasonal profile of event values per type: cell mean +
-    // seasonal index (cell/overall) — the normalization surface for
-    // seasonally-adjusted thresholds. Events aggregate once; the window
-    // runs over the 24-row-per-key profile only.
-    "events_seasonal_profile" -> ((s, dir) =>
-      graft.ops.TimeSeries.seasonalProfile(
-          Tables.events(s, dir), "ts", "value", Seq("event_type"))
-        .orderBy("event_type", "hour_of_day")),
-
-    // Forward as-of join (pandas merge_asof direction='forward'):
-    // time-to-conversion — each view matched to the user's EARLIEST
-    // at-or-after purchase. Same single keyed shuffle as backward.
-    "events_asof_forward" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val views = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      graft.ops.AsOf.asOfJoin(views, purchases, Seq("user_id"), "ts", "ts",
-          direction = "forward")
-        .select(
-          col("event_id").as("v_event_id"),
-          col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("v_ts_us"),
-          col("r_event_id").as("purchase_event_id"),
-          unix_micros(col("r_ts").cast("timestamp")).as("purchase_ts_us"))
-        .orderBy("v_event_id")
-    }),
-
-    // Nearest as-of join (direction='nearest'): each purchase to the view
-    // with the smallest absolute time gap, exact ties backward. One keyed
-    // shuffle; the second direction is a window sort, not an Exchange.
-    "events_asof_nearest" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val views = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts")
-      graft.ops.AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts", "ts",
-          direction = "nearest")
-        .select(
-          col("event_id").as("p_event_id"),
-          col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("p_ts_us"),
-          col("r_event_id").as("view_event_id"),
-          unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
-        .orderBy("p_event_id")
-    }),
-
-    // Compressibility quality signal (CCNet/Gopher family): per-doc
-    // DEFLATE ratio — repetitive boilerplate compresses low, noise high.
-    // Partition-reused zlib state, map-side only. Pinned oracle; the
-    // repetitive < prose < random ordering is asserted in the spec.
-    "text_compression_ratio" -> ((s, dir) =>
-      TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // WordPiece vocabulary (frequency-ranked variant): every substring of
-    // the distinct-word table, word-initial raw / word-internal
-    // ##-prefixed, scored by summed word counts. Corpus touched once
-    // (wordCounts); the candidate explosion and ranking window are
-    // vocabulary-sized. Full DuckDB oracle.
-    "wordpiece_vocab" -> ((s, dir) =>
-      graft.ops.WordPiece.buildVocab(
-          Bpe.wordCounts(Tables.documents(s, dir), "text"),
-          maxPieceLen = 6, maxVocab = 2048, minCount = 5L)
-        .orderBy("piece_id")),
-
-    // WordPiece greedy longest-match encoding (BERT inference): native
-    // codegen'd expression, vocabulary as a plan-time HashSet reference
-    // object, whole-word [UNK] fallback — zero shuffle. Pinned oracle;
-    // driver-side greedy recomputation asserted in WordPieceSpec.
-    "wordpiece_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val vocab = graft.ops.WordPiece.buildVocab(Bpe.wordCounts(docs, "text"),
-          maxPieceLen = 6, maxVocab = 2048, minCount = 5L)
-        .orderBy("piece_id").collect().map(_.getString(0)).toSeq
-      docs.select(col("doc_id"),
-          graft.functions.WordPieceFunctions.wordpiece_encode(
-            col("text"), vocab, maxPieceLen = 6).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_wp_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 8)).as("pieces_head"))
-        .orderBy("doc_id")
-    }),
-
-    // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
-    // substring frequencies → 2 count-EM rounds (Viterbi E-step over the
-    // DISTINCT-WORD table with the model broadcast, count-normalize
-    // M-step) → count-ranked prune with single-char retention. Iterative
-    // → pinned VALUES oracle; hand-computed EM + determinism asserted in
-    // UnigramSpec. Completes the subword trio (BPE / WordPiece / Unigram)
-    "unigram_train" -> ((s, dir) =>
-      graft.ops.Unigram.train(
-          Bpe.wordCounts(Tables.documents(s, dir), "text"),
-          maxPieceLen = 6, maxVocab = 512, emRounds = 2,
-          seedSize = 4096, minCount = 2L)
-        .orderBy("piece_id")),
-
-    // Unigram Viterbi encoding (SentencePiece inference): native
-    // codegen'd expression, model as a plan-time HashMap reference
-    // object, longer-final-piece tie rule, whole-word [UNK] fallback —
-    // zero shuffle. Pinned oracle; driver-side Viterbi recomputation
-    // asserted in UnigramSpec.
-    "unigram_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = graft.ops.Unigram.train(Bpe.wordCounts(docs, "text"),
-          maxPieceLen = 6, maxVocab = 512, emRounds = 2,
-          seedSize = 4096, minCount = 2L)
-        .orderBy("piece_id").collect()
-        .map(r => r.getString(0) -> r.getDouble(2)).toSeq
-      docs.select(col("doc_id"),
-          graft.functions.UnigramFunctions.unigram_encode(
-            col("text"), model, maxPieceLen = 6).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_ug_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 8)).as("pieces_head"))
-        .orderBy("doc_id")
-    }),
-
-    // Weighted source interleave: the training-order materialization of a
-    // mixture — per-source md5 shuffle, then stride-scheduled merge
-    // ((rank-0.5)/weight sort key) so a 3.0-weight source appears 3× as
-    // often at every stream prefix. BOTH the in-source rank and the
-    // global positions ride the bucketed two-level prefix sum — no
-    // single-partition sort, not even for one giant source.
-    "mix_interleave" -> ((s, dir) =>
-      graft.ops.Sampling.interleaveSources(
-          Tables.documents(s, dir).select("doc_id", "source"),
-          "source", "doc_id", Map("src0" -> 3.0, "src1" -> 0.5))
-        .orderBy("pos")),
-
-    // Deterministic contrastive negative sampling over the labeled
-    // embedding corpus: k=4 off-label negatives per anchor from a
-    // hash-bucketed candidate slice (never the full corpus), ranked by
-    // md5(seed:anchor:cand) — reproducible and engine-recomputable.
-    "negative_sample" -> ((s, dir) =>
-      graft.ops.Sampling.negativeSample(
-          Tables.embeddings(s, dir).select("vec_id", "label"),
-          "vec_id", "label", k = 4, numBuckets = 16)
-        .orderBy("anchor_id", "neg_rank")),
-
-    // Image near-duplicate mining via perceptual hashing: smooth synthetic
-    // PNGs (+ nearest-neighbor-resized clones — the transform aHash is
-    // designed to survive), decoded for REAL through ImageIO, 8×8
-    // luminance grid → 64-bit average-hash, banded hamming pairs. The
-    // pipeline is decode → shuffle-free fingerprint expression → the same
-    // bucket-bounded pair mining as SimHash. Pinned oracle (JVM-side
-    // decode); clone recovery asserted first-principles in MultimodalSpec.
-    "multimodal_phash_dedup" -> ((s, dir) => {
-      val ids = Tables.documents(s, dir).select("doc_id")
-        .filter(col("doc_id") % 2 === 0)
-      val imgs = Multimodal.synthesizeWaveImages(ids, "doc_id")
-      val clones = Multimodal.resizeImages(
-          imgs.filter(col("doc_id") < 40), "payload", "format", 28, 28)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      val all = imgs.unionByName(clones.select(imgs.columns.map(col): _*))
-      val feats = Multimodal.decodeFeatures(all, "payload", dim = 64,
-        decoder = Multimodal.ImageIODecoder(8))
-      Dedup.fingerprintPairs(
-          Multimodal.averageHash(feats, "features", "phash"),
-          "doc_id", "phash", maxHamming = 6)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
-    "m1_introspect" -> ((s, dir) =>
-      graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
-        .orderBy("ordinal_position")),
-
-    // M4/M5 as a driver-checked query: CREATE TABLE synthesis for the
-    // orders fixture in all four dialects — one row per dialect through
-    // the full type lattice (schema-sized driver compute, like M1;
-    // pinned oracle: the DDL strings are deterministic but the synthesis
-    // is JVM-side). Round-trip parse is asserted in DdlSpec.
-    "m4_ddl" -> ((s, dir) => {
-      import s.implicits._
-      import graft.schema.{Ddl, SqlDialect}
-      val schema = Tables.orders(s, dir).schema
-      Seq(SqlDialect.BigQuery, SqlDialect.MySql, SqlDialect.Postgres,
-          SqlDialect.SqlServer)
-        .map(d => (d.name, Ddl.schemaToDdl(schema, "orders_tgt", d)))
-        .toDF("dialect", "ddl")
-        .orderBy("dialect")
-    }),
-
-    // ---- Window-function analytics (beyond-parity §2.5 surface) ----
-    // Sessionization: 30-min-gap sessions per user over the events stream.
-    "events_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag("ts", 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
-            .otherwise(0))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"), sum("new_sess").as("n_sessions"))
-        .orderBy("user_id")
-    }),
-
-    // Per-group top-k: top-3 parts by revenue within each brand.
-    "topk_per_group" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val l = Tables.lineitem(s, dir)
-      val p = Tables.part(s, dir)
-      val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .groupBy("p_brand", "p_partkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
-      val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
-      rev.withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= 3)
-        .orderBy("p_brand", "rank")
-    }),
-
-    // Pivot: status values become columns (explicit value list keeps the
-    // schema static and the plan single-pass).
-    "q_pivot" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(round(sum("l_quantity"), 4))
-        .withColumnRenamed("F", "qty_f")
-        .withColumnRenamed("O", "qty_o")
-        .orderBy("l_returnflag")),
-
-    // Running (cumulative) aggregate over an ordered window.
-    "q_running_total" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val monthly = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("month"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
-      val w = Window.partitionBy("l_returnflag").orderBy("month")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      monthly.withColumn("cum_rev", round(sum("rev").over(w), 4))
-        .select("l_returnflag", "month", "rev", "cum_rev")
-        .orderBy("l_returnflag", "month")
-    }),
-
-    // Rollup aggregation (multi-level grouping sets).
-    "q_rollup" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
-
-    // full CUBE (all grouping-set combinations, incl. the per-linestatus
-    // marginals ROLLUP omits)
-    "q_cube" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .cube("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
-
-    // window-frame moving aggregate: 7-row trailing mean per returnflag
-    // over the date-ordered daily quantity series
-    "q_moving_avg" -> ((s, dir) => {
-      val daily = Tables.lineitem(s, dir)
-        .groupBy("l_returnflag", "l_shipdate")
-        .agg(sum("l_quantity").as("day_qty"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag").orderBy("l_shipdate")
-        .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
-      daily
-        .withColumn("ma7", round(avg("day_qty").over(w), 4))
-        .withColumn("day_qty", round(col("day_qty"), 4))
-        .orderBy("l_returnflag", "l_shipdate")
-    }),
-
-    // ---- North star: dedup ----
-    "dedup_exact" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dups = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      Dedup.exact(docs.unionByName(dups), keys = Seq("text"), keepBy = "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dups = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      Dedup.minhashLsh(docs.unionByName(dups), "doc_id", "text",
-        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // pairs → deduplicated corpus (greedy keep-lowest-id over LSH pairs)
-    "dedup_near_corpus" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dups = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      val aug = docs.unionByName(dups)
-      val pairs = Dedup.minhashLsh(aug, "doc_id", "text",
-        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
-      Dedup.removeNearDuplicates(aug, pairs, "doc_id").orderBy("doc_id")
-    }),
-
-    // exact brute-force near-dup (the verification baseline for MinHash).
-    // O(n²) by nature — bounded to a 500-doc slice; the scalable path is
-    // dedup_minhash_lsh (SURVEY.md §7.5).
-    "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
-        shingleK = 3, threshold = 0.5)
-        .orderBy("id_a", "id_b")),
-
-    // EXACT similarity join at scale: the complete Jaccard pair set —
-    // provably identical to the brute-force anchor above (asserted in
-    // SimJoinSpec at three thresholds) — through a prefix-filtered plan
-    // with NO cross join (SSJoin/PPJoin prefix-filtering principle:
-    // rarity-ordered shingle prefixes of length n−⌈t·n⌉+1 must collide
-    // for any pair with J ≥ t). Declared over the FULL corpus, no slice
-    // bound: candidate posting lists hold only each doc's rarest
-    // shingles, so the plan stays linear-shuffle at 100 TB where the
-    // anchor's cross join is slice-bounded by necessity.
-    "simjoin_prefix_exact" -> ((s, dir) =>
-      graft.ops.SimJoin.prefixJaccard(
-          Tables.documents(s, dir), "doc_id", "text",
-          shingleK = 3, threshold = 0.5)
-        .orderBy("id_a", "id_b")),
-
-    // incremental EXACT similarity join: the daily-crawl shape — every
-    // batch↔corpus pair with J ≥ 0.5, complete (unlike dedup_incremental's
-    // LSH recall), under the CORPUS-frozen rarity order (unseen batch
-    // shingles take df 0 without invalidating prebuilt corpus prefixes —
-    // the proof and the O(|batch|) increment argument in
-    // SimJoin.incrementalPairs' doc); the corpus is never self-paired
-    "simjoin_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.SimJoin.incrementalPairs(
-          docs.filter(col("doc_id") % 5 =!= 0),
-          docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", shingleK = 3, threshold = 0.5)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // transitive duplicate clusters: iterative min-label propagation over
-    // the exact-Jaccard pair graph (oracle: recursive CTE reachability)
-    "dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
-        shingleK = 3, threshold = 0.5)
-      Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("comp"))
-        .orderBy("doc_id")
-    }),
-
-    // quality-canonical near-dedup (RefinedWeb/FineWeb practice): the
-    // best-quality member of each duplicate cluster survives, not the
-    // min-id one; qualityScore rounds to 4 dp internally, so winner
-    // selection is cross-engine-deterministic as-is
-    "dedup_canonical" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleK = 3, threshold = 0.5)
-      Dedup.canonicalByQuality(docs, pairs, "doc_id",
-          TextAnalysis.qualityScore(col("text")))
-        .withColumnRenamed("score", "quality")
-        .orderBy("doc_id")
-    }),
-
-    // Corpus curation report: per-source doc/token counts, mean quality,
-    // exact length percentiles (Spark `percentile` is the exact
-    // interpolated aggregate — percentile_approx would not oracle-match).
-    // One partial-aggregating shuffle keyed by source.
-    "corpus_stats" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
-        .withColumn("__toks", TextAnalysis.tokenCount(col("text")).cast("long"))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("__toks").as("n_tokens"),
-          round(avg("__q"), 4).as("avg_quality"),
-          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
-          round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
-        .orderBy("source")),
-
-    // Corpus-health Zipf fit: OLS on (ln rank, ln freq) over the top-1000
-    // terms — natural text sits near slope −1 (Zipf 1949); drift flags
-    // template spam / broken extraction corpus-wide in one row. Top-N via
-    // TakeOrdered (never a full vocabulary sort), regression on the
-    // bounded N-row frame; regr_* aggregates exist in both engines →
-    // full SQL oracle.
-    "corpus_zipf_fit" -> ((s, dir) =>
-      TextAnalysis.zipfFit(Tables.documents(s, dir), "text", topN = 1000)
-        .select(col("n_terms"),
-          round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"),
-          round(col("r2"), 6).as("r2"))),
-
-    // Quality gate at a corpus-derived threshold (drop the bottom decile):
-    // the cutoff is a 1-row aggregate broadcast against the scan — no
-    // window over the whole corpus, no driver round-trip in the plan
-    "quality_gate" -> ((s, dir) => {
-      val q = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-      val thr = q.agg(expr("percentile(quality, 0.1)").as("__thr"))
-      q.crossJoin(broadcast(thr))
-        .filter(col("quality") >= col("__thr"))
-        .select(col("doc_id"), col("quality"))
-        .orderBy("doc_id")
-    }),
-
-    // C4/Dolma-style sub-document exact dedup: repeated 10-token spans cut
-    // corpus-wide (first occurrence survives), documents reassembled —
-    // content-level boilerplate removal, not row dedup
-    "dedup_spans" -> ((s, dir) =>
-      Dedup.dedupSpans(Tables.documents(s, dir), "doc_id", "text", spanTokens = 10)
-        .orderBy("doc_id")),
-
-    // pinned VALUES oracle (simhash needs Spark-side xxhash64; bit-exact
-    // HOF cross-check in DedupSpec)
-    "dedup_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dups = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      Dedup.simhashPairs(docs.unionByName(dups), "doc_id", "text", maxHamming = 3)
-        .withColumn("hamming", col("hamming").cast("bigint"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // embedding-space near-dup: banded-LSH candidates (8 bands × 4 planes —
-    // ≥99.9% recall at cosine 0.95, vs near-zero for a full-signature
-    // match), exact cosine verify
-    "dedup_embedding_cosine" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val dups = emb.filter(col("vec_id") < 20)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
-      Dedup.embeddingCosinePairs(emb.unionByName(dups), "vec_id", "embedding",
-        threshold = 0.95, lshPlanes = 4, lshBands = 8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // exact-substring duplicate pairs (Lee et al. 2021): docs sharing a
-    // verbatim 6-token run; inverted gram index, map-side pair generation,
-    // boilerplate grams (df > 100) dropped — the cap is mirrored in the
-    // oracle SQL
-    "dedup_substring" -> ((s, dir) =>
-      Dedup.substringPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 6, maxDf = 100, minShared = 1L)
-        .orderBy("id_a", "id_b")),
-
-    // containment dedup: short docs embedded verbatim in longer ones
-    // (Jaccard-invisible). Injected prefix-truncations of docs < 20 score
-    // containment 1.0 against their originals
-    "dedup_containment" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val trunc = docs.filter(col("doc_id") < 20)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-        .withColumn("text", substring_index(col("text"), " ", 15))
-      Dedup.containmentPairs(docs.unionByName(trunc), "doc_id", "text",
-          n = 6, maxDf = 100, minContainment = 0.8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // the deduplicated corpus under the substring criterion: remove the
-    // greater member of every pair (greedy, matches removeNearDuplicates)
-    "dedup_substring_corpus" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.substringPairs(docs, "doc_id", "text",
-        n = 6, maxDf = 100, minShared = 1L)
-      Dedup.removeNearDuplicates(docs, pairs, "doc_id").orderBy("doc_id")
-    }),
-
-    // boilerplate audit: word 3-grams ranked by document frequency — how a
-    // pipeline finds the runs the substring maxDf cap drops
-    "corpus_boilerplate" -> ((s, dir) =>
-      Dedup.boilerplateGrams(Tables.documents(s, dir), "text",
-        n = 3, minDf = 2L, topN = 20)),
-
-    // SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
-    // the pairwise term; at threshold 0.95 only the injected exact
-    // duplicates qualify and exact duplicates always co-cluster, so the
-    // output equals the brute-force pair set (oracle-checkable; the
-    // approximate regime at lower thresholds is recall-asserted in
-    // DedupSpec)
-    "dedup_semantic" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val dups = emb.filter(col("vec_id") < 20)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
-      Dedup.semanticPairs(emb.unionByName(dups), "vec_id", "embedding",
-          threshold = 0.95, nlist = 16)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // benchmark decontamination (Gopher-style 8-gram overlap): bench set =
-    // every 25th doc; a corpus doc sharing >=1 distinct word 8-gram with the
-    // bench set is contaminated. Bench grams broadcast; corpus streams
-    // map-side through explode -> broadcast-join.
-    "decontam_hits" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.Decontaminate.contaminationHits(
-          docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
-        .orderBy("doc_id")
-    }),
-
-    // gram-level contamination forensics: WHICH bench grams each
-    // contaminated doc shares (one row per distinct shared gram)
-    "decontam_grams" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.Decontaminate.contaminationGrams(
-          docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
-        .orderBy("doc_id", "gram")
-    }),
-
-    // the decontaminated corpus: anti-join on the contaminated-id set
-    "decontam_corpus" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.Decontaminate.decontaminate(
-          docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
-        .orderBy("doc_id")
-    }),
-
-    // Bloom-prefiltered decontamination — same exactness contract as
-    // decontam_corpus (prefilter + exact confirm ≡ exact), different
-    // bench set (every 20th doc) and gram width (5) so the two queries
-    // exercise distinct paths; the oracle is the exact recomputation
-    "decontam_bloom" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.Decontaminate.bloomDecontaminate(
-          docs, docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 5)
-        .orderBy("doc_id")
-    }),
-
-    // embedding-space decontamination: corpus vectors whose nearest
-    // BENCHMARK embedding (suite = every 25th vector re-id'd — exact
-    // leaked copies by construction) has cosine >= 0.95, with the argmax
-    // bench id as evidence — catches the paraphrase-style leakage exact
-    // 8-gram checks miss; suite-sized bench broadcast, corpus scanned
-    // once map-side, one id-width argmax shuffle
-    "decontam_semantic" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val bench = emb.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + lit(1000000L)).as("bench_id"), col("embedding"))
-      graft.ops.Decontaminate.semanticContamination(
-          emb, "vec_id", "embedding", bench, "bench_id", "embedding",
-          threshold = 0.95)
-        .orderBy("vec_id")
-    }),
-
-    // closed-form multinomial Naive Bayes language classifier, trained on
-    // the 80% doc_id-hash slice (label = lang): the trained state IS the
-    // (label, token) count relation — vocabulary-bounded, broadcastable;
-    // reported rows pruned to n >= 3 (the conditional stays exact)
-    "classify_nb_model" -> ((s, dir) => {
-      val train = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
-      graft.ops.NaiveBayes.model(train, "lang", "text")
-        .filter(col("n") >= 3)
-        .select(col("label"), col("token"), col("n"),
-          round(col("log_cond"), 4).as("log_cond"))
-        .orderBy("label", "token")
-    }),
-
-    // NB inference over the held-out 20%: argmax label per doc, scored
-    // from broadcast model count rows (no label×vocab dense grid); one
-    // (doc, label) hash aggregate + a |labels|-wide frame per doc
-    "classify_nb_predict" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.NaiveBayes.predict(
-          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
-        .orderBy("doc_id")
-    }),
-
-    // per-source quality-score percentile calibration: percent_rank of
-    // the 4-dp quality score WITHIN each source, so one uniform
-    // `pct >= cut` keeps the same top fraction of every source
-    // (heterogeneous-corpus quantile thresholding); rank decomposed onto
-    // the bucketed prefix sum + tie-group min — no whole-source window
-    "quality_percentile_by_source" -> ((s, dir) =>
-      TextAnalysis.qualityPercentileBySource(
-          Tables.documents(s, dir), "doc_id", "text", "source")
-        .orderBy("doc_id")),
-
-    // DSIR importance weights (Xie et al. 2023): hashed-bigram log-ratio
-    // of target (lang=en) vs raw corpus distributions — B-bounded model
-    // broadcast into one scoring scan; md5 buckets keep the oracle a full
-    // SQL recomputation
-    "quality_dsir" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.Dsir.importanceWeights(
-          docs, docs.filter(col("lang") === "en"), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // the curation operators composed END TO END as one lazy plan — the
-    // LLM-data analogue of e2e_method2_template: clone-injected corpus →
-    // quality rule cascade → 8-gram benchmark decontamination → exact
-    // dedup (deterministic winner). One declared query proves the stages
-    // compose without materialization barriers; each stage is also
-    // declared (and oracled) on its own.
-    "e2e_curation_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val corpus = docs.unionByName(
-        docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val kept = TextAnalysis.qualityFilter(corpus, "text",
-          minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
-        .filter(col("reject_reason") === "kept").drop("reject_reason")
-      val clean = graft.ops.Decontaminate.decontaminate(
-        kept, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
-      Dedup.exact(clean, keys = Seq("text"), keepBy = "doc_id")
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // Single-pass stage observability over the same curation pipeline:
-    // every stage's surviving-row count via the Observation API on ONE
-    // materializing action — vs the reference's one count() per task
-    // (O(stages × scan) at 100 TB). Oracle: plain SQL recomputation of
-    // each stage's cardinality.
-    "e2e_observed_metrics" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val corpus = docs.unionByName(
-        docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
-        "1_quality" -> ((df: DataFrame) =>
-          TextAnalysis.qualityFilter(df, "text",
-              minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
-            .filter(col("reject_reason") === "kept").drop("reject_reason")),
-        "2_decontam" -> ((df: DataFrame) =>
-          graft.ops.Decontaminate.decontaminate(
-            df, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)),
-        "3_dedup" -> ((df: DataFrame) =>
-          Dedup.exact(df, keys = Seq("text"), keepBy = "doc_id")))
-      val (metrics, _) = graft.etl.Pipeline.observedStages(stages, corpus)(
-        _.write.format("noop").mode("overwrite").save())
-      metrics.toDF("stage", "n_rows").orderBy("stage")
-    }),
-
-    // M5 as a driver-checked query: the FULL cross-dialect type lattice —
-    // one row per (spark_type, dialect, nvarchar-variant) through
-    // TypeMap.toDialect, including the reference's VARCHAR(255) unknown-
-    // type fallback (notebook cell 5). Pinned oracle (JVM-side mapping);
-    // snapshot parity with DdlSpec.
-    "m5_type_lattice" -> ((s, dir) => {
-      import s.implicits._
-      import graft.schema.{SqlDialect, TypeMap}
-      import org.apache.spark.sql.types._
-      val cases: Seq[(String, DataType, Boolean)] = Seq(
-        ("string", StringType, false), ("string_nvarchar", StringType, true),
-        ("int", IntegerType, false), ("bigint", LongType, false),
-        ("float", FloatType, false), ("double", DoubleType, false),
-        ("decimal_38_9", DecimalType(38, 9), false),
-        ("decimal_20_10", DecimalType(20, 10), false),
-        ("boolean", BooleanType, false), ("timestamp", TimestampType, false),
-        ("date", DateType, false), ("binary", BinaryType, false),
-        ("fallback_array", ArrayType(IntegerType), false))
-      val rows = for {
-        (label, dt, nv) <- cases
-        d <- SqlDialect.all
-      } yield (label, d.name, TypeMap.toDialect(dt, d, nvarchar = nv))
-      rows.toDF("spark_type", "dialect", "sql_type")
-        .orderBy("spark_type", "dialect")
-    }),
-
-    // typed Aggregator: per-label embedding centroid (first 4 dims shown)
-    "embedding_centroids" -> ((s, dir) => {
-      import s.implicits._
-      val ds = Tables.embeddings(s, dir)
-        .select(col("label"), col("embedding")).as[(Int, Array[Float])]
-      graft.ops.Vectors.centroids(ds, 64).toDF("label", "centroid")
-        .select(col("label"),
-          // + 0.0 collapses IEEE -0.0 (see embedding_dim_stats)
-          (round(element_at(col("centroid"), 1), 4) + lit(0.0)).as("c1"),
-          (round(element_at(col("centroid"), 2), 4) + lit(0.0)).as("c2"),
-          (round(element_at(col("centroid"), 3), 4) + lit(0.0)).as("c3"),
-          (round(element_at(col("centroid"), 4), 4) + lit(0.0)).as("c4"))
-        .orderBy("label")
-    }),
-
-    // deterministic global training-order shuffle: dense 0-based pos =
-    // rank under md5(seed:id) — the shuffle-before-sharding step of an
-    // epoch pipeline; positions via the two-level range-bucketed prefix
-    // sum, so NO global single-partition sort (md5, not xxhash64, so the
-    // permutation recomputes in DuckDB — full oracle, not pinned)
-    "shuffle_order" -> ((s, dir) =>
-      graft.ops.Sampling.shuffleOrder(
-          Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "epoch0")
-        .orderBy("pos")),
-
-    // Curriculum training order (Bengio et al. 2009): unigram-NLL
-    // difficulty → 4 percentile tiers (easy first) → deterministic
-    // in-tier md5 shuffle → global position via the bucketed prefix sum.
-    // One broadcast percentile aggregate + map-side tier assignment; the
-    // whole order is plain SQL, so the oracle replays it end to end
-    "curriculum_order" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val nll = TextAnalysis.nllScore(docs, "doc_id", "text",
-        TextAnalysis.unigramModel(docs, "text"))
-      graft.ops.Sampling.curriculumOrder(nll, "doc_id", col("nll"), tiers = 4)
-        .orderBy("pos")
-    }),
-
-    // deterministic hash split — pinned VALUES oracle (Spark-side
-    // xxhash64; driver-side recomputation in SamplingSpec)
-    "train_test_split" -> ((s, dir) =>
-      graft.ops.Sampling.trainTestSplit(Tables.documents(s, dir), 0.2, col("doc_id"))
-        .groupBy("split").agg(count(lit(1)).as("n"))
-        .orderBy("split")),
-
-    // GROUP-integrity split: all of a user's events land in one split
-    // (no train/eval leakage across an entity); the query carries its own
-    // leak audit — `leaked_groups` counts users seen in BOTH splits and
-    // must be 0 by construction. md5-keyed → full SQL oracle
-    "grouped_split" -> ((s, dir) => {
-      val sp = graft.ops.Sampling.groupedSplit(
-        Tables.events(s, dir), testFraction = 0.25, col("user_id"), seed = "split0")
-      val leak = sp.groupBy("user_id")
-        .agg(count_distinct(col("split")).as("__k"))
-        .agg(sum(when(col("__k") > 1, 1L).otherwise(0L)).as("leaked_groups"))
-      sp.groupBy("split")
-        .agg(count(lit(1)).as("n_rows"),
-          count_distinct(col("user_id")).as("n_groups"))
-        .crossJoin(broadcast(leak))
-        .orderBy("split")
-    }),
-
-    // EXACT stratified split: exactly round(0.25·n_s) docs per source go
-    // to test (the hash-threshold forms are only ~proportional) — rank by
-    // md5(seed:id) within source via the bucketed prefix sum, counts
-    // broadcast. Full DuckDB oracle replays the assignment row for row
-    "exact_stratified_split" -> ((s, dir) =>
-      graft.ops.Sampling.exactStratifiedSplit(
-          Tables.documents(s, dir).select("doc_id", "source"),
-          "doc_id", col("source"), testFraction = 0.25)
-        .orderBy("doc_id")),
-
-    // deterministic per-stratum sampling (hash salted by the stratum) —
-    // pinned VALUES oracle; driver-side recomputation in SamplingSpec
-    "stratified_sample" -> ((s, dir) =>
-      graft.ops.Sampling.stratifiedSample(
-          Tables.documents(s, dir), col("lang"), 0.1, col("doc_id"))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // Per-stratum Efraimidis–Spirakis weighted sample: the k=5 smallest
-    // ES keys WITHIN EACH source — in-stratum rank via the bucketed
-    // prefix sum (no per-source single-task window). Pinned (xxhash ES
-    // keys); driver-side ES recomputation in SamplingSpec
-    "weighted_sample_per_stratum" -> ((s, dir) =>
-      graft.ops.Sampling.weightedSamplePerStratum(
-          Tables.documents(s, dir), col("source"), k = 5,
-          col("n_chars"), col("doc_id"))
-        .select(col("doc_id"), col("source"),
-          col("n_chars").cast("bigint").as("n_chars"),
-          round(col("sample_key"), 6).as("sample_key"))
-        .orderBy("doc_id")),
-
-    // Efraimidis–Spirakis weighted sample (k=50 by char length): map-side
-    // ES keys + global top-k heaps — no corpus sort, no shuffle
-    "weighted_sample" -> ((s, dir) =>
-      graft.ops.Sampling.weightedSample(
-          Tables.documents(s, dir), 50, col("n_chars"), col("doc_id"))
-        .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
-          round(col("sample_key"), 6).as("sample_key"))
-        .orderBy("doc_id")),
-
-    // per-source token-budget cap: greedy doc_id-ordered prefix per source
-    // under an 800-token budget (SQL-recomputable order; the hash-ordered
-    // unbiased form is the operator's documented default)
-    "source_token_budget" -> ((s, dir) =>
-      graft.ops.Sampling.tokenBudget(
-          Tables.documents(s, dir)
-            .select(col("doc_id"), col("source"),
-              TextAnalysis.tokenCount(col("text")).cast("bigint").as("tokens")),
-          col("source"), col("tokens"), budget = 800, col("doc_id"))
-        .orderBy("doc_id")),
-
-    // ---- North star: text analysis ----
-    "text_stats" -> ((s, dir) =>
-      TextAnalysis.textStats(Tables.documents(s, dir), "text")
-        .select("doc_id", "n_tokens", "n_uniq_tokens", "n_chars_obs",
-          "uniq_ratio", "mean_token_len")
-        .orderBy("doc_id")),
-
-    // generator/UDTF class: explode tokens to rows, global word frequencies
-    "q_explode_wordcount" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("word").asc)
-        .limit(20)),
-
-    // schema'd JSON parsing (from_json → typed struct field)
-    "events_from_json" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("j", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
-        .groupBy("event_type")
-        .agg(round(avg(col("j.k")), 4).as("avg_k"),
-          max(col("j.k")).as("max_k"))
-        .orderBy("event_type")),
-
-    // token counting: whitespace + BPE-ish sub-tokens
-    "text_tokens" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
-          TextAnalysis.subTokenCount(col("text")).cast("bigint").as("n_subtokens"))
-        .orderBy("doc_id")),
-
-    // within-doc 3-gram repetition (Gopher-style quality signal)
-    "text_repetition" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
-        .orderBy("doc_id")),
-
-    "text_quality" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
-
-    // char-distribution Shannon entropy: native per-row expression inside
-    // whole-stage codegen — ZERO explode/shuffle (the oracle's formulation
-    // shuffles one row per CHARACTER; at 100 TB that intermediate is the
-    // corpus itself)
-    "text_entropy" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"),
-          round(graft.functions.TextFunctions.char_entropy(col("text")), 4)
-            .as("char_entropy"))
-        .orderBy("doc_id")),
-
-    // C4/Gopher-style rule cascade with per-rule rejection accounting:
-    // first failed rule wins (length floor → repetition ceiling → quality
-    // floor); thresholds tuned so every branch fires on the fixture
-    "quality_filter" -> ((s, dir) =>
-      TextAnalysis.qualityFilter(Tables.documents(s, dir), "text",
-        minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
-        .groupBy("reject_reason").agg(count(lit(1)).as("n"))
-        .orderBy("reject_reason")),
-
-    // Gopher rule panel (Rae et al. 2021 §A1.1, public filter rules):
-    // per-rule violation counts over the corpus — the data-quality
-    // dashboard row. Expression-only panel, one global aggregation.
-    "quality_gopher_rules" -> ((s, dir) =>
-      TextAnalysis.gopherRules(Tables.documents(s, dir), "text",
-          coreStopwords = TextAnalysis.StopwordsEn)
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("viol_word_count").cast("long")).as("n_word_count"),
-          sum(col("viol_mean_wordlen").cast("long")).as("n_mean_wordlen"),
-          sum(col("viol_symbol_ratio").cast("long")).as("n_symbol_ratio"),
-          sum(col("viol_alpha_ratio").cast("long")).as("n_alpha_ratio"),
-          sum(col("viol_stopwords").cast("long")).as("n_stopwords"),
-          sum((!col("viol_word_count") && !col("viol_mean_wordlen") &&
-            !col("viol_symbol_ratio") && !col("viol_alpha_ratio") &&
-            !col("viol_stopwords")).cast("long")).as("n_clean"))),
-
-    // Z-order (Morton) layout exhibit: interleave two dimension columns
-    // and aggregate per z-range bucket — every bucket's min–max box is
-    // tight in BOTH dimensions, which is exactly why range-partitioning
-    // by z (Scale.writeZOrdered) lets parquet row-group stats prune scans
-    // filtered on either column
-    // small-files compaction round-trip: write a fragmented copy (the
-    // streaming-sink shape), compact it to content-sized files
-    // (Scale.compact; file-count math spec'd in ScaleSpec), and face the
-    // oracle with the data read back — compaction must be layout-only,
-    // never data-changing
-    "layout_compact" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
-      Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity")
-        .repartition(16).write.mode("overwrite").parquet(tmp + "/frag")
-      graft.etl.Scale.compact(s, tmp + "/frag", tmp + "/out", targetBytes = 8L << 20)
-      s.read.parquet(tmp + "/out")
-        .groupBy().agg(count(lit(1)).as("n_rows"),
-          countDistinct("l_orderkey").as("n_orders"),
-          round(sum("l_quantity"), 4).as("sum_qty"))
-    }),
-
-    "layout_zorder" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
-          pmod(col("l_partkey"), lit(1024)).as("y"))
-        .withColumn("z", graft.etl.Scale.zValue(col("x"), col("y"), bits = 10))
-        .groupBy(expr("z div 16384").as("z_bucket"))
-        .agg(count(lit(1)).as("n"),
-          min("x").as("min_x"), max("x").as("max_x"),
-          min("y").as("min_y"), max("y").as("max_y"))
-        .orderBy("z_bucket")),
-
-    // composed end-to-end curation report: quality cascade, then substring
-    // dedup among the kept docs (losers = greater pair member), rolled up
-    // per source — the one-page summary a curation run actually publishes
-    "curation_report" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val flagged = TextAnalysis.qualityFilter(docs, "text",
-        minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
-      val kept = flagged.filter(col("reject_reason") === "kept")
-      val losers = Dedup.substringPairs(kept, "doc_id", "text",
-          n = 6, maxDf = 100, minShared = 1L)
-        .select(col("id_b").as("doc_id")).distinct()
-        .withColumn("is_dup", lit(1))
-      flagged.join(losers, Seq("doc_id"), "left")
-        .groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("reject_reason") =!= "kept", 1L).otherwise(0L)).as("n_quality_rejected"),
-          sum(when(col("reject_reason") === "kept" && col("is_dup") === 1, 1L).otherwise(0L)).as("n_dup_removed"),
-          sum(when(col("reject_reason") === "kept" && col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"))
-        .orderBy("source")
-    }),
-
-    // per-doc top-5 TF-IDF terms: two partial aggs + term join + bounded
-    // window; N joins in as a broadcast 1-row aggregate (no collect)
-    "text_tfidf" -> ((s, dir) =>
-      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
-        .orderBy("doc_id", "rank")),
-
-    // BM25 keyword retrieval: corpus explodes once, semi-joined against
-    // the broadcast query vocabulary BEFORE its one shuffle; df/N/avgdl
-    // broadcast back; pre-rounded scores rank deterministically
-    "text_bm25_search" -> ((s, dir) => {
-      import s.implicits._
-      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
-        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
-      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
-          qs, "q_id", "term", k = 10)
-        .orderBy("q_id", "rank")
-    }),
-
-    // persisted inverted-index BM25 serving: build + write once
-    // (term-range-partitioned postings → parquet footer-stat pruning
-    // under the query's term pushdown), read → score the SAME query set
-    // as text_bm25_search — identical results from the index alone, the
-    // corpus text never re-read (shares text_bm25_search's oracle)
-    "text_bm25_persisted" -> ((s, dir) => {
-      import s.implicits._
-      val idxDir = IndexFixture.dir("bm25_1", dir) { tmp =>
-        graft.ops.Bm25Index.write(
-          graft.ops.Bm25Index.build(Tables.documents(s, dir), "doc_id", "text"),
-          tmp)
-      }
-      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
-        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
-      graft.ops.Bm25Index.topK(
-          graft.ops.Bm25Index.read(s, idxDir), qs, "q_id", "term", k = 10)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("q_id", "rank")
-    }),
-
-    // BM25 index MAINTENANCE serve: build the inverted index on the
-    // 6/7 base corpus only, fold the held-out 1/7 in through
-    // Bm25Index.append (postings additive, df sums, closed-form
-    // (n, avgdl) recombination — O(|Δ|) work), then serve the SAME query
-    // set — BM25 append is EXACT, so the result matches a full rebuild
-    // and the query shares text_bm25_search's oracle (the incremental
-    // counterpart of knn_index_append, without that family's
-    // frozen-model approximation).
-    "text_bm25_index_append" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val appended = graft.ops.Bm25Index.append(
-        graft.ops.Bm25Index.build(
-          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
-        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
-      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
-        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
-      graft.ops.Bm25Index.topK(appended, qs, "q_id", "term", k = 10)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("q_id", "rank")
-    }),
-
-    // CCNet-style perplexity signal: per-doc mean unigram NLL under a
-    // model trained on the same corpus (the declared, oracle-exact form;
-    // nllScore also takes a frozen reference model + OOV floor)
-    "text_perplexity" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.nllScore(docs, "doc_id", "text",
-          TextAnalysis.unigramModel(docs, "text"))
-        .orderBy("doc_id")
-    }),
-
-    // interpolated-bigram NLL (one step toward the CCNet n-gram reference
-    // filter): bigram MLE with unigram backoff, λ=0.7, self-trained —
-    // three model joins over map-side exploded pairs, one per-doc agg
-    "text_perplexity_bigram" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.bigramNllScore(docs, "doc_id", "text",
-          TextAnalysis.bigramModel(docs, "text"),
-          TextAnalysis.unigramModel(docs, "text"))
-        .orderBy("doc_id")
-    }),
-
-    // window-function rank family over the monthly revenue series:
-    // percent_rank / cume_dist / ntile(4) — standard-SQL semantics both
-    // engines implement identically
-    "q_window_rank_family" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val monthly = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("month"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
-      val w = Window.partitionBy("l_returnflag").orderBy("month")
-      monthly.select(
-          col("l_returnflag"), col("month"), col("rev"),
-          (round(percent_rank().over(w), 4) + lit(0.0)).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"),
-          ntile(4).over(w).cast("bigint").as("quartile"))
-        .orderBy("l_returnflag", "month")
-    }),
-
-    // per-dimension z-scoring of the embedding column (the whitening
-    // pre-pass): dim stats reduce to ONE broadcast row of (mu[], sd[])
-    // arrays — no collect, no per-row join — and standardization is a
-    // map-side indexed transform over each vector
-    // PCA projection: one moment-aggregation pass (d·(d+3)/2-double
-    // buffer, map-side combined), driver Jacobi eigensolve of the 64×64
-    // covariance, then k native codegen'd dot products per row — the
-    // corpus never shuffles. Deterministic via sign-fixed eigenvectors;
-    // pinned VALUES oracle (eigensolve is Spark/JVM-side; brute-force
-    // eigenpair residual + projection parity asserted in PcaSpec)
-    "embedding_pca" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val m = Pca.fit(emb, "embedding", dim = 64, k = 4)
-      Pca.project(emb, "embedding", m)
-        .select(col("vec_id") +:
-          (1 to 4).map(i => round(col(s"pc$i"), 4).as(s"pc$i")): _*)
-        .orderBy("vec_id")
-    }),
-
-    "embedding_standardize" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val stats = emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(
-          avg(col("x").cast("double")).as("mu"),
-          stddev_samp(col("x").cast("double")).as("sd"))
-      val statsRow = stats.agg(
-        transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
-          s => s.getField("mu")).as("mus"),
-        transform(array_sort(collect_list(struct(col("dim"), col("sd")))),
-          s => s.getField("sd")).as("sds"))
-      emb.crossJoin(broadcast(statsRow))
-        .withColumn("z", transform(col("embedding"), (x, i) =>
-          (x.cast("double") - element_at(col("mus"), i + 1)) /
-            element_at(col("sds"), i + 1)))
-        .select(
-          col("vec_id"),
-          (round(aggregate(col("z"), lit(0.0d), (a, x) => a + x), 4) + lit(0.0)).as("z_sum"),
-          (round(element_at(col("z"), 1), 4) + lit(0.0)).as("z1"))
-        .orderBy("vec_id")
-    }),
-
-    // sketch-based corpus profile: HyperLogLog++ distinct-text estimate +
-    // approximate percentiles per source — the O(1)-state forms of the
-    // exact corpus_stats aggregates. Approximate by design → rows-only
-    // (error vs exact asserted in TextAnalysisSpec)
-    "corpus_sketch_profile" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy("source")
-        .agg(
-          approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
-          percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000)).as("__pq"))
-        .select(col("source"), col("approx_distinct_texts"),
-          element_at(col("__pq"), 1).as("p50_chars"),
-          element_at(col("__pq"), 2).as("p95_chars"))
-        .orderBy("source")),
-
-    // EXACT companion of corpus_sketch_profile with a full DuckDB oracle:
-    // exact distinct texts and exact interpolated percentiles per source.
-    // The sketch is the 100 TB path (mergeable, KB-sized state); this
-    // exact form shuffles the text column for the distinct — declared as
-    // the audit anchor the sketch's error is measured against (the
-    // knn_recall_audit pattern)
-    "corpus_profile_exact" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          count_distinct(col("text")).as("n_distinct_texts"),
-          round(element_at(percentile(col("n_chars"), array(lit(0.5), lit(0.95))), 1), 4)
-            .as("p50_chars"),
-          round(element_at(percentile(col("n_chars"), array(lit(0.5), lit(0.95))), 2), 4)
-            .as("p95_chars"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
-        .orderBy("source")),
-
-    // Exact audience overlap: distinct customers shared by every pair of
-    // order priorities — the set-intersection analytics KMV sketches
-    // approximate at scale. One distinct + one equi-join on the value,
-    // counts broadcast. Full DuckDB oracle; the anchor for
-    // audience_overlap_sketch's error record.
-    "audience_overlap_exact" -> ((s, dir) => {
-      val st = Tables.orders(s, dir)
-        .select(col("o_orderpriority").as("grp"), col("o_custkey")).distinct()
-      val a = st.select(col("grp").as("grp_a"), col("o_custkey"))
-      val b = st.select(col("grp").as("grp_b"), col("o_custkey").as("__ck"))
-      val common = a.join(b, col("o_custkey") === col("__ck") && col("grp_a") < col("grp_b"))
-        .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("n_common"))
-      val counts = st.groupBy(col("grp").as("__g")).agg(count(lit(1)).as("__n"))
-      common
-        .join(broadcast(counts), col("grp_a") === col("__g"))
-        .withColumnRenamed("__n", "__na").drop("__g")
-        .join(broadcast(counts), col("grp_b") === col("__g"))
-        .withColumnRenamed("__n", "__nb").drop("__g")
-        .select(col("grp_a"), col("grp_b"), col("n_common"),
-          round(col("n_common").cast("double") /
-            (col("__na") + col("__nb") - col("n_common")), 4).as("jaccard"))
-        .orderBy("grp_a", "grp_b")
-    }),
-
-    // KMV k-minimum-values set-overlap sketch (Bar-Yossef et al. 2002 —
-    // the theta-family estimator HLL can't provide): per-priority
-    // customer sketches are bounded mergeable k-arrays (partial
-    // aggregation: <= k longs per group per partition cross the shuffle),
-    // overlap estimation runs on the group-level sketch table only. The
-    // record carries estimate AND exact side by side (the
-    // corpus_profile_sketch_error pattern); xxhash64 → pinned oracle.
-    "audience_overlap_sketch" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val est = graft.ops.Kmv.overlap(
-        graft.ops.Kmv.sketch(o, col("o_orderpriority"), col("o_custkey"), 512), 512)
-      val st = o.select(col("o_orderpriority").as("g"), col("o_custkey")).distinct()
-      val exact = st.select(col("g").as("__ga"), col("o_custkey"))
-        .join(st.select(col("g").as("__gb"), col("o_custkey").as("__ck")),
-          col("o_custkey") === col("__ck") && col("__ga") < col("__gb"))
-        .groupBy("__ga", "__gb").agg(count(lit(1)).as("n_common_exact"))
-      est.join(exact, col("grp_a") === col("__ga") && col("grp_b") === col("__gb"))
-        .select(col("grp_a"), col("grp_b"), col("jaccard_est"),
-          col("n_common_est"), col("n_common_exact"),
-          round(abs(col("n_common_est") - col("n_common_exact")) /
-            col("n_common_exact"), 4).as("rel_err"))
-        .orderBy("grp_a", "grp_b")
-    }),
-
-    // Full audience-overlap MATRIX from ONE sketch table: per
-    // priority-pair Jaccard, intersection AND difference estimates
-    // (|A∖B|̂ = n̂(A) − |A∩B|̂ — the set algebra HLL can't provide), with
-    // the exact difference counts beside them (the sketch_error
-    // pattern). The sketch table builds once; the matrix is pure array
-    // arithmetic over #groups² sketch rows, raw data untouched.
-    // xxhash64 sketches → pinned VALUES oracle.
-    "audience_overlap_matrix" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val est = graft.ops.Kmv.overlapMatrix(
-        graft.ops.Kmv.sketch(o, col("o_orderpriority"), col("o_custkey"), 512), 512)
-      val st = o.select(col("o_orderpriority").as("g"), col("o_custkey")).distinct()
-      val counts = st.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      val exact = st.select(col("g").as("__ga"), col("o_custkey"))
-        .join(st.select(col("g").as("__gb"), col("o_custkey").as("__ck")),
-          col("o_custkey") === col("__ck") && col("__ga") < col("__gb"))
-        .groupBy("__ga", "__gb").agg(count(lit(1)).as("__nc"))
-        .join(broadcast(counts.select(col("g").as("__ga"), col("n").as("__na"))), Seq("__ga"))
-        .join(broadcast(counts.select(col("g").as("__gb"), col("n").as("__nb"))), Seq("__gb"))
-        .select(col("__ga"), col("__gb"),
-          (col("__na") - col("__nc")).as("n_diff_ab_exact"),
-          (col("__nb") - col("__nc")).as("n_diff_ba_exact"))
-      est.join(exact, col("grp_a") === col("__ga") && col("grp_b") === col("__gb"))
-        .select(col("grp_a"), col("grp_b"), col("jaccard_est"),
-          col("n_common_est"), col("n_diff_ab_est"), col("n_diff_ba_est"),
-          col("n_diff_ab_exact"), col("n_diff_ba_exact"))
-        .orderBy("grp_a", "grp_b")
-    }),
-
-    // Multi-way KMV union: every priority's sketch merges into ONE union
-    // sketch inside a single bounded aggregate (no pairwise
-    // inclusion-exclusion cascade); its cardinality estimate sits beside
-    // the exact all-groups distinct count with the relative error in the
-    // record. xxhash64 → pinned VALUES oracle.
-    "audience_union_sketch" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val sk = graft.ops.Kmv.sketch(o, col("o_orderpriority"), col("o_custkey"), 512)
-        .localCheckpoint() // 5 sketch rows feed two consumers
-      val est = graft.ops.Kmv.unionAll(sk, 512)
-        .select(round(graft.ops.Kmv.estimateDistinct(col("kmv"), 512), 4).as("n_union_est"))
-      val exact = o.agg(count_distinct(col("o_custkey")).as("n_union_exact"))
-      sk.agg(count(lit(1)).as("n_groups")) // 1×1×1 — all sides single rows
-        .crossJoin(est).crossJoin(exact)
-        .select(col("n_groups"), col("n_union_est"), col("n_union_exact"),
-          round(abs(col("n_union_est") - col("n_union_exact")) /
-            col("n_union_exact"), 4).as("rel_err"))
-    }),
-
-    // Sketch-vs-exact error, carried in the driver record itself: HLL++
-    // estimate beside the exact distinct count, relative error per
-    // source. HLL register-max merge is order-insensitive → deterministic
-    // → pinned VALUES oracle. (The percentile sketch's merge is
-    // compression-order-sensitive, so its error stays a spec assertion.)
-    "corpus_profile_sketch_error" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy("source")
-        .agg(
-          count_distinct(col("text")).as("n_distinct_exact"),
-          approx_count_distinct(col("text"), 0.02).as("n_distinct_hll"))
-        .withColumn("rel_err",
-          round(abs(col("n_distinct_hll") - col("n_distinct_exact"))
-            / col("n_distinct_exact"), 4))
-        .orderBy("source")),
-
-    // canonicalization: lowercase, strip non-alphanumerics, collapse spaces
-    "text_normalize" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
-        .orderBy("doc_id")),
-
-    // PII scrubbing: fixture text carries no PII, so deterministic
-    // addresses/numbers are injected per doc id, then redacted — the
-    // oracle recomputes the identical injection + RE2-safe regexes
-    "text_scrub" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.scrubPii(concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com or +1 (555) 010-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-            lit(" now"))).as("scrubbed"))
-        .orderBy("doc_id")),
-
-    // k-anonymity suppression: only rows whose (lang, source) group has
-    // >= 5 members are released — one count window keyed by the quasi
-    // tuple (one shuffle, no second corpus scan)
-    "anonymize_k" -> ((s, dir) =>
-      graft.ops.Anonymize.kAnonymize(
-          Tables.documents(s, dir), Seq("lang", "source"), k = 5)
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")),
-
-    // rare-value generalization: sources with < 8 docs fold into 'other';
-    // released as the per-source histogram (the release-audit view)
-    "anonymize_generalize" -> ((s, dir) =>
-      graft.ops.Anonymize.generalizeRare(
-          Tables.documents(s, dir), "source", k = 8)
-        .groupBy("source").agg(count(lit(1)).as("n"))
-        .orderBy("source")),
-
-    // sequence packing (concat-and-chunk): global token offsets via a
-    // two-level distributed prefix sum (range buckets + tiny offset
-    // window), then fixed 512-token chunk ranges per doc
-    "pack_chunks" -> ((s, dir) =>
-      graft.ops.Packing.packChunks(Tables.documents(s, dir), "doc_id",
-        TextAnalysis.tokenCount(col("text")), chunkTokens = 512, bucketWidth = 100)
-        .orderBy("doc_id")),
-
-    // THE training-data pipeline end to end in ONE lazy plan: quality
-    // gate → REAL BPE token counts (merges trained on the gated corpus,
-    // native codegen'd encode) → per-source token budget (bucketed
-    // prefix sum) → 512-token sequence packing. The composition the
-    // engine exists for — curate, tokenize, budget, pack — with no
-    // materialization between stages. BPE is JVM-iterative → pinned.
-    "e2e_tokenize_pack" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val kept = TextAnalysis.qualityFilter(docs, "text", 20, 0.02, 0.85)
-        .filter(col("reject_reason") === "kept")
-        .select("doc_id", "source", "text")
-      val merges = Bpe.train(Bpe.wordCounts(kept, "text"),
-        numMerges = 30, minCount = 2)
-      val counted = kept.select(col("doc_id"), col("source"),
-        size(graft.functions.BpeFunctions.bpe_encode(col("text"), merges))
-          .cast("bigint").as("n_bpe"))
-      val budgeted = graft.ops.Sampling.tokenBudget(
-        counted, col("source"), col("n_bpe"), 20000L, col("doc_id"))
-      graft.ops.Packing.packChunks(
-          budgeted.drop("cum_tokens"), "doc_id", col("n_bpe"),
-          chunkTokens = 512, bucketWidth = 100)
-        .join(budgeted.select("doc_id", "source"), Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("start_tok"), col("chunk_start"), col("chunk_end"))
-        .orderBy("doc_id")
-    }),
-
-    // Length-bucketed inference batching: global (len, id) rank via the
-    // bucketed prefix sum → 32-doc batches of similar-length docs, so
-    // each batch pads only to its own max. The record carries per-batch
-    // padding waste — the number the trick exists to minimize. Full
-    // DuckDB oracle (row_number replay)
-    "inference_batches" -> ((s, dir) =>
-      graft.ops.Packing.batchByLength(
-          Tables.documents(s, dir).select(col("doc_id"),
-            TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok")),
-          "doc_id", col("n_tok"), batchSize = 32)
-        .groupBy("batch")
-        .agg(count(lit(1)).as("n_docs"),
-          min("n_tok").as("min_len"), max("n_tok").as("max_len"),
-          (max("n_tok") * count(lit(1)) - sum("n_tok")).as("padding"))
-        .orderBy("batch")),
-
-    // KV-cache prefix grouping: prompts sharing their first 2 tokens
-    // route to one group; the report carries the prefill tokens a
-    // RadixAttention-style cache saves per group ((n−1)·prefix_len).
-    // One key-shuffle of (prefix, len) pairs — prompt bodies never move
-    "inference_prefix_groups" -> ((s, dir) =>
-      graft.ops.Packing.prefixGroups(
-        Tables.documents(s, dir), "text", prefixTokens = 2, topK = 20)),
-
-    // the loader-facing inversion: one row per (chunk, doc) overlap with
-    // in-chunk spans — bounded explode, no extra shuffle
-    "pack_manifest" -> ((s, dir) => {
-      val packed = graft.ops.Packing.packChunks(Tables.documents(s, dir), "doc_id",
-        TextAnalysis.tokenCount(col("text")), chunkTokens = 512, bucketWidth = 100)
-      graft.ops.Packing.chunkManifest(packed, "doc_id", chunkTokens = 512)
-        .orderBy("chunk", "doc_id")
-    }),
-
-    // RAG-style sliding-window chunking: 64-token windows every 48 tokens
-    // (16-token overlap) — bounded map-side generator, no shuffle
-    "doc_chunks" -> ((s, dir) =>
-      graft.ops.Packing.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
-        maxTokens = 64, overlapTokens = 16)
-        .orderBy("doc_id", "chunk_idx")),
-
-    // temperature-weighted source mixing: drop src0, halve src1, 2x src2,
-    // 2.5x src3 (hash-deterministic fractional copies) — pinned VALUES
-    // oracle (Spark-side xxhash64; recomputed driver-side in SamplingSpec)
-    "source_mix" -> ((s, dir) =>
-      graft.ops.Sampling.mixSources(Tables.documents(s, dir), col("source"),
-        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.5),
-        defaultRate = 1.0, col("doc_id"))
-        .groupBy("source").agg(count(lit(1)).as("n"))
-        .orderBy("source")),
-
-    "lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")),
-
-    // Confidence-calibration audit of the language gate (reliability
-    // diagram + ECE, Naeini et al. 2015): does "0.8 confident" MEAN 80%
-    // right against the recorded lang column? Five equal-width bins, the
-    // N-weighted mean |acc − conf| as the promotion-gate scalar. One
-    // bin-keyed aggregate over the corpus, nBins-row roll-up, broadcast
-    // ECE scalar. Full DuckDB oracle (the langIdHof hit counts).
-    "score_calibration" -> ((s, dir) => {
-      val scored = Tables.documents(s, dir)
-        .select(col("lang"), TextAnalysis.langIdScored(col("text")).as("s"))
-        .select(col("s.confidence").as("confidence"),
-          (col("s.lang_pred") === col("lang")).cast("double").as("correct"))
-        .filter(col("confidence") > 0)
-      graft.ops.Calibration.reliability(scored, "confidence", "correct", nBins = 5)
-        .orderBy("bin")
-    }),
-
-    // frequency-ranked vocabulary (tokenizer-training step): ONE corpus
-    // shuffle; the global ranking window runs over the bounded
-    // post-minCount vocabulary only
-    "vocab_build" -> ((s, dir) =>
-      TextAnalysis.buildVocab(Tables.documents(s, dir), "text",
-          minCount = 5L, maxVocab = 4096)
-        .orderBy("token_id")),
-
-    // token-id encoding against that vocabulary: exploded (id, pos,
-    // token_id) rows, OOV -> 0; broadcast join only — the corpus is
-    // never shuffled
-    "vocab_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 5L, maxVocab = 4096)
-      TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
-        .orderBy("doc_id", "pos")
-    }),
-
-    // BPE tokenizer training (Sennrich 2016): the ONLY corpus-scale pass
-    // is the word-count shuffle; the merge loop runs on the vocab-sized
-    // frequency table. Deterministic (count-desc/lhs/rhs tie-break) —
-    // pinned VALUES oracle (iterative; driver-side path-equality and
-    // hand-computed merges in BpeSpec)
-    "bpe_train" -> ((s, dir) => {
-      import s.implicits._
-      Bpe.train(Bpe.wordCounts(Tables.documents(s, dir), "text"),
-          numMerges = 30, minCount = 2)
-        .toDF("merge_rank", "lhs", "rhs")
-        .select(col("merge_rank").cast("bigint").as("merge_rank"),
-          col("lhs"), col("rhs"))
-        .orderBy("merge_rank")
-    }),
-
-    // BPE encoding with the merges trained on the same corpus: native
-    // codegen'd expression, one call per doc, zero shuffle — pinned
-    // VALUES oracle (train-state reproduction asserted in BpeSpec)
-    "bpe_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val merges = Bpe.train(Bpe.wordCounts(docs, "text"),
-        numMerges = 30, minCount = 2)
-      docs.select(col("doc_id"),
-          graft.functions.BpeFunctions.bpe_encode(col("text"), merges).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_bpe_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 8)).as("tokens_head"))
-        .orderBy("doc_id")
-    }),
-
-    // pinned VALUES oracle (xxhash64 is Spark-side; driver-side chain
-    // recomputation in TextAnalysisSpec)
-    "text_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
-        .orderBy("doc_id")),
-
-    // winnowing (MOSS) fingerprint selection: count + XOR-fold of each
-    // doc's selected local-minimum gram hashes — pinned VALUES oracle
-    // (gram hashes are Spark-side; driver-side window-min recomputation
-    // in TextAnalysisSpec)
-    "text_winnow" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.winnowFingerprints(col("text"), k = 4, window = 5).as("fps"))
-        .select(col("doc_id"),
-          size(col("fps")).cast("bigint").as("n_fp"),
-          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
-        .orderBy("doc_id")),
-
-    // winnowing-overlap pairs: docs sharing >= 2 selected fingerprints —
-    // the MOSS plagiarism-pair shape over a ~1/3-density index; pinned
-    // VALUES oracle (hash identities are Spark-side)
-    "dedup_winnow_pairs" -> ((s, dir) =>
-      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 4, window = 5, maxDf = 100, minShared = 2L)
-        .orderBy("id_a", "id_b")),
-
-    // Funnel analysis: users progressing view → click → purchase in
-    // temporal order (conditional min-timestamps + ordered comparison).
-    "events_funnel" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val m = ev.groupBy("user_id").agg(
-        min(when(col("event_type") === "view", col("ts"))).as("v"),
-        min(when(col("event_type") === "click", col("ts"))).as("c"),
-        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
-      m.agg(
-        sum(when(col("v").isNotNull, 1).otherwise(0)).as("n_viewed"),
-        sum(when(col("v") < col("c"), 1).otherwise(0)).as("n_clicked_after_view"),
-        sum(when(col("v") < col("c") && col("c") < col("p"), 1).otherwise(0)).as("n_full_funnel"))
-    }),
-
-    // First-order Markov transition matrix over per-user event streams:
-    // next-event distribution per current event type (lead over the
-    // per-user timeline; (ts, event_id) ordering is deterministic under
-    // timestamp ties). The row-normalizing window partitions by
-    // event_type — a |types|²-row frame, model-sized by construction.
-    "events_transition_matrix" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("next_type", lead(col("event_type"), 1).over(seq))
-        .filter(col("next_type").isNotNull)
-        .groupBy("event_type", "next_type")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n") /
-          sum(col("n")).over(Window.partitionBy("event_type")), 4))
-        .orderBy("event_type", "next_type")
-    }),
-
-    // Native session_window sessionization (same contract as the lag-based
-    // events_sessionize — shares its oracle).
-    "events_session_window" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
-      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy("user_id")
-        .agg(sum("n").as("n_events"), count(lit(1)).as("n_sessions"))
-        .orderBy("user_id")
-    }),
-
-    // As-of join (composed, one shuffle): each purchase event matched to
-    // the user's latest prior-or-simultaneous view event. Oracle: DuckDB's
-    // native ASOF JOIN.
-    "events_asof_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val views = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts")
-      graft.ops.AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts", "ts")
-        .select(
-          col("event_id").as("p_event_id"),
-          col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("p_ts_us"),
-          col("r_event_id").as("view_event_id"),
-          unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
-        .orderBy("p_event_id")
-    }),
-
-    // Cohort retention: users grouped by first-seen week (the cohort),
-    // counted by distinct activity-week offset — the classic retention
-    // triangle. Two aggregations: per-user first week (one user-keyed
-    // shuffle), then distinct (cohort, offset, user) → counts.
-    "events_retention_cohorts" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("week", date_trunc("week", col("ts")))
-      val firstWeek = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
-      ev.join(firstWeek, Seq("user_id"))
-        .withColumn("week_offset",
-          expr("CAST(datediff(week, cohort_week) AS BIGINT) div 7"))
-        .select(col("user_id"), col("cohort_week"), col("week_offset"))
-        .distinct()
-        .groupBy("cohort_week", "week_offset")
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
-
-    // Fixed-bin value histogram per event type (width_bucket semantics:
-    // 10 bins over [0, 100), underflow 0 / overflow 11 buckets kept) —
-    // one partial-aggregating shuffle on (type, bucket).
-    "events_value_histogram" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("bucket", width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)))
-        .groupBy("event_type", "bucket")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value"))
-        .orderBy("event_type", "bucket")),
-
-    // robust per-type anomaly flags: Hampel 3-MAD rule (median/MAD, not
-    // mean/stddev — one wild value can't drag its own threshold); the
-    // declared form is the exact-percentile oracle-parity path, the
-    // operator's approx_percentile switch is the O(1)-state scale path
-    "events_anomaly_mad" -> ((s, dir) =>
-      graft.ops.Outliers.madOutliers(
-          Tables.events(s, dir), "event_id", "event_type", "value", k = 3.0)
-        .orderBy("event_id")),
-
-    // Trailing time-RANGE window — the rate-limit/velocity feature shape
-    // (events and value mass in the last 24h per user, evaluated AT each
-    // event). RANGE frames bound by the ORDER value, not row count, and
-    // include all peers of an equal timestamp — so the result is
-    // deterministic under ties, where a ROWS frame would not be. Epoch
-    // seconds carry the order in both engines; partitioning is per-user
-    // (group count grows with the data).
-    "events_trailing_24h" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("__epoch"))
-        .rangeBetween(-86400L, 0L)
-      Tables.events(s, dir)
-        .withColumn("__epoch", unix_timestamp(col("ts")))
-        .select(col("event_id"), col("user_id"),
-          count(lit(1)).over(w).as("n_24h"),
-          round(sum(col("value")).over(w), 4).as("value_24h"))
-        .orderBy("event_id")
-    }),
-
-    // Trailing EWMA per (user, event_type) series — the smoothed baseline
-    // drift/anomaly thresholds compare against. Adjusted weighting over a
-    // HARD 20-row lookback (truncated weight mass < 1e-3, below output
-    // rounding; see TimeSeries.ewma scale note); the window partitions by
-    // user×type, so partition count grows with the data. DuckDB replays
-    // the same frame list with indexed list lambdas → full SQL oracle.
-    "events_ewma" -> ((s, dir) =>
-      graft.ops.TimeSeries.ewma(
-          Tables.events(s, dir),
-          keyCols = Seq("user_id", "event_type"),
-          orderCols = Seq("ts", "event_id"),
-          valueCol = "value", alpha = 0.3, lookback = 20)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value"), 4).as("value"),
-          round(col("ewma"), 6).as("ewma"))
-        .orderBy("event_id")),
-
-    // Winsorized robust stats per event type: values clamp into the
-    // per-type [p05, p95] band (one broadcast quantile model + a
-    // map-side clamp — no rows dropped, so N is unchanged), then the
-    // winsorized mean sits beside the raw mean. Spark `percentile` and
-    // DuckDB `quantile_cont` share the interpolation definition → full
-    // SQL oracle.
-    "events_winsorize" -> ((s, dir) =>
-      graft.ops.Outliers.winsorize(
-          Tables.events(s, dir), "event_type", "value")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          round(avg("value"), 4).as("mean_raw"),
-          round(avg("value_w"), 4).as("mean_winsorized"),
-          first(col("q_lo")).as("p05"),
-          first(col("q_hi")).as("p95"))
-        .orderBy("event_type")),
-
-    // PSI drift gate between the first two weeks (reference) and the rest
-    // (current) of each event type's value distribution — 5 equal-
-    // frequency bins from REFERENCE quantiles, Σ(p−q)·ln(p/q), 0.2 action
-    // threshold; groups with no reference slice surface as psi=NULL/
-    // drifted rows instead of vanishing. Broadcast edge model + one
-    // (type, bin) count shuffle. Full DuckDB oracle (quantile_cont
-    // replays Spark's exact interpolating percentile); the approx-
-    // percentile 100 TB leg is parity-pinned in DriftSpec
-    "drift_psi" -> ((s, dir) =>
-      graft.ops.Drift.psi(
-          Tables.events(s, dir).withColumn("period",
-            when(col("ts") < lit("2024-01-15").cast("timestamp"), lit("ref"))
-              .otherwise(lit("cur"))),
-          "event_type", "value", "period")
-        .orderBy("event_type")),
-
-    // Categorical PSI — the more common production drift check (source /
-    // language / label mix): per user cohort, drift of the EVENT-TYPE mix
-    // between the same two periods; bins are the category values, so no
-    // quantile model at all — ONE (cohort, type) count aggregate, roll-up
-    // windows span a cohort's category list. Full DuckDB oracle.
-    "drift_psi_categorical" -> ((s, dir) =>
-      graft.ops.Drift.psiCategorical(
-          Tables.events(s, dir)
-            .withColumn("period",
-              when(col("ts") < lit("2024-01-15").cast("timestamp"), lit("ref"))
-                .otherwise(lit("cur")))
-            .withColumn("cohort", pmod(col("user_id"), lit(4)).cast("string")),
-          "cohort", "event_type", "period")
-        .orderBy("cohort")),
-
-    // daily resample + forward fill: irregular events onto each user's
-    // dense daily grid, last observation carried forward — every stage
-    // co-partitioned on user_id (one shuffle); window partitions hold a
-    // key's DAYS, never its raw events
-    "events_resample_ffill" -> ((s, dir) =>
-      graft.ops.TimeSeries.resampleDailyFfill(
-          Tables.events(s, dir), "user_id", "ts", "value")
-        .withColumn("value_ffill", round(col("value_ffill"), 4))
-        .orderBy("user_id", "day")),
-
-    // per-key OLS trend: one hash aggregation (constant regression-moment
-    // state per key), integer-day regressor for cross-engine-exact inputs
-    "events_trend" -> ((s, dir) =>
-      graft.ops.TimeSeries.trend(Tables.events(s, dir), "user_id", "ts", "value")
-        .select(col("user_id"), round(col("slope"), 4).as("slope"),
-          round(col("r2"), 4).as("r2"), col("n"),
-          round(col("mean_value"), 4).as("mean_value"))
-        .orderBy("user_id")),
-
-    // blocked fuzzy linkage over part names: pairs form only within a
-    // brand block (semi-join rail drops oversized blocks), banded
-    // levenshtein gate keeps near-matches — Σ|block|² cost, never
-    // all-pairs
-    "link_fuzzy_parts" -> ((s, dir) =>
-      graft.ops.Linkage.fuzzyPairs(Tables.part(s, dir),
-          "p_partkey", "p_brand", "p_name", maxDist = 2, maxBlock = 100000L)
-        .orderBy("id_a", "id_b")),
-
-    // the linkage cap audit, declared: brands larger than the (tight,
-    // fixture-meaningful) cap, with sizes — a capped run ships its own
-    // evidence
-    "link_oversized_blocks" -> ((s, dir) =>
-      graft.ops.Linkage.oversizedBlocks(Tables.part(s, dir), "p_brand", 75L)
-        .orderBy("block")),
-
-    // ---- Events: JSON prop extraction + agg (T2-adjacent; events table) ----
-    "events_json_agg" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          round(sum("value"), 4).as("sum_value"),
-          round(avg("k"), 4).as("avg_k"))
-        .orderBy("event_type")),
-
-    // Lag-1..7 autocorrelation of each event type's daily-count series
-    // (ops/TimeSeries.acf): the seasonality read-out behind cadence
-    // decisions. Raw events collapse to a (type × day) count aggregate
-    // FIRST; lag products come from one keyed self-join of that series
-    // after a 7-way lag explode — no unpartitioned window, and integer
-    // counts keep both engines' devs bit-identical.
-    "events_acf" -> ((s, dir) =>
-      graft.ops.TimeSeries.acf(Tables.events(s, dir), "event_type", "ts", maxLag = 7)
-        .orderBy("event_type", "lag")),
-
-    // Single mean-shift changepoint per event type over the daily-count
-    // series (CUSUM-equivalent split statistic, ops/TimeSeries
-    // .meanShiftChangepoint): windows partition by TYPE over day frames
-    // (span-bounded), the argmax is a bounded row_number pick, ties to
-    // the earliest day; integer cums make the argmax engine-stable.
-    "events_changepoint" -> ((s, dir) =>
-      graft.ops.TimeSeries.meanShiftChangepoint(Tables.events(s, dir), "event_type", "ts")
-        .orderBy("event_type")),
-
-    // Welch unequal-variance t-test between every event-type pair over
-    // `value` (ops/Stats.welchPairs): ONE moment aggregate over the
-    // data, then a k²-row (k = 5 types) pairs join — the experiment
-    // read-out as a single-scan plan.
-    "ab_welch_ttest" -> ((s, dir) =>
-      graft.ops.Stats.welchPairs(Tables.events(s, dir), "event_type", "value")
-        .orderBy("group_a", "group_b")),
-
-    // Pearson chi-square independence of user cohort (user_id parity) vs
-    // event type + Cramér's V (ops/Stats.chiSquare): one contingency
-    // aggregate; margins and expecteds are cell-count-sized.
-    "ab_chi_square" -> ((s, dir) =>
-      graft.ops.Stats.chiSquare(
-        Tables.events(s, dir)
-          .withColumn("cohort", (col("user_id") % 2).cast("string")),
-        "cohort", "event_type")),
-
-    // Declarative data-quality gate (etl/DataQuality): ALL column
-    // predicates per table fold into ONE aggregation pass (adding a
-    // check never adds a scan), uniqueness is one distinct-count,
-    // referential integrity one keys-only left-anti join. The 1..45
-    // quantity band is deliberately tighter than the data (quantities
-    // run to 50) so the report provably discriminates — pass AND fail
-    // rows both appear.
-    "dq_expectations" -> ((s, dir) => {
-      import graft.etl.DataQuality._
-      val li = Tables.lineitem(s, dir)
-      report(Seq(
-        columnChecks(li, Seq(
-          ColCheck("lineitem.quantity_in_1_45",
-            col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 45),
-          ColCheck("lineitem.extendedprice_positive",
-            col("l_extendedprice").isNull || col("l_extendedprice") <= 0),
-          ColCheck("lineitem.shipdate_not_null", col("l_shipdate").isNull))),
-        columnChecks(Tables.events(s, dir), Seq(
-          ColCheck("events.event_type_accepted",
-            col("event_type").isNull ||
-              !col("event_type").isin("click", "view", "purchase", "error", "signup")),
-          ColCheck("events.value_not_null", col("value").isNull))),
-        unique(Tables.customer(s, dir), "customer.custkey_unique", Seq("c_custkey")),
-        foreignKey(Tables.orders(s, dir), "o_custkey",
-          Tables.customer(s, dir), "c_custkey", "orders.custkey_fk"),
-        foreignKey(li, "l_orderkey",
-          Tables.orders(s, dir), "o_orderkey", "lineitem.orderkey_fk")))
-        .orderBy("check_name")
-    }),
-
-    // GDPR right-to-be-forgotten cascade (etl/Erasure): subjects =
-    // every 97th customer; the delete set flows customer → orders
-    // (same subject keys) → lineitem (via the deleted orders' keys) as
-    // keys-only left-semi joins — no driver key collection, slim
-    // checkpointed key frames between steps. Output is the per-table
-    // audit ledger a regulator asks for.
-    "l10_cascade_delete" -> ((s, dir) => {
-      import graft.etl.Erasure._
-      val cust = Tables.customer(s, dir)
-      val subjects = cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
-        .select(col("c_custkey"))
-      cascadeDelete(subjects, Seq(
-        CascadeStep("customer", cust, "c_custkey"),
-        CascadeStep("orders", Tables.orders(s, dir), "o_custkey",
-          emitKey = Some("o_orderkey")),
-        CascadeStep("lineitem", Tables.lineitem(s, dir), "l_orderkey",
-          from = Some("orders"))))
-        .orderBy("table_name")
-    }),
-
-    // Post-load reconciliation by ship-month control totals (etl/Recon):
-    // the target leg simulates a short load (the 1994-03 partition never
-    // arrived), so the report provably discriminates — every other month
-    // matches, that one shows n_tgt = 0. Control sums are EXACT longs
-    // (quantity, price cents): double sums are partition-order-dependent
-    // and would flag phantom mismatches.
-    "recon_control_totals" -> ((s, dir) => {
-      val src = Tables.lineitem(s, dir)
-      val tgt = src.filter(!(col("l_shipdate") >= lit("1994-03-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1994-04-01").cast("timestamp")))
-      graft.etl.Recon.controlTotals(src, tgt,
-          to_date(date_trunc("month", col("l_shipdate"))),
-          Seq("qty" -> col("l_quantity"),
-            "cents" -> round(col("l_extendedprice") * 100)))
-        .orderBy("bucket")
-    }),
-
-    // Inter-arrival gap distribution per event type (ops/TimeSeries
-    // .interarrivalStats): gaps within each (user, type) series — the
-    // lag window partitions by the full series key (group count grows
-    // with the data), gaps are integer microseconds so the exact
-    // percentile starts from identical longs in both engines.
-    "events_interarrival" -> ((s, dir) =>
-      graft.ops.TimeSeries.interarrivalStats(Tables.events(s, dir),
-          Seq("user_id", "event_type"), "event_type", "ts", "event_id")
-        .orderBy("event_type")),
-
-    // Source-mix divergence between the even- and odd-doc_id corpus
-    // halves (ops/Stats.distributionDivergence): KL both ways + JS, the
-    // mixture-drift read-out beside drift_psi. Two count aggregates, a
-    // category-sized join, one row out.
-    "mix_divergence" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.ops.Stats.distributionDivergence(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        "source")
-    }),
-
-    // Degree histogram of the customer–supplier graph (ops/Graph
-    // .degreeHistogram) — the hub/tail diagnostic behind salting
-    // decisions; histogram rows grow like the max degree, never the data.
-    "graph_degree_histogram" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ops.Graph.degreeHistogram(e).orderBy("degree")
-    }),
-
-    // Recall/precision audit of the banded-LSH dedup path against the
-    // EXACT prefix-filtered join on the same planted-clone corpus and
-    // threshold (the knn_recall_audit pattern for the dedup family).
-    // minhashLsh verifies candidates on true Jaccard, so precision must
-    // be 1.0 by construction; recall is what the band parameters buy.
-    "dedup_lsh_recall_audit" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dups = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      val corpus = docs.unionByName(dups)
-      val exact = graft.ops.SimJoin.prefixJaccard(corpus, "doc_id", "text",
-        shingleK = 3, threshold = 0.8).select("id_a", "id_b").localCheckpoint()
-      val lsh = graft.ops.Dedup.minhashLsh(corpus, "doc_id", "text",
-        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
-        .select("id_a", "id_b").localCheckpoint()
-      val common = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(common.agg(count(lit(1)).as("n_common")))
-        .select(col("n_exact"), col("n_lsh"), col("n_common"),
-          round(col("n_common") / col("n_exact").cast("double"), 4).as("recall"),
-          round(col("n_common") / col("n_lsh").cast("double"), 4).as("precision"))
-    }),
-
-    // Flesch / Flesch–Kincaid readability per document (ops/TextAnalysis
-    // .readability): codegen'd regexp counts over the corpus scan — the
-    // classic curation signal beside the Gopher-rule quality gates.
-    "text_readability" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id") +: graft.ops.TextAnalysis.readability(col("text")): _*)
-        .orderBy("doc_id")),
-
-    // Last-touch revenue attribution: each purchase credits the LAST
-    // non-purchase touch of the same user within 7 days (ops/AsOf
-    // backward join + tolerance — the union/window plan, user-keyed,
-    // never a per-purchase scan); unmatched purchases fall to 'direct'.
-    // The asOfJoin tie-break (largest right struct at equal ts) is
-    // mirrored in the oracle's (ts, event_type, event_id) DESC pick.
-    "attribution_last_touch" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      val touches = ev.filter(col("event_type") =!= "purchase")
-        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
-      graft.ops.AsOf.asOfJoin(purchases, touches, Seq("user_id"), "ts", "ts",
-          inner = false, tolerance = Some(expr("INTERVAL 7 DAYS")))
-        .select(coalesce(col("r_event_type"), lit("direct")).as("channel"),
-          col("value"))
-        .groupBy("channel")
-        .agg(count(lit(1)).as("n_purchases"),
-          round(sum("value"), 4).as("attributed_value"))
-        .orderBy("channel")
-    }),
-
-    // Incremental duplicate-cluster maintenance (ops/Dedup
-    // .connectedComponentsIncremental): yesterday's LABELS (not its pair
-    // graph) + today's batch↔corpus exact pairs → the merged components;
-    // the oracle recomputes from scratch over the full pair set (the
-    // l8_merge_aggregate / graph_pagerank_incremental equality pattern).
-    "dedup_components_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val oldDocs = docs.filter(col("doc_id") < 400)
-      val batch = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
-      val oldLabels = Dedup.connectedComponents(
-        graft.ops.SimJoin.prefixJaccard(oldDocs, "doc_id", "text",
-          shingleK = 3, threshold = 0.5).select("id_a", "id_b"))
-      val newPairs = graft.ops.SimJoin.incrementalPairs(oldDocs, batch,
-          "doc_id", "text", shingleK = 3, threshold = 0.5)
-        .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
-      Dedup.connectedComponentsIncremental(oldLabels, newPairs)
-        .select(col("id").as("doc_id"), col("comp"))
-        .orderBy("doc_id")
-    }),
-
-    // 7-day trailing active users by KMV sketch algebra (ops/Kmv
-    // .trailingDistinct): daily sketches merge in bucket-space — the
-    // exact COUNT(DISTINCT)-per-window alternative re-reads 7 days of
-    // raw data per day. k=256 saturates on this fixture, so the pin
-    // records genuine estimates; KmvSpec pins the estimator error.
-    "audience_trailing_kmv" -> ((s, dir) =>
-      graft.ops.Kmv.trailingDistinct(
-        graft.ops.Kmv.sketch(Tables.events(s, dir),
-          to_date(col("ts")), col("user_id"), k = 256),
-        windowLen = 7, k = 256).orderBy("bucket")),
-
-    // ---- S9/S10: the paged OData-style DSv2 source, driven end-to-end —
-    //      the "service" pages are materialized from the events fixture
-    //      (simulating the remote entity), then read back page-parallel
-    //      with $filter pushdown; oracle aggregates events directly ----
-    "s9_odata_paged_source" -> ((s, dir) =>
-      s.read.format("graft-pages").option("path", PagedFixture.pagesDir(s, dir)).load()
-        .filter(col("value") >= 5.0)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-        .orderBy("event_type")),
-
-    // ---- E2E: the reference's Method-2 incremental template as ONE lazy
-    //      plan (its flagship composition, SURVEY.md §3.1): paged DSv2
-    //      source with the refresh DATE WINDOW pushed down ($filter on the
-    //      transaction time — S10/P4, exactly the reference's
-    //      'date_trans ge …' predicate) → ±Inf sanitize (T1) → idempotent
-    //      refresh-window merge into the target (P6/L5, the same predicate
-    //      driving the delete leg) → success-notification summary (O5).
-    //      The wire format carries ISO-micros strings, whose lexicographic
-    //      order IS chronological order, so one string comparison serves
-    //      both the page-side $filter and the target-side window. One
-    //      union + one agg shuffle; the incoming leg reads only the
-    //      refresh window off the service ----
-    "e2e_method2_template" -> ((s, dir) => {
-      val windowPred = col("ts_str") >= lit(EventsCutIso)
-      val incoming = Sanitize.sanitizeInf(
-        s.read.format("graft-pages").option("path", PagedFixture.pagesDir(s, dir)).load()
-          .filter(windowPred))
-      val target = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
-      Loads.refreshWindow(target, incoming, windowPred)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_records"), round(sum("value"), 4).as("sum_value"))
-        .orderBy("event_type")
-    }),
-
-    // ---- North star: similarity search ----
-    "knn_bruteforce" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // RAG-style retrieval: embedding top-k joined back to document
-    // metadata — the serving join is candidate-bounded (k × |Q| rows
-    // broadcast against the documents table), never a corpus shuffle
-    "doc_retrieval" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val docs = Tables.documents(s, dir)
-      val nn = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 3)
-      docs.select(col("doc_id"), col("lang"), col("source"))
-        .join(broadcast(nn.withColumnRenamed("n_id", "doc_id")), Seq("doc_id"))
-        .select(col("q_id"), col("rank").cast("bigint").as("rank"),
-          col("doc_id"), col("sim"), col("lang"), col("source"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Hybrid retrieval: BM25 keyword leg + embedding-cosine leg fused by
-    // reciprocal-rank fusion (RRF, Cormack et al. 2009 — the standard
-    // hybrid-RAG combiner; rank-based, so the legs' incomparable score
-    // scales need no calibration). Both legs are top-10-bounded per
-    // query BEFORE fusion, so the fuse touches ≤ 20 candidate rows per
-    // query, never a corpus. n_legs carries the agreement signal. Full
-    // DuckDB oracle replaying both legs and the fusion.
-    "doc_retrieval_hybrid" -> ((s, dir) => {
-      import s.implicits._
-      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
-        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
-      val bm25 = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
-          qs, "q_id", "term", k = 10)
-        .select(col("q_id"), col("doc_id"), col("rank"))
-      val emb = Tables.embeddings(s, dir)
-      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L)), emb,
-          "vec_id", "embedding", k = 10)
-        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
-      graft.ops.Retrieval.rrfFuse(Seq(bm25, vec), "q_id", "doc_id", k = 10)
-        .orderBy("q_id", "rank")
-    }),
-
-    // Largest-remainder budget apportionment: per-source token weights →
-    // EXACT integer allocations summing to the 100k budget (each source
-    // within 1 of its real quota — the Hamilton guarantee). All-integer
-    // div/mod arithmetic, so the full SQL oracle is bit-exact; the
-    // remainder-rank window spans #sources rows, never the corpus.
-    "mix_allocation" -> ((s, dir) => {
-      val perSource = Tables.documents(s, dir)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("__t"))
-        .groupBy("source").agg(sum("__t").as("n_tokens"))
-      graft.ops.Sampling.allocateBudget(perSource, col("source"), col("n_tokens"),
-          budget = 100000L)
-        .withColumnRenamed("stratum", "source")
-        .withColumnRenamed("weight", "n_tokens")
-        .orderBy("source")
-    }),
-
-    // MMR-diversified retrieval (Carbonell & Goldstein 1998): the
-    // embedding top-10 per query re-ranked by maximal marginal relevance
-    // (λ=0.7, keep 5) — each pick maximizes query relevance minus
-    // redundancy with what's already selected, the diversification step
-    // after doc_retrieval/doc_retrieval_hybrid. The greedy runs in a
-    // native expression over the ALREADY-BOUNDED candidate array —
-    // zero shuffle past the candidate groupBy. Deterministic (rounded
-    // scores, lower-id ties, input-order-invariant) → pinned VALUES
-    // oracle; driver-side recomputation in MmrSpec.
-    "doc_retrieval_mmr" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val nn = Similarity.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L)), emb,
-        "vec_id", "embedding", k = 10)
-      nn.join(emb.select(col("vec_id").as("n_id"), col("embedding").as("vec")), Seq("n_id"))
-        .groupBy("q_id")
-        .agg(collect_list(struct(col("n_id").cast("bigint").as("id"),
-          col("sim").cast("double").as("sim"), col("vec"))).as("cands"))
-        .select(col("q_id"),
-          posexplode(graft.functions.MmrFunctions.mmr_select(col("cands"), 0.7, 5)))
-        .select(col("q_id"), (col("pos") + 1).cast("bigint").as("mmr_rank"),
-          col("col.id").as("doc_id"), col("col.mmr").as("mmr"))
-        .orderBy("q_id", "mmr_rank")
-    }),
-
-    // Persisted-index hybrid serving (the 100 TB deployment shape): the
-    // SAME fused ranking as doc_retrieval_hybrid, but both legs served
-    // from the artifacts the engine already persists — BM25 postings
-    // (term-range-partitioned, query-term literal pushdown) and the
-    // IVF-PQ sidecar (ADC probe over the inverted lists + bounded exact
-    // rerank) — corpus text is never re-scanned and no leg is a brute
-    // cross join. All lists probed with a 16k-candidate exact rerank so
-    // the served cosine top-10 is exactly the brute ranking at the
-    // correctness scale (approximation risk carried by knn_recall_audit);
-    // shares doc_retrieval_hybrid's full DuckDB oracle — identical
-    // results from the indexes alone.
-    "doc_retrieval_hybrid_indexed" -> ((s, dir) => {
-      import s.implicits._
-      val bm25Dir = IndexFixture.dir("bm25_1", dir) { tmp =>
-        graft.ops.Bm25Index.write(
-          graft.ops.Bm25Index.build(Tables.documents(s, dir), "doc_id", "text"), tmp)
-      }
-      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
-        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
-      val bm25 = graft.ops.Bm25Index.topK(
-          graft.ops.Bm25Index.read(s, bm25Dir), qs, "q_id", "term", k = 10)
-        .select(col("q_id"), col("id").as("doc_id"), col("rank"))
-      val emb = Tables.embeddings(s, dir)
-      val ivfDir = IndexFixture.dir("ivfpq1", dir) { tmp =>
-        graft.ops.IvfPqIndex.write(
-          graft.ops.IvfPqIndex.build(emb, "vec_id", "embedding",
-            nlist = 16, numSubspaces = 8, numCodes = 16), tmp)
-      }
-      val vec = graft.ops.IvfPqIndex.topK(
-          graft.ops.IvfPqIndex.read(s, ivfDir),
-          emb.filter(col("vec_id").isin(1L, 2L)), emb,
-          "vec_id", "embedding", k = 10, nprobe = 16, fetchFactor = 16)
-        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
-      graft.ops.Retrieval.rrfFuse(Seq(bm25, vec), "q_id", "doc_id", k = 10)
-        .orderBy("q_id", "rank")
-    }),
-
-    // Offline retrieval evaluation (TREC practice: recall@k, MRR, nDCG —
-    // Järvelin & Kekäläinen 2002): the hybrid fused run scored against
-    // deterministic graded qrels (a doc's grade = how many of the
-    // query's terms it contains, 1..3) — the promotion gate for a new
-    // index or fusion config. Run and qrels are both query-key-bounded
-    // lists; every join is k-rows × judgments. Full DuckDB oracle.
-    "retrieval_eval" -> ((s, dir) => {
-      import s.implicits._
-      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
-        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
-      val docs = Tables.documents(s, dir)
-      val bm25 = TextAnalysis.bm25TopK(docs, "doc_id", "text",
-          qs, "q_id", "term", k = 10)
-        .select(col("q_id"), col("doc_id"), col("rank"))
-      val emb = Tables.embeddings(s, dir)
-      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L)), emb,
-          "vec_id", "embedding", k = 10)
-        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
-      val run = graft.ops.Retrieval.rrfFuse(Seq(bm25, vec), "q_id", "doc_id", k = 10)
-      val qrels = docs
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
-        .join(broadcast(qs), Seq("term"))
-        .groupBy("q_id", "doc_id")
-        .agg(count(lit(1)).as("grade"))
-      graft.ops.RetrievalEval.evaluate(run, qrels, "q_id", "doc_id", "grade", k = 10)
-        .orderBy("q_id")
-    }),
-
-    // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
-    // extract — re-cased names, a dropped column (NULL-backfilled), an
-    // int-narrowed key (re-widened via canUpCast), an extra column kept.
-    // Pure projections over each leg; one agg shuffle, nothing else.
-    "schema_evolution_union" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val a = o.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderdate"))
-      val b = o.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey").as("O_ORDERKEY"),
-          col("o_custkey").cast("int").as("O_CustKey"),
-          col("o_orderdate"), col("o_orderpriority"))
-      graft.etl.Evolve.unionEvolved(a, b)
-        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
-        .agg(count(lit(1)).as("n_rows"),
-          round(sum("o_totalprice"), 4).as("sum_price"),
-          count(col("o_orderpriority")).as("n_priority"))
-        .orderBy("o_year")
-    }),
-
-    // k-NN majority-vote label prediction (weak supervision / topic
-    // tagging): exact top-5 neighbors, modal label, smaller label wins
-    // ties — deterministic, hence oracle-backed
-    "knn_label_vote" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.labelVote(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", "label", k = 5)
-        .orderBy("q_id")
-    }),
-
-    // ---- Streaming (SURVEY.md §2.9): real Structured Streaming job,
-    //      AvailableNow micro-batches in APPEND mode to a file sink —
-    //      state bounded by the watermark, nothing on the driver (the
-    //      complete-mode/memory-sink round-1 form kept as the comparison
-    //      baseline in IncrementalSpec); windows are epoch-aligned so the
-    //      result is batch/DuckDB-checkable ----
-    "stream_window_counts" -> ((s, dir) =>
-      graft.streaming.Incremental.windowedCountsAppend(s, s"$dir/lineitem.parquet",
-        "l_shipdate", "l_returnflag", "l_quantity",
-        windowSec = 30L * 86400, watermarkSec = 30L * 86400,
-        statePartitions = 8) // state keys = windows × 3 flags ≈ 75
-        .orderBy("window_start", "l_returnflag")),
-
-    // Continuously-maintained drift gate (the Kappa split on the Drift
-    // family): daily event-type-mix counts close in append mode
-    // (watermark-bounded state), each closed day PSI-scores against the
-    // first week's reference profile in a batch pass over the sink.
-    // Full DuckDB oracle (epoch-aligned daily windows).
-    "stream_drift_monitor" -> ((s, dir) =>
-      graft.streaming.Incremental.streamDriftMonitor(
-          s, s"$dir/events.parquet", "ts", "event_type", "value",
-          refEnd = "2024-01-08",
-          statePartitions = 8) // state keys = ~30 days × 5 types
-        .orderBy("day")),
-
-    // Streaming trending event types: 7-day windows close in append mode
-    // (bounded watermark state), top-3 per CLOSED window ranks in a batch
-    // pass over the sink — ranking isn't expressible in append-mode
-    // streaming, so the Kappa split serves it from the closed windows.
-    // The rank window spans one window's key counts (vocab-bounded).
-    "stream_topk_trending" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong is set for the raw read
-      graft.streaming.Incremental.streamTopKPerWindow(
-        s, s"$dir/events.parquet", "ts", "event_type", "value",
-        windowSec = 7L * 86400, watermarkSec = 30L * 86400,
-        k = 3, statePartitions = 8) // state keys = ~5 windows × 5 types
-        .orderBy("window_start", "rank")
-    }),
-
-    // ---- Multimodal decode, mixed-modality: even doc_ids carry a
-    //      deterministic synthetic PNG and decode FOR REAL via the JRE's
-    //      javax.imageio (mean-pooled luminance grid); odd doc_ids carry a
-    //      genuine synthetic RIFF/WAVE PCM16 clip and decode FOR REAL via
-    //      the hand-parsed WavPcmDecoder (mean-pooled |amplitude| time
-    //      bins) — one format-dispatched partition-batched pass
-    //      (Multimodal.decodeFeaturesAuto). Pinned VALUES oracle; both
-    //      branches recomputed driver-side in MultimodalSpec ----
-    "multimodal_decode" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMixedPayloads(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text")
-      Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 64)
-        .select(col("doc_id"), col("format"),
-          size(col("features")).cast("bigint").as("n_features"),
-          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
-        .orderBy("doc_id")
-    }),
-
-    // real image resize (nearest-neighbor resample + PNG re-encode) then
-    // real decode: features depend only on decoded pixels — lossless PNG
-    // makes the pin encoder-independent
-    "multimodal_resize" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMixedPayloads(
-        Tables.documents(s, dir).filter(col("doc_id") < 100)
-          .select(col("doc_id"), col("text")),
-        "doc_id", "text")
-        .filter(col("format") === "png")
-      val resized = Multimodal.resizeImages(media, "payload", "format",
-        width = 8, height = 8)
-      Multimodal.decodeFeaturesAuto(resized, "payload", "format", dim = 16)
-        .select(col("doc_id"),
-          col("media_meta.width").as("out_w"),
-          col("media_meta.height").as("out_h"),
-          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
-        .orderBy("doc_id")
-    }),
-
-    // multimodal frame sampling (STUB frame content — deterministic slice
-    // hash; the REAL frame path is multimodal_video_frames below): one
-    // row per (payload, frame) — pinned VALUES oracle; driver-side hash
-    // recomputation in MultimodalSpec
-    "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(
-        Tables.documents(s, dir).filter(col("doc_id") < 50)
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "payload", "doc_id", n = 3)
-        .orderBy("doc_id", "frame_idx")),
-
-    // REAL video decode end-to-end: genuine RIFF/AVI payloads (24-bit
-    // BI_RGB DIB frames, synthesized executor-side, seeded by doc_id) are
-    // hand-parsed and 4 ACTUAL frames sampled per clip — decoded mean
-    // luminance + a pixel-bytes rolling hash per frame. Luminance ramps
-    // with the frame index by construction, visible in the pin. Pinned
-    // VALUES oracle; driver-side byte-parse recomputation in
-    // MultimodalSpec
-    "multimodal_video_frames" -> ((s, dir) =>
-      Multimodal.frameSampleVideo(
-        Multimodal.synthesizeAviPayloads(
-          Tables.documents(s, dir).filter(col("doc_id") < 40).select(col("doc_id")),
-          "doc_id"),
-        "payload", "doc_id", n = 4)
-        .orderBy("doc_id", "frame_idx")),
-
-    // REAL video feature decode via the format dispatcher: AVI rows take
-    // AviDibDecoder (per-frame mean luminance pooled into 9 time bins —
-    // 12 frames fill every bin); first/last bins expose the luminance
-    // ramp. Pinned VALUES oracle
-    "multimodal_video_decode" -> ((s, dir) => {
-      val media = Multimodal.synthesizeAviPayloads(
-        Tables.documents(s, dir).filter(col("doc_id") < 40).select(col("doc_id")),
-        "doc_id")
-      Multimodal.decodeFeaturesAuto(media, "payload", "format", dim = 9)
-        .select(col("doc_id"),
-          size(col("features")).cast("bigint").as("n_features"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("bin_first"),
-          round(element_at(col("features"), 9).cast("double"), 4).as("bin_last"),
-          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
-        .orderBy("doc_id")
-    }),
-
-    // REAL Motion-JPEG video decode: genuine RIFF/AVI payloads whose
-    // frames are baseline JPEGs (the most common real-world AVI payload),
-    // audio strl deliberately FIRST in the header — parsed by the same
-    // hand-written RIFF walk, each sampled frame decoded through the
-    // JRE's ImageIO (zero new codec code). Mean luminance ramps with the
-    // frame index by construction and survives the lossy round-trip,
-    // visible in the pin. Pinned VALUES oracle; driver-side
-    // decode recomputation in MultimodalSpec
-    "multimodal_video_mjpeg" -> ((s, dir) =>
-      Multimodal.frameSampleVideo(
-        Multimodal.synthesizeMjpgPayloads(
-          Tables.documents(s, dir).filter(col("doc_id") < 40).select(col("doc_id")),
-          "doc_id"),
-        "payload", "doc_id", n = 4)
-        .orderBy("doc_id", "frame_idx")),
-
-    // stream-stream interval join: view→purchase attribution within 1 h,
-    // both sides watermarked (state bounded by delay + lateness)
-    "stream_interval_join" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
-      graft.streaming.Incremental.streamIntervalJoin(
-        s, s"$dir/events.parquet", "ts", "user_id", "event_type",
-        leftValue = "view", rightValue = "purchase",
-        maxDelaySec = 3600, watermarkSec = 7200,
-        // state keys = active users in the join horizon. A stream-stream
-        // join keeps 4 store instances per partition, so over-provisioning
-        // multiplies commit overhead — size to the INPUT, not the shuffle
-        // default: ~1 partition per 16 MB of source parquet, clamped to
-        // [2, defaultParallelism] (sf0.1 → 2; 100 TB → defaultParallelism).
-        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
-        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
-        .withColumn("user_id", col("user_id").cast("bigint"))
-        .orderBy("user_id")
-    }),
-
-    // custom-state streaming (flatMapGroupsWithState, event-time timeout,
-    // append-mode file sink): same result contract as the batch
-    // events_sessionize, so it shares that oracle
-    "stream_stateful_sessions" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
-      graft.streaming.Incremental.statefulSessionCounts(
-        s, s"$dir/events.parquet", "ts", "user_id", gapUs = 1800L * 1000000,
-        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
-        .orderBy("user_id")
-    }),
-
-    // Native session_window streaming aggregation: gap-based dynamic
-    // windows merging in the state store (the built-in complement of
-    // stream_stateful_sessions' custom flatMapGroupsWithState — same
-    // 30-min gap, zero custom state code). One row per CLOSED session;
-    // the oracle replays the sessionization as gaps-and-islands SQL.
-    "stream_session_window" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
-      graft.streaming.Incremental.sessionWindowCounts(
-          s, s"$dir/events.parquet", "ts", "user_id", "value",
-          gapSec = 1800L, watermarkSec = 30L * 86400,
-          statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
-        .orderBy("user_id", "session_start")
-    }),
-
-    // streaming ingest dedup (dropDuplicatesWithinWatermark, append-mode
-    // file sink): with a horizon covering the whole fixture span, the kept
-    // rows projected to their keys are exactly the distinct keys. WHICH row
-    // of a dup group survives is stream-order-dependent, so only the keys
-    // are declared — deterministic and oracle-checkable
-    "stream_dedup" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
-      graft.streaming.Incremental.streamingDedup(
-        s, s"$dir/events.parquet", Seq("user_id", "event_type"), "ts",
-        watermark = "3650 days",
-        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
-        .select(col("user_id").cast("bigint").as("user_id"), col("event_type"))
-        .orderBy("user_id", "event_type")
-    }),
-
-    // streaming benchmark decontamination (stateless codegen'd filter at
-    // ingest, append-mode file sink): deterministic, shares the batch
-    // decontam_corpus semantics — docs sharing any word 8-gram with the
-    // bench set never land in the corpus
-    "stream_decontam" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.streaming.Incremental.streamingDecontaminate(
-        s, s"$dir/documents.parquet", docs.filter(col("doc_id") % 25 === 0),
-        "doc_id", "text", n = 8)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // streaming NEAR-dup of an arriving batch against the PERSISTED
-    // MinHash index: stream-static (band,bucket) join, exactly-once per
-    // pair via the first-shared-band filter — ZERO streaming state, no
-    // watermark. Same semantics as dedup_incremental (shares its oracle
-    // shape); the corpus is never re-shingled (reads the persisted sets)
-    "stream_dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
-        graft.ops.MinHashIndex.write(
-          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
-            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
-      }
-      graft.streaming.Incremental.streamingNearDedup(
-          s, s"$dir/documents.parquet",
-          graft.ops.MinHashIndex.read(s, idxDir), "doc_id", "text",
-          threshold = 0.8,
-          batchTransform = df => df.filter(col("doc_id").between(100, 149))
-            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // exact top-k over the int8-quantized corpus (4× smaller scan; cosine
-    // on quantized vectors — deterministic, hence oracle-backed, unlike
-    // the approximate LSH/IVF paths)
-    "knn_int8" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.int8TopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // IVF approximate ANN — no oracle (approximate by design): rows-only
-    "knn_ivf_ann" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4, lloydIters = 1)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // approximate ANN — no oracle (approximate by design): recall vs
-    // brute-force asserted at these parameters in SimilaritySpec
-    "knn_lsh_ann" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5, numPlanes = 4, numBands = 8)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // PQ + ADC + exact rerank: corpus scanned as 8 ints/vector (32x less
-    // I/O than float32); approximate -> recall vs brute force asserted in
-    // SimilaritySpec at these parameters (no SQL oracle by design)
-    "knn_pq_ann" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.pqTopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5, numSubspaces = 8, numCodes = 16)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // IVF-PQ composition — the 100 TB serving shape: cluster pruning bounds
-    // WHICH rows are scored, residual-PQ ADC bounds WHAT each row costs.
-    // Approximate -> no SQL oracle; recall (and residual > raw-code
-    // improvement) asserted at these parameters in SimilaritySpec
-    "knn_ivfpq_ann" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 100), emb,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
-        numSubspaces = 8, numCodes = 16)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Index MAINTENANCE serve (the daily-crawl shape IvfPqIndex.append
-    // exists for): train IVF+PQ on the 90% base corpus only, append the
-    // 10% batch through the FROZEN model (one map-side encode pass, no
-    // retraining), then serve from the merged lists — the incremental
-    // counterpart of graph_pagerank_incremental for the ANN family.
-    // Deterministic (same training, hash-free append) → pinned VALUES
-    // oracle; appended-vector retrievability is the planted-clone test
-    // in IvfPqIndexSpec.
-    "knn_index_append" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val base = emb.filter(col("vec_id") % 10 =!= 0)
-      val batch = emb.filter(col("vec_id") % 10 === 0)
-      val appended = graft.ops.IvfPqIndex.append(
-        graft.ops.IvfPqIndex.build(base, "vec_id", "embedding",
-          nlist = 16, numSubspaces = 8, numCodes = 16),
-        batch, "vec_id", "embedding")
-      graft.ops.IvfPqIndex.topK(appended, emb.filter(col("vec_id") < 20), emb,
-          "vec_id", "embedding", k = 3, nprobe = 8)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Range join: every (purchase, prior view ≤1h) pair per user — the
-    // windowed-neighborhood generalization of the as-of join (which keeps
-    // only the latest such view).
-    "events_range_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val views = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts")
-      graft.ops.AsOf.rangeJoin(purchases, views, Seq("user_id"), "ts", "ts",
-        lookback = expr("INTERVAL 1 HOUR"))
-        .select(
-          col("event_id").as("p_event_id"),
-          col("user_id"),
-          col("r_event_id").as("view_event_id"),
-          unix_micros(col("ts").cast("timestamp")).as("p_ts_us"),
-          unix_micros(col("r_ts").cast("timestamp")).as("view_ts_us"))
-        .orderBy("p_event_id", "view_event_id")
-    }),
-
-    // Per-dimension corpus statistics (mean/std per embedding dimension —
-    // the normalization/whitening pre-pass of an embedding pipeline): one
-    // posexplode + one 64-key aggregation, map-side partial.
-    "embedding_dim_stats" -> ((s, dir) =>
-      Tables.embeddings(s, dir)
-        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("dim")
-        .agg(
-          // + 0.0 collapses IEEE negative zero: round can yield -0.0, whose
-          // bit pattern hash-mismatches the oracle's +0.0 for equal values.
-          (round(avg(col("x").cast("double")), 4) + lit(0.0)).as("mean_x"),
-          (round(stddev_samp(col("x").cast("double")), 4) + lit(0.0)).as("sd_x"))
-        .withColumn("dim", col("dim").cast("bigint"))
-        .orderBy("dim")),
-
-    // Symmetric int8 quantization of the embedding column (ANN memory
-    // compression; exact-reproducible double arithmetic — see
-    // Vectors.quantizeInt8). Shuffle-free.
-    "embedding_quantize" -> ((s, dir) =>
-      graft.ops.Vectors.quantizeInt8(Tables.embeddings(s, dir), "embedding")
-        .select(
-          col("vec_id"),
-          round(col("q_scale"), 4).as("q_scale_r"),
-          aggregate(col("q_vec"), lit(0L), (a, x) => a + x).as("q_sum"),
-          array_min(col("q_vec")).as("q_min"),
-          array_max(col("q_vec")).as("q_max"))
-        .orderBy("vec_id")),
-
-    // Incremental near-dup: a NEW BATCH (re-labeled copies of docs
-    // 100–149, simulating a re-crawl) deduped AGAINST the existing corpus
-    // — one (band,bucket) equi-join, no corpus self-join. Oracle:
-    // brute-force batch × corpus Jaccard.
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val batch = docs.filter(col("doc_id").between(100, 149))
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      Dedup.minhashLshIncremental(docs, batch, "doc_id", "text",
-        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // The PERSISTED serving path of the same operator: corpus shingled,
-    // signed, and written ONCE (MinHashIndex.write — band-partitioned
-    // parquet + parameter sidecar, IndexFixture); the declared body is
-    // read → query, the daily-batch deployment shape. Deterministic
-    // hashes → same oracle as dedup_incremental.
-    "dedup_minhash_persisted" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
-        graft.ops.MinHashIndex.write(
-          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
-            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
-      }
-      val batch = docs.filter(col("doc_id").between(100, 149))
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      graft.ops.MinHashIndex.query(
-          graft.ops.MinHashIndex.read(s, idxDir), batch, "doc_id", "text",
-          threshold = 0.8)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // Persisted IVF-PQ serving: build + write once (cluster-partitioned
-    // lists + model sidecar), then read → ADC probe → exact rerank — the
-    // 100 TB ANN deployment shape. Approximate by design → rows-only
-    // (recall + write/read equality asserted in IvfPqIndexSpec).
-    "knn_ivfpq_persisted" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val idxDir = IndexFixture.dir("ivfpq1", dir) { tmp =>
-        graft.ops.IvfPqIndex.write(
-          graft.ops.IvfPqIndex.build(emb, "vec_id", "embedding",
-            nlist = 16, numSubspaces = 8, numCodes = 16), tmp)
-      }
-      graft.ops.IvfPqIndex.topK(
-          graft.ops.IvfPqIndex.read(s, idxDir),
-          emb.filter(col("vec_id") < 100), emb,
-          "vec_id", "embedding", k = 5, nprobe = 8)
-        .withColumn("rank", col("rank").cast("bigint"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // The maxBucket cap's audit rail as a DECLARED query (no-silent-caps:
-    // a capped production dedup ships its own evidence): a corpus slice
-    // made degenerate — 60 re-id'd clones of one boilerplate line — joins
-    // the real docs, and the buckets the cap would drop surface as
-    // (band, n_ids). Bucket hashes are Spark-side; projecting them away
-    // keeps the audit oracle-checkable.
-    "dedup_oversized_buckets" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val degenerate = docs.filter(col("doc_id") < 60)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
-        .withColumn("text", lit("all rights reserved see terms of service for details"))
-      Dedup.oversizedBuckets(docs.unionByName(degenerate), "doc_id", "text",
-          shingleK = 3, bands = 8, rowsPerBand = 2, maxBucket = 50)
-        .select(col("band").cast("bigint").as("band"), col("n_ids"))
-        .orderBy("band")
-    }),
-
-    // The maxCluster rail of SemDeDup, declared: 60 exact copies of one
-    // embedding (identical vectors ALWAYS co-cluster) blow one k-means
-    // cluster past the cap; the audit reports it as (cluster, n_rows).
-    "dedup_oversized_clusters" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val clones = emb.filter(col("vec_id") === 0)
-        .withColumn("__i", explode(sequence(lit(1L), lit(60L))))
-        .withColumn("vec_id", col("vec_id") + col("__i") * 1000000L)
-        .drop("__i")
-      Dedup.oversizedClusters(emb.unionByName(clones), "vec_id", "embedding",
-          nlist = 16, maxCluster = 50)
-        .select(col("cluster").cast("bigint").as("cluster"), col("n_rows"))
-        .orderBy("cluster")
-    }),
-
-    // Snapshot diff (change-data audit between two corpus versions):
-    // old = docs minus the ids ≡3 (mod 11); new = docs minus ids ≡5
-    // (mod 13), with text revised where id ≡2 (mod 17) — every status
-    // class populated deterministically at any SF. Content fingerprints
-    // (per-column md5, separator-free) keep the join payload at
-    // (id, 16 bytes); the oracle recomputes the diff semantically.
-    "snapshot_diff" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val old = docs.filter(col("doc_id") % 11 =!= 3)
-      val neu = docs.filter(col("doc_id") % 13 =!= 5)
-        .withColumn("text",
-          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text")))
-      graft.ops.Snapshot.diff(old, neu, "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // CDC round-trip: the change set diff(old→neu) applied back onto old
-    // must reproduce neu exactly (same old/neu churn as snapshot_diff);
-    // released as (id, metadata, md5(text)) so the dump stays id-width
-    "snapshot_apply" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val old = docs.filter(col("doc_id") % 11 =!= 3)
-      val neu = docs.filter(col("doc_id") % 13 =!= 5)
-        .withColumn("text",
-          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text")))
-      graft.ops.Snapshot.applyChangeSet(
-          old, graft.ops.Snapshot.changeSet(old, neu, "doc_id"), "doc_id")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // Temperature-flattened mixture weights (p_i ∝ n_i^τ, τ=0.7) over
-    // per-source char mass — one source-keyed aggregate + broadcast
-    // totals, never corpus-wide state
-    "mix_temperature_weights" -> ((s, dir) =>
-      graft.ops.Sampling.temperatureWeights(
-          Tables.documents(s, dir), col("source"), col("n_chars"), tau = 0.7)
-        .select(col("source"), col("n_size").cast("bigint").as("n_size"),
-          round(col("p_natural"), 6).as("p_natural"),
-          round(col("p_temperature"), 6).as("p_temperature"),
-          round(col("upsample_factor"), 6).as("upsample_factor"))
-        .orderBy("source")),
-
-    // temperature weights MATERIALIZED: τ=0.5 factors → epoch-expanded
-    // corpus (floor(f) full copies + md5-thresholded fractional copy, so
-    // big sources downsample and small ones upsample deterministically);
-    // reported as per-(source, epoch) counts. Pure map-side explode.
-    "mix_epochs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val w = graft.ops.Sampling.temperatureWeights(
-        docs, col("source"), col("n_chars"), tau = 0.5)
-      graft.ops.Sampling.mixEpochs(
-          docs.join(broadcast(w.select(col("source"), col("upsample_factor"))),
-            "source"),
-          "doc_id", col("source"), col("upsample_factor"), seed = "mix0")
-        .groupBy("source", "epoch").agg(count(lit(1)).as("n"))
-        .orderBy("source", "epoch")
-    }),
-
-    // RefinedWeb-style per-source doc cap: keep the 10 lowest-id docs per
-    // source (SQL-recomputable order; hashWeight gives the unbiased form)
-    // — rank via the bucketed two-level prefix sum: no window partition
-    // wider than one range bucket, so a giant source caps in parallel
-    "cap_per_stratum" -> ((s, dir) =>
-      graft.ops.Sampling.capPerStratum(
-          Tables.documents(s, dir).select("doc_id", "source"),
-          col("source"), k = 10, col("doc_id"))
-        .orderBy("doc_id")),
-
-    // Chat-corpus assembly: events grouped per user into one ordered
-    // conversation document (turn sort INSIDE the aggregate — input order
-    // never matters); ONE key shuffle, per-key state = the conversation
-    "conversations_assemble" -> ((s, dir) =>
-      graft.ops.Packing.assembleConversations(
-          Tables.events(s, dir),
-          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
-          textCol = "event_type")
-        .orderBy("user_id")),
-
-    // Measured ANN recall as a DECLARED query — the driver record itself
-    // carries the recall evidence for the four no_oracle ANN paths (same
-    // parameters as their declared queries), not just a spec assertion.
-    // recall@5 = |ANN∩exact| / |exact| over all 100 queries. Exact top-5
-    // is localCheckpoint'ed (500 small rows) so brute force runs ONCE for
-    // the four comparisons. Every path is deterministic (id-ordered
-    // k-means/PQ seeds, hash-based LSH planes, no RNG) → pinned VALUES
-    // oracle, valid at sf0.01 like PinnedOracles.
-    "knn_recall_audit" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") < 100)
-      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
-        .select(col("q_id"), col("n_id")).localCheckpoint()
-      val denom = exact.agg(count(lit(1)).cast("double").as("__n"))
-      def recallOf(algo: String, ann: org.apache.spark.sql.DataFrame) =
-        ann.select(col("q_id"), col("n_id"))
-          .join(exact, Seq("q_id", "n_id"), "left_semi")
-          .agg(count(lit(1)).cast("double").as("__hits"))
-          .crossJoin(denom)
-          .select(lit(algo).as("algo"), round(col("__hits") / col("__n"), 4).as("recall_at_5"))
-      recallOf("ivf", Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 4, lloydIters = 1))
-        .unionByName(recallOf("ivfpq", Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16)))
-        .unionByName(recallOf("lsh", Similarity.lshTopK(q, emb, "vec_id", "embedding",
-          k = 5, numPlanes = 4, numBands = 8)))
-        .unionByName(recallOf("pq", Similarity.pqTopK(q, emb, "vec_id", "embedding",
-          k = 5, numSubspaces = 8, numCodes = 16)))
-        .orderBy("algo")
-    }),
-  )
-
-  /** Shared DuckDB replay of the `embedding_kmeans` fixpoint (seed from
-    * the first 8 vec_ids, 4 assign+update rounds, final assignment in
-    * `a5` as (vec_id, cl, d2)) — used by both the kmeans oracle and the
-    * centroid-distance outlier-pruning oracle, so the two driver checks
-    * provably describe the same clustering.
+  /** One entry per implemented operator from SURVEY.md §2 + north-star
+    * ops, composed from the per-family registries in [[graft.queries]]
+    * (split r14; keys and bodies unchanged — the driver contract is this
+    * one map).
     */
-  private val KmeansReplayCtes: String = {
-    val head =
-      "WITH vl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, " +
-        "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), " +
-      "seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl " +
-        "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s0), " +
-      "c0 AS (SELECT s.cl, v.dim, v.val FROM seed s JOIN vl v ON v.vec_id = s.vec_id)"
-    def assignCte(i: Int) =
-      s"a$i AS (SELECT vec_id, cl, d2 FROM (SELECT v.vec_id, c.cl, " +
-        "sum((v.val - c.val) * (v.val - c.val)) AS d2, " +
-        "row_number() OVER (PARTITION BY v.vec_id " +
-        "ORDER BY sum((v.val - c.val) * (v.val - c.val)), c.cl) AS rn " +
-        s"FROM vl v JOIN c${i - 1} c ON v.dim = c.dim " +
-        "GROUP BY v.vec_id, c.cl) t WHERE rn = 1)"
-    def updateCte(i: Int) =
-      s"c$i AS (SELECT p.cl, p.dim, coalesce(m.val, p.val) AS val " +
-        s"FROM c${i - 1} p LEFT JOIN " +
-        s"(SELECT a.cl, v.dim, avg(v.val) AS val FROM a$i a " +
-        "JOIN vl v ON v.vec_id = a.vec_id GROUP BY a.cl, v.dim) m " +
-        "ON m.cl = p.cl AND m.dim = p.dim)"
-    val mid = (1 to 4).map(i => assignCte(i) + ", " + updateCte(i))
-      .mkString(", ", ", ", "")
-    head + mid + ", " + assignCte(5)
-  }
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EtlQueries.queries ++ RelationalQueries.queries ++ DedupQueries.queries ++
+      TextQueries.queries ++ SamplingQueries.queries ++ GraphQueries.queries ++
+      EventsQueries.queries ++ SimilarityQueries.queries ++
+      StreamingQueries.queries ++ MultimodalQueries.queries
 
-  /** DuckDB rendering of [[graft.ops.TextAnalysis.qualityScore]] (already
-    * 4-dp rounded) — shared by the corpus-curation oracles; the older
-    * dedup_canonical / quality_filter / text_quality oracles carry their
-    * own inlined (byte-identical) copies.
+  /** DuckDB-equivalent ANSI SQL per query (FIXTURES.md §C determinism
+    * rules), composed from the same family registries; queries whose
+    * semantics are JVM-side carry pinned VALUES oracles instead
+    * ([[PinnedOracles]], captured at sf0.01).
     */
-  private val QualitySql: String =
-    "round(" +
-      "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-      "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-      "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-      "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-      "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-      "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
-      ", 4)"
-
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the approximate-by-design
-    * queries: the five ANN paths (knn_ivf_ann, knn_lsh_ann, knn_pq_ann,
-    * knn_ivfpq_ann, knn_ivfpq_persisted — recall-asserted vs brute force
-    * in IvfSpec/SimilaritySpec, persistence equality in IvfPqIndexSpec,
-    * and the MEASURED recall of the four ANN algorithms ships in the
-    * driver record via the pinned knn_recall_audit declared query)
-    * and the sketch profile (corpus_sketch_profile — HLL++/KLL error vs
-    * the exact aggregates asserted in TextAnalysisSpec);
-    * the deterministic Spark-side-hash queries carry PINNED literal-VALUES
-    * oracles ([[PinnedOracles]], valid at sf0.01).
-    */
-  /** One BM25 oracle, two declared paths: the from-scratch
-    * `text_bm25_search` and the index-served `text_bm25_persisted` must
-    * produce byte-identical results — sharing the oracle string states
-    * that contract in the driver record itself.
-    */
-  /** Shared CTE prefix of the curation-pipeline oracles: corpus with
-    * injected clones → quality metrics (`kept`) → 8-gram decontamination
-    * (`clean`) → dedup ranking (`d`, winner at rn = 1). Used by both the
-    * row-level `e2e_curation_pipeline` oracle and the per-stage
-    * cardinality oracle of `e2e_observed_metrics`, so the two driver
-    * checks provably describe the same pipeline.
-    */
-  private val CurationOracleCtes: String =
-    "WITH corpus AS (SELECT doc_id, text, lang, source, n_chars FROM documents " +
-      "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50), " +
-      "m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
-      "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
-      "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
-      "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-      "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-      "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-      "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-      "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-      "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
-      "FROM corpus), " +
-      "kept AS (SELECT c.* FROM corpus c JOIN m USING (doc_id) " +
-      "WHERE m.n_tokens >= 20 AND m.rep <= 0.02 AND m.q >= 0.85), " +
-      "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM kept), " +
-      "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
-      "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
-      "btk AS (SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t " +
-      "FROM documents WHERE doc_id % 25 = 0), " +
-      "bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 7), " +
-      "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM btk WHERE len(t) >= 8), " +
-      "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)), " +
-      "clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
-      "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM clean) "
-
-  private val Bm25OracleSql: String =
-    "WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
-      "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
-      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
-      "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
-      "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
-      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
-      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
-      "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
-      "s AS (SELECT q.q_id, tf.doc_id, " +
-      "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-      "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS sc " +
-      "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
-      "agg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(sc), 4) AS score FROM s GROUP BY 1, 2), " +
-      "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM agg) " +
-      "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score " +
-      "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
-
-  /** Hybrid RRF replay shared by `doc_retrieval_hybrid` (brute legs) and
-    * `doc_retrieval_hybrid_indexed` (persisted BM25 + IVF-PQ serving):
-    * both must land the IDENTICAL fused ranking — the BM25 CTEs are
-    * [[Bm25OracleSql]]'s, the cosine leg is knn_bruteforce's restricted
-    * to queries 1 and 2, fused by 1/(60+rank) and re-ranked.
-    */
-  private val HybridRrfOracleSql: String =
-    "WITH q(q_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'dup'), " +
-      "(2, 'window'), (2, 'sort'), (2, 'merge')), " +
-      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
-      "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok " +
-      "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), " +
-      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
-      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
-      "avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
-      "sc AS (SELECT q.q_id, tf.doc_id, " +
-      "ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-      "(tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS s " +
-      "FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
-      "bagg AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(s), 4) AS score FROM sc GROUP BY 1, 2), " +
-      "bm AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r FROM bagg), " +
-      "vp AS (SELECT qe.vec_id AS q_id, n.vec_id AS doc_id, " +
-      "round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
-      "(sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) * " +
-      "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
-      "FROM embeddings qe, embeddings n WHERE qe.vec_id IN (1, 2) AND qe.vec_id <> n.vec_id), " +
-      "vec AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS r FROM vp), " +
-      "contrib AS (SELECT q_id, doc_id, r FROM bm WHERE r <= 10 " +
-      "UNION ALL SELECT q_id, doc_id, r FROM vec WHERE r <= 10), " +
-      "fused AS (SELECT q_id, doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf, " +
-      "CAST(count(*) AS BIGINT) AS n_legs FROM contrib GROUP BY 1, 2), " +
-      "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank FROM fused) " +
-      "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_legs " +
-      "FROM rr WHERE rank <= 10 ORDER BY q_id, rank"
-
-  def oracleSql: Map[String, String] = Map(
-    "corpus_stats" ->
-      ("SELECT source, count(*) AS n_docs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
-        s"round(avg($QualitySql), 4) AS avg_quality, " +
-        "round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, " +
-        "round(quantile_cont(n_chars, 0.95), 4) AS p95_chars " +
-        "FROM documents GROUP BY source ORDER BY source"),
-
-    // replays zipfFit(): same whitespace tokens, same (freq DESC, token)
-    // total order at the top-1000 cut and in the rank numbering, ln-ln
-    // OLS via the shared regr_* aggregate definitions
-    "corpus_zipf_fit" ->
-      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "vc AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY 1), " +
-        "top AS (SELECT token, freq FROM vc ORDER BY freq DESC, token LIMIT 1000), " +
-        "r AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE) AS rk FROM top) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_terms, " +
-        "round(regr_slope(ln(freq), ln(rk)), 6) AS slope, " +
-        "round(regr_intercept(ln(freq), ln(rk)), 6) AS intercept, " +
-        "round(regr_r2(ln(freq), ln(rk)), 6) AS r2 FROM r"),
-
-    "quality_gate" ->
-      (s"WITH q AS (SELECT doc_id, $QualitySql AS quality FROM documents), " +
-        "t AS (SELECT quantile_cont(quality, 0.1) AS thr FROM q) " +
-        "SELECT doc_id, quality FROM q, t WHERE quality >= thr ORDER BY doc_id"),
-
-    "s1_full_scan" ->
-      "SELECT * FROM region ORDER BY r_regionkey",
-
-    "s2_window_extract" ->
-      s"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' ORDER BY l_orderkey, l_linenumber",
-
-    "t1_sanitize_inf" ->
-      ("SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
-        "CASE WHEN isinf(l_quantity) THEN NULL ELSE l_quantity END AS l_quantity, " +
-        "CASE WHEN isinf(l_extendedprice) THEN NULL ELSE l_extendedprice END AS l_extendedprice, " +
-        "CASE WHEN isinf(l_discount) THEN NULL ELSE l_discount END AS l_discount, " +
-        "CASE WHEN isinf(l_tax) THEN NULL ELSE l_tax END AS l_tax, " +
-        "l_returnflag, l_linestatus, l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber"),
-
-    "p2_drop_column" ->
-      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
-
-    "l2_overwrite" ->
-      s"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' ORDER BY l_orderkey, l_linenumber",
-
-    "l3_retain_then_append" ->
-      (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' " +
-        s"UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut') t " +
-        "ORDER BY l_orderkey, l_linenumber"),
-
-    "l4_upsert" ->
-      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
-        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
-        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
-
-    // incremental ≡ from-scratch: the oracle recomputes the rollup over
-    // ALL facts in one pass; the streaming maintenance shares it, so the
-    // record pins streaming ≡ batch-incremental ≡ full recompute
-    "l8_merge_aggregate" ->
-      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
-        "round(sum(l_quantity), 4) AS sum_qty, " +
-        "round(min(l_extendedprice), 4) AS min_price, " +
-        "max(l_shipdate) AS max_ship " +
-        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
-    "stream_rollup_maintain" ->
-      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
-        "round(sum(l_quantity), 4) AS sum_qty, " +
-        "round(min(l_extendedprice), 4) AS min_price, " +
-        "max(l_shipdate) AS max_ship " +
-        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
-
-    "l9_partition_prune" ->
-      ("SELECT strftime(ts, '%Y-%m-%d') AS p_date, CAST(count(*) AS BIGINT) AS n_events, " +
-        "round(sum(value), 4) AS sum_value FROM events " +
-        "WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10' " +
-        "AND strftime(ts, '%Y-%m-%d') < '2024-01-17' " +
-        "GROUP BY 1 ORDER BY p_date"),
-
-    "l5_refresh_window" ->
-      (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$LiCut' " +
-        s"UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut') t " +
-        "ORDER BY l_orderkey, l_linenumber"),
-
-    "l6_delete_where" ->
-      s"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '$OrdCut' ORDER BY o_orderkey",
-
-    "l7_scd2" ->
-      ("WITH cur AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal, " +
-        "TIMESTAMP '2001-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM customer), " +
-        "inc AS (" +
-        "SELECT c_custkey, c_mktsegment, round(c_acctbal + 100, 2) AS c_acctbal FROM customer WHERE c_custkey % 7 = 0 " +
-        "UNION ALL SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0 " +
-        "UNION ALL SELECT c_custkey + 1000000, c_mktsegment, round(c_acctbal, 2) FROM customer WHERE c_custkey % 11 = 0), " +
-        "j AS (SELECT coalesce(c.c_custkey, i.c_custkey) AS k, " +
-        "c.c_custkey IS NOT NULL AS in_cur, i.c_custkey IS NOT NULL AS in_inc, " +
-        "c.c_mktsegment AS cseg, c.c_acctbal AS cbal, c.valid_from AS cvf, " +
-        "i.c_mktsegment AS iseg, i.c_acctbal AS ibal, " +
-        "(c.c_mktsegment IS DISTINCT FROM i.c_mktsegment OR c.c_acctbal IS DISTINCT FROM i.c_acctbal) AS changed " +
-        "FROM cur c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey) " +
-        "SELECT k AS c_custkey, cseg AS c_mktsegment, cbal AS c_acctbal, cvf AS valid_from, " +
-        "CASE WHEN in_inc AND changed THEN TIMESTAMP '2001-06-01' END AS valid_to FROM j WHERE in_cur " +
-        "UNION ALL SELECT k, iseg, ibal, TIMESTAMP '2001-06-01', NULL FROM j WHERE in_inc AND (NOT in_cur OR changed) " +
-        "ORDER BY c_custkey, valid_from"),
-
-    "skew_report" ->
-      ("WITH k AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_suppkey END AS jkey FROM lineitem), " +
-        "c AS (SELECT jkey, count(*) AS n FROM k GROUP BY 1), " +
-        "t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, count(*) AS n_distinct_keys FROM c) " +
-        "SELECT jkey, n, round(n / tot, 6) AS share, " +
-        "greatest(1, CAST(ceil(n / tot * 32) AS BIGINT)) AS salt_factor, n_distinct_keys " +
-        "FROM c, t ORDER BY n DESC, jkey LIMIT 10"),
-
-    "skew_salted_join" ->
-      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
-
-    // replays the pre-flight algebra exactly: per-side key counts, the
-    // count-frame join, Σ n_l·n_r, per-key share — never pairing the data
-    "join_cardinality_report" ->
-      ("WITH lc AS (SELECT event_type AS join_key, count(*) AS n_left FROM events GROUP BY 1), " +
-        "rc AS (SELECT event_type AS join_key, count(*) AS n_right FROM events GROUP BY 1), " +
-        "p AS (SELECT join_key, n_left, n_right, n_left * n_right AS pairs " +
-        "FROM lc JOIN rc USING (join_key)), " +
-        "t AS (SELECT CAST(sum(pairs) AS BIGINT) AS est_total_pairs, " +
-        "count(*) AS n_join_keys FROM p) " +
-        "SELECT join_key, n_left, n_right, pairs, " +
-        "round(CAST(pairs AS DOUBLE) / est_total_pairs, 6) AS share, " +
-        "est_total_pairs, n_join_keys FROM p, t " +
-        "ORDER BY pairs DESC, join_key LIMIT 5"),
-
-    // the co-located bucketed join must equal the plain join — bucketing
-    // only changes the physical layout, never the result
-    "bucketed_join_colocated" ->
-      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
-
-    "m7_profile" ->
-      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
-        .map(c => s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
-          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
-          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
-          s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val FROM orders")
-        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
-
-    "m8_quantile_profile" ->
-      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        .map(c => s"SELECT '$c' AS col_name, " +
-          s"round(quantile_cont($c, 0.25), 4) AS p25, " +
-          s"round(quantile_cont($c, 0.5), 4) AS p50, " +
-          s"round(quantile_cont($c, 0.75), 4) AS p75, " +
-          s"round(quantile_cont($c, 0.95), 4) AS p95 FROM lineitem")
-        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
-
-    "m6_nvarchar_promotion" ->
-      ("SELECT col_name, promote FROM (" +
-        "SELECT 'c_mktsegment' AS col_name, CAST(max(CASE WHEN regexp_matches(c_mktsegment, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS promote " +
-        "FROM (SELECT c_mktsegment FROM customer ORDER BY c_custkey LIMIT 1000) s1 " +
-        "UNION ALL " +
-        "SELECT 'c_name', CAST(max(CASE WHEN regexp_matches(c_name, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) " +
-        "FROM (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1000) s2" +
-        ") t ORDER BY col_name"),
-
-    "o5_notify_count" ->
-      "SELECT count(*) AS n_records FROM lineitem",
-
-    "q1_agg" ->
-      ("SELECT l_returnflag, l_linestatus, " +
-        "round(sum(l_quantity), 4) AS sum_qty, " +
-        "round(sum(l_extendedprice), 4) AS sum_base_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge, " +
-        "round(avg(l_quantity), 4) AS avg_qty, " +
-        "round(avg(l_extendedprice), 4) AS avg_price, " +
-        "round(avg(l_discount), 4) AS avg_disc, " +
-        "count(*) AS count_order " +
-        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' " +
-        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
-
-    "q3_join_topk" ->
-      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
-        "FROM customer, orders, lineitem " +
-        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
-        "AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
-        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
-        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
-
-    "q5_join_chain" ->
-      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
-        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
-        "JOIN supplier ON s_nationkey = n_nationkey " +
-        "JOIN lineitem ON l_suppkey = s_suppkey " +
-        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
-
-    "q4_semi_join" ->
-      ("SELECT o_orderpriority, count(*) AS n FROM orders " +
-        "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00' " +
-        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
-
-    // the same distinct→frequent→pair-count→lift pipeline in plain SQL
-    // (the oracle may pair via self-join; the engine never does)
-    "basket_pairs" ->
-      ("WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-        "nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n FROM it), " +
-        "f AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM it GROUP BY 1 HAVING count(*) >= 40), " +
-        "fi AS (SELECT ok, pk FROM it JOIN f USING (pk)), " +
-        "p AS (SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS support " +
-        "FROM fi a JOIN fi b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2) " +
-        "SELECT item_a, item_b, support, " +
-        "round(support * nb.n / (fa.s * fb.s), 4) AS lift " +
-        "FROM p JOIN f fa ON fa.pk = item_a JOIN f fb ON fb.pk = item_b CROSS JOIN nb " +
-        "WHERE support >= 2 ORDER BY item_a, item_b"),
-
-    // two directed rules per undirected pair via UNION ALL; confidence
-    // filtered unrounded like the engine
-    "basket_rules" ->
-      ("WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-        "nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n FROM it), " +
-        "f AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM it GROUP BY 1 HAVING count(*) >= 40), " +
-        "fi AS (SELECT ok, pk FROM it JOIN f USING (pk)), " +
-        "p AS (SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS support " +
-        "FROM fi a JOIN fi b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
-        "j AS (SELECT item_a, item_b, support, fa.s AS sa, fb.s AS sb, nb.n AS n " +
-        "FROM p JOIN f fa ON fa.pk = item_a JOIN f fb ON fb.pk = item_b CROSS JOIN nb " +
-        "WHERE support >= 2) " +
-        "SELECT antecedent, consequent, support, round(conf, 4) AS confidence, " +
-        "round(lift, 4) AS lift FROM (" +
-        "SELECT item_a AS antecedent, item_b AS consequent, support, " +
-        "support / CAST(sa AS DOUBLE) AS conf, support * n / (sa * sb) AS lift FROM j " +
-        "UNION ALL SELECT item_b, item_a, support, support / CAST(sb AS DOUBLE), " +
-        "support * n / (sa * sb) FROM j) t " +
-        "WHERE conf >= 0.045 ORDER BY antecedent, consequent"),
-
-    // the same quintile edges via quantile_cont; boolean edge
-    // comparisons replayed as integer adds
-    "customer_rfm" ->
-      ("WITH base AS (SELECT o_custkey, " +
-        "CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-01 00:00:00') AS INT) AS rec_days, " +
-        "CAST(count(*) AS BIGINT) AS freq, round(sum(o_totalprice), 2) AS monetary " +
-        "FROM orders GROUP BY 1), " +
-        "e AS (SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS re, " +
-        "quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fe, " +
-        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS me FROM base) " +
-        "SELECT o_custkey, rec_days, freq, monetary, r_score, f_score, m_score, " +
-        "r_score * 100 + f_score * 10 + m_score AS rfm FROM (" +
-        "SELECT o_custkey, rec_days, freq, monetary, " +
-        "1 + CAST(rec_days < re[1] AS INT) + CAST(rec_days < re[2] AS INT) + CAST(rec_days < re[3] AS INT) + CAST(rec_days < re[4] AS INT) AS r_score, " +
-        "1 + CAST(freq > fe[1] AS INT) + CAST(freq > fe[2] AS INT) + CAST(freq > fe[3] AS INT) + CAST(freq > fe[4] AS INT) AS f_score, " +
-        "1 + CAST(monetary > me[1] AS INT) + CAST(monetary > me[2] AS INT) + CAST(monetary > me[3] AS INT) + CAST(monetary > me[4] AS INT) AS m_score " +
-        "FROM base, e) t ORDER BY o_custkey"),
-
-    // no bloom in the oracle: the reduction is correctness-neutral by
-    // construction (FPs are removed by the join), which is the point
-    "bloom_pruned_join" ->
-      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00' " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
-
-    "q_anti_join" ->
-      ("SELECT c_custkey, c_name FROM customer " +
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
-        "AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') ORDER BY c_custkey"),
-
-    "setop_except" ->
-      ("SELECT o_custkey FROM (" +
-        "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
-        "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'" +
-        ") t ORDER BY o_custkey"),
-
-    "setop_intersect" ->
-      ("SELECT o_custkey FROM (" +
-        "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
-        "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'" +
-        ") t ORDER BY o_custkey"),
-
-    "q_scalar_functions" ->
-      ("SELECT o_orderkey, " +
-        "upper(substring(o_orderpriority, 1, 3)) AS prio3, " +
-        "concat_ws('|', o_orderstatus, o_orderpriority) AS tag, " +
-        "CAST(year(o_orderdate) AS BIGINT) AS yr, " +
-        "CAST(month(o_orderdate) AS BIGINT) AS mo, " +
-        "CASE WHEN o_totalprice > 100000.0 THEN 'big' ELSE 'small' END AS size_band, " +
-        "coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open, " +
-        "CAST(length(o_orderpriority) AS BIGINT) AS prio_len " +
-        "FROM orders ORDER BY o_orderkey"),
-
-    "q_stats_agg" ->
-      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
-        "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
-        "round(min(l_quantity), 4) AS min_qty, round(max(l_quantity), 4) AS max_qty " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-
-    "q_distinct_agg" ->
-      ("SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, " +
-        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-
-    "q13_outer_count" ->
-      ("SELECT c_count, custdist FROM (" +
-        "SELECT c_count, count(*) AS custdist FROM (" +
-        "SELECT c.c_custkey, count(o.o_orderkey) AS c_count " +
-        "FROM customer c LEFT OUTER JOIN orders o " +
-        "ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED' " +
-        "GROUP BY c.c_custkey) pc GROUP BY c_count) t " +
-        "ORDER BY custdist DESC, c_count DESC"),
-
-    "q17_small_qty" ->
-      ("SELECT count(*) AS n_small, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly " +
-        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
-        "WHERE p.p_brand = 'Brand#1' AND l.l_quantity < (" +
-        "SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"),
-
-    "q22_rich_inactive" ->
-      ("SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 4) AS total_bal " +
-        "FROM customer c WHERE c_acctbal > (" +
-        "SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0) " +
-        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
-        "AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
-
-    "q7_volume_shipping" ->
-      ("SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue FROM (" +
-        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
-        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
-        "l_extendedprice * (1 - l_discount) AS volume " +
-        "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey " +
-        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
-        "JOIN customer c ON c.c_custkey = o.o_custkey " +
-        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
-        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
-        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
-        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t " +
-        "GROUP BY supp_nation, cust_nation, l_year " +
-        "ORDER BY supp_nation, cust_nation, l_year"),
-
-    "q8_market_share" ->
-      ("SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) " +
-        "/ sum(volume), 4) AS mkt_share FROM (" +
-        "SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, " +
-        "l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation " +
-        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
-        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
-        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
-        "JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey " +
-        "JOIN region r ON n1.n_regionkey = r.r_regionkey " +
-        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey " +
-        "WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') t " +
-        "GROUP BY o_year ORDER BY o_year"),
-
-    "q10_returned_top" ->
-      ("SELECT c_custkey, c_name, n_name, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
-        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
-        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
-        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
-        "WHERE o.o_orderdate >= TIMESTAMP '2000-10-01 00:00:00' " +
-        "AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00' " +
-        "AND l.l_returnflag = 'R' " +
-        "GROUP BY c_custkey, c_name, n_name " +
-        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
-
-    "q12_priority_class" ->
-      ("SELECT l_linestatus, " +
-        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
-        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
-        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
-        "WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
-        "AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00' " +
-        "GROUP BY l_linestatus ORDER BY l_linestatus"),
-
-    "q14_promo_share" ->
-      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' " +
-        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) " +
-        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue " +
-        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
-        "WHERE l.l_shipdate >= TIMESTAMP '2000-09-01 00:00:00' " +
-        "AND l.l_shipdate < TIMESTAMP '2000-10-01 00:00:00'"),
-
-    "q16_supplier_cnt" ->
-      ("SELECT p_brand, p_type, p_size, " +
-        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
-        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
-        "WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20, 25) " +
-        "GROUP BY p_brand, p_type, p_size " +
-        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
-
-    "q18_large_orders" ->
-      ("SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, sum_qty " +
-        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
-        "GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0) t " +
-        "ON o.o_orderkey = t.l_orderkey " +
-        "ORDER BY o_orderkey"),
-
-    "q19_disjunctive" ->
-      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
-        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
-        "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20) " +
-        "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20 AND l.l_quantity BETWEEN 5 AND 40) " +
-        "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40 AND l.l_quantity BETWEEN 10 AND 50)"),
-
-    // PageRank: the full 10-round power iteration unrolled as chained
-    // CTEs — DuckDB replays the exact recurrence (teleport 0.15/N +
-    // 0.85 × incoming rank/degree), so the declared query is pinned to
-    // the true fixpoint trajectory, not a rows-only check.
-    "q11_important_stock" ->
-      ("WITH pp AS (SELECT l_partkey, sum(l_extendedprice * l_quantity) AS pv " +
-        "FROM lineitem GROUP BY l_partkey) " +
-        "SELECT l_partkey, round(pv, 4) AS part_value FROM pp " +
-        "WHERE pv > (SELECT avg(pv) FROM pp) * 1.4 " +
-        "ORDER BY part_value DESC, l_partkey"),
-
-    "q20_excess_supply" ->
-      ("WITH q AS (SELECT l_suppkey, sum(l_quantity) AS promo_qty " +
-        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-        "WHERE p_type = 'PROMO' GROUP BY l_suppkey HAVING sum(l_quantity) > 2900.0) " +
-        "SELECT s_suppkey, s_name, promo_qty FROM supplier " +
-        "JOIN q ON s_suppkey = l_suppkey ORDER BY s_suppkey"),
-
-    "q15_top_supplier" ->
-      ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue " +
-        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
-        "AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00' GROUP BY l_suppkey) " +
-        "SELECT s_suppkey, s_name, total_revenue " +
-        "FROM supplier JOIN rev ON s_suppkey = supplier_no " +
-        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
-        "ORDER BY s_suppkey"),
-
-    "q2_min_cost_supplier" ->
-      ("WITH offers AS (SELECT l_partkey, l_suppkey, s_name, n_name, " +
-        "round(min(l_extendedprice), 4) AS offer " +
-        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
-        "JOIN nation ON s_nationkey = n_nationkey " +
-        "JOIN region ON n_regionkey = r_regionkey " +
-        "WHERE r_name = 'ASIA' GROUP BY l_partkey, l_suppkey, s_name, n_name) " +
-        "SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey, o.s_name, o.n_name, o.offer " +
-        "FROM offers o JOIN part p ON o.l_partkey = p.p_partkey " +
-        "WHERE p.p_size <= 5 AND o.offer = " +
-        "(SELECT min(o2.offer) FROM offers o2 WHERE o2.l_partkey = o.l_partkey) " +
-        "ORDER BY p_partkey, s_suppkey"),
-
-    "q6_forecast_revenue" ->
-      ("SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue " +
-        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
-        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"),
-
-    "q9_product_profit" ->
-      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, " +
-        "round(sum(l_extendedprice * (1 - l_discount) " +
-        "- 0.8 * p_retailprice * l_quantity), 4) AS sum_profit " +
-        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "JOIN nation ON s_nationkey = n_nationkey " +
-        "JOIN orders ON l_orderkey = o_orderkey " +
-        "WHERE p_name LIKE '%widget%' " +
-        "GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC"),
-
-    "q21_waiting_supplier" ->
-      ("WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders " +
-        "WHERE o_orderstatus = 'F'), " +
-        "late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem " +
-        "JOIN fo ON l_orderkey = o_orderkey " +
-        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY), " +
-        "alls AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp " +
-        "FROM lineitem JOIN fo ON l_orderkey = o_orderkey GROUP BY l_orderkey), " +
-        "lates AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_late_supp " +
-        "FROM late GROUP BY l_orderkey) " +
-        "SELECT s_name, count(*) AS numwait " +
-        "FROM late JOIN alls USING (l_orderkey) JOIN lates USING (l_orderkey) " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "WHERE n_supp >= 2 AND n_late_supp = 1 " +
-        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"),
-
-    "graph_pagerank" -> {
-      val head =
-        "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, " +
-          "l_suppkey * 2 + 1 AS dst " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
-        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src), " +
-        "pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)"
-      val loop = (1 to 10).map(i =>
-        s"pr$i AS (SELECT nd.id, 0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS r " +
-          "FROM nodes nd CROSS JOIN nn LEFT JOIN " +
-          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
-          s"FROM edges e JOIN pr${i - 1} p ON p.id = e.src " +
-          "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
-        .mkString(", ", ", ", "")
-      head + loop + " SELECT id, round(r, 8) AS rank FROM pr10 ORDER BY id"
-    },
-
-    // 5 LPA rounds unrolled: per round, one neighbor-vote join + the
-    // self-vote UNION ALL, then the (cnt DESC, label ASC) argmax
-    "graph_communities" -> {
-      val head =
-        "WITH be AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "edges AS (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be), " +
-        "r0 AS (SELECT id, id AS label FROM (SELECT DISTINCT src AS id FROM edges) t)"
-      val rounds = (1 to 5).map { i =>
-        val p = s"r${i - 1}"
-        s"c$i AS (SELECT id, label, CAST(sum(c) AS BIGINT) AS cnt FROM (" +
-          s"SELECT e.dst AS id, l.label, count(*) AS c FROM edges e " +
-          s"JOIN $p l ON e.src = l.id GROUP BY 1, 2 " +
-          s"UNION ALL SELECT id, label, 1 FROM $p) u GROUP BY 1, 2), " +
-          s"r$i AS (SELECT id, label FROM (SELECT id, label, " +
-          "row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn " +
-          s"FROM c$i) w WHERE rn = 1)"
-      }.mkString(", ", ", ", "")
-      head + rounds + " SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members " +
-        "FROM r5 GROUP BY 1 ORDER BY community"
-    },
-
-    // base-graph 3-round ranks (orders % 10 <> 0), then the warm
-    // start: completion at 1/N for new vertices, renormalization, and 3
-    // identical rounds on the merged graph — unrolled exactly like
-    // graph_pagerank's replay
-    "graph_pagerank_incremental" -> {
-      val head =
-        "WITH b0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 10 <> 0), " +
-        "eb AS (SELECT src, dst FROM b0 UNION SELECT dst, src FROM b0), " +
-        "nb AS (SELECT DISTINCT src AS id FROM eb), " +
-        "nnb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nb), " +
-        "degb AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM eb GROUP BY src), " +
-        "pb0 AS (SELECT id, 1.0 / nnb.n AS r FROM nb, nnb)"
-      val baseLoop = (1 to 3).map(i =>
-        s"pb$i AS (SELECT nd.id, 0.15 / nnb.n + 0.85 * coalesce(c.s, 0) AS r " +
-          "FROM nb nd CROSS JOIN nnb LEFT JOIN " +
-          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
-          s"FROM eb e JOIN pb${i - 1} p ON p.id = e.src " +
-          "JOIN degb dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
-        .mkString(", ", ", ", "")
-      val merge =
-        ", m0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "em AS (SELECT src, dst FROM m0 UNION SELECT dst, src FROM m0), " +
-        "nm AS (SELECT DISTINCT src AS id FROM em), " +
-        "nnm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nm), " +
-        "degm AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM em GROUP BY src), " +
-        "seed AS (SELECT nm.id, coalesce(p.r, 1.0 / nnm.n) AS r " +
-          "FROM nm CROSS JOIN nnm LEFT JOIN pb3 p ON p.id = nm.id), " +
-        "tot AS (SELECT sum(r) AS t FROM seed), " +
-        "pw0 AS (SELECT id, r / tot.t AS r FROM seed, tot)"
-      val warmLoop = (1 to 3).map(i =>
-        s"pw$i AS (SELECT nd.id, 0.15 / nnm.n + 0.85 * coalesce(c.s, 0) AS r " +
-          "FROM nm nd CROSS JOIN nnm LEFT JOIN " +
-          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
-          s"FROM em e JOIN pw${i - 1} p ON p.id = e.src " +
-          "JOIN degm dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
-        .mkString(", ", ", ", "")
-      head + baseLoop + merge + warmLoop +
-        " SELECT id, round(r, 8) AS rank FROM pw3 ORDER BY id"
-    },
-
-    // directed + dangling redistribution: same unrolled-CTE replay, with
-    // edges NOT mirrored, nodes = src ∪ dst, and each round adding the
-    // previous round's sink mass (dm) uniformly inside the damping term
-    "graph_pagerank_directed" -> {
-      val head =
-        "WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src, " +
-          "l_suppkey * 2 + 1 AS dst " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), " +
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src), " +
-        "sinks AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM edges)), " +
-        "pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)"
-      val loop = (1 to 5).map(i =>
-        s"dm$i AS (SELECT coalesce(sum(p.r), 0) AS m FROM pr${i - 1} p " +
-          "JOIN sinks s ON s.id = p.id), " +
-        s"pr$i AS (SELECT nd.id, 0.15 / nn.n + 0.85 * (coalesce(c.s, 0) + dm$i.m / nn.n) AS r " +
-          s"FROM nodes nd CROSS JOIN nn CROSS JOIN dm$i LEFT JOIN " +
-          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
-          s"FROM edges e JOIN pr${i - 1} p ON p.id = e.src " +
-          "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = nd.id)")
-        .mkString(", ", ", ", "")
-      head + loop + " SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id"
-    },
-
-    // personalized teleport: the uniform 0.15/n term becomes 0.15·s(v)
-    // and the dangling mass re-enters through s(v), not 1/n
-    "graph_ppr" -> {
-      val head =
-        "WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src, " +
-          "l_suppkey * 2 + 1 AS dst " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), " +
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src), " +
-        "sinks AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM edges)), " +
-        "sk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes WHERE id % 2 = 0 AND id < 50), " +
-        "sn AS (SELECT nd.id, CASE WHEN nd.id % 2 = 0 AND nd.id < 50 " +
-          "THEN 1.0 / sk.k ELSE 0.0 END AS sv FROM nodes nd CROSS JOIN sk), " +
-        "pr0 AS (SELECT id, sv AS r FROM sn)"
-      val loop = (1 to 5).map(i =>
-        s"dm$i AS (SELECT coalesce(sum(p.r), 0) AS m FROM pr${i - 1} p " +
-          "JOIN sinks s ON s.id = p.id), " +
-        s"pr$i AS (SELECT sn.id, 0.15 * sn.sv + 0.85 * (coalesce(c.s, 0) + dm$i.m * sn.sv) AS r " +
-          s"FROM sn CROSS JOIN dm$i LEFT JOIN " +
-          "(SELECT e.dst, sum(p.r / dg.d) AS s " +
-          s"FROM edges e JOIN pr${i - 1} p ON p.id = e.src " +
-          "JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c ON c.dst = sn.id)")
-        .mkString(", ", ", ", "")
-      head + loop + " SELECT id, round(r, 8) AS rank FROM pr5 ORDER BY id"
-    },
-
-    // identical degree-ordered orientation on both sides: the wedge and
-    // its closing edge key on the same (deg, id) total order
-    "graph_triangles" ->
-      ("WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45), " +
-        "e AS (SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b FROM pairs p1 " +
-        "JOIN pairs p2 ON p1.l_orderkey = p2.l_orderkey AND p1.l_suppkey < p2.l_suppkey), " +
-        "deg AS (SELECT id, count(*) AS dg FROM " +
-        "(SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id), " +
-        "o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u, " +
-        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v, " +
-        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN db.dg ELSE da.dg END AS vdg " +
-        "FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b), " +
-        "w AS (SELECT o1.v AS w1, o2.v AS w2 FROM o o1 JOIN o o2 " +
-        "ON o1.u = o2.u AND (o1.vdg < o2.vdg OR (o1.vdg = o2.vdg AND o1.v < o2.v))), " +
-        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w " +
-        "WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)) " +
-        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, n_triangles FROM t"),
-
-    // the per-vertex extension: corner-explode the closed wedges, then
-    // lcc = 2·tri / (deg·(deg−1)) with the deg<2 → 0 convention
-    "graph_clustering_coeff" ->
-      ("WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45), " +
-        "e AS (SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b FROM pairs p1 " +
-        "JOIN pairs p2 ON p1.l_orderkey = p2.l_orderkey AND p1.l_suppkey < p2.l_suppkey), " +
-        "deg AS (SELECT id, count(*) AS dg FROM " +
-        "(SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id), " +
-        "o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u, " +
-        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v, " +
-        "CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN db.dg ELSE da.dg END AS vdg " +
-        "FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b), " +
-        "w AS (SELECT o1.u, o1.v AS w1, o2.v AS w2 FROM o o1 JOIN o o2 " +
-        "ON o1.u = o2.u AND (o1.vdg < o2.vdg OR (o1.vdg = o2.vdg AND o1.v < o2.v))), " +
-        "wc AS (SELECT u, w1, w2 FROM w " +
-        "WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)), " +
-        "c AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM " +
-        "(SELECT u AS id FROM wc UNION ALL SELECT w1 FROM wc UNION ALL SELECT w2 FROM wc) " +
-        "GROUP BY id) " +
-        "SELECT d.id, CAST(d.dg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, " +
-        "CASE WHEN d.dg >= 2 THEN round(2.0 * coalesce(c.triangles, 0) / (d.dg * (d.dg - 1)), 6) " +
-        "ELSE 0.0 END AS lcc " +
-        "FROM deg d LEFT JOIN c USING (id) ORDER BY d.id"),
-
-    // Lloyd k-means: seed from the first 8 vec_ids, 4 assign+update
-    // rounds and a final assignment, all replayed in long (vec_id, dim,
-    // val) form — argmin ties break to the lowest cluster id on both
-    // sides, empty clusters keep their previous centroid on both sides.
-    "embedding_kmeans" ->
-      (KmeansReplayCtes +
-        " SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_members, " +
-        "round(sum(d2), 3) AS inertia FROM a5 GROUP BY cl ORDER BY cluster"),
-
-    // the kmeans fixpoint replay extended with per-cluster p90 cuts —
-    // quantiles and comparisons both run on 4-dp-rounded distances so
-    // the prune flag is FP-robust cross-engine
-    "embedding_prune_outliers" ->
-      (KmeansReplayCtes +
-        ", d AS (SELECT vec_id, CAST(cl AS INT) AS cluster, round(d2, 4) AS d2r FROM a5)" +
-        ", cuts AS (SELECT cluster, round(quantile_cont(d2r, 0.9), 4) AS cut " +
-        "FROM d GROUP BY cluster) " +
-        "SELECT vec_id, cluster, d2r, (d2r > cut) AS pruned " +
-        "FROM d JOIN cuts USING (cluster) ORDER BY vec_id"),
-
-    "vocab_coverage" ->
-      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "tk AS (SELECT source, token FROM tok WHERE token <> ''), " +
-        "vc AS (SELECT token, count(*) AS n FROM tk GROUP BY token HAVING count(*) >= 5), " +
-        "vocab AS (SELECT token FROM (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rid FROM vc) r WHERE rid <= 4096) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
-        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
-        "round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate " +
-        "FROM tk LEFT JOIN vocab v ON v.token = tk.token " +
-        "GROUP BY source ORDER BY source"),
-
-    "bitext_mine" ->
-      ("WITH de AS (SELECT d.doc_id AS id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v " +
-        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
-        "aa AS (SELECT id, v FROM de WHERE lang = 'en'), " +
-        "bb AS (SELECT id, v FROM de WHERE lang = 'es'), " +
-        "p AS (SELECT aa.id AS src_id, bb.id AS tgt_id, " +
-        "round(list_dot_product(aa.v, bb.v) / (sqrt(list_dot_product(aa.v, aa.v)) * " +
-        "sqrt(list_dot_product(bb.v, bb.v))), 4) AS sim FROM aa, bb), " +
-        "ra AS (SELECT src_id, avg(sim) AS m_a FROM (SELECT src_id, sim, " +
-        "row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn FROM p) t " +
-        "WHERE rn <= 4 GROUP BY src_id), " +
-        "rb AS (SELECT tgt_id, avg(sim) AS m_b FROM (SELECT tgt_id, sim, " +
-        "row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn FROM p) t " +
-        "WHERE rn <= 4 GROUP BY tgt_id), " +
-        "m AS (SELECT p.src_id, p.tgt_id, p.sim, " +
-        "round(p.sim / ((ra.m_a + rb.m_b) / 2), 4) AS margin " +
-        "FROM p JOIN ra ON ra.src_id = p.src_id JOIN rb ON rb.tgt_id = p.tgt_id), " +
-        "best AS (SELECT src_id, tgt_id, sim, margin FROM (SELECT m.*, " +
-        "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn FROM m) t " +
-        "WHERE rn = 1) " +
-        "SELECT src_id, tgt_id, sim, margin FROM best WHERE margin > 1.0 ORDER BY src_id"),
-
-    "data_quality_checks" -> {
-      val checks = Seq(
-        "key_not_null" -> "l_orderkey IS NOT NULL",
-        "linenumber_positive" -> "l_linenumber >= 1",
-        "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
-        "price_positive" -> "l_extendedprice > 0",
-        "discount_unit_interval" -> "l_discount BETWEEN 0 AND 1",
-        "tax_nonnegative" -> "l_tax >= 0",
-        "returnflag_domain" -> "l_returnflag IN ('A','N','R')",
-        "ship_in_fixture_era" ->
-          "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'")
-      "SELECT \"check\", n_rows, n_violations, passed FROM (" +
-        checks.map { case (n, p) =>
-          s"SELECT '$n' AS \"check\", CAST(count(*) AS BIGINT) AS n_rows, " +
-            s"CAST(sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations, " +
-            s"sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END) = 0 AS passed FROM lineitem"
-        }.mkString(" UNION ALL ") +
-        ") t ORDER BY \"check\""
-    },
-
-    "stream_enrich_static" ->
-      ("SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
-        "c_mktsegment, count(*) AS n " +
-        "FROM events JOIN customer ON user_id = c_custkey " +
-        "GROUP BY 1, 2 ORDER BY window_start, c_mktsegment"),
-
-    // batch replay of the streamed windows + the serving-side rank
-    "stream_topk_trending" ->
-      ("WITH wc AS (SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
-        "event_type, count(*) AS n, round(sum(value), 4) AS sum_val " +
-        "FROM events GROUP BY 1, 2) " +
-        "SELECT window_start, event_type, n, sum_val, CAST(rank AS INT) AS rank FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY window_start " +
-        "ORDER BY n DESC, event_type) AS rank FROM wc) t " +
-        "WHERE rank <= 3 ORDER BY window_start, rank"),
-
-    "anonymize_ldiversity" ->
-      ("WITH rel AS (SELECT lang, source, n_chars FROM (" +
-        "SELECT d.*, count(*) OVER (PARTITION BY lang, source) AS gn FROM documents d) t " +
-        "WHERE gn >= 5) " +
-        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(count(DISTINCT CAST(n_chars % 16 AS INTEGER)) AS BIGINT) AS n_sensitive " +
-        "FROM rel GROUP BY lang, source ORDER BY lang, source"),
-
-    // replays the deterministic Laplace simulation bit-for-bit: u from
-    // the 32-bit md5 prefix of 'dp0:<group>' (hex parsed via the 0x
-    // cast), inverse CDF −b·sign(u−½)·ln(1−2|u−½|) with b = 1/ε = 2
-    "dp_counts" ->
-      ("WITH g AS (SELECT event_type, count(*) AS n, " +
-        "(CAST('0x' || substr(md5('dp0:' || event_type), 1, 8) AS BIGINT) + 0.5) " +
-        "/ 4294967296.0 AS u FROM events GROUP BY event_type) " +
-        "SELECT event_type, round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) " +
-        "AS n_noisy, CAST(0.5 AS DOUBLE) AS epsilon, round(2.0 * ln(20), 4) AS err95 " +
-        "FROM g ORDER BY event_type"),
-
-    // the dp_counts replay once per scheduled release (per-release seed
-    // and b = 1/ε), tagged with the running Σε of sequential composition
-    "dp_ledger" ->
-      (Seq(("r1_mon", "dpa", 0.5, 0.5), ("r2_tue", "dpb", 0.5, 1.0),
-          ("r3_weekly", "dpc", 1.0, 2.0)).map { case (id, seed, eps, cum) =>
-        val b = 1.0 / eps
-        s"SELECT '$id' AS release_id, event_type, " +
-          s"round(n + (-$b) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) AS n_noisy, " +
-          s"CAST($eps AS DOUBLE) AS epsilon, round($b * ln(20), 4) AS err95, " +
-          s"round(CAST($cum AS DOUBLE), 4) AS eps_cumulative " +
-          s"FROM (SELECT event_type, count(*) AS n, " +
-          s"(CAST('0x' || substr(md5('$seed:' || event_type), 1, 8) AS BIGINT) + 0.5) " +
-          s"/ 4294967296.0 AS u FROM events GROUP BY event_type) g"
-      }.mkString("", " UNION ALL ", " ORDER BY release_id, event_type")),
-
-    // clamped sum (sensitivity 100, b = 100) + two-query mean (sum and
-    // count legs each on ε/2 → b = 200 and 2, sub-seeds :sum / :cnt)
-    "dp_sum_mean" ->
-      ("WITH lap AS (SELECT event_type, " +
-        "sum(greatest(0.0, least(100.0, value))) AS s, count(*) AS n, " +
-        "(CAST('0x' || substr(md5('dps:' || event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS us, " +
-        "(CAST('0x' || substr(md5('dpm:sum:' || event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS ums, " +
-        "(CAST('0x' || substr(md5('dpm:cnt:' || event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS umc " +
-        "FROM events GROUP BY event_type), " +
-        "r AS (SELECT event_type, " +
-        "round(s + (-100.0) * sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5)), 4) AS sum_noisy, " +
-        "s + (-200.0) * sign(ums - 0.5) * ln(1 - 2 * abs(ums - 0.5)) AS msn, " +
-        "n + (-2.0) * sign(umc - 0.5) * ln(1 - 2 * abs(umc - 0.5)) AS mnn " +
-        "FROM lap) " +
-        "SELECT event_type, sum_noisy, CAST(1.0 AS DOUBLE) AS epsilon, " +
-        "round(100.0 * ln(20), 4) AS err95, " +
-        "round(msn / greatest(mnn, 1.0), 4) AS mean_noisy, round(mnn, 4) AS n_noisy " +
-        "FROM r ORDER BY event_type"),
-
-    "events_seasonal_profile" ->
-      ("WITH cells AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, " +
-        "CAST(count(*) AS BIGINT) AS n, avg(value) AS m " +
-        "FROM events GROUP BY event_type, hour(ts)) " +
-        "SELECT event_type, hour_of_day, n, round(m, 4) AS mean_value, " +
-        "round(m / (sum(m * n) OVER (PARTITION BY event_type) / " +
-        "sum(n) OVER (PARTITION BY event_type)), 4) AS seasonal_index " +
-        "FROM cells ORDER BY event_type, hour_of_day"),
-
-    "wordpiece_vocab" ->
-      ("WITH wc AS (SELECT word, count(*) AS n FROM (" +
-        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
-        "WHERE word <> '' GROUP BY word), " +
-        "pos AS (SELECT word, n, unnest(generate_series(1, length(word))) AS p FROM wc), " +
-        "pl AS (SELECT word, n, p, unnest(generate_series(1, 6)) AS l FROM pos), " +
-        "cand AS (SELECT CASE WHEN p = 1 THEN substr(word, p, l) " +
-        "ELSE '##' || substr(word, p, l) END AS piece, n FROM pl " +
-        "WHERE p + l - 1 <= length(word)), " +
-        "agg AS (SELECT piece, CAST(sum(n) AS BIGINT) AS freq FROM cand " +
-        "GROUP BY piece HAVING sum(n) >= 5), " +
-        "ranked AS (SELECT piece, CAST(row_number() OVER (ORDER BY freq DESC, piece) AS INT) AS piece_id, freq FROM agg) " +
-        "SELECT piece, piece_id, freq FROM ranked WHERE piece_id <= 2048 ORDER BY piece_id"),
-
-    "mix_interleave" ->
-      ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (" +
-        "PARTITION BY source ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS DOUBLE) AS rk " +
-        "FROM documents), " +
-        "k AS (SELECT doc_id, source, (rk - 0.5) / " +
-        "(CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.5 ELSE 1.0 END) AS sk FROM r) " +
-        "SELECT doc_id, source, CAST(row_number() OVER (ORDER BY sk, source, doc_id) - 1 AS BIGINT) AS pos " +
-        "FROM k ORDER BY pos"),
-
-    "negative_sample" ->
-      ("WITH cand AS (SELECT vec_id AS neg_id, label AS neg_label, " +
-        "(vec_id * 2654435761) % 16 AS b FROM embeddings), " +
-        "anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, " +
-        "(vec_id * 2654435761 + 1) % 16 AS b FROM embeddings), " +
-        "ranked AS (SELECT anchor_id, anchor_label, neg_id, neg_label, " +
-        "CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY " +
-        "md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), neg_id) AS INT) AS neg_rank " +
-        "FROM anch JOIN cand USING (b) " +
-        "WHERE neg_label <> anchor_label AND neg_id <> anchor_id) " +
-        "SELECT anchor_id, anchor_label, neg_rank, neg_id, neg_label " +
-        "FROM ranked WHERE neg_rank <= 4 ORDER BY anchor_id, neg_rank"),
-
-    "m1_introspect" ->
-      ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +
-        "('l_orderkey', 1, 'BIGINT', 'YES'), ('l_partkey', 2, 'BIGINT', 'YES'), " +
-        "('l_suppkey', 3, 'BIGINT', 'YES'), ('l_linenumber', 4, 'INTEGER', 'YES'), " +
-        "('l_quantity', 5, 'DOUBLE', 'YES'), ('l_extendedprice', 6, 'DOUBLE', 'YES'), " +
-        "('l_discount', 7, 'DOUBLE', 'YES'), ('l_tax', 8, 'DOUBLE', 'YES'), " +
-        "('l_returnflag', 9, 'VARCHAR', 'YES'), ('l_linestatus', 10, 'VARCHAR', 'YES'), " +
-        "('l_shipdate', 11, 'TIMESTAMP', 'YES')" +
-        ") t(column_name, ordinal_position, data_type, is_nullable) ORDER BY ordinal_position"),
-
-    "events_sessionize" ->
-      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
-        "SELECT user_id, count(*) AS n_events, " +
-        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
-        "FROM x GROUP BY user_id ORDER BY user_id"),
-
-    "topk_per_group" ->
-      ("SELECT p_brand, p_partkey, revenue, rank FROM (" +
-        "SELECT p_brand, p_partkey, revenue, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rank FROM (" +
-        "SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
-        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey) r) t " +
-        "WHERE rank <= 3 ORDER BY p_brand, rank"),
-
-    "q_pivot" ->
-      ("SELECT l_returnflag, " +
-        "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f, " +
-        "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-
-    "q_running_total" ->
-      ("WITH monthly AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS month, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev FROM lineitem GROUP BY 1, 2) " +
-        "SELECT l_returnflag, month, rev, " +
-        "round(sum(rev) OVER (PARTITION BY l_returnflag ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_rev " +
-        "FROM monthly ORDER BY l_returnflag, month"),
-
-    "q_rollup" ->
-      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n " +
-        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
-
-    "q_cube" ->
-      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n " +
-        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
-
-    "q_moving_avg" ->
-      ("WITH daily AS (SELECT l_returnflag, l_shipdate, sum(l_quantity) AS day_qty " +
-        "FROM lineitem GROUP BY 1, 2) " +
-        "SELECT l_returnflag, l_shipdate, round(day_qty, 4) AS day_qty, " +
-        "round(avg(day_qty) OVER (PARTITION BY l_returnflag ORDER BY l_shipdate " +
-        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7 " +
-        "FROM daily ORDER BY l_returnflag, l_shipdate"),
-
-    // genuine dedup oracle (keep min doc_id per text) — at larger SFs the
-    // fixture itself contains duplicate texts, so "just return documents"
-    // would be wrong
-    "dedup_exact" ->
-      ("WITH aug AS (SELECT * FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50) " +
-        "SELECT doc_id, text, lang, source, n_chars FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM aug) t " +
-        "WHERE rn = 1 ORDER BY doc_id"),
-
-    // Independent brute-force oracle: TRUE n-gram Jaccard over all pairs in
-    // DuckDB list algebra — verifies both candidate recall and the exact
-    // jaccard values of the LSH path (validated: 81/81 pairs at sf0.01).
-    "dedup_minhash_lsh" ->
-      ("WITH aug AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50), " +
-        "sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM aug) " +
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8 " +
-        "ORDER BY id_a, id_b"),
-
-    // corpus after greedy removal of the greater id of each true >=0.8 pair
-    "dedup_near_corpus" ->
-      ("WITH aug AS (SELECT doc_id, text, lang, source, n_chars FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id < 50), " +
-        "sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM aug), " +
-        "removed AS (SELECT DISTINCT b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8) " +
-        "SELECT * FROM aug WHERE doc_id NOT IN (SELECT id_b FROM removed) ORDER BY doc_id"),
-
-    "dedup_ngram_jaccard" ->
-      ("WITH sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500) " +
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
-        "ORDER BY id_a, id_b"),
-
-    // same all-pairs formulation WITHOUT the slice bound — the oracle
-    // checks the prefix-filtered plan returns the complete pair set
-    "simjoin_prefix_exact" ->
-      ("WITH sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5 " +
-        "ORDER BY id_a, id_b"),
-
-    // brute bipartite all-pairs over the same mod-5 split
-    "simjoin_incremental" ->
-      ("WITH sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
-        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM sets b, sets c WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 " +
-        "AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.5 " +
-        "ORDER BY batch_id, corpus_id"),
-
-    "dedup_components" ->
-      ("WITH RECURSIVE sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
-        "walk(id, comp) AS (" +
-        "SELECT DISTINCT src, src FROM edges " +
-        "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id) " +
-        "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id ORDER BY doc_id"),
-
-    "dedup_spans" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts, " +
-        "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_spans FROM documents), " +
-        "idx AS (SELECT doc_id, n_spans, ts, unnest(range(n_spans)) AS i FROM toks), " +
-        "spans AS (SELECT doc_id, CAST(i AS BIGINT) AS span_idx, " +
-        "array_to_string(ts[(CAST(i AS BIGINT)*10+1):(CAST(i AS BIGINT)*10+10)], ' ') AS span FROM idx), " +
-        "kept AS (SELECT doc_id, span_idx, span FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM spans) w " +
-        "WHERE rn = 1), " +
-        "reb AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text, count(*) AS n_kept " +
-        "FROM kept GROUP BY doc_id) " +
-        "SELECT t.doc_id, coalesce(r.text, '') AS text, " +
-        "t.n_spans - coalesce(r.n_kept, 0) AS n_spans_dropped " +
-        "FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
-
-    "dedup_canonical" ->
-      ("WITH RECURSIVE q AS (SELECT doc_id, round(" +
-        "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
-        ", 4) AS quality FROM documents WHERE doc_id < 500), " +
-        "sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
-        "walk(id, comp) AS (" +
-        "SELECT DISTINCT src, src FROM edges " +
-        "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id), " +
-        "comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id), " +
-        "ranked AS (SELECT c.id AS doc_id, q.quality, " +
-        "count(*) OVER (PARTITION BY c.comp) AS n_dups, " +
-        "row_number() OVER (PARTITION BY c.comp ORDER BY q.quality DESC, c.id) AS rn " +
-        "FROM comps c JOIN q ON q.doc_id = c.id) " +
-        "SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups, quality FROM ranked WHERE rn = 1 " +
-        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS n_dups, quality FROM q " +
-        "WHERE doc_id NOT IN (SELECT id FROM comps) ORDER BY doc_id"),
-
-    "dedup_embedding_cosine" ->
-      ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +
-        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) " +
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine " +
-        "FROM aug a, aug b WHERE a.vec_id < b.vec_id " +
-        "AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95 " +
-        "ORDER BY id_a, id_b"),
-
-    "quality_filter" ->
-      ("WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
-        "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
-        "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
-        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
-        "FROM documents) " +
-        "SELECT CASE WHEN n_tokens < 20 THEN 'too_short' WHEN rep > 0.02 THEN 'repetitive' " +
-        "WHEN q < 0.85 THEN 'low_quality' ELSE 'kept' END AS reject_reason, CAST(count(*) AS BIGINT) AS n " +
-        "FROM m GROUP BY 1 ORDER BY 1"),
-
-    "curation_report" ->
-      ("WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
-        "round(1.0 - CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END)) AS DOUBLE) / " +
-        "CAST(len(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS DOUBLE), 4) AS rep, " +
-        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
-        "FROM documents), " +
-        "flag AS (SELECT d.doc_id, d.source, CASE WHEN m.n_tokens < 20 THEN 'too_short' " +
-        "WHEN m.rep > 0.02 THEN 'repetitive' WHEN m.q < 0.85 THEN 'low_quality' ELSE 'kept' END AS rr " +
-        "FROM documents d JOIN m USING (doc_id)), " +
-        "kd AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM flag WHERE rr = 'kept')), " +
-        "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM kd), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
-        "i -> array_to_string(t[i+1:i+6], ' ')))) AS gram FROM tk WHERE len(t) >= 6), " +
-        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
-        "losers AS (SELECT DISTINCT b.doc_id FROM grams a JOIN grams b USING (gram) " +
-        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(CASE WHEN rr <> 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_rejected, " +
-        "CAST(sum(CASE WHEN rr = 'kept' AND doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed, " +
-        "CAST(sum(CASE WHEN rr = 'kept' AND doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
-        "FROM flag GROUP BY source ORDER BY source"),
-
-    "quality_gopher_rules" ->
-      ("WITH m AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents), " +
-        "r AS (SELECT doc_id, " +
-        "NOT (len(t) BETWEEN 20 AND 100000) AS v_wc, " +
-        "NOT (round(CAST(length(text) - (len(t) - 1) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 4) BETWEEN 3.0 AND 10.0) AS v_ml, " +
-        "round(CAST(len(list_filter(t, w -> contains(w, '#') OR contains(w, '…'))) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 4) > 0.1 AS v_sr, " +
-        "round(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0), 4) < 0.8 AS v_ar, " +
-        "len(list_filter(['the','a','of','and','to','in','is','it','that','for'], sw -> list_contains(t, sw))) < 2 AS v_sw " +
-        "FROM m) " +
-        "SELECT count(*) AS n_docs, " +
-        "CAST(sum(CASE WHEN v_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count, " +
-        "CAST(sum(CASE WHEN v_ml THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_wordlen, " +
-        "CAST(sum(CASE WHEN v_sr THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio, " +
-        "CAST(sum(CASE WHEN v_ar THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ratio, " +
-        "CAST(sum(CASE WHEN v_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords, " +
-        "CAST(sum(CASE WHEN NOT v_wc AND NOT v_ml AND NOT v_sr AND NOT v_ar AND NOT v_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_clean " +
-        "FROM r"),
-
-    // compaction is layout-only: the compacted copy must aggregate
-    // identically to the source table
-    "layout_compact" ->
-      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, " +
-        "round(sum(l_quantity), 4) AS sum_qty FROM lineitem"),
-
-    "layout_zorder" ->
-      ("WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem), " +
-        "zt AS (SELECT x, y, " +
-        (0 until 10).map(i =>
-          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
-          .mkString(" + ") +
-        " AS z FROM d) " +
-        "SELECT z // 16384 AS z_bucket, count(*) AS n, " +
-        "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
-        "FROM zt GROUP BY 1 ORDER BY z_bucket"),
-
-    "text_tfidf" ->
-      ("WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tc GROUP BY 1, 2), " +
-        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
-        "n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), " +
-        "s AS (SELECT doc_id, term, tf, df, round(tf * ln(CAST(nn AS DOUBLE) / df), 4) AS tfidf " +
-        "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) " +
-        "SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank " +
-        "FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
-
-    // BM25: identical tf/df/dl/avgdl decomposition; rank by the rounded
-    // score then doc_id (the cross-engine-stable order)
-    "text_bm25_search" -> Bm25OracleSql,
-    "text_bm25_persisted" -> Bm25OracleSql,
-
-    // append is exact (postings additive, stats closed-form), so the
-    // appended-index serve replays the SAME full-corpus BM25 oracle
-    "text_bm25_index_append" -> Bm25OracleSql,
-
-    "vocab_build" ->
-      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "vc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM tok " +
-        "WHERE token <> '' GROUP BY 1 HAVING count(*) >= 5), " +
-        "ranked AS (SELECT token, CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS token_id, " +
-        "n_occurrences FROM vc) " +
-        "SELECT token, token_id, n_occurrences FROM ranked WHERE token_id <= 4096 ORDER BY token_id"),
-
-    "vocab_encode" ->
-      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "vc AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1 HAVING count(*) >= 5), " +
-        "ranked AS (SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) AS INT) AS token_id FROM vc " +
-        "QUALIFY token_id <= 4096), " +
-        "lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
-        "p AS (SELECT doc_id, CAST(unnest(range(len(l))) AS INT) AS pos, l FROM lists), " +
-        "e AS (SELECT doc_id, pos, l[pos + 1] AS token FROM p) " +
-        "SELECT e.doc_id, e.pos, coalesce(r.token_id, 0) AS token_id " +
-        "FROM e LEFT JOIN ranked r USING (token) ORDER BY doc_id, pos"),
-
-    "text_perplexity" ->
-      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
-        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq) " +
-        "SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
-        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id ORDER BY doc_id"),
-
-    "text_perplexity_bigram" ->
-      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "pairs AS (SELECT doc_id, t[CAST(i+1 AS INT)] AS w1, t[CAST(i+2 AS INT)] AS w2 FROM " +
-        "(SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM tok WHERE len(t) >= 2) x), " +
-        "bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2), " +
-        "ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1), " +
-        "uc AS (SELECT token, count(*) AS c FROM " +
-        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) u GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc) " +
-        "SELECT doc_id, round(avg(-ln(" +
-        "0.7 * (CAST(coalesce(b.c12, 0) AS DOUBLE) / greatest(CAST(coalesce(x.c1, 0) AS DOUBLE), 1.0)) + " +
-        "0.3 * (CAST(coalesce(u.c, 1) AS DOUBLE) / n))), 4) AS nll2 " +
-        "FROM pairs p LEFT JOIN bg b USING (w1, w2) LEFT JOIN ctx x USING (w1) " +
-        "LEFT JOIN uc u ON u.token = p.w2, tot " +
-        "GROUP BY doc_id ORDER BY doc_id"),
-
-    "q_window_rank_family" ->
-      ("WITH monthly AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS month, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev FROM lineitem GROUP BY 1, 2) " +
-        "SELECT l_returnflag, month, rev, " +
-        "round(percent_rank() OVER w, 4) + 0.0 AS pr, " +
-        "round(cume_dist() OVER w, 4) AS cd, " +
-        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
-        "FROM monthly WINDOW w AS (PARTITION BY l_returnflag ORDER BY month) " +
-        "ORDER BY l_returnflag, month"),
-
-    "embedding_standardize" ->
-      ("WITH e AS (SELECT vec_id, CAST(r.i AS BIGINT) AS dim, " +
-        "CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE) AS x FROM embeddings, range(64) r(i)), " +
-        "s AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sd FROM e GROUP BY dim) " +
-        "SELECT vec_id, round(sum((x - mu) / sd), 4) + 0.0 AS z_sum, " +
-        "round(max(CASE WHEN dim = 0 THEN (x - mu) / sd END), 4) + 0.0 AS z1 " +
-        "FROM e JOIN s USING (dim) GROUP BY vec_id ORDER BY vec_id"),
-
-    "audience_overlap_exact" ->
-      ("WITH st AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders), " +
-        "c AS (SELECT grp, count(*) AS n FROM st GROUP BY 1), " +
-        "p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common " +
-        "FROM st a JOIN st b ON a.o_custkey = b.o_custkey AND a.grp < b.grp GROUP BY 1, 2) " +
-        "SELECT grp_a, grp_b, n_common, " +
-        "round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 4) AS jaccard " +
-        "FROM p JOIN c ca ON ca.grp = grp_a JOIN c cb ON cb.grp = grp_b " +
-        "ORDER BY grp_a, grp_b"),
-
-    // exact profile: Spark `percentile` and DuckDB `quantile_cont` share
-    // the linear-interpolation definition (p·(n−1) rank)
-    "corpus_profile_exact" ->
-      ("SELECT source, count(*) AS n_docs, " +
-        "count(DISTINCT text) AS n_distinct_texts, " +
-        "round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, " +
-        "round(quantile_cont(n_chars, 0.95), 4) AS p95_chars, " +
-        "round(avg(n_chars), 4) AS avg_chars " +
-        "FROM documents GROUP BY source ORDER BY source"),
-
-    "text_normalize" ->
-      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
-        "'[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text " +
-        "FROM documents ORDER BY doc_id"),
-
-    "text_scrub" ->
-      ("SELECT doc_id, regexp_replace(regexp_replace(" +
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' || " +
-        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now', " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\+?[0-9][0-9()\\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed " +
-        "FROM documents ORDER BY doc_id"),
-
-    "anonymize_k" ->
-      ("SELECT doc_id, lang, source FROM documents " +
-        "WHERE (lang, source) IN (SELECT (lang, source) FROM documents " +
-        "GROUP BY lang, source HAVING count(*) >= 5) ORDER BY doc_id"),
-
-    "anonymize_generalize" ->
-      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1) " +
-        "SELECT CASE WHEN n < 8 THEN 'other' ELSE source END AS source, " +
-        "CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1 ORDER BY source"),
-
-    "pack_chunks" ->
-      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
-        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t) " +
-        "SELECT doc_id, n_tokens, start_tok, CAST(start_tok // 512 AS BIGINT) AS chunk_start, " +
-        "CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS chunk_end FROM c ORDER BY doc_id"),
-
-    "inference_batches" ->
-      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
-        "r AS (SELECT doc_id, n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rk FROM t), " +
-        "b AS (SELECT n_tok, CAST((rk - 1) // 32 AS BIGINT) AS batch FROM r) " +
-        "SELECT batch, count(*) AS n_docs, min(n_tok) AS min_len, max(n_tok) AS max_len, " +
-        "CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding " +
-        "FROM b GROUP BY batch ORDER BY batch"),
-
-    "pack_manifest" ->
-      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
-        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t), " +
-        "p AS (SELECT doc_id, n_tokens, start_tok, start_tok // 512 AS cs, " +
-        "(start_tok + n_tokens - 1) // 512 AS ce FROM c), " +
-        "e AS (SELECT doc_id, n_tokens, start_tok, unnest(range(cs, ce + 1)) AS chunk FROM p) " +
-        "SELECT CAST(chunk AS BIGINT) AS chunk, doc_id, " +
-        "CAST(greatest(start_tok, chunk * 512) - start_tok AS BIGINT) AS doc_from, " +
-        "CAST(least(start_tok + n_tokens, (chunk + 1) * 512) - start_tok AS BIGINT) AS doc_to, " +
-        "CAST(greatest(start_tok, chunk * 512) - chunk * 512 AS BIGINT) AS chunk_offset " +
-        "FROM e ORDER BY chunk, doc_id"),
-
-    "doc_chunks" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        "e AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 16 - 1, 0) + 1, 48)) AS s FROM t) " +
-        "SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, " +
-        "array_to_string(tk[s+1:s+64], ' ') AS chunk_text, " +
-        "CAST(len(tk[s+1:s+64]) AS BIGINT) AS n_chunk_tokens " +
-        "FROM e ORDER BY doc_id, chunk_idx"),
-
-    // replays the prefix routing: first-2-token key (string_split keeps
-    // empties exactly like Spark split), group mins/sums, the
-    // (n_docs−1)·prefix_len savings formula, top-20 by savings
-    "inference_prefix_groups" ->
-      ("WITH t AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS prefix, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS l FROM documents), " +
-        "g AS (SELECT prefix, count(*) AS n_docs, least(min(l), 2) AS prefix_len, " +
-        "CAST(sum(l) AS BIGINT) AS total_tokens FROM t GROUP BY prefix) " +
-        "SELECT prefix, n_docs, CAST(prefix_len AS BIGINT) AS prefix_len, total_tokens, " +
-        "CAST((n_docs - 1) * prefix_len AS BIGINT) AS saved_tokens " +
-        "FROM g ORDER BY saved_tokens DESC, prefix LIMIT 20"),
-
-    "dedup_substring" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
-        "i -> array_to_string(t[i+1:i+6], ' ')))) AS gram FROM tk WHERE len(t) >= 6), " +
-        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM grams a JOIN grams b USING (gram) " +
-        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, count(*) AS n_shared FROM p GROUP BY 1, 2 ORDER BY id_a, id_b"),
-
-    "dedup_containment" ->
-      ("WITH aug AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[1:15], ' ') FROM documents WHERE doc_id < 20), " +
-        "tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM aug), " +
-        "g AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 5), " +
-        "i -> array_to_string(t[i+1:i+6], ' '))) AS gs FROM tk WHERE len(t) >= 6), " +
-        "cnt AS (SELECT doc_id, len(gs) AS n_grams FROM g), " +
-        "grams AS (SELECT doc_id, unnest(gs) AS gram FROM g), " +
-        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared FROM grams a JOIN grams b USING (gram) " +
-        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT id_a, id_b, containment FROM (" +
-        "SELECT id_a, id_b, round(CAST(n_shared AS DOUBLE) / least(ca.n_grams, cb.n_grams), 4) AS containment " +
-        "FROM p JOIN cnt ca ON p.id_a = ca.doc_id JOIN cnt cb ON p.id_b = cb.doc_id) t " +
-        "WHERE containment >= 0.8 ORDER BY id_a, id_b"),
-
-    "decontam_grams" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
-        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
-        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0) " +
-        "SELECT g.doc_id, g.gram FROM grams g JOIN bg USING (gram) ORDER BY doc_id, gram"),
-
-    "dedup_substring_corpus" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 5), " +
-        "i -> array_to_string(t[i+1:i+6], ' ')))) AS gram FROM tk WHERE len(t) >= 6), " +
-        "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) WHERE c BETWEEN 2 AND 100), " +
-        "losers AS (SELECT DISTINCT b.doc_id AS id_b FROM grams a JOIN grams b USING (gram) " +
-        "JOIN keep USING (gram) WHERE a.doc_id < b.doc_id) " +
-        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
-        "WHERE doc_id NOT IN (SELECT id_b FROM losers) ORDER BY doc_id"),
-
-    "corpus_boilerplate" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> array_to_string(t[i+1:i+3], ' ')))) AS gram FROM tk WHERE len(t) >= 3) " +
-        "SELECT gram, count(*) AS df FROM grams GROUP BY gram HAVING count(*) >= 2 " +
-        "ORDER BY df DESC, gram LIMIT 20"),
-
-    "dedup_semantic" ->
-      ("WITH aug AS (SELECT vec_id, embedding FROM embeddings " +
-        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) " +
-        "SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine " +
-        "FROM aug a, aug b WHERE a.vec_id < b.vec_id) t " +
-        "WHERE cosine >= 0.95 ORDER BY id_a, id_b"),
-
-    "decontam_hits" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
-        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
-        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0) " +
-        "SELECT g.doc_id, count(*) AS n_hits FROM grams g JOIN bg USING (gram) " +
-        "GROUP BY 1 ORDER BY doc_id"),
-
-    "decontam_corpus" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
-        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
-        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0), " +
-        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
-        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
-
-    "decontam_bloom" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4), " +
-        "i -> array_to_string(t[i+1:i+5], ' ')))) AS gram FROM tk WHERE len(t) >= 5), " +
-        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0), " +
-        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
-        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
-
-    "mix_epochs" ->
-      ("WITH per AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY 1), " +
-        "tot AS (SELECT sum(n) AS tn, sum(pow(n, 0.5)) AS tt FROM per), " +
-        "w AS (SELECT source, (pow(n, 0.5) / tt) / (n / tn) AS f FROM per, tot), " +
-        "j AS (SELECT d.doc_id, d.source, w.f FROM documents d JOIN w USING (source)), " +
-        "e AS (SELECT doc_id, source, f, unnest(range(CAST(floor(f) AS BIGINT) + 1)) AS epoch FROM j), " +
-        "k AS (SELECT * FROM e WHERE epoch < CAST(floor(f) AS BIGINT) " +
-        "OR substr(md5('mix0:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
-        "lpad(lower(to_hex(CAST(floor((f - floor(f)) * 4294967296) AS BIGINT))), 8, '0')) " +
-        "SELECT source, CAST(epoch AS BIGINT) AS epoch, CAST(count(*) AS BIGINT) AS n " +
-        "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
-
-    "shuffle_order" ->
-      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
-        "md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
-        "FROM documents ORDER BY pos"),
-
-    // full replay of the group-keyed assignment: the 32-bit md5 prefix of
-    // 'split0:<user>' against floor(0.25·2³²) = 1073741824, the leak
-    // audit (groups seen in both splits — 0 by construction since the
-    // hash keys ONLY the group), and the per-split rollup
-    "grouped_split" ->
-      ("WITH s AS (SELECT user_id, CASE WHEN " +
-        "CAST('0x' || substr(md5('split0:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) " +
-        "< 1073741824 THEN 'test' ELSE 'train' END AS split FROM events), " +
-        "leak AS (SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_groups " +
-        "FROM (SELECT user_id, count(DISTINCT split) AS k FROM s GROUP BY 1) z) " +
-        "SELECT split, count(*) AS n_rows, " +
-        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups, leaked_groups " +
-        "FROM s, leak GROUP BY split, leaked_groups ORDER BY split"),
-
-    "exact_stratified_split" ->
-      ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
-        "ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk, " +
-        "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
-        "SELECT doc_id, source, CASE WHEN rk <= CAST(round(n * 0.25) AS BIGINT) " +
-        "THEN 'test' ELSE 'train' END AS split FROM r ORDER BY doc_id"),
-
-    // full replay: NLL difficulty, percentile cuts (4-dp on both sides —
-    // Spark `percentile` ≡ DuckDB `quantile_cont`), strictly-below tier
-    // count, md5 in-tier shuffle, global row_number position
-    "curriculum_order" ->
-      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
-        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq), " +
-        "sc AS (SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
-        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id), " +
-        "cuts AS (SELECT list_transform(quantile_cont(nll, [0.25, 0.5, 0.75]), " +
-        "c -> round(c, 4)) AS qs FROM sc), " +
-        "t AS (SELECT doc_id, nll, CAST(len(list_filter(qs, c -> nll > c)) AS INT) AS tier " +
-        "FROM sc, cuts) " +
-        "SELECT doc_id, nll, tier, CAST(row_number() OVER (ORDER BY tier, " +
-        "md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos " +
-        "FROM t ORDER BY pos"),
-
-    "e2e_curation_pipeline" ->
-      (CurationOracleCtes +
-        "SELECT doc_id, lang, source, n_chars FROM d WHERE rn = 1 ORDER BY doc_id"),
-
-    "e2e_observed_metrics" ->
-      (CurationOracleCtes +
-        "SELECT stage, n_rows FROM (" +
-        "SELECT '1_quality' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM kept " +
-        "UNION ALL SELECT '2_decontam', CAST(count(*) AS BIGINT) FROM clean " +
-        "UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM d WHERE rn = 1) t " +
-        "ORDER BY stage"),
-
-    "decontam_semantic" ->
-      ("WITH bench AS (SELECT vec_id + 1000000 AS bench_id, embedding " +
-        "FROM embeddings WHERE vec_id % 25 = 0), " +
-        "p AS (SELECT e.vec_id, b.bench_id, " +
-        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine " +
-        "FROM embeddings e CROSS JOIN bench b), " +
-        "f AS (SELECT * FROM p WHERE cosine >= 0.95), " +
-        "r AS (SELECT vec_id, bench_id, cosine, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rk FROM f) " +
-        "SELECT vec_id, bench_id, cosine FROM r WHERE rk = 1 ORDER BY vec_id"),
-
-    "classify_nb_model" ->
-      ("WITH tok AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS token " +
-        "FROM documents WHERE doc_id % 5 <> 0), " +
-        "cnt AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n FROM tok " +
-        "WHERE token <> '' GROUP BY 1, 2), " +
-        "voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cnt), " +
-        "lt AS (SELECT label, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1) " +
-        "SELECT label, token, n, round(ln(CAST(n AS DOUBLE) + 1.0) - ln(t + v), 4) AS log_cond " +
-        "FROM cnt JOIN lt USING (label), voc WHERE n >= 3 ORDER BY label, token"),
-
-    "classify_nb_predict" ->
-      ("WITH tok AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS token " +
-        "FROM documents WHERE doc_id % 5 <> 0), " +
-        "cnt AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n FROM tok " +
-        "WHERE token <> '' GROUP BY 1, 2), " +
-        "voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cnt), " +
-        "lt AS (SELECT label, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1), " +
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id % 5 <> 0), " +
-        "dc AS (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS nd FROM documents " +
-        "WHERE doc_id % 5 <> 0 GROUP BY 1), " +
-        "ls AS (SELECT label, ln(nd / n) AS log_prior, ln(t + v) AS log_denom " +
-        "FROM lt JOIN dc USING (label), voc, nn), " +
-        "test AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
-        "FROM documents WHERE doc_id % 5 = 0), " +
-        "test2 AS (SELECT * FROM test WHERE token <> ''), " +
-        "nv AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS nv FROM test2 " +
-        "WHERE token IN (SELECT DISTINCT token FROM cnt) GROUP BY 1), " +
-        "hs AS (SELECT t.doc_id, c.label, sum(ln(CAST(c.n AS DOUBLE) + 1.0)) AS hit " +
-        "FROM test2 t JOIN cnt c USING (token) GROUP BY 1, 2), " +
-        "frame AS (SELECT d.doc_id, ls.label, " +
-        "ls.log_prior + coalesce(hs.hit, 0) - coalesce(nv.nv, 0) * ls.log_denom AS score " +
-        "FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d CROSS JOIN ls " +
-        "LEFT JOIN hs ON hs.doc_id = d.doc_id AND hs.label = ls.label " +
-        "LEFT JOIN nv ON nv.doc_id = d.doc_id), " +
-        "r AS (SELECT doc_id, label, round(score, 4) AS score, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 4) DESC, label) AS rk FROM frame) " +
-        "SELECT doc_id, label AS pred_label, score FROM r WHERE rk = 1 ORDER BY doc_id"),
-
-    "quality_dsir" ->
-      ("WITH tk AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "g AS (SELECT doc_id, lang, unnest(list_transform(range(len(t) - 1), " +
-        "i -> array_to_string(t[i+1:i+2], ' '))) AS gram FROM tk WHERE len(t) >= 2), " +
-        "b AS (SELECT doc_id, lang, substr(md5(gram), 1, 2) AS bucket FROM g), " +
-        "raw AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS rc FROM b GROUP BY 1), " +
-        "tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS tc FROM b WHERE lang = 'en' GROUP BY 1), " +
-        "tot AS (SELECT (SELECT sum(rc) FROM raw) AS rn, (SELECT COALESCE(sum(tc), 0) FROM tgt) AS tn), " +
-        "d AS (SELECT raw.bucket, ln((COALESCE(tc, 0) + 1) / (tn + 256)) - ln((rc + 1) / (rn + 256)) AS delta " +
-        "FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot) " +
-        "SELECT b.doc_id, round(sum(delta), 4) AS log_w FROM b JOIN d USING (bucket) " +
-        "GROUP BY 1 ORDER BY doc_id"),
-
-    "quality_percentile_by_source" ->
-      ("WITH m AS (SELECT doc_id, source, " +
-        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2, 4) AS q " +
-        "FROM documents) " +
-        "SELECT doc_id, source, q, " +
-        "round(percent_rank() OVER (PARTITION BY source ORDER BY q), 4) AS pct " +
-        "FROM m ORDER BY doc_id"),
-
-    "embedding_centroids" ->
-      ("SELECT label, round(avg(embedding[1]), 4) + 0.0 AS c1, round(avg(embedding[2]), 4) + 0.0 AS c2, " +
-        "round(avg(embedding[3]), 4) + 0.0 AS c3, round(avg(embedding[4]), 4) + 0.0 AS c4 " +
-        "FROM embeddings GROUP BY label ORDER BY label"),
-
-    "q_explode_wordcount" ->
-      ("SELECT word, count(*) AS n FROM " +
-        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
-        "GROUP BY word ORDER BY n DESC, word LIMIT 20"),
-
-    "events_retention_cohorts" ->
-      ("WITH ev AS (SELECT user_id, date_trunc('week', ts) AS week FROM events), " +
-        "fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id), " +
-        "act AS (SELECT DISTINCT e.user_id, f.cohort_week, " +
-        "CAST(datediff('day', f.cohort_week, e.week) // 7 AS BIGINT) AS week_offset " +
-        "FROM ev e JOIN fw f USING (user_id)) " +
-        "SELECT cohort_week, week_offset, count(*) AS n_users FROM act " +
-        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
-
-    // width_bucket semantics spelled out as arithmetic so the oracle
-    // needs no engine-specific builtin: underflow 0, overflow n+1
-    "events_value_histogram" ->
-      ("SELECT event_type, bucket, count(*) AS n, round(avg(value), 4) AS mean_value FROM (" +
-        "SELECT event_type, value, CAST(CASE WHEN value < 0 THEN 0 " +
-        "WHEN value >= 100 THEN 11 ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket " +
-        "FROM events) t GROUP BY 1, 2 ORDER BY event_type, bucket"),
-
-    "events_anomaly_mad" ->
-      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
-        "FROM events GROUP BY 1), " +
-        "mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad, " +
-        "any_value(m.med) AS med FROM events e JOIN med m USING (event_type) GROUP BY 1) " +
-        "SELECT e.event_id, e.event_type, e.value, round(m.med, 4) AS med, " +
-        "round(m.mad, 4) AS mad, round(abs(e.value - m.med), 4) AS dev " +
-        "FROM events e JOIN mad m USING (event_type) " +
-        "WHERE round(abs(e.value - m.med), 4) > round(3 * m.mad, 4) ORDER BY e.event_id"),
-
-    // the same RANGE frame over epoch seconds: [cur−86400, cur]
-    // inclusive, all equal-timestamp peers in frame
-    "events_trailing_24h" ->
-      ("SELECT event_id, user_id, " +
-        "CAST(count(*) OVER w AS BIGINT) AS n_24h, " +
-        "round(sum(value) OVER w, 4) AS value_24h " +
-        "FROM (SELECT *, epoch(ts) AS ep FROM events) t " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ep " +
-        "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
-
-    // same per-user lead + per-type row normalization
-    "events_transition_matrix" ->
-      ("WITH nxt AS (SELECT event_type, lead(event_type) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
-        "c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n FROM nxt " +
-        "WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
-        "SELECT event_type, next_type, n, " +
-        "round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p " +
-        "FROM c ORDER BY event_type, next_type"),
-
-    // replays ewma() exactly: the same 20-row frame list per
-    // (user, event_type) series, (1−α)^(s−pos) weights via DuckDB's
-    // 1-BASED indexed list lambdas (Spark's transform index is 0-based —
-    // hence len(l)-i here vs size(l)-1-i there), adjusted normalization
-    "events_ewma" ->
-      ("WITH t AS (SELECT event_id, user_id, event_type, value, " +
-        "list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id " +
-        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l FROM events) " +
-        "SELECT event_id, user_id, event_type, round(value, 4) AS value, " +
-        "round(list_sum(list_transform(l, (x,i) -> x * pow(0.7, len(l) - i))) / " +
-        "list_sum(list_transform(l, (x,i) -> pow(0.7, len(l) - i))), 6) AS ewma " +
-        "FROM t ORDER BY event_id"),
-
-    "events_winsorize" ->
-      ("WITH band AS (SELECT event_type, quantile_cont(value, 0.05) AS q_lo, " +
-        "quantile_cont(value, 0.95) AS q_hi FROM events GROUP BY 1), " +
-        "w AS (SELECT e.event_type, e.value, " +
-        "round(greatest(b.q_lo, least(b.q_hi, e.value)), 4) AS value_w, " +
-        "b.q_lo, b.q_hi FROM events e JOIN band b USING (event_type)) " +
-        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
-        "round(avg(value), 4) AS mean_raw, " +
-        "round(avg(value_w), 4) AS mean_winsorized, " +
-        "round(any_value(q_lo), 4) AS p05, round(any_value(q_hi), 4) AS p95 " +
-        "FROM w GROUP BY event_type ORDER BY event_type"),
-
-    // replays psi() exactly: quantile_cont ≡ Spark's interpolating
-    // percentile, the same >-edge bin chain, per-group share windows,
-    // eps clamps, 4-dp rounding — plus the novel-group union (groups
-    // with no 'ref' slice; empty on this fixture by construction)
-    "drift_psi" ->
-      ("WITH d AS (SELECT event_type AS g, value AS v, " +
-        "CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END AS per FROM events), " +
-        "e AS (SELECT g, quantile_cont(v, 0.2) AS e1, quantile_cont(v, 0.4) AS e2, " +
-        "quantile_cont(v, 0.6) AS e3, quantile_cont(v, 0.8) AS e4 " +
-        "FROM d WHERE per = 'ref' GROUP BY g), " +
-        "b AS (SELECT d.g, 1 + CAST(v > e1 AS INT) + CAST(v > e2 AS INT) + " +
-        "CAST(v > e3 AS INT) + CAST(v > e4 AS INT) AS bin, per FROM d JOIN e USING (g)), " +
-        "c AS (SELECT g, bin, sum(CASE WHEN per = 'ref' THEN 1 ELSE 0 END) AS nr, " +
-        "sum(CASE WHEN per = 'cur' THEN 1 ELSE 0 END) AS nc FROM b GROUP BY g, bin), " +
-        "t AS (SELECT g, nr, nc, sum(nr) OVER (PARTITION BY g) AS tr, " +
-        "sum(nc) OVER (PARTITION BY g) AS tc FROM c), " +
-        "s AS (SELECT g, greatest(CAST(nr AS DOUBLE) / tr, 1e-6) AS p, " +
-        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nr, nc FROM t), " +
-        "a AS (SELECT g, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
-        "CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur FROM s GROUP BY g) " +
-        "SELECT g AS event_type, psi, n_ref, n_cur, psi > 0.2 AS drifted FROM a " +
-        "UNION ALL SELECT g, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), " +
-        "CAST(count(*) AS BIGINT), TRUE FROM d " +
-        "WHERE per = 'cur' AND g NOT IN (SELECT g FROM e) GROUP BY g " +
-        "ORDER BY event_type"),
-
-    // same roll-up over category bins (no quantile model); novel-cohort
-    // union empty on this fixture (all 4 cohorts span both periods)
-    "drift_psi_categorical" ->
-      ("WITH d AS (SELECT CAST(user_id % 4 AS VARCHAR) AS g, event_type AS bin, " +
-        "CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END AS per FROM events), " +
-        "c AS (SELECT g, bin, sum(CASE WHEN per = 'ref' THEN 1 ELSE 0 END) AS nr, " +
-        "sum(CASE WHEN per = 'cur' THEN 1 ELSE 0 END) AS nc FROM d GROUP BY g, bin), " +
-        "t AS (SELECT g, nr, nc, sum(nr) OVER (PARTITION BY g) AS tr, " +
-        "sum(nc) OVER (PARTITION BY g) AS tc FROM c), " +
-        "s AS (SELECT g, greatest(CAST(nr AS DOUBLE) / tr, 1e-6) AS p, " +
-        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nr, nc, tr FROM t), " +
-        "a AS (SELECT g, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
-        "CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur " +
-        "FROM s WHERE tr > 0 GROUP BY g) " +
-        "SELECT g AS cohort, psi, n_ref, n_cur, psi > 0.2 AS drifted FROM a " +
-        "UNION ALL SELECT g, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), " +
-        "CAST(sum(nc) AS BIGINT), TRUE FROM " +
-        "(SELECT g, nc, sum(nr) OVER (PARTITION BY g) AS gtr FROM c) z " +
-        "WHERE gtr = 0 GROUP BY g " +
-        "ORDER BY cohort"),
-
-    "events_from_json" ->
-      ("SELECT event_type, " +
-        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, " +
-        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-
-    // resample: last-observation-per-day (ts desc, value desc tiebreak),
-    // dense per-user day spine, forward fill via IGNORE NULLS window
-    "events_resample_ffill" ->
-      ("WITH obs AS (SELECT user_id, CAST(ts AS DATE) AS day, value, " +
-        "row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, value DESC) AS rn FROM events), " +
-        "d1 AS (SELECT user_id, day, value FROM obs WHERE rn = 1), " +
-        "spine AS (SELECT user_id, CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day " +
-        "FROM d1 GROUP BY user_id), " +
-        "j AS (SELECT s.user_id, s.day, d.value FROM spine s LEFT JOIN d1 d USING (user_id, day)) " +
-        "SELECT user_id, day, " +
-        "round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS value_ffill, " +
-        "value IS NOT NULL AS is_observed FROM j ORDER BY user_id, day"),
-
-    // trend: identical integer-day regressor (bit-exact x on both sides)
-    "events_trend" ->
-      ("WITH e AS (SELECT user_id, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x, value FROM events) " +
-        "SELECT user_id, round(regr_slope(value, x), 4) AS slope, " +
-        "round(regr_r2(value, x), 4) AS r2, CAST(regr_count(value, x) AS BIGINT) AS n, " +
-        "round(avg(value), 4) AS mean_value FROM e GROUP BY user_id ORDER BY user_id"),
-
-    // fuzzy linkage: identical blocking + banded-distance gate; the SQL
-    // recomputes the unbanded distance (equal within the band by
-    // definition)
-    "link_fuzzy_parts" ->
-      ("WITH ok AS (SELECT p_brand, p_partkey, p_name FROM part WHERE p_brand IN " +
-        "(SELECT p_brand FROM part GROUP BY 1 HAVING count(*) <= 100000)) " +
-        "SELECT a.p_brand AS block, a.p_partkey AS id_a, a.p_name AS name_a, " +
-        "b.p_partkey AS id_b, b.p_name AS name_b, " +
-        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist " +
-        "FROM ok a JOIN ok b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey " +
-        "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2 ORDER BY id_a, id_b"),
-
-    "link_oversized_blocks" ->
-      ("SELECT p_brand AS block, CAST(count(*) AS BIGINT) AS n_rows FROM part " +
-        "GROUP BY 1 HAVING count(*) > 75 ORDER BY block"),
-
-    "source_token_budget" ->
-      ("SELECT doc_id, source, tokens, cum_tokens FROM (" +
-        "SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens, " +
-        "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens " +
-        "FROM documents) t WHERE cum_tokens <= 800 ORDER BY doc_id"),
-
-    "text_tokens" ->
-      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
-        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens " +
-        "FROM documents ORDER BY doc_id"),
-
-    "text_stats" ->
-      ("SELECT doc_id, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens, " +
-        "CAST(length(text) AS BIGINT) AS n_chars_obs, " +
-        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS uniq_ratio, " +
-        "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len " +
-        "FROM documents ORDER BY doc_id"),
-
-    "text_repetition" ->
-      ("SELECT doc_id, round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 4) AS rep_ratio FROM (" +
-        "SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END AS g " +
-        "FROM documents) t ORDER BY doc_id"),
-
-    "text_quality" ->
-      ("SELECT doc_id, round(" +
-        "(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.3 + " +
-        "(CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 " +
-        "ELSE 1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) END) * 0.2 + " +
-        "(CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 0.1 THEN 1.0 " +
-        "ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0 END) * 0.3 + " +
-        "least(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2" +
-        ", 4) AS quality FROM documents ORDER BY doc_id"),
-
-    // entropy oracle: lateral-unnest one row per character, then the
-    // -Σ p·ln p aggregate; LEFT JOIN keeps zero-length docs at 0.0
-    "text_entropy" ->
-      ("WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch " +
-        "FROM documents, unnest(generate_series(1, len(text))) AS t(i)), " +
-        "cc AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c FROM ch GROUP BY 1, 2), " +
-        "nn AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY 1), " +
-        "e AS (SELECT cc.doc_id, round(-sum((c / n) * ln(c / n)), 4) AS char_entropy " +
-        "FROM cc JOIN nn USING (doc_id) GROUP BY 1) " +
-        "SELECT d.doc_id, d.n_chars, coalesce(e.char_entropy, 0.0) AS char_entropy " +
-        "FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id"),
-
-    "lang_id" ->
-      ("WITH scores AS (SELECT doc_id, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], t))) AS s_de, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS s_es, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','de','et','un','les','des','en','du','que'], t))) AS s_fr " +
-        "FROM documents) " +
-        "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' " +
-        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' " +
-        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
-        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
-        "ELSE 'fr' END AS lang_pred FROM scores ORDER BY doc_id"),
-
-    // lang_id's hit counts → winning-share confidence (4 dp), correctness
-    // vs the recorded lang, 5 equal-width bins, per-bin conf/acc/gap and
-    // the N-weighted ECE scalar on every row
-    "score_calibration" ->
-      ("WITH scores AS (SELECT doc_id, lang, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], t))) AS s_de, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS s_es, " +
-        "len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','de','et','un','les','des','en','du','que'], t))) AS s_fr " +
-        "FROM documents), " +
-        "p AS (SELECT lang, greatest(s_de, s_en, s_es, s_fr) AS best, " +
-        "s_de + s_en + s_es + s_fr AS tot, " +
-        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' " +
-        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' " +
-        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
-        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
-        "ELSE 'fr' END AS pred FROM scores), " +
-        "f AS (SELECT round(CAST(best AS DOUBLE) / tot, 4) AS conf, " +
-        "CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END AS y FROM p WHERE tot > 0), " +
-        "g AS (SELECT greatest(least(CAST(floor(conf * 5) AS BIGINT), 4), 0) + 1 AS bin, " +
-        "conf, y FROM f), " +
-        "b AS (SELECT bin, count(*) AS n, avg(conf) AS cr, avg(y) AS ar FROM g GROUP BY bin) " +
-        "SELECT bin, n, round(cr, 4) AS conf, round(ar, 4) AS acc, " +
-        "round(abs(ar - cr), 4) AS gap, " +
-        "(SELECT round(sum(n * abs(ar - cr)) / sum(n), 4) FROM b) AS ece " +
-        "FROM b ORDER BY bin"),
-
-    // gaps-and-islands replay of the engine's session_window semantics:
-    // a session starts where the gap from the previous event exceeds
-    // 30 min; session_end = last event + gap
-    "stream_session_window" ->
-      ("WITH x AS (SELECT user_id, ts, value, event_id, " +
-        "CASE WHEN lag(ts) OVER w IS NULL " +
-        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
-        "SELECT min(ts) AS session_start, " +
-        "max(ts) + INTERVAL 1800 SECONDS AS session_end, " +
-        "user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_val " +
-        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
-
-    "stream_stateful_sessions" ->
-      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
-        "SELECT user_id, count(*) AS n_events, " +
-        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
-        "FROM x GROUP BY user_id ORDER BY user_id"),
-
-    "events_funnel" ->
-      ("WITH m AS (SELECT user_id, " +
-        "min(CASE WHEN event_type = 'view' THEN ts END) AS v, " +
-        "min(CASE WHEN event_type = 'click' THEN ts END) AS c, " +
-        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS p " +
-        "FROM events GROUP BY user_id) " +
-        "SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed, " +
-        "CAST(sum(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view, " +
-        "CAST(sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel " +
-        "FROM m"),
-
-    "events_session_window" ->
-      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
-        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
-        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
-        "FROM x GROUP BY user_id ORDER BY user_id"),
-
-    "stream_dedup" ->
-      ("SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type " +
-        "FROM events ORDER BY user_id, event_type"),
-
-    "stream_decontam" ->
-      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
-        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
-        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0), " +
-        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
-        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
-
-    "stream_interval_join" ->
-      ("SELECT l.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs " +
-        "FROM events l JOIN events r ON l.user_id = r.user_id " +
-        "AND l.event_type = 'view' AND r.event_type = 'purchase' " +
-        "AND epoch_us(r.ts) >= epoch_us(l.ts) " +
-        "AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000 " +
-        "GROUP BY l.user_id ORDER BY user_id"),
-
-    "events_asof_join" ->
-      ("SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_us(p.ts) AS p_ts_us, " +
-        "v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
-        "ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND p.ts >= v.ts " +
-        "ORDER BY p_event_id"),
-
-    "events_asof_forward" ->
-      ("SELECT v_event_id, user_id, v_ts_us, purchase_event_id, purchase_ts_us FROM (" +
-        "SELECT v.event_id AS v_event_id, v.user_id AS user_id, epoch_us(v.ts) AS v_ts_us, " +
-        "p.event_id AS purchase_event_id, epoch_us(p.ts) AS purchase_ts_us, " +
-        "row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts ASC, p.event_id DESC) AS rn " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
-        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
-        "ON v.user_id = p.user_id AND p.ts >= v.ts) t " +
-        "WHERE rn = 1 ORDER BY v_event_id"),
-
-    "events_asof_nearest" ->
-      ("SELECT p_event_id, user_id, p_ts_us, view_event_id, view_ts_us FROM (" +
-        "SELECT p.event_id AS p_event_id, p.user_id AS user_id, epoch_us(p.ts) AS p_ts_us, " +
-        "v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us, " +
-        "row_number() OVER (PARTITION BY p.event_id ORDER BY " +
-        "abs(epoch_us(p.ts) - epoch_us(v.ts)), " +
-        "CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END, v.event_id DESC) AS rn " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
-        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id) t " +
-        "WHERE rn = 1 ORDER BY p_event_id"),
-
-    "events_json_agg" ->
-      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, " +
-        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-
-    "s9_odata_paged_source" ->
-      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
-        "FROM events WHERE value >= 5.0 GROUP BY event_type ORDER BY event_type"),
-
-    // the "service" pages materialize events' columns (ts as an ISO-micros
-    // string), so the composed pipeline re-expressed over the events table
-    // IS the oracle: the ts_str string window equals the timestamp window
-    "e2e_method2_template" ->
-      ("WITH tgt AS (SELECT event_id, user_id, event_type, value, ts FROM events), " +
-        s"merged AS (SELECT event_id, user_id, event_type, value FROM tgt WHERE NOT (ts >= TIMESTAMP '$EventsCut') " +
-        s"UNION ALL SELECT event_id, user_id, event_type, value FROM tgt WHERE ts >= TIMESTAMP '$EventsCut') " +
-        "SELECT event_type, count(*) AS n_records, round(sum(value), 4) AS sum_value " +
-        "FROM merged GROUP BY event_type ORDER BY event_type"),
-
-    "stream_window_counts" ->
-      ("SELECT CAST(to_timestamp(CAST(floor(epoch(l_shipdate) / 2592000) AS BIGINT) * 2592000) AS TIMESTAMP) AS window_start, " +
-        "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_val " +
-        "FROM lineitem GROUP BY 1, 2 ORDER BY window_start, l_returnflag"),
-
-    // epoch-aligned daily windows → first-week reference profile → the
-    // same eps-clamped PSI roll-up per later day, over the completed
-    // day × category grid
-    "stream_drift_monitor" ->
-      ("WITH c AS (SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS day, " +
-        "event_type AS cat, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-        "ref AS (SELECT cat, CAST(sum(n) AS BIGINT) AS nr FROM c " +
-        "WHERE day < TIMESTAMP '2024-01-08' GROUP BY 1), " +
-        "tr AS (SELECT CAST(sum(nr) AS BIGINT) AS t FROM ref), " +
-        "cur AS (SELECT day, cat, n FROM c WHERE day >= TIMESTAMP '2024-01-08'), " +
-        "days AS (SELECT DISTINCT day FROM cur), " +
-        "cats AS (SELECT cat FROM ref UNION SELECT cat FROM cur), " +
-        "j AS (SELECT d.day, k.cat, coalesce(r.nr, 0) AS nr, coalesce(u.n, 0) AS nc " +
-        "FROM days d CROSS JOIN cats k LEFT JOIN ref r USING (cat) " +
-        "LEFT JOIN cur u ON u.day = d.day AND u.cat = k.cat), " +
-        "t2 AS (SELECT day, nr, nc, sum(nc) OVER (PARTITION BY day) AS tc FROM j), " +
-        "s AS (SELECT day, greatest(CAST(nr AS DOUBLE) / t.t, 1e-6) AS p, " +
-        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nc FROM t2, tr t), " +
-        "a AS (SELECT day, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
-        "CAST(sum(nc) AS BIGINT) AS n_day FROM s GROUP BY day) " +
-        "SELECT day, psi, n_day, psi > 0.2 AS drifted FROM a ORDER BY day"),
-
-    "knn_bruteforce" ->
-      ("SELECT q_id, n_id, sim, rank FROM (" +
-        "SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank FROM (" +
-        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
-        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
-        "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
-        "WHERE rank <= 5 ORDER BY q_id, rank"),
-
-    "doc_retrieval" ->
-      ("WITH nn AS (SELECT q_id, n_id, sim, rank FROM (" +
-        "SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM (" +
-        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
-        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) AS sim " +
-        "FROM embeddings q, embeddings n WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id) p) t WHERE rank <= 3) " +
-        "SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id AS doc_id, sim, d.lang, d.source " +
-        "FROM nn JOIN documents d ON nn.n_id = d.doc_id ORDER BY q_id, rank"),
-
-    // hybrid RRF: both legs replayed to their top-10 ranks (the BM25 CTEs
-    // are Bm25OracleSql's; the cosine leg is knn_bruteforce's restricted
-    // to queries 1 and 2), fused by 1/(60+rank) and re-ranked. The
-    // index-served variant shares it verbatim: persisted-artifact serving
-    // must reproduce the brute hybrid ranking exactly.
-    "doc_retrieval_hybrid" -> HybridRrfOracleSql,
-    "doc_retrieval_hybrid_indexed" -> HybridRrfOracleSql,
-
-    // the hybrid replay (CTEs shared with HybridRrfOracleSql) feeding the
-    // TREC metric algebra: term-coverage graded qrels, recall@10, MRR,
-    // and nDCG@10 with IDCG over each query's 10 best grades
-    "retrieval_eval" ->
-      (HybridRrfOracleSql.stripSuffix(
-          "SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_legs " +
-          "FROM rr WHERE rank <= 10 ORDER BY q_id, rank") +
-        ", run AS (SELECT q_id, doc_id, rank FROM rr WHERE rank <= 10), " +
-        "dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "qr AS (SELECT q.q_id, dt.doc_id, CAST(count(*) AS DOUBLE) AS g " +
-        "FROM dt JOIN q USING (term) GROUP BY 1, 2), " +
-        "nrel AS (SELECT q_id, count(*) AS n_rel FROM qr GROUP BY 1), " +
-        "ideal AS (SELECT q_id, sum((pow(2, g) - 1) / log2(rn + 1)) AS idcg FROM " +
-        "(SELECT q_id, g, row_number() OVER (PARTITION BY q_id ORDER BY g DESC) AS rn FROM qr) z " +
-        "WHERE rn <= 10 GROUP BY 1), " +
-        "mx AS (SELECT r.q_id, " +
-        "CAST(sum(CASE WHEN qr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
-        "min(CASE WHEN qr.g IS NOT NULL THEN r.rank END) AS first_rel, " +
-        "sum(CASE WHEN qr.g IS NOT NULL THEN (pow(2, qr.g) - 1) / log2(r.rank + 1) ELSE 0 END) AS dcg " +
-        "FROM run r LEFT JOIN qr ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id GROUP BY 1) " +
-        "SELECT n.q_id, CAST(n.n_rel AS BIGINT) AS n_rel, coalesce(s.n_hit, 0) AS n_hit, " +
-        "round(coalesce(s.n_hit, 0) / CAST(n.n_rel AS DOUBLE), 4) AS recall_at_10, " +
-        "round(coalesce(1.0 / s.first_rel, 0), 4) AS mrr, " +
-        "round(coalesce(s.dcg, 0) / i.idcg, 4) AS ndcg_at_10 " +
-        "FROM nrel n JOIN ideal i USING (q_id) LEFT JOIN mx s USING (q_id) ORDER BY n.q_id"),
-
-    "schema_evolution_union" ->
-      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
-        "round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 4) AS sum_price, " +
-        "count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priority " +
-        "FROM orders GROUP BY 1 ORDER BY 1"),
-
-    "knn_label_vote" ->
-      ("WITH nn AS (SELECT q_id, n_id FROM (" +
-        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) / " +
-        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
-        "sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 4) DESC, n.vec_id) AS rank " +
-        "FROM embeddings q, embeddings n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) t WHERE rank <= 5), " +
-        "votes AS (SELECT nn.q_id, l.label, count(*) AS votes FROM nn JOIN embeddings l ON nn.n_id = l.vec_id GROUP BY 1, 2) " +
-        "SELECT q_id, label AS pred_label, votes FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn FROM votes) w " +
-        "WHERE rn = 1 ORDER BY q_id"),
-
-    "knn_int8" ->
-      ("WITH qz AS (SELECT vec_id, " +
-        "list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * " +
-        "(CASE WHEN list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') > 0 " +
-        "THEN 127.0 / list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') ELSE 0.0 END) " +
-        "+ 0.5)))) AS qv FROM embeddings) " +
-        "SELECT q_id, n_id, sim, rank FROM (" +
-        "SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank FROM (" +
-        "SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
-        "round(list_dot_product(q.qv, n.qv) / " +
-        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.qv, n.qv))), 4) AS sim " +
-        "FROM qz q, qz n WHERE q.vec_id < 100 AND q.vec_id <> n.vec_id) p) t " +
-        "WHERE rank <= 5 ORDER BY q_id, rank"),
-
-    "events_range_join" ->
-      ("SELECT p.event_id AS p_event_id, p.user_id AS user_id, v.event_id AS view_event_id, " +
-        "epoch_us(p.ts) AS p_ts_us, epoch_us(v.ts) AS view_ts_us " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
-        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR " +
-        "ORDER BY p_event_id, view_event_id"),
-
-    "embedding_dim_stats" ->
-      ("SELECT CAST(r.i AS BIGINT) AS dim, " +
-        "round(avg(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) + 0.0 AS mean_x, " +
-        "round(stddev_samp(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)), 4) + 0.0 AS sd_x " +
-        "FROM embeddings, range(64) r(i) GROUP BY 1 ORDER BY dim"),
-
-    "embedding_quantize" ->
-      ("WITH s AS (SELECT vec_id, embedding, " +
-        "CASE WHEN list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') > 0 " +
-        "THEN 127.0 / list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') " +
-        "ELSE 0.0 END AS scale FROM embeddings), " +
-        "qq AS (SELECT vec_id, scale, " +
-        "list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT)) AS qv " +
-        "FROM s) " +
-        "SELECT vec_id, round(scale, 4) AS q_scale_r, " +
-        "CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum, " +
-        "CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min, " +
-        "CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max " +
-        "FROM qq ORDER BY vec_id"),
-
-    "dedup_incremental" ->
-      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
-        "bsets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
-        "csets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
-        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM bsets b, csets c " +
-        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
-        "ORDER BY batch_id, corpus_id"),
-
-    // identical semantics through the persisted index via the STREAMING
-    // path (stateless exactly-once pair emission), so the incremental
-    // oracle carries over here too
-    "stream_dedup_incremental" ->
-      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
-        "bsets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
-        "csets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
-        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM bsets b, csets c " +
-        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
-        "ORDER BY batch_id, corpus_id"),
-
-    // identical semantics through the persisted index (deterministic
-    // hashes — no model drift), so the incremental oracle carries over
-    "dedup_minhash_persisted" ->
-      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
-        "bsets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
-        "csets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
-        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM bsets b, csets c " +
-        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
-        "ORDER BY batch_id, corpus_id"),
-
-    // every minhash band of the 60 identical clones shares one bucket of
-    // exactly 60 ids; real sf0.01 docs form no bucket above 50 (verified
-    // with the build) — 8 bands, 8 oversized buckets
-    "dedup_oversized_buckets" ->
-      ("SELECT CAST(band AS BIGINT) AS band, CAST(n_ids AS BIGINT) AS n_ids FROM (VALUES " +
-        (0 until 8).map(b => s"($b, 60)").mkString(", ") +
-        ") t(band, n_ids) ORDER BY band"),
-
-    // the 60 identical clones land (with 23 natural neighbors at sf0.01)
-    // in one k-means cluster — pinned from a verified run (k-means is
-    // deterministic: id-ordered seeds, no RNG); valid at sf0.01 like the
-    // PinnedOracles values
-    "dedup_oversized_clusters" ->
-      ("SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_rows AS BIGINT) AS n_rows " +
-        "FROM (VALUES (0, 83)) t(cluster, n_rows) ORDER BY cluster"),
-
-    // semantic recomputation of the diff (column-wise IS DISTINCT FROM):
-    // engine-independent of the Spark side's md5 fingerprint encoding
-    "snapshot_diff" ->
-      ("WITH old AS (SELECT * FROM documents WHERE doc_id % 11 != 3), " +
-        "neu AS (SELECT doc_id, CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END AS text, " +
-        "lang, source, n_chars FROM documents WHERE doc_id % 13 != 5) " +
-        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
-        "CASE WHEN n.doc_id IS NULL THEN 'removed' " +
-        "WHEN o.doc_id IS NULL THEN 'added' " +
-        "WHEN o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang " +
-        "OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' " +
-        "ELSE 'unchanged' END AS status " +
-        "FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id ORDER BY doc_id"),
-
-    // the index-served encode must be byte-identical to the from-scratch
-    // path — share bpe_encode's pinned oracle
-    "bpe_persisted" -> PinnedOracles.sql("bpe_encode"),
-    // index-served ≡ from-scratch: sharing the oracle string states the
-    // artifact-parity contract in the driver record itself
-    "unigram_persisted" -> PinnedOracles.sql("unigram_encode"),
-
-    "snapshot_apply" ->
-      ("SELECT doc_id, lang, source, n_chars, " +
-        "md5(CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END) AS text_md5 " +
-        "FROM documents WHERE doc_id % 13 != 5 ORDER BY doc_id"),
-
-    "mix_temperature_weights" ->
-      ("WITH per AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n_size FROM documents GROUP BY source), " +
-        "tot AS (SELECT sum(n_size) AS tn, sum(pow(n_size, 0.7)) AS tt FROM per) " +
-        "SELECT source, CAST(n_size AS BIGINT) AS n_size, " +
-        "round(n_size / tn, 6) AS p_natural, " +
-        "round(pow(n_size, 0.7) / tt, 6) AS p_temperature, " +
-        "round((pow(n_size, 0.7) / tt) / (n_size / tn), 6) AS upsample_factor " +
-        "FROM per, tot ORDER BY source"),
-
-    // all-integer div/mod replay of the Hamilton apportionment — no
-    // float anywhere, so the compare is bit-exact by construction
-    "mix_allocation" ->
-      ("WITH wsrc AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
-        "FROM documents GROUP BY 1), " +
-        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w FROM wsrc), " +
-        "q AS (SELECT source, n_tokens, CAST((100000 * n_tokens) // w AS BIGINT) AS base, " +
-        "(100000 * n_tokens) % w AS rem FROM wsrc CROSS JOIN t), " +
-        "sp AS (SELECT CAST(sum(base) AS BIGINT) AS spent FROM q), " +
-        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q) " +
-        "SELECT source, n_tokens, " +
-        "CAST(base + CASE WHEN rk <= 100000 - spent THEN 1 ELSE 0 END AS BIGINT) AS alloc " +
-        "FROM r CROSS JOIN sp ORDER BY source"),
-
-    "cap_per_stratum" ->
-      ("SELECT doc_id, source, stratum_rank FROM (" +
-        "SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS stratum_rank " +
-        "FROM documents) t WHERE stratum_rank <= 10 ORDER BY doc_id"),
-
-    // pinned from a verified sf0.01 run (every ANN path is deterministic:
-    // id-ordered k-means/PQ seeds, hash-based LSH planes, no RNG); the
-    // recall these parameters buy at sf0.01 — the point of the audit is
-    // that the driver record carries the measured number
-    "knn_recall_audit" ->
-      ("SELECT CAST(algo AS VARCHAR) AS algo, CAST(recall_at_5 AS DOUBLE) AS recall_at_5 FROM (VALUES " +
-        "('ivf', 0.59), ('ivfpq', 0.528), ('lsh', 0.636), ('pq', 0.474)" +
-        ") t(algo, recall_at_5) ORDER BY algo"),
-
-    // string_agg with an explicit ORDER BY mirrors the in-aggregate struct
-    // sort ((ts, event_id) is unique, so the order is total on both sides)
-    "conversations_assemble" ->
-      ("SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts, " +
-        "string_agg(event_type, chr(10) ORDER BY ts, event_id) AS conversation " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
-
-    // replays TimeSeries.acf exactly: the same (type × day) count
-    // aggregate, the same span densify (zero-count days are real
-    // observations), full-series mean, and the lag-k dev products —
-    // integer counts keep devs bit-identical in both engines
-    "events_acf" ->
-      ("WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, " +
-        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
-        "span AS (SELECT g, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
-        "grid AS (SELECT g, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
-        "dense AS (SELECT grid.g, grid.day, coalesce(daily.x, 0) AS x " +
-        "FROM grid LEFT JOIN daily ON grid.g = daily.g AND grid.day = daily.day), " +
-        "mu AS (SELECT g, avg(x) AS mu FROM dense GROUP BY 1), " +
-        "dev AS (SELECT dense.g, day, x - mu AS dev FROM dense JOIN mu ON dense.g = mu.g), " +
-        "den AS (SELECT g, sum(dev * dev) AS ss FROM dev GROUP BY 1), " +
-        "lg AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS lag), " +
-        "pr AS (SELECT a.g, lg.lag, sum(a.dev * b.dev) AS num, CAST(count(*) AS BIGINT) AS n_pairs " +
-        "FROM dev a CROSS JOIN lg JOIN dev b ON a.g = b.g AND b.day = a.day + lg.lag GROUP BY 1, 2) " +
-        "SELECT pr.g AS event_type, pr.lag, round(pr.num / den.ss, 4) AS acf, pr.n_pairs " +
-        "FROM pr JOIN den ON pr.g = den.g ORDER BY event_type, lag"),
-
-    // replays meanShiftChangepoint: integer day-count cums make every
-    // mean/score identical down to the bit in both engines, so the
-    // (score DESC, day) argmax is engine-stable before rounding
-    "events_changepoint" ->
-      ("WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, " +
-        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
-        "tot AS (SELECT g, sum(x) AS tot, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1), " +
-        "sc AS (SELECT daily.g, day, n_days, tot, " +
-        "sum(x) OVER (PARTITION BY daily.g ORDER BY day) AS cum, " +
-        "CAST(row_number() OVER (PARTITION BY daily.g ORDER BY day) AS DOUBLE) AS t " +
-        "FROM daily JOIN tot ON daily.g = tot.g), " +
-        "scored AS (SELECT g, day, n_days, cum / t AS mean_before, " +
-        "(tot - cum) / (n_days - t) AS mean_after, " +
-        "abs(cum / t - (tot - cum) / (n_days - t)) * sqrt(t * (n_days - t) / n_days) AS score " +
-        "FROM sc WHERE t < n_days), " +
-        "pick AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY score DESC, day) AS rk FROM scored) " +
-        "SELECT g AS event_type, day AS split_day, n_days, round(mean_before, 4) AS mean_before, " +
-        "round(mean_after, 4) AS mean_after, round(score, 4) AS score " +
-        "FROM pick WHERE rk = 1 ORDER BY event_type"),
-
-    // replays Stats.welchPairs: one moment aggregate per group, the
-    // textbook t / Welch–Satterthwaite df on the k-row pairs join
-    "ab_welch_ttest" ->
-      ("WITH st AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n, " +
-        "avg(value) AS mean, var_samp(value) AS vr FROM events GROUP BY 1) " +
-        "SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b, " +
-        "round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b, " +
-        "round((a.mean - b.mean) / sqrt(a.vr / a.n + b.vr / b.n), 4) AS t_stat, " +
-        "round(pow(a.vr / a.n + b.vr / b.n, 2) / " +
-        "(pow(a.vr / a.n, 2) / (a.n - 1) + pow(b.vr / b.n, 2) / (b.n - 1)), 2) AS df_welch, " +
-        "abs((a.mean - b.mean) / sqrt(a.vr / a.n + b.vr / b.n)) > 1.96 AS significant " +
-        "FROM st a JOIN st b ON a.g < b.g ORDER BY group_a, group_b"),
-
-    // replays Stats.chiSquare over the user-parity cohort: contingency
-    // cells, margins, expecteds e = rt·ct/n, Cramér's V from the
-    // UNROUNDED chi2 (as the Spark select does)
-    "ab_chi_square" ->
-      ("WITH cc AS (SELECT CAST(user_id % 2 AS VARCHAR) AS r, event_type AS c, " +
-        "CAST(count(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2), " +
-        "rt AS (SELECT r, sum(o) AS rtot FROM cc GROUP BY 1), " +
-        "ct AS (SELECT c, sum(o) AS ctot FROM cc GROUP BY 1), " +
-        "nn AS (SELECT sum(o) AS n, CAST(count(DISTINCT r) AS BIGINT) AS nr, " +
-        "CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cc), " +
-        "term AS (SELECT (o - rtot * ctot / n) * (o - rtot * ctot / n) / (rtot * ctot / n) AS term, " +
-        "n, nr, nc FROM cc JOIN rt ON cc.r = rt.r JOIN ct ON cc.c = ct.c CROSS JOIN nn), " +
-        "agg AS (SELECT n, nr, nc, sum(term) AS chi2 FROM term GROUP BY n, nr, nc) " +
-        "SELECT round(chi2, 4) AS chi2, (nr - 1) * (nc - 1) AS dof, CAST(n AS BIGINT) AS n, " +
-        "round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 4) AS cramers_v FROM agg"),
-
-    // replays etl/DataQuality.report check by check: conditional-count
-    // column gates, the distinct-count uniqueness surplus, and the
-    // left-anti referential orphans (NULL fks are orphans on both sides)
-    "dq_expectations" ->
-      ("SELECT check_name, CAST(violations AS BIGINT) AS violations, " +
-        "CAST(total AS BIGINT) AS total, violations = 0 AS pass FROM (" +
-        "SELECT 'lineitem.quantity_in_1_45' AS check_name, " +
-        "sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS violations, " +
-        "count(*) AS total FROM lineitem " +
-        "UNION ALL SELECT 'lineitem.extendedprice_positive', " +
-        "sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END), count(*) FROM lineitem " +
-        "UNION ALL SELECT 'lineitem.shipdate_not_null', " +
-        "sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), count(*) FROM lineitem " +
-        "UNION ALL SELECT 'events.event_type_accepted', " +
-        "sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','error','signup') THEN 1 ELSE 0 END), " +
-        "count(*) FROM events " +
-        "UNION ALL SELECT 'events.value_not_null', " +
-        "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(*) FROM events " +
-        "UNION ALL SELECT 'customer.custkey_unique', " +
-        "count(*) - count(DISTINCT c_custkey), count(*) FROM customer " +
-        "UNION ALL SELECT 'orders.custkey_fk', " +
-        "sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*) " +
-        "FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey " +
-        "UNION ALL SELECT 'lineitem.orderkey_fk', " +
-        "sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*) " +
-        "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) od ON l.l_orderkey = od.o_orderkey" +
-        ") t ORDER BY check_name"),
-
-    // replays Erasure.cascadeDelete: subjects → orders via the subject
-    // keys, lineitem via the DELETED orders' keys (two-hop cascade)
-    "l10_cascade_delete" ->
-      ("WITH subj AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0), " +
-        "del_o AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_custkey IN (SELECT k FROM subj)) " +
-        "SELECT table_name, CAST(n_deleted AS BIGINT) AS n_deleted, CAST(n_remaining AS BIGINT) AS n_remaining FROM (" +
-        "SELECT 'customer' AS table_name, " +
-        "sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END) AS n_deleted, " +
-        "sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END) AS n_remaining FROM customer " +
-        "UNION ALL SELECT 'orders', " +
-        "sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END), " +
-        "sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END) FROM orders " +
-        "UNION ALL SELECT 'lineitem', " +
-        "sum(CASE WHEN l_orderkey IN (SELECT k FROM del_o) THEN 1 ELSE 0 END), " +
-        "sum(CASE WHEN l_orderkey IN (SELECT k FROM del_o) THEN 0 ELSE 1 END) FROM lineitem" +
-        ") t ORDER BY table_name"),
-
-    // replays Recon.controlTotals with the simulated 1994-03 short load:
-    // exact long control sums, full-outer bucket join, zero-fill
-    "recon_control_totals" ->
-      ("WITH src AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
-        "CAST(count(*) AS BIGINT) AS n_src, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_src, " +
-        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_src " +
-        "FROM lineitem GROUP BY 1), " +
-        "tgt AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
-        "CAST(count(*) AS BIGINT) AS n_tgt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_tgt, " +
-        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_tgt " +
-        "FROM lineitem WHERE NOT (l_shipdate >= TIMESTAMP '1994-03-01' AND l_shipdate < TIMESTAMP '1994-04-01') GROUP BY 1) " +
-        "SELECT bucket, coalesce(n_src, 0) AS n_src, coalesce(qty_src, 0) AS qty_src, coalesce(cents_src, 0) AS cents_src, " +
-        "coalesce(n_tgt, 0) AS n_tgt, coalesce(qty_tgt, 0) AS qty_tgt, coalesce(cents_tgt, 0) AS cents_tgt, " +
-        "(coalesce(n_src, 0) = coalesce(n_tgt, 0) AND coalesce(qty_src, 0) = coalesce(qty_tgt, 0) " +
-        "AND coalesce(cents_src, 0) = coalesce(cents_tgt, 0)) AS match " +
-        "FROM src FULL OUTER JOIN tgt USING (bucket) ORDER BY bucket"),
-
-    // replays interarrivalStats: identical integer-microsecond gaps in
-    // both engines, quantile_cont ≡ Spark's interpolating percentile
-    "events_interarrival" ->
-      ("WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
-        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap FROM events) " +
-        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
-        "round(avg(gap) / 1e6, 4) AS mean_gap_s, " +
-        "round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_gap_s, " +
-        "round(quantile_cont(gap, 0.95) / 1e6, 4) AS p95_gap_s, " +
-        "round(max(gap) / 1e6, 4) AS max_gap_s " +
-        "FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"),
-
-    // replays distributionDivergence over the doc_id-parity halves:
-    // shares from exact integer counts, eps clamp, natural log
-    "mix_divergence" ->
-      ("WITH p AS (SELECT source, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS ps " +
-        "FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), " +
-        "q AS (SELECT source, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS qs " +
-        "FROM documents WHERE doc_id % 2 = 1 GROUP BY 1), " +
-        "j AS (SELECT greatest(coalesce(ps, 0), 1e-6) AS ps, greatest(coalesce(qs, 0), 1e-6) AS qs " +
-        "FROM p FULL OUTER JOIN q USING (source)) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_categories, " +
-        "round(sum(ps * ln(ps / qs)), 6) AS kl_pq, " +
-        "round(sum(qs * ln(qs / ps)), 6) AS kl_qp, " +
-        "round(sum(ps * ln(ps / ((ps + qs) / 2)) / 2 + qs * ln(qs / ((ps + qs) / 2)) / 2), 6) AS js " +
-        "FROM j"),
-
-    // same undirected-distinct edge set as the graph_pagerank oracle
-    "graph_degree_histogram" ->
-      ("WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
-        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM ed GROUP BY 1), " +
-        "h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY 1) " +
-        "SELECT degree, n_vertices, " +
-        "round(n_vertices / CAST(sum(n_vertices) OVER () AS DOUBLE), 6) AS share " +
-        "FROM h ORDER BY degree"),
-
-    // replays attribution_last_touch: same 7-day backward window, same
-    // (ts, event_type, event_id) DESC tie-break as the asOfJoin's
-    // largest-right-struct rule, unmatched purchases → 'direct'
-    "attribution_last_touch" ->
-      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
-        "t AS (SELECT user_id, ts, event_type, event_id FROM events WHERE event_type <> 'purchase'), " +
-        "m AS (SELECT p.event_id, p.value, t.event_type, " +
-        "row_number() OVER (PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_type DESC, t.event_id DESC) AS rk " +
-        "FROM p LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 7 DAY) " +
-        "SELECT coalesce(event_type, 'direct') AS channel, CAST(count(*) AS BIGINT) AS n_purchases, " +
-        "round(sum(value), 4) AS attributed_value " +
-        "FROM m WHERE rk = 1 GROUP BY 1 ORDER BY 1"),
-
-    // from-scratch recomputation over the FULL pair set (old∪new, no
-    // batch-internal pairs — the incrementalPairs contract): equality
-    // with the label-carried incremental path is the maintenance proof
-    "dedup_components_incremental" ->
-      ("WITH RECURSIVE sets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents WHERE doc_id < 500), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a, sets b WHERE a.doc_id < b.doc_id " +
-        "AND NOT (a.doc_id >= 400 AND b.doc_id >= 400) " +
-        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
-        "walk(id, comp) AS (" +
-        "SELECT DISTINCT src, src FROM edges " +
-        "UNION SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id) " +
-        "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp FROM walk GROUP BY id ORDER BY doc_id"),
-
-    // replays readability(): same word/sentence/vowel-group proxies —
-    // the regexes use only classes and + (identical Java/RE2 semantics)
-    "text_readability" ->
-      ("WITH m AS (SELECT doc_id, " +
-        "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) AS w, " +
-        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s, " +
-        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y FROM documents) " +
-        "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences, " +
-        "CAST(y AS BIGINT) AS n_syllables, " +
-        "round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch, " +
-        "round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4) AS fk_grade " +
-        "FROM m ORDER BY doc_id"),
-  ) ++ PinnedOracles.sql
+  def oracleSql: Map[String, String] =
+    (EtlQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
+      TextQueries.oracles ++ SamplingQueries.oracles ++ GraphQueries.oracles ++
+      EventsQueries.oracles ++ SimilarityQueries.oracles ++
+      StreamingQueries.oracles ++ MultimodalQueries.oracles) ++ PinnedOracles.sql
 }

@@ -34,6 +34,10 @@ object DataQuality {
     */
   def columnChecks(df: DataFrame, checks: Seq[ColCheck]): DataFrame = {
     require(checks.nonEmpty, "columnChecks needs at least one check")
+    // duplicate names would otherwise surface as Spark's opaque
+    // DUPLICATED_MAP_KEY runtime error from the explode map
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"check names must be unique: ${checks.map(_.name)}")
     // checks are aliased positionally (__c0, __c1, …), never by their
     // display name: check names are dotted ("table.check") and col(name)
     // would parse the dot as struct access (UNRESOLVED_COLUMN)

@@ -41,39 +41,60 @@ object Erasure {
       from: Option[String] = None,
       emitKey: Option[String] = None)
 
-  /** Run the cascade from `subjects` (a single-column frame of subject
-    * keys) through `steps`, in order. Returns the ledger
-    * (table_name, n_deleted, n_remaining), one row per step.
+  /** The cascade's per-step victim-selecting KEY frames: for each step,
+    * the single-column frame (named `__k`) whose match on `step.fkCol`
+    * selects that table's victims. This is the shared input of BOTH
+    * erasure legs — the ledger ([[cascadeDelete]]) and the physical
+    * delete/rewrite (`retained(step.df, step.fkCol, keys)` → the
+    * caller's L6 write) — so the audit provably describes the same
+    * delete set the rewrite applied. Key frames stay slim (keys-only)
+    * and checkpointed; no driver-side key collection.
     */
-  def cascadeDelete(subjects: DataFrame, steps: Seq[CascadeStep]): DataFrame = {
+  def cascadeKeys(
+      subjects: DataFrame,
+      steps: Seq[CascadeStep]): Seq[(CascadeStep, DataFrame)] = {
     require(subjects.columns.length == 1,
       s"subjects must be a single key column, got ${subjects.columns.toSeq}")
     require(steps.nonEmpty, "cascade needs at least one step")
+    // the emitted-key map is keyed by table name: a duplicate would
+    // silently overwrite an earlier step's emitted keys and route a
+    // later `from` at the wrong frame
+    require(steps.map(_.table).distinct.size == steps.size,
+      s"cascade step table names must be unique: ${steps.map(_.table)}")
     val subjectKeys = subjects.toDF("__k").distinct().localCheckpoint()
 
     // table -> the key frame its deleted rows emit (slim, checkpointed)
     var emitted = Map.empty[String, DataFrame]
-    val ledgers = steps.map { st =>
+    steps.map { st =>
       val keys = st.from match {
         case None => subjectKeys
         case Some(t) => emitted.getOrElse(t,
           throw new IllegalArgumentException(
             s"step '${st.table}' cascades from '$t', which emitted no keys"))
       }
-      val deleted = st.df.join(keys, st.df(st.fkCol) === keys("__k"), "left_semi")
       st.emitKey.foreach { k =>
         emitted += st.table ->
-          deleted.select(col(k).as("__k")).distinct().localCheckpoint()
+          st.df.join(keys, st.df(st.fkCol) === keys("__k"), "left_semi")
+            .select(col(k).as("__k")).distinct().localCheckpoint()
       }
+      st -> keys
+    }
+  }
+
+  /** Run the cascade from `subjects` (a single-column frame of subject
+    * keys) through `steps`, in order. Returns the ledger
+    * (table_name, n_deleted, n_remaining), one row per step.
+    */
+  def cascadeDelete(subjects: DataFrame, steps: Seq[CascadeStep]): DataFrame =
+    cascadeKeys(subjects, steps).map { case (st, keys) =>
+      val deleted = st.df.join(keys, st.df(st.fkCol) === keys("__k"), "left_semi")
       val nDel = deleted.agg(count(lit(1)).as("n_deleted"))
       val nTot = st.df.agg(count(lit(1)).as("__t"))
       nDel.crossJoin(nTot).select(
         lit(st.table).as("table_name"),
         col("n_deleted"),
         (col("__t") - col("n_deleted")).as("n_remaining"))
-    }
-    ledgers.reduce(_.unionByName(_))
-  }
+    }.reduce(_.unionByName(_))
 
   /** The retained frame for one table (the L6 write leg): everything NOT
     * selected by `keys` on `fkCol` — NULL fks are retained (they name no

@@ -43,7 +43,14 @@ object Recon {
           }: _*)
     val s = side(source, "src")
     val t = side(target, "tgt")
-    val joined = s.join(t, Seq("bucket"), "full_outer")
+    // null-safe bucket match: a NULL bucket present on both sides must
+    // land on ONE comparable row, not two spurious one-sided mismatches
+    // (plain equality never matches NULL keys in the full outer join)
+    val joined = s.join(t, s("bucket") <=> t("bucket"), "full_outer")
+      .select(coalesce(s("bucket"), t("bucket")).as("bucket") +:
+        (Seq(s("n_src"), t("n_tgt")) ++
+          measures.flatMap { case (n, _) =>
+            Seq(s(s"${n}_src"), t(s"${n}_tgt")) }): _*)
       .na.fill(0L, Seq("n_src", "n_tgt") ++
         measures.flatMap { case (n, _) => Seq(s"${n}_src", s"${n}_tgt") })
     val ok = measures.foldLeft(col("n_src") === col("n_tgt")) {

@@ -173,6 +173,10 @@ object Kmv {
           1, k))
       .select(col("grp").as("bucket"),
         round(estimateDistinct(col("kmv"), k), 4).as("distinct_est"),
-        round(estimateDistinct(col("__merged"), k), 4).as("trailing_est"))
+        round(estimateDistinct(col("__merged"), k), 4).as("trailing_est"),
+        // window fill: the first windowLen−1 buckets merge FEWER than
+        // windowLen days (warm-up) — consumers exclude or flag rows with
+        // n_buckets < windowLen rather than compare them to steady state
+        count(lit(1)).over(w).as("n_buckets"))
   }
 }

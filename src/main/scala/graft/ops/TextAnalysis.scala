@@ -690,14 +690,20 @@ object TextAnalysis {
   def readability(text: Column): Seq[Column] = {
     val words = size(filter(split(text, " "), t => t =!= lit("")))
       .cast("double")
+    // denominator guard: an empty/whitespace-only document has 0 words,
+    // and an unguarded syllables/words would go NaN (Spark) vs a
+    // divide-by-zero NULL/error (DuckDB) — engines diverge on the
+    // degenerate row. greatest(·,1) mirrors the sentences guard and the
+    // oracle applies the identical clamp.
+    val wordsSafe = greatest(words, lit(1.0))
     val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
       .cast("double")
     val syllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
     val flesch =
       lit(206.835) - lit(1.015) * (words / sentences) -
-        lit(84.6) * (syllables / words)
+        lit(84.6) * (syllables / wordsSafe)
     val grade =
-      lit(0.39) * (words / sentences) + lit(11.8) * (syllables / words) -
+      lit(0.39) * (words / sentences) + lit(11.8) * (syllables / wordsSafe) -
         lit(15.59)
     Seq(words.cast("long").as("n_words"),
       sentences.cast("long").as("n_sentences"),

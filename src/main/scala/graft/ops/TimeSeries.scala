@@ -136,20 +136,31 @@ object TimeSeries {
     * Box & Jenkins). Counts (not value sums) make every input integer,
     * so both engines see bit-identical devs.
     *
-    * The series is DENSIFIED over each group's [min day, max day] span
-    * before the moments: a calendar day with zero events is a real
+    * The series is LOGICALLY densified over each group's
+    * [min day, max day] span: a calendar day with zero events is a real
     * observation (x = 0), not a missing row — without it, lag pairs
     * spanning quiet days silently vanish and r_k is biased high for
-    * sparse groups. The grid is span-bounded (~10³ rows/group for
-    * years of data, same bound as [[meanShiftChangepoint]]), built by
-    * one `sequence` explode off the group-sized span frame.
+    * sparse groups. The zero days are never MATERIALIZED, though: their
+    * contribution is closed-form (each contributes dev = −μ), so the
+    * densified moments decompose over the SPARSE rows plus algebraic
+    * correction terms. With span D = d1−d0+1 days, S observed days,
+    * total T = Σx and μ = T/D:
+    *   ss    = Σ_sparse (x−μ)² + (D−S)·μ²
+    *   num_k = Σ_{both nonzero} x_t·x_{t+k}
+    *           − μ·(T − tail_k) − μ·(T − head_k) + (D−k)·μ²
+    * where head_k / tail_k are the observed mass on the first / last k
+    * days of the span (the pairs that fall off the series edge), from
+    * expanding (x_t−μ)(x_{t+k}−μ) and summing each term over the full
+    * grid. n_pairs = D−k exactly (every grid day pairs with its lag-k
+    * successor inside the span).
     *
-    * Scale: the raw stream collapses to a (group × day) count aggregate
-    * first — everything after runs on the series frame, never the
-    * events. Per-group mean/denominator are group-sized (broadcast);
-    * the lag products come from ONE equi-join of the series to itself
-    * on (group, day+lag) after a maxLag-way explode — keyed shuffle,
-    * no window over an unpartitioned series, no driver collect.
+    * Scale: the raw stream collapses to a SPARSE (group × active-day)
+    * count aggregate first — everything after runs on that frame, never
+    * the events and never a dense grid (a years-long span of a nearly
+    * quiet group costs nothing). Per-group stats are group-sized
+    * (broadcast); the cross term is ONE equi-join of the sparse series
+    * to itself on (group, day+lag) after a maxLag-way explode — keyed
+    * shuffle, no window over an unpartitioned series, no driver collect.
     */
   def acf(
       df: DataFrame,
@@ -160,27 +171,52 @@ object TimeSeries {
     val counted = df
       .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).cast("double").as("x"))
-    val grid = counted.groupBy("g")
-      .agg(min("day").as("__d0"), max("day").as("__d1"))
-      .select(col("g"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
-    val daily = grid.join(counted, Seq("g", "day"), "left")
-      .select(col("g"), col("day"), coalesce(col("x"), lit(0.0)).as("x"))
-    val mu = daily.groupBy("g").agg(avg("x").as("mu"))
-    val dev = daily.join(broadcast(mu), Seq("g"))
-      .select(col("g"), col("day"), (col("x") - col("mu")).as("dev"))
-      .localCheckpoint() // feeds the denominator and BOTH join sides
-    val denom = dev.groupBy("g").agg(sum(col("dev") * col("dev")).as("ss"))
+      .localCheckpoint() // feeds stats, ss, edges and BOTH cross-join sides
+    val stats = counted.groupBy("g")
+      .agg(min("day").as("d0"), max("day").as("d1"),
+        sum("x").as("tot"), count(lit(1)).as("n_obs"))
+      .withColumn("n_days", (datediff(col("d1"), col("d0")) + 1).cast("double"))
+      .withColumn("mu", col("tot") / col("n_days"))
+    // denominator: sparse Σ(x−μ)² plus μ² for each of the D−S zero days
+    val denom = counted.join(broadcast(stats), Seq("g"))
+      .groupBy("g", "mu", "n_days", "n_obs")
+      .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("__ssnz"))
+      .select(col("g"),
+        (col("__ssnz") + (col("n_days") - col("n_obs")) * col("mu") * col("mu"))
+          .as("ss"))
     val lags = array((1 to maxLag).map(lit): _*)
-    val prods = dev
+    // cross term: only pairs where BOTH days are observed contribute x·x'
+    val xx = counted
       .withColumn("lag", explode(lags))
       .withColumn("day2", date_add(col("day"), col("lag")))
-      .join(dev.select(col("g"), col("day").as("day2"), col("dev").as("dev2")),
+      .join(counted.select(col("g"), col("day").as("day2"), col("x").as("x2")),
         Seq("g", "day2"))
-      .groupBy(col("g"), col("lag"))
-      .agg(sum(col("dev") * col("dev2")).as("num"), count(lit(1)).as("n_pairs"))
-    prods.join(broadcast(denom), Seq("g"))
+      .groupBy("g", "lag")
+      .agg(sum(col("x") * col("x2")).as("sxx"))
+    // edge mass: observed x on the first / last `lag` days of the span
+    // (the rows a lag-k pair sum excludes at the series boundary)
+    val edges = counted.join(broadcast(stats), Seq("g"))
+      .withColumn("lag", explode(lags))
+      .groupBy("g", "lag")
+      .agg(
+        sum(when(datediff(col("day"), col("d0")) < col("lag"), col("x"))
+          .otherwise(lit(0.0))).as("head_x"),
+        sum(when(datediff(col("d1"), col("day")) < col("lag"), col("x"))
+          .otherwise(lit(0.0))).as("tail_x"))
+    stats
+      .withColumn("lag", explode(lags))
+      .filter(col("lag") < col("n_days")) // a lag needs at least one pair
+      .join(edges, Seq("g", "lag"))
+      .join(xx, Seq("g", "lag"), "left") // a lag can have zero nonzero pairs
+      .join(broadcast(denom), Seq("g"))
+      .withColumn("num",
+        coalesce(col("sxx"), lit(0.0)) -
+          col("mu") * (col("tot") - col("tail_x")) -
+          col("mu") * (col("tot") - col("head_x")) +
+          (col("n_days") - col("lag")) * col("mu") * col("mu"))
       .select(col("g").as(groupCol), col("lag"),
-        round(col("num") / col("ss"), 4).as("acf"), col("n_pairs"))
+        round(col("num") / col("ss"), 4).as("acf"),
+        (col("n_days") - col("lag")).cast("long").as("n_pairs"))
   }
 
   /** Single changepoint per group: the day split maximizing the scaled

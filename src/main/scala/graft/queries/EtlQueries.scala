@@ -1,0 +1,860 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.PinnedOracles
+import graft.etl.{FileLoads, Loads, Sanitize, Tables, Windows}
+import graft.ops.{Bpe, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
+import graft.schema.Ddl
+import graft.queries.Fixtures._
+import graft.queries.OracleCtes._
+
+/** reference-parity ETL surface: scans, transforms, load dispositions,
+  * schema tooling, data quality, recon, snapshots and the e2e templates.
+  *
+  * One registry slice of [[graft.SparkEntry]] (split r14 — the single
+  * 6.6k-line file was the bottleneck): `queries` feeds the driver's
+  * Verify/Bench maps, `oracles` the DuckDB compare. Keys and bodies are
+  * unchanged from the pre-split registry.
+  */
+object EtlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S: scans (S1 full scan / P1 project-all) ----
+    "s1_full_scan" -> ((s, dir) =>
+      Tables.region(s, dir).orderBy("r_regionkey")),
+
+
+    // S2/S4/S6/S8 class: windowed incremental extract (P4 predicate) —
+    // ONE logical filter standing for the reference's four hand-written
+    // dialect variants; Catalyst pushes it to the parquet scan.
+    "s2_window_extract" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+
+    // ---- T: row-level transforms ----
+    "t1_sanitize_inf" -> ((s, dir) =>
+      Sanitize.sanitizeInf(Tables.lineitem(s, dir))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+
+    "p2_drop_column" -> ((s, dir) =>
+      Sanitize.dropColumns(Tables.part(s, dir), "p_type", "@odata.etag")
+        .orderBy("p_partkey")),
+
+
+    // ---- L: load/merge semantics ----
+    "l2_overwrite" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+      Loads.overwrite(li, incoming).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+
+    // L3 faithful: retention-delete + append — DUPLICATES the overlap,
+    // exactly like the reference (SURVEY.md §2.6 semantic note).
+    "l3_retain_then_append" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+      Loads.retainThenAppend(li, incoming,
+        retainPred = Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+
+    "l4_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val incoming = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      Loads.upsert(o, incoming, keys = Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+
+    // L8 incremental aggregate maintenance: the pre-cutoff rollup merges
+    // a RAW post-cutoff delta — delta partial-aggregated first, history
+    // touched only as the aggregate table (O(|delta| + |rollup|), never
+    // the accumulated facts). Mixed agg algebra per column: sum, min
+    // (daily min price) and max (latest ship ts) partials each re-merge
+    // with their own associative fn. The oracle is the FULL recompute,
+    // so the driver record itself proves incremental ≡ from-scratch.
+    "l8_merge_aggregate" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val cut = lit("2000-01-01").cast("timestamp")
+      val existing = l.filter(col("l_shipdate") < cut)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("l_quantity").as("l_quantity"),
+          min("l_extendedprice").as("l_extendedprice"),
+          max("l_shipdate").as("l_shipdate"))
+      val delta = l.filter(col("l_shipdate") >= cut)
+      Loads.mergeAggregate(existing, delta, Seq("l_returnflag"),
+          Seq(Loads.AggSpec("l_quantity", "sum"),
+            Loads.AggSpec("l_extendedprice", "min"),
+            Loads.AggSpec("l_shipdate", "max")), "n")
+        .select(col("l_returnflag"), col("n"),
+          round(col("l_quantity"), 4).as("sum_qty"),
+          round(col("l_extendedprice"), 4).as("min_price"),
+          col("l_shipdate").as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // L9 partition-prune canary: events land DATE-PARTITIONED (the
+    // FileLoads layout a 100 TB fact table lives in), and the one-week
+    // read-back filters on the PARTITION column — the scan must list only
+    // the 7 matching partition dirs, never history (the file-layout
+    // analogue of q6's parquet filter pushdown; the reference's pushed
+    // date_trans windows, Template-to-MySQL/BigQuery-to-MySQL-Method-2
+    // .py:58). FileLoadsSpec asserts the scan's partitionFilters is
+    // non-empty. Full DuckDB oracle over the unpartitioned table.
+    "l9_partition_prune" -> ((s, dir) => {
+      val part = IndexFixture.dir("l9part", dir) { tmp =>
+        FileLoads.append(Tables.events(s, dir), "ts", tmp)
+      }
+      s.read.parquet(part)
+        .filter(col("p_date") >= "2024-01-10" && col("p_date") < "2024-01-17")
+        .groupBy(col("p_date").cast("string").as("p_date"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("p_date")
+    }),
+
+
+    // L5 idempotent window refresh (vs L3's duplication).
+    "l5_refresh_window" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val incoming = li.filter(Windows.inWindow(col("l_shipdate"), LineitemRef, WindowDays))
+      Loads.refreshWindow(li, incoming,
+        Windows.insideRefreshWindow(col("l_shipdate"), LineitemRef, WindowDays))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+
+    // L6/P5: standalone retention DELETE as retain-filter.
+    "l6_delete_where" -> ((s, dir) =>
+      Loads.deleteWhere(Tables.orders(s, dir),
+        Windows.olderThanWindow(col("o_orderdate"), OrdersRef, WindowDays))
+        .orderBy("o_orderkey")),
+
+
+    // L7 (extension): SCD Type-2 historization — one snapshot batch with
+    // changed, unchanged, and brand-new keys against an all-open dimension
+    "l7_scd2" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def attrs(bal: Column) = Seq(col("c_custkey"), col("c_mktsegment"),
+        round(bal, 2).as("c_acctbal"))
+      val current = c.select(attrs(col("c_acctbal")): _*)
+        .withColumn("valid_from", lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
+      val incoming = c.filter(col("c_custkey") % 7 === 0)
+        .select(attrs(col("c_acctbal") + 100): _*)
+        .unionByName(c.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0)
+          .select(attrs(col("c_acctbal")): _*))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((attrs(col("c_acctbal")).tail :+
+            (col("c_custkey") + 1000000L).as("c_custkey")): _*)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"))
+      Loads.scd2(current, incoming, Seq("c_custkey"),
+        lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+
+    // M-extension: per-column data profile (nulls/distinct/min/max) in one
+    // aggregation pass — the data-side audit companion to M1 introspection
+    "m7_profile" -> ((s, dir) =>
+      graft.schema.Profile.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy("col_name")),
+
+
+    // M-extension: numeric quantile profile (p25/p50/p75/p95) in ONE
+    // aggregation pass — the distribution shape m7's min/max can't show;
+    // exact interpolating percentile ≡ DuckDB quantile_cont → full
+    // oracle; approx_percentile is the 100 TB leg (ProfileSpec parity)
+    "m8_quantile_profile" -> ((s, dir) =>
+      graft.schema.Profile.quantileProfile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
+
+
+    // Expectation-suite validation (Great-Expectations shape): 8 named
+    // checks over lineitem in ONE aggregate pass — the promotion gate a
+    // training-data pipeline runs before shipping a table. Full SQL
+    // oracle (each check is a conditional count).
+    "data_quality_checks" -> ((s, dir) => {
+      import graft.schema.Validate.Check
+      graft.schema.Validate.run(Tables.lineitem(s, dir), Seq(
+        Check("key_not_null", col("l_orderkey").isNotNull),
+        Check("linenumber_positive", col("l_linenumber") >= 1),
+        Check("quantity_range", col("l_quantity").between(1, 50)),
+        Check("price_positive", col("l_extendedprice") > 0),
+        Check("discount_unit_interval", col("l_discount").between(0, 1)),
+        Check("tax_nonnegative", col("l_tax") >= 0),
+        Check("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+        Check("ship_in_fixture_era",
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("2002-01-01").cast("timestamp"))))
+    }),
+
+
+    // ---- M: schema tooling (M6 single-pass NVARCHAR promotion) ----
+    "m6_nvarchar_promotion" -> ((s, dir) => {
+      val sample = Tables.customer(s, dir).orderBy("c_custkey").limit(1000)
+      Seq("c_mktsegment", "c_name").map { c =>
+        sample.agg(Ddl.needsNvarchar(col(c)).cast("bigint").as("promote"))
+          .select(lit(c).as("col_name"), col("promote"))
+      }.reduce(_ unionByName _).orderBy("col_name")
+    }),
+
+
+    // ---- O5: success-notification record count ----
+    "o5_notify_count" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_records"))),
+
+
+    // ---- M1-M3: schema introspection rendered INFORMATION_SCHEMA-style ----
+    "m1_introspect" -> ((s, dir) =>
+      graft.schema.Introspect.columns(s, Tables.lineitem(s, dir))
+        .orderBy("ordinal_position")),
+
+
+    // M4/M5 as a driver-checked query: CREATE TABLE synthesis for the
+    // orders fixture in all four dialects — one row per dialect through
+    // the full type lattice (schema-sized driver compute, like M1;
+    // pinned oracle: the DDL strings are deterministic but the synthesis
+    // is JVM-side). Round-trip parse is asserted in DdlSpec.
+    "m4_ddl" -> ((s, dir) => {
+      import s.implicits._
+      import graft.schema.{Ddl, SqlDialect}
+      val schema = Tables.orders(s, dir).schema
+      Seq(SqlDialect.BigQuery, SqlDialect.MySql, SqlDialect.Postgres,
+          SqlDialect.SqlServer)
+        .map(d => (d.name, Ddl.schemaToDdl(schema, "orders_tgt", d)))
+        .toDF("dialect", "ddl")
+        .orderBy("dialect")
+    }),
+
+
+    // Single-pass stage observability over the same curation pipeline:
+    // every stage's surviving-row count via the Observation API on ONE
+    // materializing action — vs the reference's one count() per task
+    // (O(stages × scan) at 100 TB). Oracle: plain SQL recomputation of
+    // each stage's cardinality.
+    "e2e_observed_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "1_quality" -> ((df: DataFrame) =>
+          TextAnalysis.qualityFilter(df, "text",
+              minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
+            .filter(col("reject_reason") === "kept").drop("reject_reason")),
+        "2_decontam" -> ((df: DataFrame) =>
+          graft.ops.Decontaminate.decontaminate(
+            df, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)),
+        "3_dedup" -> ((df: DataFrame) =>
+          Dedup.exact(df, keys = Seq("text"), keepBy = "doc_id")))
+      val (metrics, _) = graft.etl.Pipeline.observedStages(stages, corpus)(
+        _.write.format("noop").mode("overwrite").save())
+      metrics.toDF("stage", "n_rows").orderBy("stage")
+    }),
+
+
+    // M5 as a driver-checked query: the FULL cross-dialect type lattice —
+    // one row per (spark_type, dialect, nvarchar-variant) through
+    // TypeMap.toDialect, including the reference's VARCHAR(255) unknown-
+    // type fallback (notebook cell 5). Pinned oracle (JVM-side mapping);
+    // snapshot parity with DdlSpec.
+    "m5_type_lattice" -> ((s, dir) => {
+      import s.implicits._
+      import graft.schema.{SqlDialect, TypeMap}
+      import org.apache.spark.sql.types._
+      val cases: Seq[(String, DataType, Boolean)] = Seq(
+        ("string", StringType, false), ("string_nvarchar", StringType, true),
+        ("int", IntegerType, false), ("bigint", LongType, false),
+        ("float", FloatType, false), ("double", DoubleType, false),
+        ("decimal_38_9", DecimalType(38, 9), false),
+        ("decimal_20_10", DecimalType(20, 10), false),
+        ("boolean", BooleanType, false), ("timestamp", TimestampType, false),
+        ("date", DateType, false), ("binary", BinaryType, false),
+        ("fallback_array", ArrayType(IntegerType), false))
+      val rows = for {
+        (label, dt, nv) <- cases
+        d <- SqlDialect.all
+      } yield (label, d.name, TypeMap.toDialect(dt, d, nvarchar = nv))
+      rows.toDF("spark_type", "dialect", "sql_type")
+        .orderBy("spark_type", "dialect")
+    }),
+
+
+    // schema'd JSON parsing (from_json → typed struct field)
+    "events_from_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy("event_type")
+        .agg(round(avg(col("j.k")), 4).as("avg_k"),
+          max(col("j.k")).as("max_k"))
+        .orderBy("event_type")),
+
+
+    // Z-order (Morton) layout exhibit: interleave two dimension columns
+    // and aggregate per z-range bucket — every bucket's min–max box is
+    // tight in BOTH dimensions, which is exactly why range-partitioning
+    // by z (Scale.writeZOrdered) lets parquet row-group stats prune scans
+    // filtered on either column
+    // small-files compaction round-trip: write a fragmented copy (the
+    // streaming-sink shape), compact it to content-sized files
+    // (Scale.compact; file-count math spec'd in ScaleSpec), and face the
+    // oracle with the data read back — compaction must be layout-only,
+    // never data-changing
+    "layout_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(16).write.mode("overwrite").parquet(tmp + "/frag")
+      graft.etl.Scale.compact(s, tmp + "/frag", tmp + "/out", targetBytes = 8L << 20)
+      s.read.parquet(tmp + "/out")
+        .groupBy().agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+    }),
+
+
+    "layout_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
+          pmod(col("l_partkey"), lit(1024)).as("y"))
+        .withColumn("z", graft.etl.Scale.zValue(col("x"), col("y"), bits = 10))
+        .groupBy(expr("z div 16384").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("z_bucket")),
+
+
+    // Declarative data-quality gate (etl/DataQuality): ALL column
+    // predicates per table fold into ONE aggregation pass (adding a
+    // check never adds a scan), uniqueness is one distinct-count,
+    // referential integrity one keys-only left-anti join. The 1..45
+    // quantity band is deliberately tighter than the data (quantities
+    // run to 50) so the report provably discriminates — pass AND fail
+    // rows both appear.
+    "dq_expectations" -> ((s, dir) => {
+      import graft.etl.DataQuality._
+      val li = Tables.lineitem(s, dir)
+      report(Seq(
+        columnChecks(li, Seq(
+          ColCheck("lineitem.quantity_in_1_45",
+            col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 45),
+          ColCheck("lineitem.extendedprice_positive",
+            col("l_extendedprice").isNull || col("l_extendedprice") <= 0),
+          ColCheck("lineitem.shipdate_not_null", col("l_shipdate").isNull))),
+        columnChecks(Tables.events(s, dir), Seq(
+          ColCheck("events.event_type_accepted",
+            col("event_type").isNull ||
+              !col("event_type").isin("click", "view", "purchase", "error", "signup")),
+          ColCheck("events.value_not_null", col("value").isNull))),
+        unique(Tables.customer(s, dir), "customer.custkey_unique", Seq("c_custkey")),
+        foreignKey(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders.custkey_fk"),
+        foreignKey(li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem.orderkey_fk")))
+        .orderBy("check_name")
+    }),
+
+
+    // GDPR right-to-be-forgotten cascade (etl/Erasure): subjects =
+    // every 97th customer; the delete set flows customer → orders
+    // (same subject keys) → lineitem (via the deleted orders' keys) as
+    // keys-only left-semi joins — no driver key collection, slim
+    // checkpointed key frames between steps. Output is the per-table
+    // audit ledger a regulator asks for.
+    "l10_cascade_delete" -> ((s, dir) => {
+      import graft.etl.Erasure._
+      val cust = Tables.customer(s, dir)
+      val subjects = cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
+        .select(col("c_custkey"))
+      cascadeDelete(subjects, Seq(
+        CascadeStep("customer", cust, "c_custkey"),
+        CascadeStep("orders", Tables.orders(s, dir), "o_custkey",
+          emitKey = Some("o_orderkey")),
+        CascadeStep("lineitem", Tables.lineitem(s, dir), "l_orderkey",
+          from = Some("orders"))))
+        .orderBy("table_name")
+    }),
+
+
+    // GDPR delete-then-PROVE end-to-end (the l10 ledger's missing other
+    // half): the same two-hop cascade selects the lineitem victims
+    // (Erasure.cascadeKeys — the EXACT key frames the ledger counts),
+    // the target is physically rewritten without them (Erasure.retained
+    // → parquet, the L6 leg; build-once IndexFixture — the rewrite is
+    // idempotent, the declared body is the audit a compliance job
+    // re-runs), and Recon.controlTotals reconciles pre-erasure source
+    // vs post-erasure target by ship-month: erased mass surfaces as
+    // match=false rows whose count/sum deltas are exactly the cascaded
+    // lineitems; a short or over-deleted rewrite breaks different rows.
+    "e2e_erasure_audited" -> ((s, dir) => {
+      import graft.etl.Erasure._
+      val li = Tables.lineitem(s, dir)
+      val tgtDir = IndexFixture.dir("erasedli1", dir) { tmp =>
+        val subjects = Tables.customer(s, dir)
+          .filter(pmod(col("c_custkey"), lit(97)) === 0)
+          .select(col("c_custkey"))
+        val liKeys = cascadeKeys(subjects, Seq(
+          CascadeStep("customer", Tables.customer(s, dir), "c_custkey"),
+          CascadeStep("orders", Tables.orders(s, dir), "o_custkey",
+            emitKey = Some("o_orderkey")),
+          CascadeStep("lineitem", li, "l_orderkey", from = Some("orders"))))
+          .collectFirst { case (st, k) if st.table == "lineitem" => k }.get
+        retained(li, "l_orderkey", liKeys)
+          .write.mode("overwrite").parquet(tmp + "/lineitem")
+      }
+      graft.etl.Recon.controlTotals(li, s.read.parquet(tgtDir + "/lineitem"),
+          to_date(date_trunc("month", col("l_shipdate"))),
+          Seq("qty" -> col("l_quantity"),
+            "cents" -> round(col("l_extendedprice") * 100)))
+        .orderBy("bucket")
+    }),
+
+
+    // Post-load reconciliation by ship-month control totals (etl/Recon):
+    // the target leg simulates a short load (the 1994-03 partition never
+    // arrived), so the report provably discriminates — every other month
+    // matches, that one shows n_tgt = 0. Control sums are EXACT longs
+    // (quantity, price cents): double sums are partition-order-dependent
+    // and would flag phantom mismatches.
+    "recon_control_totals" -> ((s, dir) => {
+      val src = Tables.lineitem(s, dir)
+      val tgt = src.filter(!(col("l_shipdate") >= lit("1994-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1994-04-01").cast("timestamp")))
+      graft.etl.Recon.controlTotals(src, tgt,
+          to_date(date_trunc("month", col("l_shipdate"))),
+          Seq("qty" -> col("l_quantity"),
+            "cents" -> round(col("l_extendedprice") * 100)))
+        .orderBy("bucket")
+    }),
+
+
+    // ---- S9/S10: the paged OData-style DSv2 source, driven end-to-end —
+    //      the "service" pages are materialized from the events fixture
+    //      (simulating the remote entity), then read back page-parallel
+    //      with $filter pushdown; oracle aggregates events directly ----
+    "s9_odata_paged_source" -> ((s, dir) =>
+      s.read.format("graft-pages").option("path", PagedFixture.pagesDir(s, dir)).load()
+        .filter(col("value") >= 5.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")),
+
+
+    // ---- E2E: the reference's Method-2 incremental template as ONE lazy
+    //      plan (its flagship composition, SURVEY.md §3.1): paged DSv2
+    //      source with the refresh DATE WINDOW pushed down ($filter on the
+    //      transaction time — S10/P4, exactly the reference's
+    //      'date_trans ge …' predicate) → ±Inf sanitize (T1) → idempotent
+    //      refresh-window merge into the target (P6/L5, the same predicate
+    //      driving the delete leg) → success-notification summary (O5).
+    //      The wire format carries ISO-micros strings, whose lexicographic
+    //      order IS chronological order, so one string comparison serves
+    //      both the page-side $filter and the target-side window. One
+    //      union + one agg shuffle; the incoming leg reads only the
+    //      refresh window off the service ----
+    "e2e_method2_template" -> ((s, dir) => {
+      val windowPred = col("ts_str") >= lit(EventsCutIso)
+      val incoming = Sanitize.sanitizeInf(
+        s.read.format("graft-pages").option("path", PagedFixture.pagesDir(s, dir)).load()
+          .filter(windowPred))
+      val target = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      Loads.refreshWindow(target, incoming, windowPred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_records"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+
+    // Schema-drift union (Evolve.unionEvolved): history vs a drifted fresh
+    // extract — re-cased names, a dropped column (NULL-backfilled), an
+    // int-narrowed key (re-widened via canUpCast), an extra column kept.
+    // Pure projections over each leg; one agg shuffle, nothing else.
+    "schema_evolution_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("O_ORDERKEY"),
+          col("o_custkey").cast("int").as("O_CustKey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      graft.etl.Evolve.unionEvolved(a, b)
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 4).as("sum_price"),
+          count(col("o_orderpriority")).as("n_priority"))
+        .orderBy("o_year")
+    }),
+
+
+    // Snapshot diff (change-data audit between two corpus versions):
+    // old = docs minus the ids ≡3 (mod 11); new = docs minus ids ≡5
+    // (mod 13), with text revised where id ≡2 (mod 17) — every status
+    // class populated deterministically at any SF. Content fingerprints
+    // (per-column md5, separator-free) keep the join payload at
+    // (id, 16 bytes); the oracle recomputes the diff semantically.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+      val neu = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.ops.Snapshot.diff(old, neu, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+
+    // CDC round-trip: the change set diff(old→neu) applied back onto old
+    // must reproduce neu exactly (same old/neu churn as snapshot_diff);
+    // released as (id, metadata, md5(text)) so the dump stays id-width
+    "snapshot_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+      val neu = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.ops.Snapshot.applyChangeSet(
+          old, graft.ops.Snapshot.changeSet(old, neu, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "s1_full_scan" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+
+    "s2_window_extract" ->
+      s"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' ORDER BY l_orderkey, l_linenumber",
+
+
+    "t1_sanitize_inf" ->
+      ("SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+        "CASE WHEN isinf(l_quantity) THEN NULL ELSE l_quantity END AS l_quantity, " +
+        "CASE WHEN isinf(l_extendedprice) THEN NULL ELSE l_extendedprice END AS l_extendedprice, " +
+        "CASE WHEN isinf(l_discount) THEN NULL ELSE l_discount END AS l_discount, " +
+        "CASE WHEN isinf(l_tax) THEN NULL ELSE l_tax END AS l_tax, " +
+        "l_returnflag, l_linestatus, l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+
+    "p2_drop_column" ->
+      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
+
+
+    "l2_overwrite" ->
+      s"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' ORDER BY l_orderkey, l_linenumber",
+
+
+    "l3_retain_then_append" ->
+      (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut' " +
+        s"UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut') t " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+
+    "l4_upsert" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+
+
+    // incremental ≡ from-scratch: the oracle recomputes the rollup over
+    // ALL facts in one pass; the streaming maintenance shares it, so the
+    // record pins streaming ≡ batch-incremental ≡ full recompute
+    "l8_merge_aggregate" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(min(l_extendedprice), 4) AS min_price, " +
+        "max(l_shipdate) AS max_ship " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+
+
+    "l9_partition_prune" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS p_date, CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(sum(value), 4) AS sum_value FROM events " +
+        "WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10' " +
+        "AND strftime(ts, '%Y-%m-%d') < '2024-01-17' " +
+        "GROUP BY 1 ORDER BY p_date"),
+
+
+    "l5_refresh_window" ->
+      (s"SELECT * FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$LiCut' " +
+        s"UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '$LiCut') t " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+
+    "l6_delete_where" ->
+      s"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '$OrdCut' ORDER BY o_orderkey",
+
+
+    "l7_scd2" ->
+      ("WITH cur AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal, " +
+        "TIMESTAMP '2001-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM customer), " +
+        "inc AS (" +
+        "SELECT c_custkey, c_mktsegment, round(c_acctbal + 100, 2) AS c_acctbal FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_mktsegment, round(c_acctbal, 2) FROM customer WHERE c_custkey % 11 = 0), " +
+        "j AS (SELECT coalesce(c.c_custkey, i.c_custkey) AS k, " +
+        "c.c_custkey IS NOT NULL AS in_cur, i.c_custkey IS NOT NULL AS in_inc, " +
+        "c.c_mktsegment AS cseg, c.c_acctbal AS cbal, c.valid_from AS cvf, " +
+        "i.c_mktsegment AS iseg, i.c_acctbal AS ibal, " +
+        "(c.c_mktsegment IS DISTINCT FROM i.c_mktsegment OR c.c_acctbal IS DISTINCT FROM i.c_acctbal) AS changed " +
+        "FROM cur c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey) " +
+        "SELECT k AS c_custkey, cseg AS c_mktsegment, cbal AS c_acctbal, cvf AS valid_from, " +
+        "CASE WHEN in_inc AND changed THEN TIMESTAMP '2001-06-01' END AS valid_to FROM j WHERE in_cur " +
+        "UNION ALL SELECT k, iseg, ibal, TIMESTAMP '2001-06-01', NULL FROM j WHERE in_inc AND (NOT in_cur OR changed) " +
+        "ORDER BY c_custkey, valid_from"),
+
+
+    "m7_profile" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        .map(c => s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val FROM orders")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
+
+
+    "m8_quantile_profile" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"SELECT '$c' AS col_name, " +
+          s"round(quantile_cont($c, 0.25), 4) AS p25, " +
+          s"round(quantile_cont($c, 0.5), 4) AS p50, " +
+          s"round(quantile_cont($c, 0.75), 4) AS p75, " +
+          s"round(quantile_cont($c, 0.95), 4) AS p95 FROM lineitem")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
+
+
+    "m6_nvarchar_promotion" ->
+      ("SELECT col_name, promote FROM (" +
+        "SELECT 'c_mktsegment' AS col_name, CAST(max(CASE WHEN regexp_matches(c_mktsegment, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS promote " +
+        "FROM (SELECT c_mktsegment FROM customer ORDER BY c_custkey LIMIT 1000) s1 " +
+        "UNION ALL " +
+        "SELECT 'c_name', CAST(max(CASE WHEN regexp_matches(c_name, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1000) s2" +
+        ") t ORDER BY col_name"),
+
+
+    "o5_notify_count" ->
+      "SELECT count(*) AS n_records FROM lineitem",
+
+
+    "data_quality_checks" -> {
+      val checks = Seq(
+        "key_not_null" -> "l_orderkey IS NOT NULL",
+        "linenumber_positive" -> "l_linenumber >= 1",
+        "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_unit_interval" -> "l_discount BETWEEN 0 AND 1",
+        "tax_nonnegative" -> "l_tax >= 0",
+        "returnflag_domain" -> "l_returnflag IN ('A','N','R')",
+        "ship_in_fixture_era" ->
+          "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'")
+      "SELECT \"check\", n_rows, n_violations, passed FROM (" +
+        checks.map { case (n, p) =>
+          s"SELECT '$n' AS \"check\", CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations, " +
+            s"sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END) = 0 AS passed FROM lineitem"
+        }.mkString(" UNION ALL ") +
+        ") t ORDER BY \"check\""
+    },
+
+
+    "m1_introspect" ->
+      ("SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type, is_nullable FROM (VALUES " +
+        "('l_orderkey', 1, 'BIGINT', 'YES'), ('l_partkey', 2, 'BIGINT', 'YES'), " +
+        "('l_suppkey', 3, 'BIGINT', 'YES'), ('l_linenumber', 4, 'INTEGER', 'YES'), " +
+        "('l_quantity', 5, 'DOUBLE', 'YES'), ('l_extendedprice', 6, 'DOUBLE', 'YES'), " +
+        "('l_discount', 7, 'DOUBLE', 'YES'), ('l_tax', 8, 'DOUBLE', 'YES'), " +
+        "('l_returnflag', 9, 'VARCHAR', 'YES'), ('l_linestatus', 10, 'VARCHAR', 'YES'), " +
+        "('l_shipdate', 11, 'TIMESTAMP', 'YES')" +
+        ") t(column_name, ordinal_position, data_type, is_nullable) ORDER BY ordinal_position"),
+
+
+    // compaction is layout-only: the compacted copy must aggregate
+    // identically to the source table
+    "layout_compact" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM lineitem"),
+
+
+    "layout_zorder" ->
+      ("WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem), " +
+        "zt AS (SELECT x, y, " +
+        (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ") +
+        " AS z FROM d) " +
+        "SELECT z // 16384 AS z_bucket, count(*) AS n, " +
+        "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+        "FROM zt GROUP BY 1 ORDER BY z_bucket"),
+
+
+    "e2e_observed_metrics" ->
+      (CurationOracleCtes +
+        "SELECT stage, n_rows FROM (" +
+        "SELECT '1_quality' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM kept " +
+        "UNION ALL SELECT '2_decontam', CAST(count(*) AS BIGINT) FROM clean " +
+        "UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM d WHERE rn = 1) t " +
+        "ORDER BY stage"),
+
+
+    "events_from_json" ->
+      ("SELECT event_type, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+
+    "s9_odata_paged_source" ->
+      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
+        "FROM events WHERE value >= 5.0 GROUP BY event_type ORDER BY event_type"),
+
+
+    // the "service" pages materialize events' columns (ts as an ISO-micros
+    // string), so the composed pipeline re-expressed over the events table
+    // IS the oracle: the ts_str string window equals the timestamp window
+    "e2e_method2_template" ->
+      ("WITH tgt AS (SELECT event_id, user_id, event_type, value, ts FROM events), " +
+        s"merged AS (SELECT event_id, user_id, event_type, value FROM tgt WHERE NOT (ts >= TIMESTAMP '$EventsCut') " +
+        s"UNION ALL SELECT event_id, user_id, event_type, value FROM tgt WHERE ts >= TIMESTAMP '$EventsCut') " +
+        "SELECT event_type, count(*) AS n_records, round(sum(value), 4) AS sum_value " +
+        "FROM merged GROUP BY event_type ORDER BY event_type"),
+
+
+    "schema_evolution_union" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_rows, " +
+        "round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 4) AS sum_price, " +
+        "count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priority " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+
+
+    // semantic recomputation of the diff (column-wise IS DISTINCT FROM):
+    // engine-independent of the Spark side's md5 fingerprint encoding
+    "snapshot_diff" ->
+      ("WITH old AS (SELECT * FROM documents WHERE doc_id % 11 != 3), " +
+        "neu AS (SELECT doc_id, CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END AS text, " +
+        "lang, source, n_chars FROM documents WHERE doc_id % 13 != 5) " +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang " +
+        "OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+
+
+    "snapshot_apply" ->
+      ("SELECT doc_id, lang, source, n_chars, " +
+        "md5(CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END) AS text_md5 " +
+        "FROM documents WHERE doc_id % 13 != 5 ORDER BY doc_id"),
+
+
+    // replays etl/DataQuality.report check by check: conditional-count
+    // column gates, the distinct-count uniqueness surplus, and the
+    // left-anti referential orphans (NULL fks are orphans on both sides)
+    "dq_expectations" ->
+      ("SELECT check_name, CAST(violations AS BIGINT) AS violations, " +
+        "CAST(total AS BIGINT) AS total, violations = 0 AS pass FROM (" +
+        "SELECT 'lineitem.quantity_in_1_45' AS check_name, " +
+        "sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS violations, " +
+        "count(*) AS total FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.extendedprice_positive', " +
+        "sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END), count(*) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.shipdate_not_null', " +
+        "sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), count(*) FROM lineitem " +
+        "UNION ALL SELECT 'events.event_type_accepted', " +
+        "sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','error','signup') THEN 1 ELSE 0 END), " +
+        "count(*) FROM events " +
+        "UNION ALL SELECT 'events.value_not_null', " +
+        "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(*) FROM events " +
+        "UNION ALL SELECT 'customer.custkey_unique', " +
+        "count(*) - count(DISTINCT c_custkey), count(*) FROM customer " +
+        "UNION ALL SELECT 'orders.custkey_fk', " +
+        "sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*) " +
+        "FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey " +
+        "UNION ALL SELECT 'lineitem.orderkey_fk', " +
+        "sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*) " +
+        "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) od ON l.l_orderkey = od.o_orderkey" +
+        ") t ORDER BY check_name"),
+
+
+    // replays Erasure.cascadeDelete: subjects → orders via the subject
+    // keys, lineitem via the DELETED orders' keys (two-hop cascade)
+    "l10_cascade_delete" ->
+      ("WITH subj AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0), " +
+        "del_o AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_custkey IN (SELECT k FROM subj)) " +
+        "SELECT table_name, CAST(n_deleted AS BIGINT) AS n_deleted, CAST(n_remaining AS BIGINT) AS n_remaining FROM (" +
+        "SELECT 'customer' AS table_name, " +
+        "sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END) AS n_deleted, " +
+        "sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END) AS n_remaining FROM customer " +
+        "UNION ALL SELECT 'orders', " +
+        "sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END) FROM orders " +
+        "UNION ALL SELECT 'lineitem', " +
+        "sum(CASE WHEN l_orderkey IN (SELECT k FROM del_o) THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN l_orderkey IN (SELECT k FROM del_o) THEN 0 ELSE 1 END) FROM lineitem" +
+        ") t ORDER BY table_name"),
+
+
+    // replays the whole erasure loop in chained CTEs: cascade keys
+    // (subj → deleted orders), the retained target, per-month control
+    // totals of source vs target, full-outer zero-filled compare
+    "e2e_erasure_audited" ->
+      ("WITH subj AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0), " +
+        "del_o AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_custkey IN (SELECT k FROM subj)), " +
+        "src AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_src, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_src, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_src " +
+        "FROM lineitem GROUP BY 1), " +
+        "tgt AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_tgt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_tgt, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_tgt " +
+        "FROM lineitem WHERE l_orderkey NOT IN (SELECT k FROM del_o) GROUP BY 1) " +
+        "SELECT bucket, coalesce(n_src, 0) AS n_src, coalesce(qty_src, 0) AS qty_src, coalesce(cents_src, 0) AS cents_src, " +
+        "coalesce(n_tgt, 0) AS n_tgt, coalesce(qty_tgt, 0) AS qty_tgt, coalesce(cents_tgt, 0) AS cents_tgt, " +
+        "(coalesce(n_src, 0) = coalesce(n_tgt, 0) AND coalesce(qty_src, 0) = coalesce(qty_tgt, 0) " +
+        "AND coalesce(cents_src, 0) = coalesce(cents_tgt, 0)) AS match " +
+        "FROM src FULL OUTER JOIN tgt USING (bucket) ORDER BY bucket"),
+
+
+    // replays Recon.controlTotals with the simulated 1994-03 short load:
+    // exact long control sums, full-outer bucket join, zero-fill
+    "recon_control_totals" ->
+      ("WITH src AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_src, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_src, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_src " +
+        "FROM lineitem GROUP BY 1), " +
+        "tgt AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_tgt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_tgt, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_tgt " +
+        "FROM lineitem WHERE NOT (l_shipdate >= TIMESTAMP '1994-03-01' AND l_shipdate < TIMESTAMP '1994-04-01') GROUP BY 1) " +
+        "SELECT bucket, coalesce(n_src, 0) AS n_src, coalesce(qty_src, 0) AS qty_src, coalesce(cents_src, 0) AS cents_src, " +
+        "coalesce(n_tgt, 0) AS n_tgt, coalesce(qty_tgt, 0) AS qty_tgt, coalesce(cents_tgt, 0) AS cents_tgt, " +
+        "(coalesce(n_src, 0) = coalesce(n_tgt, 0) AND coalesce(qty_src, 0) = coalesce(qty_tgt, 0) " +
+        "AND coalesce(cents_src, 0) = coalesce(cents_tgt, 0)) AS match " +
+        "FROM src FULL OUTER JOIN tgt USING (bucket) ORDER BY bucket"),
+  )
+}

@@ -1,0 +1,325 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.PinnedOracles
+import graft.etl.{FileLoads, Loads, Sanitize, Tables, Windows}
+import graft.ops.{Bpe, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
+import graft.schema.Ddl
+import graft.queries.Fixtures._
+import graft.queries.OracleCtes._
+
+/** Structured Streaming jobs (SURVEY.md §2.9): incremental windowed
+  * aggregation, dedup, sessionization, interval joins, drift monitoring.
+  *
+  * One registry slice of [[graft.SparkEntry]] (split r14 — the single
+  * 6.6k-line file was the bottleneck): `queries` feeds the driver's
+  * Verify/Bench maps, `oracles` the DuckDB compare. Keys and bodies are
+  * unchanged from the pre-split registry.
+  */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // L8 in STREAMING: each micro-batch of raw facts partial-aggregates
+    // and merges into the parquet rollup via foreachBatch — the
+    // continuously-maintained materialized view, O(|batch| + |rollup|)
+    // per trigger. Shares l8_merge_aggregate's full-recompute oracle, so
+    // the record states streaming ≡ batch-incremental ≡ from-scratch.
+    "stream_rollup_maintain" -> ((s, dir) => {
+      val rollup = java.nio.file.Files
+        .createTempDirectory("graft_rollup").toString
+      graft.streaming.Incremental.streamRollupMaintain(
+          s, s"$dir/lineitem.parquet", rollup,
+          Seq("l_returnflag"),
+          Seq(Loads.AggSpec("l_quantity", "sum"),
+            Loads.AggSpec("l_extendedprice", "min"),
+            Loads.AggSpec("l_shipdate", "max")), "n", null,
+          snapshotPartitions = 1)
+        .select(col("l_returnflag"), col("n"),
+          round(col("l_quantity"), 4).as("sum_qty"),
+          round(col("l_extendedprice"), 4).as("min_price"),
+          col("l_shipdate").as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // Stream-static enrichment: streaming events join the static customer
+    // dimension (broadcast, stateless) and count per (7-day event-time
+    // window, market segment); watermark-closed via the sentinel harness.
+    "stream_enrich_static" -> ((s, dir) =>
+      graft.streaming.Incremental.streamEnrichStatic(
+          s, s"$dir/events.parquet", "ts", "user_id",
+          Tables.customer(s, dir), "c_custkey", "c_mktsegment",
+          windowSec = 7L * 86400, watermarkSec = 30L * 86400,
+          statePartitions = 8) // state keys = ~5 windows × 5 segments
+        .orderBy("window_start", "c_mktsegment")),
+
+
+    // ---- Streaming (SURVEY.md §2.9): real Structured Streaming job,
+    //      AvailableNow micro-batches in APPEND mode to a file sink —
+    //      state bounded by the watermark, nothing on the driver (the
+    //      complete-mode/memory-sink round-1 form kept as the comparison
+    //      baseline in IncrementalSpec); windows are epoch-aligned so the
+    //      result is batch/DuckDB-checkable ----
+    "stream_window_counts" -> ((s, dir) =>
+      graft.streaming.Incremental.windowedCountsAppend(s, s"$dir/lineitem.parquet",
+        "l_shipdate", "l_returnflag", "l_quantity",
+        windowSec = 30L * 86400, watermarkSec = 30L * 86400,
+        statePartitions = 8) // state keys = windows × 3 flags ≈ 75
+        .orderBy("window_start", "l_returnflag")),
+
+
+    // Continuously-maintained drift gate (the Kappa split on the Drift
+    // family): daily event-type-mix counts close in append mode
+    // (watermark-bounded state), each closed day PSI-scores against the
+    // first week's reference profile in a batch pass over the sink.
+    // Full DuckDB oracle (epoch-aligned daily windows).
+    "stream_drift_monitor" -> ((s, dir) =>
+      graft.streaming.Incremental.streamDriftMonitor(
+          s, s"$dir/events.parquet", "ts", "event_type", "value",
+          refEnd = "2024-01-08",
+          statePartitions = 8) // state keys = ~30 days × 5 types
+        .orderBy("day")),
+
+
+    // Streaming trending event types: 7-day windows close in append mode
+    // (bounded watermark state), top-3 per CLOSED window ranks in a batch
+    // pass over the sink — ranking isn't expressible in append-mode
+    // streaming, so the Kappa split serves it from the closed windows.
+    // The rank window spans one window's key counts (vocab-bounded).
+    "stream_topk_trending" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw read
+      graft.streaming.Incremental.streamTopKPerWindow(
+        s, s"$dir/events.parquet", "ts", "event_type", "value",
+        windowSec = 7L * 86400, watermarkSec = 30L * 86400,
+        k = 3, statePartitions = 8) // state keys = ~5 windows × 5 types
+        .orderBy("window_start", "rank")
+    }),
+
+
+    // stream-stream interval join: view→purchase attribution within 1 h,
+    // both sides watermarked (state bounded by delay + lateness)
+    "stream_interval_join" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.streamIntervalJoin(
+        s, s"$dir/events.parquet", "ts", "user_id", "event_type",
+        leftValue = "view", rightValue = "purchase",
+        maxDelaySec = 3600, watermarkSec = 7200,
+        // state keys = active users in the join horizon. A stream-stream
+        // join keeps 4 store instances per partition, so over-provisioning
+        // multiplies commit overhead — size to the INPUT, not the shuffle
+        // default: ~1 partition per 16 MB of source parquet, clamped to
+        // [2, defaultParallelism] (sf0.1 → 2; 100 TB → defaultParallelism).
+        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("user_id", col("user_id").cast("bigint"))
+        .orderBy("user_id")
+    }),
+
+
+    // custom-state streaming (flatMapGroupsWithState, event-time timeout,
+    // append-mode file sink): same result contract as the batch
+    // events_sessionize, so it shares that oracle
+    "stream_stateful_sessions" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.statefulSessionCounts(
+        s, s"$dir/events.parquet", "ts", "user_id", gapUs = 1800L * 1000000,
+        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .orderBy("user_id")
+    }),
+
+
+    // Native session_window streaming aggregation: gap-based dynamic
+    // windows merging in the state store (the built-in complement of
+    // stream_stateful_sessions' custom flatMapGroupsWithState — same
+    // 30-min gap, zero custom state code). One row per CLOSED session;
+    // the oracle replays the sessionization as gaps-and-islands SQL.
+    "stream_session_window" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.sessionWindowCounts(
+          s, s"$dir/events.parquet", "ts", "user_id", "value",
+          gapSec = 1800L, watermarkSec = 30L * 86400,
+          statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .orderBy("user_id", "session_start")
+    }),
+
+
+    // streaming ingest dedup (dropDuplicatesWithinWatermark, append-mode
+    // file sink): with a horizon covering the whole fixture span, the kept
+    // rows projected to their keys are exactly the distinct keys. WHICH row
+    // of a dup group survives is stream-order-dependent, so only the keys
+    // are declared — deterministic and oracle-checkable
+    "stream_dedup" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.streamingDedup(
+        s, s"$dir/events.parquet", Seq("user_id", "event_type"), "ts",
+        watermark = "3650 days",
+        statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .select(col("user_id").cast("bigint").as("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
+
+    // streaming benchmark decontamination (stateless codegen'd filter at
+    // ingest, append-mode file sink): deterministic, shares the batch
+    // decontam_corpus semantics — docs sharing any word 8-gram with the
+    // bench set never land in the corpus
+    "stream_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.streaming.Incremental.streamingDecontaminate(
+        s, s"$dir/documents.parquet", docs.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 8)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+
+    // streaming NEAR-dup of an arriving batch against the PERSISTED
+    // MinHash index: stream-static (band,bucket) join, exactly-once per
+    // pair via the first-shared-band filter — ZERO streaming state, no
+    // watermark. Same semantics as dedup_incremental (shares its oracle
+    // shape); the corpus is never re-shingled (reads the persisted sets)
+    "stream_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      graft.streaming.Incremental.streamingNearDedup(
+          s, s"$dir/documents.parquet",
+          graft.ops.MinHashIndex.read(s, idxDir), "doc_id", "text",
+          threshold = 0.8,
+          batchTransform = df => df.filter(col("doc_id").between(100, 149))
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .orderBy("batch_id", "corpus_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_rollup_maintain" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(min(l_extendedprice), 4) AS min_price, " +
+        "max(l_shipdate) AS max_ship " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+
+
+    "stream_enrich_static" ->
+      ("SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
+        "c_mktsegment, count(*) AS n " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY window_start, c_mktsegment"),
+
+
+    // batch replay of the streamed windows + the serving-side rank
+    "stream_topk_trending" ->
+      ("WITH wc AS (SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS TIMESTAMP) AS window_start, " +
+        "event_type, count(*) AS n, round(sum(value), 4) AS sum_val " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT window_start, event_type, n, sum_val, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY window_start " +
+        "ORDER BY n DESC, event_type) AS rank FROM wc) t " +
+        "WHERE rank <= 3 ORDER BY window_start, rank"),
+
+
+    // gaps-and-islands replay of the engine's session_window semantics:
+    // a session starts where the gap from the previous event exceeds
+    // 30 min; session_end = last event + gap
+    "stream_session_window" ->
+      ("WITH x AS (SELECT user_id, ts, value, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+        "SELECT min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 1800 SECONDS AS session_end, " +
+        "user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_val " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+
+    "stream_stateful_sessions" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+        "FROM x GROUP BY user_id ORDER BY user_id"),
+
+
+    "stream_dedup" ->
+      ("SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type " +
+        "FROM events ORDER BY user_id, event_type"),
+
+
+    "stream_decontam" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7), " +
+        "i -> array_to_string(t[i+1:i+8], ' ')))) AS gram FROM tk WHERE len(t) >= 8), " +
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+
+
+    "stream_interval_join" ->
+      ("SELECT l.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND l.event_type = 'view' AND r.event_type = 'purchase' " +
+        "AND epoch_us(r.ts) >= epoch_us(l.ts) " +
+        "AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000 " +
+        "GROUP BY l.user_id ORDER BY user_id"),
+
+
+    "stream_window_counts" ->
+      ("SELECT CAST(to_timestamp(CAST(floor(epoch(l_shipdate) / 2592000) AS BIGINT) * 2592000) AS TIMESTAMP) AS window_start, " +
+        "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_val " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY window_start, l_returnflag"),
+
+
+    // epoch-aligned daily windows → first-week reference profile → the
+    // same eps-clamped PSI roll-up per later day, over the completed
+    // day × category grid
+    "stream_drift_monitor" ->
+      ("WITH c AS (SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS day, " +
+        "event_type AS cat, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "ref AS (SELECT cat, CAST(sum(n) AS BIGINT) AS nr FROM c " +
+        "WHERE day < TIMESTAMP '2024-01-08' GROUP BY 1), " +
+        "tr AS (SELECT CAST(sum(nr) AS BIGINT) AS t FROM ref), " +
+        "cur AS (SELECT day, cat, n FROM c WHERE day >= TIMESTAMP '2024-01-08'), " +
+        "days AS (SELECT DISTINCT day FROM cur), " +
+        "cats AS (SELECT cat FROM ref UNION SELECT cat FROM cur), " +
+        "j AS (SELECT d.day, k.cat, coalesce(r.nr, 0) AS nr, coalesce(u.n, 0) AS nc " +
+        "FROM days d CROSS JOIN cats k LEFT JOIN ref r USING (cat) " +
+        "LEFT JOIN cur u ON u.day = d.day AND u.cat = k.cat), " +
+        "t2 AS (SELECT day, nr, nc, sum(nc) OVER (PARTITION BY day) AS tc FROM j), " +
+        "s AS (SELECT day, greatest(CAST(nr AS DOUBLE) / t.t, 1e-6) AS p, " +
+        "greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS q, nc FROM t2, tr t), " +
+        "a AS (SELECT day, round(sum((p - q) * ln(p / q)), 4) AS psi, " +
+        "CAST(sum(nc) AS BIGINT) AS n_day FROM s GROUP BY day) " +
+        "SELECT day, psi, n_day, psi > 0.2 AS drifted FROM a ORDER BY day"),
+
+
+    // identical semantics through the persisted index via the STREAMING
+    // path (stateless exactly-once pair emission), so the incremental
+    // oracle carries over here too
+    "stream_dedup_incremental" ->
+      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+        "bsets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+        "csets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM bsets b, csets c " +
+        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id"),
+  )
+}

@@ -44,6 +44,15 @@ class DataQualitySpec extends AnyFunSuite {
     assert((got.getLong(1), got.getLong(2)) == (2L, 4L))
   }
 
+  test("duplicate check names fail fast, not as DUPLICATED_MAP_KEY at runtime") {
+    val t = Seq((1, 5.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      columnChecks(t, Seq(
+        ColCheck("t.v", col("v") < 0),
+        ColCheck("t.v", col("v") > 1)))
+    }
+  }
+
   test("report: union keeps uniform schema and pass = (violations == 0)") {
     val t = Seq((1, 5.0)).toDF("id", "v")
     val rep = report(Seq(

@@ -30,12 +30,37 @@ class ErasureSpec extends AnyFunSuite {
       ("orders", 2L, 1L)))
   }
 
+  test("cascadeKeys: the ledger and the physical delete legs share key frames") {
+    val (customer, orders, lineitem) = fixture
+    val steps = Seq(
+      CascadeStep("customer", customer, "custkey"),
+      CascadeStep("orders", orders, "custkey", emitKey = Some("orderkey")),
+      CascadeStep("lineitem", lineitem, "orderkey", from = Some("orders")))
+    val subjects = Seq(1L).toDF("k")
+    val ledger = cascadeDelete(subjects, steps).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cascadeKeys(subjects, steps).foreach { case (st, keys) =>
+      val kept = retained(st.df, st.fkCol, keys).count()
+      assert(st.df.count() - kept == ledger(st.table),
+        s"retained(${st.table}) must drop exactly the ledger's n_deleted")
+    }
+  }
+
   test("cascading from a step that emitted no keys is rejected") {
     val (customer, orders, _) = fixture
     intercept[IllegalArgumentException] {
       cascadeDelete(Seq(1L).toDF("k"), Seq(
         CascadeStep("customer", customer, "custkey"), // no emitKey
         CascadeStep("orders", orders, "custkey", from = Some("customer"))))
+    }
+  }
+
+  test("duplicate step table names fail fast (emitted-key map is name-keyed)") {
+    val (customer, orders, _) = fixture
+    intercept[IllegalArgumentException] {
+      cascadeDelete(Seq(1L).toDF("k"), Seq(
+        CascadeStep("customer", customer, "custkey", emitKey = Some("custkey")),
+        CascadeStep("customer", orders, "custkey", emitKey = Some("orderkey"))))
     }
   }
 

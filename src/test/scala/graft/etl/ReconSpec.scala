@@ -43,6 +43,19 @@ class ReconSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("match"))
   }
 
+  test("controlTotals: NULL buckets on both sides land on ONE comparable row") {
+    val src = Seq((Option.empty[String], 5L), (None, 6L), (Some("b"), 1L))
+      .toDF("b", "v")
+    val tgt = Seq((Option.empty[String], 5L), (None, 6L), (Some("b"), 1L))
+      .toDF("b", "v")
+    val got = Recon.controlTotals(src, tgt, col("b"), Seq("v" -> col("v")))
+      .collect().map(r => (Option(r.getAs[String]("bucket")),
+        r.getAs[Long]("n_src"), r.getAs[Long]("n_tgt"), r.getAs[Boolean]("match")))
+    assert(got.toSet == Set(
+      (None, 2L, 2L, true),
+      (Some("b"), 1L, 1L, true)))
+  }
+
   test("controlTotals requires at least one measure") {
     val df = Seq(("b", 1L)).toDF("b", "v")
     intercept[IllegalArgumentException] {

@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+
+class AttributionSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val Day = 86400e6 // microseconds
+
+  // u1: P1 (100) with touches A @ −1d, B @ −2d; B @ −9d falls outside the
+  //     7-day lookback
+  // u2: P2 (50) with no touches → direct
+  // u3: P3 (80) with C @ −3d, C @ −2d, D @ −1d (position: C first+middle,
+  //     D last)
+  private def fixture = {
+    val conv = Seq(
+      (1L, "u1", ts("2024-01-10 00:00:00"), 100.0),
+      (2L, "u2", ts("2024-01-10 00:00:00"), 50.0),
+      (3L, "u3", ts("2024-01-10 00:00:00"), 80.0)
+    ).toDF("pid", "user", "ts", "value")
+    val touch = Seq(
+      ("u1", ts("2024-01-09 00:00:00"), "A"),
+      ("u1", ts("2024-01-08 00:00:00"), "B"),
+      ("u1", ts("2024-01-01 00:00:00"), "B"),
+      ("u3", ts("2024-01-07 00:00:00"), "C"),
+      ("u3", ts("2024-01-08 00:00:00"), "C"),
+      ("u3", ts("2024-01-09 00:00:00"), "D")
+    ).toDF("user", "ts", "ch")
+    (conv, touch)
+  }
+
+  private def run = {
+    val (conv, touch) = fixture
+    Attribution.report(Attribution.credits(conv, touch,
+        keyCol = "user", timeCol = "ts", idCol = "pid",
+        valueCol = "value", channelCol = "ch",
+        lookback = expr("INTERVAL 7 DAYS")))
+      .orderBy("channel").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+  }
+
+  test("all four models, hand-computed; out-of-window touch excluded") {
+    val got = run
+    // half-life 3.5 days: w(kd) = 0.5^(k/3.5)
+    def w(k: Double) = math.pow(0.5, k / 3.5)
+    // Spark round() is HALF_UP — mirror it exactly
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // u1: A (−1d) last+first-by-recency, B (−2d); n = 2
+    val wsum1 = w(1) + w(2)
+    // u3: C pos1 (−3d), C pos2 (−2d), D pos3/last (−1d); n = 3
+    val wsum3 = w(1) + w(2) + w(3)
+    // channel -> (n, last, linear, decay, position)
+    assert(got("A") == ((1L, 100.0, 50.0, r4(100 * w(1) / wsum1), 50.0)))
+    assert(got("B") == ((1L, 0.0, 50.0, r4(100 * w(2) / wsum1), 50.0)))
+    assert(got("C") == ((2L, 0.0, r4(80.0 / 3 * 2),
+      r4(80 * (w(3) + w(2)) / wsum3), r4(80 * 0.4 + 80 * 0.2))))
+    assert(got("D") == ((1L, 80.0, r4(80.0 / 3),
+      r4(80 * w(1) / wsum3), r4(80 * 0.4))))
+    assert(got("direct") == ((1L, 50.0, 50.0, 50.0, 50.0)))
+  }
+
+  test("credit conservation: every model sums to total conversion value") {
+    val got = run
+    val total = 100.0 + 50.0 + 80.0
+    Seq(2, 3, 4, 5).foreach { i =>
+      val s = got.values.map {
+        case (_, l, lin, d, p) => Seq(l, lin, d, p)(i - 2)
+      }.sum
+      assert(math.abs(s - total) < 1e-6, s"model column $i must conserve value")
+    }
+  }
+
+  test("two-touch position model splits 50/50; parameter guards") {
+    val (conv, touch) = fixture
+    intercept[IllegalArgumentException] {
+      Attribution.credits(conv, touch, "user", "ts", "pid", "value", "ch",
+        expr("INTERVAL 7 DAYS"), halfLife = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Attribution.credits(conv, touch, "user", "ts", "pid", "value", "ch",
+        expr("INTERVAL 7 DAYS"), uShape = 0.6)
+    }
+    // u1 has exactly two touches: position credit must be 50/50 (already
+    // asserted channel-wise above); per-pair rows carry it directly
+    val rows = Attribution.credits(conv, touch, "user", "ts", "pid",
+        "value", "ch", expr("INTERVAL 7 DAYS"))
+      .filter(col("pid") === 1L).orderBy("channel").collect()
+    assert(rows.map(_.getAs[Double]("credit_position")).toSeq == Seq(50.0, 50.0))
+  }
+}

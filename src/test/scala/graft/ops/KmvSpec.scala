@@ -107,8 +107,10 @@ class KmvSpec extends AnyFunSuite {
     val sk = Kmv.sketch(df, col("day"), col("u"), k = 16)
     val got = Kmv.trailingDistinct(sk, windowLen = 2, k = 16)
       .orderBy("bucket").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-    assert(got.toSeq == Seq(("d1", 2.0, 2.0), ("d2", 2.0, 3.0), ("d3", 1.0, 3.0)))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // n_buckets marks warm-up: d1 merges only its own day (fill 1 < 2)
+    assert(got.toSeq == Seq(
+      ("d1", 2.0, 2.0, 1L), ("d2", 2.0, 3.0, 2L), ("d3", 1.0, 3.0, 2L)))
     val one = Kmv.trailingDistinct(sk, windowLen = 1, k = 16)
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
     assert(one.forall { case (d, t) => d == t },

@@ -472,4 +472,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       "simple monosyllables must read easier than sesquipedalian prose")
     assert(got(0).getAs[Double]("fk_grade") < got(1).getAs[Double]("fk_grade"))
   }
+
+  test("readability: empty / whitespace-only documents stay finite (no NaN)") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +: TextAnalysis.readability(col("text")): _*)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_words") == 0L)
+      assert(!r.getAs[Double]("flesch").isNaN && !r.getAs[Double]("flesch").isInfinite)
+      assert(!r.getAs[Double]("fk_grade").isNaN && !r.getAs[Double]("fk_grade").isInfinite)
+    }
+  }
 }

@@ -81,7 +81,7 @@ PINS = {
     # KMV minima are JVM-side xxhash64 (deterministic, no RNG); estimator
     # exactness-when-unsaturated + trailing-merge algebra in KmvSpec
     "audience_trailing_kmv": (["bucket VARCHAR", "distinct_est DOUBLE",
-                               "trailing_est DOUBLE"], "bucket"),
+                               "trailing_est DOUBLE", "n_buckets BIGINT"], "bucket"),
     # HLL++ registers are JVM-side but order-insensitive (register max) →
     # deterministic; the pin carries the sketch-vs-exact error record
     "corpus_profile_sketch_error": (["source VARCHAR", "n_distinct_exact BIGINT",
@@ -134,6 +134,24 @@ PINS = {
     # driver-side recomputation cross-checked in UnigramSpec
     "unigram_train": (["piece VARCHAR", "piece_id INTEGER", "logprob DOUBLE"], "piece_id"),
     "unigram_encode": (["doc_id BIGINT", "n_ug_tokens BIGINT", "pieces_head VARCHAR"], "doc_id"),
+    # The ANN serve paths are approximate by design but seeded-
+    # deterministic (LSH planes from xxhash64, IVF/PQ k-means seeded from
+    # the lowest vec_ids) — the pin freezes the serve output at the
+    # declared parameters; ACCURACY evidence lives in the exhaustive
+    # knn_recall_audit companion (full DuckDB oracle) and SimilaritySpec's
+    # recall assertions. A pin regression = the model/serve path changed.
+    "knn_lsh_ann": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
+    "knn_ivf_ann": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
+    "knn_pq_ann": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
+    "knn_ivfpq_ann": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
+    # write → read → serve equality with the in-memory model is asserted
+    # in IvfPqIndexSpec; the pin freezes the persisted serve itself
+    "knn_ivfpq_persisted": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
+    # HLL++ registers are JVM-side but order-insensitive (register max) →
+    # deterministic; the sketch-vs-exact error record is the green
+    # corpus_profile_sketch_error pin, exact companion corpus_profile_exact
+    "corpus_sketch_profile": (["source VARCHAR", "approx_distinct_texts BIGINT",
+                               "p50_chars BIGINT", "p95_chars BIGINT"], "source"),
 }
 
 
