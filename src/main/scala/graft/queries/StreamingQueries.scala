@@ -133,6 +133,26 @@ object StreamingQueries {
     }),
 
 
+    // Streaming last-touch attribution (streaming/Incremental
+    // .streamingLastTouch): purchases credit the subject's latest touch
+    // within 7 days AS THEY ARRIVE — flatMapGroupsWithState whose state
+    // is ONE triple per recently-touched subject (event-time timeout at
+    // last touch + lookback evicts the rest). The batch equivalent is
+    // attribution_last_touch (as-of join), whose channel roll-up and
+    // ORACLE this shares — streamed and batch answers are provably the
+    // same numbers.
+    "stream_attribution" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong is set for the raw stream read
+      graft.streaming.Incremental.streamingLastTouch(
+          s, s"$dir/events.parquet", lookbackUs = 7L * 86400L * 1000000L,
+          statePartitions = statePartitionsFor(s, s"$dir/events.parquet"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("attributed_value"))
+        .orderBy("channel")
+    }),
+
+
     // Native session_window streaming aggregation: gap-based dynamic
     // windows merging in the state store (the built-in complement of
     // stream_stateful_sessions' custom flatMapGroupsWithState — same
@@ -201,6 +221,11 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streamed credits must aggregate to EXACTLY the batch as-of
+    // join's answer — shared oracle, not a lookalike (the channel column
+    // there is this roll-up's channel)
+    "stream_attribution" -> EventsQueries.oracles("attribution_last_touch"),
+
     "stream_rollup_maintain" ->
       ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
         "round(sum(l_quantity), 4) AS sum_qty, " +

@@ -1049,4 +1049,114 @@ object Incremental {
     spark.read.parquet(sink.toString)
       .filter(col("user_id") =!= StagedStream.SentinelId)
   }
+
+  /** One event on the attribution stream ([[streamingLastTouch]]); `ts`
+    * is the watermark column (it must survive into the grouped Dataset
+    * for the event-time timeout), `ts_us` the exact-integer order key.
+    */
+  case class TouchEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      event_type: String, event_id: Long, value: Double)
+  /** Latest creditable touch per subject (public: encoder codegen). */
+  case class LastTouchState(ts_us: Long, channel: String, event_id: Long)
+  /** One purchase's credit row emitted by [[streamingLastTouch]]. */
+  case class TouchCredit(user_id: Long, purchase_id: Long, channel: String,
+      value: Double)
+
+  /** Streaming last-touch attribution: purchases are credited to the
+    * subject's latest preceding touch within `lookbackUs`, AS THEY ARRIVE
+    * — the in-flight counterpart of the batch `attribution_last_touch`
+    * as-of join (ops/AsOf + ops/Attribution), whose channel roll-up and
+    * oracle this shares.
+    *
+    * The 100 TB shape: per-subject state is ONE (ts, channel, event_id)
+    * triple — the minimum any attribution can hold — because last-touch
+    * needs only the maximum-ts touch, never a touch buffer (the
+    * multi-touch models need the windowed history and belong to the
+    * batch/range-join leg). Credits emit in APPEND mode the moment the
+    * purchase is processed; an EVENT-TIME TIMEOUT at last touch +
+    * lookback removes subjects whose state can no longer credit anything
+    * (a later purchase is `direct` either way), so state holds only
+    * RECENTLY-TOUCHED subjects, not all-time users. Within a micro-batch
+    * events process in (ts, touch-before-purchase, event_type, event_id)
+    * order — the batch asOfJoin's documented tie-break — and, like
+    * [[statefulSessionCounts]], batches must arrive time-ordered per
+    * subject.
+    */
+  def streamingLastTouch(
+      spark: SparkSession,
+      srcPath: String,
+      lookbackUs: Long,
+      statePartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
+    val src = streamSource(spark, srcPath)
+    val tsUs = src.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val in = src
+      .select(col("user_id").cast("long").as("user_id"),
+        timestamp_micros(tsUs).as("ts"),
+        tsUs.as("ts_us"),
+        col("event_type").cast("string").as("event_type"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", "0 seconds")
+      .as[TouchEvent]
+
+    val fn: (Long, Iterator[TouchEvent], GroupState[LastTouchState]) => Iterator[TouchCredit] =
+      (user, events, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed last touch + lookback: this touch can never
+          // credit again (an untouched-horizon purchase is 'direct')
+          state.remove()
+          Iterator.empty
+        } else {
+          var last = state.getOption
+            .getOrElse(LastTouchState(Long.MinValue, "", Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
+          // ts order; at equal ts touches precede purchases (a same-instant
+          // touch is creditable — batch `t.ts <= p.ts`), equal-ts touches
+          // then follow the asOfJoin largest-struct tie-break
+          events.toSeq
+            .sortBy(e => (e.ts_us, e.event_type == "purchase", e.event_type, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "purchase") {
+                val channel =
+                  if (last.ts_us != Long.MinValue && e.ts_us - last.ts_us <= lookbackUs)
+                    last.channel
+                  else "direct"
+                out += TouchCredit(user, e.event_id, channel, e.value)
+              } else {
+                val later = e.ts_us > last.ts_us ||
+                  (e.ts_us == last.ts_us && (e.event_type > last.channel ||
+                    (e.event_type == last.channel && e.event_id >= last.event_id)))
+                if (later) last = LastTouchState(e.ts_us, e.event_type, e.event_id)
+              }
+            }
+          if (last.ts_us != Long.MinValue) {
+            state.update(last)
+            // never set a timeout at/below the current watermark (Spark
+            // rejects it): a touch already past the horizon expires at the
+            // next watermark tick instead
+            state.setTimeoutTimestamp(
+              math.max(last.ts_us / 1000L + lookbackUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        }
+
+    val out = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_attribsink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_attribckpt")
+    runWithStatePartitions(spark, statePartitions) {
+      out.writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    spark.read.parquet(sink.toString)
+  }
 }

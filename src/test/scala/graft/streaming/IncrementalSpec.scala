@@ -48,6 +48,36 @@ class IncrementalSpec extends AnyFunSuite {
       batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("streamingLastTouch matches the batch as-of attribution channel for channel") {
+    import graft.GraftSpark
+    val evPath = s"${GraftSpark.Sf0001}/events.parquet"
+    Tables.events(spark, GraftSpark.Sf0001) // sets nanosAsLong for the stream read
+    val streamed = Incremental.streamingLastTouch(spark, evPath,
+        lookbackUs = 7L * 86400L * 1000000L)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 4).as("v"))
+      .orderBy("channel")
+    val ev = Tables.events(spark, GraftSpark.Sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val batch = graft.ops.AsOf.asOfJoin(purchases, touches, Seq("user_id"),
+        "ts", "ts", inner = false,
+        tolerance = Some(expr("INTERVAL 7 DAYS")))
+      .select(coalesce(col("r_event_type"), lit("direct")).as("channel"), col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 4).as("v"))
+      .orderBy("channel")
+    assert(streamed.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      batch.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // every purchase emits exactly one credit row
+    val nPurchases = ev.filter(col("event_type") === "purchase").count()
+    val nCredits = Incremental.streamingLastTouch(spark, evPath,
+      lookbackUs = 7L * 86400L * 1000000L).count()
+    assert(nCredits == nPurchases)
+  }
+
   test("streamIntervalJoin matches the batch interval join") {
     import graft.GraftSpark
     val evPath = s"${GraftSpark.Sf0001}/events.parquet"
