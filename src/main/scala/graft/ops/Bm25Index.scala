@@ -98,6 +98,51 @@ object Bm25Index {
     Bm25Index(postings, terms, stats)
   }
 
+  /** Index ERASURE — the delete half of the maintenance story beside
+    * [[append]] (GDPR/right-to-be-forgotten applied to the serving
+    * artifact, not just the corpus: retained-corpus rewrites don't help
+    * if the index still returns the erased document). All three index
+    * members update from the index ITSELF, never the corpus:
+    *  - postings: one keys-only anti-join;
+    *  - per-term df: subtract the victims' per-term posting counts
+    *    (terms whose df reaches 0 drop out);
+    *  - (n, avgdl): closed form — `avgdl' = (n·avgdl − Σdl_victims) /
+    *    (n − n_victims)` with the victims' lengths read off their own
+    *    postings.
+    * Like [[append]], the result serves EXACTLY like a rebuild on the
+    * retained corpus (asserted in Bm25IndexSpec), and the work is
+    * O(|victims| + |postings anti-join|), never a corpus scan. Contract:
+    * every erased id must carry at least one posting (a no-token document
+    * contributes to n/avgdl but leaves no trace in the index to subtract;
+    * the fixture corpus has none).
+    */
+  def erase(index: Bm25Index, ids: DataFrame): Bm25Index = {
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    val k = ids.toDF("id")
+    val victims = index.postings.join(k, Seq("id"), "left_semi")
+      .localCheckpoint() // feeds the df delta AND the stats delta
+    // a USING join (even anti) moves the key column first — restore the
+    // index's posting column order so erased and built indexes compose
+    val postings = index.postings.join(k, Seq("id"), "left_anti")
+      .select(index.postings.columns.map(col).toIndexedSeq: _*)
+    val terms = index.terms
+      .join(victims.groupBy("term").agg(count(lit(1)).cast("double").as("__ddf")),
+        Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("__ddf"), lit(0.0))).as("df"))
+      .filter(col("df") > 0)
+    // one dl per victim doc (dl repeats on every posting row of a doc)
+    val victimStats = victims.select("id", "dl").distinct()
+      .agg(count(lit(1)).cast("double").as("__dn"),
+        coalesce(sum("dl"), lit(0.0)).as("__dsum"))
+    val stats = index.stats.crossJoin(victimStats) // 1-row × 1-row scalar
+      .select(
+        (col("n") - col("__dn")).as("n"),
+        ((col("n") * col("avgdl") - col("__dsum")) /
+          greatest(col("n") - col("__dn"), lit(1.0))).as("avgdl"))
+    Bm25Index(postings, terms, stats)
+  }
+
   /** Term sets up to this size push into the postings scan as a literal
     * `In` predicate (real parquet `PushedFilters` → footer-stat file
     * skipping against the term-range layout [[write]] produced); larger

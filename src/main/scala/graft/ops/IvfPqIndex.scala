@@ -122,6 +122,26 @@ object IvfPqIndex {
       index.lists.unionByName(toLists(withEnc, index.codebooks)))
   }
 
+  /** Index ERASURE — the delete half of the maintenance pair beside
+    * [[append]]: drop the given vector ids from the inverted lists (one
+    * keys-only anti-join), model FROZEN — the centroids/codebooks keep
+    * serving, exactly as [[append]] encodes through them without
+    * retraining. Erased ids can never resurface: candidates come only
+    * from the lists, and the exact rerank scores candidates only. On the
+    * persisted cluster-partitioned layout, writing back rewrites only the
+    * clusters that lost members (partition-pruned, the [[write]] layout's
+    * point). Asserted in IvfPqIndexSpec by erasing a planted clone: it
+    * vanishes from top-k and every other row is unchanged.
+    */
+  def erase(index: IvfPqIndex, ids: DataFrame): IvfPqIndex = {
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    // reselect: a USING join (even anti) moves the key column first
+    index.copy(lists =
+      index.lists.join(ids.toDF("n_id"), Seq("n_id"), "left_anti")
+        .select(index.lists.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** ADC search over a built (or loaded) index, exact-reranked against the
     * raw corpus vectors — the query half of [[Similarity.ivfPqTopK]].
     * `corpus` supplies the raw vectors for the rerank (a serving system

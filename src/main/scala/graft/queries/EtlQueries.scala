@@ -425,6 +425,46 @@ object EtlQueries {
     }),
 
 
+    // Cross-ARTIFACT forget-me audit: one subject's documents erased from
+    // every serving artifact that still knows them — the corpus frame
+    // (Erasure.retained), the BM25 inverted index (Bm25Index.erase:
+    // postings/df/stats, no rebuild) and the IVF-PQ vector index
+    // (IvfPqIndex.erase: list anti-join, model frozen) — reported as the
+    // per-artifact before/after ledger a data-protection officer signs
+    // off. Complements e2e_erasure_audited (relational chain) and the
+    // two erase SERVE queries (text_bm25_erase / knn_ivfpq_erase): this
+    // is the completeness check that no artifact was missed.
+    "e2e_forget_me" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val victims = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"))
+      val bm25 = graft.ops.Bm25Index.read(s,
+        IndexFixture.dir("bm25_1", dir) { tmp =>
+          graft.ops.Bm25Index.write(
+            graft.ops.Bm25Index.build(docs, "doc_id", "text"), tmp)
+        })
+      val ivf = graft.ops.IvfPqIndex.read(s,
+        IndexFixture.dir("ivfpq1", dir) { tmp =>
+          graft.ops.IvfPqIndex.write(
+            graft.ops.IvfPqIndex.build(Tables.embeddings(s, dir),
+              "vec_id", "embedding",
+              nlist = 16, numSubspaces = 8, numCodes = 16), tmp)
+        })
+      val bm25e = graft.ops.Bm25Index.erase(bm25, victims)
+      val ivfe = graft.ops.IvfPqIndex.erase(ivf,
+        victims.select(col("doc_id").as("vec_id")))
+      def leg(name: String, before: DataFrame, after: DataFrame) =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after"))) // 1-row scalars
+          .select(lit(name).as("artifact"), col("n_before"), col("n_after"),
+            (col("n_before") - col("n_after")).as("n_erased"))
+      leg("corpus_docs", docs, graft.etl.Erasure.retained(docs, "doc_id", victims))
+        .unionByName(leg("bm25_postings", bm25.postings, bm25e.postings))
+        .unionByName(leg("ivfpq_vectors", ivf.lists, ivfe.lists))
+        .orderBy("artifact")
+    }),
+
+
     // Post-load reconciliation by ship-month control totals (etl/Recon):
     // the target leg simulates a short load (the 1994-03 partition never
     // arrived), so the report provably discriminates — every other month
@@ -838,6 +878,26 @@ object EtlQueries {
         "(coalesce(n_src, 0) = coalesce(n_tgt, 0) AND coalesce(qty_src, 0) = coalesce(qty_tgt, 0) " +
         "AND coalesce(cents_src, 0) = coalesce(cents_tgt, 0)) AS match " +
         "FROM src FULL OUTER JOIN tgt USING (bucket) ORDER BY bucket"),
+
+
+    // replays the three artifact ledgers: corpus row counts, the BM25
+    // posting count = Σ per-doc distinct nonempty tokens, and the vector
+    // index's one-list-row-per-vector contract (n = embeddings rows)
+    "e2e_forget_me" ->
+      ("WITH post AS (SELECT doc_id, term FROM (SELECT doc_id, " +
+        "unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS term " +
+        "FROM documents)), " +
+        "t(artifact, n_before, n_after) AS (" +
+        "SELECT 'corpus_docs', (SELECT count(*) FROM documents), " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 10 <> 3) " +
+        "UNION ALL SELECT 'bm25_postings', (SELECT count(*) FROM post), " +
+        "(SELECT count(*) FROM post WHERE doc_id % 10 <> 3) " +
+        "UNION ALL SELECT 'ivfpq_vectors', (SELECT count(*) FROM embeddings), " +
+        "(SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 3)) " +
+        "SELECT artifact, CAST(n_before AS BIGINT) AS n_before, " +
+        "CAST(n_after AS BIGINT) AS n_after, " +
+        "CAST(n_before - n_after AS BIGINT) AS n_erased " +
+        "FROM t ORDER BY artifact"),
 
 
     // replays Recon.controlTotals with the simulated 1994-03 short load:

@@ -482,6 +482,32 @@ object SimilarityQueries {
     }),
 
 
+    // ANN index ERASURE serve (IvfPqIndex.erase — the delete half of the
+    // maintenance pair beside knn_index_append): every 10th vector is
+    // forgotten in the PERSISTED index (one keys-only list anti-join,
+    // model frozen — no retrain, no rebuild; candidates come only from
+    // the lists so erased ids can never resurface, and the exact rerank
+    // reads the retained corpus). Deterministic serve → pinned VALUES
+    // oracle; the planted-clone erasure proof lives in IvfPqIndexSpec.
+    "knn_ivfpq_erase" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = IndexFixture.dir("ivfpq1", dir) { tmp =>
+        graft.ops.IvfPqIndex.write(
+          graft.ops.IvfPqIndex.build(emb, "vec_id", "embedding",
+            nlist = 16, numSubspaces = 8, numCodes = 16), tmp)
+      }
+      graft.ops.IvfPqIndex.topK(
+          graft.ops.IvfPqIndex.erase(
+            graft.ops.IvfPqIndex.read(s, idxDir),
+            emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))),
+          emb.filter(col("vec_id") < 100),
+          emb.filter(col("vec_id") % 10 =!= 3),
+          "vec_id", "embedding", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+
     // Measured ANN recall as a DECLARED query — the driver record itself
     // carries the recall evidence for the four no_oracle ANN paths (same
     // parameters as their declared queries), not just a spec assertion.

@@ -505,6 +505,33 @@ object TextQueries {
     }),
 
 
+    // BM25 index ERASURE serve (Bm25Index.erase — the delete half of the
+    // maintenance pair beside text_bm25_index_append): every 10th doc is
+    // forgotten IN THE INDEX (postings anti-join, df subtraction,
+    // closed-form (n, avgdl) — O(|victims|), no corpus scan, no rebuild),
+    // then the same query set serves from the erased index. Erase is
+    // EXACT like append, so the oracle is the full BM25 replay over the
+    // RETAINED corpus — right-to-be-forgotten applied to the serving
+    // artifact, provably equal to a rebuild.
+    "text_bm25_erase" -> ((s, dir) => {
+      import s.implicits._
+      val idxDir = IndexFixture.dir("bm25_1", dir) { tmp =>
+        graft.ops.Bm25Index.write(
+          graft.ops.Bm25Index.build(Tables.documents(s, dir), "doc_id", "text"),
+          tmp)
+      }
+      val victims = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id"))
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      graft.ops.Bm25Index.topK(
+          graft.ops.Bm25Index.erase(graft.ops.Bm25Index.read(s, idxDir), victims),
+          qs, "q_id", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("q_id", "rank")
+    }),
+
+
     // CCNet-style perplexity signal: per-doc mean unigram NLL under a
     // model trained on the same corpus (the declared, oracle-exact form;
     // nllScore also takes a frozen reference model + OOV floor)
@@ -928,6 +955,13 @@ object TextQueries {
     "text_bm25_search" -> Bm25OracleSql,
 
     "text_bm25_persisted" -> Bm25OracleSql,
+
+    // erase is exact (postings anti-join, df subtraction, closed-form
+    // stats), so the erased-index serve replays the SAME BM25 oracle
+    // restricted to the retained corpus — the three corpus CTEs (tok, dl,
+    // st) each gain the retention predicate
+    "text_bm25_erase" -> Bm25OracleSql
+      .replace("FROM documents)", "FROM documents WHERE doc_id % 10 <> 3)"),
 
 
     // append is exact (postings additive, stats closed-form), so the

@@ -82,6 +82,35 @@ class Bm25IndexSpec extends AnyFunSuite {
       "appended-index serve must be EXACTLY the rebuilt-index serve")
   }
 
+  test("erase equals a rebuild on the retained corpus: postings, df, stats, serve") {
+    import spark.implicits._
+    val victims = docs.filter(col("doc_id") % 10 === 3)
+    val erased = Bm25Index.erase(
+      Bm25Index.build(docs, "doc_id", "text"),
+      victims.select(col("doc_id")))
+    val rebuilt = Bm25Index.build(docs.filter(col("doc_id") % 10 =!= 3),
+      "doc_id", "text")
+    assert(erased.postings.exceptAll(rebuilt.postings).isEmpty &&
+      rebuilt.postings.exceptAll(erased.postings).isEmpty)
+    assert(erased.terms.exceptAll(rebuilt.terms).isEmpty &&
+      rebuilt.terms.exceptAll(erased.terms).isEmpty)
+    val (se, sr) = (erased.stats.head(), rebuilt.stats.head())
+    assert(se.getDouble(0) == sr.getDouble(0))
+    assert(math.abs(se.getDouble(1) - sr.getDouble(1)) < 1e-9,
+      s"avgdl subtraction drifted: ${se.getDouble(1)} vs ${sr.getDouble(1)}")
+    val a = Bm25Index.topK(erased, queries, "q_id", "term", k = 10)
+    val b = Bm25Index.topK(rebuilt, queries, "q_id", "term", k = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "erased-index serve must be EXACTLY the retained-rebuild serve")
+    // and the erased ids can never come back
+    assert(Bm25Index.topK(erased, queries, "q_id", "term", k = 1000)
+      .join(victims.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .isEmpty)
+    intercept[IllegalArgumentException] {
+      Bm25Index.erase(rebuilt, victims.select("doc_id", "text"))
+    }
+  }
+
   test("append verifyDisjoint rejects a delta that re-ships live doc ids") {
     val idx = Bm25Index.build(docs.filter(col("doc_id") < 100), "doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -107,6 +107,29 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(top.getDouble(2) == 1.0, s"clone cosine ${top.getDouble(2)}")
   }
 
+  test("an erased vector vanishes from top-k; every other row is unchanged") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val idx = IvfPqIndex.build(emb, "vec_id", "embedding",
+      nlist = 8, numSubspaces = 8, numCodes = 16)
+    // probe with an exact clone of vector 7: pre-erase top hit is 7 @ cos 1
+    val cloneSrc = emb.filter(col("vec_id") === 7L)
+    val probe = cloneSrc.withColumn("vec_id", lit(999999L))
+    val before = IvfPqIndex.topK(idx, probe, emb,
+      "vec_id", "embedding", k = 5, nprobe = 8).collect()
+    assert(before.head.getLong(1) == 7L && before.head.getDouble(2) == 1.0)
+    val erased = IvfPqIndex.erase(idx, Seq(7L).toDF("vec_id"))
+    val after = IvfPqIndex.topK(erased, probe, emb,
+      "vec_id", "embedding", k = 5, nprobe = 8).collect()
+    assert(!after.map(_.getLong(1)).contains(7L), "erased id resurfaced")
+    // the survivors are exactly before's ranks 2..5, shifted up one
+    assert(after.map(r => (r.getLong(1), r.getDouble(2))).take(4).toSeq ==
+      before.drop(1).map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.erase(idx, emb.select("vec_id", "embedding"))
+    }
+  }
+
   test("ivfPqTopK composition equals explicit build + topK") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 20)

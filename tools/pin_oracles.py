@@ -147,6 +147,10 @@ PINS = {
     # write → read → serve equality with the in-memory model is asserted
     # in IvfPqIndexSpec; the pin freezes the persisted serve itself
     "knn_ivfpq_persisted": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
+    # the erased-index serve (frozen model, list anti-join); the
+    # planted-clone erasure proof is in IvfPqIndexSpec — the pin freezes
+    # the post-erasure ranking
+    "knn_ivfpq_erase": (["q_id BIGINT", "n_id BIGINT", "sim DOUBLE", "rank BIGINT"], "q_id, rank"),
     # HLL++ registers are JVM-side but order-insensitive (register max) →
     # deterministic; the sketch-vs-exact error record is the green
     # corpus_profile_sketch_error pin, exact companion corpus_profile_exact
