@@ -233,4 +233,60 @@ class PropertiesSpec extends AnyFunSuite {
       assert(norm(acc) == full, s"m=$m")
     }
   }
+
+  test("property: every attribution model conserves total conversion value") {
+    import graft.ops.Attribution
+    // random event streams: a handful of users, mixed touches/purchases
+    // at random second offsets inside one week
+    val evGen = Gen.listOfN(60, for {
+      user <- Gen.choose(1L, 5L)
+      offSec <- Gen.choose(0L, 6L * 86400L)
+      kind <- Gen.oneOf("purchase", "view", "click", "signup")
+      value <- Gen.choose(1, 500).map(_.toDouble)
+    } yield (user, offSec, kind, value))
+    for ((rows, seedIdx) <- samples(evGen, 5).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((u, off, kind, v), i) =>
+        (i.toLong, u, new java.sql.Timestamp(1700000000000L + off * 1000L), kind, v)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+      val conv = df.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      if (conv.count() > 0) {
+        val report = Attribution.report(Attribution.credits(conv,
+          df.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", "event_id", "value", "event_type",
+          expr("INTERVAL 2 DAYS")))
+        val total = conv.agg(sum("value")).head().getDouble(0)
+        Seq("last_value", "linear_value", "decay_value", "position_value")
+          .foreach { m =>
+            val s = report.agg(sum(m)).head().getDouble(0)
+            // report() rounds per channel to 4dp → up to channels×5e-5
+            // aggregate rounding; a REAL leak is at least one credit (~1)
+            assert(math.abs(s - total) < 1e-3,
+              s"seed $seedIdx: $m sums to $s, expected $total")
+          }
+      }
+    }
+  }
+
+  test("property: BM25 erase equals a rebuild on the retained corpus (random victims)") {
+    import graft.ops.Bm25Index
+    val docs = graft.etl.Tables.documents(spark, GraftSpark.Sf0001)
+      .limit(120).localCheckpoint()
+    val built = Bm25Index.build(docs, "doc_id", "text")
+    val victimGen = Gen.listOfN(25, Gen.choose(0L, 119L)).map(_.distinct)
+    for ((ids, seedIdx) <- samples(victimGen, 4).zipWithIndex) {
+      val victims = ids.toDF("doc_id")
+      val erased = Bm25Index.erase(built, victims)
+      val rebuilt = Bm25Index.build(
+        docs.join(victims, Seq("doc_id"), "left_anti"), "doc_id", "text")
+      assert(erased.postings.exceptAll(rebuilt.postings).isEmpty &&
+        rebuilt.postings.exceptAll(erased.postings).isEmpty, s"seed $seedIdx postings")
+      assert(erased.terms.exceptAll(rebuilt.terms).isEmpty &&
+        rebuilt.terms.exceptAll(erased.terms).isEmpty, s"seed $seedIdx terms")
+      val (se, sr) = (erased.stats.head(), rebuilt.stats.head())
+      assert(se.getDouble(0) == sr.getDouble(0), s"seed $seedIdx n")
+      assert(math.abs(se.getDouble(1) - sr.getDouble(1)) < 1e-9, s"seed $seedIdx avgdl")
+    }
+  }
 }
