@@ -76,6 +76,26 @@ object MinHashIndex {
       sets = index.sets.unionByName(s))
   }
 
+  /** Index ERASURE — the delete half of the maintenance pair beside
+    * [[append]] (completing the build/write/read/query/append/erase
+    * contract all three persisted indexes share — see [[Bm25Index.erase]]
+    * / [[IvfPqIndex.erase]]): both index members are per-document rows
+    * keyed by `id`, so erasure is one keys-only anti-join each, and —
+    * signatures being content-deterministic hashes with no corpus-level
+    * state — the erased index EQUALS a rebuild on the retained corpus
+    * (asserted in MinHashIndexSpec). Erased ids can never match again:
+    * candidates come only from the bucket frame.
+    */
+  def erase(index: MinHashIndex, ids: DataFrame): MinHashIndex = {
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    val k = ids.toDF("id")
+    // reselect: a USING join (even anti) moves the key column first
+    def drop(df: DataFrame) = df.join(k, Seq("id"), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    index.copy(buckets = drop(index.buckets), sets = drop(index.sets))
+  }
+
   /** Batch-vs-corpus near-dup pairs (batch_id, corpus_id, jaccard ≥
     * threshold) — [[Dedup.minhashLshIncremental]] semantics against the
     * prebuilt corpus state: ONE (band, bucket) equi-join for candidates

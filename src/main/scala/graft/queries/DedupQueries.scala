@@ -343,6 +343,32 @@ object DedupQueries {
     }),
 
 
+    // ERASURE on the persisted MinHash index (MinHashIndex.erase — the
+    // delete half completing the build/write/read/query/append/erase
+    // contract shared by all three persisted indexes): every 10th corpus
+    // doc is forgotten by two keys-only anti-joins (signatures are
+    // content-deterministic, so erase EQUALS a retained-corpus rebuild),
+    // then the re-crawl batch queries the erased index — erased docs can
+    // never match again. Oracle: brute-force batch × RETAINED-corpus
+    // Jaccard.
+    "dedup_minhash_erase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.MinHashIndex.query(
+          graft.ops.MinHashIndex.erase(
+            graft.ops.MinHashIndex.read(s, idxDir),
+            docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id"))),
+          batch, "doc_id", "text", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
     // The maxBucket cap's audit rail as a DECLARED query (no-silent-caps:
     // a capped production dedup ships its own evidence): a corpus slice
     // made degenerate — 60 re-id'd clones of one boilerplate line — joins
@@ -628,6 +654,27 @@ object DedupQueries {
         "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
         "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
         "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM bsets b, csets c " +
+        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id"),
+
+
+    // erase is exact (content-deterministic signatures, keys-only
+    // anti-joins), so the erased-index query replays the SAME brute-force
+    // batch × corpus Jaccard with the corpus CTE restricted to retained
+    "dedup_minhash_erase" ->
+      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+        "bsets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+        "csets AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s " +
+        "FROM documents WHERE doc_id % 10 <> 3) " +
         "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
         "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
         "FROM bsets b, csets c " +

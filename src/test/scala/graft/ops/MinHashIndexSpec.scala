@@ -79,6 +79,29 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("erase equals a retained-corpus rebuild; erased docs never match again") {
+    import spark.implicits._
+    val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001)
+    val victims = docs.filter(col("doc_id") % 10 === 3)
+    val erased = MinHashIndex.erase(
+      MinHashIndex.build(docs, "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2),
+      victims.select(col("doc_id")))
+    val rebuilt = MinHashIndex.build(docs.filter(col("doc_id") % 10 =!= 3),
+      "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2)
+    assert(erased.buckets.exceptAll(rebuilt.buckets).isEmpty &&
+      rebuilt.buckets.exceptAll(erased.buckets).isEmpty)
+    assert(erased.sets.exceptAll(rebuilt.sets).isEmpty &&
+      rebuilt.sets.exceptAll(erased.sets).isEmpty)
+    // a re-crawl batch that clones ONLY victims finds zero matches
+    val batch = victims.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val hits = MinHashIndex.query(erased, batch, "doc_id", "text", threshold = 0.8)
+      .join(victims.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_semi")
+    assert(hits.isEmpty, "an erased doc matched from the index")
+    intercept[IllegalArgumentException] {
+      MinHashIndex.erase(rebuilt, victims.select("doc_id", "text"))
+    }
+  }
+
   test("append encodes with frozen parameters; appended docs are then queryable") {
     val corpus = docs.filter(col("doc_id") < 30)
     val day1 = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
