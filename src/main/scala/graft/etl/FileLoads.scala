@@ -130,4 +130,86 @@ object FileLoads {
     }
     plan
   }
+
+  /** Partition-pruned subject ERASURE on a partitioned parquet target —
+    * the L6 delete leg a 100 TB lake actually runs: only the `p_date`
+    * partitions that CONTAIN victim rows are rewritten (dynamic partition
+    * overwrite), history partitions are never read or touched beyond one
+    * column-pruned scan of (`fkCol`, `p_date`) to find them. Returns the
+    * per-affected-partition ledger (p_date, n_before, n_after, n_erased)
+    * AFTER the physical rewrite, with n_after re-read from the target.
+    *
+    * Two correctness traps this handles:
+    *  - dynamic overwrite only replaces partitions PRESENT in the written
+    *    data, so a partition whose EVERY row is a victim would silently
+    *    survive — those are deleted explicitly (Hadoop FS), and their
+    *    ledger rows read n_after = 0;
+    *  - the retained frame derives from the same files the overwrite
+    *    replaces — it is `localCheckpoint`ed (with the before-counts)
+    *    BEFORE the write, so the rewrite never reads its own output.
+    *
+    * The affected-date collect is bounded by the target's PARTITION count
+    * (days — ~10³ for years), the same bounded-collect family as the
+    * BM25 term pushdown; victims themselves never reach the driver.
+    */
+  def erasePartitioned(
+      spark: SparkSession,
+      path: String,
+      fkCol: String,
+      keys: DataFrame): DataFrame = {
+    require(keys.columns.length == 1,
+      s"keys must be a single column, got ${keys.columns.toSeq}")
+    val k = keys.toDF("__k").distinct().localCheckpoint()
+    val tgt = spark.read.parquet(path)
+    // one column-pruned pass finds the affected partitions
+    val affected = tgt.select(col(fkCol), col("p_date"))
+      .join(k, col(fkCol) === col("__k"), "left_semi")
+      .select(col("p_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p_date",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_before",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_after",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_erased",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    val inAffected = tgt
+      .filter(col("p_date").cast("string").isin(affected.toIndexedSeq: _*))
+    val before = inAffected.groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_before"))
+      .localCheckpoint()
+    // materialize the retained rows BEFORE overwriting their source files
+    val retained = inAffected.join(k, col(fkCol) === col("__k"), "left_anti")
+      .drop("__k").localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try retained.write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // fully-victim partitions produced no retained rows → dynamic
+    // overwrite never touched them; delete their directories explicitly
+    val survived = retained.select(col("p_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(survived).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"p_date=$d"), true)
+    }
+    val after = spark.read.parquet(path)
+      .filter(col("p_date").cast("string").isin(affected.toIndexedSeq: _*))
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("p_date"), "left")
+      .na.fill(0L, Seq("n_after"))
+      .select(col("p_date"), col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_erased"))
+  }
 }

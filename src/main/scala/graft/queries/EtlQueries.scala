@@ -425,6 +425,32 @@ object EtlQueries {
     }),
 
 
+    // L11 (extension): partition-pruned subject erasure on a partitioned
+    // parquet LAKE target (FileLoads.erasePartitioned) — the physical L6
+    // delete a 100 TB lake runs: one column-pruned scan finds the
+    // affected date partitions, ONLY those rewrite (dynamic partition
+    // overwrite; fully-victim partitions are deleted explicitly — the
+    // dynamic-overwrite blind spot), history partitions untouched. The
+    // target is built FRESH each run (the erase mutates it; a build-once
+    // fixture would make re-runs report zero deletions), and the declared
+    // output is the post-rewrite per-partition ledger re-read from disk.
+    "l11_erase_partitioned" -> ((s, dir) => {
+      val tgt = java.nio.file.Files
+        .createTempDirectory("graft_l11").toString + "/events"
+      FileLoads.overwriteAll(Tables.events(s, dir), "ts", tgt)
+      // checkpoint the ledger so the scratch target can be deleted NOW —
+      // no per-invocation temp-dir leak (the r1 PagedFixture lesson)
+      val ledger = FileLoads.erasePartitioned(s, tgt, "user_id",
+          Tables.events(s, dir)
+            .filter(pmod(col("user_id"), lit(97)) === 0)
+            .select(col("user_id")).distinct())
+        .orderBy("p_date").localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tgt).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ledger
+    }),
+
+
     // Cross-ARTIFACT forget-me audit: one subject's documents erased from
     // every serving artifact that still knows them — the corpus frame
     // (Erasure.retained), the BM25 inverted index (Bm25Index.erase:
@@ -878,6 +904,19 @@ object EtlQueries {
         "(coalesce(n_src, 0) = coalesce(n_tgt, 0) AND coalesce(qty_src, 0) = coalesce(qty_tgt, 0) " +
         "AND coalesce(cents_src, 0) = coalesce(cents_tgt, 0)) AS match " +
         "FROM src FULL OUTER JOIN tgt USING (bucket) ORDER BY bucket"),
+
+
+    // replays the erase ledger over the raw events: affected dates =
+    // dates with any victim row; per date, before/after/erased counts
+    "l11_erase_partitioned" ->
+      ("WITH v AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS p_date " +
+        "FROM events WHERE user_id % 97 = 0) " +
+        "SELECT strftime(ts, '%Y-%m-%d') AS p_date, " +
+        "CAST(count(*) AS BIGINT) AS n_before, " +
+        "CAST(sum(CASE WHEN user_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_after, " +
+        "CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_erased " +
+        "FROM events WHERE strftime(ts, '%Y-%m-%d') IN (SELECT p_date FROM v) " +
+        "GROUP BY 1 ORDER BY 1"),
 
 
     // replays the three artifact ledgers: corpus row counts, the BM25

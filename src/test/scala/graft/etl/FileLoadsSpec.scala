@@ -83,6 +83,41 @@ class FileLoadsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == count)
   }
 
+  test("erasePartitioned rewrites only affected partitions; fully-victim partitions vanish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_erase").toString + "/t"
+    // 3 days: d1 has victim 7 among others, d2 has NO victims, d3 is
+    // ENTIRELY victim 9's rows (the dynamic-overwrite blind spot)
+    val rows = Seq(
+      (7L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 03:00:00"),
+      (3L, "2024-01-02 01:00:00"), (4L, "2024-01-02 02:00:00"),
+      (9L, "2024-01-03 01:00:00"), (9L, "2024-01-03 02:00:00")
+    ).toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    FileLoads.overwriteAll(rows, "ts", dir)
+    val untouchedFiles = partFiles(dir).filter(_._1.contains("2024-01-02"))
+    val ledger = FileLoads.erasePartitioned(spark, dir, "user_id",
+        Seq(7L, 9L).toDF("k"))
+      .orderBy("p_date").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ledger.toSeq == Seq(
+      ("2024-01-01", 3L, 2L, 1L),
+      ("2024-01-03", 2L, 0L, 2L)))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4) // d1: 2 retained, d2: 2 untouched, d3: gone
+    assert(back.filter(col("user_id").isin(7L, 9L)).isEmpty, "victims survived")
+    assert(!new java.io.File(dir, "p_date=2024-01-03").exists,
+      "fully-victim partition directory must be deleted")
+    // d2 was never rewritten: same file listing
+    assert(partFiles(dir).filter(_._1.contains("2024-01-02")) == untouchedFiles)
+    // no victims anywhere → empty ledger, target untouched
+    assert(FileLoads.erasePartitioned(spark, dir, "user_id",
+      Seq(999L).toDF("k")).isEmpty)
+    assert(spark.read.parquet(dir).count() == 4)
+    intercept[IllegalArgumentException] {
+      FileLoads.erasePartitioned(spark, dir, "user_id", rows)
+    }
+  }
+
   test("compact merges small files per partition, preserves data, skips healthy partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val li = Tables.lineitem(spark, GraftSpark.Sf0001).limit(2000)
