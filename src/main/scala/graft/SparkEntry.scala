@@ -36,22 +36,44 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + north-star
     * ops, composed from the per-family registries in [[graft.queries]]
     * (split r14; keys and bodies unchanged — the driver contract is this
-    * one map).
+    * one map). Key uniqueness is asserted across files: with `++`, a
+    * cross-family duplicate would silently shadow one body while its
+    * oracle still green-checks the survivor's dump.
     */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.queries ++ RelationalQueries.queries ++ DedupQueries.queries ++
-      TextQueries.queries ++ SamplingQueries.queries ++ GraphQueries.queries ++
-      EventsQueries.queries ++ SimilarityQueries.queries ++
-      StreamingQueries.queries ++ MultimodalQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = composedQueries
+
+  private lazy val composedQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val families = Seq(
+      EtlQueries.queries, RelationalQueries.queries, DedupQueries.queries,
+      TextQueries.queries, SamplingQueries.queries, GraphQueries.queries,
+      EventsQueries.queries, SimilarityQueries.queries,
+      StreamingQueries.queries, MultimodalQueries.queries)
+    val dupes = families.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, ks) if ks.size > 1 => k }
+    require(dupes.isEmpty, s"duplicate query keys across family registries: $dupes")
+    families.reduce(_ ++ _)
+  }
 
   /** DuckDB-equivalent ANSI SQL per query (FIXTURES.md §C determinism
     * rules), composed from the same family registries; queries whose
     * semantics are JVM-side carry pinned VALUES oracles instead
     * ([[PinnedOracles]], captured at sf0.01).
     */
-  def oracleSql: Map[String, String] =
-    (EtlQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
-      TextQueries.oracles ++ SamplingQueries.oracles ++ GraphQueries.oracles ++
-      EventsQueries.oracles ++ SimilarityQueries.oracles ++
-      StreamingQueries.oracles ++ MultimodalQueries.oracles) ++ PinnedOracles.sql
+  def oracleSql: Map[String, String] = composedOracles
+
+  private lazy val composedOracles: Map[String, String] = {
+    val families = Seq(
+      EtlQueries.oracles, RelationalQueries.oracles, DedupQueries.oracles,
+      TextQueries.oracles, SamplingQueries.oracles, GraphQueries.oracles,
+      EventsQueries.oracles, SimilarityQueries.oracles,
+      StreamingQueries.oracles, MultimodalQueries.oracles)
+    val dupes = families.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, ks) if ks.size > 1 => k }
+    require(dupes.isEmpty, s"duplicate oracle keys across family registries: $dupes")
+    // pins COMPLEMENT the SQL oracles: a key carrying both would hide one
+    val sql = families.reduce(_ ++ _)
+    val both = sql.keySet.intersect(PinnedOracles.sql.keySet)
+    require(both.isEmpty, s"keys with BOTH a SQL oracle and a pin: $both")
+    sql ++ PinnedOracles.sql
+  }
 }

@@ -41,17 +41,23 @@ object FileLoads {
     * `Template-to-BigQuery/Dynamics365-to-BigQuery-Method-2.py:82-92`,
     * without its delete/append non-atomicity).
     */
-  def refreshWindow(spark: SparkSession, incoming: DataFrame, dateCol: String, path: String): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+  def refreshWindow(spark: SparkSession, incoming: DataFrame, dateCol: String, path: String): Unit =
+    withDynamicOverwrite(spark) {
       withDatePartition(incoming, dateCol).write
         .partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    }
+
+  /** Run `write` under dynamic partitionOverwriteMode, restoring the
+    * session's previous setting afterwards (shared by [[refreshWindow]]
+    * and [[erasePartitioned]] — the save/restore must stay in lockstep).
+    */
+  private def withDynamicOverwrite[A](spark: SparkSession)(write: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try write
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
 
@@ -166,19 +172,11 @@ object FileLoads {
       .join(k, col(fkCol) === col("__k"), "left_semi")
       .select(col("p_date").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
-    if (affected.isEmpty) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("p_date",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_before",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_after",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_erased",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-    }
+    // one ledger shape for every branch (zero-row on the no-victims path)
+    def emptyLedger = spark.range(0).select(
+      lit("").as("p_date"), lit(0L).as("n_before"),
+      lit(0L).as("n_after"), lit(0L).as("n_erased"))
+    if (affected.isEmpty) return emptyLedger
     val inAffected = tgt
       .filter(col("p_date").cast("string").isin(affected.toIndexedSeq: _*))
     val before = inAffected.groupBy(col("p_date").cast("string").as("p_date"))
@@ -187,12 +185,8 @@ object FileLoads {
     // materialize the retained rows BEFORE overwriting their source files
     val retained = inAffected.join(k, col(fkCol) === col("__k"), "left_anti")
       .drop("__k").localCheckpoint()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try retained.write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicOverwrite(spark) {
+      retained.write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
     }
     // fully-victim partitions produced no retained rows → dynamic
     // overwrite never touched them; delete their directories explicitly
@@ -203,10 +197,19 @@ object FileLoads {
     affected.filterNot(survived).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"p_date=$d"), true)
     }
-    val after = spark.read.parquet(path)
-      .filter(col("p_date").cast("string").isin(affected.toIndexedSeq: _*))
-      .groupBy(col("p_date").cast("string").as("p_date"))
-      .agg(count(lit(1)).as("n_after"))
+    // the erase-everything case: no partition directory remains, so a
+    // parquet read of the target would fail schema inference — every
+    // affected partition's n_after is 0 by construction
+    val anyPartitionLeft = fs.exists(rootPath) &&
+      fs.listStatus(rootPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("p_date="))
+    val after =
+      if (anyPartitionLeft)
+        spark.read.parquet(path)
+          .filter(col("p_date").cast("string").isin(affected.toIndexedSeq: _*))
+          .groupBy(col("p_date").cast("string").as("p_date"))
+          .agg(count(lit(1)).as("n_after"))
+      else emptyLedger.select(col("p_date"), col("n_after"))
     before.join(after, Seq("p_date"), "left")
       .na.fill(0L, Seq("n_after"))
       .select(col("p_date"), col("n_before"), col("n_after"),

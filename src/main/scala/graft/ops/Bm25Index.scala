@@ -114,12 +114,24 @@ object Bm25Index {
     * O(|victims| + |postings anti-join|), never a corpus scan. Contract:
     * every erased id must carry at least one posting (a no-token document
     * contributes to n/avgdl but leaves no trace in the index to subtract;
-    * the fixture corpus has none).
+    * the fixture corpus has none) — `verifyCovered = true` audits that
+    * with one keys-only anti-join and fails fast instead of silently
+    * mis-subtracting stats (the [[append]] `verifyDisjoint` convention:
+    * opt-in, so production erases don't pay the extra pass).
     */
-  def erase(index: Bm25Index, ids: DataFrame): Bm25Index = {
+  def erase(
+      index: Bm25Index,
+      ids: DataFrame,
+      verifyCovered: Boolean = false): Bm25Index = {
     require(ids.columns.length == 1,
       s"ids must be a single key column, got ${ids.columns.toSeq}")
     val k = ids.toDF("id")
+    if (verifyCovered) {
+      val uncovered = k.join(index.postings.select("id").distinct(),
+        Seq("id"), "left_anti")
+      require(uncovered.isEmpty,
+        "Bm25Index.erase requires every erased id to carry at least one posting")
+    }
     val victims = index.postings.join(k, Seq("id"), "left_semi")
       .localCheckpoint() // feeds the df delta AND the stats delta
     // a USING join (even anti) moves the key column first — restore the

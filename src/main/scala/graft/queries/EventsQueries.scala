@@ -435,10 +435,11 @@ object EventsQueries {
 
     // Lag-1..7 autocorrelation of each event type's daily-count series
     // (ops/TimeSeries.acf): the seasonality read-out behind cadence
-    // decisions. Raw events collapse to a (type × day) count aggregate
-    // FIRST; lag products come from one keyed self-join of that series
-    // after a 7-way lag explode — no unpartitioned window, and integer
-    // counts keep both engines' devs bit-identical.
+    // decisions. Raw events collapse to a SPARSE (type × active-day)
+    // count aggregate FIRST; zero-event days enter the moments through
+    // closed-form corrections (never a materialized grid), and the cross
+    // term is one keyed self-join of the sparse series after a 7-way lag
+    // explode — no unpartitioned window, no dense frame.
     "events_acf" -> ((s, dir) =>
       graft.ops.TimeSeries.acf(Tables.events(s, dir), "event_type", "ts", maxLag = 7)
         .orderBy("event_type", "lag")),
@@ -814,10 +815,13 @@ object EventsQueries {
         "ORDER BY p_event_id, view_event_id"),
 
 
-    // replays TimeSeries.acf exactly: the same (type × day) count
-    // aggregate, the same span densify (zero-count days are real
-    // observations), full-series mean, and the lag-k dev products —
-    // integer counts keep devs bit-identical in both engines
+    // replays TimeSeries.acf's SEMANTICS, not its plan: the oracle
+    // materializes the densified (type × every-day-in-span) grid and sums
+    // dev products directly, while the Spark side computes the SAME
+    // moments from the sparse rows plus closed-form zero-day corrections
+    // (ss = Σ_sparse(x−μ)² + (D−S)μ²; num_k = Σ x·x' − μ(T−tail_k) −
+    // μ(T−head_k) + (D−k)μ²) — algebraically equal, floating-point
+    // reassociated, reconciled by the 4-dp output rounding
     "events_acf" ->
       ("WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, " +
         "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +

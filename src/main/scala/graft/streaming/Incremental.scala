@@ -1090,10 +1090,23 @@ object Incremental {
     import spark.implicits._
     require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
     val src = streamSource(spark, srcPath)
-    val tsUs = src.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
-    }
+    def tsUsOf(df: org.apache.spark.sql.DataFrame) =
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+    // watermark delay > source event-time span + lookback (the
+    // statefulSessionCounts convention): cross-SUBJECT skew between
+    // micro-batches can then never mark a purchase late or expire a
+    // still-creditable touch — a 0-second delay would drop any event
+    // older than a previously-seen batch's maximum. A production
+    // deployment tunes this to its real arrival skew.
+    val batchView = spark.read.parquet(srcPath)
+    val spanUs = batchView
+      .agg(max(tsUsOf(batchView)) - min(tsUsOf(batchView)))
+      .head().getLong(0)
+    val watermarkSec = spanUs / 1000000L + lookbackUs / 1000000L + 1L
+    val tsUs = tsUsOf(src)
     val in = src
       .select(col("user_id").cast("long").as("user_id"),
         timestamp_micros(tsUs).as("ts"),
@@ -1101,7 +1114,7 @@ object Incremental {
         col("event_type").cast("string").as("event_type"),
         col("event_id").cast("long").as("event_id"),
         col("value").cast("double").as("value"))
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", s"$watermarkSec seconds")
       .as[TouchEvent]
 
     val fn: (Long, Iterator[TouchEvent], GroupState[LastTouchState]) => Iterator[TouchCredit] =

@@ -116,6 +116,18 @@ class FileLoadsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       FileLoads.erasePartitioned(spark, dir, "user_id", rows)
     }
+    // erase-EVERYTHING: every remaining row is a victim — all partition
+    // dirs vanish and the ledger still reports n_after = 0 (a parquet
+    // read of the now-empty target would fail schema inference)
+    val wipe = FileLoads.erasePartitioned(spark, dir, "user_id",
+        Seq(1L, 2L, 3L, 4L).toDF("k"))
+      .orderBy("p_date").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wipe.toSeq == Seq(
+      ("2024-01-01", 2L, 0L, 2L),
+      ("2024-01-02", 2L, 0L, 2L)))
+    assert(!new java.io.File(dir, "p_date=2024-01-01").exists)
+    assert(!new java.io.File(dir, "p_date=2024-01-02").exists)
   }
 
   test("compact merges small files per partition, preserves data, skips healthy partitions") {

@@ -109,6 +109,14 @@ class Bm25IndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Bm25Index.erase(rebuilt, victims.select("doc_id", "text"))
     }
+    // verifyCovered: an id with no postings (never indexed) fails fast
+    // instead of silently mis-subtracting n/avgdl
+    intercept[IllegalArgumentException] {
+      Bm25Index.erase(rebuilt, Seq(999999L).toDF("doc_id"), verifyCovered = true)
+    }
+    assert(Bm25Index.erase(rebuilt,
+      docs.filter(col("doc_id") % 10 =!= 3).limit(1).select(col("doc_id")),
+      verifyCovered = true).stats.head().getDouble(0) > 0)
   }
 
   test("append verifyDisjoint rejects a delta that re-ships live doc ids") {

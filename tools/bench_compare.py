@@ -32,10 +32,13 @@ def main(argv):
     sc, sb = sum(qc[k] for k in shared), sum(qb[k] for k in shared)
     print(f"current total {cur['value']:.1f}s / {len(qc)} queries; "
           f"baseline {base['value']:.1f}s / {len(qb)}")
-    print(f"shared set ({len(shared)}): {sc:.1f}s vs {sb:.1f}s = {sc/sb:.2f}x")
+    ratio = f"{sc/sb:.2f}x" if sb > 0 else "n/a (empty/zero baseline)"
+    print(f"shared set ({len(shared)}): {sc:.1f}s vs {sb:.1f}s = {ratio}")
     regs = [(k, qb[k], qc[k]) for k in shared
             if qc[k] > 2 * qb[k] and qc[k] > 0.5]
-    for k, b, c in sorted(regs, key=lambda t: -(t[2] / t[1])):
+    # a 0.0 baseline (sub-ms query) sorts as an infinite-ratio regression
+    for k, b, c in sorted(regs, key=lambda t: -(t[2] / t[1]) if t[1] > 0
+                          else float("-inf")):
         noise = cur.get("noise_ratio", {}).get(k)
         samples = cur.get("samples", {}).get(k)
         print(f"  REGRESSION {k}: {b:.2f} -> {c:.2f} ({c/b:.1f}x) "
