@@ -157,6 +157,16 @@ object FileLoads {
     * The affected-date collect is bounded by the target's PARTITION count
     * (days — ~10³ for years), the same bounded-collect family as the
     * BM25 term pushdown; victims themselves never reach the driver.
+    *
+    * Partial-failure window: the dynamic-overwrite commit and the
+    * explicit FS delete of fully-victim partitions are TWO operations — a
+    * crash between them leaves those partitions' victim rows on disk with
+    * no ledger saying the erase is incomplete. The operation is
+    * IDEMPOTENT (remaining victims are re-detected by the affected-date
+    * scan), so a failed run must simply be re-run to completion before
+    * the erasure is attested; a compliance pipeline should gate its
+    * attestation on this method RETURNING, not on the write having
+    * started.
     */
   def erasePartitioned(
       spark: SparkSession,

@@ -987,19 +987,28 @@ object Incremental {
       tsCol: String,
       userCol: String,
       gapUs: Long,
-      statePartitions: Int = 0): DataFrame = {
+      statePartitions: Int = 0,
+      delaySec: Long = -1L): DataFrame = {
     import spark.implicits._
     val gapSec = math.max(1L, gapUs / 1000000L)
     // watermark delay > source event-time span: the watermark stays below
     // every user's (last event + gap) until the sentinels arrive, so each
-    // user emits exactly once even if the files split across micro-batches
+    // user emits exactly once even if the files split across micro-batches.
+    // A caller-supplied `delaySec` (the deployment's arrival-skew bound)
+    // skips the declaration-time span probe — schema inspection below
+    // reads only footers, never data.
     val rawSchemaDf = spark.read.parquet(srcPath)
     val tsType = rawSchemaDf.schema(tsCol).dataType
-    val span = rawSchemaDf
-      .agg(max(StagedStream.tsAsTimestamp(tsType, tsCol)).cast("long")
-        - min(StagedStream.tsAsTimestamp(tsType, tsCol)).cast("long"))
-      .head().getLong(0)
-    val watermarkSec = span + gapSec
+    val watermarkSec =
+      if (delaySec >= 0L) delaySec
+      else {
+        val spanRow = rawSchemaDf
+          .agg(max(StagedStream.tsAsTimestamp(tsType, tsCol)).cast("long")
+            - min(StagedStream.tsAsTimestamp(tsType, tsCol)).cast("long"))
+          .head()
+        val span = if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
+        span + gapSec
+      }
     val staged = StagedStream.dir(spark, srcPath, tsCol, userCol,
       windowSec = gapSec, watermarkSec = watermarkSec)
     val schema = spark.read.parquet(staged).schema
@@ -1086,7 +1095,8 @@ object Incremental {
       spark: SparkSession,
       srcPath: String,
       lookbackUs: Long,
-      statePartitions: Int = 0): DataFrame = {
+      statePartitions: Int = 0,
+      delaySec: Long = -1L): DataFrame = {
     import spark.implicits._
     require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
     val src = streamSource(spark, srcPath)
@@ -1100,12 +1110,20 @@ object Incremental {
     // micro-batches can then never mark a purchase late or expire a
     // still-creditable touch — a 0-second delay would drop any event
     // older than a previously-seen batch's maximum. A production
-    // deployment tunes this to its real arrival skew.
-    val batchView = spark.read.parquet(srcPath)
-    val spanUs = batchView
-      .agg(max(tsUsOf(batchView)) - min(tsUsOf(batchView)))
-      .head().getLong(0)
-    val watermarkSec = spanUs / 1000000L + lookbackUs / 1000000L + 1L
+    // deployment passes `delaySec` (its real arrival-skew bound), which
+    // skips this declaration-time full-source span probe entirely — the
+    // probe is a bounded-fixture convenience, not a 100 TB pattern.
+    val watermarkSec =
+      if (delaySec >= 0L) delaySec
+      else {
+        val batchView = spark.read.parquet(srcPath)
+        val spanRow = batchView
+          .agg(max(tsUsOf(batchView)) - min(tsUsOf(batchView)))
+          .head()
+        // empty source -> NULL span: stream degenerates to an empty credit frame
+        val spanUs = if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
+        spanUs / 1000000L + lookbackUs / 1000000L + 1L
+      }
     val tsUs = tsUsOf(src)
     val in = src
       .select(col("user_id").cast("long").as("user_id"),
@@ -1170,6 +1188,10 @@ object Incremental {
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
-    spark.read.parquet(sink.toString)
+    // explicit schema: an empty source emits no files, and a bare read of
+    // the empty sink would fail schema inference instead of returning
+    // zero credits
+    spark.read.schema(implicitly[org.apache.spark.sql.Encoder[TouchCredit]].schema)
+      .parquet(sink.toString)
   }
 }

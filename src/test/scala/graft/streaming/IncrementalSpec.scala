@@ -450,4 +450,76 @@ class IncrementalSpec extends AnyFunSuite {
         Seq("l_orderkey"), graft.etl.Loads.AggSpec.sums(Seq("l_quantity")), "n",
         null, snapshotPartitions = 0))
   }
+
+  test("caller-supplied delaySec skips the declaration-time span probe " +
+      "and matches the probe-default results") {
+    import scala.jdk.CollectionConverters._
+    val evPath = s"${GraftSpark.Sf0001}/events.parquet"
+    val ev = Tables.events(spark, GraftSpark.Sf0001) // sets nanosAsLong
+    val lookbackUs = 7L * 86400L * 1000000L
+    // compute the sufficient delays BEFORE the listener is live (this
+    // scan is itself a max-min agg and would pollute the probe check)
+    val spanSec = ev.agg((unix_micros(max("ts")) - unix_micros(min("ts")))
+      .divide(1000000L).cast("long")).head().getLong(0)
+    val touchDelay = spanSec + lookbackUs / 1000000L + 1L
+    val sessDelay = spanSec + 1800L + 1L
+    def channelTotals(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v"))
+      .orderBy("channel").collect().toSeq
+    val defaultTouch = channelTotals(
+      Incremental.streamingLastTouch(spark, evPath, lookbackUs))
+    val defaultSess = Incremental.statefulSessionCounts(spark, evPath,
+      "ts", "user_id", gapUs = 1800L * 1000000).orderBy("user_id").collect().toSeq
+
+    // the probe is the only batch action whose plan aggregates BOTH a max
+    // and a min over the source; record analyzed plans and assert absence
+    // CopyOnWriteArrayList: the listener bus appends concurrently with
+    // the polling iteration below
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        seen.add(qe.analyzed.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    def awaitFlushed(tag: String): Unit = {
+      spark.range(1).select(lit(tag).as("m")).head()
+      val deadline = System.nanoTime + 30L * 1000000000L
+      while (!seen.asScala.exists(_.contains(tag)) && System.nanoTime < deadline)
+        Thread.sleep(50)
+      assert(seen.asScala.exists(_.contains(tag)), "listener bus never drained")
+    }
+    def probeSeen = seen.asScala.exists(p => p.contains("max(") && p.contains("min("))
+    spark.listenerManager.register(listener)
+    try {
+      val withDelayTouch = channelTotals(
+        Incremental.streamingLastTouch(spark, evPath, lookbackUs,
+          delaySec = touchDelay))
+      val withDelaySess = Incremental.statefulSessionCounts(spark, evPath,
+          "ts", "user_id", gapUs = 1800L * 1000000, delaySec = sessDelay)
+        .orderBy("user_id").collect().toSeq
+      awaitFlushed("__graft_flush_nodelay__")
+      assert(!probeSeen, "delaySec must skip the span probe scan")
+      assert(withDelayTouch == defaultTouch)
+      assert(withDelaySess == defaultSess)
+      // positive control: the default path DOES run the probe
+      Incremental.streamingLastTouch(spark, evPath, lookbackUs)
+      awaitFlushed("__graft_flush_default__")
+      assert(probeSeen, "probe-check pattern lost track of the default path")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("streamingLastTouch on an empty source returns an empty credit frame") {
+    val tmp = Files.createTempDirectory("graft_emptysrc").toString
+    Tables.events(spark, GraftSpark.Sf0001).limit(0)
+      .write.parquet(s"$tmp/events.parquet")
+    // probe-default path: the span aggregate is NULL on zero rows
+    val out = Incremental.streamingLastTouch(spark, s"$tmp/events.parquet",
+      lookbackUs = 1000000L)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "purchase_id", "channel", "value"))
+  }
 }

@@ -41,7 +41,8 @@ def main(argv):
                           else float("-inf")):
         noise = cur.get("noise_ratio", {}).get(k)
         samples = cur.get("samples", {}).get(k)
-        print(f"  REGRESSION {k}: {b:.2f} -> {c:.2f} ({c/b:.1f}x) "
+        rx = f"{c/b:.1f}x" if b > 0 else "infx"
+        print(f"  REGRESSION {k}: {b:.2f} -> {c:.2f} ({rx}) "
               f"noise={noise} samples={samples}")
     if not regs:
         print("no >2x regressions")
