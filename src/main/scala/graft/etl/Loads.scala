@@ -224,6 +224,83 @@ object Loads {
       .select(existing.columns.map(col).toSeq: _*)
   }
 
+  /** Subject ERASURE on a maintained rollup — the GDPR leg of L8
+    * ([[mergeAggregate]] can refresh a rollup from a delta but cannot
+    * forget a subject; an aggregate still "knows" erased facts).
+    * Retracts the victims' contribution WITHOUT a full recompute:
+    *  - `count`/`sum` partials form a GROUP under addition — the
+    *    victims' re-aggregated partials subtract in closed form,
+    *    O(|victims| + |affected keys|);
+    *  - `min`/`max` are only SEMIGROUPS (no inverse), so the affected
+    *    keys recompute those columns from `retained` RESTRICTED TO THE
+    *    AFFECTED KEYS (one keyed semi-join — never a history rescan; at
+    *    100 TB the key predicate prunes partitions/row-groups). Pass
+    *    `retained = null` for all-sum rollups — it is then never read.
+    * Keys whose count reaches 0 drop out of the rollup entirely.
+    *
+    * `victims` is the subject's RAW fact rows, which must already be
+    * folded into `existing` — retracting unseen rows corrupts the rollup
+    * (the mirror of [[graft.ops.Bm25Index.append]]'s disjointness
+    * contract). `retained` is the raw fact source WITHOUT the victims.
+    * The declared `l8_rollup_erase` query's oracle is the full recompute
+    * over the retained facts — erasure on the aggregate is provably a
+    * rebuild without the victims (sum retraction is bit-exact here
+    * because the fixture measures are integer-valued doubles; a
+    * decimal-typed rollup is exact unconditionally).
+    */
+  def rollupErase(
+      existing: DataFrame,
+      victims: DataFrame,
+      keys: Seq[String],
+      specs: Seq[AggSpec],
+      countCol: String,
+      retained: DataFrame = null): DataFrame = {
+    require(keys.nonEmpty, "rollupErase needs at least one key")
+    require(specs.map(_.column).distinct.size == specs.size,
+      s"one AggSpec per column: ${specs.map(_.column)}")
+    val expected = ((keys ++ specs.map(_.column)) :+ countCol).sorted
+    require(existing.columns.sorted.toSeq == expected,
+      s"existing must be exactly keys + spec columns + '$countCol': " +
+        s"got ${existing.columns.toSeq.sorted} want $expected")
+    val minMax = specs.filter(s => s.agg == "min" || s.agg == "max")
+    require(minMax.isEmpty || retained != null,
+      s"min/max specs ${minMax.map(_.column)} need `retained` for the keyed recompute")
+    val sums = specs.filter(_.agg == "sum")
+    // the victims' partials re-aggregate map-side; this frame is bounded
+    // by the AFFECTED key count and drives both the subtraction and the
+    // recompute key set
+    val vAgg = victims.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__vn"),
+        sums.map(s => sum(col(s.column)).as("__v_" + s.column)): _*)
+    val vKeys = vAgg.select(keys.map(col): _*)
+    val untouched = existing.join(vKeys, keys, "left_anti")
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+    // inner join = affected keys only; an all-NULL victim measure sums to
+    // NULL (nothing to subtract — coalesced away)
+    val subtracted = sums.foldLeft(
+        existing.join(vAgg, keys)
+          .withColumn(countCol, (col(countCol) - col("__vn")).cast("long"))
+      ) { (df, s) =>
+        df.withColumn(s.column, col(s.column) - coalesce(col("__v_" + s.column), lit(0)))
+      }
+    val withMinMax =
+      if (minMax.isEmpty) subtracted
+      else {
+        val reAgg = minMax.map(s => AggSpec.Fns(s.agg)(col(s.column)).as("__r_" + s.column))
+        val re = retained.join(vKeys, keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(reAgg.head, reAgg.tail: _*)
+        // LEFT: a fully-erased key has no retained rows — its NULL
+        // min/max never surfaces because the count-0 filter drops it
+        minMax.foldLeft(subtracted.join(re, keys, "left")) { (df, s) =>
+          df.withColumn(s.column, col("__r_" + s.column))
+        }
+      }
+    untouched.unionByName(
+      withMinMax.filter(col(countCol) > 0)
+        .select(existing.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** [[mergeAggregate]] with every column summed — the original L8
     * surface (kept as the common case's shorthand).
     */

@@ -83,20 +83,35 @@ object Bm25Index {
       require(overlap.isEmpty,
         "Bm25Index.append requires delta doc ids disjoint from the base index")
     }
-    val postings = index.postings.unionByName(d.postings)
-    val terms = index.terms.unionByName(d.terms)
-      .groupBy("term").agg(sum("df").as("df"))
-    // both sides are 1-row stats frames (the index-format contract) —
-    // the broadcast-scalar crossJoin family, collapsed to literals at
-    // serve time by topK's bounded stats collect
-    val stats = index.stats.crossJoin(
-        d.stats.select(col("n").as("__dn"), col("avgdl").as("__davgdl")))
+    Bm25Index(index.postings.unionByName(d.postings),
+      mergeTerms(index.terms, d.terms),
+      mergeStats(index.stats, d.stats))
+  }
+
+  /** Per-term document frequencies SUM across disjoint corpora — the
+    * vocabulary-sized half of the closed-form recombination [[append]]
+    * and the streaming maintainer
+    * ([[graft.streaming.Incremental.streamBm25Maintain]]) share.
+    */
+  private[graft] def mergeTerms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("term").agg(sum("df").as("df"))
+
+  /** The 1-row (n, avgdl) stats recombine in closed form
+    * (`avgdl' = (n·avgdl + n_Δ·avgdl_Δ)/(n + n_Δ)`). Both sides are
+    * 1-row stats frames (the index-format contract) — the
+    * broadcast-scalar crossJoin family, collapsed to literals at serve
+    * time by topK's bounded stats collect. An EMPTY side carries
+    * (0, NULL avgdl) — coalesced to 0 so it contributes nothing instead
+    * of nulling the merge.
+    */
+  private[graft] def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.crossJoin(
+        b.select(col("n").as("__dn"), col("avgdl").as("__davgdl")))
       .select(
         (col("n") + col("__dn")).as("n"),
-        ((col("n") * col("avgdl") + col("__dn") * col("__davgdl")) /
-          (col("n") + col("__dn"))).as("avgdl"))
-    Bm25Index(postings, terms, stats)
-  }
+        ((col("n") * coalesce(col("avgdl"), lit(0.0)) +
+          col("__dn") * coalesce(col("__davgdl"), lit(0.0))) /
+          greatest(col("n") + col("__dn"), lit(1.0))).as("avgdl"))
 
   /** Index ERASURE — the delete half of the maintenance story beside
     * [[append]] (GDPR/right-to-be-forgotten applied to the serving

@@ -104,6 +104,34 @@ object EtlQueries {
     }),
 
 
+    // L8's GDPR leg (Loads.rollupErase): the maintained rollup FORGETS
+    // one supplier-subject's facts — count/sum retract in closed form
+    // (victims' partials subtract), min/max recompute per AFFECTED key
+    // from the retained facts via one keyed semi-join (no history
+    // rescan), fully-erased keys drop out. Oracle: the full recompute
+    // over the retained facts — erasure on the aggregate is provably
+    // equal to rebuilding it without the victims.
+    "l8_rollup_erase" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val existing = l.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("l_quantity").as("l_quantity"),
+          min("l_extendedprice").as("l_extendedprice"),
+          max("l_shipdate").as("l_shipdate"))
+      val isVictim = pmod(col("l_suppkey"), lit(13)) === 0
+      Loads.rollupErase(existing, l.filter(isVictim), Seq("l_returnflag"),
+          Seq(Loads.AggSpec("l_quantity", "sum"),
+            Loads.AggSpec("l_extendedprice", "min"),
+            Loads.AggSpec("l_shipdate", "max")), "n",
+          retained = l.filter(!isVictim))
+        .select(col("l_returnflag"), col("n"),
+          round(col("l_quantity"), 4).as("sum_qty"),
+          round(col("l_extendedprice"), 4).as("min_price"),
+          col("l_shipdate").as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+
     // L9 partition-prune canary: events land DATE-PARTITIONED (the
     // FileLoads layout a 100 TB fact table lives in), and the one-week
     // read-back filters on the PARTITION column — the scan must list only
@@ -178,6 +206,19 @@ object EtlQueries {
     // oracle; approx_percentile is the 100 TB leg (ProfileSpec parity)
     "m8_quantile_profile" -> ((s, dir) =>
       graft.schema.Profile.quantileProfile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
+
+
+    // the 100 TB APPROX leg, declared with its in-row error audit: the
+    // sketch estimates themselves are compression-order-sensitive (not
+    // run-stable), but the GK rank guarantee is deterministic — so the
+    // row carries the exact quantiles (full quantile_cont oracle) plus
+    // one boolean per column asserting every approx_percentile estimate
+    // sits between the exact quantiles at p ± 1% rank mass (oracle:
+    // literal TRUE — the guarantee, not the estimate, is the contract)
+    "m8_quantile_profile_approx" -> ((s, dir) =>
+      graft.schema.Profile.quantileProfileAudit(Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")),
 
@@ -484,9 +525,25 @@ object EtlQueries {
           .crossJoin(after.agg(count(lit(1)).as("n_after"))) // 1-row scalars
           .select(lit(name).as("artifact"), col("n_before"), col("n_after"),
             (col("n_before") - col("n_after")).as("n_erased"))
+      // the MAINTAINED ROLLUP is the fourth artifact that still "knows"
+      // the subject: rollupErase retracts the victims' count/sum in
+      // closed form, and the ledger reports the FACTS THE AGGREGATE
+      // STILL COUNTS (Σn), not its row count — the quantity a DPO audits
+      val rollup = docs.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"), sum("n_chars").as("n_chars"))
+      val rollupErased = graft.etl.Loads.rollupErase(rollup,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3),
+        Seq("lang"), Seq(graft.etl.Loads.AggSpec("n_chars", "sum")), "n")
+      val rollupLeg = rollup.agg(sum(col("n")).as("n_before"))
+        .crossJoin(rollupErased // 1-row scalars
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n_after")))
+        .select(lit("l8_rollup_counted").as("artifact"),
+          col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).as("n_erased"))
       leg("corpus_docs", docs, graft.etl.Erasure.retained(docs, "doc_id", victims))
         .unionByName(leg("bm25_postings", bm25.postings, bm25e.postings))
         .unionByName(leg("ivfpq_vectors", ivf.lists, ivfe.lists))
+        .unionByName(rollupLeg)
         .orderBy("artifact")
     }),
 
@@ -656,6 +713,17 @@ object EtlQueries {
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
 
 
+    // the full recompute WITHOUT the victims — closed-form retraction
+    // must equal a rebuild on the retained facts
+    "l8_rollup_erase" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(min(l_extendedprice), 4) AS min_price, " +
+        "max(l_shipdate) AS max_ship " +
+        "FROM lineitem WHERE l_suppkey % 13 <> 0 " +
+        "GROUP BY 1 ORDER BY l_returnflag"),
+
+
     "l9_partition_prune" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS p_date, CAST(count(*) AS BIGINT) AS n_events, " +
         "round(sum(value), 4) AS sum_value FROM events " +
@@ -709,6 +777,19 @@ object EtlQueries {
           s"round(quantile_cont($c, 0.5), 4) AS p50, " +
           s"round(quantile_cont($c, 0.75), 4) AS p75, " +
           s"round(quantile_cont($c, 0.95), 4) AS p95 FROM lineitem")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
+
+
+    // the audit booleans are the CONTRACT (GK rank guarantee), so the
+    // oracle expects literal TRUE beside the exact quantiles
+    "m8_quantile_profile_approx" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"SELECT '$c' AS col_name, " +
+          s"round(quantile_cont($c, 0.25), 4) AS p25, " +
+          s"round(quantile_cont($c, 0.5), 4) AS p50, " +
+          s"round(quantile_cont($c, 0.75), 4) AS p75, " +
+          s"round(quantile_cont($c, 0.95), 4) AS p95, " +
+          s"TRUE AS approx_within_rank_tol FROM lineitem")
         .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")),
 
 
@@ -932,7 +1013,9 @@ object EtlQueries {
         "UNION ALL SELECT 'bm25_postings', (SELECT count(*) FROM post), " +
         "(SELECT count(*) FROM post WHERE doc_id % 10 <> 3) " +
         "UNION ALL SELECT 'ivfpq_vectors', (SELECT count(*) FROM embeddings), " +
-        "(SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 3)) " +
+        "(SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 3) " +
+        "UNION ALL SELECT 'l8_rollup_counted', (SELECT count(*) FROM documents), " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 10 <> 3)) " +
         "SELECT artifact, CAST(n_before AS BIGINT) AS n_before, " +
         "CAST(n_after AS BIGINT) AS n_after, " +
         "CAST(n_before - n_after AS BIGINT) AS n_erased " +

@@ -218,6 +218,38 @@ object StreamingQueries {
             .withColumn("doc_id", col("doc_id") + lit(1000000L)))
         .orderBy("batch_id", "corpus_id")
     }),
+
+
+    // Streaming BM25 index MAINTENANCE (streaming/Incremental
+    // .streamBm25Maintain): the corpus arrives as micro-batches
+    // (maxFilesPerTrigger=1 over a 3-file hash-split staging, disjoint
+    // doc ids) and folds into the persisted inverted index PER BATCH —
+    // postings land append-only (term-range partitioned per batch dir),
+    // the vocab-sized df dictionary and 1-row (n, avgdl) stats roll
+    // forward in Bm25Index.append's exact closed form, all three
+    // artifacts committed by one _committed_<batchId> marker
+    // (exactly-once across foreachBatch replays; streamRollupMaintain's
+    // run-identity guard rejects fresh-checkpoint batch-id collisions).
+    // The maintained index serves the SAME query set as
+    // text_bm25_persisted and SHARES ITS ORACLE: streaming ingest is
+    // provably a rebuild.
+    "stream_index_maintain" -> ((s, dir) => {
+      import s.implicits._
+      val idxDir = IndexFixture.dir("bm25_stream", dir) { tmp =>
+        Tables.documents(s, dir).repartition(3, col("doc_id"))
+          .write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamBm25Maintain(
+          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+          maxFilesPerTrigger = 1)
+      }
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      graft.ops.Bm25Index.topK(
+          graft.streaming.Incremental.readBm25Maintained(s, s"$idxDir/index"),
+          qs, "q_id", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +257,10 @@ object StreamingQueries {
     // join's answer — shared oracle, not a lookalike (the channel column
     // there is this roll-up's channel)
     "stream_attribution" -> EventsQueries.oracles("attribution_last_touch"),
+
+    // the streamed-maintained index must serve EXACTLY like the
+    // build-once persisted index (BM25 append is exact) — shared oracle
+    "stream_index_maintain" -> TextQueries.oracles("text_bm25_persisted"),
 
     "stream_rollup_maintain" ->
       ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +

@@ -82,4 +82,54 @@ object Profile {
       round(col(s"__q3_$c"), 4).as("p95"))): _*)
     one.select(explode(perCol).as("p")).select("p.*")
   }
+
+  /** The 100 TB approx leg of [[quantileProfile]], DECLARED with its
+    * error audit in the same pass. `approx_percentile`'s merged sketch
+    * is compression-ORDER-sensitive — the raw estimates are not
+    * run-stable and can't be pinned — but its Greenwald–Khanna rank
+    * guarantee IS deterministic: with accuracy `2/rankTol` the returned
+    * value's rank is within `rankTol/2` of the probe. So the declared
+    * row carries the EXACT quantiles (full `quantile_cont` SQL oracle)
+    * plus ONE stable boolean per column: every sketch estimate lies
+    * between the exact quantiles at `p ± rankTol` (inclusive — on
+    * duplicate-heavy columns the band can collapse to a single value,
+    * which the rank guarantee still hits). At 100 TB the caller profiles
+    * with the approx column alone; this audited form is the declared
+    * evidence the swap is safe (the `corpus_profile_sketch_error`
+    * pattern, in-row).
+    */
+  def quantileProfileAudit(
+      df: DataFrame,
+      columns: Seq[String],
+      rankTol: Double = 0.01): DataFrame = {
+    require(columns.nonEmpty, "quantileProfileAudit needs at least one numeric column")
+    require(rankTol > 0 && rankTol <= 0.05, s"rankTol out of range (0, 0.05]: $rankTol")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    // sketch twice as tight as the audit band: rank slack for the
+    // interpolation at the band edges
+    val accuracy = math.ceil(2.0 / rankTol).toInt
+    def exact(c: String, p: Double) =
+      call_function("percentile", col(c), lit(p)).cast("double")
+    val metrics = columns.flatMap { c =>
+      ps.zipWithIndex.flatMap { case (p, i) =>
+        Seq(
+          exact(c, p).as(s"__q${i}_$c"),
+          exact(c, math.max(0.0, p - rankTol)).as(s"__lo${i}_$c"),
+          exact(c, math.min(1.0, p + rankTol)).as(s"__hi${i}_$c"),
+          percentile_approx(col(c), lit(p), lit(accuracy))
+            .cast("double").as(s"__a${i}_$c"))
+      }
+    }
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val perCol = array(columns.map(c => struct(
+      lit(c).as("col_name"),
+      round(col(s"__q0_$c"), 4).as("p25"),
+      round(col(s"__q1_$c"), 4).as("p50"),
+      round(col(s"__q2_$c"), 4).as("p75"),
+      round(col(s"__q3_$c"), 4).as("p95"),
+      ps.indices.map(i =>
+          col(s"__a${i}_$c").between(col(s"__lo${i}_$c"), col(s"__hi${i}_$c")))
+        .reduce(_ && _).as("approx_within_rank_tol"))): _*)
+    one.select(explode(perCol).as("p")).select("p.*")
+  }
 }

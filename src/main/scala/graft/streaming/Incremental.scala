@@ -57,12 +57,88 @@ object Incremental {
     * tables are single files — stream the parent dir with a
     * `pathGlobFilter` on the file name.
     */
-  private def streamSource(spark: SparkSession, srcPath: String) = {
+  private def streamSource(
+      spark: SparkSession,
+      srcPath: String,
+      options: Map[String, String] = Map.empty) = {
     val f = new java.io.File(srcPath)
     val (dir, globFilter) =
       if (f.isFile) (f.getParent, f.getName) else (srcPath, "*")
     val schema = spark.read.option("pathGlobFilter", globFilter).parquet(dir).schema
-    spark.readStream.schema(schema).option("pathGlobFilter", globFilter).parquet(dir)
+    spark.readStream.schema(schema).option("pathGlobFilter", globFilter)
+      .options(options).parquet(dir)
+  }
+
+  /** Read a small filesystem artifact fully — Hadoop FS resolved from the
+    * path itself (the checkpoint may live on a different scheme than the
+    * maintained state, and opening a foreign path through the wrong
+    * handle throws 'Wrong FS').
+    */
+  private def readUtf8(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): String = {
+    val pfs = p.getFileSystem(conf)
+    val s = pfs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(s), "UTF-8")
+    finally s.close()
+  }
+
+  /** The streaming query id in `<ckpt>/metadata` (`{"id":"<uuid>"}`) —
+    * present iff this checkpoint has run before. Stable across checkpoint
+    * COPIES/restores, fresh for a new checkpoint.
+    */
+  private def checkpointQueryId(
+      conf: org.apache.hadoop.conf.Configuration,
+      ckptStr: String): Option[String] = {
+    val meta = new org.apache.hadoop.fs.Path(ckptStr, "metadata")
+    val mfs = meta.getFileSystem(conf)
+    if (!mfs.exists(meta)) None
+    else "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(readUtf8(conf, meta)).map(_.group(1))
+  }
+
+  /** RUN-IDENTITY GUARD shared by the batch-stamped maintainers
+    * ([[streamRollupMaintain]], [[streamBm25Maintain]]): batch ids are
+    * comparable only within ONE checkpoint lineage — a fresh checkpoint
+    * restarts them at 0, so its live batches would collide with
+    * historical batch-stamped artifacts and be silently skipped as
+    * "already committed" (data loss). The maintained state carries a
+    * `_graft_query_id` stamp; a run whose checkpoint identity does not
+    * match fails loudly instead of merging.
+    */
+  private def assertRunIdentity(
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      ckptStr: String,
+      what: String): Unit = {
+    val stampPath = new org.apache.hadoop.fs.Path(root, "_graft_query_id")
+    if (fs.exists(stampPath)) {
+      val stamped = readUtf8(conf, stampPath).trim
+      val current = checkpointQueryId(conf, ckptStr)
+      require(current.contains(stamped),
+        s"$what at $root was maintained by streaming query '$stamped' " +
+          s"but checkpoint '$ckptStr' carries ${current.fold("no run yet (fresh checkpoint)")(id => s"query '$id'")}: " +
+          "its batch ids would restart and live batches would be silently " +
+          "skipped as stale snapshots. Reuse the original checkpoint " +
+          "(or a restored copy of it), or start a fresh target path.")
+    }
+  }
+
+  /** Stamp (once) the checkpoint identity whose batch ids the maintained
+    * state carries; the checkpoint's `metadata` exists once the query has
+    * started.
+    */
+  private def stampRunIdentity(
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      ckptStr: String): Unit = {
+    val stampPath = new org.apache.hadoop.fs.Path(root, "_graft_query_id")
+    if (!fs.exists(stampPath)) checkpointQueryId(conf, ckptStr).foreach { id =>
+      val out = fs.create(stampPath, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   def incrementalRefresh(
@@ -588,38 +664,11 @@ object Incremental {
     // Hadoop FS, not java.nio: the rollup lives wherever the table lives
     // (HDFS/S3/local) — snapshot listing and retirement must go through
     // the same filesystem the parquet writer commits to
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(rollupPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
-    // resolve the FileSystem from the path itself: the checkpoint may
-    // live on a different filesystem/scheme than the rollup, and opening
-    // a foreign path through the rollup's handle throws 'Wrong FS'
-    def readUtf8(p: org.apache.hadoop.fs.Path): String = {
-      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val s = pfs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(s), "UTF-8")
-      finally s.close()
-    }
-    // the streaming query id lives in <ckpt>/metadata as {"id":"<uuid>"}
-    // — present iff this checkpoint has run before
-    def checkpointQueryId(): Option[String] = {
-      val meta = new org.apache.hadoop.fs.Path(ckptStr, "metadata")
-      val mfs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!mfs.exists(meta)) None
-      else "\"id\"\\s*:\\s*\"([^\"]+)\"".r
-        .findFirstMatchIn(readUtf8(meta)).map(_.group(1))
-    }
-    val stampPath = new org.apache.hadoop.fs.Path(root, "_graft_query_id")
-    if (fs.exists(stampPath)) {
-      val stamped = readUtf8(stampPath).trim
-      val current = checkpointQueryId()
-      require(current.contains(stamped),
-        s"rollup at $rollupPath was maintained by streaming query '$stamped' " +
-          s"but checkpoint '$ckptStr' carries ${current.fold("no run yet (fresh checkpoint)")(id => s"query '$id'")}: " +
-          "its batch ids would restart and live batches would be silently " +
-          "skipped as stale snapshots. Reuse the original checkpoint " +
-          "(or a restored copy of it), or start a fresh rollupPath.")
-    }
+    assertRunIdentity(conf, fs, root, ckptStr, "rollup")
     // committed = has the parquet committer's _SUCCESS marker; a dir a
     // crash left half-written is invisible here and gets rewritten
     def committedSnaps(): Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -668,12 +717,7 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // stamp (once) the identity whose batch ids the snapshots carry; the
-    // metadata file exists now that the query has started
-    if (!fs.exists(stampPath)) checkpointQueryId().foreach { id =>
-      val out = fs.create(stampPath, true)
-      try out.write(id.getBytes("UTF-8")) finally out.close()
-    }
+    stampRunIdentity(conf, fs, root, ckptStr)
     val fin = committedSnaps()
     require(fin.nonEmpty, s"no committed rollup snapshot under $rollupPath")
     spark.read.parquet(fin.last._2.toString)
@@ -719,6 +763,143 @@ object Incremental {
     streamRollupMaintain(spark, srcPath, rollupPath, keys,
       graft.etl.Loads.AggSpec.sums(sumCols), countCol, checkpointPath,
       snapshotPartitions = 1)
+
+  /** Streaming BM25 index maintenance:
+    * [[graft.ops.Bm25Index.append]]-semantics applied PER MICRO-BATCH via
+    * foreachBatch — the streaming leg that completes the persisted-index
+    * lifecycle (build → stream-append → erase → serve). Each batch of
+    * NEW documents pays one build pass over ITSELF only:
+    *  - its postings land in an append-only `postings/batch_<id>` dir
+    *    (term-range partitioned within, so the serve-time term pushdown
+    *    still skips files by footer stats — the [[graft.ops.Bm25Index.write]]
+    *    layout, per batch);
+    *  - the vocabulary-sized df dictionary and the 1-row (n, avgdl)
+    *    stats roll forward as batch-stamped snapshots, recombined in the
+    *    EXACT closed form append uses — so the maintained index serves
+    *    identically to a rebuild on everything ingested (asserted in
+    *    IncrementalSpec; the declared `stream_index_maintain` query
+    *    shares `text_bm25_persisted`'s oracle).
+    * Per-trigger work is O(|batch| + |vocab|): corpus-sized postings are
+    * never rewritten — unlike [[streamRollupMaintain]], whose whole
+    * state is group-bounded and can snapshot wholesale.
+    *
+    * Exactly-once across at-least-once foreachBatch replays: the three
+    * per-batch artifacts (postings dir, terms snapshot, stats snapshot)
+    * commit under ONE `_committed_<batchId>` marker written LAST — a
+    * replayed committed batch skips entirely; a crash anywhere earlier
+    * leaves no marker, and the replay rewrites the same deterministic
+    * artifacts (mode overwrite). The [[streamRollupMaintain]]
+    * RUN-IDENTITY GUARD applies unchanged: the index root carries the
+    * maintaining query's id, and a fresh checkpoint (batch ids
+    * restarting at 0) fails loudly instead of silently skipping live
+    * batches as replays. Superseded df/stats snapshots are retired
+    * (latest two kept); postings batch dirs ARE the data and all stay
+    * live.
+    *
+    * Doc-id disjointness across batches is the caller's contract, as in
+    * [[graft.ops.Bm25Index.append]]. Returns the maintained index
+    * ([[readBm25Maintained]]) for serving.
+    */
+  def streamBm25Maintain(
+      spark: SparkSession,
+      srcPath: String,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      checkpointPath: String = null,
+      maxFilesPerTrigger: Int = 0,
+      postingsFilesPerBatch: Int = 2): graft.ops.Bm25Index = {
+    require(postingsFilesPerBatch >= 1,
+      s"postingsFilesPerBatch must be >= 1: $postingsFilesPerBatch")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val ckptStr =
+      if (checkpointPath != null) checkpointPath
+      else new org.apache.hadoop.fs.Path(indexPath, "_checkpoint").toString
+    assertRunIdentity(conf, fs, root, ckptStr, "bm25 index")
+    val srcOpts =
+      if (maxFilesPerTrigger > 0)
+        Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString)
+      else Map.empty[String, String]
+    val in = streamSource(spark, srcPath, srcOpts)
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    def committedIds(): Seq[Long] =
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_committed_"))
+        .map(_.stripPrefix("_committed_").toLong).sorted
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done = committedIds()
+        if (done.contains(batchId)) {
+          () // at-least-once replay of an already-committed batch: skip
+        } else {
+          // the delta pays one build pass over ITSELF only
+          val d = graft.ops.Bm25Index.build(batch, idCol, textCol)
+          d.postings
+            .repartitionByRange(postingsFilesPerBatch, col("term"))
+            .sortWithinPartitions("term", "id")
+            .write.mode("overwrite")
+            .parquet(sub(s"postings/batch_$batchId").toString)
+          // roll the bounded state forward from the latest committed
+          // snapshot BEFORE this batch (a replay must not read its own
+          // superseded output)
+          val (terms, stats) = done.filter(_ < batchId).lastOption match {
+            case Some(p) =>
+              (graft.ops.Bm25Index.mergeTerms(
+                spark.read.parquet(sub(s"terms_snap_$p").toString), d.terms),
+                graft.ops.Bm25Index.mergeStats(
+                  spark.read.parquet(sub(s"stats_snap_$p").toString), d.stats))
+            case None => (d.terms, d.stats)
+          }
+          // vocabulary-sized and 1-row — one file each is the right shape
+          terms.coalesce(1).write.mode("overwrite")
+            .parquet(sub(s"terms_snap_$batchId").toString)
+          stats.coalesce(1).write.mode("overwrite")
+            .parquet(sub(s"stats_snap_$batchId").toString)
+          // ONE commit point covers all three artifacts — a crash between
+          // any of the writes above and this create leaves the batch
+          // uncommitted, so the replay rewrites it wholesale
+          fs.create(sub(s"_committed_$batchId"), true).close()
+          // retire superseded snapshots; keep two so the reader of the
+          // previous snapshot (a concurrent replay) is never yanked
+          committedIds().dropRight(2).foreach { id =>
+            fs.delete(sub(s"terms_snap_$id"), true)
+            fs.delete(sub(s"stats_snap_$id"), true)
+          }
+        }
+      }
+      .option("checkpointLocation", ckptStr)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stampRunIdentity(conf, fs, root, ckptStr)
+    readBm25Maintained(spark, indexPath)
+  }
+
+  /** Read the [[streamBm25Maintain]]ed index: every committed postings
+    * batch dir plus the LATEST committed df/stats snapshots. The same
+    * serve surface as [[graft.ops.Bm25Index.read]] — term pushdown
+    * prunes across all batch dirs' files alike (footer stats are
+    * per-file, not per-layout).
+    */
+  def readBm25Maintained(
+      spark: SparkSession, indexPath: String): graft.ops.Bm25Index = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong).sorted
+    require(done.nonEmpty, s"no committed bm25 index batch under $indexPath")
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
+    graft.ops.Bm25Index(
+      spark.read
+        .parquet(done.map(id => sub(s"postings/batch_$id")): _*)
+        .select("term", "id", "tf", "dl"),
+      spark.read.parquet(sub(s"terms_snap_${done.last}")).select("term", "df"),
+      spark.read.parquet(sub(s"stats_snap_${done.last}")).select("n", "avgdl"))
+  }
 
   /** Native gap-based SESSION windows (Spark's `session_window` — dynamic
     * event-time windows that extend with each event and MERGE in the

@@ -191,4 +191,51 @@ class LoadsSpec extends AnyFunSuite {
         Seq(Loads.AggSpec("l_quantity", "sum"), Loads.AggSpec("l_quantity", "min")), "n")
     }
   }
+
+  test("L8 rollupErase: retraction equals the rebuild without victims; " +
+      "fully-erased keys drop; value conservation") {
+    val specs = Seq(Loads.AggSpec("l_quantity", "sum"),
+      Loads.AggSpec("l_extendedprice", "min"),
+      Loads.AggSpec("l_shipdate", "max"))
+    def rollup(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"), sum("l_quantity").as("l_quantity"),
+        min("l_extendedprice").as("l_extendedprice"), max("l_shipdate").as("l_shipdate"))
+    def render(df: DataFrame) = df.orderBy("l_returnflag").collect().map(r =>
+      (r.getString(r.fieldIndex("l_returnflag")), r.getLong(r.fieldIndex("n")),
+        math.round(r.getDouble(r.fieldIndex("l_quantity")) * 1e4),
+        math.round(r.getDouble(r.fieldIndex("l_extendedprice")) * 1e4),
+        r.get(r.fieldIndex("l_shipdate")).toString)).toSeq
+    val isVictim = pmod(col("l_suppkey"), lit(13)) === 0
+    val erased = Loads.rollupErase(rollup(li), li.filter(isVictim),
+      Seq("l_returnflag"), specs, "n", retained = li.filter(!isVictim))
+    assert(render(erased) == render(rollup(li.filter(!isVictim))))
+    // value conservation: erased-rollup partials + victims' partials =
+    // original rollup partials (count and sum; sums here are
+    // integer-valued doubles, so equality is exact)
+    val origTot = rollup(li).agg(sum("n"), sum("l_quantity")).head()
+    val afterTot = erased.agg(sum("n"), sum("l_quantity")).head()
+    val vTot = li.filter(isVictim)
+      .agg(count(lit(1)).cast("long"), sum("l_quantity")).head()
+    assert(afterTot.getLong(0) + vTot.getLong(0) == origTot.getLong(0))
+    assert(afterTot.getDouble(1) + vTot.getDouble(1) == origTot.getDouble(1))
+    // a FULLY-victim key drops out of the rollup entirely
+    val fullVictims = li.filter(col("l_returnflag") === "R")
+    val dropped = Loads.rollupErase(rollup(li), fullVictims,
+      Seq("l_returnflag"), specs, "n",
+      retained = li.filter(col("l_returnflag") =!= "R"))
+    assert(render(dropped) == render(rollup(li.filter(col("l_returnflag") =!= "R"))))
+    assert(!dropped.select("l_returnflag").collect().map(_.getString(0)).contains("R"))
+    // all-sum rollups never read `retained` (null is fine)
+    val sumOnly = Loads.rollupErase(rollup(li).drop("l_extendedprice", "l_shipdate"),
+      li.filter(isVictim), Seq("l_returnflag"),
+      Seq(Loads.AggSpec("l_quantity", "sum")), "n")
+    assert(render(sumOnly.withColumn("l_extendedprice", lit(0.0))
+        .withColumn("l_shipdate", lit("x"))).map(t => (t._1, t._2, t._3)) ==
+      render(rollup(li.filter(!isVictim))).map(t => (t._1, t._2, t._3)))
+    // min/max specs without `retained` are rejected
+    intercept[IllegalArgumentException] {
+      Loads.rollupErase(rollup(li), li.filter(isVictim),
+        Seq("l_returnflag"), specs, "n")
+    }
+  }
 }

@@ -62,4 +62,20 @@ class ProfileSpec extends AnyFunSuite {
       }
     }
   }
+  test("quantileProfileAudit: exact quantiles match quantileProfile; every audit boolean true") {
+    val li = graft.etl.Tables.lineitem(spark, GraftSpark.Sf0001)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val audited = Profile.quantileProfileAudit(li, cols).collect()
+      .map(r => r.getString(0) -> ((Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)), r.getBoolean(5)))).toMap
+    val exact = Profile.quantileProfile(li, cols).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    cols.foreach { c =>
+      assert(audited(c)._1 == exact(c), s"$c exact quantiles drifted")
+      assert(audited(c)._2, s"$c sketch estimate escaped the rank-tolerance band")
+    }
+    intercept[IllegalArgumentException](Profile.quantileProfileAudit(li, cols, rankTol = 0.5))
+    intercept[IllegalArgumentException](Profile.quantileProfileAudit(li, Nil))
+  }
 }

@@ -451,6 +451,75 @@ class IncrementalSpec extends AnyFunSuite {
         null, snapshotPartitions = 0))
   }
 
+  test("streamBm25Maintain: maintained index serves exactly like a rebuild; " +
+      "exactly-once on replay; fresh checkpoint rejected") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_bm25m_src").toString
+    val idx = Files.createTempDirectory("graft_bm25m_tgt").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_bm25m_ck").toString
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val qs = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "sort"))
+      .toDF("q_id", "term")
+    def serve(ix: graft.ops.Bm25Index) =
+      graft.ops.Bm25Index.topK(ix, qs, "q_id", "term", k = 10)
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val scratch = Files.createTempDirectory("graft_bm25m_scratch").toString
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+      val part = new java.io.File(s"$scratch/$name").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      from.listFiles.foreach { f =>
+        val t = new java.io.File(to, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // arrival 1: 2/3 of the corpus
+    val first = docs.filter(col("doc_id") % 3 =!= 0)
+    arrive(first, "p1")
+    Incremental.streamBm25Maintain(spark, src, idx, "doc_id", "text", ckpt)
+    assert(serve(Incremental.readBm25Maintained(spark, idx)) ==
+      serve(graft.ops.Bm25Index.build(first, "doc_id", "text")),
+      "after arrival 1 the maintained index must equal a rebuild on it")
+    // checkpoint snapshot: restoring it later simulates a crash AFTER the
+    // batch committed its index artifacts but BEFORE the checkpoint commit
+    val ckptBefore = Files.createTempDirectory("graft_bm25m_ck_pre").toString
+    copyDir(new java.io.File(ckpt), new java.io.File(ckptBefore))
+    // arrival 2: the rest — the SAME checkpoint folds in only the new file
+    arrive(docs.filter(col("doc_id") % 3 === 0), "p2")
+    Incremental.streamBm25Maintain(spark, src, idx, "doc_id", "text", ckpt)
+    val full = serve(graft.ops.Bm25Index.build(docs, "doc_id", "text"))
+    assert(serve(Incremental.readBm25Maintained(spark, idx)) == full,
+      "after arrival 2 the maintained index must equal a full rebuild")
+    // replay with no new data: unchanged (exactly-once via the checkpoint)
+    Incremental.streamBm25Maintain(spark, src, idx, "doc_id", "text", ckpt)
+    assert(serve(Incremental.readBm25Maintained(spark, idx)) == full)
+    // AT-LEAST-ONCE replay: the pre-arrival-2 checkpoint re-delivers p2
+    // under its old batch id, whose _committed_ marker exists — skip,
+    // never double-count postings or stats
+    Incremental.streamBm25Maintain(spark, src, idx, "doc_id", "text", ckptBefore)
+    assert(serve(Incremental.readBm25Maintained(spark, idx)) == full,
+      "replayed batch double-counted into the maintained index")
+    // RUN-IDENTITY GUARD: a fresh checkpoint restarts batch ids at 0 —
+    // its live batches would collide with committed markers and be
+    // silently skipped; the stamp must reject the run instead
+    val freshCkpt = Files.createTempDirectory("graft_bm25m_ck_fresh").toString
+    val e = intercept[IllegalArgumentException] {
+      Incremental.streamBm25Maintain(spark, src, idx, "doc_id", "text", freshCkpt)
+    }
+    assert(e.getMessage.contains("silently"), e.getMessage)
+    assert(serve(Incremental.readBm25Maintained(spark, idx)) == full,
+      "guard must not touch the index")
+  }
+
   test("caller-supplied delaySec skips the declaration-time span probe " +
       "and matches the probe-default results") {
     import scala.jdk.CollectionConverters._
