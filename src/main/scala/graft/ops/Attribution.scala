@@ -101,4 +101,124 @@ object Attribution {
         round(sum("credit_linear"), 4).as("linear_value"),
         round(sum("credit_decay"), 4).as("decay_value"),
         round(sum("credit_position"), 4).as("position_value"))
+
+  /** Pseudo-states of the [[markovRemovalEffect]] chain — double
+    * underscores keep them disjoint from any real channel name.
+    */
+  val StartState = "__start"
+  val ConvState = "__conv"
+  val NullState = "__null"
+
+  /** DATA-DRIVEN attribution by Markov removal effect (Anderl et al.
+    * 2014's standard model — the next step after the four heuristics in
+    * [[credits]]): build the first-order channel-transition chain from
+    * observed journeys, and credit each channel by how much the
+    * conversion probability DROPS when that channel is removed
+    * (transitions into it redirect to the null absorber):
+    * `RE_c = max(0, 1 − P_c(conv|start) / P(conv|start))`, value share
+    * `V · RE_c / ΣRE`.
+    *
+    * Journeys: per subject, events ordered by (time, id) split AT each
+    * conversion — a conversion terminates its journey, the touches after
+    * the subject's last conversion form a trailing journey absorbed by
+    * NULL. Transitions: start → first state, touch → touch, last touch →
+    * conv/null (a touchless conversion contributes start → conv).
+    *
+    * Absorption probabilities come from `iterations` synchronous Jacobi
+    * steps of `p ← Q·p + b` (p(conv) pinned at 1 via an absorbing
+    * self-loop) — after N steps p(start) is exactly the probability of
+    * converting within N transitions, a deterministic quantity the
+    * DuckDB oracle replays with an unrolled recursive CTE at the same N.
+    *
+    * Scale shape: the DISTRIBUTED work is two window passes and one
+    * (from, to) count aggregate; the chain itself is
+    * channel-cardinality-sized, so the transition matrix is a k²-bounded
+    * collect (the model-state collect family — centroid-sized) and the
+    * per-removal solves are driver-side arithmetic on a ~k×k matrix,
+    * never a per-removal data rescan.
+    */
+  def markovRemovalEffect(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      idCol: String,
+      convType: String,
+      valueCol: String,
+      iterations: Int = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val userW = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+    val base = events
+      .select(col(keyCol), col(timeCol), col(idCol),
+        col(typeCol).cast("string").as("__ch"),
+        (col(typeCol) === convType).as("__isconv"))
+      .withColumn("__jid",
+        coalesce(sum(when(col("__isconv"), 1L).otherwise(0L))
+          .over(userW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val jW = Window.partitionBy(col(keyCol), col("__jid"))
+      .orderBy(col(timeCol), col(idCol))
+    // one transition per event row: (previous state in the journey |
+    // start) → (own channel | conv)
+    val stepEdges = base
+      .select(
+        coalesce(lag(col("__ch"), 1).over(jW), lit(StartState)).as("__from"),
+        when(col("__isconv"), lit(ConvState)).otherwise(col("__ch")).as("__to"))
+    // trailing (conversion-less) journeys: last touch → null absorber
+    val jAll = Window.partitionBy(col(keyCol), col("__jid"))
+    val nullEdges = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__jid"))
+          .orderBy(col(timeCol).desc, col(idCol).desc)))
+      .withColumn("__hc",
+        max(when(col("__isconv"), 1).otherwise(0)).over(jAll))
+      .filter(col("__rn") === 1 && col("__hc") === 0)
+      .select(col("__ch").as("__from"), lit(NullState).as("__to"))
+    // k²-bounded collect: rows ≤ (channels + pseudo-states)²
+    val edges = stepEdges.unionByName(nullEdges)
+      .groupBy("__from", "__to").agg(count(lit(1)).cast("double").as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val totalValue = events.filter(col(typeCol) === convType)
+      .agg(coalesce(sum(col(valueCol)), lit(0.0)).cast("double"))
+      .head().getDouble(0)
+    val channels = edges.iterator
+      .flatMap { case (f, t, _) => Iterator(f, t) }
+      .filterNot(Set(StartState, ConvState, NullState)).toSeq.distinct.sorted
+    if (channels.isEmpty)
+      return Seq.empty[(String, Double, Double)]
+        .toDF("channel", "removal_effect", "markov_value")
+    // row-normalized probabilities + absorbing self-loops; targets sorted
+    // for a deterministic summation order
+    val outMass = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
+    val byFrom: Map[String, Seq[(String, Double)]] =
+      (edges.map { case (f, t, n) => (f, t, n / outMass(f)) }
+        ++ Seq((ConvState, ConvState, 1.0), (NullState, NullState, 1.0)))
+        .groupBy(_._1).map { case (f, es) =>
+          f -> es.map(e => (e._2, e._3)).sortBy(_._1).toSeq
+        }
+    val states = (channels ++ Seq(StartState, ConvState, NullState))
+    def absorbAtStart(removed: String): Double = {
+      var p = states.map(s => s -> (if (s == ConvState) 1.0 else 0.0)).toMap
+      var i = 0
+      while (i < iterations) {
+        p = states.map { s =>
+          s -> byFrom.getOrElse(s, Nil).iterator.map { case (t, pr) =>
+            pr * (if (t == removed) 0.0 else p(t))
+          }.sum
+        }.toMap
+        i += 1
+      }
+      p(StartState)
+    }
+    val pFull = absorbAtStart(removed = "")
+    val re = channels.map { c =>
+      c -> (if (pFull > 0) math.max(0.0, 1.0 - absorbAtStart(c) / pFull) else 0.0)
+    }
+    val reSum = re.map(_._2).sum
+    re.map { case (c, r) =>
+      val share = if (reSum > 0) totalValue * r / reSum else 0.0
+      (c, math.round(r * 1e4) / 1e4, math.round(share * 1e4) / 1e4)
+    }.toDF("channel", "removal_effect", "markov_value")
+  }
 }

@@ -142,11 +142,35 @@ object MinHashIndex {
     index.buckets.write.mode("overwrite").partitionBy("band")
       .parquet(sub("buckets"))
     index.sets.write.mode("overwrite").parquet(sub("sets"))
-    IndexSidecar.write(
+    writeSidecarParams(
       index.buckets.sparkSession.sparkContext.hadoopConfiguration, path,
-      s"""{"shingleK":${index.shingleK},"bands":${index.bands},""" +
-        s""""rowsPerBand":${index.rowsPerBand}}""")
+      index.shingleK, index.bands, index.rowsPerBand)
   }
+
+  /** Sidecar bridge for the streaming maintainer
+    * ([[graft.streaming.Incremental.streamMinHashMaintain]] — outside the
+    * `ops` package [[IndexSidecar]] is scoped to).
+    */
+  private[graft] def sidecarExists(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexSidecar.FileName)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  private[graft] def sidecarParams(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Int, Int, Int) = {
+    val json = IndexSidecar.readJson(conf, path)
+    (IndexSidecar.intField(json, "shingleK", path),
+      IndexSidecar.intField(json, "bands", path),
+      IndexSidecar.intField(json, "rowsPerBand", path))
+  }
+
+  private[graft] def writeSidecarParams(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String, shingleK: Int, bands: Int, rowsPerBand: Int): Unit =
+    IndexSidecar.write(conf, path,
+      s"""{"shingleK":$shingleK,"bands":$bands,"rowsPerBand":$rowsPerBand}""")
 
   def read(spark: SparkSession, path: String): MinHashIndex = {
     def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString

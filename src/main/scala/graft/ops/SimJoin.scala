@@ -46,7 +46,46 @@ object SimJoin {
     * the completeness guarantee at any representable threshold (the
     * exact Jaccard verify still filters on the unrounded value).
     */
-  private val BoundEps = 1e-9
+  private[ops] val BoundEps = 1e-9
+
+  /** (id, distinct shingle hash) rows — the shared gram shape of every
+    * prefix-filter leg ([[prefixJaccard]], [[incrementalPairs]],
+    * [[SimJoinIndex]]).
+    */
+  private[ops] def gramsOf(
+      df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(Dedup.shingleHashes(col(textCol), shingleK))).as("h"))
+
+  /** Per doc, from ONE aggregate under the given df table: the
+    * rarity-ordered array (prefix source — array_sort's natural struct
+    * order IS the rarity order, so no vocabulary-wide window/rank is
+    * ever materialized), the value-sorted array
+    * (intersect_count_sorted's input contract) and the set size.
+    * `joinType = "left"` freezes the order for a batch side: unseen
+    * shingles take df 0 and sort first without reordering any indexed
+    * shingle.
+    */
+  private[ops] def sortedUnder(
+      g: DataFrame, freq: DataFrame, joinType: String): DataFrame = g
+    .join(freq, Seq("h"), joinType)
+    .withColumn("freq", coalesce(col("freq"), lit(0L)))
+    .groupBy("id")
+    .agg(array_sort(collect_list(struct(col("freq"), col("h")))).as("st"))
+    .select(col("id"),
+      transform(col("st"), s => s.getField("h")).as("pref_order"),
+      array_sort(transform(col("st"), s => s.getField("h"))).as("set"),
+      size(col("st")).as("n"))
+
+  /** Prefix posting rows (id, n, h): each doc's first n − ⌈t·n⌉ + 1
+    * (≥ 1) rarity-ordered shingles.
+    */
+  private[ops] def prefixRows(side: DataFrame, threshold: Double): DataFrame = {
+    val prefixLen =
+      col("n") - ceil(lit(threshold) * col("n") - lit(BoundEps)).cast("int") + 1
+    side.select(col("id"), col("n"),
+      explode(slice(col("pref_order"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
+  }
 
   /** All pairs `(id_a < id_b, jaccard)` with word-`shingleK`-gram Jaccard
     * ≥ `threshold` (filtered on the unrounded value; `jaccard` reported
@@ -67,31 +106,17 @@ object SimJoin {
     // pipeline on array<long> (the dedup family's verification
     // convention: same set identities as the strings short of a 2^-64
     // collision, an order of magnitude cheaper to intersect)
-    val grams = df.select(col(idCol).as("id"),
-      explode(array_distinct(Dedup.shingleHashes(col(textCol), shingleK))).as("h"))
+    val grams = gramsOf(df, idCol, textCol, shingleK)
 
     // global rarity: corpus document-frequency asc, hash asc
     val freq = grams.groupBy("h").agg(count(lit(1)).as("freq"))
 
-    // per doc, from ONE aggregate: the rarity-ordered array (prefix
-    // source — array_sort's natural struct order IS the rarity order, so
-    // no vocabulary-wide window/rank is ever materialized) and the
-    // value-sorted array (intersect_count_sorted's input contract).
     // localCheckpoint: three consumers below (prefixes + both verify
-    // sides) would otherwise re-run the freq join and this aggregate.
-    val sorted = grams.join(freq, "h")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("freq"), col("h")))).as("st"))
-      .select(col("id"),
-        transform(col("st"), s => s.getField("h")).as("pref_order"),
-        array_sort(transform(col("st"), s => s.getField("h"))).as("set"),
-        size(col("st")).as("n"))
-      .localCheckpoint()
+    // sides) would otherwise re-run the freq join and the aggregate
+    val sorted = sortedUnder(grams, freq, "inner").localCheckpoint()
 
     // prefix of length n − ⌈t·n⌉ + 1 (≥ 1), rarest shingles first
-    val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(BoundEps)).cast("int") + 1
-    val prefixes = sorted.select(col("id"), col("n"),
-      explode(slice(col("pref_order"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
+    val prefixes = prefixRows(sorted, threshold)
 
     // candidates: ids sharing a prefix shingle, oriented pairs from each
     // posting list (no self-join); the Jaccard length bound
@@ -149,39 +174,22 @@ object SimJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
 
-    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
-      explode(array_distinct(Dedup.shingleHashes(col(textCol), shingleK))).as("h"))
-
-    val corpusGrams = grams(corpus)
+    val corpusGrams = gramsOf(corpus, idCol, textCol, shingleK)
     val freq = corpusGrams.groupBy("h").agg(count(lit(1)).as("freq"))
 
-    // rarity-sorted arrays under the FROZEN corpus order; the batch left-joins
-    // the frozen df table (unseen → 0)
-    def sortedSide(g: DataFrame, joinType: String) = g
-      .join(freq, Seq("h"), joinType)
-      .withColumn("freq", coalesce(col("freq"), lit(0L)))
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("freq"), col("h")))).as("st"))
-      .select(col("id"),
-        transform(col("st"), s => s.getField("h")).as("pref_order"),
-        array_sort(transform(col("st"), s => s.getField("h"))).as("set"),
-        size(col("st")).as("n"))
-
-    val corpusSorted = sortedSide(corpusGrams, "inner").localCheckpoint()
-    val batchSorted = sortedSide(grams(batch), "left").localCheckpoint()
-
-    def prefixes(side: DataFrame) = {
-      val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(BoundEps)).cast("int") + 1
-      side.select(col("id"), col("n"),
-        explode(slice(col("pref_order"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
-    }
+    // rarity-sorted arrays under the FROZEN corpus order; the batch
+    // left-joins the frozen df table (unseen → 0)
+    val corpusSorted = sortedUnder(corpusGrams, freq, "inner").localCheckpoint()
+    val batchSorted =
+      sortedUnder(gramsOf(batch, idCol, textCol, shingleK), freq, "left")
+        .localCheckpoint()
 
     // candidates: ONE equi-join batch-prefix ↔ corpus-prefix on the
     // shingle hash (at scale: batch side small, corpus side the stored
     // index), then the Jaccard length bound before the distinct
-    val pairIds = prefixes(batchSorted)
+    val pairIds = prefixRows(batchSorted, threshold)
       .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
-      .join(prefixes(corpusSorted)
+      .join(prefixRows(corpusSorted, threshold)
         .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
       .filter(least(col("n_b"), col("n_c")) >=
         lit(threshold) * greatest(col("n_b"), col("n_c")) - lit(BoundEps))

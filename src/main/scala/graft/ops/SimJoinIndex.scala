@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A persisted PREFIX-FILTER similarity index: the build-once/serve-many
+  * form of [[SimJoin.incrementalPairs]]' corpus-side state — the
+  * daily-crawl batch↔corpus EXACT similarity join without ever
+  * re-shingling the corpus (the [[Bm25Index]]/[[MinHashIndex]]/
+  * [[IvfPqIndex]] sidecar deployment shape; SimJoinSpec plan-audits that
+  * the corpus source is absent from the serve plan). Members, all
+  * derived once from the corpus:
+  *  - `freq` — (h, freq): corpus shingle document frequencies — the
+  *    FROZEN rarity total order. Batch shingles unseen by the corpus
+  *    left-join to df 0 and sort first; the prefix-filtering
+  *    completeness proof needs only A common total order over both
+  *    sides, and (corpus-df, hash) extended by df-0 newcomers is one
+  *    ([[SimJoin.incrementalPairs]]'s argument), so the stored prefixes
+  *    stay valid as built.
+  *  - `prefixes` — (h, id, n): the corpus prefix posting rows, written
+  *    hash-clustered by `h` so the serve-time candidate equi-join reads
+  *    co-located postings (at 100 TB this is the stored posting-list
+  *    index each daily batch probes).
+  *  - `sets` — (id, set, n): each corpus doc's value-sorted shingle-hash
+  *    set for the exact intersect verify.
+  *
+  * The serve threshold must be ≥ the BUILD threshold: prefixes shorten
+  * as t grows (length n − ⌈t·n⌉ + 1), so prefixes stored at t₀ are a
+  * complete superset for any t ≥ t₀ — serving below t₀ would need
+  * prefix shingles that were never written, and [[pairs]] rejects it
+  * loudly instead of silently losing pairs.
+  *
+  * Reference anchor: the dedup surface of SURVEY.md §7.5 (the reference
+  * has only pandas `drop_duplicates` at `Template-to-*` ingest); public
+  * prefix-filtering principle (Chaudhuri/Ganti/Kaushik ICDE'06, PPJoin
+  * WWW'08).
+  */
+final case class SimJoinIndex(
+    freq: DataFrame,
+    prefixes: DataFrame,
+    sets: DataFrame,
+    shingleK: Int,
+    threshold: Double)
+
+object SimJoinIndex {
+
+  /** One corpus shingle pass → frozen df table, prefix postings, sorted
+    * sets (the exact state [[SimJoin.incrementalPairs]] recomputes per
+    * run). localCheckpoint: prefixes and sets both consume the one
+    * rarity-sort aggregate.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): SimJoinIndex = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = SimJoin.gramsOf(corpus, idCol, textCol, shingleK)
+    val freq = grams.groupBy("h").agg(count(lit(1)).as("freq"))
+    val sorted = SimJoin.sortedUnder(grams, freq, "inner").localCheckpoint()
+    SimJoinIndex(
+      freq,
+      SimJoin.prefixRows(sorted, threshold).select("h", "id", "n"),
+      sorted.select("id", "set", "n"),
+      shingleK, threshold)
+  }
+
+  /** Incremental index MAINTENANCE: fold NEW corpus documents into the
+    * index without touching the old corpus — the delta pays one shingle
+    * pass over ITSELF under the FROZEN rarity order (unseen shingles
+    * df-0, the same argument that makes [[pairs]]' batch side valid), so
+    * its prefix postings and sorted sets simply UNION in. The frozen
+    * `freq` is the model state and stays as built (the
+    * [[IvfPqIndex.append]] frozen-model convention) — and unlike that
+    * family, the served PAIR SET is still EXACT: prefix completeness
+    * needs only a common total order, and the exact intersect verify
+    * decides membership. The declared `simjoin_append` query shares the
+    * full-corpus bipartite oracle — append is provably a rebuild.
+    * Doc-id disjointness from the indexed corpus is the caller's
+    * contract ([[Bm25Index.append]] convention).
+    */
+  def append(
+      index: SimJoinIndex,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): SimJoinIndex = {
+    val deltaSorted = SimJoin.sortedUnder(
+        SimJoin.gramsOf(delta, idCol, textCol, index.shingleK),
+        index.freq, "left")
+      .localCheckpoint() // feeds both the prefix and set unions
+    SimJoinIndex(
+      index.freq,
+      index.prefixes.unionByName(
+        SimJoin.prefixRows(deltaSorted, index.threshold).select("h", "id", "n")),
+      index.sets.unionByName(deltaSorted.select("id", "set", "n")),
+      index.shingleK, index.threshold)
+  }
+
+  /** Index ERASURE — the delete half of the maintenance pair (the
+    * right-to-be-forgotten applied to the serving artifact, beside
+    * [[MinHashIndex.erase]]/[[Bm25Index.erase]]/[[IvfPqIndex.erase]]):
+    * two keys-only anti-joins drop the victims' prefix postings and
+    * sorted sets; the frozen rarity order stays as built (model state —
+    * a rebuild would reorder prefixes, but the PAIR SET it serves is
+    * identical: completeness needs only a common total order and the
+    * verify is exact, so the declared `simjoin_erase` query's oracle is
+    * the full bipartite recompute WITHOUT the victims). O(|index
+    * anti-join|) — no corpus rescan, no rebuild.
+    */
+  def erase(index: SimJoinIndex, ids: DataFrame): SimJoinIndex = {
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    val k = ids.toDF("id")
+    // USING anti-join moves the key first — reselect the stored layouts
+    def drop(df: DataFrame) = df.join(k, Seq("id"), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    SimJoinIndex(index.freq, drop(index.prefixes), drop(index.sets),
+      index.shingleK, index.threshold)
+  }
+
+  /** Every batch↔corpus pair with Jaccard ≥ `threshold` (default: the
+    * build threshold), from the index alone — identical pair set to
+    * [[SimJoin.incrementalPairs]] on (corpus, batch) (shared oracle of
+    * the declared `simjoin_persisted` query). Per-serve work is
+    * O(|batch| + probed postings): one df left-join to freeze the batch
+    * under the corpus order, one prefix↔posting equi-join on the shingle
+    * hash, the Jaccard length bound before the pair distinct, then the
+    * exact sorted-merge intersect verify against the stored sets.
+    */
+  def pairs(
+      index: SimJoinIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = Double.NaN): DataFrame = {
+    val t = if (threshold.isNaN) index.threshold else threshold
+    require(t <= 1.0 && t >= index.threshold - 1e-12,
+      s"serve threshold $t below build threshold ${index.threshold}: the " +
+        "stored prefixes are complete only for t >= the build threshold " +
+        "(rebuild the index for a looser join)")
+    val batchSorted = SimJoin.sortedUnder(
+        SimJoin.gramsOf(batch, idCol, textCol, index.shingleK),
+        index.freq, "left")
+      .localCheckpoint()
+    val pairIds = SimJoin.prefixRows(batchSorted, t)
+      .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
+      .join(index.prefixes
+        .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
+      .filter(least(col("n_b"), col("n_c")) >=
+        lit(t) * greatest(col("n_b"), col("n_c")) - lit(SimJoin.BoundEps))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    pairIds
+      .join(batchSorted.select(col("id").as("batch_id"), col("set").as("set_b")),
+        Seq("batch_id"))
+      .join(index.sets.select(col("id").as("corpus_id"), col("set").as("set_c")),
+        Seq("corpus_id"))
+      .withColumn("__inter",
+        graft.functions.TextFunctions.intersect_count_sorted(
+          col("set_b"), col("set_c")).cast("double"))
+      .withColumn("__j",
+        col("__inter") / (size(col("set_b")) + size(col("set_c")) - col("__inter")))
+      .filter(col("__j") >= t)
+      .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** Persists the three members and the format sidecar (threshold stored
+    * as an exact millipoint int — the sidecar parser is int-only).
+    * Prefix postings land hash-clustered by shingle so serve probes read
+    * co-located lists. All paths resolve through the Hadoop `FileSystem`
+    * API — object-store URIs included.
+    */
+  def write(index: SimJoinIndex, path: String, numFiles: Int = 8): Unit = {
+    def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
+    index.freq.write.mode("overwrite").parquet(sub("freq"))
+    index.prefixes
+      .repartition(numFiles, col("h"))
+      .sortWithinPartitions("h", "id")
+      .write.mode("overwrite").parquet(sub("prefixes"))
+    index.sets.write.mode("overwrite").parquet(sub("sets"))
+    val thresholdMilli = math.round(index.threshold * 1000).toInt
+    IndexSidecar.write(
+      index.freq.sparkSession.sparkContext.hadoopConfiguration, path,
+      s"""{"format":1,"shingleK":${index.shingleK},"thresholdMilli":$thresholdMilli}""")
+  }
+
+  def read(spark: SparkSession, path: String): SimJoinIndex = {
+    def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val json = IndexSidecar.readJson(conf, path)
+    require(IndexSidecar.intField(json, "format", path) == 1,
+      s"unsupported simjoin index format at $path")
+    SimJoinIndex(
+      spark.read.parquet(sub("freq")).select("h", "freq"),
+      spark.read.parquet(sub("prefixes")).select("h", "id", "n"),
+      spark.read.parquet(sub("sets")).select("id", "set", "n"),
+      IndexSidecar.intField(json, "shingleK", path),
+      IndexSidecar.intField(json, "thresholdMilli", path) / 1000.0)
+  }
+}

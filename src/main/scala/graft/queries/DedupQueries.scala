@@ -97,6 +97,74 @@ object DedupQueries {
     }),
 
 
+    // persisted prefix-index serve (ops/SimJoinIndex): simjoin_
+    // incremental's corpus-side state — frozen rarity order, prefix
+    // postings (hash-clustered by shingle), sorted sets — built + written
+    // ONCE, then each batch probes the INDEX: one df left-join to freeze
+    // the batch under the corpus order, one prefix↔posting equi-join,
+    // length-bound, exact verify against the stored sets. The corpus
+    // text is never re-shingled at serve time (SimJoinSpec plan-audits
+    // the corpus source absent from the serve plan). Shares
+    // simjoin_incremental's oracle: the served pairs are the complete
+    // exact-Jaccard bipartite set.
+    "simjoin_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin1", dir) { tmp =>
+        graft.ops.SimJoinIndex.write(
+          graft.ops.SimJoinIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, threshold = 0.5), tmp)
+      }
+      graft.ops.SimJoinIndex.pairs(
+          graft.ops.SimJoinIndex.read(s, idxDir),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // prefix-index MAINTENANCE serve (SimJoinIndex.append): the index is
+    // built on 6/7 of the corpus, the held-out 1/7 folds in under the
+    // FROZEN rarity order (one shingle pass over the delta only —
+    // df-0 newcomers sort first, the same argument as the batch side),
+    // then the batch probes the appended index. The pair set is EXACT
+    // (completeness needs only a common total order + exact verify), so
+    // this shares the FULL-corpus bipartite oracle — append is provably
+    // a rebuild.
+    "simjoin_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val appended = graft.ops.SimJoinIndex.append(
+        graft.ops.SimJoinIndex.build(corpus.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", shingleK = 3, threshold = 0.5),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      graft.ops.SimJoinIndex.pairs(appended,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // prefix-index ERASURE serve (SimJoinIndex.erase — the delete half
+    // beside dedup_minhash_erase / text_bm25_erase / knn_ivfpq_erase):
+    // victims drop from the postings and set stores via keys-only
+    // anti-joins, the frozen rarity order stays (model state), and the
+    // served pair set is provably the rebuild WITHOUT the victims (the
+    // oracle recomputes exactly that). No corpus rescan, no rebuild.
+    "simjoin_erase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin1", dir) { tmp =>
+        graft.ops.SimJoinIndex.write(
+          graft.ops.SimJoinIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, threshold = 0.5), tmp)
+      }
+      val victims = docs.filter(pmod(col("doc_id"), lit(9)) === 2)
+        .select(col("doc_id"))
+      graft.ops.SimJoinIndex.pairs(
+          graft.ops.SimJoinIndex.erase(
+            graft.ops.SimJoinIndex.read(s, idxDir), victims),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
     // transitive duplicate clusters: iterative min-label propagation over
     // the exact-Jaccard pair graph (oracle: recursive CTE reachability)
     "dedup_components" -> ((s, dir) => {
@@ -403,6 +471,21 @@ object DedupQueries {
     }),
   )
 
+  // brute bipartite all-pairs over the mod-5 split — shared by the
+  // recompute-per-run (simjoin_incremental) and persisted-index
+  // (simjoin_persisted) serves. lazy: referenced by the oracles map
+  // below (an eager val would still be null at its init).
+  private lazy val SimjoinBipartiteSql: String =
+    ("WITH sets AS (SELECT doc_id, list_distinct(" +
+      "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+      "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+      "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+      "FROM sets b, sets c WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 " +
+      "AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.5 " +
+      "ORDER BY batch_id, corpus_id")
+
   val oracles: Map[String, String] = Map(
 
     // genuine dedup oracle (keep min doc_id per text) — at larger SFs the
@@ -473,14 +556,25 @@ object DedupQueries {
 
 
     // brute bipartite all-pairs over the same mod-5 split
-    "simjoin_incremental" ->
+    "simjoin_incremental" -> SimjoinBipartiteSql,
+
+    // the persisted-index serve must produce the IDENTICAL complete
+    // pair set — shared oracle, not a lookalike
+    "simjoin_persisted" -> SimjoinBipartiteSql,
+
+    // append is exact: the maintained index serves the FULL-corpus
+    // bipartite pair set
+    "simjoin_append" -> SimjoinBipartiteSql,
+
+    // erase is exact: the bipartite recompute WITHOUT the victims
+    "simjoin_erase" ->
       ("WITH sets AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
         "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
         "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
         "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
         "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM sets b, sets c WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 " +
+        "FROM sets b, sets c WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 AND c.doc_id % 9 <> 2 " +
         "AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.5 " +
         "ORDER BY batch_id, corpus_id"),
 

@@ -535,6 +535,26 @@ object EventsQueries {
     }),
 
 
+    // DATA-DRIVEN attribution by Markov removal effect (ops/Attribution
+    // .markovRemovalEffect — Anderl et al. 2014, the standard model after
+    // the four heuristics): journeys split at each purchase, first-order
+    // channel-transition chain, each channel credited by how much
+    // P(convert | start) drops when transitions into it are redirected to
+    // the null absorber. Absorption = 100 synchronous Jacobi steps (the
+    // PageRank-fixpoint shape, but the chain is channel-cardinality-sized
+    // so the matrix is a k²-bounded collect and the per-removal solves
+    // are driver arithmetic — never a per-removal data rescan). Oracle:
+    // the same 100 steps as an unrolled recursive CTE. Credit
+    // conservation (Σ markov_value = total purchase value) is
+    // property-tested in AttributionSpec.
+    "attribution_markov" -> ((s, dir) =>
+      graft.ops.Attribution.markovRemovalEffect(
+          Tables.events(s, dir), keyCol = "user_id", timeCol = "ts",
+          typeCol = "event_type", idCol = "event_id",
+          convType = "purchase", valueCol = "value")
+        .orderBy("channel")),
+
+
     // 7-day trailing active users by KMV sketch algebra (ops/Kmv
     // .trailingDistinct): daily sketches merge in bucket-space — the
     // exact COUNT(DISTINCT)-per-window alternative re-reads 7 days of
@@ -933,6 +953,58 @@ object EventsQueries {
         "round(sum(lst), 4) AS last_value, round(sum(lin), 4) AS linear_value, " +
         "round(sum(dcy), 4) AS decay_value, round(sum(psn), 4) AS position_value " +
         "FROM c GROUP BY 1 ORDER BY 1"),
+
+
+    // replays markovRemovalEffect end-to-end: journey split at purchases
+    // (prefix-count window), the same three edge families (start→first,
+    // touch→touch|conv, trailing last touch→null), row-normalized
+    // probabilities with absorbing self-loops, then the SAME 100
+    // synchronous Jacobi steps as an unrolled recursive CTE — one row per
+    // (state, removed-channel) generation, transitions into the removed
+    // channel contributing zero. RE = 1 − p_removed/p_full at '__start';
+    // value share V·RE/ΣRE.
+    "attribution_markov" ->
+      ("WITH RECURSIVE ev AS (SELECT user_id, ts, event_id, event_type, " +
+        "event_type = 'purchase' AS isconv FROM events), " +
+        "jo AS (SELECT *, coalesce(sum(CASE WHEN isconv THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid FROM ev), " +
+        "tr AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id, jid ORDER BY ts, event_id), '__start') AS f, " +
+        "CASE WHEN isconv THEN '__conv' ELSE event_type END AS t FROM jo " +
+        "UNION ALL " +
+        "SELECT event_type AS f, '__null' AS t FROM (" +
+        "SELECT event_type, row_number() OVER (PARTITION BY user_id, jid ORDER BY ts DESC, event_id DESC) AS rn, " +
+        "max(CASE WHEN isconv THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, jid) AS hc FROM jo) z " +
+        "WHERE rn = 1 AND hc = 0), " +
+        "cnt AS (SELECT f, t, CAST(count(*) AS DOUBLE) AS n FROM tr GROUP BY 1, 2), " +
+        "probs AS (SELECT f, t, n / sum(n) OVER (PARTITION BY f) AS p FROM cnt " +
+        "UNION ALL SELECT '__conv', '__conv', 1.0 " +
+        "UNION ALL SELECT '__null', '__null', 1.0), " +
+        // DuckDB 1.0.0 quirk: inside WITH RECURSIVE a non-self-referencing
+        // `a UNION b` CTE does NOT dedup across branches — dedup in a
+        // subquery instead (a duplicated state row doubles p each step)
+        "states AS (SELECT DISTINCT s FROM (SELECT f AS s FROM probs UNION ALL SELECT t AS s FROM probs) u), " +
+        "removals AS (SELECT DISTINCT event_type AS c FROM events WHERE event_type <> 'purchase' " +
+        "UNION ALL SELECT '__none'), " +
+        // CAST the base p to DOUBLE: a bare 1.0 literal types the
+        // recursive column DECIMAL(2,1), silently truncating every
+        // generation to one decimal place
+        "it AS (SELECT 0 AS k, s.s AS state, r.c AS removed, " +
+        "CAST(CASE WHEN s.s = '__conv' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS p " +
+        "FROM states s CROSS JOIN removals r " +
+        "UNION ALL " +
+        "SELECT i.k + 1, pr.f, i.removed, " +
+        "sum(pr.p * CASE WHEN pr.t = i.removed THEN 0.0 ELSE i.p END) " +
+        "FROM it i JOIN probs pr ON pr.t = i.state WHERE i.k < 100 " +
+        "GROUP BY 1, 2, 3), " +
+        "fin AS (SELECT removed, p FROM it WHERE k = 100 AND state = '__start'), " +
+        "re AS (SELECT removed AS channel, " +
+        "greatest(0.0, 1.0 - fin.p / nullif((SELECT p FROM fin WHERE removed = '__none'), 0)) AS r " +
+        "FROM fin WHERE removed <> '__none'), " +
+        "tv AS (SELECT sum(value) AS v FROM events WHERE event_type = 'purchase') " +
+        "SELECT channel, round(r, 4) AS removal_effect, " +
+        "round(coalesce((SELECT v FROM tv) * r / nullif((SELECT sum(r) FROM re), 0), 0.0), 4) AS markov_value " +
+        "FROM re ORDER BY channel"),
 
 
     // replays attribution_last_touch: same 7-day backward window, same

@@ -220,6 +220,33 @@ object StreamingQueries {
     }),
 
 
+    // Streaming MinHash index MAINTENANCE (streaming/Incremental
+    // .streamMinHashMaintain — the runBatchCommitted machinery applied to
+    // the dedup index): the corpus streams in as micro-batches, each a
+    // pure map-side encode into append-only buckets/sets batch dirs (no
+    // corpus-level stats — nothing to snapshot or retire), exactly-once
+    // via the _committed_<batchId> markers, shape params pinned by the
+    // sidecar. Signatures are content-deterministic, so the maintained
+    // index queries IDENTICALLY to the static built index — the serve
+    // mirrors stream_dedup_incremental (same batch, same parameters) and
+    // SHARES ITS ORACLE.
+    "stream_minhash_maintain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash_stream", dir) { tmp =>
+        docs.repartition(3, col("doc_id")).write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamMinHashMaintain(
+          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+      }
+      graft.ops.MinHashIndex.query(
+          graft.streaming.Incremental.readMinHashMaintained(s, s"$idxDir/index"),
+          docs.filter(col("doc_id").between(100, 149))
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
     // Streaming BM25 index MAINTENANCE (streaming/Incremental
     // .streamBm25Maintain): the corpus arrives as micro-batches
     // (maxFilesPerTrigger=1 over a 3-file hash-split staging, disjoint
@@ -252,7 +279,30 @@ object StreamingQueries {
     }),
   )
 
+  // exact all-pairs over the relabeled 100–149 batch vs the full corpus —
+  // shared by the zero-state streaming near-dedup and the maintained-index
+  // serve (lazy: referenced by the oracles map below).
+  private lazy val StreamNearDedupSql: String =
+    ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+      "bsets AS (SELECT doc_id, list_distinct(" +
+      "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+      "csets AS (SELECT doc_id, list_distinct(" +
+      "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+      "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+      "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+      "FROM bsets b, csets c " +
+      "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+      "ORDER BY batch_id, corpus_id")
+
   val oracles: Map[String, String] = Map(
+
+    // the streamed-maintained MinHash index must serve the IDENTICAL
+    // pair set as the static index (content-deterministic signatures)
+    "stream_minhash_maintain" -> StreamNearDedupSql,
     // the streamed credits must aggregate to EXACTLY the batch as-of
     // join's answer — shared oracle, not a lookalike (the channel column
     // there is this roll-up's channel)
@@ -367,20 +417,6 @@ object StreamingQueries {
     // identical semantics through the persisted index via the STREAMING
     // path (stateless exactly-once pair emission), so the incremental
     // oracle carries over here too
-    "stream_dedup_incremental" ->
-      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
-        "bsets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
-        "csets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
-        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM bsets b, csets c " +
-        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
-        "ORDER BY batch_id, corpus_id"),
+    "stream_dedup_incremental" -> StreamNearDedupSql,
   )
 }

@@ -800,6 +800,72 @@ object Incremental {
     * [[graft.ops.Bm25Index.append]]. Returns the maintained index
     * ([[readBm25Maintained]]) for serving.
     */
+  /** Shared machinery of the batch-stamped streaming index maintainers
+    * ([[streamBm25Maintain]], [[streamMinHashMaintain]]): an AvailableNow
+    * foreachBatch stream over `srcPath` where each micro-batch's
+    * artifacts are written under `indexPath` by `writeBatch(batch,
+    * batchId, committedBefore)` and then committed by ONE
+    * `_committed_<batchId>` marker — a replayed committed batch skips
+    * entirely; a crash before the marker leaves the batch uncommitted so
+    * the replay rewrites the same deterministic artifacts (writers use
+    * mode overwrite). `afterCommit` runs with the post-marker committed
+    * id list (snapshot retirement). The [[streamRollupMaintain]]
+    * RUN-IDENTITY GUARD applies: `indexPath` carries the maintaining
+    * query's id and a fresh checkpoint (batch ids restarting at 0) fails
+    * loudly instead of silently skipping live batches as replays.
+    * Returns the committed batch ids after the run.
+    */
+  private def runBatchCommitted(
+      spark: SparkSession,
+      srcPath: String,
+      indexPath: String,
+      checkpointPath: String,
+      what: String,
+      maxFilesPerTrigger: Int)(
+      writeBatch: (DataFrame, Long, Seq[Long]) => Unit)(
+      afterCommit: Seq[Long] => Unit): Seq[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val ckptStr =
+      if (checkpointPath != null) checkpointPath
+      else new org.apache.hadoop.fs.Path(indexPath, "_checkpoint").toString
+    assertRunIdentity(conf, fs, root, ckptStr, what)
+    val srcOpts =
+      if (maxFilesPerTrigger > 0)
+        Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString)
+      else Map.empty[String, String]
+    val in = streamSource(spark, srcPath, srcOpts)
+    def committedIds(): Seq[Long] =
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_committed_"))
+        .map(_.stripPrefix("_committed_").toLong).sorted
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done = committedIds()
+        if (done.contains(batchId)) {
+          () // at-least-once replay of an already-committed batch: skip
+        } else {
+          writeBatch(batch, batchId, done)
+          // ONE commit point covers every artifact the batch wrote — a
+          // crash between any artifact write and this create leaves the
+          // batch uncommitted, so the replay rewrites it wholesale
+          fs.create(new org.apache.hadoop.fs.Path(root, s"_committed_$batchId"),
+            true).close()
+          afterCommit(committedIds())
+        }
+      }
+      .option("checkpointLocation", ckptStr)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stampRunIdentity(conf, fs, root, ckptStr)
+    val fin = committedIds()
+    require(fin.nonEmpty, s"no committed $what batch under $indexPath")
+    fin
+  }
+
   def streamBm25Maintain(
       spark: SparkSession,
       srcPath: String,
@@ -811,70 +877,42 @@ object Incremental {
       postingsFilesPerBatch: Int = 2): graft.ops.Bm25Index = {
     require(postingsFilesPerBatch >= 1,
       s"postingsFilesPerBatch must be >= 1: $postingsFilesPerBatch")
-    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(conf)
-    fs.mkdirs(root)
-    val ckptStr =
-      if (checkpointPath != null) checkpointPath
-      else new org.apache.hadoop.fs.Path(indexPath, "_checkpoint").toString
-    assertRunIdentity(conf, fs, root, ckptStr, "bm25 index")
-    val srcOpts =
-      if (maxFilesPerTrigger > 0)
-        Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString)
-      else Map.empty[String, String]
-    val in = streamSource(spark, srcPath, srcOpts)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
-    def committedIds(): Seq[Long] =
-      fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("_committed_"))
-        .map(_.stripPrefix("_committed_").toLong).sorted
-    val q = in.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val done = committedIds()
-        if (done.contains(batchId)) {
-          () // at-least-once replay of an already-committed batch: skip
-        } else {
-          // the delta pays one build pass over ITSELF only
-          val d = graft.ops.Bm25Index.build(batch, idCol, textCol)
-          d.postings
-            .repartitionByRange(postingsFilesPerBatch, col("term"))
-            .sortWithinPartitions("term", "id")
-            .write.mode("overwrite")
-            .parquet(sub(s"postings/batch_$batchId").toString)
-          // roll the bounded state forward from the latest committed
-          // snapshot BEFORE this batch (a replay must not read its own
-          // superseded output)
-          val (terms, stats) = done.filter(_ < batchId).lastOption match {
-            case Some(p) =>
-              (graft.ops.Bm25Index.mergeTerms(
-                spark.read.parquet(sub(s"terms_snap_$p").toString), d.terms),
-                graft.ops.Bm25Index.mergeStats(
-                  spark.read.parquet(sub(s"stats_snap_$p").toString), d.stats))
-            case None => (d.terms, d.stats)
-          }
-          // vocabulary-sized and 1-row — one file each is the right shape
-          terms.coalesce(1).write.mode("overwrite")
-            .parquet(sub(s"terms_snap_$batchId").toString)
-          stats.coalesce(1).write.mode("overwrite")
-            .parquet(sub(s"stats_snap_$batchId").toString)
-          // ONE commit point covers all three artifacts — a crash between
-          // any of the writes above and this create leaves the batch
-          // uncommitted, so the replay rewrites it wholesale
-          fs.create(sub(s"_committed_$batchId"), true).close()
-          // retire superseded snapshots; keep two so the reader of the
-          // previous snapshot (a concurrent replay) is never yanked
-          committedIds().dropRight(2).foreach { id =>
-            fs.delete(sub(s"terms_snap_$id"), true)
-            fs.delete(sub(s"stats_snap_$id"), true)
-          }
-        }
+    runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
+      "bm25 index", maxFilesPerTrigger) { (batch, batchId, done) =>
+      // the delta pays one build pass over ITSELF only
+      val d = graft.ops.Bm25Index.build(batch, idCol, textCol)
+      d.postings
+        .repartitionByRange(postingsFilesPerBatch, col("term"))
+        .sortWithinPartitions("term", "id")
+        .write.mode("overwrite")
+        .parquet(sub(s"postings/batch_$batchId").toString)
+      // roll the bounded state forward from the latest committed
+      // snapshot BEFORE this batch (a replay must not read its own
+      // superseded output)
+      val (terms, stats) = done.filter(_ < batchId).lastOption match {
+        case Some(p) =>
+          (graft.ops.Bm25Index.mergeTerms(
+            spark.read.parquet(sub(s"terms_snap_$p").toString), d.terms),
+            graft.ops.Bm25Index.mergeStats(
+              spark.read.parquet(sub(s"stats_snap_$p").toString), d.stats))
+        case None => (d.terms, d.stats)
       }
-      .option("checkpointLocation", ckptStr)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    stampRunIdentity(conf, fs, root, ckptStr)
+      // vocabulary-sized and 1-row — one file each is the right shape
+      terms.coalesce(1).write.mode("overwrite")
+        .parquet(sub(s"terms_snap_$batchId").toString)
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(sub(s"stats_snap_$batchId").toString)
+    } { committed =>
+      // retire superseded snapshots; keep two so the reader of the
+      // previous snapshot (a concurrent replay) is never yanked
+      committed.dropRight(2).foreach { id =>
+        fs.delete(sub(s"terms_snap_$id"), true)
+        fs.delete(sub(s"stats_snap_$id"), true)
+      }
+    }
     readBm25Maintained(spark, indexPath)
   }
 
@@ -899,6 +937,80 @@ object Incremental {
         .select("term", "id", "tf", "dl"),
       spark.read.parquet(sub(s"terms_snap_${done.last}")).select("term", "df"),
       spark.read.parquet(sub(s"stats_snap_${done.last}")).select("n", "avgdl"))
+  }
+
+  /** Streaming MinHash-LSH index maintenance — [[streamBm25Maintain]]'s
+    * machinery ([[runBatchCommitted]]) applied to the dedup index, whose
+    * state is EVEN simpler: both members (buckets, sets) are per-document
+    * rows with no corpus-level statistics, so each micro-batch is a pure
+    * map-side encode into append-only `buckets/batch_<id>` +
+    * `sets/batch_<id>` dirs — no snapshots to roll forward, nothing to
+    * retire. Signatures are content-deterministic hashes, so the
+    * maintained index QUERIES identically to a rebuild on everything
+    * ingested (the declared `stream_minhash_maintain` query shares the
+    * static-index serve's oracle). Shape parameters live in the standard
+    * sidecar, written on the first run and REQUIRED equal on every later
+    * run — appending under different (k, bands, rows) would silently mix
+    * incomparable signatures.
+    */
+  def streamMinHashMaintain(
+      spark: SparkSession,
+      srcPath: String,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      checkpointPath: String = null,
+      maxFilesPerTrigger: Int = 0): graft.ops.MinHashIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    if (graft.ops.MinHashIndex.sidecarExists(conf, indexPath)) {
+      val (k0, b0, r0) = graft.ops.MinHashIndex.sidecarParams(conf, indexPath)
+      require(k0 == shingleK && b0 == bands && r0 == rowsPerBand,
+        s"minhash index at $indexPath was built with (shingleK=$k0, bands=$b0, " +
+          s"rowsPerBand=$r0); appending with ($shingleK, $bands, $rowsPerBand) " +
+          "would mix incomparable signatures")
+    } else {
+      graft.ops.MinHashIndex.writeSidecarParams(
+        conf, indexPath, shingleK, bands, rowsPerBand)
+    }
+    runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
+      "minhash index", maxFilesPerTrigger) { (batch, batchId, _) =>
+      val d = graft.ops.MinHashIndex.build(batch, idCol, textCol,
+        shingleK, bands, rowsPerBand)
+      d.buckets.write.mode("overwrite")
+        .parquet(sub(s"buckets/batch_$batchId").toString)
+      d.sets.write.mode("overwrite")
+        .parquet(sub(s"sets/batch_$batchId").toString)
+    } { _ => () }
+    readMinHashMaintained(spark, indexPath)
+  }
+
+  /** Read the [[streamMinHashMaintain]]ed index: every committed batch
+    * dir pair, shape parameters from the sidecar.
+    */
+  def readMinHashMaintained(
+      spark: SparkSession, indexPath: String): graft.ops.MinHashIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val done = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong).sorted
+    require(done.nonEmpty, s"no committed minhash index batch under $indexPath")
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
+    val (k, b, r) = graft.ops.MinHashIndex.sidecarParams(conf, indexPath)
+    graft.ops.MinHashIndex(
+      spark.read.parquet(done.map(id => sub(s"buckets/batch_$id")): _*)
+        .select("id", "band", "bucket"),
+      spark.read.parquet(done.map(id => sub(s"sets/batch_$id")): _*)
+        .select("id", "shingle_set"),
+      k, b, r)
   }
 
   /** Native gap-based SESSION windows (Spark's `session_window` — dynamic

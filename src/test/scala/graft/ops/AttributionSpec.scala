@@ -96,4 +96,46 @@ class AttributionSpec extends AnyFunSuite {
       .filter(col("pid") === 1L).orderBy("channel").collect()
     assert(rows.map(_.getAs[Double]("credit_position")).toSeq == Seq(50.0, 50.0))
   }
+
+  test("markov removal effect: hand-computed chain, value conservation, " +
+      "degenerate inputs") {
+    // u1: x then purchase(10) -> start->x->conv; u2: y then nothing ->
+    // start->y->null. pFull = 0.5; removing x kills all conversion
+    // (RE=1), removing y changes nothing (RE=0) -> x takes the full 10.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "x", 0.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "purchase", 10.0),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "y", 0.0)
+    ).toDF("user", "ts", "eid", "etype", "value")
+    val got = Attribution.markovRemovalEffect(ev, "user", "ts", "etype",
+        "eid", convType = "purchase", valueCol = "value")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("x", 1.0, 10.0), ("y", 0.0, 0.0)))
+    // conservation on the fixture stream: credits are V*RE/sumRE, so the
+    // per-channel 4-dp rounding is the only slack
+    val events = graft.etl.Tables.events(spark, graft.GraftSpark.Sf0001)
+    val out = Attribution.markovRemovalEffect(events, "user_id", "ts",
+      "event_type", "event_id", "purchase", "value").collect()
+    val v = events.filter(col("event_type") === "purchase")
+      .agg(sum("value")).head().getDouble(0)
+    val tot = out.map(_.getDouble(2)).sum
+    assert(math.abs(tot - v) <= out.length * 5e-5 + 1e-6,
+      s"markov credits must conserve total purchase value: $tot vs $v")
+    assert(out.nonEmpty && out.forall(r =>
+      r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // no conversions -> zero effects and zero credits (never a div-0)
+    val z = Attribution.markovRemovalEffect(
+        ev.filter(col("etype") =!= "purchase"),
+        "user", "ts", "etype", "eid", "purchase", "value").collect()
+    assert(z.nonEmpty && z.forall(r =>
+      r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0))
+    // no touches -> no channel states -> empty result
+    assert(Attribution.markovRemovalEffect(
+      ev.filter(col("etype") === "purchase"),
+      "user", "ts", "etype", "eid", "purchase", "value").isEmpty)
+    intercept[IllegalArgumentException](
+      Attribution.markovRemovalEffect(ev, "user", "ts", "etype", "eid",
+        "purchase", "value", iterations = 0))
+  }
 }

@@ -138,4 +138,67 @@ class SimJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((1L, 2L, 0.28)))
   }
+
+  test("SimJoinIndex round-trip serves exactly incrementalPairs; tighter " +
+      "thresholds complete; looser rejected; corpus never re-read at serve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus goes through PARQUET so the serve plan can be audited for
+    // its absence (the index must be the only corpus-derived input)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sjidx").toString
+    val corpusPath = s"$tmp/corpus.parquet"
+    (0 until 30).map { i =>
+      (i.toLong, (i until i + 12).map(j => s"t${j % 60}").mkString(" "))
+    }.toDF("doc_id", "text").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val batch = ((0 until 10).map { i =>
+      (1000L + i, (i * 3 until i * 3 + 12).map(j => s"t${j % 60}").mkString(" "))
+    } ++ Seq((2000L, (0 until 12).map(j => s"u$j").mkString(" ")),
+             (2001L, ((0 until 6).map(j => s"u$j") ++ (0 until 6).map(j => s"t$j")).mkString(" "))))
+      .toDF("doc_id", "text")
+    SimJoinIndex.write(
+      SimJoinIndex.build(corpus, "doc_id", "text", shingleK = 3, threshold = 0.4),
+      s"$tmp/index")
+    val idx = SimJoinIndex.read(spark, s"$tmp/index")
+    assert(idx.shingleK == 3 && idx.threshold == 0.4)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // build-threshold serve == the per-run incremental computation
+    val served = SimJoinIndex.pairs(idx, batch, "doc_id", "text")
+    assert(pairsOf(served) == pairsOf(
+      SimJoin.incrementalPairs(corpus, batch, "doc_id", "text",
+        shingleK = 3, threshold = 0.4)))
+    // tighter threshold stays complete off the same stored prefixes
+    assert(pairsOf(SimJoinIndex.pairs(idx, batch, "doc_id", "text", threshold = 0.7)) ==
+      pairsOf(SimJoin.incrementalPairs(corpus, batch, "doc_id", "text",
+        shingleK = 3, threshold = 0.7)))
+    // looser than built = incomplete prefixes -> loud rejection
+    intercept[IllegalArgumentException](
+      SimJoinIndex.pairs(idx, batch, "doc_id", "text", threshold = 0.3))
+    // PLAN AUDIT: the serve plan reads the index dirs, never the corpus
+    // source — the whole point of persisting the prefix state
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("corpus.parquet"),
+      "serve plan re-read the corpus source")
+    assert(plan.contains("prefixes"), "serve plan must probe the stored postings")
+    // APPEND under the frozen order is exact: the maintained index
+    // serves the full-corpus pair set
+    val firstHalf = corpus.filter(col("doc_id") < 15)
+    val appended = SimJoinIndex.append(
+      SimJoinIndex.build(firstHalf, "doc_id", "text",
+        shingleK = 3, threshold = 0.4),
+      corpus.filter(col("doc_id") >= 15), "doc_id", "text")
+    assert(pairsOf(SimJoinIndex.pairs(appended, batch, "doc_id", "text")) ==
+      pairsOf(served))
+    // ERASE is exact: the erased index serves the rebuild WITHOUT the
+    // victims, and its plan touches only index frames + the batch
+    val victims = corpus.filter(col("doc_id") % 4 === 1).select("doc_id")
+    val erasedServe = SimJoinIndex.pairs(
+      SimJoinIndex.erase(idx, victims), batch, "doc_id", "text")
+    assert(pairsOf(erasedServe) == pairsOf(
+      SimJoin.incrementalPairs(corpus.filter(col("doc_id") % 4 =!= 1), batch,
+        "doc_id", "text", shingleK = 3, threshold = 0.4)))
+    intercept[IllegalArgumentException](
+      SimJoinIndex.erase(idx, victims.withColumn("extra", col("doc_id"))))
+  }
 }

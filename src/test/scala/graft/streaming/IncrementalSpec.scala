@@ -520,6 +520,56 @@ class IncrementalSpec extends AnyFunSuite {
       "guard must not touch the index")
   }
 
+  test("streamMinHashMaintain: maintained index queries exactly like the " +
+      "static build; exactly-once across runs; parameter mismatch rejected") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = Files.createTempDirectory("graft_mhm_src").toString
+    val idx = Files.createTempDirectory("graft_mhm_tgt").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_mhm_ck").toString
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val scratch = Files.createTempDirectory("graft_mhm_scratch").toString
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+      val part = new java.io.File(s"$scratch/$name").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val batch = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + lit(7000000L))
+    def pairsOf(ix: graft.ops.MinHashIndex) =
+      graft.ops.MinHashIndex.query(ix, batch, "doc_id", "text", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val firstHalf = docs.filter(col("doc_id") % 2 === 0)
+    arrive(firstHalf, "p1")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = ckpt)
+    assert(pairsOf(Incremental.readMinHashMaintained(spark, idx)) ==
+      pairsOf(graft.ops.MinHashIndex.build(firstHalf, "doc_id", "text", 3, 8, 2)),
+      "after arrival 1 the maintained index must query like a rebuild on it")
+    arrive(docs.filter(col("doc_id") % 2 =!= 0), "p2")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = ckpt)
+    val full = pairsOf(graft.ops.MinHashIndex.build(docs, "doc_id", "text", 3, 8, 2))
+    assert(pairsOf(Incremental.readMinHashMaintained(spark, idx)) == full,
+      "after arrival 2 the maintained index must query like a full rebuild")
+    // every planted near-dup (ids < 30 relabeled) must resolve — the
+    // exactly-once check: a double-appended batch would still match, so
+    // assert the BUCKET frame carries each doc exactly `bands` times
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = ckpt)
+    val perDoc = Incremental.readMinHashMaintained(spark, idx).buckets
+      .groupBy("id").count().select("count").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(perDoc == Seq(8L),
+      s"bucket rows per doc must be exactly bands=8, got $perDoc")
+    // shape-parameter mismatch fails loudly instead of mixing signatures
+    val e = intercept[IllegalArgumentException](
+      Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+        shingleK = 4, bands = 8, rowsPerBand = 2, checkpointPath = ckpt))
+    assert(e.getMessage.contains("incomparable"), e.getMessage)
+  }
+
   test("caller-supplied delaySec skips the declaration-time span probe " +
       "and matches the probe-default results") {
     import scala.jdk.CollectionConverters._
