@@ -273,28 +273,41 @@ object Loads {
       .agg(count(lit(1)).cast("long").as("__vn"),
         sums.map(s => sum(col(s.column)).as("__v_" + s.column)): _*)
     val vKeys = vAgg.select(keys.map(col): _*)
-    val untouched = existing.join(vKeys, keys, "left_anti")
+    // every key comparison is NULL-SAFE (<=>): groupBy keeps a NULL-key
+    // group, so a rollup maintained on a nullable key has NULL-key rows —
+    // a plain equi-join would never match them and their victims would
+    // silently survive the erase
+    def keyCond(l: DataFrame, r: DataFrame): Column =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    val untouched = existing.join(vKeys, keyCond(existing, vKeys), "left_anti")
       .select(existing.columns.map(col).toIndexedSeq: _*)
     // inner join = affected keys only; an all-NULL victim measure sums to
     // NULL (nothing to subtract — coalesced away)
-    val subtracted = sums.foldLeft(
-        existing.join(vAgg, keys)
-          .withColumn(countCol, (col(countCol) - col("__vn")).cast("long"))
-      ) { (df, s) =>
-        df.withColumn(s.column, col(s.column) - coalesce(col("__v_" + s.column), lit(0)))
-      }
+    val subtracted = existing.join(vAgg, keyCond(existing, vAgg))
+      .select((keys.map(k => existing(k).as(k)) :+
+        (existing(countCol) - col("__vn")).cast("long").as(countCol)) ++
+        specs.map { s =>
+          if (s.agg == "sum")
+            (existing(s.column) - coalesce(col("__v_" + s.column), lit(0)))
+              .as(s.column)
+          else existing(s.column).as(s.column)
+        }: _*)
     val withMinMax =
       if (minMax.isEmpty) subtracted
       else {
         val reAgg = minMax.map(s => AggSpec.Fns(s.agg)(col(s.column)).as("__r_" + s.column))
-        val re = retained.join(vKeys, keys, "left_semi")
+        val re = retained.join(vKeys, keyCond(retained, vKeys), "left_semi")
           .groupBy(keys.map(col): _*)
           .agg(reAgg.head, reAgg.tail: _*)
         // LEFT: a fully-erased key has no retained rows — its NULL
         // min/max never surfaces because the count-0 filter drops it
-        minMax.foldLeft(subtracted.join(re, keys, "left")) { (df, s) =>
-          df.withColumn(s.column, col("__r_" + s.column))
-        }
+        subtracted.join(re, keyCond(subtracted, re), "left")
+          .select((keys.map(k => subtracted(k).as(k)) :+
+            subtracted(countCol).as(countCol)) ++
+            specs.map { s =>
+              if (s.agg == "sum") subtracted(s.column).as(s.column)
+              else col("__r_" + s.column).as(s.column)
+            }: _*)
       }
     untouched.unionByName(
       withMinMax.filter(col(countCol) > 0)

@@ -179,12 +179,18 @@ object Attribution {
     val edges = stepEdges.unionByName(nullEdges)
       .groupBy("__from", "__to").agg(count(lit(1)).cast("double").as("__n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    require(edges.forall(e => e._1 != null && e._2 != null),
+      s"markovRemovalEffect needs non-null '$typeCol' values: a NULL " +
+        "channel has no state identity (clean or filter the stream first)")
     val totalValue = events.filter(col(typeCol) === convType)
       .agg(coalesce(sum(col(valueCol)), lit(0.0)).cast("double"))
       .head().getDouble(0)
     val channels = edges.iterator
       .flatMap { case (f, t, _) => Iterator(f, t) }
       .filterNot(Set(StartState, ConvState, NullState)).toSeq.distinct.sorted
+    require(channels.forall(c => !c.startsWith("__")),
+      s"channel names may not use the '__' pseudo-state prefix: " +
+        channels.filter(_.startsWith("__")).mkString(", "))
     if (channels.isEmpty)
       return Seq.empty[(String, Double, Double)]
         .toDF("channel", "removal_effect", "markov_value")
@@ -198,22 +204,25 @@ object Attribution {
           f -> es.map(e => (e._2, e._3)).sortBy(_._1).toSeq
         }
     val states = (channels ++ Seq(StartState, ConvState, NullState))
-    def absorbAtStart(removed: String): Double = {
+    // None = full graph — an Option, not a string sentinel, so no real
+    // channel name can ever collide with "nothing removed"
+    def absorbAtStart(removed: Option[String]): Double = {
       var p = states.map(s => s -> (if (s == ConvState) 1.0 else 0.0)).toMap
       var i = 0
       while (i < iterations) {
         p = states.map { s =>
           s -> byFrom.getOrElse(s, Nil).iterator.map { case (t, pr) =>
-            pr * (if (t == removed) 0.0 else p(t))
+            pr * (if (removed.contains(t)) 0.0 else p(t))
           }.sum
         }.toMap
         i += 1
       }
       p(StartState)
     }
-    val pFull = absorbAtStart(removed = "")
+    val pFull = absorbAtStart(removed = None)
     val re = channels.map { c =>
-      c -> (if (pFull > 0) math.max(0.0, 1.0 - absorbAtStart(c) / pFull) else 0.0)
+      c -> (if (pFull > 0) math.max(0.0, 1.0 - absorbAtStart(Some(c)) / pFull)
+            else 0.0)
     }
     val reSum = re.map(_._2).sum
     re.map { case (c, r) =>

@@ -175,7 +175,10 @@ object SimJoin {
       s"threshold must be in (0, 1], got $threshold")
 
     val corpusGrams = gramsOf(corpus, idCol, textCol, shingleK)
+    // vocabulary-sized; checkpointed because BOTH sides' rarity sorts
+    // consume it — lazily it would re-run the corpus gram scan twice
     val freq = corpusGrams.groupBy("h").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
 
     // rarity-sorted arrays under the FROZEN corpus order; the batch
     // left-joins the frozen df table (unseen → 0)

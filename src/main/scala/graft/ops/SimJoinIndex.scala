@@ -58,7 +58,11 @@ object SimJoinIndex {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val grams = SimJoin.gramsOf(corpus, idCol, textCol, shingleK)
+    // freq is vocabulary-sized and feeds the sort below AND every later
+    // consumer (write's freq member, each pairs()/append() batch freeze)
+    // — without the checkpoint each one re-runs the full corpus gram scan
     val freq = grams.groupBy("h").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val sorted = SimJoin.sortedUnder(grams, freq, "inner").localCheckpoint()
     SimJoinIndex(
       freq,
@@ -181,6 +185,13 @@ object SimJoinIndex {
       .write.mode("overwrite").parquet(sub("prefixes"))
     index.sets.write.mode("overwrite").parquet(sub("sets"))
     val thresholdMilli = math.round(index.threshold * 1000).toInt
+    // the sidecar stores millipoints (the parser is int-only): a lossy
+    // round would let read() return a threshold BELOW the one the
+    // prefixes were built at, silently defeating pairs()' completeness
+    // guard — reject non-representable thresholds loudly instead
+    require(math.abs(index.threshold * 1000 - thresholdMilli) < 1e-9,
+      s"threshold ${index.threshold} is not millipoint-representable; " +
+        "write() persists thresholds in units of 0.001 (use e.g. 0.333)")
     IndexSidecar.write(
       index.freq.sparkSession.sparkContext.hadoopConfiguration, path,
       s"""{"format":1,"shingleK":${index.shingleK},"thresholdMilli":$thresholdMilli}""")

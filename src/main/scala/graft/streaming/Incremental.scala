@@ -837,34 +837,49 @@ object Incremental {
         Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString)
       else Map.empty[String, String]
     val in = streamSource(spark, srcPath, srcOpts)
-    def committedIds(): Seq[Long] =
-      fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("_committed_"))
-        .map(_.stripPrefix("_committed_").toLong).sorted
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val done = committedIds()
+        val done = committedBatchIds(fs, root)
         if (done.contains(batchId)) {
           () // at-least-once replay of an already-committed batch: skip
         } else {
+          // stamp BEFORE the first marker ever lands (no-op once
+          // stamped): a first-run crash after markers but before a
+          // post-run stamp would let a fresh-checkpoint restart pass the
+          // identity guard and silently skip live batches as replays —
+          // the checkpoint's metadata file exists once the query started,
+          // i.e. here
+          stampRunIdentity(conf, fs, root, ckptStr)
           writeBatch(batch, batchId, done)
           // ONE commit point covers every artifact the batch wrote — a
           // crash between any artifact write and this create leaves the
           // batch uncommitted, so the replay rewrites it wholesale
           fs.create(new org.apache.hadoop.fs.Path(root, s"_committed_$batchId"),
             true).close()
-          afterCommit(committedIds())
+          afterCommit(committedBatchIds(fs, root))
         }
       }
       .option("checkpointLocation", ckptStr)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // zero-batch runs (empty source) still stamp, closing the lineage
     stampRunIdentity(conf, fs, root, ckptStr)
-    val fin = committedIds()
+    val fin = committedBatchIds(fs, root)
     require(fin.nonEmpty, s"no committed $what batch under $indexPath")
     fin
   }
+
+  /** The sorted committed batch ids under a [[runBatchCommitted]] index
+    * root — ONE definition of the load-bearing `_committed_<id>` marker
+    * scheme, shared by the writer and both maintained-index readers.
+    */
+  private def committedBatchIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toLong).sorted
 
   def streamBm25Maintain(
       spark: SparkSession,
@@ -926,9 +941,7 @@ object Incremental {
       spark: SparkSession, indexPath: String): graft.ops.Bm25Index = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_committed_"))
-      .map(_.stripPrefix("_committed_").toLong).sorted
+    val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed bm25 index batch under $indexPath")
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
     graft.ops.Bm25Index(
@@ -999,9 +1012,7 @@ object Incremental {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
-    val done = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_committed_"))
-      .map(_.stripPrefix("_committed_").toLong).sorted
+    val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed minhash index batch under $indexPath")
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
     val (k, b, r) = graft.ops.MinHashIndex.sidecarParams(conf, indexPath)

@@ -238,4 +238,34 @@ class LoadsSpec extends AnyFunSuite {
         Seq("l_returnflag"), specs, "n")
     }
   }
+
+  test("L8 rollupErase retracts NULL-key groups (null-safe key joins)") {
+    // groupBy keeps a NULL-key group, so a rollup on a nullable key has
+    // NULL-key rows; plain equi-joins would never match them and their
+    // victims would silently survive the erase
+    val facts = Seq(
+      (Option("a"), 10.0, "u1"), (Option("a"), 20.0, "u2"),
+      (Option.empty[String], 5.0, "u1"), (Option.empty[String], 7.0, "u2"),
+      (Option.empty[String], 9.0, "u3")
+    ).toDF("k", "v", "subject")
+    val victims = facts.filter(col("subject") === "u1")
+    val sumRollup = facts.groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n"), sum("v").as("v"))
+    val erased = Loads.rollupErase(sumRollup, victims.drop("subject"),
+        Seq("k"), Seq(Loads.AggSpec("v", "sum")), "n")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(erased == Set((Some("a"), 1L, 20.0), (None, 2L, 16.0)))
+    // the keyed min/max recompute path must also match the NULL group
+    val mixRollup = facts.groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n"), sum("v").as("v"),
+        max("subject").as("subject"))
+    val erased2 = Loads.rollupErase(mixRollup, victims, Seq("k"),
+        Seq(Loads.AggSpec("v", "sum"), Loads.AggSpec("subject", "max")), "n",
+        retained = facts.filter(col("subject") =!= "u1"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(erased2 == Set((Some("a"), 1L, 20.0, "u2"), (None, 2L, 16.0, "u3")))
+  }
 }

@@ -15,6 +15,19 @@ class IncrementalSpec extends AnyFunSuite {
   private val ref = LocalDate.parse("2001-11-04")
   private val liPath = s"${GraftSpark.Sf0001}/lineitem.parquet"
 
+  /** Stage one single-part parquet arrival into a stream-source dir
+    * (streamSource globs plain files there — never write subdirs).
+    */
+  private def stageArrival(src: String,
+      df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val scratch = Files.createTempDirectory("graft_arrive").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+    val part = new java.io.File(s"$scratch/$name").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$src/$name.parquet"))
+  }
+
   test("incrementalRefresh writes exactly the windowed extract; re-run is a no-op (checkpointed)") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     val target = s"$tmp/target"
@@ -465,14 +478,8 @@ class IncrementalSpec extends AnyFunSuite {
         .orderBy("q_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSeq
-    val scratch = Files.createTempDirectory("graft_bm25m_scratch").toString
-    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
-      val part = new java.io.File(s"$scratch/$name").listFiles
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$src/$name.parquet"))
-    }
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageArrival(src, df, name)
     def copyDir(from: java.io.File, to: java.io.File): Unit = {
       to.mkdirs()
       from.listFiles.foreach { f =>
@@ -527,14 +534,8 @@ class IncrementalSpec extends AnyFunSuite {
     val idx = Files.createTempDirectory("graft_mhm_tgt").toString + "/index"
     val ckpt = Files.createTempDirectory("graft_mhm_ck").toString
     val docs = Tables.documents(spark, GraftSpark.Sf0001)
-    val scratch = Files.createTempDirectory("graft_mhm_scratch").toString
-    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
-      val part = new java.io.File(s"$scratch/$name").listFiles
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$src/$name.parquet"))
-    }
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageArrival(src, df, name)
     val batch = docs.filter(col("doc_id") < 30)
       .withColumn("doc_id", col("doc_id") + lit(7000000L))
     def pairsOf(ix: graft.ops.MinHashIndex) =
