@@ -115,11 +115,22 @@ object IvfPqIndex {
       index: IvfPqIndex,
       batch: DataFrame,
       idCol: String,
-      vecCol: String): IvfPqIndex = {
-    val c = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val withEnc = residualEncode(c, index.centroids, index.residual)
+      vecCol: String): IvfPqIndex =
     index.copy(lists =
-      index.lists.unionByName(toLists(withEnc, index.codebooks)))
+      index.lists.unionByName(encodeLists(index, batch, idCol, vecCol)))
+
+  /** Encode a batch through the index's FROZEN model into inverted-list
+    * rows (cluster, n_id, codes, n_norm) — the shared map-side pass of
+    * [[append]] and the streaming maintainer
+    * ([[graft.streaming.Incremental.streamIvfPqMaintain]]).
+    */
+  private[graft] def encodeLists(
+      index: IvfPqIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val c = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    toLists(residualEncode(c, index.centroids, index.residual), index.codebooks)
   }
 
   /** Index ERASURE — the delete half of the maintenance pair beside

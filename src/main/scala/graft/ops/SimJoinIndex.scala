@@ -90,16 +90,30 @@ object SimJoinIndex {
       delta: DataFrame,
       idCol: String,
       textCol: String): SimJoinIndex = {
-    val deltaSorted = SimJoin.sortedUnder(
-        SimJoin.gramsOf(delta, idCol, textCol, index.shingleK),
-        index.freq, "left")
-      .localCheckpoint() // feeds both the prefix and set unions
-    SimJoinIndex(
-      index.freq,
-      index.prefixes.unionByName(
-        SimJoin.prefixRows(deltaSorted, index.threshold).select("h", "id", "n")),
-      index.sets.unionByName(deltaSorted.select("id", "set", "n")),
+    val (p, s) = encodeDelta(index.freq, delta, idCol, textCol,
       index.shingleK, index.threshold)
+    SimJoinIndex(index.freq,
+      index.prefixes.unionByName(p), index.sets.unionByName(s),
+      index.shingleK, index.threshold)
+  }
+
+  /** Encode a delta under a FROZEN df table into (prefix postings,
+    * sorted sets) — the one delta pass [[append]] and the streaming
+    * maintainer ([[graft.streaming.Incremental.streamSimJoinMaintain]])
+    * share. localCheckpoint: both outputs consume the rarity sort.
+    */
+  private[graft] def encodeDelta(
+      freq: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val deltaSorted = SimJoin.sortedUnder(
+        SimJoin.gramsOf(delta, idCol, textCol, shingleK), freq, "left")
+      .localCheckpoint()
+    (SimJoin.prefixRows(deltaSorted, threshold).select("h", "id", "n"),
+      deltaSorted.select("id", "set", "n"))
   }
 
   /** Index ERASURE — the delete half of the maintenance pair (the
@@ -184,30 +198,54 @@ object SimJoinIndex {
       .sortWithinPartitions("h", "id")
       .write.mode("overwrite").parquet(sub("prefixes"))
     index.sets.write.mode("overwrite").parquet(sub("sets"))
-    val thresholdMilli = math.round(index.threshold * 1000).toInt
+    writeSidecar(index.freq.sparkSession.sparkContext.hadoopConfiguration,
+      path, index.shingleK, index.threshold)
+  }
+
+  /** Sidecar bridge shared with the streaming maintainer
+    * ([[graft.streaming.Incremental.streamSimJoinMaintain]] — outside the
+    * `ops` package [[IndexSidecar]] is scoped to).
+    */
+  private[graft] def sidecarExists(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, IndexSidecar.FileName)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** (shingleK, threshold) from the sidecar. */
+  private[graft] def sidecarParams(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Int, Double) = {
+    val json = IndexSidecar.readJson(conf, path)
+    require(IndexSidecar.intField(json, "format", path) == 1,
+      s"unsupported simjoin index format at $path")
+    (IndexSidecar.intField(json, "shingleK", path),
+      IndexSidecar.intField(json, "thresholdMilli", path) / 1000.0)
+  }
+
+  private[graft] def writeSidecar(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String, shingleK: Int, threshold: Double): Unit = {
+    val thresholdMilli = math.round(threshold * 1000).toInt
     // the sidecar stores millipoints (the parser is int-only): a lossy
     // round would let read() return a threshold BELOW the one the
     // prefixes were built at, silently defeating pairs()' completeness
     // guard — reject non-representable thresholds loudly instead
-    require(math.abs(index.threshold * 1000 - thresholdMilli) < 1e-9,
-      s"threshold ${index.threshold} is not millipoint-representable; " +
-        "write() persists thresholds in units of 0.001 (use e.g. 0.333)")
-    IndexSidecar.write(
-      index.freq.sparkSession.sparkContext.hadoopConfiguration, path,
-      s"""{"format":1,"shingleK":${index.shingleK},"thresholdMilli":$thresholdMilli}""")
+    require(math.abs(threshold * 1000 - thresholdMilli) < 1e-9,
+      s"threshold $threshold is not millipoint-representable; " +
+        "the sidecar persists thresholds in units of 0.001 (use e.g. 0.333)")
+    IndexSidecar.write(conf, path,
+      s"""{"format":1,"shingleK":$shingleK,"thresholdMilli":$thresholdMilli}""")
   }
 
   def read(spark: SparkSession, path: String): SimJoinIndex = {
     def sub(name: String) = new org.apache.hadoop.fs.Path(path, name).toString
-    val conf = spark.sparkContext.hadoopConfiguration
-    val json = IndexSidecar.readJson(conf, path)
-    require(IndexSidecar.intField(json, "format", path) == 1,
-      s"unsupported simjoin index format at $path")
+    val (shingleK, threshold) =
+      sidecarParams(spark.sparkContext.hadoopConfiguration, path)
     SimJoinIndex(
       spark.read.parquet(sub("freq")).select("h", "freq"),
       spark.read.parquet(sub("prefixes")).select("h", "id", "n"),
       spark.read.parquet(sub("sets")).select("id", "set", "n"),
-      IndexSidecar.intField(json, "shingleK", path),
-      IndexSidecar.intField(json, "thresholdMilli", path) / 1000.0)
+      shingleK, threshold)
   }
 }

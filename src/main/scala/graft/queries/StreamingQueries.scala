@@ -220,6 +220,60 @@ object StreamingQueries {
     }),
 
 
+    // Streaming IVF-PQ index MAINTENANCE (streaming/Incremental
+    // .streamIvfPqMaintain): the FROZEN model — base 9/10 of the vectors,
+    // trained + written once — stays put while the held-out 1/10 STREAMS
+    // in as micro-batches, each a map-side encode through the persisted
+    // codebooks into an append-only cluster-partitioned lists_batch dir
+    // (exactly-once via the _committed_ markers, run-identity guarded).
+    // Encoding is deterministic, so the maintained index serves
+    // IDENTICALLY to the batch IvfPqIndex.append on the same delta — the
+    // serve SHARES knn_index_append's pinned oracle.
+    "stream_knn_maintain" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = IndexFixture.dir("ivfpq_stream", dir) { tmp =>
+        graft.ops.IvfPqIndex.write(
+          graft.ops.IvfPqIndex.build(emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", nlist = 16, numSubspaces = 8, numCodes = 16),
+          s"$tmp/index")
+        emb.filter(col("vec_id") % 10 === 0).repartition(2, col("vec_id"))
+          .write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamIvfPqMaintain(
+          s, s"$tmp/src", s"$tmp/index", "vec_id", "embedding",
+          maxFilesPerTrigger = 1)
+      }
+      graft.ops.IvfPqIndex.topK(
+          graft.streaming.Incremental.readIvfPqMaintained(s, s"$idxDir/index"),
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 3, nprobe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+
+    // Streaming prefix-filter similarity-index MAINTENANCE (streaming/
+    // Incremental.streamSimJoinMaintain): the FIRST micro-batch freezes
+    // the rarity order (its df table, written once), later batches pay
+    // one shingle pass over themselves into append-only batch dirs —
+    // the frozen order affects only pruning, never the pair set, so the
+    // maintained index serves the EXACT full-corpus bipartite pair set
+    // and SHARES simjoin_incremental's oracle.
+    "stream_simjoin_maintain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin_stream", dir) { tmp =>
+        docs.filter(col("doc_id") % 5 =!= 0).repartition(3, col("doc_id"))
+          .write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamSimJoinMaintain(
+          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+          shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+      }
+      graft.ops.SimJoinIndex.pairs(
+          graft.streaming.Incremental.readSimJoinMaintained(s, s"$idxDir/index"),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
     // Streaming MinHash index MAINTENANCE (streaming/Incremental
     // .streamMinHashMaintain — the runBatchCommitted machinery applied to
     // the dedup index): the corpus streams in as micro-batches, each a
@@ -303,6 +357,14 @@ object StreamingQueries {
     // the streamed-maintained MinHash index must serve the IDENTICAL
     // pair set as the static index (content-deterministic signatures)
     "stream_minhash_maintain" -> StreamNearDedupSql,
+
+    // deterministic frozen-model encode: streamed maintenance serves
+    // exactly like the batch append — shared pin
+    "stream_knn_maintain" -> graft.PinnedOracles.sql("knn_index_append"),
+
+    // the frozen rarity order never changes the pair set (exact verify):
+    // shared full-corpus bipartite oracle
+    "stream_simjoin_maintain" -> DedupQueries.oracles("simjoin_incremental"),
     // the streamed credits must aggregate to EXACTLY the batch as-of
     // join's answer — shared oracle, not a lookalike (the channel column
     // there is this roll-up's channel)

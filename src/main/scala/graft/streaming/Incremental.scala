@@ -1024,6 +1024,165 @@ object Incremental {
       k, b, r)
   }
 
+  /** Streaming IVF-PQ index maintenance — [[runBatchCommitted]] applied
+    * to the vector index. The FROZEN model is the contract
+    * ([[graft.ops.IvfPqIndex.append]]: no retraining; production rebuilds
+    * on a slow cadence while appending fast): `indexPath` must already
+    * hold a [[graft.ops.IvfPqIndex.write]]-persisted index (model sidecar
+    * + base `lists/`), and each micro-batch encodes through that model —
+    * ONE map-side pass over the batch — into an append-only
+    * `lists_batch_<id>` dir (cluster-partitioned like the base layout, so
+    * serve-time cluster probes prune files in every batch dir alike).
+    * Exactly-once and run-identity exactly as [[streamBm25Maintain]].
+    * Encoding is deterministic, so the maintained index serves
+    * IDENTICALLY to the batch [[graft.ops.IvfPqIndex.append]] on the same
+    * delta — the declared `stream_knn_maintain` query shares
+    * `knn_index_append`'s pinned oracle.
+    */
+  def streamIvfPqMaintain(
+      spark: SparkSession,
+      srcPath: String,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      checkpointPath: String = null,
+      maxFilesPerTrigger: Int = 0): graft.ops.IvfPqIndex = {
+    // reads the frozen model once (and fails loudly if indexPath is not
+    // a written index — the model MUST predate the stream)
+    val base = graft.ops.IvfPqIndex.read(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
+      "ivfpq index", maxFilesPerTrigger) { (batch, batchId, _) =>
+      graft.ops.IvfPqIndex.encodeLists(base, batch, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(new org.apache.hadoop.fs.Path(root, s"lists_batch_$batchId").toString)
+    } { _ => () }
+    readIvfPqMaintained(spark, indexPath)
+  }
+
+  /** Read the [[streamIvfPqMaintain]]ed index: the persisted model + base
+    * lists plus every committed batch-list dir.
+    */
+  def readIvfPqMaintained(
+      spark: SparkSession, indexPath: String): graft.ops.IvfPqIndex = {
+    val base = graft.ops.IvfPqIndex.read(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = committedBatchIds(fs, root)
+    // one read PER batch dir (a multi-path read of several
+    // cluster-partitioned roots trips partition discovery —
+    // CONFLICTING_DIRECTORY_STRUCTURES), then union: every leg keeps its
+    // own cluster-pruned layout, and the union count is bounded by the
+    // batches since the last model rebuild (the frozen-model cadence)
+    val batchLists = done.map { id =>
+      spark.read
+        .parquet(new org.apache.hadoop.fs.Path(root, s"lists_batch_$id").toString)
+        .select("cluster", "n_id", "codes", "n_norm")
+    }
+    if (batchLists.isEmpty) base
+    else base.copy(lists = (base.lists +: batchLists).reduce(_ unionByName _))
+  }
+
+  /** Streaming prefix-filter similarity-index maintenance —
+    * [[runBatchCommitted]] applied to [[graft.ops.SimJoinIndex]]. The
+    * FIRST batch freezes the model: its shingle document frequencies
+    * become the rarity total order (written once to `freq/`), exactly as
+    * the batch [[graft.ops.SimJoinIndex.append]] freezes the build-time
+    * order — later batches' unseen shingles take df 0 and sort first.
+    * Each micro-batch then pays one shingle pass over ITSELF into
+    * append-only `prefixes/batch_<id>` + `sets/batch_<id>` dirs. The
+    * frozen order affects only PRUNING quality (posting-list lengths),
+    * never the pair set — prefix completeness needs only a common total
+    * order and the verify is exact — so the maintained index serves the
+    * EXACT bipartite pair set (the declared `stream_simjoin_maintain`
+    * query shares `simjoin_incremental`'s full-corpus oracle); a
+    * production deployment refreezes (rebuilds) on a slow cadence like
+    * the IVF-PQ model. Shape parameters live in the standard sidecar,
+    * written with the frozen order and REQUIRED equal on later runs.
+    */
+  def streamSimJoinMaintain(
+      spark: SparkSession,
+      srcPath: String,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      checkpointPath: String = null,
+      maxFilesPerTrigger: Int = 0): graft.ops.SimJoinIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    if (graft.ops.SimJoinIndex.sidecarExists(conf, indexPath)) {
+      val (k0, t0) = graft.ops.SimJoinIndex.sidecarParams(conf, indexPath)
+      require(k0 == shingleK && math.abs(t0 - threshold) < 1e-12,
+        s"simjoin index at $indexPath was frozen with (shingleK=$k0, " +
+          s"threshold=$t0); appending with ($shingleK, $threshold) would " +
+          "mix incomparable prefixes")
+      // a STATIC SimJoinIndex.write layout keeps part files directly under
+      // prefixes/ — the maintained reader would silently ignore them;
+      // stream-maintain only into roots this maintainer owns
+      val staticPrefixes = fs.exists(sub("prefixes")) &&
+        fs.listStatus(sub("prefixes")).exists(st =>
+          !st.getPath.getName.startsWith("batch_") &&
+            !st.getPath.getName.startsWith("_"))
+      require(!staticPrefixes,
+        s"$indexPath holds a statically-written simjoin index; " +
+          "streamSimJoinMaintain owns its own root (serve static indexes " +
+          "via SimJoinIndex.read + append instead)")
+    }
+    runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
+      "simjoin index", maxFilesPerTrigger) { (batch, batchId, done) =>
+      if (done.isEmpty && !graft.ops.SimJoinIndex.sidecarExists(conf, indexPath)) {
+        // FIRST batch: freeze the rarity order on its own frequencies
+        // (write is deterministic, so a pre-marker crash replays cleanly)
+        val built = graft.ops.SimJoinIndex.build(batch, idCol, textCol,
+          shingleK, threshold)
+        built.freq.write.mode("overwrite").parquet(sub("freq").toString)
+        graft.ops.SimJoinIndex.writeSidecar(conf, indexPath, shingleK, threshold)
+        built.prefixes.write.mode("overwrite")
+          .parquet(sub(s"prefixes/batch_$batchId").toString)
+        built.sets.write.mode("overwrite")
+          .parquet(sub(s"sets/batch_$batchId").toString)
+      } else {
+        // later batches fold in under the FROZEN order: one shingle pass
+        // over the batch, df-0 newcomers sort first (append's argument)
+        val freq = spark.read.parquet(sub("freq").toString).select("h", "freq")
+        val (p, sets) = graft.ops.SimJoinIndex.encodeDelta(
+          freq, batch, idCol, textCol, shingleK, threshold)
+        p.write.mode("overwrite")
+          .parquet(sub(s"prefixes/batch_$batchId").toString)
+        sets.write.mode("overwrite")
+          .parquet(sub(s"sets/batch_$batchId").toString)
+      }
+    } { _ => () }
+    readSimJoinMaintained(spark, indexPath)
+  }
+
+  /** Read the [[streamSimJoinMaintain]]ed index: the frozen df table plus
+    * every committed batch dir pair.
+    */
+  def readSimJoinMaintained(
+      spark: SparkSession, indexPath: String): graft.ops.SimJoinIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val done = committedBatchIds(fs, root)
+    require(done.nonEmpty, s"no committed simjoin index batch under $indexPath")
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
+    val (shingleK, threshold) =
+      graft.ops.SimJoinIndex.sidecarParams(conf, indexPath)
+    graft.ops.SimJoinIndex(
+      spark.read.parquet(sub("freq")).select("h", "freq"),
+      spark.read.parquet(done.map(id => sub(s"prefixes/batch_$id")): _*)
+        .select("h", "id", "n"),
+      spark.read.parquet(done.map(id => sub(s"sets/batch_$id")): _*)
+        .select("id", "set", "n"),
+      shingleK, threshold)
+  }
+
   /** Native gap-based SESSION windows (Spark's `session_window` — dynamic
     * event-time windows that extend with each event and MERGE in the
     * state store when a bridging event arrives), append mode to a file

@@ -571,6 +571,76 @@ class IncrementalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("incomparable"), e.getMessage)
   }
 
+  test("streamIvfPqMaintain: frozen-model streamed appends serve exactly " +
+      "like the batch append; the model must predate the stream") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_ivfm").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val baseIdx = graft.ops.IvfPqIndex.build(base, "vec_id", "embedding",
+      nlist = 16, numSubspaces = 8, numCodes = 16)
+    graft.ops.IvfPqIndex.write(baseIdx, s"$tmp/index")
+    delta.repartition(2, col("vec_id")).write.parquet(s"$tmp/src")
+    def serve(ix: graft.ops.IvfPqIndex) =
+      graft.ops.IvfPqIndex.topK(ix, emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 3, nprobe = 8)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    Incremental.streamIvfPqMaintain(spark, s"$tmp/src", s"$tmp/index",
+      "vec_id", "embedding", maxFilesPerTrigger = 1)
+    val expected = serve(
+      graft.ops.IvfPqIndex.append(baseIdx, delta, "vec_id", "embedding"))
+    assert(serve(Incremental.readIvfPqMaintained(spark, s"$tmp/index")) ==
+      expected, "maintained index must serve exactly like the batch append")
+    // re-run, no new data: exactly-once (nothing re-appended)
+    Incremental.streamIvfPqMaintain(spark, s"$tmp/src", s"$tmp/index",
+      "vec_id", "embedding", maxFilesPerTrigger = 1)
+    assert(serve(Incremental.readIvfPqMaintained(spark, s"$tmp/index")) == expected)
+    // no persisted model = nothing to encode through — loud failure
+    intercept[Exception](Incremental.streamIvfPqMaintain(
+      spark, s"$tmp/src", s"$tmp/nothere", "vec_id", "embedding"))
+  }
+
+  test("streamSimJoinMaintain: first-batch-frozen order still serves the " +
+      "exact bipartite pair set; param mismatch and static roots rejected") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_sjm").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    corpus.repartition(3, col("doc_id")).write.parquet(s"$tmp/src")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/index",
+      "doc_id", "text", shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+    val expected = pairsOf(graft.ops.SimJoin.incrementalPairs(corpus, batch,
+      "doc_id", "text", shingleK = 3, threshold = 0.5))
+    assert(pairsOf(graft.ops.SimJoinIndex.pairs(
+      Incremental.readSimJoinMaintained(spark, s"$tmp/index"),
+      batch, "doc_id", "text")) == expected,
+      "first-batch-frozen rarity order changed the served pair set")
+    // re-run, no new data: unchanged
+    Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/index",
+      "doc_id", "text", shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+    assert(pairsOf(graft.ops.SimJoinIndex.pairs(
+      Incremental.readSimJoinMaintained(spark, s"$tmp/index"),
+      batch, "doc_id", "text")) == expected)
+    // incomparable parameters rejected before any write
+    val e1 = intercept[IllegalArgumentException](
+      Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/index",
+        "doc_id", "text", shingleK = 3, threshold = 0.6))
+    assert(e1.getMessage.contains("incomparable"), e1.getMessage)
+    // statically-written roots are not maintainable (the reader would
+    // silently ignore their flat prefix files)
+    graft.ops.SimJoinIndex.write(
+      graft.ops.SimJoinIndex.build(corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.5), s"$tmp/static")
+    val e2 = intercept[IllegalArgumentException](
+      Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/static",
+        "doc_id", "text", shingleK = 3, threshold = 0.5))
+    assert(e2.getMessage.contains("statically-written"), e2.getMessage)
+  }
+
   test("caller-supplied delaySec skips the declaration-time span probe " +
       "and matches the probe-default results") {
     import scala.jdk.CollectionConverters._
