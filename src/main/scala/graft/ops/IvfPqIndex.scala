@@ -133,6 +133,19 @@ object IvfPqIndex {
     toLists(residualEncode(c, index.centroids, index.residual), index.codebooks)
   }
 
+  /** A stable fingerprint of the persisted MODEL (the sidecar bytes) —
+    * the streaming maintainer stamps it so batch dirs encoded under one
+    * model generation can never be silently served through a rebuilt
+    * model's codebooks.
+    */
+  private[graft] def sidecarHash(
+      conf: org.apache.hadoop.conf.Configuration, path: String): String = {
+    val json = IndexSidecar.readJson(conf, path)
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Index ERASURE — the delete half of the maintenance pair beside
     * [[append]]: drop the given vector ids from the inverted lists (one
     * keys-only anti-join), model FROZEN — the centroids/codebooks keep
@@ -231,8 +244,29 @@ object IvfPqIndex {
 
   /** Loads a persisted index. The hand-rolled parser accepts exactly what
     * [[write]] emits (flat nested double arrays) — not general JSON.
+    *
+    * Refuses a STREAM-MAINTAINED root
+    * ([[graft.streaming.Incremental.streamIvfPqMaintain]] batch markers
+    * present): a plain read would serve only the base `lists/` and every
+    * streamed vector would be silently unretrievable — use
+    * `Incremental.readIvfPqMaintained` there (which passes
+    * `allowMaintained` internally).
     */
-  def read(spark: SparkSession, path: String): IvfPqIndex = {
+  def read(spark: SparkSession, path: String): IvfPqIndex =
+    read(spark, path, allowMaintained = false)
+
+  private[graft] def read(
+      spark: SparkSession, path: String, allowMaintained: Boolean): IvfPqIndex = {
+    if (!allowMaintained) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val maintained = fs.exists(root) && fs.listStatus(root).exists(
+        _.getPath.getName.startsWith("_committed_"))
+      require(!maintained,
+        s"$path is a stream-maintained ivfpq root (batch-commit markers " +
+          "present): a plain read would silently drop every streamed " +
+          "vector — read it with Incremental.readIvfPqMaintained")
+    }
     val lists = spark.read
       .parquet(new org.apache.hadoop.fs.Path(path, "lists").toString)
       .select("cluster", "n_id", "codes", "n_norm")

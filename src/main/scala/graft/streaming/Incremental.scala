@@ -1049,8 +1049,17 @@ object Incremental {
       maxFilesPerTrigger: Int = 0): graft.ops.IvfPqIndex = {
     // reads the frozen model once (and fails loudly if indexPath is not
     // a written index — the model MUST predate the stream)
-    val base = graft.ops.IvfPqIndex.read(spark, indexPath)
+    val base = graft.ops.IvfPqIndex.read(spark, indexPath, allowMaintained = true)
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    // MODEL-GENERATION stamp: batch dirs hold codes encoded under ONE
+    // model; an in-place rebuild (IvfPqIndex.write over the same root)
+    // would silently decode them through foreign codebooks — stamp the
+    // sidecar fingerprint and require it unchanged on every run (and at
+    // read — see readIvfPqMaintained). The documented rebuild cadence
+    // retires the batch dirs by starting a fresh maintained root.
+    assertModelGeneration(conf, fs, root, indexPath, stampIfAbsent = true)
     runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
       "ivfpq index", maxFilesPerTrigger) { (batch, batchId, _) =>
       graft.ops.IvfPqIndex.encodeLists(base, batch, idCol, vecCol)
@@ -1060,24 +1069,58 @@ object Incremental {
     readIvfPqMaintained(spark, indexPath)
   }
 
+  private def assertModelGeneration(
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      indexPath: String,
+      stampIfAbsent: Boolean): Unit = {
+    val stampPath = new org.apache.hadoop.fs.Path(root, "_graft_model_gen")
+    val current = graft.ops.IvfPqIndex.sidecarHash(conf, indexPath)
+    if (fs.exists(stampPath)) {
+      val stamped = readUtf8(conf, stampPath).trim
+      require(stamped == current,
+        s"ivfpq model at $indexPath was REBUILT in place (sidecar " +
+          s"fingerprint $current != maintained generation $stamped): the " +
+          "lists_batch_* dirs hold codes encoded under the old codebooks " +
+          "and would decode to garbage — start a fresh maintained root " +
+          "for the new model (the rebuild-cadence contract)")
+    } else if (stampIfAbsent) {
+      val out = fs.create(stampPath, true)
+      try out.write(current.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Read the [[streamIvfPqMaintain]]ed index: the persisted model + base
     * lists plus every committed batch-list dir.
     */
   def readIvfPqMaintained(
       spark: SparkSession, indexPath: String): graft.ops.IvfPqIndex = {
-    val base = graft.ops.IvfPqIndex.read(spark, indexPath)
+    val base = graft.ops.IvfPqIndex.read(spark, indexPath, allowMaintained = true)
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val done = committedBatchIds(fs, root)
+    // reject a maintained root whose model was rebuilt in place — the
+    // batch dirs' codes belong to the stamped generation's codebooks
+    if (done.nonEmpty)
+      assertModelGeneration(conf, fs, root, indexPath, stampIfAbsent = false)
     // one read PER batch dir (a multi-path read of several
     // cluster-partitioned roots trips partition discovery —
     // CONFLICTING_DIRECTORY_STRUCTURES), then union: every leg keeps its
     // own cluster-pruned layout, and the union count is bounded by the
-    // batches since the last model rebuild (the frozen-model cadence)
-    val batchLists = done.map { id =>
-      spark.read
-        .parquet(new org.apache.hadoop.fs.Path(root, s"lists_batch_$id").toString)
-        .select("cluster", "n_id", "codes", "n_norm")
+    // batches since the last model rebuild (the frozen-model cadence).
+    // An EMPTY micro-batch's dynamic-partition write leaves a dir with
+    // no data files (and no schema) — skip it instead of failing every
+    // later serve on schema inference.
+    val batchLists = done.flatMap { id =>
+      val p = new org.apache.hadoop.fs.Path(root, s"lists_batch_$id")
+      val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("cluster="))
+      if (hasData)
+        Some(spark.read.parquet(p.toString)
+          .select("cluster", "n_id", "codes", "n_norm"))
+      else None
     }
     if (batchLists.isEmpty) base
     else base.copy(lists = (base.lists +: batchLists).reduce(_ unionByName _))
@@ -1115,23 +1158,25 @@ object Incremental {
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    // a STATIC SimJoinIndex.write layout keeps part files directly under
+    // prefixes/ — the maintained reader would silently ignore them; this
+    // must be checked even WITHOUT a sidecar (a static write interrupted
+    // before its final sidecar step leaves exactly that shape), so
+    // stream-maintain only into roots this maintainer owns
+    val staticPrefixes = fs.exists(sub("prefixes")) &&
+      fs.listStatus(sub("prefixes")).exists(st =>
+        !st.getPath.getName.startsWith("batch_") &&
+          !st.getPath.getName.startsWith("_"))
+    require(!staticPrefixes,
+      s"$indexPath holds a statically-written simjoin index; " +
+        "streamSimJoinMaintain owns its own root (serve static indexes " +
+        "via SimJoinIndex.read + append instead)")
     if (graft.ops.SimJoinIndex.sidecarExists(conf, indexPath)) {
       val (k0, t0) = graft.ops.SimJoinIndex.sidecarParams(conf, indexPath)
       require(k0 == shingleK && math.abs(t0 - threshold) < 1e-12,
         s"simjoin index at $indexPath was frozen with (shingleK=$k0, " +
           s"threshold=$t0); appending with ($shingleK, $threshold) would " +
           "mix incomparable prefixes")
-      // a STATIC SimJoinIndex.write layout keeps part files directly under
-      // prefixes/ — the maintained reader would silently ignore them;
-      // stream-maintain only into roots this maintainer owns
-      val staticPrefixes = fs.exists(sub("prefixes")) &&
-        fs.listStatus(sub("prefixes")).exists(st =>
-          !st.getPath.getName.startsWith("batch_") &&
-            !st.getPath.getName.startsWith("_"))
-      require(!staticPrefixes,
-        s"$indexPath holds a statically-written simjoin index; " +
-          "streamSimJoinMaintain owns its own root (serve static indexes " +
-          "via SimJoinIndex.read + append instead)")
     }
     runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
       "simjoin index", maxFilesPerTrigger) { (batch, batchId, done) =>

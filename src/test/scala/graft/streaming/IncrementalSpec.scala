@@ -596,6 +596,26 @@ class IncrementalSpec extends AnyFunSuite {
     Incremental.streamIvfPqMaintain(spark, s"$tmp/src", s"$tmp/index",
       "vec_id", "embedding", maxFilesPerTrigger = 1)
     assert(serve(Incremental.readIvfPqMaintained(spark, s"$tmp/index")) == expected)
+    // an EMPTY micro-batch's partitioned write leaves a schema-less dir —
+    // the reader must skip it, not fail schema inference forever
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/index").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/index/lists_batch_99"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/index/_committed_99"), true).close()
+    assert(serve(Incremental.readIvfPqMaintained(spark, s"$tmp/index")) == expected)
+    // a plain static read on a maintained root is LOUD, never silently
+    // missing every streamed vector
+    val e0 = intercept[IllegalArgumentException](
+      graft.ops.IvfPqIndex.read(spark, s"$tmp/index"))
+    assert(e0.getMessage.contains("stream-maintained"), e0.getMessage)
+    // an in-place model REBUILD invalidates the batch dirs' codes — the
+    // generation stamp rejects both maintaining and reading
+    graft.ops.IvfPqIndex.write(
+      graft.ops.IvfPqIndex.build(base, "vec_id", "embedding",
+        nlist = 8, numSubspaces = 8, numCodes = 16), s"$tmp/index")
+    val e1 = intercept[IllegalArgumentException](
+      Incremental.readIvfPqMaintained(spark, s"$tmp/index"))
+    assert(e1.getMessage.contains("REBUILT"), e1.getMessage)
     // no persisted model = nothing to encode through — loud failure
     intercept[Exception](Incremental.streamIvfPqMaintain(
       spark, s"$tmp/src", s"$tmp/nothere", "vec_id", "embedding"))
@@ -639,6 +659,16 @@ class IncrementalSpec extends AnyFunSuite {
       Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/static",
         "doc_id", "text", shingleK = 3, threshold = 0.5))
     assert(e2.getMessage.contains("statically-written"), e2.getMessage)
+    // ...even when the static write died BEFORE its final sidecar step
+    // (flat prefix files, no sidecar — the shape a crash leaves)
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/static").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$tmp/static/_graft_index.json"), false)
+    val e3 = intercept[IllegalArgumentException](
+      Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/static",
+        "doc_id", "text", shingleK = 3, threshold = 0.5))
+    assert(e3.getMessage.contains("statically-written"), e3.getMessage)
   }
 
   test("caller-supplied delaySec skips the declaration-time span probe " +
