@@ -301,6 +301,39 @@ object StreamingQueries {
     }),
 
 
+    // ERASURE on the stream-MAINTAINED MinHash root (streaming/
+    // Incremental.eraseMinHashMaintained — GDPR applied to the maintained
+    // artifact, beside the static-index dedup_minhash_erase): only the
+    // batch dirs CONTAINING victims rewrite (keys-only anti-joins,
+    // retained rows checkpointed before the overwrite), untouched dirs
+    // never open, replays can't resurrect the erased rows (the dirs stay
+    // committed). A MUTATING query, so it builds a fresh maintained root
+    // per run (the l11 convention), serves from the erased root, and
+    // drops the scratch. Oracle: the exact bipartite pair set WITHOUT
+    // the victims — erasure on the maintained index is provably a
+    // rebuild on the retained corpus.
+    "stream_minhash_erase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mhe").toString
+      docs.repartition(3, col("doc_id")).write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamMinHashMaintain(
+        s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+      graft.streaming.Incremental.eraseMinHashMaintained(
+        s, s"$tmp/index",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+      val served = graft.ops.MinHashIndex.query(
+          graft.streaming.Incremental.readMinHashMaintained(s, s"$tmp/index"),
+          docs.filter(col("doc_id").between(100, 149))
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id").localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      served
+    }),
+
+
     // Streaming BM25 index MAINTENANCE (streaming/Incremental
     // .streamBm25Maintain): the corpus arrives as micro-batches
     // (maxFilesPerTrigger=1 over a 3-file hash-split staging, disjoint
@@ -357,6 +390,13 @@ object StreamingQueries {
     // the streamed-maintained MinHash index must serve the IDENTICAL
     // pair set as the static index (content-deterministic signatures)
     "stream_minhash_maintain" -> StreamNearDedupSql,
+
+    // erase on the maintained root = the bipartite recompute WITHOUT the
+    // victims (same SQL with the victim filter on the corpus side)
+    "stream_minhash_erase" ->
+      StreamNearDedupSql.replace(
+        "END) AS s FROM documents) ",
+        "END) AS s FROM documents WHERE doc_id % 10 <> 3) "),
 
     // deterministic frozen-model encode: streamed maintenance serves
     // exactly like the batch append — shared pin

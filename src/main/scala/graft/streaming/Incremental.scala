@@ -1004,6 +1004,63 @@ object Incremental {
     readMinHashMaintained(spark, indexPath)
   }
 
+  /** Subject ERASURE on a [[streamMinHashMaintain]]ed root — the GDPR
+    * leg for the MAINTAINED artifact (the static-index
+    * [[graft.ops.MinHashIndex.erase]] returns new frames; a maintained
+    * root's state lives in committed batch dirs, so forgetting a subject
+    * means REWRITING exactly the dirs that contain it). Per committed
+    * batch: one keys-only membership probe; affected dirs rewrite
+    * buckets+sets through an anti-join (retained rows localCheckpoint'ed
+    * BEFORE the overwrite — the rewrite never reads its own output),
+    * untouched dirs are never opened. Work is O(affected dirs ×
+    * anti-join), no corpus scan, no rebuild, and replay safety is
+    * preserved: the dirs stay committed, so no later run can resurrect
+    * the erased rows by rewriting them.
+    *
+    * Partial-failure window (the [[graft.etl.FileLoads.erasePartitioned]]
+    * contract): a crash between two dir rewrites leaves the erase
+    * incomplete with no ledger — the operation is IDEMPOTENT (remaining
+    * victims are re-detected), so a failed run must be re-run to
+    * completion before the erasure is attested. Returns the per-batch
+    * ledger (batch_id, n_before, n_after, n_erased) over the SETS member
+    * (one row per doc).
+    */
+  def eraseMinHashMaintained(
+      spark: SparkSession,
+      indexPath: String,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    val k = ids.toDF("id").distinct().localCheckpoint()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val done = committedBatchIds(fs, root)
+    require(done.nonEmpty, s"no committed minhash index batch under $indexPath")
+    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
+    val ledger = done.map { id =>
+      val sets = spark.read.parquet(sub(s"sets/batch_$id"))
+      val nVictims = sets.join(k, Seq("id"), "left_semi").count()
+      val nBefore = if (nVictims > 0) sets.count() else -1L
+      if (nVictims > 0) {
+        // retained rows materialize BEFORE the overwrite of their source
+        val retainedSets = sets.join(k, Seq("id"), "left_anti")
+          .select(sets.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+        val buckets = spark.read.parquet(sub(s"buckets/batch_$id"))
+        val retainedBuckets = buckets.join(k, Seq("id"), "left_anti")
+          .select(buckets.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+        retainedSets.write.mode("overwrite").parquet(sub(s"sets/batch_$id"))
+        retainedBuckets.write.mode("overwrite")
+          .parquet(sub(s"buckets/batch_$id"))
+      }
+      (id, nBefore, nVictims)
+    }
+    ledger.filter(_._3 > 0)
+      .map { case (id, before, erased) => (id, before, before - erased, erased) }
+      .toDF("batch_id", "n_before", "n_after", "n_erased")
+  }
+
   /** Read the [[streamMinHashMaintain]]ed index: every committed batch
     * dir pair, shape parameters from the sidecar.
     */

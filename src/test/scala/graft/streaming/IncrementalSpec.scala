@@ -564,6 +564,20 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(perDoc == Seq(8L),
       s"bucket rows per doc must be exactly bands=8, got $perDoc")
+    // ERASURE on the maintained root: affected batch dirs rewrite in
+    // place, and the erased root queries exactly like a rebuild on the
+    // retained corpus; a second erase finds nothing (idempotent)
+    val victims = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val ledger = Incremental.eraseMinHashMaintained(spark, idx, victims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ledger.nonEmpty && ledger.forall(l => l._2 - l._3 == l._4))
+    assert(ledger.map(_._4).sum == victims.count(), "every victim erased once")
+    assert(pairsOf(Incremental.readMinHashMaintained(spark, idx)) ==
+      pairsOf(graft.ops.MinHashIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", 3, 8, 2)),
+      "erased maintained root must query like a rebuild on the retained corpus")
+    assert(Incremental.eraseMinHashMaintained(spark, idx, victims).isEmpty,
+      "re-erasing the same subjects must be a no-op with an empty ledger")
     // shape-parameter mismatch fails loudly instead of mixing signatures
     val e = intercept[IllegalArgumentException](
       Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
