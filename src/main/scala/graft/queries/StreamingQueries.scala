@@ -274,6 +274,33 @@ object StreamingQueries {
     }),
 
 
+    // ERASURE on the stream-MAINTAINED simjoin root (streaming/
+    // Incremental.eraseSimJoinMaintained — the same victim-bearing-dir
+    // rewrite as stream_minhash_erase; the frozen rarity order is MODEL
+    // state and stays, so the served pair set is provably the rebuild on
+    // the retained corpus). Mutating query: fresh maintained root per
+    // run, serve from the erased root, scratch dropped.
+    "stream_simjoin_erase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sje").toString
+      docs.filter(col("doc_id") % 5 =!= 0).repartition(3, col("doc_id"))
+        .write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamSimJoinMaintain(
+        s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+      graft.streaming.Incremental.eraseSimJoinMaintained(
+        s, s"$tmp/index",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+      val served = graft.ops.SimJoinIndex.pairs(
+          graft.streaming.Incremental.readSimJoinMaintained(s, s"$tmp/index"),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id").localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      served
+    }),
+
+
     // Streaming MinHash index MAINTENANCE (streaming/Incremental
     // .streamMinHashMaintain — the runBatchCommitted machinery applied to
     // the dedup index): the corpus streams in as micro-batches, each a
@@ -405,6 +432,13 @@ object StreamingQueries {
     // the frozen rarity order never changes the pair set (exact verify):
     // shared full-corpus bipartite oracle
     "stream_simjoin_maintain" -> DedupQueries.oracles("simjoin_incremental"),
+
+    // erase on the maintained root = the bipartite recompute WITHOUT the
+    // victims (the shared SQL with the victim filter on the corpus side)
+    "stream_simjoin_erase" ->
+      DedupQueries.oracles("simjoin_incremental").replace(
+        "AND c.doc_id % 5 <> 0 ",
+        "AND c.doc_id % 5 <> 0 AND c.doc_id % 10 <> 3 "),
     // the streamed credits must aggregate to EXACTLY the batch as-of
     // join's answer — shared oracle, not a lookalike (the channel column
     // there is this roll-up's channel)

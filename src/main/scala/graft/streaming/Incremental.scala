@@ -1028,7 +1028,37 @@ object Incremental {
   def eraseMinHashMaintained(
       spark: SparkSession,
       indexPath: String,
-      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    eraseMaintainedDirs(spark, indexPath, ids, "minhash index",
+      ledgerMember = "sets", members = Seq("sets", "buckets"))
+
+  /** [[eraseMinHashMaintained]] for a [[streamSimJoinMaintain]]ed root —
+    * identical shape: both members are per-document rows with no global
+    * state to adjust (the frozen rarity order is MODEL state and stays,
+    * exactly like [[graft.ops.SimJoinIndex.erase]] on the static index —
+    * the served pair set still equals a rebuild on the retained corpus).
+    * Declared as `stream_simjoin_erase`.
+    */
+  def eraseSimJoinMaintained(
+      spark: SparkSession,
+      indexPath: String,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    eraseMaintainedDirs(spark, indexPath, ids, "simjoin index",
+      ledgerMember = "sets", members = Seq("sets", "prefixes"))
+
+  /** The shared per-batch-dir rewrite of the maintained-root erases: for
+    * every committed batch whose `ledgerMember` dir contains a victim,
+    * anti-join-rewrite ALL member dirs (retained rows localCheckpoint'ed
+    * BEFORE each overwrite); untouched batches never open. Ledger counts
+    * come from `ledgerMember` (one row per document there).
+    */
+  private def eraseMaintainedDirs(
+      spark: SparkSession,
+      indexPath: String,
+      ids: org.apache.spark.sql.DataFrame,
+      what: String,
+      ledgerMember: String,
+      members: Seq[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     require(ids.columns.length == 1,
       s"ids must be a single key column, got ${ids.columns.toSeq}")
@@ -1037,22 +1067,18 @@ object Incremental {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
     val done = committedBatchIds(fs, root)
-    require(done.nonEmpty, s"no committed minhash index batch under $indexPath")
+    require(done.nonEmpty, s"no committed $what batch under $indexPath")
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
     val ledger = done.map { id =>
-      val sets = spark.read.parquet(sub(s"sets/batch_$id"))
-      val nVictims = sets.join(k, Seq("id"), "left_semi").count()
-      val nBefore = if (nVictims > 0) sets.count() else -1L
-      if (nVictims > 0) {
+      val probe = spark.read.parquet(sub(s"$ledgerMember/batch_$id"))
+      val nVictims = probe.join(k, Seq("id"), "left_semi").count()
+      val nBefore = if (nVictims > 0) probe.count() else -1L
+      if (nVictims > 0) members.foreach { m =>
+        val df = spark.read.parquet(sub(s"$m/batch_$id"))
         // retained rows materialize BEFORE the overwrite of their source
-        val retainedSets = sets.join(k, Seq("id"), "left_anti")
-          .select(sets.columns.map(col).toIndexedSeq: _*).localCheckpoint()
-        val buckets = spark.read.parquet(sub(s"buckets/batch_$id"))
-        val retainedBuckets = buckets.join(k, Seq("id"), "left_anti")
-          .select(buckets.columns.map(col).toIndexedSeq: _*).localCheckpoint()
-        retainedSets.write.mode("overwrite").parquet(sub(s"sets/batch_$id"))
-        retainedBuckets.write.mode("overwrite")
-          .parquet(sub(s"buckets/batch_$id"))
+        val retained = df.join(k, Seq("id"), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+        retained.write.mode("overwrite").parquet(sub(s"$m/batch_$id"))
       }
       (id, nBefore, nVictims)
     }

@@ -659,6 +659,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(pairsOf(graft.ops.SimJoinIndex.pairs(
       Incremental.readSimJoinMaintained(spark, s"$tmp/index"),
       batch, "doc_id", "text")) == expected)
+    // ERASURE on the maintained root: victim-bearing dirs rewrite, the
+    // erased root serves the rebuild-without-victims pair set, second
+    // erase is a no-op
+    val victims = corpus.filter(col("doc_id") % 4 === 1).select("doc_id")
+    val ledger = Incremental.eraseSimJoinMaintained(spark, s"$tmp/index", victims)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ledger.nonEmpty && ledger.forall(l => l._1 - l._3 == l._2))
+    assert(ledger.map(_._3).sum == victims.count())
+    assert(pairsOf(graft.ops.SimJoinIndex.pairs(
+      Incremental.readSimJoinMaintained(spark, s"$tmp/index"),
+      batch, "doc_id", "text")) ==
+      pairsOf(graft.ops.SimJoin.incrementalPairs(
+        corpus.filter(col("doc_id") % 4 =!= 1), batch,
+        "doc_id", "text", shingleK = 3, threshold = 0.5)),
+      "erased maintained root must serve the rebuild-without-victims pairs")
+    assert(Incremental.eraseSimJoinMaintained(
+      spark, s"$tmp/index", victims).isEmpty)
     // incomparable parameters rejected before any write
     val e1 = intercept[IllegalArgumentException](
       Incremental.streamSimJoinMaintain(spark, s"$tmp/src", s"$tmp/index",
