@@ -231,6 +231,20 @@ object IvfPqIndex {
     * round-trips on local paths and object-store URIs (s3a://…) alike.
     */
   def write(index: IvfPqIndex, path: String): Unit = {
+    // same maintained-root guard as [[read]]: writing the static layout
+    // over a stream-maintained root leaves the stale lists_batch_* dirs
+    // in place, so the maintained reader would double-serve every
+    // streamed vector (and resurrect erased ones) — and the sidecar
+    // round-trips byte-identically, so the model-generation stamp can't
+    // catch this entry point
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      index.lists.sparkSession.sparkContext.hadoopConfiguration)
+    require(!(fs.exists(root) && fs.listStatus(root).exists(
+        _.getPath.getName.startsWith("_committed_"))),
+      s"$path is a stream-maintained ivfpq root (batch-commit markers " +
+        "present): writing the static layout over it would leave stale " +
+        "batch dirs double-serving — write to a fresh root")
     index.lists.write.mode("overwrite").partitionBy("cluster")
       .parquet(new org.apache.hadoop.fs.Path(path, "lists").toString)
     def arr(xs: Iterable[String]) = xs.mkString("[", ",", "]")

@@ -412,6 +412,15 @@ object StreamingQueries {
       "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
       "ORDER BY batch_id, corpus_id")
 
+  // a silent-no-op String.replace would hand the erase serves an
+  // UNFILTERED oracle (looking like an erasure bug) if the shared SQL is
+  // ever reworded — fail at registry construction instead
+  private def mustReplace(sql: String, from: String, to: String): String = {
+    require(sql.contains(from),
+      s"oracle rewrite pattern not found (shared SQL reworded?): $from")
+    sql.replace(from, to)
+  }
+
   val oracles: Map[String, String] = Map(
 
     // the streamed-maintained MinHash index must serve the IDENTICAL
@@ -421,7 +430,7 @@ object StreamingQueries {
     // erase on the maintained root = the bipartite recompute WITHOUT the
     // victims (same SQL with the victim filter on the corpus side)
     "stream_minhash_erase" ->
-      StreamNearDedupSql.replace(
+      mustReplace(StreamNearDedupSql,
         "END) AS s FROM documents) ",
         "END) AS s FROM documents WHERE doc_id % 10 <> 3) "),
 
@@ -436,7 +445,7 @@ object StreamingQueries {
     // erase on the maintained root = the bipartite recompute WITHOUT the
     // victims (the shared SQL with the victim filter on the corpus side)
     "stream_simjoin_erase" ->
-      DedupQueries.oracles("simjoin_incremental").replace(
+      mustReplace(DedupQueries.oracles("simjoin_incremental"),
         "AND c.doc_id % 5 <> 0 ",
         "AND c.doc_id % 5 <> 0 AND c.doc_id % 10 <> 3 "),
     // the streamed credits must aggregate to EXACTLY the batch as-of

@@ -982,6 +982,19 @@ object Incremental {
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    // a STATIC MinHashIndex.write layout keeps part files directly under
+    // sets/ — the maintained reader reads only batch_* dirs and would
+    // silently hide every statically-written document (the
+    // streamSimJoinMaintain cross-guard, applied here too; checked even
+    // without a sidecar — an interrupted static write leaves that shape)
+    val staticSets = fs.exists(sub("sets")) &&
+      fs.listStatus(sub("sets")).exists(st =>
+        !st.getPath.getName.startsWith("batch_") &&
+          !st.getPath.getName.startsWith("_"))
+    require(!staticSets,
+      s"$indexPath holds a statically-written minhash index; " +
+        "streamMinHashMaintain owns its own root (serve static indexes " +
+        "via MinHashIndex.read + append instead)")
     if (graft.ops.MinHashIndex.sidecarExists(conf, indexPath)) {
       val (k0, b0, r0) = graft.ops.MinHashIndex.sidecarParams(conf, indexPath)
       require(k0 == shingleK && b0 == bands && r0 == rowsPerBand,
@@ -1013,9 +1026,10 @@ object Incremental {
     * buckets+sets through an anti-join (retained rows localCheckpoint'ed
     * BEFORE the overwrite — the rewrite never reads its own output),
     * untouched dirs are never opened. Work is O(affected dirs ×
-    * anti-join), no corpus scan, no rebuild, and replay safety is
-    * preserved: the dirs stay committed, so no later run can resurrect
-    * the erased rows by rewriting them.
+    * anti-join), no corpus scan, no rebuild, and committed-replay safety
+    * is preserved: the dirs stay committed, so no replay of a COMMITTED
+    * batch can resurrect the erased rows (see [[eraseMaintainedDirs]]
+    * for the source/pending-batch scope caveat).
     *
     * Partial-failure window (the [[graft.etl.FileLoads.erasePartitioned]]
     * contract): a crash between two dir rewrites leaves the erase
@@ -1050,7 +1064,19 @@ object Incremental {
     * every committed batch whose `ledgerMember` dir contains a victim,
     * anti-join-rewrite ALL member dirs (retained rows localCheckpoint'ed
     * BEFORE each overwrite); untouched batches never open. Ledger counts
-    * come from `ledgerMember` (one row per document there).
+    * come from `ledgerMember` (one row per document there). The
+    * `ledgerMember` — which doubles as the re-run VICTIM PROBE — is
+    * rewritten LAST: a crash mid-batch then leaves the probe still
+    * victim-bearing, so the idempotent re-run re-detects and finishes
+    * the other members instead of attesting a half-erased batch.
+    *
+    * Scope: erasure covers COMMITTED batches of this root. The SOURCE
+    * stream is a separate artifact — if it still contains the victims, a
+    * pending (uncommitted) batch replay or any future ingest re-adds
+    * them, exactly as appending a victim-bearing delta to a static index
+    * would. A compliance pipeline quiesces the maintainer and erases the
+    * source alongside (the `e2e_forget_me` composition), then erases the
+    * index.
     */
   private def eraseMaintainedDirs(
       spark: SparkSession,
@@ -1062,6 +1088,10 @@ object Incremental {
     import spark.implicits._
     require(ids.columns.length == 1,
       s"ids must be a single key column, got ${ids.columns.toSeq}")
+    require(members.contains(ledgerMember),
+      s"ledgerMember $ledgerMember must be one of $members")
+    // probe member LAST (see above)
+    val orderedMembers = members.filterNot(_ == ledgerMember) :+ ledgerMember
     val k = ids.toDF("id").distinct().localCheckpoint()
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
@@ -1073,7 +1103,7 @@ object Incremental {
       val probe = spark.read.parquet(sub(s"$ledgerMember/batch_$id"))
       val nVictims = probe.join(k, Seq("id"), "left_semi").count()
       val nBefore = if (nVictims > 0) probe.count() else -1L
-      if (nVictims > 0) members.foreach { m =>
+      if (nVictims > 0) orderedMembers.foreach { m =>
         val df = spark.read.parquet(sub(s"$m/batch_$id"))
         // retained rows materialize BEFORE the overwrite of their source
         val retained = df.join(k, Seq("id"), "left_anti")

@@ -583,6 +583,17 @@ class IncrementalSpec extends AnyFunSuite {
       Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
         shingleK = 4, bands = 8, rowsPerBand = 2, checkpointPath = ckpt))
     assert(e.getMessage.contains("incomparable"), e.getMessage)
+    // statically-written roots are not maintainable (the maintained
+    // reader would silently hide every static document)
+    val staticIdx = Files.createTempDirectory("graft_mhm_static").toString
+    graft.ops.MinHashIndex.write(
+      graft.ops.MinHashIndex.build(firstHalf, "doc_id", "text", 3, 8, 2),
+      staticIdx)
+    val e2 = intercept[IllegalArgumentException](
+      Incremental.streamMinHashMaintain(spark, src, staticIdx, "doc_id",
+        "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+        checkpointPath = ckpt))
+    assert(e2.getMessage.contains("statically-written"), e2.getMessage)
   }
 
   test("streamIvfPqMaintain: frozen-model streamed appends serve exactly " +
@@ -622,11 +633,24 @@ class IncrementalSpec extends AnyFunSuite {
     val e0 = intercept[IllegalArgumentException](
       graft.ops.IvfPqIndex.read(spark, s"$tmp/index"))
     assert(e0.getMessage.contains("stream-maintained"), e0.getMessage)
-    // an in-place model REBUILD invalidates the batch dirs' codes — the
-    // generation stamp rejects both maintaining and reading
+    // ...and so is a static WRITE-BACK (it would leave stale batch dirs
+    // double-serving; the unchanged sidecar defeats the generation stamp)
+    val eW = intercept[IllegalArgumentException](
+      graft.ops.IvfPqIndex.write(baseIdx, s"$tmp/index"))
+    assert(eW.getMessage.contains("stream-maintained"), eW.getMessage)
+    // an OUT-OF-BAND model rebuild (write() itself now rejects maintained
+    // roots, so the remaining path is a sidecar replaced behind our back)
+    // invalidates the batch dirs' codes — the generation stamp rejects it
     graft.ops.IvfPqIndex.write(
       graft.ops.IvfPqIndex.build(base, "vec_id", "embedding",
-        nlist = 8, numSubspaces = 8, numCodes = 16), s"$tmp/index")
+        nlist = 8, numSubspaces = 8, numCodes = 16), s"$tmp/index2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$tmp/index2/_graft_index.json"),
+      java.nio.file.Paths.get(s"$tmp/index/_graft_index.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the stale Hadoop LocalFS checksum sidecar the raw copy bypassed
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/index/._graft_index.json.crc"))
     val e1 = intercept[IllegalArgumentException](
       Incremental.readIvfPqMaintained(spark, s"$tmp/index"))
     assert(e1.getMessage.contains("REBUILT"), e1.getMessage)
