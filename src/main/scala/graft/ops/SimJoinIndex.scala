@@ -162,14 +162,7 @@ object SimJoinIndex {
         SimJoin.gramsOf(batch, idCol, textCol, index.shingleK),
         index.freq, "left")
       .localCheckpoint()
-    val pairIds = SimJoin.prefixRows(batchSorted, t)
-      .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
-      .join(index.prefixes
-        .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
-      .filter(least(col("n_b"), col("n_c")) >=
-        lit(t) * greatest(col("n_b"), col("n_c")) - lit(SimJoin.BoundEps))
-      .select("batch_id", "corpus_id")
-      .distinct()
+    val pairIds = candidateIds(index.prefixes, batchSorted, t)
     pairIds
       .join(batchSorted.select(col("id").as("batch_id"), col("set").as("set_b")),
         Seq("batch_id"))
@@ -182,6 +175,89 @@ object SimJoinIndex {
         col("__inter") / (size(col("set_b")) + size(col("set_c")) - col("__inter")))
       .filter(col("__j") >= t)
       .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** The prefix-filter candidate join: batch prefix rows ⨝ corpus prefix
+    * postings on the shingle hash, Jaccard length bound, distinct pairs —
+    * the shared pre-verify stage of [[pairs]] and the pruning audit
+    * ([[pruneAudit]]), which measures exactly this set's size.
+    */
+  private def candidateIds(
+      corpusPrefixes: DataFrame,
+      batchSorted: DataFrame,
+      t: Double): DataFrame =
+    SimJoin.prefixRows(batchSorted, t)
+      .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
+      .join(corpusPrefixes
+        .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
+      .filter(least(col("n_b"), col("n_c")) >=
+        lit(t) * greatest(col("n_b"), col("n_c")) - lit(SimJoin.BoundEps))
+      .select("batch_id", "corpus_id")
+      .distinct()
+
+  /** PRUNING-DECAY AUDIT for the frozen rarity order: as the corpus
+    * drifts from the statistics the order was frozen on (the first
+    * micro-batch for [[graft.streaming.Incremental.streamSimJoinMaintain]],
+    * the build corpus for a static index grown by [[append]]), the served
+    * PAIR SET stays exact — completeness needs only a common total order
+    * and the verify is exact — but prefix-filter selectivity decays:
+    * mis-ranked shingles lengthen posting lists, so more candidate pairs
+    * survive to the (exact, more expensive) verify. This audit makes the
+    * decay a measured number instead of a hope (the
+    * `dedup_oversized_buckets` recall-evidence convention): candidate-pair
+    * counts for `batch` under the FROZEN order vs under a FRESH order
+    * recomputed from the index's own stored sets — never a corpus
+    * re-shingle — plus the exact pair count for scale. `candidate_ratio`
+    * (frozen/fresh) ≈ 1 means the frozen order still prunes like new;
+    * large ratios say the wasted-verify multiplier has grown and
+    * [[rebuildFromSets]] (or a fresh maintained root) is due.
+    */
+  def pruneAudit(
+      index: SimJoinIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = index.threshold
+    val grams = SimJoin.gramsOf(batch, idCol, textCol, index.shingleK)
+      .localCheckpoint() // feeds both orders' batch freezes
+    val batchFrozen = SimJoin.sortedUnder(grams, index.freq, "left")
+    val nFrozen = candidateIds(index.prefixes, batchFrozen, t).count()
+    // the fresh order, from the stored sets alone (df per shingle = how
+    // many indexed docs carry it — sets are distinct by construction)
+    val corpusGrams = index.sets.select(col("id"), explode(col("set")).as("h"))
+    val freshFreq = corpusGrams.groupBy("h").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // feeds the corpus re-sort AND the batch freeze
+    val corpusFresh = SimJoin.sortedUnder(corpusGrams, freshFreq, "inner")
+      .localCheckpoint()
+    val freshPrefixes = SimJoin.prefixRows(corpusFresh, t).select("h", "id", "n")
+    val batchFresh = SimJoin.sortedUnder(grams, freshFreq, "left")
+    val nFresh = candidateIds(freshPrefixes, batchFresh, t).count()
+    val nPairs = pairs(index, batch, idCol, textCol).count()
+    index.freq.sparkSession.range(1).select(
+      lit(nFrozen).as("n_candidates_frozen"),
+      lit(nFresh).as("n_candidates_fresh"),
+      round(lit(nFrozen.toDouble / math.max(nFresh, 1L)), 4).as("candidate_ratio"),
+      lit(nPairs).as("n_pairs"))
+  }
+
+  /** RE-FREEZE: rebuild the rarity order (and with it the prefix
+    * postings) from the index's own stored sets — the rebuild-cadence
+    * helper [[pruneAudit]] calls for, WITHOUT re-shingling any corpus
+    * text (sets carry the full shingle-hash content). The served pair
+    * set is provably unchanged (exactness never depended on the order),
+    * so the rebuilt index shares the original's oracle; only pruning
+    * selectivity improves. Write the result with [[write]] to start the
+    * next serving generation.
+    */
+  def rebuildFromSets(index: SimJoinIndex): SimJoinIndex = {
+    val corpusGrams = index.sets.select(col("id"), explode(col("set")).as("h"))
+    val freq = corpusGrams.groupBy("h").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val sorted = SimJoin.sortedUnder(corpusGrams, freq, "inner").localCheckpoint()
+    SimJoinIndex(freq,
+      SimJoin.prefixRows(sorted, index.threshold).select("h", "id", "n"),
+      sorted.select("id", "set", "n"),
+      index.shingleK, index.threshold)
   }
 
   /** Persists the three members and the format sidecar (threshold stored

@@ -260,15 +260,65 @@ object StreamingQueries {
     // and SHARES simjoin_incremental's oracle.
     "stream_simjoin_maintain" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val idxDir = IndexFixture.dir("simjoin_stream", dir) { tmp =>
+      graft.ops.SimJoinIndex.pairs(
+          graft.streaming.Incremental.readSimJoinMaintained(
+            s, s"${simjoinStreamFixture(s, dir)}/index"),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // COMPACTION on the stream-maintained simjoin root (streaming/
+    // Incremental.compactSimJoinMaintained): every committed batch dir
+    // merges into ONE hash-clustered generation under the _compacted_
+    // marker contract — the serve union stops growing with batch count.
+    // Compaction never touches rows or the frozen order, so the compacted
+    // root serves the EXACT same pair set and SHARES the maintained
+    // serve's oracle.
+    "stream_simjoin_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin_stream_c1", dir) { tmp =>
         docs.filter(col("doc_id") % 5 =!= 0).repartition(3, col("doc_id"))
           .write.parquet(s"$tmp/src")
         graft.streaming.Incremental.streamSimJoinMaintain(
           s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
           shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+        graft.streaming.Incremental.compactSimJoinMaintained(s, s"$tmp/index")
       }
       graft.ops.SimJoinIndex.pairs(
           graft.streaming.Incremental.readSimJoinMaintained(s, s"$idxDir/index"),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // PRUNING-DECAY AUDIT for the maintained root's first-batch-frozen
+    // rarity order (ops/SimJoinIndex.pruneAudit): the pair set is exact
+    // regardless, but prefix selectivity decays as the corpus drifts from
+    // the first batch's shingle statistics — this measures it (candidate
+    // pairs under the frozen order vs a FRESH order recomputed from the
+    // stored sets, never a corpus re-shingle), the dedup_oversized_buckets
+    // recall-evidence convention. Deterministic counts → pinned oracle.
+    "simjoin_maintained_prune_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.SimJoinIndex.pruneAudit(
+        graft.streaming.Incremental.readSimJoinMaintained(
+          s, s"${simjoinStreamFixture(s, dir)}/index"),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    }),
+
+
+    // RE-FREEZE (ops/SimJoinIndex.rebuildFromSets): the rebuild-cadence
+    // answer to pruning decay — a fresh rarity order and fresh prefixes
+    // recomputed from the index's own stored sets (no corpus re-shingle).
+    // Exactness never depended on the order, so the re-frozen index
+    // serves the IDENTICAL pair set and SHARES the maintained oracle.
+    "simjoin_refreeze" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.SimJoinIndex.pairs(
+          graft.ops.SimJoinIndex.rebuildFromSets(
+            graft.streaming.Incremental.readSimJoinMaintained(
+              s, s"${simjoinStreamFixture(s, dir)}/index")),
           docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
     }),
@@ -318,6 +368,32 @@ object StreamingQueries {
         graft.streaming.Incremental.streamMinHashMaintain(
           s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
           shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+      }
+      graft.ops.MinHashIndex.query(
+          graft.streaming.Incremental.readMinHashMaintained(s, s"$idxDir/index"),
+          docs.filter(col("doc_id").between(100, 149))
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // COMPACTION on the stream-maintained MinHash root (streaming/
+    // Incremental.compactMinHashMaintained): the committed batch dirs
+    // merge into ONE generation per member under the root-level
+    // _compacted_<gen> marker (batch markers stay, so pre-compaction
+    // replays remain no-ops). Rows are untouched, so the compacted root
+    // queries IDENTICALLY and SHARES the maintained serve's oracle; what
+    // changes is the serve plan — one leg per member instead of one per
+    // batch (asserted in CompactionSpec on inputFiles).
+    "stream_minhash_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash_stream_c1", dir) { tmp =>
+        docs.repartition(3, col("doc_id")).write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamMinHashMaintain(
+          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+        graft.streaming.Incremental.compactMinHashMaintained(s, s"$tmp/index")
       }
       graft.ops.MinHashIndex.query(
           graft.streaming.Incremental.readMinHashMaintained(s, s"$idxDir/index"),
@@ -391,7 +467,153 @@ object StreamingQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("q_id", "rank")
     }),
+
+
+    // COMPACTION on the stream-maintained BM25 root (streaming/
+    // Incremental.compactBm25Maintained): every committed postings batch
+    // dir merges into ONE term-range-partitioned generation — the static
+    // Bm25Index.write layout, so serve-time term pushdown prunes files
+    // across the whole compacted corpus; the df/stats snapshots already
+    // roll forward wholesale and are untouched. Rows unchanged → the
+    // compacted root serves IDENTICALLY and SHARES text_bm25_persisted's
+    // oracle like the maintained serve it compacts.
+    "stream_bm25_compact" -> ((s, dir) => {
+      import s.implicits._
+      val idxDir = IndexFixture.dir("bm25_stream_c1", dir) { tmp =>
+        Tables.documents(s, dir).repartition(3, col("doc_id"))
+          .write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamBm25Maintain(
+          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+          maxFilesPerTrigger = 1)
+        graft.streaming.Incremental.compactBm25Maintained(s, s"$tmp/index")
+      }
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      graft.ops.Bm25Index.topK(
+          graft.streaming.Incremental.readBm25Maintained(s, s"$idxDir/index"),
+          qs, "q_id", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("q_id", "rank")
+    }),
+
+
+    // COMPACTION on the stream-maintained IVF-PQ root (streaming/
+    // Incremental.compactIvfPqMaintained): the committed lists_batch dirs
+    // merge into ONE cluster-partitioned generation, so the serve union
+    // is base + one compacted leg + tail instead of one leg per batch —
+    // the bound the r15 design left to rebuild cadence alone. Rows and
+    // the frozen model are untouched → SHARES knn_index_append's pinned
+    // oracle like the maintained serve.
+    "stream_knn_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = IndexFixture.dir("ivfpq_stream_c1", dir) { tmp =>
+        graft.ops.IvfPqIndex.write(
+          graft.ops.IvfPqIndex.build(emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", nlist = 16, numSubspaces = 8, numCodes = 16),
+          s"$tmp/index")
+        emb.filter(col("vec_id") % 10 === 0).repartition(2, col("vec_id"))
+          .write.parquet(s"$tmp/src")
+        graft.streaming.Incremental.streamIvfPqMaintain(
+          s, s"$tmp/src", s"$tmp/index", "vec_id", "embedding",
+          maxFilesPerTrigger = 1)
+        graft.streaming.Incremental.compactIvfPqMaintained(s, s"$tmp/index")
+      }
+      graft.ops.IvfPqIndex.topK(
+          graft.streaming.Incremental.readIvfPqMaintained(s, s"$idxDir/index"),
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 3, nprobe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
+
+
+    // ERASURE on the stream-MAINTAINED BM25 root (streaming/Incremental
+    // .eraseBm25Maintained — with stream_knn_erase this completes the 4×2
+    // maintain×erase matrix): victim-bearing postings dirs rewrite via
+    // keys-only anti-joins (single-pass probe), and the df/(n, avgdl)
+    // state rolls back ONCE in the static Bm25Index.erase closed form —
+    // journaled for crash-exactness. Mutating query (fresh maintained
+    // root per run, the l11 convention); the erased root serves the SAME
+    // BM25 answers as an index built on the retained corpus, so the
+    // oracle is text_bm25_erase's retained-corpus recompute.
+    "stream_bm25_erase" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bme").toString
+      docs.repartition(3, col("doc_id")).write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamBm25Maintain(
+        s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+        maxFilesPerTrigger = 1)
+      graft.streaming.Incremental.eraseBm25Maintained(
+        s, s"$tmp/index",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+      val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
+        (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
+      val served = graft.ops.Bm25Index.topK(
+          graft.streaming.Incremental.readBm25Maintained(s, s"$tmp/index"),
+          qs, "q_id", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("q_id", "rank").localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      served
+    }),
+
+
+    // ERASURE on the stream-MAINTAINED IVF-PQ root (streaming/Incremental
+    // .eraseIvfPqMaintained): victims vanish from the base lists AND the
+    // streamed batch dirs alike (vec_id % 6 spans both sides of the
+    // base/stream split), one keys-only anti-join per victim-bearing
+    // dir, model frozen. Mutating query: the static base index is a
+    // build-once fixture COPIED to scratch per run (re-written through
+    // IvfPqIndex read→write, cheap), streamed into, erased, served.
+    // Deterministic frozen-model serve → pinned VALUES oracle.
+    "stream_knn_erase" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val baseDir = IndexFixture.dir("ivfpq_base1", dir) { tmp =>
+        graft.ops.IvfPqIndex.write(
+          graft.ops.IvfPqIndex.build(emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", nlist = 16, numSubspaces = 8, numCodes = 16),
+          s"$tmp/index")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kne").toString
+      graft.ops.IvfPqIndex.write(
+        graft.ops.IvfPqIndex.read(s, s"$baseDir/index"), s"$tmp/index")
+      emb.filter(col("vec_id") % 10 === 0).repartition(2, col("vec_id"))
+        .write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamIvfPqMaintain(
+        s, s"$tmp/src", s"$tmp/index", "vec_id", "embedding",
+        maxFilesPerTrigger = 1)
+      graft.streaming.Incremental.eraseIvfPqMaintained(
+        s, s"$tmp/index",
+        emb.filter(col("vec_id") % 6 === 0).select(col("vec_id")))
+      val served = graft.ops.IvfPqIndex.topK(
+          graft.streaming.Incremental.readIvfPqMaintained(s, s"$tmp/index"),
+          emb.filter(col("vec_id") < 20),
+          emb.filter(col("vec_id") % 6 =!= 0),
+          "vec_id", "embedding", k = 3, nprobe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank").localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      served
+    }),
   )
+
+  /** The maintained simjoin root fixture (first-batch-frozen order, 3
+    * micro-batches over the 4/5 corpus) — built once per (machine, sf)
+    * and shared by the maintained serve, the pruning audit and the
+    * re-freeze serve.
+    */
+  private def simjoinStreamFixture(s: SparkSession, dir: String): String =
+    IndexFixture.dir("simjoin_stream", dir) { tmp =>
+      Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .repartition(3, col("doc_id"))
+        .write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamSimJoinMaintain(
+        s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
+    }
 
   // exact all-pairs over the relabeled 100–149 batch vs the full corpus —
   // shared by the zero-state streaming near-dedup and the maintained-index
@@ -426,6 +648,26 @@ object StreamingQueries {
     // the streamed-maintained MinHash index must serve the IDENTICAL
     // pair set as the static index (content-deterministic signatures)
     "stream_minhash_maintain" -> StreamNearDedupSql,
+
+    // compaction merges dirs, never rows — the compacted root shares the
+    // maintained serve's oracle byte-identically (all four indexes)
+    "stream_minhash_compact" -> StreamNearDedupSql,
+    "stream_bm25_compact" -> TextQueries.oracles("text_bm25_persisted"),
+    "stream_knn_compact" -> graft.PinnedOracles.sql("knn_index_append"),
+    "stream_simjoin_compact" -> DedupQueries.oracles("simjoin_incremental"),
+
+    // the re-frozen (rebuilt-from-sets) index serves the IDENTICAL exact
+    // pair set — only pruning selectivity changes
+    "simjoin_refreeze" -> DedupQueries.oracles("simjoin_incremental"),
+
+    // erase on the maintained BM25 root = the BM25 recompute on the
+    // retained corpus (df subtraction + closed-form stats roll-back are
+    // exact) — shares the static text_bm25_erase oracle
+    "stream_bm25_erase" -> TextQueries.oracles("text_bm25_erase"),
+
+    // stream_knn_erase and simjoin_maintained_prune_audit carry pinned
+    // VALUES oracles under their OWN keys — SparkEntry merges
+    // PinnedOracles in automatically (and rejects a key carrying both)
 
     // erase on the maintained root = the bipartite recompute WITHOUT the
     // victims (same SQL with the victim filter on the corpus side)

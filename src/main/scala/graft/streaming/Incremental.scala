@@ -680,9 +680,18 @@ object Incremental {
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val snaps = committedSnaps()
-        if (snaps.exists(_._1 == batchId)) {
-          () // at-least-once replay of an already-committed batch: skip
-        } else {
+        snaps.find(_._1 == batchId) match {
+          case Some((_, dir)) =>
+            // at-least-once replay of an already-committed batch: skip —
+            // but only over the SAME file set it committed with (a
+            // restored-older checkpoint re-plans this id over MORE files;
+            // see batchFilesSig). Pre-sig snapshots (no _graft_files)
+            // read as empty and skip silently, as before.
+            val sigPath = new org.apache.hadoop.fs.Path(dir, "_graft_files")
+            if (fs.exists(sigPath))
+              assertReplayedBatchUnchanged(conf, sigPath,
+                batchFilesSig(conf, ckptStr, batchId), "rollup", batchId)
+          case None =>
           val existing = snaps.filter(_._1 < batchId).lastOption match {
             case Some((_, dir)) => spark.read.parquet(dir.toString)
             case None =>
@@ -693,6 +702,14 @@ object Incremental {
                     graft.etl.Loads.AggSpec.Fns(s.agg)(col(s.column)).as(s.column)): _*)
                 .limit(0)
           }
+          // stamp BEFORE the first snapshot ever commits (no-op once
+          // stamped): a first-run crash after snap_0's _SUCCESS but before
+          // the post-run stamp would let a fresh-checkpoint restart pass
+          // the identity guard (no stamp present) and silently skip live
+          // batch 0 as an already-committed snapshot — the exact data-loss
+          // window the guard exists to close (the runBatchCommitted
+          // stamp-before-marker ordering, mirrored here)
+          stampRunIdentity(conf, fs, root, ckptStr)
           val merged = graft.etl.Loads.mergeAggregate(
             existing, batch, keys, specs, countCol)
           // summary-sized rollups compact to one file; a data-sized
@@ -706,6 +723,13 @@ object Incremental {
             else merged.coalesce(1)
           sized.write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(root, s"snap_$batchId").toString)
+          // record the batch's source-file fingerprint beside the
+          // snapshot for the replay check above (after the _SUCCESS
+          // commit: a crash in between leaves a committed pre-sig
+          // snapshot, which the check tolerates)
+          writeUtf8(fs,
+            new org.apache.hadoop.fs.Path(root, s"snap_$batchId/_graft_files"),
+            batchFilesSig(conf, ckptStr, batchId))
           // retire superseded snapshots; keep two so the reader of the
           // previous snapshot (a concurrent replay) is never yanked
           committedSnaps().dropRight(2).foreach { case (_, dir) =>
@@ -841,7 +865,13 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val done = committedBatchIds(fs, root)
         if (done.contains(batchId)) {
-          () // at-least-once replay of an already-committed batch: skip
+          // at-least-once replay of an already-committed batch: skip —
+          // but only if it replays the SAME file set it committed with (a
+          // restored-older checkpoint re-plans this id over MORE files;
+          // see batchFilesSig)
+          assertReplayedBatchUnchanged(conf,
+            new org.apache.hadoop.fs.Path(root, s"_committed_$batchId"),
+            batchFilesSig(conf, ckptStr, batchId), what, batchId)
         } else {
           // stamp BEFORE the first marker ever lands (no-op once
           // stamped): a first-run crash after markers but before a
@@ -853,9 +883,12 @@ object Incremental {
           writeBatch(batch, batchId, done)
           // ONE commit point covers every artifact the batch wrote — a
           // crash between any artifact write and this create leaves the
-          // batch uncommitted, so the replay rewrites it wholesale
-          fs.create(new org.apache.hadoop.fs.Path(root, s"_committed_$batchId"),
-            true).close()
+          // batch uncommitted, so the replay rewrites it wholesale. The
+          // marker body records the batch's source-file fingerprint for
+          // the replay check above.
+          writeUtf8(fs,
+            new org.apache.hadoop.fs.Path(root, s"_committed_$batchId"),
+            batchFilesSig(conf, ckptStr, batchId))
           afterCommit(committedBatchIds(fs, root))
         }
       }
@@ -881,6 +914,350 @@ object Incremental {
       .filter(_.startsWith("_committed_"))
       .map(_.stripPrefix("_committed_").toLong).sorted
 
+  /** Deterministic fingerprint of a micro-batch's SOURCE-FILE set.
+    * Recorded inside each `_committed_<id>` marker and re-checked on
+    * replay: a batch id only maps to the same files within one checkpoint
+    * HISTORY — a checkpoint restored to an OLDER state re-plans an
+    * already-committed id over whatever is now available (with
+    * AvailableNow and no maxFilesPerTrigger, EVERYTHING unseen packs into
+    * that one batch), and skipping it by marker alone would silently drop
+    * the newer files.
+    *
+    * The file set comes from the checkpoint's FileStreamSource metadata
+    * log (`<ckpt>/sources/0/<batchId>`, written when the batch is
+    * planned) — the foreachBatch DataFrame itself is a LogicalRDD whose
+    * file lineage is already erased. An unreadable/missing log entry
+    * yields an empty (unverifiable) signature, which both sides treat as
+    * "skip the check" — never a false trigger.
+    */
+  private def batchFilesSig(
+      conf: org.apache.hadoop.conf.Configuration,
+      ckptStr: String,
+      batchId: Long): String = {
+    val dir = new org.apache.hadoop.fs.Path(ckptStr, "sources/0")
+    val fs = dir.getFileSystem(conf)
+    // the log compacts every N batches into "<id>.compact" (all entries
+    // up to id); either shape carries this batch's entries
+    val logFile = Seq(
+      new org.apache.hadoop.fs.Path(dir, s"$batchId.compact"),
+      new org.apache.hadoop.fs.Path(dir, batchId.toString)).find(fs.exists)
+    logFile.fold("") { p =>
+      val entryRe = """\{[^{}]*\}""".r
+      val bidRe = """"batchId"\s*:\s*(-?\d+)""".r
+      val pathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      val files = entryRe.findAllIn(readUtf8(conf, p)).toSeq.flatMap { e =>
+        if (bidRe.findFirstMatchIn(e).exists(_.group(1).toLong == batchId))
+          pathRe.findFirstMatchIn(e).map(_.group(1))
+        else None
+      }.sorted
+      if (files.isEmpty) "" // unparseable or foreign layout: unverifiable
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        files.foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+        s"files=${files.length} sha256=${md.digest().map("%02x".format(_)).mkString}"
+      }
+    }
+  }
+
+  private def writeUtf8(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One data member of a maintained index root under the COMPACTION
+    * scheme: batch dirs (`<parent>/batch_<id>` — or root-level
+    * `lists_batch_<id>` for the IVF-PQ layout) plus at most one committed
+    * compacted generation (`compact_<gen>`, gen = the highest batch id
+    * folded in). The generation is committed by a single root-level
+    * `_compacted_<gen>` marker written LAST (shared across members), so
+    * the serve/erase surface is compact dir + tail batch dirs — bounded
+    * by compaction cadence instead of growing one leg per batch forever.
+    */
+  private final case class MemberLayout(
+      parentRel: String,
+      batchPrefix: String = "batch_",
+      compactPrefix: String = "compact_") {
+    def rel(n: String): String =
+      if (parentRel.isEmpty) n else s"$parentRel/$n"
+    def batchPath(root: org.apache.hadoop.fs.Path, id: Long) =
+      new org.apache.hadoop.fs.Path(root, rel(s"$batchPrefix$id"))
+    def compactPath(root: org.apache.hadoop.fs.Path, gen: Long) =
+      new org.apache.hadoop.fs.Path(root, rel(s"$compactPrefix$gen"))
+    /** The live data dirs: the committed compacted generation (when
+      * present — an all-empty member may have written none) plus batch
+      * dirs NEWER than it. Batch dirs at or below the generation are
+      * superseded (they exist only inside the post-marker pre-sweep
+      * crash window) and are never read.
+      */
+    def legs(
+        fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path,
+        done: Seq[Long]): Seq[org.apache.hadoop.fs.Path] = {
+      val gen = compactedGenId(fs, root)
+      gen.map(g => compactPath(root, g)).filter(fs.exists).toSeq ++
+        done.filter(id => gen.forall(id > _)).map(id => batchPath(root, id))
+    }
+    /** Compact dirs physically on disk (committed or half-written). */
+    def compactGensOnDisk(
+        fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Seq[Long] = {
+      val parent =
+        if (parentRel.isEmpty) root else new org.apache.hadoop.fs.Path(root, parentRel)
+      if (!fs.exists(parent)) Nil
+      else fs.listStatus(parent).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(compactPrefix) &&
+          n.stripPrefix(compactPrefix).nonEmpty &&
+          n.stripPrefix(compactPrefix).forall(_.isDigit))
+        .map(_.stripPrefix(compactPrefix).toLong)
+    }
+  }
+
+  private val Bm25Postings = MemberLayout("postings")
+  private val MinHashBuckets = MemberLayout("buckets")
+  private val MinHashSets = MemberLayout("sets")
+  private val SimJoinPrefixes = MemberLayout("prefixes")
+  private val SimJoinSets = MemberLayout("sets")
+  private val IvfLists = MemberLayout("", "lists_batch_", "lists_compact_")
+
+  /** The committed compaction generation under a maintained root (highest
+    * `_compacted_<gen>` marker), shared by every member of the root.
+    */
+  private def compactedGenId(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] =
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_compacted_"))
+      .map(_.stripPrefix("_compacted_").toLong).sorted.lastOption
+
+  /** Shared compaction protocol for the four stream-maintained indexes:
+    * merge the previous compacted generation (if any) and every committed
+    * batch dir into ONE `compact_<newGen>` dir per member
+    * (newGen = the highest committed batch id), committed by a single
+    * `_compacted_<newGen>` marker written LAST, then sweep the superseded
+    * dirs. Closes the r15 scale gap: without compaction, serve-plan union
+    * width and erase-probe cost grow one leg per committed batch forever
+    * (10⁴–10⁵ dirs at production micro-batch cadence).
+    *
+    * Crash-safe at every point: a crash before the marker leaves
+    * half-written compact dirs no reader resolves (and a re-run
+    * overwrites or sweeps them); a crash after the marker but before the
+    * sweep leaves superseded batch dirs that readers already ignore
+    * (legs() excludes ids ≤ the generation) and the next compaction
+    * removes. The `_committed_<id>` markers are NEVER removed: a replay
+    * of a pre-compaction batch id must stay a no-op (and its recorded
+    * file signature stays checkable). Caller contract: the maintainer is
+    * not running against this root during compaction (the offline
+    * maintenance window, like erasure).
+    *
+    * `merge(inputDirs, outDir)` writes one member's merged generation in
+    * that member's serving layout; it may decline to write when every
+    * input is empty (readers tolerate a missing compact dir). Returns the
+    * committed generation id.
+    */
+  private def compactCore(
+      spark: SparkSession,
+      indexPath: String,
+      what: String,
+      members: Seq[(MemberLayout, (Seq[String], String) => Unit)]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val done = committedBatchIds(fs, root)
+    require(done.nonEmpty, s"no committed $what batch under $indexPath")
+    def sweep(gen: Long): Unit = {
+      members.foreach { case (m, _) =>
+        done.filter(_ <= gen).foreach(id => fs.delete(m.batchPath(root, id), true))
+        // superseded or half-written older generations
+        m.compactGensOnDisk(fs, root).filter(_ < gen)
+          .foreach(g => fs.delete(m.compactPath(root, g), true))
+      }
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_compacted_"))
+        .map(_.stripPrefix("_compacted_").toLong).filter(_ < gen)
+        .foreach(g =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"_compacted_$g"), false))
+    }
+    val prev = compactedGenId(fs, root)
+    // finish any interrupted sweep for the current generation first
+    prev.foreach(sweep)
+    val newGen = done.last
+    if (prev.contains(newGen)) return newGen // everything is already compacted
+    members.foreach { case (m, merge) =>
+      val inputs = m.legs(fs, root, done).filter(fs.exists)
+      if (inputs.nonEmpty)
+        merge(inputs.map(_.toString), m.compactPath(root, newGen).toString)
+    }
+    // ONE commit point covers every member's merged generation
+    writeUtf8(fs, new org.apache.hadoop.fs.Path(root, s"_compacted_$newGen"),
+      s"merged=${done.mkString(",")}")
+    sweep(newGen)
+    newGen
+  }
+
+  /** Compact a [[streamBm25Maintain]]ed root: merge every committed
+    * postings batch dir into one term-range-partitioned generation (the
+    * static [[graft.ops.Bm25Index.write]] layout, so serve-time term
+    * pushdown skips files by footer stats across the WHOLE compacted
+    * corpus, not per tiny batch dir). The df/stats snapshots already roll
+    * forward wholesale and are untouched. Serves byte-identically before
+    * and after (the declared `stream_bm25_compact` query shares the
+    * maintained serve's oracle).
+    */
+  def compactBm25Maintained(
+      spark: SparkSession,
+      indexPath: String,
+      numFiles: Int = 8): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    assertNoPendingErase(spark, indexPath, "bm25 index")
+    compactCore(spark, indexPath, "bm25 index", Seq(
+      Bm25Postings -> { (ins: Seq[String], out: String) =>
+        spark.read.parquet(ins: _*)
+          .select("term", "id", "tf", "dl")
+          .repartitionByRange(numFiles, col("term"))
+          .sortWithinPartitions("term", "id")
+          .write.mode("overwrite").parquet(out)
+      }))
+  }
+
+  /** Compact a [[streamMinHashMaintain]]ed root (buckets + sets concat —
+    * both members are per-document rows with no global state).
+    */
+  def compactMinHashMaintained(
+      spark: SparkSession,
+      indexPath: String,
+      numFiles: Int = 8): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    def concat(cols: Seq[String])(ins: Seq[String], out: String): Unit =
+      spark.read.parquet(ins: _*).select(cols.map(col): _*)
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(out)
+    compactCore(spark, indexPath, "minhash index", Seq(
+      MinHashBuckets -> concat(Seq("id", "band", "bucket")) _,
+      MinHashSets -> concat(Seq("id", "shingle_set")) _))
+  }
+
+  /** Compact a [[streamSimJoinMaintain]]ed root: prefixes re-cluster by
+    * shingle hash (the static [[graft.ops.SimJoinIndex.write]] layout —
+    * serve probes read co-located posting lists), sets concat; the frozen
+    * `freq` model stays as built.
+    */
+  def compactSimJoinMaintained(
+      spark: SparkSession,
+      indexPath: String,
+      numFiles: Int = 8): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    compactCore(spark, indexPath, "simjoin index", Seq(
+      SimJoinPrefixes -> { (ins: Seq[String], out: String) =>
+        spark.read.parquet(ins: _*).select("h", "id", "n")
+          .repartition(numFiles, col("h"))
+          .sortWithinPartitions("h", "id")
+          .write.mode("overwrite").parquet(out)
+      },
+      SimJoinSets -> { (ins: Seq[String], out: String) =>
+        spark.read.parquet(ins: _*).select("id", "set", "n")
+          .repartition(numFiles)
+          .write.mode("overwrite").parquet(out)
+      }))
+  }
+
+  /** Compact a [[streamIvfPqMaintain]]ed root: merge every committed
+    * `lists_batch_<id>` dir into one cluster-partitioned
+    * `lists_compact_<gen>` dir (one read PER input dir — the
+    * CONFLICTING_DIRECTORY_STRUCTURES constraint from
+    * [[readIvfPqMaintained]] — then one partitioned write), shrinking the
+    * serve union from one leg per batch to base + ONE compacted leg +
+    * tail. The frozen model and base `lists/` are untouched; the
+    * model-generation stamp is asserted first.
+    */
+  def compactIvfPqMaintained(
+      spark: SparkSession,
+      indexPath: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    assertModelGeneration(conf, fs, root, indexPath, stampIfAbsent = false)
+    compactCore(spark, indexPath, "ivfpq index", Seq(
+      IvfLists -> { (ins: Seq[String], out: String) =>
+        val frames = ins.flatMap(p =>
+          readListsDir(spark, fs, new org.apache.hadoop.fs.Path(p)))
+        if (frames.nonEmpty)
+          frames.reduce(_ unionByName _)
+            .repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster").parquet(out)
+      }))
+  }
+
+  /** Read one inverted-lists dir in either physical shape: the
+    * cluster-partitioned serving layout, or the plain (possibly empty)
+    * shape an erase rewrite leaves when a dir lost all its rows. A dir
+    * with neither cluster subdirs nor data files reads as absent (an
+    * empty micro-batch's dynamic-partition write leaves exactly that).
+    */
+  private def readListsDir(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[DataFrame] = {
+    if (!fs.exists(p)) return None
+    val entries = fs.listStatus(p).toSeq
+    val hasClusters = entries.exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cluster="))
+    val hasFiles = entries.exists(st =>
+      !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    if (hasClusters || hasFiles)
+      Some(spark.read.parquet(p.toString).select("cluster", "n_id", "codes", "n_norm"))
+    else None
+  }
+
+  /** Reject a maintained root that holds (any part of) a STATICALLY
+    * written index: a static layout keeps part files directly under the
+    * member dirs, which the maintained readers (batch_* / compact_* dirs
+    * only) silently ignore — cohabiting would hide every statically
+    * written document. Checked on EVERY member dir, even without a
+    * sidecar: a static write interrupted between members leaves exactly
+    * one member in the static shape.
+    */
+  private def assertMaintainerOwnsLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      members: Seq[String],
+      what: String,
+      serveHint: String): Unit =
+    members.foreach { m =>
+      val p = new org.apache.hadoop.fs.Path(root, m)
+      val static = fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("batch_") && !n.startsWith("compact_") && !n.startsWith("_")
+      }
+      require(!static,
+        s"$root holds a statically-written $what (non-batch entries under " +
+          s"$m/); stream maintainers own their roots ($serveHint)")
+    }
+
+  /** Fail loudly when a replayed committed batch id arrives with a
+    * DIFFERENT source-file set than the one its marker recorded (see
+    * [[batchFilesSig]]). An empty recorded sig (pre-sig roots) cannot be
+    * verified and skips silently, as before.
+    */
+  private def assertReplayedBatchUnchanged(
+      conf: org.apache.hadoop.conf.Configuration,
+      marker: org.apache.hadoop.fs.Path,
+      sig: String,
+      what: String,
+      batchId: Long): Unit = {
+    val recorded = readUtf8(conf, marker).trim
+    require(recorded.isEmpty || sig.isEmpty || recorded == sig,
+      s"$what batch $batchId replayed with a DIFFERENT source-file set " +
+        s"(committed: $recorded; replayed: $sig). The checkpoint was " +
+        "restored to a state older than files that have since arrived, so " +
+        "skipping this batch as already-committed would silently drop " +
+        "them. Restore a checkpoint no older than the newest committed " +
+        "batch, or start a fresh maintained root.")
+  }
+
   def streamBm25Maintain(
       spark: SparkSession,
       srcPath: String,
@@ -895,6 +1272,12 @@ object Incremental {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    // a STATIC Bm25Index.write layout keeps part files directly under
+    // postings/ — the maintained reader (batch_*/compact_* dirs only)
+    // would silently hide every statically-written posting
+    assertMaintainerOwnsLayout(fs, root, Seq("postings"), "bm25 index",
+      "serve static indexes via Bm25Index.read + append instead")
+    assertNoPendingErase(spark, indexPath, "bm25 index")
     runBatchCommitted(spark, srcPath, indexPath, checkpointPath,
       "bm25 index", maxFilesPerTrigger) { (batch, batchId, done) =>
       // the delta pays one build pass over ITSELF only
@@ -906,13 +1289,16 @@ object Incremental {
         .parquet(sub(s"postings/batch_$batchId").toString)
       // roll the bounded state forward from the latest committed
       // snapshot BEFORE this batch (a replay must not read its own
-      // superseded output)
+      // superseded output) — at that snapshot's latest ERASE generation,
+      // so maintenance after a maintained-root erase carries the
+      // rolled-back df/stats forward
       val (terms, stats) = done.filter(_ < batchId).lastOption match {
         case Some(p) =>
+          val suf = latestSnapSuffix(fs, root, p)
           (graft.ops.Bm25Index.mergeTerms(
-            spark.read.parquet(sub(s"terms_snap_$p").toString), d.terms),
+            spark.read.parquet(sub(s"terms_snap_$p$suf").toString), d.terms),
             graft.ops.Bm25Index.mergeStats(
-              spark.read.parquet(sub(s"stats_snap_$p").toString), d.stats))
+              spark.read.parquet(sub(s"stats_snap_$p$suf").toString), d.stats))
         case None => (d.terms, d.stats)
       }
       // vocabulary-sized and 1-row — one file each is the right shape
@@ -921,12 +1307,10 @@ object Incremental {
       stats.coalesce(1).write.mode("overwrite")
         .parquet(sub(s"stats_snap_$batchId").toString)
     } { committed =>
-      // retire superseded snapshots; keep two so the reader of the
-      // previous snapshot (a concurrent replay) is never yanked
-      committed.dropRight(2).foreach { id =>
-        fs.delete(sub(s"terms_snap_$id"), true)
-        fs.delete(sub(s"stats_snap_$id"), true)
-      }
+      // retire superseded snapshots (every erase generation with them);
+      // keep two ids so the reader of the previous snapshot (a
+      // concurrent replay) is never yanked
+      committed.dropRight(2).foreach(id => deleteSnapGens(fs, root, id))
     }
     readBm25Maintained(spark, indexPath)
   }
@@ -943,13 +1327,19 @@ object Incremental {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed bm25 index batch under $indexPath")
+    assertNoPendingErase(spark, indexPath, "bm25 index")
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
+    // the compacted generation (if any) + tail batch dirs; the df/stats
+    // snapshots resolve to the latest ERASE generation of the newest
+    // batch-stamped snapshot (see eraseBm25Maintained)
+    val legs = Bm25Postings.legs(fs, root, done)
+    val suffix = latestSnapSuffix(fs, root, done.last)
     graft.ops.Bm25Index(
       spark.read
-        .parquet(done.map(id => sub(s"postings/batch_$id")): _*)
+        .parquet(legs.map(_.toString): _*)
         .select("term", "id", "tf", "dl"),
-      spark.read.parquet(sub(s"terms_snap_${done.last}")).select("term", "df"),
-      spark.read.parquet(sub(s"stats_snap_${done.last}")).select("n", "avgdl"))
+      spark.read.parquet(sub(s"terms_snap_${done.last}$suffix")).select("term", "df"),
+      spark.read.parquet(sub(s"stats_snap_${done.last}$suffix")).select("n", "avgdl"))
   }
 
   /** Streaming MinHash-LSH index maintenance — [[streamBm25Maintain]]'s
@@ -983,18 +1373,13 @@ object Incremental {
     fs.mkdirs(root)
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
     // a STATIC MinHashIndex.write layout keeps part files directly under
-    // sets/ — the maintained reader reads only batch_* dirs and would
-    // silently hide every statically-written document (the
-    // streamSimJoinMaintain cross-guard, applied here too; checked even
-    // without a sidecar — an interrupted static write leaves that shape)
-    val staticSets = fs.exists(sub("sets")) &&
-      fs.listStatus(sub("sets")).exists(st =>
-        !st.getPath.getName.startsWith("batch_") &&
-          !st.getPath.getName.startsWith("_"))
-    require(!staticSets,
-      s"$indexPath holds a statically-written minhash index; " +
-        "streamMinHashMaintain owns its own root (serve static indexes " +
-        "via MinHashIndex.read + append instead)")
+    // sets/ AND buckets/ — and MinHashIndex.write writes buckets first,
+    // so an interrupted static write can leave EITHER member in the
+    // static shape; both are guarded (the streamSimJoinMaintain
+    // cross-guard, applied here too; checked even without a sidecar)
+    assertMaintainerOwnsLayout(fs, root, Seq("sets", "buckets"),
+      "minhash index",
+      "serve static indexes via MinHashIndex.read + append instead")
     if (graft.ops.MinHashIndex.sidecarExists(conf, indexPath)) {
       val (k0, b0, r0) = graft.ops.MinHashIndex.sidecarParams(conf, indexPath)
       require(k0 == shingleK && b0 == bands && r0 == rowsPerBand,
@@ -1044,7 +1429,7 @@ object Incremental {
       indexPath: String,
       ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     eraseMaintainedDirs(spark, indexPath, ids, "minhash index",
-      ledgerMember = "sets", members = Seq("sets", "buckets"))
+      ledgerMember = MinHashSets, members = Seq(MinHashSets, MinHashBuckets))
 
   /** [[eraseMinHashMaintained]] for a [[streamSimJoinMaintain]]ed root —
     * identical shape: both members are per-document rows with no global
@@ -1058,7 +1443,7 @@ object Incremental {
       indexPath: String,
       ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     eraseMaintainedDirs(spark, indexPath, ids, "simjoin index",
-      ledgerMember = "sets", members = Seq("sets", "prefixes"))
+      ledgerMember = SimJoinSets, members = Seq(SimJoinSets, SimJoinPrefixes))
 
   /** The shared per-batch-dir rewrite of the maintained-root erases: for
     * every committed batch whose `ledgerMember` dir contains a victim,
@@ -1083,13 +1468,13 @@ object Incremental {
       indexPath: String,
       ids: org.apache.spark.sql.DataFrame,
       what: String,
-      ledgerMember: String,
-      members: Seq[String]): org.apache.spark.sql.DataFrame = {
+      ledgerMember: MemberLayout,
+      members: Seq[MemberLayout]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     require(ids.columns.length == 1,
       s"ids must be a single key column, got ${ids.columns.toSeq}")
     require(members.contains(ledgerMember),
-      s"ledgerMember $ledgerMember must be one of $members")
+      s"ledgerMember must be one of the members")
     // probe member LAST (see above)
     val orderedMembers = members.filterNot(_ == ledgerMember) :+ ledgerMember
     val k = ids.toDF("id").distinct().localCheckpoint()
@@ -1098,23 +1483,357 @@ object Incremental {
     val fs = root.getFileSystem(conf)
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed $what batch under $indexPath")
-    def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
-    val ledger = done.map { id =>
-      val probe = spark.read.parquet(sub(s"$ledgerMember/batch_$id"))
-      val nVictims = probe.join(k, Seq("id"), "left_semi").count()
-      val nBefore = if (nVictims > 0) probe.count() else -1L
-      if (nVictims > 0) orderedMembers.foreach { m =>
-        val df = spark.read.parquet(sub(s"$m/batch_$id"))
-        // retained rows materialize BEFORE the overwrite of their source
-        val retained = df.join(k, Seq("id"), "left_anti")
-          .select(df.columns.map(col).toIndexedSeq: _*).localCheckpoint()
-        retained.write.mode("overwrite").parquet(sub(s"$m/batch_$id"))
+    // SINGLE-PASS victim probe: one union read over every probe-member
+    // leg (compacted generation + tail batch dirs) with the leg identity
+    // derived from input_file_name, ONE aggregate job → victim-bearing
+    // legs and their ledger counts. Replaces the r15 per-batch semi-join
+    // loop, whose one-count-job-per-dir driver scheduling dominates at
+    // production batch counts (10⁴–10⁵ dirs).
+    val legPaths = ledgerMember.legs(fs, root, done).filter(fs.exists)
+    val affected = victimLegProbe(
+      spark.read.parquet(legPaths.map(_.toString): _*).select("id"),
+      k, "id", distinctPerDoc = false)
+    affected.foreach { case (leg, _, _) =>
+      orderedMembers.foreach { m =>
+        val p = new org.apache.hadoop.fs.Path(root, m.rel(leg))
+        if (fs.exists(p)) {
+          val df = spark.read.parquet(p.toString)
+          // retained rows materialize BEFORE the overwrite of their source
+          val retained = df.join(k, Seq("id"), "left_anti")
+            .select(df.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+          retained.write.mode("overwrite").parquet(p.toString)
+        }
       }
-      (id, nBefore, nVictims)
     }
-    ledger.filter(_._3 > 0)
-      .map { case (id, before, erased) => (id, before, before - erased, erased) }
+    // ledger ids: a batch leg reports its batch id, the compacted
+    // generation its gen id (the highest batch id folded into it)
+    affected
+      .map { case (leg, before, erased) =>
+        (leg.filter(_.isDigit).toLong, before, before - erased, erased)
+      }
       .toDF("batch_id", "n_before", "n_after", "n_erased")
+  }
+
+  /** ONE-JOB victim probe over a union of leg reads: tag each row with
+    * the leg dir it came from ([[withLegColumn]]), left-join the
+    * (broadcast, GDPR-request-sized) victim keys, aggregate per leg →
+    * victim-bearing legs with (rows, victim rows) — or distinct-doc
+    * counts for members that repeat a doc across rows (BM25 postings).
+    * Probe cost is one job regardless of committed-batch count.
+    */
+  private def victimLegProbe(
+      rows: DataFrame,
+      k: DataFrame,
+      idColName: String,
+      distinctPerDoc: Boolean): Seq[(String, Long, Long)] = {
+    val flagged = withLegColumn(rows)
+      .join(broadcast(k.withColumn("__v", lit(1))), Seq(idColName), "left")
+    val agg =
+      if (distinctPerDoc)
+        flagged.groupBy("__leg").agg(
+          countDistinct(col(idColName)).as("nb"),
+          countDistinct(when(col("__v").isNotNull, col(idColName))).as("nv"))
+      else
+        flagged.groupBy("__leg").agg(
+          count(lit(1)).as("nb"), count(col("__v")).as("nv"))
+    agg.filter(col("nv") > 0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Tag file-sourced rows with the maintained-root leg dir they came
+    * from: the dir immediately containing the file, or one above a
+    * `cluster=` partition dir (the IVF-PQ layout) — anchored to the path
+    * TAIL so upstream dirs that happen to contain `batch_` never match.
+    */
+  private def withLegColumn(df: DataFrame): DataFrame =
+    df.withColumn("__leg", regexp_extract(input_file_name(),
+      "/((?:lists_)?(?:batch|compact)_[0-9]+|lists)(?:/cluster=[^/]+)?/[^/]+$", 1))
+
+  // --- batch-stamped snapshot ERASE GENERATIONS (BM25 df/stats) --------
+
+  /** gen 0 = the maintainer-written `terms_snap_<id>`/`stats_snap_<id>`;
+    * each maintained-root erase rolls the pair back into a NEW generation
+    * `…_snap_<id>_e<g>` (stats written first, terms LAST — the terms
+    * dir's _SUCCESS is the generation's commit point). The latest
+    * committed generation is the serving truth for that snapshot id.
+    */
+  private def snapSuffixOf(gen: Int): String = if (gen == 0) "" else s"_e$gen"
+
+  private def latestSnapGen(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      id: Long): Int = {
+    val base = s"terms_snap_$id"
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect {
+        case n if n == base => 0
+        case n if n.startsWith(base + "_e") &&
+            n.stripPrefix(base + "_e").nonEmpty &&
+            n.stripPrefix(base + "_e").forall(_.isDigit) =>
+          n.stripPrefix(base + "_e").toInt
+      }
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(root,
+        s"terms_snap_$id${snapSuffixOf(g)}/_SUCCESS")))
+      .sorted.lastOption.getOrElse(0)
+  }
+
+  private def latestSnapSuffix(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      id: Long): String = snapSuffixOf(latestSnapGen(fs, root, id))
+
+  /** Every generation of a retired snapshot id (the maintainer's keep-2
+    * retirement must drop erase generations along with gen 0).
+    */
+  private def deleteSnapGens(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      id: Long): Unit =
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == s"terms_snap_$id" || n == s"stats_snap_$id" ||
+          n.startsWith(s"terms_snap_${id}_e") || n.startsWith(s"stats_snap_${id}_e")
+      }
+      .foreach(p => fs.delete(p, true))
+
+  private def eraseJournalPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_erase_pending")
+
+  /** The maintained BM25 root refuses to serve, maintain or compact while
+    * a subject-erase journal is pending: postings rewrites and the
+    * df/stats roll-back commit separately, so mid-erase state is
+    * inconsistent until the re-run finishes (the attestation contract
+    * every erase in this repo carries).
+    */
+  private def assertNoPendingErase(
+      spark: SparkSession, indexPath: String, what: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+        eraseJournalPath(root), "_SUCCESS")),
+      s"$what at $indexPath has an interrupted subject erasure " +
+        "(_erase_pending journal committed): re-run eraseBm25Maintained " +
+        "to completion before serving, maintaining or compacting this root")
+  }
+
+  /** Subject ERASURE on a [[streamBm25Maintain]]ed root — with
+    * [[eraseIvfPqMaintained]] this completes the 4×2 maintain×erase
+    * matrix. Postings rewrite only in victim-BEARING legs (one
+    * single-pass probe, then keys-only anti-joins); the vocab-sized df
+    * dictionary and the 1-row (n, avgdl) stats roll BACK once in the
+    * static [[graft.ops.Bm25Index.erase]] closed form against the LATEST
+    * snapshot — applied once per erase, never per batch, never a corpus
+    * rescan.
+    *
+    * Unlike the stat-free MinHash/SimJoin erases, TWO artifact families
+    * must stay consistent across crashes (postings dirs and the snapshot
+    * algebra — subtraction is not re-detectable, so the
+    * probe-member-last trick alone cannot make it idempotent). The erase
+    * therefore JOURNALS the victims' posting rows first
+    * (`_erase_pending`, a committed parquet dir): a re-run FINISHES a
+    * crashed erase from the journal — rewrites any legs still bearing
+    * the journal's victims, applies the snapshot subtraction exactly
+    * once (the adjusted pair lands under a NEW erase generation
+    * `…_snap_<id>_e<g>`, stats first, terms last, so "already applied"
+    * is a visible commit, never an in-place overwrite of the state the
+    * subtraction reads) — then deletes the journal and starts on the new
+    * ids. Readers, the maintainer and compaction refuse a root with a
+    * pending journal ([[assertNoPendingErase]]).
+    *
+    * Work: two postings-member passes (ledger counts + victim-row
+    * capture; the roll-back inherently needs the victims' rows) plus one
+    * anti-join per affected leg — O(postings scan + affected legs), no
+    * corpus text, no rebuild. Contract: every erased id carries ≥ 1
+    * posting (the [[graft.ops.Bm25Index.erase]] no-token caveat).
+    * Returns the per-leg ledger (batch_id, n_before, n_after, n_erased)
+    * in DISTINCT DOCS over the postings member.
+    */
+  def eraseBm25Maintained(
+      spark: SparkSession,
+      indexPath: String,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val done = committedBatchIds(fs, root)
+    require(done.nonEmpty, s"no committed bm25 index batch under $indexPath")
+    // finish a crashed erase before starting on the new ids
+    finishPendingBm25Erase(spark, fs, root, done)
+    val k = ids.toDF("id").distinct().localCheckpoint()
+    val legPaths = Bm25Postings.legs(fs, root, done).filter(fs.exists)
+    def legRead() = withLegColumn(
+      spark.read.parquet(legPaths.map(_.toString): _*)
+        .select("id", "term", "dl"))
+    // pass 1: ledger counts (distinct docs; postings repeat a doc per term)
+    val affected = victimLegProbe(
+      spark.read.parquet(legPaths.map(_.toString): _*).select("id"),
+      k, "id", distinctPerDoc = true)
+    if (affected.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("batch_id", "n_before", "n_after", "n_erased")
+    // pass 2: the victims' posting rows — the df/stats deltas derive from
+    // them, journaled BEFORE any rewrite so a crash can always finish
+    val targetGen = latestSnapGen(fs, root, done.last) + 1
+    legRead().join(k, Seq("id"), "left_semi")
+      .select(lit(targetGen).as("gen"), col("id"), col("term"), col("dl"))
+      .write.mode("overwrite").parquet(eraseJournalPath(root).toString)
+    // rewrites + snapshot roll-back run off the committed journal — the
+    // SAME code path a crash-recovery re-run takes
+    applyBm25EraseJournal(spark, fs, root, done)
+    affected.map { case (leg, before, erased) =>
+      (leg.filter(_.isDigit).toLong, before, before - erased, erased)
+    }.toDF("batch_id", "n_before", "n_after", "n_erased")
+      .localCheckpoint()
+  }
+
+  /** Finish-or-noop for a pending BM25 erase journal (see
+    * [[eraseBm25Maintained]]): rewrites any postings legs still bearing
+    * the journal's victims, applies the snapshot roll-back if its
+    * generation has not committed, deletes the journal.
+    */
+  private def finishPendingBm25Erase(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      done: Seq[Long]): Unit = {
+    val journal = eraseJournalPath(root)
+    if (fs.exists(new org.apache.hadoop.fs.Path(journal, "_SUCCESS")))
+      applyBm25EraseJournal(spark, fs, root, done)
+    else if (fs.exists(journal))
+      fs.delete(journal, true) // uncommitted journal: the erase never started
+  }
+
+  /** The journal-driven half of the BM25 maintained erase: idempotent
+    * postings rewrites for every leg still bearing journal victims, then
+    * the exactly-once snapshot roll-back (skip if the journal's target
+    * generation already committed), then the journal delete.
+    */
+  private def applyBm25EraseJournal(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      done: Seq[Long]): Unit = {
+    val journal = eraseJournalPath(root)
+    val j = spark.read.parquet(journal.toString).localCheckpoint()
+    if (j.isEmpty) { fs.delete(journal, true); return } // zero-delta journal
+    val jk = j.select("id").distinct().localCheckpoint()
+    val legPaths = Bm25Postings.legs(fs, root, done).filter(fs.exists)
+    // legs still bearing journal victims (a finished run probes to zero)
+    val bearing = victimLegProbe(
+      spark.read.parquet(legPaths.map(_.toString): _*).select("id"),
+      jk, "id", distinctPerDoc = false)
+    bearing.foreach { case (leg, _, _) =>
+      val p = new org.apache.hadoop.fs.Path(root, Bm25Postings.rel(leg))
+      val df = spark.read.parquet(p.toString)
+      val retained = df.join(jk, Seq("id"), "left_anti")
+        .select(df.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+      retained.write.mode("overwrite").parquet(p.toString)
+    }
+    val lastId = done.last
+    val targetGen = j.select("gen").head().getInt(0)
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"terms_snap_$lastId${snapSuffixOf(targetGen)}/_SUCCESS"))
+    if (!committed) {
+      val baseSuffix = snapSuffixOf(targetGen - 1)
+      def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
+      val terms0 = spark.read.parquet(sub(s"terms_snap_$lastId$baseSuffix"))
+      val stats0 = spark.read.parquet(sub(s"stats_snap_$lastId$baseSuffix"))
+      // the static Bm25Index.erase algebra, fed from the journal: df
+      // subtracts the victims' per-term posting counts; (n, avgdl) roll
+      // back in closed form from one dl per victim doc
+      val terms1 = terms0
+        .join(j.groupBy("term").agg(count(lit(1)).cast("double").as("__ddf")),
+          Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("__ddf"), lit(0.0))).as("df"))
+        .filter(col("df") > 0)
+      val victimStats = j.select("id", "dl").distinct()
+        .agg(count(lit(1)).cast("double").as("__dn"),
+          coalesce(sum("dl"), lit(0.0)).as("__dsum"))
+      val stats1 = stats0.crossJoin(victimStats) // 1-row × 1-row scalar
+        .select(
+          (col("n") - col("__dn")).as("n"),
+          ((col("n") * col("avgdl") - col("__dsum")) /
+            greatest(col("n") - col("__dn"), lit(1.0))).as("avgdl"))
+      // stats first, terms LAST: the terms dir's _SUCCESS commits the
+      // generation (both deterministic from journal + the PRIOR
+      // generation, which is never overwritten)
+      stats1.coalesce(1).write.mode("overwrite")
+        .parquet(sub(s"stats_snap_$lastId${snapSuffixOf(targetGen)}"))
+      terms1.coalesce(1).write.mode("overwrite")
+        .parquet(sub(s"terms_snap_$lastId${snapSuffixOf(targetGen)}"))
+    }
+    fs.delete(journal, true)
+    // retire erase generations older than the previous one (keep-2, the
+    // snapshot retirement convention)
+    (0 until targetGen - 1).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"terms_snap_$lastId${snapSuffixOf(g)}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"stats_snap_$lastId${snapSuffixOf(g)}"), true)
+    }
+  }
+
+  /** Subject ERASURE on a [[streamIvfPqMaintain]]ed root: the frozen-model
+    * [[graft.ops.IvfPqIndex.erase]] applied dir-wise — one keys-only
+    * anti-join per victim-BEARING lists dir, found by ONE single-pass
+    * probe across the base `lists/` (victims may predate the stream), the
+    * compacted generation and the tail batch dirs. The model is frozen
+    * state and stays (erase never retrains — erased ids can never
+    * resurface because candidates come only from the lists); there is no
+    * corpus-level statistic to roll back, so the per-dir rewrite is
+    * idempotent by re-detection like the MinHash/SimJoin erases (no
+    * journal needed). Rewritten dirs keep the cluster-partitioned serving
+    * layout; a dir that lost ALL rows rewrites to a plain schema-bearing
+    * empty file (readable, served as absent). Returns the per-leg ledger
+    * (leg, n_before, n_after, n_erased) — `leg` names the dir ("lists",
+    * "lists_batch_<id>", "lists_compact_<gen>").
+    */
+  def eraseIvfPqMaintained(
+      spark: SparkSession,
+      indexPath: String,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(ids.columns.length == 1,
+      s"ids must be a single key column, got ${ids.columns.toSeq}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val done = committedBatchIds(fs, root)
+    require(done.nonEmpty, s"no committed ivfpq index batch under $indexPath")
+    // reject a root whose model was rebuilt in place (the batch dirs'
+    // codes belong to the stamped generation's codebooks)
+    assertModelGeneration(conf, fs, root, indexPath, stampIfAbsent = false)
+    val k = ids.toDF("n_id").distinct().localCheckpoint()
+    val legPaths = new org.apache.hadoop.fs.Path(root, "lists") +:
+      IvfLists.legs(fs, root, done)
+    val frames = legPaths.flatMap(p => readListsDir(spark, fs, p))
+    require(frames.nonEmpty, s"no readable lists dirs under $indexPath")
+    val affected = victimLegProbe(
+      frames.reduce(_ unionByName _), k, "n_id", distinctPerDoc = false)
+    affected.foreach { case (leg, _, _) =>
+      val p = new org.apache.hadoop.fs.Path(root, leg)
+      readListsDir(spark, fs, p).foreach { df =>
+        val retained = df.join(k, Seq("n_id"), "left_anti")
+          .select("cluster", "n_id", "codes", "n_norm").localCheckpoint()
+        if (retained.isEmpty)
+          // a partitioned write of zero rows leaves an unreadable dir —
+          // keep a plain schema-bearing empty file instead
+          retained.write.mode("overwrite").parquet(p.toString)
+        else
+          retained.repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster").parquet(p.toString)
+      }
+    }
+    affected.map { case (leg, before, erased) =>
+      (leg, before, before - erased, erased)
+    }.toDF("leg", "n_before", "n_after", "n_erased")
+      .localCheckpoint()
   }
 
   /** Read the [[streamMinHashMaintain]]ed index: every committed batch
@@ -1130,9 +1849,11 @@ object Incremental {
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name).toString
     val (k, b, r) = graft.ops.MinHashIndex.sidecarParams(conf, indexPath)
     graft.ops.MinHashIndex(
-      spark.read.parquet(done.map(id => sub(s"buckets/batch_$id")): _*)
+      spark.read
+        .parquet(MinHashBuckets.legs(fs, root, done).map(_.toString): _*)
         .select("id", "band", "bucket"),
-      spark.read.parquet(done.map(id => sub(s"sets/batch_$id")): _*)
+      spark.read
+        .parquet(MinHashSets.legs(fs, root, done).map(_.toString): _*)
         .select("id", "shingle_set"),
       k, b, r)
   }
@@ -1218,23 +1939,17 @@ object Incremental {
     // batch dirs' codes belong to the stamped generation's codebooks
     if (done.nonEmpty)
       assertModelGeneration(conf, fs, root, indexPath, stampIfAbsent = false)
-    // one read PER batch dir (a multi-path read of several
+    // one read PER leg dir (a multi-path read of several
     // cluster-partitioned roots trips partition discovery —
     // CONFLICTING_DIRECTORY_STRUCTURES), then union: every leg keeps its
-    // own cluster-pruned layout, and the union count is bounded by the
-    // batches since the last model rebuild (the frozen-model cadence).
-    // An EMPTY micro-batch's dynamic-partition write leaves a dir with
-    // no data files (and no schema) — skip it instead of failing every
-    // later serve on schema inference.
-    val batchLists = done.flatMap { id =>
-      val p = new org.apache.hadoop.fs.Path(root, s"lists_batch_$id")
-      val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("cluster="))
-      if (hasData)
-        Some(spark.read.parquet(p.toString)
-          .select("cluster", "n_id", "codes", "n_norm"))
-      else None
-    }
+    // own cluster-pruned layout. Legs = the compacted generation (if
+    // any) + tail batch dirs, so the union width is bounded by
+    // compaction cadence, not total batch count. An EMPTY micro-batch's
+    // dynamic-partition write leaves a dir with no data files (and no
+    // schema) — readListsDir skips it instead of failing every later
+    // serve on schema inference.
+    val batchLists = IvfLists.legs(fs, root, done)
+      .flatMap(p => readListsDir(spark, fs, p))
     if (batchLists.isEmpty) base
     else base.copy(lists = (base.lists +: batchLists).reduce(_ unionByName _))
   }
@@ -1272,18 +1987,13 @@ object Incremental {
     fs.mkdirs(root)
     def sub(name: String) = new org.apache.hadoop.fs.Path(root, name)
     // a STATIC SimJoinIndex.write layout keeps part files directly under
-    // prefixes/ — the maintained reader would silently ignore them; this
-    // must be checked even WITHOUT a sidecar (a static write interrupted
-    // before its final sidecar step leaves exactly that shape), so
-    // stream-maintain only into roots this maintainer owns
-    val staticPrefixes = fs.exists(sub("prefixes")) &&
-      fs.listStatus(sub("prefixes")).exists(st =>
-        !st.getPath.getName.startsWith("batch_") &&
-          !st.getPath.getName.startsWith("_"))
-    require(!staticPrefixes,
-      s"$indexPath holds a statically-written simjoin index; " +
-        "streamSimJoinMaintain owns its own root (serve static indexes " +
-        "via SimJoinIndex.read + append instead)")
+    // prefixes/ AND sets/ — a static write interrupted between the two
+    // leaves either member in the static shape, so both are guarded
+    // (checked even WITHOUT a sidecar: the final sidecar step may never
+    // have run); stream-maintain only into roots this maintainer owns
+    assertMaintainerOwnsLayout(fs, root, Seq("prefixes", "sets"),
+      "simjoin index",
+      "serve static indexes via SimJoinIndex.read + append instead")
     if (graft.ops.SimJoinIndex.sidecarExists(conf, indexPath)) {
       val (k0, t0) = graft.ops.SimJoinIndex.sidecarParams(conf, indexPath)
       require(k0 == shingleK && math.abs(t0 - threshold) < 1e-12,
@@ -1334,9 +2044,11 @@ object Incremental {
       graft.ops.SimJoinIndex.sidecarParams(conf, indexPath)
     graft.ops.SimJoinIndex(
       spark.read.parquet(sub("freq")).select("h", "freq"),
-      spark.read.parquet(done.map(id => sub(s"prefixes/batch_$id")): _*)
+      spark.read
+        .parquet(SimJoinPrefixes.legs(fs, root, done).map(_.toString): _*)
         .select("h", "id", "n"),
-      spark.read.parquet(done.map(id => sub(s"sets/batch_$id")): _*)
+      spark.read
+        .parquet(SimJoinSets.legs(fs, root, done).map(_.toString): _*)
         .select("id", "set", "n"),
       shingleK, threshold)
   }

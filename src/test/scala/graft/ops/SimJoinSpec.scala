@@ -201,4 +201,45 @@ class SimJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SimJoinIndex.erase(idx, victims.withColumn("extra", col("doc_id"))))
   }
+
+  test("pruneAudit measures frozen-order decay; rebuildFromSets re-freezes " +
+      "without changing the pair set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a SKEWED first slice freezes a rarity order the grown corpus
+    // disagrees with: slice A repeats tokens the full corpus makes common
+    val sliceA = (0 until 8).map { i =>
+      (i.toLong, (0 until 12).map(j => s"c${(i + j) % 14}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sliceB = (100 until 160).map { i =>
+      (i.toLong, (i until i + 12).map(j => s"c${j % 14} x${j % 97}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val frozen = SimJoinIndex.append(
+      SimJoinIndex.build(sliceA, "doc_id", "text", shingleK = 3, threshold = 0.4),
+      sliceB, "doc_id", "text")
+    val batch = (0 until 20).map { i =>
+      (5000L + i, (i * 2 until i * 2 + 12).map(j => s"c${j % 14} x${j % 97}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val audit = SimJoinIndex.pruneAudit(frozen, batch, "doc_id", "text").head()
+    val (nFro, nFre, ratio, nPairs) =
+      (audit.getLong(0), audit.getLong(1), audit.getDouble(2), audit.getLong(3))
+    // candidates are a superset of true pairs under EITHER order, and the
+    // ratio is the two counts' quotient
+    assert(nFro >= nPairs && nFre >= nPairs)
+    assert(math.abs(ratio - nFro.toDouble / math.max(nFre, 1L)) < 1e-3)
+    // the fresh order must prune at least as well as the drifted frozen
+    // one on this fixture (that decay is what the audit measures)
+    assert(nFro >= nFre, s"frozen $nFro vs fresh $nFre")
+    // re-freeze: identical pair set, and its OWN candidates equal the
+    // audit's fresh count (rebuildFromSets IS the fresh order)
+    val refrozen = SimJoinIndex.rebuildFromSets(frozen)
+    assert(pairsOf(SimJoinIndex.pairs(refrozen, batch, "doc_id", "text")) ==
+      pairsOf(SimJoinIndex.pairs(frozen, batch, "doc_id", "text")),
+      "re-freezing must never change the served pair set")
+    val auditRe = SimJoinIndex.pruneAudit(refrozen, batch, "doc_id", "text").head()
+    assert(auditRe.getLong(0) == nFre,
+      "the re-frozen index's frozen-order candidates must equal the fresh count")
+  }
 }

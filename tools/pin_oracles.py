@@ -156,6 +156,19 @@ PINS = {
     # corpus_profile_sketch_error pin, exact companion corpus_profile_exact
     "corpus_sketch_profile": (["source VARCHAR", "approx_distinct_texts BIGINT",
                                "p50_chars BIGINT", "p95_chars BIGINT"], "source"),
+    # the erased-maintained-root serve (frozen model, per-dir lists
+    # anti-join); rebuild-without-victims equality is asserted in
+    # CompactionSpec — the pin freezes the post-erasure ranking
+    "stream_knn_erase": (["q_id BIGINT", "rank BIGINT", "n_id BIGINT", "sim DOUBLE"],
+                         "q_id, rank"),
+    # shingle hashes are JVM-side xxhash64 → candidate counts not DuckDB-
+    # expressible; the decay RATIO is the measured pruning evidence for
+    # the frozen rarity order (exact pair set asserted by the shared
+    # simjoin oracles; fresh-order equivalence in SimJoinSpec)
+    "simjoin_maintained_prune_audit": (["n_candidates_frozen BIGINT",
+                                        "n_candidates_fresh BIGINT",
+                                        "candidate_ratio DOUBLE",
+                                        "n_pairs BIGINT"], "n_pairs"),
 }
 
 
