@@ -153,21 +153,39 @@ object Bm25Index {
     // index's posting column order so erased and built indexes compose
     val postings = index.postings.join(k, Seq("id"), "left_anti")
       .select(index.postings.columns.map(col).toIndexedSeq: _*)
-    val terms = index.terms
-      .join(victims.groupBy("term").agg(count(lit(1)).cast("double").as("__ddf")),
+    val (terms, stats) = rollBack(index.terms, index.stats,
+      victims.select("id", "term", "dl"))
+    Bm25Index(postings, terms, stats)
+  }
+
+  /** The df/stats roll-back algebra shared by [[erase]] and the
+    * maintained-root erase journal
+    * ([[graft.streaming.Incremental.eraseBm25Maintained]]) — ONE
+    * definition, so a fix to either boundary (the df > 0 drop-out, the
+    * empty-victims clamp) reaches both serving paths. `victimRows`
+    * carries one row per victim (doc, term) with the doc length
+    * (`id`, `term`, `dl`).
+    */
+  private[graft] def rollBack(
+      terms: DataFrame,
+      stats: DataFrame,
+      victimRows: DataFrame): (DataFrame, DataFrame) = {
+    val newTerms = terms
+      .join(victimRows.groupBy("term")
+          .agg(count(lit(1)).cast("double").as("__ddf")),
         Seq("term"), "left")
       .select(col("term"), (col("df") - coalesce(col("__ddf"), lit(0.0))).as("df"))
       .filter(col("df") > 0)
     // one dl per victim doc (dl repeats on every posting row of a doc)
-    val victimStats = victims.select("id", "dl").distinct()
+    val victimStats = victimRows.select("id", "dl").distinct()
       .agg(count(lit(1)).cast("double").as("__dn"),
         coalesce(sum("dl"), lit(0.0)).as("__dsum"))
-    val stats = index.stats.crossJoin(victimStats) // 1-row × 1-row scalar
+    val newStats = stats.crossJoin(victimStats) // 1-row × 1-row scalar
       .select(
         (col("n") - col("__dn")).as("n"),
         ((col("n") * col("avgdl") - col("__dsum")) /
           greatest(col("n") - col("__dn"), lit(1.0))).as("avgdl"))
-    Bm25Index(postings, terms, stats)
+    (newTerms, newStats)
   }
 
   /** Term sets up to this size push into the postings scan as a literal

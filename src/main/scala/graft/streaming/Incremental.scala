@@ -692,6 +692,18 @@ object Incremental {
               assertReplayedBatchUnchanged(conf, sigPath,
                 batchFilesSig(conf, ckptStr, batchId), "rollup", batchId)
           case None =>
+          // a batch id BELOW the newest committed snapshot whose own
+          // snapshot is GONE is a replay from a checkpoint restored past
+          // the keep-2 retention horizon — treating it as new would merge
+          // into the wrong (or empty) base and the retirement would
+          // immediately drop the result: fail loudly instead of silently
+          // corrupting the rollup
+          require(snaps.isEmpty || batchId > snaps.last._1,
+            s"rollup batch $batchId replayed but its snapshot was retired " +
+              s"(retained: ${snaps.map(_._1).mkString(", ")}): the " +
+              "checkpoint was restored past the keep-2 retention horizon. " +
+              "Restore a checkpoint no older than the retained snapshots, " +
+              "or rebuild the rollup at a fresh path.")
           val existing = snaps.filter(_._1 < batchId).lastOption match {
             case Some((_, dir)) => spark.read.parquet(dir.toString)
             case None =>
@@ -1000,6 +1012,35 @@ object Incremental {
       gen.map(g => compactPath(root, g)).filter(fs.exists).toSeq ++
         done.filter(id => gen.forall(id > _)).map(id => batchPath(root, id))
     }
+    /** Remove dirs superseded by the COMMITTED compaction generation:
+      * batch dirs at or below it and older compact dirs. Idempotent.
+      * Called by [[compactCore]]'s sweep AND at erase entry — a
+      * compaction that crashed between its `_compacted_` marker and its
+      * sweep leaves superseded dirs whose rows (victim rows included)
+      * no reader resolves but which still physically persist; an erase
+      * must remove them BEFORE attesting, not leave the bytes for a
+      * future compaction to clean.
+      */
+    def sweepSuperseded(
+        fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Unit =
+      compactedGenId(fs, root).foreach { gen =>
+        val parent =
+          if (parentRel.isEmpty) root else new org.apache.hadoop.fs.Path(root, parentRel)
+        if (fs.exists(parent)) fs.listStatus(parent).toSeq.foreach { st =>
+          val n = st.getPath.getName
+          def num(prefix: String): Option[Long] = {
+            val s = n.stripPrefix(prefix)
+            if (n.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
+              Some(s.toLong)
+            else None
+          }
+          val superseded =
+            num(batchPrefix).exists(_ <= gen) || num(compactPrefix).exists(_ < gen)
+          if (superseded) fs.delete(st.getPath, true)
+        }
+      }
+
     /** Compact dirs physically on disk (committed or half-written). */
     def compactGensOnDisk(
         fs: org.apache.hadoop.fs.FileSystem,
@@ -1239,9 +1280,15 @@ object Incremental {
 
   /** Fail loudly when a replayed committed batch id arrives with a
     * DIFFERENT source-file set than the one its marker recorded (see
-    * [[batchFilesSig]]). An empty recorded sig (pre-sig roots) cannot be
-    * verified and skips silently, as before.
+    * [[batchFilesSig]]). An empty recorded sig (pre-sig roots), an empty
+    * current sig (unreadable source log), or a recorded value that does
+    * not parse as a signature (a TORN marker write — the content is
+    * advisory hardening, so a truncated flush must degrade to
+    * unverifiable, never wedge the stream with a false mismatch) all
+    * skip the check, as the markers without content always did.
     */
+  private val FilesSigShape = "files=\\d+ sha256=[0-9a-f]{64}".r
+
   private def assertReplayedBatchUnchanged(
       conf: org.apache.hadoop.conf.Configuration,
       marker: org.apache.hadoop.fs.Path,
@@ -1249,7 +1296,9 @@ object Incremental {
       what: String,
       batchId: Long): Unit = {
     val recorded = readUtf8(conf, marker).trim
-    require(recorded.isEmpty || sig.isEmpty || recorded == sig,
+    val verifiable =
+      FilesSigShape.matches(recorded) && FilesSigShape.matches(sig)
+    require(!verifiable || recorded == sig,
       s"$what batch $batchId replayed with a DIFFERENT source-file set " +
         s"(committed: $recorded; replayed: $sig). The checkpoint was " +
         "restored to a state older than files that have since arrived, so " +
@@ -1483,6 +1532,10 @@ object Incremental {
     val fs = root.getFileSystem(conf)
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed $what batch under $indexPath")
+    // finish a crashed compaction's sweep first: superseded dirs are
+    // invisible to readers but still hold victim BYTES — an erase that
+    // left them would attest an erasure that physically did not happen
+    members.foreach(_.sweepSuperseded(fs, root))
     // SINGLE-PASS victim probe: one union read over every probe-member
     // leg (compacted generation + tail batch dirs) with the leg identity
     // derived from input_file_name, ONE aggregate job → victim-bearing
@@ -1662,7 +1715,9 @@ object Incremental {
     val fs = root.getFileSystem(conf)
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed bm25 index batch under $indexPath")
-    // finish a crashed erase before starting on the new ids
+    // finish a crashed compaction's sweep (superseded dirs still hold
+    // victim bytes) and a crashed erase before starting on the new ids
+    Bm25Postings.sweepSuperseded(fs, root)
     finishPendingBm25Erase(spark, fs, root, done)
     val k = ids.toDF("id").distinct().localCheckpoint()
     val legPaths = Bm25Postings.legs(fs, root, done).filter(fs.exists)
@@ -1683,8 +1738,11 @@ object Incremental {
       .select(lit(targetGen).as("gen"), col("id"), col("term"), col("dl"))
       .write.mode("overwrite").parquet(eraseJournalPath(root).toString)
     // rewrites + snapshot roll-back run off the committed journal — the
-    // SAME code path a crash-recovery re-run takes
-    applyBm25EraseJournal(spark, fs, root, done)
+    // SAME code path a crash-recovery re-run takes (which must re-probe;
+    // the fresh path already knows its victim-bearing legs from pass 1
+    // and skips that third postings scan)
+    applyBm25EraseJournal(spark, fs, root, done,
+      knownBearing = Some(affected.map(_._1)))
     affected.map { case (leg, before, erased) =>
       (leg.filter(_.isDigit).toLong, before, before - erased, erased)
     }.toDF("batch_id", "n_before", "n_after", "n_erased")
@@ -1717,16 +1775,20 @@ object Incremental {
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      done: Seq[Long]): Unit = {
+      done: Seq[Long],
+      knownBearing: Option[Seq[String]] = None): Unit = {
     val journal = eraseJournalPath(root)
     val j = spark.read.parquet(journal.toString).localCheckpoint()
     if (j.isEmpty) { fs.delete(journal, true); return } // zero-delta journal
     val jk = j.select("id").distinct().localCheckpoint()
     val legPaths = Bm25Postings.legs(fs, root, done).filter(fs.exists)
-    // legs still bearing journal victims (a finished run probes to zero)
-    val bearing = victimLegProbe(
-      spark.read.parquet(legPaths.map(_.toString): _*).select("id"),
-      jk, "id", distinctPerDoc = false)
+    // legs still bearing journal victims: the fresh-erase caller already
+    // knows them from its ledger pass; crash recovery cannot trust
+    // pre-crash state and re-probes
+    val bearing = knownBearing.map(_.map(l => (l, 0L, 0L))).getOrElse(
+      victimLegProbe(
+        spark.read.parquet(legPaths.map(_.toString): _*).select("id"),
+        jk, "id", distinctPerDoc = false))
     bearing.foreach { case (leg, _, _) =>
       val p = new org.apache.hadoop.fs.Path(root, Bm25Postings.rel(leg))
       val df = spark.read.parquet(p.toString)
@@ -1809,6 +1871,9 @@ object Incremental {
     // reject a root whose model was rebuilt in place (the batch dirs'
     // codes belong to the stamped generation's codebooks)
     assertModelGeneration(conf, fs, root, indexPath, stampIfAbsent = false)
+    // finish a crashed compaction's sweep: superseded dirs still hold
+    // victim bytes an attested erasure must not leave behind
+    IvfLists.sweepSuperseded(fs, root)
     val k = ids.toDF("n_id").distinct().localCheckpoint()
     val legPaths = new org.apache.hadoop.fs.Path(root, "lists") +:
       IvfLists.legs(fs, root, done)

@@ -37,9 +37,15 @@ class ValidateSpec extends AnyFunSuite {
       Validate.run(df, Seq(Check("a", lit(true)), Check("a", lit(true))))
     }
     def jobs(n: Int): Int = {
-      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      // count NEW job ids via the max id delta, not the tracked-list
+      // length: the shared test session's status store evicts old jobs
+      // past its retention window, so length deltas go negative once
+      // other suites have run enough jobs (job ids are monotonic ints)
+      def maxId = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .foldLeft(-1)(math.max)
+      val before = maxId
       Validate.run(df, (1 to n).map(i => Check(s"c$i", col("id") >= 0)))
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+      maxId - before
     }
     // the property that matters at scale: job/pass count does NOT grow
     // with the suite size (AQE may stage the one aggregate into >1 job,

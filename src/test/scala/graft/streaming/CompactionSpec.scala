@@ -156,6 +156,89 @@ class CompactionSpec extends AnyFunSuite {
     assert(serve() == full, "the guard must not touch the index")
   }
 
+  test("a TORN marker signature degrades to unverifiable (legacy skip), " +
+      "never a false mismatch that wedges the stream") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_ctorn").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(src).mkdirs()
+    stage(src, docs.filter(col("doc_id") % 2 === 0), "p1")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = ckpt)
+    val stale = Files.createTempDirectory("graft_ctorn_ck").toString
+    copyDir(new java.io.File(ckpt), new java.io.File(stale))
+    stage(src, docs.filter(col("doc_id") % 2 =!= 0), "p2")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = ckpt)
+    val n0 = Incremental.readMinHashMaintained(spark, idx).sets.count()
+    // truncate the committed marker's content mid-signature (the torn
+    // flush a crash can leave) — the replay must SKIP like a contentless
+    // legacy marker, not fail the stream forever on a false mismatch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/_committed_1"), "files=1 sha256=ab")
+    // drop the stale Hadoop LocalFS checksum sidecar the raw write bypassed
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$idx/._committed_1.crc"))
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = stale)
+    assert(Incremental.readMinHashMaintained(spark, idx).sets.count() == n0,
+      "torn-marker replay must skip, not re-ingest or wedge")
+  }
+
+  test("rollup replay of a batch whose snapshot was RETIRED fails loudly " +
+      "instead of merging into the wrong base") {
+    val li = Tables.lineitem(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_crret").toString
+    val src = s"$tmp/src"; val rollup = s"$tmp/agg"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(src).mkdirs()
+    def run(ck: String) = Incremental.streamRollupMaintain(
+      spark, src, rollup, Seq("l_returnflag"), Seq("l_quantity"), "n", ck)
+    stage(src, li.filter(col("l_orderkey") % 4 === 0), "p1")
+    run(ckpt)
+    // checkpoint copy at batch 0 — restoring it AFTER two more batches
+    // have retired snap_0 replays batch 1 with no base to skip against
+    val stale = Files.createTempDirectory("graft_crret_ck").toString
+    copyDir(new java.io.File(ckpt), new java.io.File(stale))
+    stage(src, li.filter(col("l_orderkey") % 4 === 1), "p2")
+    run(ckpt)
+    stage(src, li.filter(col("l_orderkey") % 4 === 2), "p3")
+    run(ckpt)
+    stage(src, li.filter(col("l_orderkey") % 4 === 3), "p4")
+    run(ckpt) // snaps 2,3 retained; snap_0/snap_1 retired (keep-2)
+    val want = run(ckpt).orderBy("l_returnflag").collect().toSeq
+    val e = intercept[Throwable](run(stale))
+    assert(rootCause(e).getMessage.contains("retention horizon"),
+      s"expected the retired-snapshot guard, got: ${rootCause(e).getMessage}")
+    assert(run(ckpt).orderBy("l_returnflag").collect().toSeq == want,
+      "the guard must not corrupt the rollup")
+  }
+
+  test("erase finishes a crashed compaction's sweep: superseded dirs' " +
+      "victim bytes are removed before the erasure is attested") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_csweep").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"
+    new java.io.File(src).mkdirs()
+    stage(src, docs.filter(col("doc_id") % 2 === 0), "p1")
+    stage(src, docs.filter(col("doc_id") % 2 =!= 0), "p2")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = s"$tmp/ckpt",
+      maxFilesPerTrigger = 1)
+    Incremental.compactMinHashMaintained(spark, idx)
+    // fabricate the post-marker pre-sweep crash: superseded batch dirs
+    // reappear holding victim rows (readers ignore them, bytes persist)
+    Seq((3L, Seq(1L, 2L))).toDF("id", "shingle_set")
+      .write.parquet(s"$idx/sets/batch_0")
+    Seq((3L, 0, 42L)).toDF("id", "band", "bucket")
+      .write.parquet(s"$idx/buckets/batch_0")
+    Incremental.eraseMinHashMaintained(spark, idx,
+      docs.filter(col("doc_id") === 3).select("doc_id"))
+    assert(!new java.io.File(s"$idx/sets/batch_0").exists &&
+      !new java.io.File(s"$idx/buckets/batch_0").exists,
+      "attested erasure left victim bytes in superseded dirs")
+  }
+
   test("compactBm25Maintained and compactSimJoinMaintained: generation " +
       "serve stays identical; snapshots and frozen freq untouched") {
     import spark.implicits._
@@ -351,17 +434,25 @@ class CompactionSpec extends AnyFunSuite {
     val small = buildRoot(2)
     val large = buildRoot(6)
     val absent = docs.filter(col("doc_id") < 0).select("doc_id")
+    // count ONLY this test's jobs: tag each measured body with its own
+    // job group — on the shared test session, untagged counting would
+    // attribute other suites' stragglers (broadcast cleanup, lazy
+    // fixture work) to whichever body is being measured
     val counter = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var group: String = ""
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        counter.incrementAndGet()
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          counter.incrementAndGet()
     }
-    def jobsOf(body: => Unit): Int = {
-      // drain whatever is in flight, then count this body's jobs
-      Thread.sleep(300)
+    def jobsOf(tag: String)(body: => Unit): Int = {
       counter.set(0)
-      body
+      group = tag
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the listener bus posts asynchronously — poll until stable
       val deadline = System.nanoTime + 10L * 1000000000L
       var last = -1
       while (System.nanoTime < deadline && counter.get != last) {
@@ -372,9 +463,9 @@ class CompactionSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val jSmall = jobsOf(
+      val jSmall = jobsOf("probe-small")(
         assert(Incremental.eraseMinHashMaintained(spark, small, absent).isEmpty))
-      val jLarge = jobsOf(
+      val jLarge = jobsOf("probe-large")(
         assert(Incremental.eraseMinHashMaintained(spark, large, absent).isEmpty))
       assert(jSmall > 0 && jLarge > 0)
       assert(jLarge <= jSmall + 1,
