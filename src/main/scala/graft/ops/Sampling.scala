@@ -658,4 +658,69 @@ object Sampling {
         col("__base") + when(col("__rk") <= lit(budget) - col("__spent"), 1L).otherwise(0L))
       .select(col("stratum"), col("weight"), col("alloc"))
   }
+
+  /** DoReMi-style domain reweighting (public method: Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * 2023): the recipe's REWEIGHTING loop — exponentiated-gradient ascent
+    * on the domain simplex against each domain's EXCESS loss over the
+    * current mixture's expected loss, finished with uniform smoothing —
+    * starting from the natural (size-proportional) mixture. Domains whose
+    * loss exceeds the mixture baseline (hard-for-the-reference domains)
+    * gain weight; the rest shrink multiplicatively. The full published
+    * method re-measures losses as a proxy model trains; this operator
+    * takes ANY per-domain loss frame, so each proxy round plugs refreshed
+    * losses in (the declared `mix_doremi` query feeds the repo's
+    * unigram-NLL quality signal as the loss).
+    *
+    * Scale: the distributed work is whatever produced `perDomainLoss`
+    * (one corpus pass); the loop itself runs on the collected
+    * DOMAIN-sized vector — domains are a handful by definition (the
+    * `attribution_markov` bounded-collect convention). Weights round to
+    * 12 dp per step so this loop and the unrolled recursive-CTE oracle
+    * agree at the output's 6 dp regardless of FP summation order.
+    *
+    * Input: (domain, n_docs, loss). Output per domain: natural share,
+    * re-tuned mixture weight `alpha`, and `upsample_factor =
+    * alpha / p_natural` (the number [[mixEpochs]]-style materialization
+    * consumes).
+    */
+  def domainReweight(
+      perDomainLoss: DataFrame,
+      steps: Int = 20,
+      eta: Double = 1.0,
+      smoothing: Double = 0.01): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    require(eta > 0, s"eta must be > 0: $eta")
+    require(smoothing >= 0 && smoothing < 1, s"smoothing must be in [0,1): $smoothing")
+    val spark = perDomainLoss.sparkSession
+    import spark.implicits._
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // domain-count-bounded collect (deterministic domain order)
+    val rows = perDomainLoss.select("domain", "n_docs", "loss")
+      .orderBy("domain").collect()
+    require(rows.nonEmpty, "domainReweight: no domains")
+    val names = rows.map(_.getString(0))
+    val nDocs = rows.map(_.getLong(1))
+    val losses = rows.map(_.getDouble(2))
+    val total = nDocs.sum.toDouble
+    var w = nDocs.map(n => r12(n / total))
+    (1 to steps).foreach { _ =>
+      val baseline = r12(
+        w.indices.map(i => w(i) * losses(i)).sum / w.sum)
+      w = w.indices.map(i =>
+        r12(w(i) * math.exp(eta * math.max(0.0, losses(i) - baseline)))).toArray
+    }
+    val sw = w.sum
+    val k = w.length
+    // HALF_UP like SQL round(), not rint's half-to-even
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    names.indices.map { i =>
+      val pNat = nDocs(i) / total
+      val alpha = (1 - smoothing) * w(i) / sw + smoothing / k
+      (names(i), nDocs(i), losses(i),
+        r6(pNat), r6(alpha), r6(alpha / pNat))
+    }.toDF("domain", "n_docs", "loss", "p_natural", "alpha", "upsample_factor")
+  }
 }

@@ -274,6 +274,56 @@ object SamplingQueries {
     }),
 
 
+    // DoReMi-style domain reweighting (Sampling.domainReweight — the
+    // published recipe's exponentiated-gradient loop on the domain
+    // simplex against per-domain EXCESS loss over the mixture baseline,
+    // uniform-smoothed; public method, Xie et al. 2023). The loss signal
+    // is the repo's unigram-NLL quality score per source (one corpus
+    // pass + one domain aggregate); the 20-step loop runs on the
+    // domain-sized collected vector (the attribution_markov convention)
+    // and the oracle unrolls the SAME 20 steps as a recursive CTE over
+    // the same per-domain aggregates.
+    "mix_doremi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nll = graft.ops.TextAnalysis.nllScore(docs, "doc_id", "text",
+        graft.ops.TextAnalysis.unigramModel(docs, "text"))
+      val perDomain = docs.select(col("doc_id"), col("source"))
+        .join(nll, "doc_id")
+        .groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 6).as("loss"))
+      graft.ops.Sampling.domainReweight(perDomain,
+          steps = 20, eta = 1.0, smoothing = 0.01)
+        .withColumnRenamed("domain", "source")
+        .orderBy("source")
+    }),
+
+
+    // The DoReMi mixture MATERIALIZED: domainReweight's upsample factors
+    // feed the same epoch expansion mix_epochs uses (floor(f) full copies
+    // + md5-thresholded fractional copy per doc) — "train on this
+    // mixture" as data, not just weights. Reported as per-(source, epoch)
+    // counts; the oracle composes the doremi recursive CTE with the
+    // mix_epochs expansion on the shared 6-dp factors.
+    "mix_doremi_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nll = graft.ops.TextAnalysis.nllScore(docs, "doc_id", "text",
+        graft.ops.TextAnalysis.unigramModel(docs, "text"))
+      val perDomain = docs.select(col("doc_id"), col("source"))
+        .join(nll, "doc_id")
+        .groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 6).as("loss"))
+      val w = graft.ops.Sampling.domainReweight(perDomain,
+          steps = 20, eta = 1.0, smoothing = 0.01)
+        .withColumnRenamed("domain", "source")
+      graft.ops.Sampling.mixEpochs(
+          docs.join(broadcast(w.select(col("source"), col("upsample_factor"))),
+            "source"),
+          "doc_id", col("source"), col("upsample_factor"), seed = "doremi0")
+        .groupBy("source", "epoch").agg(count(lit(1)).as("n"))
+        .orderBy("source", "epoch")
+    }),
+
+
     // Temperature-flattened mixture weights (p_i ∝ n_i^τ, τ=0.7) over
     // per-source char mass — one source-keyed aggregate + broadcast
     // totals, never corpus-wide state
@@ -408,6 +458,73 @@ object SamplingQueries {
       ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1) " +
         "SELECT CASE WHEN n < 8 THEN 'other' ELSE source END AS source, " +
         "CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1 ORDER BY source"),
+
+
+    // unrolls the SAME 20 exponentiated-gradient steps the Spark loop
+    // runs, as a recursive CTE over the identical per-domain aggregates
+    // (per-doc nll 4dp → per-domain loss 6dp → weights 12dp per step —
+    // the rounding ladder that makes both sides agree at the output's
+    // 6dp regardless of FP summation order). The recursive term GROUPs
+    // over the recursive reference crossed with the static domain table
+    // (the attribution_markov pattern); the base CASTs w to DOUBLE (the
+    // DECIMAL-typing trap).
+    "mix_doremi" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq), " +
+        "docnll AS (SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
+        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id), " +
+        "dl AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, round(avg(x.nll), 6) AS loss " +
+        "FROM documents d JOIN docnll x USING (doc_id) GROUP BY d.source), " +
+        "td AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t, CAST(count(*) AS BIGINT) AS k FROM dl), " +
+        "it AS (SELECT 0 AS stp, source, round(CAST(n_docs AS DOUBLE) / (SELECT t FROM td), 12) AS w FROM dl " +
+        "UNION ALL " +
+        "SELECT i.stp + 1, d.source, " +
+        "round(sum(CASE WHEN i.source = d.source THEN i.w END) * " +
+        "exp(1.0 * greatest(0.0, d.loss - round(sum(i.w * li.loss) / sum(i.w), 12))), 12) " +
+        "FROM it i JOIN dl li ON li.source = i.source CROSS JOIN dl d " +
+        "WHERE i.stp < 20 GROUP BY i.stp, d.source, d.loss), " +
+        "fin AS (SELECT source, w FROM it WHERE stp = 20), " +
+        "sw AS (SELECT sum(w) AS s FROM fin) " +
+        "SELECT dl.source, dl.n_docs, dl.loss, " +
+        "round(CAST(dl.n_docs AS DOUBLE) / (SELECT t FROM td), 6) AS p_natural, " +
+        "round(0.99 * f.w / (SELECT s FROM sw) + 0.01 / (SELECT k FROM td), 6) AS alpha, " +
+        "round((0.99 * f.w / (SELECT s FROM sw) + 0.01 / (SELECT k FROM td)) / " +
+        "(CAST(dl.n_docs AS DOUBLE) / (SELECT t FROM td)), 6) AS upsample_factor " +
+        "FROM dl JOIN fin f USING (source) ORDER BY source"),
+
+
+    // the doremi CTE chain (same 20 unrolled steps) feeding the
+    // mix_epochs expansion on the shared 6-dp upsample factors
+    "mix_doremi_epochs" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq), " +
+        "docnll AS (SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll " +
+        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id), " +
+        "dl AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, round(avg(x.nll), 6) AS loss " +
+        "FROM documents d JOIN docnll x USING (doc_id) GROUP BY d.source), " +
+        "td AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t, CAST(count(*) AS BIGINT) AS k FROM dl), " +
+        "it AS (SELECT 0 AS stp, source, round(CAST(n_docs AS DOUBLE) / (SELECT t FROM td), 12) AS w FROM dl " +
+        "UNION ALL " +
+        "SELECT i.stp + 1, d.source, " +
+        "round(sum(CASE WHEN i.source = d.source THEN i.w END) * " +
+        "exp(1.0 * greatest(0.0, d.loss - round(sum(i.w * li.loss) / sum(i.w), 12))), 12) " +
+        "FROM it i JOIN dl li ON li.source = i.source CROSS JOIN dl d " +
+        "WHERE i.stp < 20 GROUP BY i.stp, d.source, d.loss), " +
+        "fin AS (SELECT source, w FROM it WHERE stp = 20), " +
+        "sw AS (SELECT sum(w) AS s FROM fin), " +
+        "wf AS (SELECT dl.source, " +
+        "round((0.99 * fw.w / (SELECT s FROM sw) + 0.01 / (SELECT k FROM td)) / " +
+        "(CAST(dl.n_docs AS DOUBLE) / (SELECT t FROM td)), 6) AS f " +
+        "FROM dl JOIN fin fw USING (source)), " +
+        "j AS (SELECT d.doc_id, d.source, wf.f FROM documents d JOIN wf USING (source)), " +
+        "e AS (SELECT doc_id, source, f, unnest(range(CAST(floor(f) AS BIGINT) + 1)) AS epoch FROM j), " +
+        "k2 AS (SELECT * FROM e WHERE epoch < CAST(floor(f) AS BIGINT) " +
+        "OR substr(md5('doremi0:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "lpad(lower(to_hex(CAST(floor((f - floor(f)) * 4294967296) AS BIGINT))), 8, '0')) " +
+        "SELECT source, CAST(epoch AS BIGINT) AS epoch, CAST(count(*) AS BIGINT) AS n " +
+        "FROM k2 GROUP BY 1, 2 ORDER BY 1, 2"),
 
 
     "mix_epochs" ->

@@ -1231,6 +1231,39 @@ object Incremental {
       }))
   }
 
+  /** The number of committed batch dirs NEWER than the compacted
+    * generation — i.e. the per-member serve-plan fan-out (and erase-probe
+    * leg count) the next compaction would fold away. The cadence signal
+    * for [[compactIfStale]].
+    */
+  def maintainedTailBatches(spark: SparkSession, indexPath: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = compactedGenId(fs, root)
+    committedBatchIds(fs, root).count(id => gen.forall(id > _))
+  }
+
+  /** Compaction POLICY gate: run `compact` iff the uncompacted tail
+    * exceeds `maxTailBatches` — the one knob a production maintainer
+    * calls right after its [[runBatchCommitted]] run so serve-plan width
+    * stays bounded without a separate scheduler:
+    * {{{
+    * Incremental.streamMinHashMaintain(spark, src, root, ...)
+    * Incremental.compactIfStale(spark, root, maxTailBatches = 16)(
+    *   Incremental.compactMinHashMaintained(spark, root))
+    * }}}
+    * Returns the new generation when it compacted, None when the tail is
+    * within budget (the common, free case — one marker listing).
+    */
+  def compactIfStale(
+      spark: SparkSession,
+      indexPath: String,
+      maxTailBatches: Int)(compact: => Long): Option[Long] = {
+    require(maxTailBatches >= 1, s"maxTailBatches must be >= 1: $maxTailBatches")
+    if (maintainedTailBatches(spark, indexPath) > maxTailBatches) Some(compact)
+    else None
+  }
+
   /** Read one inverted-lists dir in either physical shape: the
     * cluster-partitioned serving layout, or the plain (possibly empty)
     * shape an erase rewrite leaves when a dir lost all its rows. A dir

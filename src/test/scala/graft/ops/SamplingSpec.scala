@@ -630,4 +630,44 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == want)
   }
+
+  test("domainReweight: a simplex that upweights excess-loss domains, " +
+      "driver recomputation exact, smoothing floor holds") {
+    import spark.implicits._
+    val dl = Seq(("a", 700L, 2.0), ("b", 200L, 5.0), ("c", 100L, 3.0))
+      .toDF("domain", "n_docs", "loss")
+    val out = Sampling.domainReweight(dl, steps = 20, eta = 1.0, smoothing = 0.01)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5)))
+    // a simplex (to output rounding)
+    assert(math.abs(out.map(_._2).sum - 1.0) < 3e-6, out.toSeq.toString)
+    // the high-loss minority domain gains weight, the easy majority sheds
+    val byName = out.map(t => t._1 -> t._3).toMap
+    assert(byName("b") > 1.0, s"hard domain must upsample: $byName")
+    assert(byName("a") < 1.0, s"easy majority must downsample: $byName")
+    // smoothing floor: every domain keeps at least c/k
+    assert(out.forall(_._2 >= 0.01 / 3 - 1e-9))
+    // driver recomputation of the exact published update (12-dp ladder)
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l = Array(2.0, 5.0, 3.0)
+    var w = Array(0.7, 0.2, 0.1).map(r(_, 12))
+    (1 to 20).foreach { _ =>
+      val b = r(w.indices.map(i => w(i) * l(i)).sum / w.sum, 12)
+      w = w.indices.map(i => r(w(i) * math.exp(math.max(0.0, l(i) - b)), 12)).toArray
+    }
+    val sw = w.sum
+    val expect = w.map(x => r(0.99 * x / sw + 0.01 / 3, 6))
+    assert(out.map(_._2).toSeq == expect.toSeq,
+      s"got ${out.map(_._2).toSeq}, want ${expect.toSeq}")
+    // eta monotonicity: a hotter update concentrates more on the hard domain
+    val alphaByName = out.map(t => t._1 -> t._2).toMap
+    val hot = Sampling.domainReweight(dl, steps = 20, eta = 2.0, smoothing = 0.01)
+      .orderBy("domain").collect().map(r2 => r2.getString(0) -> r2.getDouble(4)).toMap
+    assert(hot("b") >= alphaByName("b") - 1e-9)
+    intercept[IllegalArgumentException](
+      Sampling.domainReweight(dl, steps = 0))
+    intercept[IllegalArgumentException](
+      Sampling.domainReweight(dl, smoothing = 1.0))
+  }
 }

@@ -287,6 +287,29 @@ class CompactionSpec extends AnyFunSuite {
     assert(sjFiles.nonEmpty && sjFiles.forall(_.contains("/compact_1/")))
   }
 
+  test("compactIfStale: compacts only past the tail budget") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_cstale2").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"
+    new java.io.File(src).mkdirs()
+    (0 until 3).foreach(i =>
+      stage(src, docs.filter(col("doc_id") % 3 === i), s"p$i"))
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = s"$tmp/ckpt",
+      maxFilesPerTrigger = 1)
+    assert(Incremental.maintainedTailBatches(spark, idx) == 3)
+    // within budget: no compaction, batch legs untouched
+    assert(Incremental.compactIfStale(spark, idx, maxTailBatches = 3)(
+      Incremental.compactMinHashMaintained(spark, idx)).isEmpty)
+    assert(new java.io.File(s"$idx/sets/batch_0").exists)
+    // past budget: compacts and the tail drops to zero
+    assert(Incremental.compactIfStale(spark, idx, maxTailBatches = 2)(
+      Incremental.compactMinHashMaintained(spark, idx)).contains(2L))
+    assert(Incremental.maintainedTailBatches(spark, idx) == 0)
+    intercept[IllegalArgumentException](
+      Incremental.compactIfStale(spark, idx, 0)(0L))
+  }
+
   test("eraseBm25Maintained: rewrites only victim-bearing legs, rolls the " +
       "df/stats snapshot back once, and finishes a crashed erase") {
     import spark.implicits._
