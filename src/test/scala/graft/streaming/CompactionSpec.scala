@@ -264,6 +264,17 @@ class CompactionSpec extends AnyFunSuite {
     val postFiles = Incremental.readBm25Maintained(spark, s"$t1/index")
       .postings.inputFiles
     assert(postFiles.nonEmpty && postFiles.forall(_.contains("/compact_2/")))
+    assert(postFiles.length <= 8,
+      "compaction must merge tiny per-batch files into the numFiles layout")
+    // the term pushdown must survive the compacted layout — the whole
+    // point of re-range-partitioning the merged postings by term is that
+    // footer-stat pruning now spans the compacted corpus's files
+    val plan = graft.ops.Bm25Index.topK(
+        Incremental.readBm25Maintained(spark, s"$t1/index"),
+        qs, "q_id", "term", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"expected a pushed In(term, …) filter on the compacted postings scan:\n$plan")
     // SimJoin
     val t2 = Files.createTempDirectory("graft_csj").toString
     val src2 = s"$t2/src"
