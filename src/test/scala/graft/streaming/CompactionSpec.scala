@@ -298,6 +298,40 @@ class CompactionSpec extends AnyFunSuite {
     assert(sjFiles.nonEmpty && sjFiles.forall(_.contains("/compact_1/")))
   }
 
+  test("a compaction crash BEFORE the marker leaves half-written compact " +
+      "dirs no reader resolves; the re-run overwrites and commits them") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_cpremk").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"
+    new java.io.File(src).mkdirs()
+    stage(src, docs.filter(col("doc_id") % 2 === 0), "p1")
+    stage(src, docs.filter(col("doc_id") % 2 =!= 0), "p2")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, checkpointPath = s"$tmp/ckpt",
+      maxFilesPerTrigger = 1)
+    def serve() = graft.ops.MinHashIndex.query(
+        Incremental.readMinHashMaintained(spark, idx),
+        docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + lit(7000000L)),
+        "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = serve()
+    // fabricate the pre-marker crash: ONE member's compact dir written
+    // (with wrong content, as a torn merge could leave), the other and
+    // the _compacted_ marker missing
+    Seq((99999999L, Seq(1L, 2L))).toDF("id", "shingle_set")
+      .write.parquet(s"$idx/sets/compact_1")
+    assert(serve() == want,
+      "an uncommitted compact dir must be invisible to the reader")
+    // the re-run overwrites the torn dir and commits the generation
+    assert(Incremental.compactMinHashMaintained(spark, idx) == 1L)
+    assert(serve() == want, "recompaction must heal the torn generation")
+    assert(Incremental.readMinHashMaintained(spark, idx).sets
+      .filter(col("id") === 99999999L).isEmpty,
+      "torn content must not survive the overwrite")
+  }
+
   test("compactIfStale: compacts only past the tail budget") {
     val docs = Tables.documents(spark, GraftSpark.Sf0001)
     val tmp = Files.createTempDirectory("graft_cstale2").toString
