@@ -335,6 +335,53 @@ object EtlQueries {
     }),
 
 
+    // permissive JSONL ingest with a quarantine lane: a deterministic
+    // corruption of the documents corpus re-serialized as JSONL —
+    // doc_id%11==3 truncated (malformed JSON), doc_id%11==7 type-mangled
+    // ("n_chars" becomes a string → schema_mismatch with PARTIAL parse:
+    // the convertible fields survive), rest clean. One map-side pass
+    // classifies and parses; the oracle recomputes every lane and every
+    // parsed value from the base table by the same arithmetic — the
+    // partial-parse contract is value-checked, not just counted.
+    "jsonl_quarantine" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val base = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      val lines = docs.withColumn("line",
+        when(col("doc_id") % 11 === 3, expr(
+          "substring(to_json(struct(doc_id, lang, n_chars)), 1, " +
+            "length(to_json(struct(doc_id, lang, n_chars))) - 2)"))
+          .when(col("doc_id") % 11 === 7, regexp_replace(base,
+            lit("\"n_chars\":([0-9]+)"), lit("\"n_chars\":\"x$1\"")))
+          .otherwise(base))
+      graft.sources.JsonRecords.parseWithQuarantine(
+          lines.select("doc_id", "line"), "line",
+          "doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .select("doc_id", "ingest_status", "parsed_doc_id", "parsed_lang",
+          "parsed_n_chars")
+        .orderBy("doc_id")
+    }),
+
+
+    // schema-drift audit on raw JSONL: per top-level key, presence count
+    // vs the declared field list — doc_id%13==5 records DROP lang,
+    // lang='en' records (outside that set) GAIN quality_tier; the audit
+    // must surface the unexpected key and the partial presence without
+    // parsing a single typed row
+    "jsonl_schema_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val lines = docs.withColumn("line",
+        when(col("doc_id") % 13 === 5,
+            to_json(struct(col("doc_id"), col("n_chars"))))
+          .when(col("lang") === "en",
+            to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+              lit("hq").as("quality_tier"))))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars")))))
+      graft.sources.JsonRecords.keyDriftAudit(lines, "line",
+          expected = Seq("doc_id", "lang", "n_chars"))
+        .orderBy("field")
+    }),
+
+
     // schema'd JSON parsing (from_json → typed struct field)
     "events_from_json" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -866,6 +913,35 @@ object EtlQueries {
         "UNION ALL SELECT '2_decontam', CAST(count(*) AS BIGINT) FROM clean " +
         "UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM d WHERE rn = 1) t " +
         "ORDER BY stage"),
+
+
+    // every lane and every parsed value recomputed from the base table by
+    // the same doc_id arithmetic that injected the corruption: malformed
+    // rows parse to all-NULL, schema_mismatch rows keep the convertible
+    // fields (Spark's PERMISSIVE partial-result contract) and NULL only
+    // the mangled one
+    "jsonl_quarantine" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 11 = 3 THEN 'malformed' " +
+        "WHEN doc_id % 11 = 7 THEN 'schema_mismatch' ELSE 'ok' END AS ingest_status, " +
+        "CASE WHEN doc_id % 11 = 3 THEN NULL ELSE doc_id END AS parsed_doc_id, " +
+        "CASE WHEN doc_id % 11 = 3 THEN NULL ELSE lang END AS parsed_lang, " +
+        "CASE WHEN doc_id % 11 IN (3, 7) THEN NULL ELSE n_chars END AS parsed_n_chars " +
+        "FROM documents ORDER BY doc_id"),
+
+
+    // presence counts mirror to_json's ignoreNullFields (count(col) skips
+    // NULLs); unexpected keys only appear when observed (the full-outer
+    // join emits no zero row for them), expected keys always appear
+    "jsonl_schema_drift" ->
+      ("WITH obs AS (" +
+        "SELECT 'doc_id' AS field, count(doc_id) AS n_present FROM documents " +
+        "UNION ALL SELECT 'n_chars', count(n_chars) FROM documents " +
+        "UNION ALL SELECT 'lang', count(CASE WHEN doc_id % 13 <> 5 THEN lang END) FROM documents " +
+        "UNION ALL SELECT 'quality_tier', count(CASE WHEN doc_id % 13 <> 5 AND lang = 'en' THEN 1 END) FROM documents) " +
+        "SELECT field, n_present, field IN ('doc_id', 'lang', 'n_chars') AS is_expected " +
+        "FROM obs WHERE n_present > 0 OR field IN ('doc_id', 'lang', 'n_chars') " +
+        "ORDER BY field"),
 
 
     "events_from_json" ->

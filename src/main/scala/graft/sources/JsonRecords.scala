@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** OData/REST entity source shape (SURVEY.md §2.1 S9/S10, §2.3 T2).
   *
@@ -33,5 +35,89 @@ object JsonRecords {
     import spark.implicits._
     val ds = spark.createDataset(pages.flatten).repartition(math.max(1, pages.size))
     spark.read.json(ds)
+  }
+
+  private val CorruptCol = "_graft_corrupt_record"
+
+  /** Permissive JSONL parse with a corrupt-record quarantine lane.
+    *
+    * At ingest scale, malformed records are a certainty (truncated
+    * writes, schema drift upstream, encoding damage); a FAILFAST parse
+    * aborts a 100 TB job on the first bad byte and a silent PERMISSIVE
+    * parse loses the evidence. This keeps BOTH lanes in one map-side
+    * pass — no second scan, no UDF, whole-stage codegen throughout:
+    *
+    *   - `ingest_status = 'ok'`              — record parsed fully
+    *   - `ingest_status = 'schema_mismatch'` — valid JSON, but ≥1 field
+    *     failed to convert to the declared type (Spark's partial-result
+    *     parse keeps the convertible fields; the failed ones are NULL)
+    *   - `ingest_status = 'malformed'`       — not parseable JSON at all
+    *     (every parsed field NULL)
+    *
+    * Classification derives from Spark's PERMISSIVE corrupt-record
+    * column (set for BOTH failure classes) disambiguated by a
+    * `get_json_object(…, '$')` probe, which is NULL exactly when the
+    * text is not valid JSON. Downstream splits on `ingest_status`; the
+    * quarantine lane keeps the raw text (`jsonCol`) for replay.
+    *
+    * Reference context: the reference's OData path trusts
+    * `pd.DataFrame(records)` end to end
+    * (`Template-to-MySQL/Dynamics365-to-MySQL-Method-1.py:58-77`) — one
+    * bad payload fails the whole Airflow task. This is the scale-safe
+    * version of that boundary.
+    *
+    * @param ddl declared record schema as a DDL string
+    *            (e.g. `"doc_id BIGINT, lang STRING"`); must not already
+    *            contain the corrupt-record column.
+    */
+  def parseWithQuarantine(
+      df: DataFrame,
+      jsonCol: String,
+      ddl: String,
+      prefix: String = "parsed_"): DataFrame = {
+    val declared = StructType.fromDDL(ddl)
+    require(!declared.fieldNames.contains(CorruptCol),
+      s"schema must not declare the internal corrupt column $CorruptCol")
+    val schema = declared.add(CorruptCol, StringType)
+    val parsed = df.withColumn("__graft_parsed",
+      from_json(col(jsonCol), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol)))
+    val corrupt = col("__graft_parsed").getField(CorruptCol)
+    // a NULL parsed struct (empty/whitespace/NULL input never reaches the
+    // parser) carries no corrupt marker — it must still quarantine
+    val status = when(col("__graft_parsed").isNull, lit("malformed"))
+      .when(corrupt.isNull, lit("ok"))
+      .when(get_json_object(col(jsonCol), "$").isNotNull, lit("schema_mismatch"))
+      .otherwise(lit("malformed"))
+    val fieldCols: Seq[Column] = declared.fieldNames.toSeq.map(f =>
+      col("__graft_parsed").getField(f).as(s"$prefix$f"))
+    parsed.select(
+      df.columns.map(col).toSeq ++ fieldCols :+ status.as("ingest_status"): _*)
+  }
+
+  /** Schema-drift audit over raw JSONL: per top-level key, how many
+    * records carry it, against the declared field list — the "is the
+    * upstream feed still shaped like we think" gate a scraped corpus
+    * needs before [[parseWithQuarantine]]'s typed parse.
+    *
+    * One `json_object_keys` explode + hash aggregate (map-side partial);
+    * declared-but-absent fields still report with `n_present = 0` via a
+    * broadcast union of the expected list, so a field silently vanishing
+    * upstream surfaces as a row, not an absence. Records that are not
+    * valid JSON contribute no keys (audited separately by the
+    * quarantine lane).
+    */
+  def keyDriftAudit(df: DataFrame, jsonCol: String, expected: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val observed = df
+      .select(explode(json_object_keys(col(jsonCol))).as("field"))
+      .groupBy("field").agg(count(lit(1)).as("n_present"))
+    val declared = expected.toDF("field")
+    observed.join(declared.withColumn("__decl", lit(true)), Seq("field"), "full_outer")
+      .select(col("field"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"),
+        coalesce(col("__decl"), lit(false)).as("is_expected"))
   }
 }

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark
+
+/** Permissive-ingest quarantine + key-drift audit ([[JsonRecords]]). */
+class JsonIngestSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val Ddl = "id BIGINT, name STRING, score DOUBLE"
+
+  private def parse(lines: Seq[String]) =
+    JsonRecords.parseWithQuarantine(
+      lines.toDF("line"), "line", Ddl)
+
+  test("quarantine: clean records parse fully with status ok") {
+    val out = parse(Seq("""{"id":1,"name":"a","score":0.5}"""))
+      .select("ingest_status", "parsed_id", "parsed_name", "parsed_score")
+      .head()
+    assert(out == Row("ok", 1L, "a", 0.5))
+  }
+
+  test("quarantine: malformed JSON quarantines with all parsed fields NULL, raw text kept") {
+    val out = parse(Seq("""{"id":1,"name":"a""""))
+      .select("line", "ingest_status", "parsed_id", "parsed_name", "parsed_score")
+      .head()
+    assert(out == Row("""{"id":1,"name":"a"""", "malformed", null, null, null))
+  }
+
+  test("quarantine: type mismatch keeps the convertible fields (partial-result parse)") {
+    val out = parse(Seq("""{"id":7,"name":"b","score":"not a number"}"""))
+      .select("ingest_status", "parsed_id", "parsed_name", "parsed_score")
+      .head()
+    assert(out == Row("schema_mismatch", 7L, "b", null))
+  }
+
+  test("quarantine: missing fields are NULL but the record is still ok (JSON is sparse)") {
+    val out = parse(Seq("""{"id":9}"""))
+      .select("ingest_status", "parsed_id", "parsed_name").head()
+    assert(out == Row("ok", 9L, null))
+  }
+
+  test("quarantine: empty and non-JSON strings are malformed") {
+    val st = parse(Seq("", "   ", "plainly not json"))
+      .select("ingest_status").as[String].collect().toSeq
+    assert(st == Seq("malformed", "malformed", "malformed"))
+  }
+
+  test("quarantine: declaring the internal corrupt column is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      JsonRecords.parseWithQuarantine(Seq("{}").toDF("line"), "line",
+        "id BIGINT, _graft_corrupt_record STRING")
+    }
+    assert(e.getMessage.contains("_graft_corrupt_record"))
+  }
+
+  test("key drift: extra keys surface, missing declared keys report zero") {
+    val lines = Seq(
+      """{"id":1,"name":"a"}""",
+      """{"id":2,"name":"b","rogue":true}""",
+      """{"id":3}""",
+      "not json at all")
+    val out = JsonRecords.keyDriftAudit(lines.toDF("line"), "line",
+        expected = Seq("id", "name", "score"))
+      .orderBy("field")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq(
+      ("id", 3L, true),
+      ("name", 2L, true),
+      ("rogue", 1L, false),
+      ("score", 0L, true)))
+  }
+}
