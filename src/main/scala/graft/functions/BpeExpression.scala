@@ -55,6 +55,21 @@ case class BpeEncodeText(
     m
   }
 
+  /** word -> its encoded tokens. Corpus word frequencies are Zipfian, so
+    * the distinct-word set is orders of magnitude smaller than the word
+    * stream — memoizing turns the per-OCCURRENCE merge replay into a
+    * per-DISTINCT-WORD one (the same cache HF tokenizers keep for the
+    * same reason). Encoding is a pure function of the word, so cache
+    * state never changes output. ConcurrentHashMap: the expression
+    * object is shared by every task of a stage in the same JVM.
+    * Size-capped (new words encode uncached once full — correctness
+    * unaffected); UTF8String values are immutable and safely shared
+    * across output rows.
+    */
+  private val CacheCap = 1 << 16
+  @transient private lazy val wordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
   /** Encode one word's symbol buffer in place; returns the token list. */
   private def encodeWord(word: String): scala.collection.mutable.ArrayBuffer[String] = {
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -100,7 +115,14 @@ case class BpeEncodeText(
       if (i < n) {
         val start = i
         while (i < n && s.charAt(i) != ' ') i += 1
-        encodeWord(s.substring(start, i)).foreach(t => out += UTF8String.fromString(t))
+        val word = s.substring(start, i)
+        var toks = wordCache.get(word)
+        if (toks == null) {
+          toks = encodeWord(word).map(UTF8String.fromString).toArray
+          if (wordCache.size < CacheCap) wordCache.putIfAbsent(word, toks)
+        }
+        var t = 0
+        while (t < toks.length) { out += toks(t); t += 1 }
       }
     }
     new GenericArrayData(out.toArray)
