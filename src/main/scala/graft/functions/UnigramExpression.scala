@@ -48,6 +48,15 @@ case class UnigramEncodeText(
     m
   }
 
+  /** word -> its Viterbi pieces (the [[BpeEncodeText]] Zipf memo:
+    * segmentation is a pure function of the word, so caching per
+    * DISTINCT word replaces per-occurrence Viterbi; size-capped,
+    * thread-safe, output-invariant).
+    */
+  private val CacheCap = 1 << 16
+  @transient private lazy val wordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
   /** Public for the generated code path. */
   def encodeText(text: UTF8String): ArrayData = {
     val s = text.toString
@@ -59,9 +68,17 @@ case class UnigramEncodeText(
       if (i < n) {
         val start = i
         while (i < n && s.charAt(i) != ' ') i += 1
-        val seg = graft.ops.Unigram.viterbi(s.substring(start, i), logp, maxPieceLen)
-        if (seg == null) out += UTF8String.fromString(unk)
-        else seg.foreach(p => out += UTF8String.fromString(p))
+        val word = s.substring(start, i)
+        var toks = wordCache.get(word)
+        if (toks == null) {
+          val seg = graft.ops.Unigram.viterbi(word, logp, maxPieceLen)
+          toks =
+            if (seg == null) Array(UTF8String.fromString(unk))
+            else seg.map(UTF8String.fromString)
+          if (wordCache.size < CacheCap) wordCache.putIfAbsent(word, toks)
+        }
+        var t = 0
+        while (t < toks.length) { out += toks(t); t += 1 }
       }
     }
     new GenericArrayData(out.toArray)

@@ -47,8 +47,17 @@ case class WordPieceEncodeText(
     s
   }
 
-  /** Greedy longest-match segmentation of one word (appended to `out`). */
-  private def encodeWord(word: String, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+  /** word -> its encoded pieces (the [[BpeEncodeText]] Zipf memo:
+    * segmentation is a pure function of the word, so caching per
+    * DISTINCT word replaces per-occurrence re-segmentation; size-capped,
+    * thread-safe, output-invariant).
+    */
+  private val CacheCap = 1 << 16
+  @transient private lazy val wordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
+  /** Greedy longest-match segmentation of one word. */
+  private def encodeWord(word: String): Array[UTF8String] = {
     val n = word.length
     val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -64,8 +73,8 @@ case class WordPieceEncodeText(
       if (matched == null) ok = false
       else { tokens += matched; i += l }
     }
-    if (ok) tokens.foreach(t => out += UTF8String.fromString(t))
-    else out += UTF8String.fromString(unk)
+    if (ok) tokens.map(UTF8String.fromString).toArray
+    else Array(UTF8String.fromString(unk))
   }
 
   /** Public for the generated code path. */
@@ -79,7 +88,14 @@ case class WordPieceEncodeText(
       if (i < n) {
         val start = i
         while (i < n && s.charAt(i) != ' ') i += 1
-        encodeWord(s.substring(start, i), out)
+        val word = s.substring(start, i)
+        var toks = wordCache.get(word)
+        if (toks == null) {
+          toks = encodeWord(word)
+          if (wordCache.size < CacheCap) wordCache.putIfAbsent(word, toks)
+        }
+        var t = 0
+        while (t < toks.length) { out += toks(t); t += 1 }
       }
     }
     new GenericArrayData(out.toArray)
