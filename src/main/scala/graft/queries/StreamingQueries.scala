@@ -231,17 +231,7 @@ object StreamingQueries {
     // serve SHARES knn_index_append's pinned oracle.
     "stream_knn_maintain" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idxDir = IndexFixture.dir("ivfpq_stream", dir) { tmp =>
-        graft.ops.IvfPqIndex.write(
-          graft.ops.IvfPqIndex.build(emb.filter(col("vec_id") % 10 =!= 0),
-            "vec_id", "embedding", nlist = 16, numSubspaces = 8, numCodes = 16),
-          s"$tmp/index")
-        emb.filter(col("vec_id") % 10 === 0).repartition(2, col("vec_id"))
-          .write.parquet(s"$tmp/src")
-        graft.streaming.Incremental.streamIvfPqMaintain(
-          s, s"$tmp/src", s"$tmp/index", "vec_id", "embedding",
-          maxFilesPerTrigger = 1)
-      }
+      val idxDir = ivfpqStreamFixture(s, dir)
       graft.ops.IvfPqIndex.topK(
           graft.streaming.Incremental.readIvfPqMaintained(s, s"$idxDir/index"),
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
@@ -265,6 +255,36 @@ object StreamingQueries {
             s, s"${simjoinStreamFixture(s, dir)}/index"),
           docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // fleet-consistency audit across ALL FOUR stream-maintained roots:
+    // each root's served id universe (distinct ids across its compacted
+    // generation + tail legs) must equal its base table's — the check a
+    // compliance pipeline runs after maintenance/compaction/erase cycles
+    // to catch silent index/corpus divergence. Probes the SAME memoized
+    // fixture roots the stream_*_maintain serves read; four bounded
+    // aggregates, one row per index.
+    "maintained_roots_consistency" -> ((s, dir) => {
+      val bm25 = graft.streaming.Incremental.readBm25Maintained(
+        s, s"${bm25StreamFixture(s, dir)}/index")
+      val mh = graft.streaming.Incremental.readMinHashMaintained(
+        s, s"${minhashStreamFixture(s, dir)}/index")
+      val ivf = graft.streaming.Incremental.readIvfPqMaintained(
+        s, s"${ivfpqStreamFixture(s, dir)}/index")
+      val sj = graft.streaming.Incremental.readSimJoinMaintained(
+        s, s"${simjoinStreamFixture(s, dir)}/index")
+      Seq(
+        ("bm25", bm25.postings.select(col("id"))),
+        ("ivfpq", ivf.lists.select(col("n_id").as("id"))),
+        ("minhash", mh.sets.select(col("id"))),
+        ("simjoin", sj.sets.select(col("id"))))
+        .map { case (name, ids) =>
+          ids.agg(countDistinct(col("id")).as("n_ids"))
+            .select(lit(name).as("index_name"), col("n_ids"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("index_name")
     }),
 
 
@@ -363,12 +383,7 @@ object StreamingQueries {
     // SHARES ITS ORACLE.
     "stream_minhash_maintain" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val idxDir = IndexFixture.dir("minhash_stream", dir) { tmp =>
-        docs.repartition(3, col("doc_id")).write.parquet(s"$tmp/src")
-        graft.streaming.Incremental.streamMinHashMaintain(
-          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
-          shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
-      }
+      val idxDir = minhashStreamFixture(s, dir)
       graft.ops.MinHashIndex.query(
           graft.streaming.Incremental.readMinHashMaintained(s, s"$idxDir/index"),
           docs.filter(col("doc_id").between(100, 149))
@@ -452,13 +467,7 @@ object StreamingQueries {
     // provably a rebuild.
     "stream_index_maintain" -> ((s, dir) => {
       import s.implicits._
-      val idxDir = IndexFixture.dir("bm25_stream", dir) { tmp =>
-        Tables.documents(s, dir).repartition(3, col("doc_id"))
-          .write.parquet(s"$tmp/src")
-        graft.streaming.Incremental.streamBm25Maintain(
-          s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
-          maxFilesPerTrigger = 1)
-      }
+      val idxDir = bm25StreamFixture(s, dir)
       val qs = Seq((1L, "hash"), (1L, "join"), (1L, "dup"),
         (2L, "window"), (2L, "sort"), (2L, "merge")).toDF("q_id", "term")
       graft.ops.Bm25Index.topK(
@@ -615,6 +624,38 @@ object StreamingQueries {
         shingleK = 3, threshold = 0.5, maxFilesPerTrigger = 1)
     }
 
+  private def bm25StreamFixture(s: SparkSession, dir: String): String =
+    IndexFixture.dir("bm25_stream", dir) { tmp =>
+      Tables.documents(s, dir).repartition(3, col("doc_id"))
+        .write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamBm25Maintain(
+        s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+        maxFilesPerTrigger = 1)
+    }
+
+  private def minhashStreamFixture(s: SparkSession, dir: String): String =
+    IndexFixture.dir("minhash_stream", dir) { tmp =>
+      Tables.documents(s, dir).repartition(3, col("doc_id"))
+        .write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamMinHashMaintain(
+        s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+    }
+
+  private def ivfpqStreamFixture(s: SparkSession, dir: String): String =
+    IndexFixture.dir("ivfpq_stream", dir) { tmp =>
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.IvfPqIndex.write(
+        graft.ops.IvfPqIndex.build(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", nlist = 16, numSubspaces = 8, numCodes = 16),
+        s"$tmp/index")
+      emb.filter(col("vec_id") % 10 === 0).repartition(2, col("vec_id"))
+        .write.parquet(s"$tmp/src")
+      graft.streaming.Incremental.streamIvfPqMaintain(
+        s, s"$tmp/src", s"$tmp/index", "vec_id", "embedding",
+        maxFilesPerTrigger = 1)
+    }
+
   // exact all-pairs over the relabeled 100–149 batch vs the full corpus —
   // shared by the zero-state streaming near-dedup and the maintained-index
   // serve (lazy: referenced by the oracles map below).
@@ -698,6 +739,17 @@ object StreamingQueries {
     // the streamed-maintained index must serve EXACTLY like the
     // build-once persisted index (BM25 append is exact) — shared oracle
     "stream_index_maintain" -> TextQueries.oracles("text_bm25_persisted"),
+
+    // each maintained root's served id universe equals its base table:
+    // documents for bm25/minhash, embeddings for ivfpq (90% base model +
+    // 10% streamed), the %5<>0 corpus split for simjoin
+    "maintained_roots_consistency" ->
+      ("SELECT * FROM (" +
+        "SELECT 'bm25' AS index_name, count(*) AS n_ids FROM documents " +
+        "UNION ALL SELECT 'ivfpq', count(*) FROM embeddings " +
+        "UNION ALL SELECT 'minhash', count(*) FROM documents " +
+        "UNION ALL SELECT 'simjoin', count(CASE WHEN doc_id % 5 <> 0 THEN 1 END) FROM documents" +
+        ") ORDER BY index_name"),
 
     "stream_rollup_maintain" ->
       ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
