@@ -58,6 +58,27 @@ class JsonIngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_graft_corrupt_record"))
   }
 
+  test("quarantine: stateless — composes unchanged with readStream (file stream, availableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      java.util.Arrays.asList(
+        """{"id":1,"name":"a","score":0.5}""",
+        """{"id":2,"name":"b","score":"bad"}""",
+        """not json"""))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value STRING"))
+      .text(dir.toString)
+    val out = JsonRecords.parseWithQuarantine(stream, "value", Ddl)
+      .groupBy("ingest_status").count()
+    val q = out.writeStream.format("memory").queryName("jsonl_q")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val lanes = spark.table("jsonl_q")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lanes == Map("ok" -> 1L, "schema_mismatch" -> 1L, "malformed" -> 1L))
+  }
+
   test("key drift: extra keys surface, missing declared keys report zero") {
     val lines = Seq(
       """{"id":1,"name":"a"}""",
