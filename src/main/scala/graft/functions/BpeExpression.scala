@@ -55,20 +55,8 @@ case class BpeEncodeText(
     m
   }
 
-  /** word -> its encoded tokens. Corpus word frequencies are Zipfian, so
-    * the distinct-word set is orders of magnitude smaller than the word
-    * stream — memoizing turns the per-OCCURRENCE merge replay into a
-    * per-DISTINCT-WORD one (the same cache HF tokenizers keep for the
-    * same reason). Encoding is a pure function of the word, so cache
-    * state never changes output. ConcurrentHashMap: the expression
-    * object is shared by every task of a stage in the same JVM.
-    * Size-capped (new words encode uncached once full — correctness
-    * unaffected); UTF8String values are immutable and safely shared
-    * across output rows.
-    */
-  private val CacheCap = 1 << 16
-  @transient private lazy val wordCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  /** Per-task word -> tokens memo (see [[WordMemo]] for scope/bounds). */
+  @transient private lazy val wordCache = new WordMemo()
 
   /** Encode one word's symbol buffer in place; returns the token list. */
   private def encodeWord(word: String): scala.collection.mutable.ArrayBuffer[String] = {
@@ -116,11 +104,8 @@ case class BpeEncodeText(
         val start = i
         while (i < n && s.charAt(i) != ' ') i += 1
         val word = s.substring(start, i)
-        var toks = wordCache.get(word)
-        if (toks == null) {
-          toks = encodeWord(word).map(UTF8String.fromString).toArray
-          if (wordCache.size < CacheCap) wordCache.putIfAbsent(word, toks)
-        }
+        val toks = wordCache.getOrEncode(word)(
+          w => encodeWord(w).map(UTF8String.fromString).toArray)
         var t = 0
         while (t < toks.length) { out += toks(t); t += 1 }
       }

@@ -48,14 +48,8 @@ case class UnigramEncodeText(
     m
   }
 
-  /** word -> its Viterbi pieces (the [[BpeEncodeText]] Zipf memo:
-    * segmentation is a pure function of the word, so caching per
-    * DISTINCT word replaces per-occurrence Viterbi; size-capped,
-    * thread-safe, output-invariant).
-    */
-  private val CacheCap = 1 << 16
-  @transient private lazy val wordCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  /** Per-task word -> pieces memo (see [[WordMemo]] for scope/bounds). */
+  @transient private lazy val wordCache = new WordMemo()
 
   /** Public for the generated code path. */
   def encodeText(text: UTF8String): ArrayData = {
@@ -69,13 +63,10 @@ case class UnigramEncodeText(
         val start = i
         while (i < n && s.charAt(i) != ' ') i += 1
         val word = s.substring(start, i)
-        var toks = wordCache.get(word)
-        if (toks == null) {
-          val seg = graft.ops.Unigram.viterbi(word, logp, maxPieceLen)
-          toks =
-            if (seg == null) Array(UTF8String.fromString(unk))
-            else seg.map(UTF8String.fromString)
-          if (wordCache.size < CacheCap) wordCache.putIfAbsent(word, toks)
+        val toks = wordCache.getOrEncode(word) { w =>
+          val seg = graft.ops.Unigram.viterbi(w, logp, maxPieceLen)
+          if (seg == null) Array(UTF8String.fromString(unk))
+          else seg.map(UTF8String.fromString)
         }
         var t = 0
         while (t < toks.length) { out += toks(t); t += 1 }

@@ -47,14 +47,8 @@ case class WordPieceEncodeText(
     s
   }
 
-  /** word -> its encoded pieces (the [[BpeEncodeText]] Zipf memo:
-    * segmentation is a pure function of the word, so caching per
-    * DISTINCT word replaces per-occurrence re-segmentation; size-capped,
-    * thread-safe, output-invariant).
-    */
-  private val CacheCap = 1 << 16
-  @transient private lazy val wordCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  /** Per-task word -> pieces memo (see [[WordMemo]] for scope/bounds). */
+  @transient private lazy val wordCache = new WordMemo()
 
   /** Greedy longest-match segmentation of one word. */
   private def encodeWord(word: String): Array[UTF8String] = {
@@ -89,11 +83,7 @@ case class WordPieceEncodeText(
         val start = i
         while (i < n && s.charAt(i) != ' ') i += 1
         val word = s.substring(start, i)
-        var toks = wordCache.get(word)
-        if (toks == null) {
-          toks = encodeWord(word)
-          if (wordCache.size < CacheCap) wordCache.putIfAbsent(word, toks)
-        }
+        val toks = wordCache.getOrEncode(word)(encodeWord)
         var t = 0
         while (t < toks.length) { out += toks(t); t += 1 }
       }

@@ -344,14 +344,17 @@ object EtlQueries {
     // parsed value from the base table by the same arithmetic — the
     // partial-parse contract is value-checked, not just counted.
     "jsonl_quarantine" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      // n_chars coalesced to -1 so to_json never omits the key (a NULL
+      // would make the %11==7 mangle a no-op and diverge from the
+      // oracle's unconditional schema_mismatch lane); oracle mirrors it
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
       val base = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
       val lines = docs.withColumn("line",
-        when(col("doc_id") % 11 === 3, expr(
-          "substring(to_json(struct(doc_id, lang, n_chars)), 1, " +
-            "length(to_json(struct(doc_id, lang, n_chars))) - 2)"))
+        when(col("doc_id") % 11 === 3,
+            base.substr(lit(1), length(base) - lit(2)))
           .when(col("doc_id") % 11 === 7, regexp_replace(base,
-            lit("\"n_chars\":([0-9]+)"), lit("\"n_chars\":\"x$1\"")))
+            lit("\"n_chars\":(-?[0-9]+)"), lit("\"n_chars\":\"x$1\"")))
           .otherwise(base))
       graft.sources.JsonRecords.parseWithQuarantine(
           lines.select("doc_id", "line"), "line",
@@ -926,7 +929,7 @@ object EtlQueries {
         "WHEN doc_id % 11 = 7 THEN 'schema_mismatch' ELSE 'ok' END AS ingest_status, " +
         "CASE WHEN doc_id % 11 = 3 THEN NULL ELSE doc_id END AS parsed_doc_id, " +
         "CASE WHEN doc_id % 11 = 3 THEN NULL ELSE lang END AS parsed_lang, " +
-        "CASE WHEN doc_id % 11 IN (3, 7) THEN NULL ELSE n_chars END AS parsed_n_chars " +
+        "CASE WHEN doc_id % 11 IN (3, 7) THEN NULL ELSE coalesce(n_chars, -1) END AS parsed_n_chars " +
         "FROM documents ORDER BY doc_id"),
 
 

@@ -742,10 +742,15 @@ object StreamingQueries {
 
     // each maintained root's served id universe equals its base table:
     // documents for bm25/minhash, embeddings for ivfpq (90% base model +
-    // 10% streamed), the %5<>0 corpus split for simjoin
+    // 10% streamed), the %5<>0 corpus split for simjoin. The bm25
+    // universe comes from postings, so a doc with no tokens (empty/
+    // whitespace/NULL text) is legitimately absent — the oracle counts
+    // docs with >=1 token, not rows (minhash/simjoin keep one sets row
+    // per doc regardless, so they count rows)
     "maintained_roots_consistency" ->
       ("SELECT * FROM (" +
-        "SELECT 'bm25' AS index_name, count(*) AS n_ids FROM documents " +
+        "SELECT 'bm25' AS index_name, count(CASE WHEN text IS NOT NULL " +
+        "AND length(replace(text, ' ', '')) > 0 THEN 1 END) AS n_ids FROM documents " +
         "UNION ALL SELECT 'ivfpq', count(*) FROM embeddings " +
         "UNION ALL SELECT 'minhash', count(*) FROM documents " +
         "UNION ALL SELECT 'simjoin', count(CASE WHEN doc_id % 5 <> 0 THEN 1 END) FROM documents" +

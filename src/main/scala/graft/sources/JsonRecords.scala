@@ -78,6 +78,12 @@ object JsonRecords {
     val declared = StructType.fromDDL(ddl)
     require(!declared.fieldNames.contains(CorruptCol),
       s"schema must not declare the internal corrupt column $CorruptCol")
+    // fail at the API boundary, not with AMBIGUOUS_REFERENCE downstream
+    val produced = declared.fieldNames.map(prefix + _).toSet ++
+      Set("ingest_status", "__graft_parsed")
+    val collisions = df.columns.filter(produced)
+    require(collisions.isEmpty,
+      s"input already has column(s) the parse would produce: ${collisions.mkString(", ")}")
     val schema = declared.add(CorruptCol, StringType)
     val parsed = df.withColumn("__graft_parsed",
       from_json(col(jsonCol), schema, Map(
@@ -102,22 +108,24 @@ object JsonRecords {
     * needs before [[parseWithQuarantine]]'s typed parse.
     *
     * One `json_object_keys` explode + hash aggregate (map-side partial);
-    * declared-but-absent fields still report with `n_present = 0` via a
-    * broadcast union of the expected list, so a field silently vanishing
-    * upstream surfaces as a row, not an absence. Records that are not
-    * valid JSON contribute no keys (audited separately by the
-    * quarantine lane).
+    * the `is_expected` flag is a plan-literal IN over the declared list
+    * (no join), and declared-but-absent fields still report with
+    * `n_present = 0` via an anti-join of the tiny declared list against
+    * the aggregated keys. A field silently vanishing upstream surfaces
+    * as a row, not an absence. Records that are not valid JSON
+    * contribute no keys (audited separately by the quarantine lane).
     */
   def keyDriftAudit(df: DataFrame, jsonCol: String, expected: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(expected.nonEmpty, "expected field list must be non-empty")
     val observed = df
       .select(explode(json_object_keys(col(jsonCol))).as("field"))
       .groupBy("field").agg(count(lit(1)).as("n_present"))
-    val declared = expected.toDF("field")
-    observed.join(declared.withColumn("__decl", lit(true)), Seq("field"), "full_outer")
-      .select(col("field"),
-        coalesce(col("n_present"), lit(0L)).as("n_present"),
-        coalesce(col("__decl"), lit(false)).as("is_expected"))
+    val absent = expected.toDF("field")
+      .join(observed, Seq("field"), "left_anti")
+      .select(col("field"), lit(0L).as("n_present"))
+    observed.unionByName(absent)
+      .withColumn("is_expected", col("field").isin(expected: _*))
   }
 }

@@ -50,6 +50,19 @@ class JsonIngestSpec extends AnyFunSuite {
     assert(st == Seq("malformed", "malformed", "malformed"))
   }
 
+  test("quarantine: input columns colliding with produced columns are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      JsonRecords.parseWithQuarantine(
+        Seq(("{}", "x")).toDF("line", "ingest_status"), "line", Ddl)
+    }
+    assert(e.getMessage.contains("ingest_status"))
+    val e2 = intercept[IllegalArgumentException] {
+      JsonRecords.parseWithQuarantine(
+        Seq(("{}", 1L)).toDF("line", "parsed_id"), "line", Ddl)
+    }
+    assert(e2.getMessage.contains("parsed_id"))
+  }
+
   test("quarantine: declaring the internal corrupt column is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       JsonRecords.parseWithQuarantine(Seq("{}").toDF("line"), "line",
