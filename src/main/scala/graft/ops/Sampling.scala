@@ -322,11 +322,23 @@ object Sampling {
       if (numBuckets > 0) numBuckets
       else math.max(4 * df.sparkSession.sparkContext.defaultParallelism, 4)
     // level 0: range-bucket on (strata, order…) — partition ids are
-    // monotone in the sort key, so they bound window partitions below
+    // monotone in the sort key, so they bound window partitions below.
+    // localCheckpoint is CORRECTNESS, not caching: this frame feeds BOTH
+    // the local-rank leg and the offsets leg, and repartitionByRange
+    // picks its boundaries by SAMPLING the parent — whose within-
+    // partition row order after a shuffle is nondeterministic. Left
+    // lazy, the two legs can evaluate the range exchange with different
+    // boundaries, so a row's __bkt in the local leg need not match the
+    // bucket its count landed in on the offsets leg — offsets misalign
+    // and global ranks duplicate (caught by the ×10-scale oracle gate:
+    // curriculum_order ranked 50k rows with only 49,128 distinct
+    // positions). Materializing pins ONE bucket assignment for both
+    // legs (and evaluates the upstream plan once instead of twice).
     val bucketed = df
       .repartitionByRange(n, (strataCol +: order): _*)
       .withColumn("__tok", valueCol.cast("bigint"))
       .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
     // level 1: running sum inside each (stratum, bucket) — parallel
     val wLocal = Window.partitionBy(strataCol, col("__bkt")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

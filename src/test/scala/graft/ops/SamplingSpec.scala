@@ -328,19 +328,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(7) == first, "surviving set depends on physical partitioning")
   }
 
-  test("rankInStratum scans and range-shuffles its input ONCE at runtime " +
-      "(AQE ReusedExchange collapses the offsets leg)") {
-    // the static plan shows the level-0 range exchange twice (running sum
-    // + offsets roll-up are two consumers); the scale contract is that
-    // AQE's exchange reuse collapses them — pin it so a refactor that
-    // breaks reuse (e.g. non-identical child plans) fails here, not in a
-    // 2x-scan regression at the bench
+  test("rankInStratum evaluates the level-0 range exchange ONCE " +
+      "(checkpointed; both legs read the materialized buckets)") {
+    // The running sum + offsets roll-up are two consumers of the bucketed
+    // frame. AQE ReusedExchange was the original one-scan mechanism, but
+    // exchange reuse is not guaranteed across the offsets leg's broadcast
+    // boundary — and when the legs DO evaluate separately, the range
+    // partitioner re-samples boundaries from nondeterministic shuffle
+    // order, misaligning __bkt between legs (the ×10 oracle gate caught
+    // curriculum_order emitting duplicate global ranks). bucketedPrefixSum
+    // now localCheckpoints the bucketed frame: pin that both consumers
+    // read the checkpoint (no range exchange left in the final plan).
     val ranked = Sampling.rankInStratum(
       docs.select("doc_id", "source"), col("source"), 8, col("doc_id"))
     ranked.collect() // execute: AQE finalizes the adaptive plan
     val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"offsets leg no longer reuses the level-0 exchange:\n$plan")
+    val lower = plan.toLowerCase(java.util.Locale.ROOT)
+    // the checkpointed buckets surface as an ExistingRDD scan
+    assert(lower.contains("existingrdd"),
+      s"bucketed frame is no longer checkpointed:\n$plan")
+    assert(!lower.contains("rangepartitioning"),
+      s"a consumer re-evaluates the range exchange instead of reading " +
+        s"the checkpoint:\n$plan")
   }
 
   test("allocateBudget: Hamilton apportionment sums exactly to the budget, " +
