@@ -79,6 +79,10 @@ object Dsir {
           - log((col("rc") + 1.0) / (col("rn") + numBuckets))).as("delta"))
     raw.join(broadcast(model), Seq("bucket"))
       .groupBy(idCol)
-      .agg(round(sum("delta"), 4).as("log_w"))
+      // + 0.0 normalizes IEEE -0.0 (a doc whose grams' target/raw ratios
+      // cancel exactly sums to a signed zero under one association order
+      // and +0.0 under another — the ×10 gate's hash compare sees two
+      // encodings of the same weight)
+      .agg((round(sum("delta"), 4) + lit(0.0)).as("log_w"))
   }
 }

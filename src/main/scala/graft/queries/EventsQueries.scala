@@ -318,12 +318,17 @@ object EventsQueries {
     // deterministic under ties, where a ROWS frame would not be. Epoch
     // seconds carry the order in both engines; partitioning is per-user
     // (group count grows with the data).
+    // exact-micros RANGE frame on BOTH sides: unix_timestamp truncates
+    // to whole seconds while the oracle's epoch() keeps the fraction, so
+    // an event 86400.5 s back was inside Spark's frame but outside
+    // DuckDB's — caught by the ×10 oracle gate (the scale corpus's
+    // read→write round trip surfaces micros-precision ts)
     "events_trailing_24h" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("__epoch"))
-        .rangeBetween(-86400L, 0L)
+        .rangeBetween(-86400000000L, 0L)
       Tables.events(s, dir)
-        .withColumn("__epoch", unix_timestamp(col("ts")))
+        .withColumn("__epoch", unix_micros(col("ts")))
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("n_24h"),
           round(sum(col("value")).over(w), 4).as("value_24h"))
@@ -654,9 +659,9 @@ object EventsQueries {
       ("SELECT event_id, user_id, " +
         "CAST(count(*) OVER w AS BIGINT) AS n_24h, " +
         "round(sum(value) OVER w, 4) AS value_24h " +
-        "FROM (SELECT *, epoch(ts) AS ep FROM events) t " +
+        "FROM (SELECT *, epoch_us(ts) AS ep FROM events) t " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ep " +
-        "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+        "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
 
 
     // same per-user lead + per-type row normalization

@@ -1214,7 +1214,7 @@ object TextQueries {
         "tot AS (SELECT (SELECT sum(rc) FROM raw) AS rn, (SELECT COALESCE(sum(tc), 0) FROM tgt) AS tn), " +
         "d AS (SELECT raw.bucket, ln((COALESCE(tc, 0) + 1) / (tn + 256)) - ln((rc + 1) / (rn + 256)) AS delta " +
         "FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot) " +
-        "SELECT b.doc_id, round(sum(delta), 4) AS log_w FROM b JOIN d USING (bucket) " +
+        "SELECT b.doc_id, round(sum(delta), 4) + 0.0 AS log_w FROM b JOIN d USING (bucket) " +
         "GROUP BY 1 ORDER BY doc_id"),
 
 
