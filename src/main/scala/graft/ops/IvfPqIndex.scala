@@ -166,6 +166,98 @@ object IvfPqIndex {
         .select(index.lists.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** MODEL REBUILD — the retrain half of the rebuild-cadence contract
+    * ([[append]]/the streaming maintainer encode through a FROZEN model;
+    * as the corpus drifts, coarse-probe and ADC selectivity decay). This
+    * retrains BOTH quantizers from the raw vectors of exactly the ids the
+    * index currently serves and re-encodes them — the IVF-PQ counterpart
+    * of [[SimJoinIndex.rebuildFromSets]], except the PQ codes are lossy so
+    * the raw vectors must come back from the companion `corpus` (the same
+    * store [[topK]]'s exact rerank reads; a serving system always keeps
+    * it). Ids the index serves but the corpus lacks would be SILENTLY
+    * dropped from the rebuilt lists, so that is a loud error; corpus rows
+    * the index never indexed (e.g. erased victims still present in the
+    * raw store) are ignored. Measure the drift that motivates a rebuild
+    * with [[recallAudit]]; persist the result with [[write]] to a FRESH
+    * root (never over a maintained root — its batch dirs hold codes of
+    * the old generation; see
+    * [[graft.streaming.Incremental.rebuildIvfPqMaintained]]).
+    */
+  def rebuildModel(
+      index: IvfPqIndex,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      lloydIters: Int = 2,
+      residual: Boolean = true,
+      trainSampleMod: Int = 1): IvfPqIndex = {
+    val served = index.lists.select(col("n_id")).distinct()
+    // pin ONE snapshot of the served-universe restriction: training makes
+    // several passes (Lloyd rounds × two quantizers) plus the full encode,
+    // and each would otherwise re-run the corpus-sized semi-join
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(served, Seq("n_id"), "left_semi")
+      .localCheckpoint()
+    val nServed = served.count()
+    val nCorpus = c.count()
+    require(nCorpus == nServed,
+      s"rebuild corpus covers $nCorpus of $nServed served ids: a served " +
+        "id missing from the raw-vector store (or a duplicated corpus id) " +
+        "would silently corrupt the rebuilt lists — reconcile the stores " +
+        "first (maintained_roots_consistency is the audit)")
+    build(c, "n_id", "n_vec",
+      nlist, numSubspaces, numCodes, lloydIters, residual, trainSampleMod)
+  }
+
+  /** RECALL-DRIFT AUDIT: recall@k of this index's [[topK]] serve against
+    * brute-force exact cosine ground truth — computed over the ids the
+    * index actually serves, so the number isolates MODEL quality (probe
+    * misses + ADC ranking error at the fetch cut) from corpus coverage.
+    * This is the `knn_recall_audit` methodology extended to any built,
+    * loaded, or stream-maintained index: run it on a maintained root on
+    * the rebuild cadence and the frozen model's decay becomes a measured
+    * number instead of a hope (the [[SimJoinIndex.pruneAudit]]
+    * convention); run it again on the [[rebuildModel]] result to see the
+    * recovery. One row: (model, n_truth, n_hits, recall_at_k). The brute
+    * force side is corpus-sized BY PURPOSE — audit cadence, not serve
+    * path.
+    */
+  def recallAudit(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 8,
+      fetchFactor: Int = 4,
+      label: String = "frozen"): DataFrame = {
+    val served = index.lists.select(col("n_id")).distinct()
+    val indexed = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(served, Seq("n_id"), "left_semi")
+    val exact = Similarity
+      .bruteForceTopK(
+        queries.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
+        indexed, "n_id", "n_vec", k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint() // |Q| × k rows; feeds the denominator AND the hit probe
+    val ann = topK(index, queries, corpus, idCol, vecCol, k, nprobe, fetchFactor)
+      .select(col("q_id"), col("n_id"))
+    val denom = exact.agg(count(lit(1)).cast("double").as("__n"))
+    ann.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(denom))
+      .select(
+        lit(label).as("model"),
+        col("__n").cast("bigint").as("n_truth"),
+        col("n_hits"),
+        round(col("n_hits") / col("__n"), 4).as("recall_at_k"))
+  }
+
   /** ADC search over a built (or loaded) index, exact-reranked against the
     * raw corpus vectors — the query half of [[Similarity.ivfPqTopK]].
     * `corpus` supplies the raw vectors for the rerank (a serving system

@@ -607,6 +607,47 @@ object StreamingQueries {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       served
     }),
+
+
+    // RECALL-DRIFT AUDIT on the stream-maintained IVF-PQ root (ops/
+    // IvfPqIndex.recallAudit — the SimJoinIndex.pruneAudit convention
+    // applied to the frozen ANN model): recall@5 of the frozen-model
+    // maintained serve vs brute-force ground truth over exactly the ids
+    // the root serves (base + every streamed batch), PAIRED with the same
+    // audit on the rebuilt model so the frozen model's drift and its
+    // remedy are one pinned record. Deterministic (id-seeded k-means,
+    // hash-free encode) → pinned VALUES oracle; the planted
+    // drift-and-recovery proof is in IvfPqIndexSpec.
+    "knn_maintained_recall_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 100)
+      graft.ops.IvfPqIndex.recallAudit(
+          graft.streaming.Incremental.readIvfPqMaintained(
+            s, s"${ivfpqStreamFixture(s, dir)}/index"),
+          q, emb, "vec_id", "embedding", k = 5, nprobe = 8, label = "frozen")
+        .unionByName(graft.ops.IvfPqIndex.recallAudit(
+          graft.ops.IvfPqIndex.read(s, s"${ivfpqRebuildFixture(s, dir)}/index"),
+          q, emb, "vec_id", "embedding", k = 5, nprobe = 8, label = "rebuilt"))
+        .orderBy("model")
+    }),
+
+
+    // MODEL REBUILD serve — the next serving generation the audit's
+    // cadence produces (streaming/Incremental.rebuildIvfPqMaintained:
+    // retrain coarse + PQ codebooks from the raw vectors of exactly the
+    // served ids, re-encode, write a FRESH static root — blue/green, the
+    // maintained root untouched, its model-generation stamp intact).
+    // Serves through IvfPqIndex.read → cluster-pruned scan like
+    // knn_ivfpq_persisted. Deterministic → pinned VALUES oracle.
+    "knn_maintained_rebuild" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.IvfPqIndex.topK(
+          graft.ops.IvfPqIndex.read(s, s"${ivfpqRebuildFixture(s, dir)}/index"),
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 3, nprobe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   /** The maintained simjoin root fixture (first-batch-frozen order, 3
@@ -640,6 +681,20 @@ object StreamingQueries {
       graft.streaming.Incremental.streamMinHashMaintain(
         s, s"$tmp/src", s"$tmp/index", "doc_id", "text",
         shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+    }
+
+  /** The REBUILT serving generation of [[ivfpqStreamFixture]]'s maintained
+    * root (`Incremental.rebuildIvfPqMaintained` into a fresh static root)
+    * — built once per (machine, sf), shared by the rebuild serve and the
+    * recall audit's rebuilt leg.
+    */
+  private def ivfpqRebuildFixture(s: SparkSession, dir: String): String =
+    IndexFixture.dir("ivfpq_rebuild", dir) { tmp =>
+      graft.streaming.Incremental.rebuildIvfPqMaintained(
+        s, s"${ivfpqStreamFixture(s, dir)}/index", s"$tmp/index",
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, numSubspaces = 8, numCodes = 16)
+      ()
     }
 
   private def ivfpqStreamFixture(s: SparkSession, dir: String): String =
@@ -720,6 +775,9 @@ object StreamingQueries {
     // deterministic frozen-model encode: streamed maintenance serves
     // exactly like the batch append — shared pin
     "stream_knn_maintain" -> graft.PinnedOracles.sql("knn_index_append"),
+    "knn_maintained_recall_audit" ->
+      graft.PinnedOracles.sql("knn_maintained_recall_audit"),
+    "knn_maintained_rebuild" -> graft.PinnedOracles.sql("knn_maintained_rebuild"),
 
     // the frozen rarity order never changes the pair set (exact verify):
     // shared full-corpus bipartite oracle

@@ -83,6 +83,63 @@ object Incremental {
     finally s.close()
   }
 
+  /** EXCLUSIVE MUTATOR LEASE on a maintained index root. Every mutator —
+    * a [[runBatchCommitted]] maintainer run, a compaction, an erase, a
+    * model rebuild's multi-pass read — runs under this fence: the
+    * `_graft_lease` marker is created atomically (create WITHOUT
+    * overwrite, atomic on HDFS and local filesystems; object stores
+    * without atomic create need an external lock service), so when two
+    * mutators interleave the LOSER FAILS LOUDLY before touching a byte —
+    * instead of, say, a compaction sweeping a batch dir whose erase
+    * rewrite then lands nowhere (victims silently resurfacing) or a
+    * maintainer's mid-commit batch dir being merged half-written. The
+    * former "caller contract: the maintainer is not running during
+    * compaction" is now ENFORCED, not assumed. An exception inside the
+    * body releases the lease (the mutation stopped; every mutator is
+    * crash-idempotent, so the re-run completes the interrupted work); a
+    * hard crash leaves the lease behind BY DESIGN — fail-safe — and the
+    * operator, having confirmed the holder is dead, clears it with
+    * [[breakRootLease]].
+    */
+  private def withRootLease[T](
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      what: String,
+      holder: String)(body: => T): T = {
+    val lease = new org.apache.hadoop.fs.Path(root, LeaseName)
+    val out =
+      try fs.create(lease, false)
+      catch {
+        case e: java.io.IOException =>
+          val held =
+            try readUtf8(conf, lease).trim
+            catch { case _: Exception => "holder unreadable" }
+          throw new IllegalStateException(
+            s"$what at $root is LEASED by a concurrent mutator ($held): " +
+              "maintain/compact/erase/rebuild must not interleave on one " +
+              "root — wait for the holder, or if it crashed, clear the " +
+              "lease with Incremental.breakRootLease (every mutator is " +
+              "crash-idempotent, so the re-run completes its work)", e)
+      }
+    try out.write((s"holder=$holder pid=${ProcessHandle.current().pid()} " +
+      s"nonce=${java.util.UUID.randomUUID()}").getBytes("UTF-8"))
+    finally out.close()
+    try body finally fs.delete(lease, false)
+  }
+
+  private val LeaseName = "_graft_lease"
+
+  /** Clear a crashed mutator's root lease — the OPERATOR's break-glass
+    * step after confirming the recorded holder is dead (see
+    * [[withRootLease]]). Returns true when a lease was present.
+    */
+  def breakRootLease(spark: SparkSession, indexPath: String): Boolean = {
+    val lease = new org.apache.hadoop.fs.Path(indexPath, LeaseName)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lease, false)
+  }
+
   /** The streaming query id in `<ckpt>/metadata` (`{"id":"<uuid>"}`) —
     * present iff this checkpoint has run before. Stable across checkpoint
     * COPIES/restores, fresh for a new checkpoint.
@@ -867,6 +924,7 @@ object Incremental {
     val ckptStr =
       if (checkpointPath != null) checkpointPath
       else new org.apache.hadoop.fs.Path(indexPath, "_checkpoint").toString
+    withRootLease(conf, fs, root, what, "maintainer") {
     assertRunIdentity(conf, fs, root, ckptStr, what)
     val srcOpts =
       if (maxFilesPerTrigger > 0)
@@ -913,6 +971,7 @@ object Incremental {
     val fin = committedBatchIds(fs, root)
     require(fin.nonEmpty, s"no committed $what batch under $indexPath")
     fin
+    }
   }
 
   /** The sorted committed batch ids under a [[runBatchCommitted]] index
@@ -1106,6 +1165,7 @@ object Incremental {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
+    withRootLease(conf, fs, root, what, "compactor") {
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed $what batch under $indexPath")
     def sweep(gen: Long): Unit = {
@@ -1125,17 +1185,20 @@ object Incremental {
     // finish any interrupted sweep for the current generation first
     prev.foreach(sweep)
     val newGen = done.last
-    if (prev.contains(newGen)) return newGen // everything is already compacted
-    members.foreach { case (m, merge) =>
-      val inputs = m.legs(fs, root, done).filter(fs.exists)
-      if (inputs.nonEmpty)
-        merge(inputs.map(_.toString), m.compactPath(root, newGen).toString)
+    if (prev.contains(newGen)) newGen // everything is already compacted
+    else {
+      members.foreach { case (m, merge) =>
+        val inputs = m.legs(fs, root, done).filter(fs.exists)
+        if (inputs.nonEmpty)
+          merge(inputs.map(_.toString), m.compactPath(root, newGen).toString)
+      }
+      // ONE commit point covers every member's merged generation
+      writeUtf8(fs, new org.apache.hadoop.fs.Path(root, s"_compacted_$newGen"),
+        s"merged=${done.mkString(",")}")
+      sweep(newGen)
+      newGen
     }
-    // ONE commit point covers every member's merged generation
-    writeUtf8(fs, new org.apache.hadoop.fs.Path(root, s"_compacted_$newGen"),
-      s"merged=${done.mkString(",")}")
-    sweep(newGen)
-    newGen
+    }
   }
 
   /** Compact a [[streamBm25Maintain]]ed root: merge every committed
@@ -1563,6 +1626,7 @@ object Incremental {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
+    withRootLease(conf, fs, root, what, "eraser") {
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed $what batch under $indexPath")
     // finish a crashed compaction's sweep first: superseded dirs are
@@ -1598,6 +1662,7 @@ object Incremental {
         (leg.filter(_.isDigit).toLong, before, before - erased, erased)
       }
       .toDF("batch_id", "n_before", "n_after", "n_erased")
+    }
   }
 
   /** ONE-JOB victim probe over a union of leg reads: tag each row with
@@ -1746,6 +1811,7 @@ object Incremental {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
+    withRootLease(conf, fs, root, "bm25 index", "eraser") {
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed bm25 index batch under $indexPath")
     // finish a crashed compaction's sweep (superseded dirs still hold
@@ -1762,24 +1828,27 @@ object Incremental {
       spark.read.parquet(legPaths.map(_.toString): _*).select("id"),
       k, "id", distinctPerDoc = true)
     if (affected.isEmpty)
-      return Seq.empty[(Long, Long, Long, Long)]
+      Seq.empty[(Long, Long, Long, Long)]
         .toDF("batch_id", "n_before", "n_after", "n_erased")
-    // pass 2: the victims' posting rows — the df/stats deltas derive from
-    // them, journaled BEFORE any rewrite so a crash can always finish
-    val targetGen = latestSnapGen(fs, root, done.last) + 1
-    legRead().join(k, Seq("id"), "left_semi")
-      .select(lit(targetGen).as("gen"), col("id"), col("term"), col("dl"))
-      .write.mode("overwrite").parquet(eraseJournalPath(root).toString)
-    // rewrites + snapshot roll-back run off the committed journal — the
-    // SAME code path a crash-recovery re-run takes (which must re-probe;
-    // the fresh path already knows its victim-bearing legs from pass 1
-    // and skips that third postings scan)
-    applyBm25EraseJournal(spark, fs, root, done,
-      knownBearing = Some(affected.map(_._1)))
-    affected.map { case (leg, before, erased) =>
-      (leg.filter(_.isDigit).toLong, before, before - erased, erased)
-    }.toDF("batch_id", "n_before", "n_after", "n_erased")
-      .localCheckpoint()
+    else {
+      // pass 2: the victims' posting rows — the df/stats deltas derive from
+      // them, journaled BEFORE any rewrite so a crash can always finish
+      val targetGen = latestSnapGen(fs, root, done.last) + 1
+      legRead().join(k, Seq("id"), "left_semi")
+        .select(lit(targetGen).as("gen"), col("id"), col("term"), col("dl"))
+        .write.mode("overwrite").parquet(eraseJournalPath(root).toString)
+      // rewrites + snapshot roll-back run off the committed journal — the
+      // SAME code path a crash-recovery re-run takes (which must re-probe;
+      // the fresh path already knows its victim-bearing legs from pass 1
+      // and skips that third postings scan)
+      applyBm25EraseJournal(spark, fs, root, done,
+        knownBearing = Some(affected.map(_._1)))
+      affected.map { case (leg, before, erased) =>
+        (leg.filter(_.isDigit).toLong, before, before - erased, erased)
+      }.toDF("batch_id", "n_before", "n_after", "n_erased")
+        .localCheckpoint()
+    }
+    }
   }
 
   /** Finish-or-noop for a pending BM25 erase journal (see
@@ -1899,6 +1968,7 @@ object Incremental {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
+    withRootLease(conf, fs, root, "ivfpq index", "eraser") {
     val done = committedBatchIds(fs, root)
     require(done.nonEmpty, s"no committed ivfpq index batch under $indexPath")
     // reject a root whose model was rebuilt in place (the batch dirs'
@@ -1932,6 +2002,7 @@ object Incremental {
       (leg, before, before - erased, erased)
     }.toDF("leg", "n_before", "n_after", "n_erased")
       .localCheckpoint()
+    }
   }
 
   /** Read the [[streamMinHashMaintain]]ed index: every committed batch
@@ -2050,6 +2121,65 @@ object Incremental {
       .flatMap(p => readListsDir(spark, fs, p))
     if (batchLists.isEmpty) base
     else base.copy(lists = (base.lists +: batchLists).reduce(_ unionByName _))
+  }
+
+  /** MODEL REBUILD for a [[streamIvfPqMaintain]]ed root — the remedy
+    * operator the frozen-model contract defers to ("production rebuilds
+    * on a slow cadence while appending fast"): retrain coarse centroids +
+    * PQ codebooks from the raw vectors of exactly the ids the maintained
+    * root serves (base + every committed batch, minus erased victims),
+    * re-encode, and write the result as a FRESH static root at
+    * `destPath` — the next serving generation, ready to be
+    * stream-maintained in turn. Blue/green by construction: the old root
+    * is never touched, so a crash mid-rebuild leaves the old generation
+    * serving and the half-written destination is simply overwritten by
+    * the re-run; cutover is the caller flipping the serve path (then
+    * retiring the old root). An in-place rebuild is exactly what the
+    * model-generation stamp exists to refuse: the old root's batch dirs
+    * hold codes of the OLD codebooks ([[streamIvfPqMaintain]]'s guard).
+    * Measure the drift that sets the cadence with
+    * [[graft.ops.IvfPqIndex.recallAudit]] on the maintained read — the
+    * frozen/rebuilt pair is the declared `knn_maintained_recall_audit`
+    * evidence.
+    */
+  def rebuildIvfPqMaintained(
+      spark: SparkSession,
+      indexPath: String,
+      destPath: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      lloydIters: Int = 2,
+      residual: Boolean = true,
+      trainSampleMod: Int = 1): graft.ops.IvfPqIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(indexPath)
+    val dst = new org.apache.hadoop.fs.Path(destPath)
+    require(src.getFileSystem(conf).makeQualified(src) !=
+        dst.getFileSystem(conf).makeQualified(dst),
+      s"rebuild writes a FRESH serving generation: destPath == indexPath " +
+        s"($indexPath) would overwrite the lists the rebuild is still " +
+        "reading and strand batch dirs encoded under the old model")
+    // the retrain's multi-pass read of the old root runs under its
+    // mutator lease: a concurrent compaction sweeping legs mid-pass (or
+    // an erase rewriting them between passes) would train on a corpus no
+    // generation ever served
+    val rebuilt = withRootLease(conf,
+        src.getFileSystem(conf), src, "ivfpq index", "rebuilder") {
+      graft.ops.IvfPqIndex.rebuildModel(readIvfPqMaintained(spark, indexPath),
+        corpus, idCol, vecCol, nlist, numSubspaces, numCodes, lloydIters,
+        residual, trainSampleMod)
+    }
+    graft.ops.IvfPqIndex.write(rebuilt, destPath)
+    // the retrain corpus's localCheckpoint blocks are superseded by the
+    // persisted layout — free them (rebuildModel pinned one snapshot for
+    // its multi-pass training)
+    graft.ops.Checkpoints.free(rebuilt.lists)
+    // serve from the persisted layout (cluster-pruned), not the build plan
+    graft.ops.IvfPqIndex.read(spark, destPath)
   }
 
   /** Streaming prefix-filter similarity-index maintenance —

@@ -130,6 +130,82 @@ class IvfPqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen model misses a post-freeze-region clone; rebuildModel recovers it") {
+    import spark.implicits._
+    // region A (pre-freeze): support on dims 0-3 only, dims 4-7 EXACTLY 0,
+    // four well-separated direction groups (ids 0-15, id i in group i%4 so
+    // the first-nlist-ids seeding lands one seed per group), all norm
+    // ~200. Every frozen centroid, every frozen codebook entry, and every
+    // ADC term for a region-B query is then EXACTLY zero.
+    val bases = Array(
+      Array(200.0, 10.0, 1.0, 1.0), Array(1.0, 200.0, 10.0, 1.0),
+      Array(1.0, 1.0, 200.0, 10.0), Array(10.0, 1.0, 1.0, 200.0))
+    val a = (0L until 16L).map { i =>
+      val g = (i % 4).toInt
+      val v = bases(g).clone(); v((g + 2) % 4) += i * 0.25
+      (i, v ++ Array(0.0, 0.0, 0.0, 0.0))
+    }
+    // region B (post-freeze drift): support on dims 4-7 only, twelve
+    // distinct directions of norm EXACTLY 100 (permutations of (60, 80)).
+    // Frozen serve: every candidate sim is exactly 0 (orthogonal regions,
+    // all-zero codebook entries), so the k*fetchFactor=12 fetch cut fills
+    // by id asc — the eight A rows of the two tie-probed clusters plus the
+    // four lowest-id decoys. The largest-id clone can never survive it.
+    val dirs = (for { i <- 0 until 4; j <- 0 until 4 if i != j } yield {
+      val v = Array.fill(4)(0.0); v(i) = 60.0; v(j) = 80.0; v }).toIndexedSeq
+    val decoys = dirs.take(11).zipWithIndex.map { case (d, i) =>
+      (200L + i, Array(0.0, 0.0, 0.0, 0.0) ++ d) }
+    val cloneVec = Array(0.0, 0.0, 0.0, 0.0) ++ dirs(11)
+    val corpus = (a ++ decoys :+ (399L, cloneVec)).toDF("vec_id", "embedding")
+    val frozen = IvfPqIndex.append(
+      IvfPqIndex.build(corpus.filter(col("vec_id") < 100L), "vec_id", "embedding",
+        nlist = 4, numSubspaces = 2, numCodes = 4),
+      corpus.filter(col("vec_id") >= 100L), "vec_id", "embedding")
+    val probe = Seq((500L, cloneVec)).toDF("vec_id", "embedding")
+    // DRIFT: the exact clone (true cosine 1.0) is not retrieved
+    val frozenTop = IvfPqIndex.topK(frozen, probe, corpus,
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(!frozenTop.map(_.getLong(1)).contains(399L),
+      s"frozen model unexpectedly found the clone: ${frozenTop.toSeq}")
+    // REMEDY: retrain both quantizers from the served ids' raw vectors —
+    // a centroid moves into region B (q·c > 0 for all B rows, and B's
+    // norm-100 rows outrank the norm-200 A rows sharing their cluster),
+    // so the whole region fits the cut and the exact rerank sees the clone
+    val rebuilt = IvfPqIndex.rebuildModel(frozen, corpus, "vec_id", "embedding",
+      nlist = 4, numSubspaces = 2, numCodes = 4)
+    assert(rebuilt.lists.count() == frozen.lists.count())
+    val rebuiltTop = IvfPqIndex.topK(rebuilt, probe, corpus,
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(rebuiltTop.head.getLong(1) == 399L && rebuiltTop.head.getDouble(2) == 1.0,
+      s"rebuilt model must recover the clone at rank 1: ${rebuiltTop.toSeq}")
+    // the audit MEASURES the drift and the recovery
+    def recall(ix: IvfPqIndex, label: String) =
+      IvfPqIndex.recallAudit(ix, probe, corpus, "vec_id", "embedding",
+        k = 3, nprobe = 2, label = label).collect().head.getAs[Double]("recall_at_k")
+    val (rFrozen, rRebuilt) = (recall(frozen, "frozen"), recall(rebuilt, "rebuilt"))
+    assert(rFrozen < rRebuilt, s"frozen $rFrozen !< rebuilt $rRebuilt")
+    assert(rRebuilt >= 0.5, s"rebuilt recall $rRebuilt")
+    // a served id missing from the rebuild corpus is LOUD, never a
+    // silently thinner index
+    val e = intercept[IllegalArgumentException](
+      IvfPqIndex.rebuildModel(frozen, corpus.filter(col("vec_id") =!= 399L),
+        "vec_id", "embedding", nlist = 4, numSubspaces = 2, numCodes = 4))
+    assert(e.getMessage.contains("served"), e.getMessage)
+  }
+
+  test("rebuildModel ignores corpus rows the index never indexed (erased victims)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val idx = IvfPqIndex.build(emb.filter(col("vec_id") < 80), "vec_id", "embedding",
+      nlist = 8, numSubspaces = 8, numCodes = 16)
+    val erased = IvfPqIndex.erase(idx, Seq(7L).toDF("vec_id"))
+    // the raw store still holds vector 7 — the rebuild must NOT resurrect it
+    val rebuilt = IvfPqIndex.rebuildModel(erased, emb, "vec_id", "embedding",
+      nlist = 8, numSubspaces = 8, numCodes = 16)
+    assert(rebuilt.lists.filter(col("n_id") === 7L).count() == 0)
+    assert(rebuilt.lists.count() == erased.lists.count())
+  }
+
   test("ivfPqTopK composition equals explicit build + topK") {
     val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
     val q = emb.filter(col("vec_id") < 20)

@@ -42,6 +42,59 @@ class CompactionSpec extends AnyFunSuite {
   private def rootCause(t: Throwable): Throwable =
     if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
 
+  test("root lease: every mutator fails loudly while another holds the " +
+      "lease, the root stays untouched, and breakRootLease unblocks") {
+    val docs = Tables.documents(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_lease").toString
+    val src = s"$tmp/src"; val idx = s"$tmp/index"
+    new java.io.File(src).mkdirs()
+    stage(src, docs.filter(col("doc_id") % 3 === 0), "p1")
+    stage(src, docs.filter(col("doc_id") % 3 === 1), "p2")
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+    val batch = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + lit(7000000L))
+    def pairsOf() = graft.ops.MinHashIndex.query(
+        Incremental.readMinHashMaintained(spark, idx),
+        batch, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val served = pairsOf()
+    def lsRoot() = new java.io.File(idx).listFiles.map(_.getName).sorted.toSeq
+    // a successful mutator RELEASES the lease
+    assert(!lsRoot().contains("_graft_lease"))
+    // simulate a live concurrent mutator: its lease is on the root
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/_graft_lease"), "holder=other-process")
+    val layoutBefore = lsRoot()
+    // the compactor LOSES loudly...
+    val e1 = intercept[IllegalStateException](
+      Incremental.compactMinHashMaintained(spark, idx))
+    assert(e1.getMessage.contains("LEASED"), e1.getMessage)
+    // ...so does a maintainer run...
+    stage(src, docs.filter(col("doc_id") % 3 === 2), "p3")
+    val e2 = intercept[Exception](
+      Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).take(5).toSeq
+    assert(chain(e2).exists(_.contains("LEASED")), chain(e2).mkString(" | "))
+    // ...and an eraser — and the root is byte-layout untouched throughout
+    import spark.implicits._
+    val e3 = intercept[IllegalStateException](
+      Incremental.eraseMinHashMaintained(spark, idx, Seq(3L).toDF("doc_id")))
+    assert(e3.getMessage.contains("LEASED"), e3.getMessage)
+    assert(lsRoot() == layoutBefore, "losers must not touch the root")
+    assert(pairsOf() == served)
+    // break-glass: operator clears a crashed holder's lease, work resumes
+    assert(Incremental.breakRootLease(spark, idx))
+    Incremental.streamMinHashMaintain(spark, src, idx, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, maxFilesPerTrigger = 1)
+    Incremental.compactMinHashMaintained(spark, idx)
+    assert(!lsRoot().contains("_graft_lease"))
+    assert(!Incremental.breakRootLease(spark, idx)) // nothing left to break
+  }
+
   test("compactMinHashMaintained: serve identical before/after; legs shrink " +
       "to one generation; maintenance and erasure continue on top") {
     val docs = Tables.documents(spark, GraftSpark.Sf0001)

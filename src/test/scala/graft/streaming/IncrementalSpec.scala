@@ -659,6 +659,48 @@ class IncrementalSpec extends AnyFunSuite {
       spark, s"$tmp/src", s"$tmp/nothere", "vec_id", "embedding"))
   }
 
+  test("rebuildIvfPqMaintained: fresh retrained generation serves the same " +
+      "id universe; the old root is untouched; in-place rebuild refused") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, GraftSpark.Sf0001)
+    val tmp = Files.createTempDirectory("graft_ivfrb").toString
+    graft.ops.IvfPqIndex.write(
+      graft.ops.IvfPqIndex.build(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", nlist = 16, numSubspaces = 8, numCodes = 16),
+      s"$tmp/index")
+    emb.filter(col("vec_id") % 10 === 0).repartition(2, col("vec_id"))
+      .write.parquet(s"$tmp/src")
+    Incremental.streamIvfPqMaintain(spark, s"$tmp/src", s"$tmp/index",
+      "vec_id", "embedding", maxFilesPerTrigger = 1)
+    def serve(ix: graft.ops.IvfPqIndex) =
+      graft.ops.IvfPqIndex.topK(ix, emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 3, nprobe = 8)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val beforeServe = serve(Incremental.readIvfPqMaintained(spark, s"$tmp/index"))
+    val rebuilt = Incremental.rebuildIvfPqMaintained(spark,
+      s"$tmp/index", s"$tmp/gen2", emb, "vec_id", "embedding",
+      nlist = 16, numSubspaces = 8, numCodes = 16)
+    // same served universe (base + every streamed batch), now under a
+    // model trained on ALL of it — and equal to a from-scratch build,
+    // since the maintained universe here is the full corpus
+    def ids(ix: graft.ops.IvfPqIndex) =
+      ix.lists.select("n_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(rebuilt) == ids(Incremental.readIvfPqMaintained(spark, s"$tmp/index")))
+    val fromScratch = graft.ops.IvfPqIndex.build(emb, "vec_id", "embedding",
+      nlist = 16, numSubspaces = 8, numCodes = 16)
+    assert(serve(rebuilt) == serve(fromScratch),
+      "rebuilt generation must serve exactly like a from-scratch build")
+    // the new generation is a plain static root (stream-maintainable next)
+    assert(serve(graft.ops.IvfPqIndex.read(spark, s"$tmp/gen2")) == serve(rebuilt))
+    // blue/green: the OLD root still serves, stamp and batch dirs intact
+    assert(serve(Incremental.readIvfPqMaintained(spark, s"$tmp/index")) == beforeServe)
+    // in-place rebuild is exactly the hazard the generation stamp refuses
+    val e = intercept[IllegalArgumentException](
+      Incremental.rebuildIvfPqMaintained(spark, s"$tmp/index", s"$tmp/index",
+        emb, "vec_id", "embedding"))
+    assert(e.getMessage.contains("FRESH"), e.getMessage)
+  }
+
   test("streamSimJoinMaintain: first-batch-frozen order still serves the " +
       "exact bipartite pair set; param mismatch and static roots rejected") {
     import org.apache.spark.sql.functions.col

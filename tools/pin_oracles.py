@@ -161,6 +161,24 @@ PINS = {
     # CompactionSpec — the pin freezes the post-erasure ranking
     "stream_knn_erase": (["q_id BIGINT", "rank BIGINT", "n_id BIGINT", "sim DOUBLE"],
                          "q_id, rank"),
+    # candidate-cap recall price at a TIGHT cap (1/doc): candidate ranking
+    # is xxhash-evidence JVM-side; the lossless generous-cap serves share
+    # the full bipartite DuckDB oracles (simjoin_capped_serve,
+    # dedup_minhash_capped)
+    "simjoin_capped_loss_audit": (["n_pairs_full BIGINT", "n_pairs_capped BIGINT",
+                                   "n_lost BIGINT", "loss_ratio DOUBLE"], "n_pairs_full"),
+    "dedup_minhash_capped_loss_audit": (["n_pairs_full BIGINT", "n_pairs_capped BIGINT",
+                                         "n_lost BIGINT", "loss_ratio DOUBLE"], "n_pairs_full"),
+    # frozen-vs-rebuilt recall@5 over the maintained IVF-PQ root (training
+    # is id-seeded k-means, encode hash-free → deterministic); the planted
+    # drift-and-recovery proof is in IvfPqIndexSpec
+    "knn_maintained_recall_audit": (["model VARCHAR", "n_truth BIGINT",
+                                     "n_hits BIGINT", "recall_at_k DOUBLE"], "model"),
+    # the rebuilt serving generation (rebuildIvfPqMaintained → fresh
+    # static root); rebuilt-equals-from-scratch is asserted in
+    # IncrementalSpec — the pin freezes the rebuilt serve itself
+    "knn_maintained_rebuild": (["q_id BIGINT", "rank BIGINT", "n_id BIGINT",
+                                "sim DOUBLE"], "q_id, rank"),
     # shingle hashes are JVM-side xxhash64 → candidate counts not DuckDB-
     # expressible; the decay RATIO is the measured pruning evidence for
     # the frozen rarity order (exact pair set asserted by the shared
