@@ -141,6 +141,7 @@ object Bpe {
       init: DataFrame, numMerges: Int, minCount: Long,
       checkpointEvery: Int): Seq[Merge] = {
     var cur = init.localCheckpoint(true)
+    var lastCkpt = cur // freed when the next checkpoint supersedes it
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
@@ -161,10 +162,16 @@ object Bpe {
           merges += Merge(rank, l, r)
           cur = cur.withColumn("symbols", applyMergeHof(col("symbols"), l, r))
           rank += 1
-          if (rank % checkpointEvery == 0) cur = cur.localCheckpoint(true)
+          if (rank % checkpointEvery == 0) {
+            cur = cur.localCheckpoint(true)
+            Checkpoints.free(lastCkpt) // superseded round's blocks
+            lastCkpt = cur
+          }
         case _ => done = true
       }
     }
+    // the merge table (driver-side) is the result — no frame outlives this
+    Checkpoints.free(lastCkpt)
     merges.toSeq
   }
 

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  // per-round checkpoint blocks are freed once the successor round is
+  // materialized (see Checkpoints.free — Dataset.unpersist is a no-op on
+  // checkpointed frames, and retaining every round peaked the ×100 probe
+  // at 62–68 GB heap)
+  private def freeLocalCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
+
   /** Power-iteration PageRank over an edge list.
     *
     * `pr_{t+1}(v) = (1-d)/N + d * Σ_{u→v} pr_t(u) / outdeg(u)`
@@ -139,8 +145,11 @@ object Graph {
           .select(col("id"), coalesce(col("__pr"), lit(1.0 / n)).as("rank"))
           .localCheckpoint()
         val tot = seeded.agg(sum(col("rank"))).head().getDouble(0)
-        seeded.select(col("id"), (col("rank") / lit(tot)).as("rank"))
+        val normalized = seeded
+          .select(col("id"), (col("rank") / lit(tot)).as("rank"))
           .localCheckpoint()
+        freeLocalCheckpoint(seeded)
+        normalized
     }
     var i = 0
     while (i < iterations) {
@@ -172,8 +181,12 @@ object Graph {
       // rounds stay flat. (localCheckpoint trades re-computability on
       // executor loss for speed — on a production cluster pass a reliable
       // checkpoint dir via spark.sparkContext.setCheckpointDir + .checkpoint
-      // for long chains; the round cost shape is identical.)
-      ranks = update.localCheckpoint()
+      // for long chains; the round cost shape is identical.) The PREVIOUS
+      // round's blocks are freed once the new round is materialized —
+      // rounds retain one live vector, not `iterations` of them.
+      val next = update.localCheckpoint()
+      freeLocalCheckpoint(ranks)
+      ranks = next
       i += 1
     }
     edgesDeg.unpersist()
@@ -261,7 +274,9 @@ object Graph {
               (lit(1.0 - damping) * col("sv") +
                 lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
         }
-      ranks = update.select("id", "rank").localCheckpoint()
+      val next = update.select("id", "rank").localCheckpoint()
+      freeLocalCheckpoint(ranks)
+      ranks = next
       i += 1
     }
     edgesDeg.unpersist()
@@ -434,10 +449,12 @@ object Graph {
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("m"))
         .select(col("id"), col("m.lb").as("label"))
         .localCheckpoint()
-      labels.unpersist()
+      // Dataset.unpersist() is a no-op on a checkpointed frame — free the
+      // round's blocks through the RDD (see freeLocalCheckpoint)
+      freeLocalCheckpoint(labels)
       labels = next
     }
-    und.unpersist()
+    freeLocalCheckpoint(und)
     labels
   }
 

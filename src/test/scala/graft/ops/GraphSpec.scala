@@ -6,6 +6,25 @@ import graft.GraftSpark
 
 class GraphSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
+
+  test("iterative rounds FREE superseded checkpoint blocks (bounded live RDDs)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 1) % 200)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    val pr = Graph.pagerank(edges, iterations = 10)
+    pr.write.format("noop").mode("overwrite").save()
+    // 10 rounds must NOT retain 10 materialized vectors: everything but
+    // the returned frame's own blocks (and the freed-but-not-yet-GC'd
+    // entries Spark removes asynchronously) is unpersisted. Without the
+    // Checkpoints.free calls this was `before + iterations + 1`.
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"live persistent RDDs grew by ${after - before} (checkpoint leak)")
+    // the returned frame still serves (its own blocks were NOT freed)
+    assert(pr.count() == 200)
+    graft.ops.Checkpoints.free(pr)
+  }
   import spark.implicits._
 
   /** Driver-side reference power iteration over an adjacency map. */
