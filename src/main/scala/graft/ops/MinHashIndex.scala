@@ -121,6 +121,95 @@ object MinHashIndex {
         Seq("band", "bucket"))
       .select("batch_id", "corpus_id")
       .distinct()
+    verifyPairs(index, batchSets, pairIds, threshold)
+  }
+
+  /** [[query]] with a SERVE-TIME CANDIDATE BUDGET: at most
+    * `maxCandidatesPerDoc` corpus candidates reach the exact verify per
+    * batch document, ranked by LSH EVIDENCE (matching-band count desc —
+    * more band collisions = higher estimated Jaccard, the standard LSH
+    * amplification signal — then corpus id asc for determinism). Bounds
+    * the verify stage against the measured query-band posting growth of
+    * [[query]] on a growing corpus (2.7× in decade 2, BASELINE.md §r16):
+    * the corpus-side `maxBucket` guard caps any ONE bucket, but the
+    * number of buckets a batch doc collides with still grows with the
+    * corpus — this caps the per-doc total. A declared recall trade,
+    * audited by [[cappedLossAudit]] (the `dedup_oversized_buckets`
+    * convention); a cap ≥ the per-doc candidate fan-out serves the
+    * identical pair set (the declared `dedup_minhash_capped` query shares
+    * `dedup_minhash_persisted`'s oracle at such a cap).
+    */
+  def queryCapped(
+      index: MinHashIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxCandidatesPerDoc >= 1,
+      s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
+    val batchSets = shingleSets(batch, idCol, textCol, index.shingleK)
+    val batchBuckets = Dedup.minhashBuckets(batchSets, index.bands, index.rowsPerBand)
+    val okBuckets = index.buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    // band-collision evidence instead of a plain distinct: same bucket
+    // join as query(), aggregated per pair, then one per-batch-doc top-N
+    val scored = batchBuckets.withColumnRenamed("id", "batch_id")
+      .join(
+        index.buckets.withColumnRenamed("id", "corpus_id")
+          .join(okBuckets, Seq("band", "bucket")),
+        Seq("band", "bucket"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("__bands"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_id")
+      .orderBy(col("__bands").desc, col("corpus_id").asc)
+    val pairIds = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCandidatesPerDoc)
+      .select("batch_id", "corpus_id")
+    verifyPairs(index, batchSets, pairIds, threshold)
+  }
+
+  /** CANDIDATE-CAP LOSS AUDIT: the verified pairs [[queryCapped]] drops
+    * at `maxCandidatesPerDoc` vs the complete [[query]] serve — one row
+    * (n_pairs_full, n_pairs_capped, n_lost, loss_ratio). Full side
+    * uncapped BY PURPOSE (audit cadence, not serve path).
+    */
+  def cappedLossAudit(
+      index: MinHashIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val full = query(index, batch, idCol, textCol, threshold, maxBucket)
+      .select("batch_id", "corpus_id").localCheckpoint()
+    val capped = queryCapped(index, batch, idCol, textCol,
+      maxCandidatesPerDoc, threshold, maxBucket)
+      .select("batch_id", "corpus_id")
+    val nFull = full.count()
+    val nCapped = capped.count()
+    index.buckets.sparkSession.range(1).select(
+      lit(nFull).as("n_pairs_full"),
+      lit(nCapped).as("n_pairs_capped"),
+      lit(nFull - nCapped).as("n_lost"),
+      round(lit((nFull - nCapped).toDouble / math.max(nFull, 1L)), 4)
+        .as("loss_ratio"))
+  }
+
+  /** The exact intersect verify of [[query]]/[[queryCapped]]: candidate
+    * ids back to both sides' stored shingle sets, exact Jaccard,
+    * threshold filter.
+    */
+  private def verifyPairs(
+      index: MinHashIndex,
+      batchSets: DataFrame,
+      pairIds: DataFrame,
+      threshold: Double): DataFrame =
     pairIds
       .join(batchSets.select(col("id").as("batch_id"), col("shingle_set").as("set_a")), Seq("batch_id"))
       .join(index.sets.select(col("id").as("corpus_id"), col("shingle_set").as("set_b")), Seq("corpus_id"))
@@ -130,7 +219,6 @@ object MinHashIndex {
         col("__inter") / (size(col("set_a")) + size(col("set_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Persists buckets (band-partitioned parquet), sets, and the parameter
     * sidecar. Paths resolve through the Hadoop `FileSystem` API, so the

@@ -162,7 +162,101 @@ object SimJoinIndex {
         SimJoin.gramsOf(batch, idCol, textCol, index.shingleK),
         index.freq, "left")
       .localCheckpoint()
-    val pairIds = candidateIds(index.prefixes, batchSorted, t)
+    verifyPairs(index, batchSorted, candidateIds(index.prefixes, batchSorted, t), t)
+  }
+
+  /** [[pairs]] with a SERVE-TIME CANDIDATE BUDGET: at most
+    * `maxCandidatesPerDoc` corpus candidates reach the exact verify per
+    * batch document, ranked by prefix-match EVIDENCE (shared prefix-
+    * shingle count desc — more shared rare shingles = more likely a true
+    * pair — then corpus id asc for determinism). This bounds the serve's
+    * verify stage against the measured ~3×/decade candidate growth of
+    * [[pairs]] on a growing corpus (BASELINE.md §r16): per-probe work
+    * becomes O(probed postings + cap·verify) instead of O(all surviving
+    * candidates). The cap is a declared RECALL trade — a true pair whose
+    * candidate evidence ranks below the cap is dropped — so deployments
+    * pair it with [[cappedLossAudit]] on the audit cadence, exactly the
+    * `dedup_oversized_buckets` / [[pruneAudit]] evidence convention. A
+    * cap ≥ the corpus candidate fan-out serves the identical exact pair
+    * set (the declared `simjoin_capped_serve` query shares
+    * `simjoin_persisted`'s oracle at such a cap).
+    */
+  def pairsCapped(
+      index: SimJoinIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = Double.NaN): DataFrame = {
+    require(maxCandidatesPerDoc >= 1,
+      s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
+    val t = if (threshold.isNaN) index.threshold else threshold
+    require(t <= 1.0 && t >= index.threshold - 1e-12,
+      s"serve threshold $t below build threshold ${index.threshold}: the " +
+        "stored prefixes are complete only for t >= the build threshold " +
+        "(rebuild the index for a looser join)")
+    val batchSorted = SimJoin.sortedUnder(
+        SimJoin.gramsOf(batch, idCol, textCol, index.shingleK),
+        index.freq, "left")
+      .localCheckpoint()
+    // candidate evidence instead of a plain distinct: the SAME
+    // (batch-prefix ⨝ postings) shuffle as candidateIds, aggregated to
+    // shared-shingle counts, then one per-batch-doc top-N
+    val scored = SimJoin.prefixRows(batchSorted, t)
+      .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
+      .join(index.prefixes
+        .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
+      .filter(least(col("n_b"), col("n_c")) >=
+        lit(t) * greatest(col("n_b"), col("n_c")) - lit(SimJoin.BoundEps))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("__shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_id")
+      .orderBy(col("__shared").desc, col("corpus_id").asc)
+    val pairIds = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCandidatesPerDoc)
+      .select("batch_id", "corpus_id")
+    verifyPairs(index, batchSorted, pairIds, t)
+  }
+
+  /** CANDIDATE-CAP LOSS AUDIT: the exact pairs [[pairsCapped]] drops at
+    * `maxCandidatesPerDoc` vs the complete [[pairs]] serve — one row
+    * (n_pairs_full, n_pairs_capped, n_lost, loss_ratio). The full side is
+    * uncapped BY PURPOSE (audit cadence, not serve path); loss_ratio 0
+    * certifies the cap lossless at the current corpus, a rising ratio
+    * says the cap (or the index generation) is due for revision.
+    */
+  def cappedLossAudit(
+      index: SimJoinIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = Double.NaN): DataFrame = {
+    val full = pairs(index, batch, idCol, textCol, threshold)
+      .select("batch_id", "corpus_id").localCheckpoint()
+    val capped = pairsCapped(index, batch, idCol, textCol,
+      maxCandidatesPerDoc, threshold).select("batch_id", "corpus_id")
+    val nFull = full.count()
+    val nCapped = capped.count()
+    index.freq.sparkSession.range(1).select(
+      lit(nFull).as("n_pairs_full"),
+      lit(nCapped).as("n_pairs_capped"),
+      lit(nFull - nCapped).as("n_lost"),
+      round(lit((nFull - nCapped).toDouble / math.max(nFull, 1L)), 4)
+        .as("loss_ratio"))
+  }
+
+  /** The exact intersect verify of [[pairs]]/[[pairsCapped]]: join the
+    * candidate ids back to both sides' stored sorted sets, exact Jaccard,
+    * threshold filter.
+    */
+  private def verifyPairs(
+      index: SimJoinIndex,
+      batchSorted: DataFrame,
+      pairIds: DataFrame,
+      t: Double): DataFrame =
     pairIds
       .join(batchSorted.select(col("id").as("batch_id"), col("set").as("set_b")),
         Seq("batch_id"))
@@ -175,7 +269,6 @@ object SimJoinIndex {
         col("__inter") / (size(col("set_b")) + size(col("set_c")) - col("__inter")))
       .filter(col("__j") >= t)
       .select(col("batch_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
-  }
 
   /** The prefix-filter candidate join: batch prefix rows ⨝ corpus prefix
     * postings on the shingle hash, Jaccard length bound, distinct pairs —

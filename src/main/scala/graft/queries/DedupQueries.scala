@@ -121,6 +121,49 @@ object DedupQueries {
     }),
 
 
+    // CANDIDATE-BUDGETED persisted serve (SimJoinIndex.pairsCapped): at
+    // most 16 corpus candidates reach the exact verify per batch doc,
+    // ranked by shared-prefix-shingle evidence — the bound on the
+    // measured ~3×/decade candidate growth of the uncapped serve
+    // (BASELINE.md §r16). At this cap the served pair set is IDENTICAL,
+    // so it shares simjoin_persisted's full bipartite oracle — the capped
+    // path proven right; its recall price at a TIGHT cap is the pinned
+    // simjoin_capped_loss_audit record.
+    "simjoin_capped_serve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin1", dir) { tmp =>
+        graft.ops.SimJoinIndex.write(
+          graft.ops.SimJoinIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, threshold = 0.5), tmp)
+      }
+      graft.ops.SimJoinIndex.pairsCapped(
+          graft.ops.SimJoinIndex.read(s, idxDir),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          maxCandidatesPerDoc = 16)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // the cap's RECALL price as a declared record (SimJoinIndex
+    // .cappedLossAudit — the dedup_oversized_buckets evidence
+    // convention): full-vs-capped verified pair counts at a TIGHT cap of
+    // 1 candidate/doc, so the pinned record carries a real nonzero loss
+    // ratio alongside the lossless cap-16 serve above. Candidate ranking
+    // is xxhash-order JVM-side → pinned VALUES oracle.
+    "simjoin_capped_loss_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin1", dir) { tmp =>
+        graft.ops.SimJoinIndex.write(
+          graft.ops.SimJoinIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, threshold = 0.5), tmp)
+      }
+      graft.ops.SimJoinIndex.cappedLossAudit(
+        graft.ops.SimJoinIndex.read(s, idxDir),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        maxCandidatesPerDoc = 1)
+    }),
+
+
     // prefix-index MAINTENANCE serve (SimJoinIndex.append): the index is
     // built on 6/7 of the corpus, the held-out 1/7 folds in under the
     // FROZEN rarity order (one shingle pass over the delta only —
@@ -411,6 +454,48 @@ object DedupQueries {
     }),
 
 
+    // CANDIDATE-BUDGETED persisted LSH serve (MinHashIndex.queryCapped):
+    // at most 8 corpus candidates per batch doc reach the exact verify,
+    // ranked by matching-band count — the per-doc bound the corpus-side
+    // maxBucket guard cannot provide (bucket COUNT per doc still grows
+    // with the corpus; measured 2.7× in decade 2, BASELINE.md §r16). At
+    // this cap the pair set is identical, so it shares
+    // dedup_minhash_persisted's brute bipartite oracle; the tight-cap
+    // recall price is the pinned dedup_minhash_capped_loss_audit record.
+    "dedup_minhash_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.MinHashIndex.queryCapped(
+          graft.ops.MinHashIndex.read(s, idxDir), batch, "doc_id", "text",
+          maxCandidatesPerDoc = 8, threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // the LSH cap's recall price as a declared record (MinHashIndex
+    // .cappedLossAudit), at a tight cap of 1 — band-collision ranking is
+    // JVM-side xxhash → pinned VALUES oracle.
+    "dedup_minhash_capped_loss_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.MinHashIndex.cappedLossAudit(
+        graft.ops.MinHashIndex.read(s, idxDir), batch, "doc_id", "text",
+        maxCandidatesPerDoc = 1, threshold = 0.8)
+    }),
+
+
     // ERASURE on the persisted MinHash index (MinHashIndex.erase — the
     // delete half completing the build/write/read/query/append/erase
     // contract shared by all three persisted indexes): every 10th corpus
@@ -475,6 +560,27 @@ object DedupQueries {
   // recompute-per-run (simjoin_incremental) and persisted-index
   // (simjoin_persisted) serves. lazy: referenced by the oracles map
   // below (an eager val would still be null at its init).
+  /** Brute-force batch × corpus exact-Jaccard bipartite recompute for the
+    * mod-translated re-crawl batch — shared by the persisted LSH serve
+    * and its candidate-budgeted variant (both must produce the complete
+    * verified pair set at these parameters).
+    */
+  private lazy val MinhashPersistedBipartiteSql: String =
+    "WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
+      "bsets AS (SELECT doc_id, list_distinct(" +
+      "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
+      "csets AS (SELECT doc_id, list_distinct(" +
+      "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
+      "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
+      "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
+      "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
+      "FROM bsets b, csets c " +
+      "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
+      "ORDER BY batch_id, corpus_id"
+
   private lazy val SimjoinBipartiteSql: String =
     ("WITH sets AS (SELECT doc_id, list_distinct(" +
       "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
@@ -561,6 +667,19 @@ object DedupQueries {
     // the persisted-index serve must produce the IDENTICAL complete
     // pair set — shared oracle, not a lookalike
     "simjoin_persisted" -> SimjoinBipartiteSql,
+
+    // the cap-16 budgeted serve is LOSSLESS at this corpus — it must
+    // serve the identical complete pair set
+    "simjoin_capped_serve" -> SimjoinBipartiteSql,
+
+    // the tight-cap (1/doc) recall price, a real measured loss in the
+    // pinned record (14 → 13 pairs, 7.14%)
+    "simjoin_capped_loss_audit" ->
+      graft.PinnedOracles.sql("simjoin_capped_loss_audit"),
+
+    // the LSH tight-cap recall price (53 → 50 pairs, 5.66%)
+    "dedup_minhash_capped_loss_audit" ->
+      graft.PinnedOracles.sql("dedup_minhash_capped_loss_audit"),
 
     // append is exact: the maintained index serves the FULL-corpus
     // bipartite pair set
@@ -738,21 +857,11 @@ object DedupQueries {
 
     // identical semantics through the persisted index (deterministic
     // hashes — no model drift), so the incremental oracle carries over
-    "dedup_minhash_persisted" ->
-      ("WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149), " +
-        "bsets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM batch), " +
-        "csets AS (SELECT doc_id, list_distinct(" +
-        "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
-        "ELSE list_transform(range(len(string_split(text, ' ')) - 2), " +
-        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) END) AS s FROM documents) " +
-        "SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, " +
-        "round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4) AS jaccard " +
-        "FROM bsets b, csets c " +
-        "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
-        "ORDER BY batch_id, corpus_id"),
+    "dedup_minhash_persisted" -> MinhashPersistedBipartiteSql,
+
+    // the cap-8 budgeted LSH serve is lossless at this corpus (the loss
+    // audit pins 0) — it must serve the identical pair set
+    "dedup_minhash_capped" -> MinhashPersistedBipartiteSql,
 
 
     // erase is exact (content-deterministic signatures, keys-only

@@ -79,6 +79,32 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("queryCapped: generous cap equals query; tight cap bounds verified " +
+      "candidates per doc; loss-audit arithmetic holds") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val idx = MinHashIndex.build(corpus, "doc_id", "text")
+    val t = 0.3
+    val full = MinHashIndex.query(idx, batch, "doc_id", "text", threshold = t)
+      .collect().map(key).toSet
+    assert(full.nonEmpty)
+    assert(MinHashIndex.queryCapped(idx, batch, "doc_id", "text",
+      maxCandidatesPerDoc = 100000, threshold = t)
+      .collect().map(key).toSet == full)
+    val capped = MinHashIndex.queryCapped(idx, batch, "doc_id", "text",
+        maxCandidatesPerDoc = 1, threshold = t)
+      .collect().map(key).toSet
+    assert(capped.subsetOf(full))
+    assert(capped.groupBy(_._1).forall(_._2.size <= 1))
+    val a = MinHashIndex.cappedLossAudit(idx, batch, "doc_id", "text",
+      maxCandidatesPerDoc = 1, threshold = t).head()
+    assert(a.getLong(0) == full.size && a.getLong(1) == capped.size)
+    assert(a.getLong(2) == full.size - capped.size)
+    intercept[IllegalArgumentException](
+      MinHashIndex.queryCapped(idx, batch, "doc_id", "text", 0))
+  }
+
   test("erase equals a retained-corpus rebuild; erased docs never match again") {
     import spark.implicits._
     val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001)

@@ -202,6 +202,39 @@ class SimJoinSpec extends AnyFunSuite {
       SimJoinIndex.erase(idx, victims.withColumn("extra", col("doc_id"))))
   }
 
+  test("pairsCapped: generous cap serves the identical pair set; tight cap " +
+      "keeps at most N verified candidates per doc; audit arithmetic holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (i until i + 10).map(j => s"w${j % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = (0 until 12).map { i =>
+      (900L + i, (i * 2 until i * 2 + 10).map(j => s"w${j % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = SimJoinIndex.build(corpus, "doc_id", "text",
+      shingleK = 2, threshold = 0.3)
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = setOf(SimJoinIndex.pairs(idx, batch, "doc_id", "text"))
+    assert(full.nonEmpty)
+    // a cap at the corpus size cannot drop anything
+    assert(setOf(SimJoinIndex.pairsCapped(idx, batch, "doc_id", "text",
+      maxCandidatesPerDoc = 40)) == full)
+    // a tight cap serves a SUBSET with at most N pairs per batch doc
+    val capped = setOf(SimJoinIndex.pairsCapped(idx, batch, "doc_id", "text",
+      maxCandidatesPerDoc = 1))
+    assert(capped.subsetOf(full))
+    assert(capped.groupBy(_._1).forall(_._2.size <= 1))
+    // the audit's arithmetic matches the two serves it compares
+    val a = SimJoinIndex.cappedLossAudit(idx, batch, "doc_id", "text",
+      maxCandidatesPerDoc = 1).head()
+    assert(a.getLong(0) == full.size && a.getLong(1) == capped.size)
+    assert(a.getLong(2) == full.size - capped.size)
+    intercept[IllegalArgumentException](
+      SimJoinIndex.pairsCapped(idx, batch, "doc_id", "text", 0))
+  }
+
   test("pruneAudit measures frozen-order decay; rebuildFromSets re-freezes " +
       "without changing the pair set") {
     import spark.implicits._
