@@ -628,6 +628,30 @@ object EtlQueries {
         .orderBy("event_type")),
 
 
+    // ---- S9 QUARANTINE boundary: the paged DSv2 source read in RAW mode
+    //      (every payload line verbatim — the typed scan path hard-fails
+    //      malformed records by design) over a CORRUPTED page service,
+    //      routed through the SAME 3-lane classifier as the JSONL file
+    //      boundary (JsonRecords.parseWithQuarantine): ok /
+    //      schema_mismatch with the partial parse retained / malformed
+    //      with the raw line retained. One classifier for both ingest
+    //      paths; oracle recomputes every lane and checksum from the
+    //      documents table via the fixture's doc_id arithmetic ----
+    "s9_odata_quarantine" -> ((s, dir) => {
+      val raw = s.read.format("graft-pages")
+        .option("path", PagedFixture.corruptPagesDir(s, dir))
+        .option("raw", "true").load()
+      graft.sources.JsonRecords.parseWithQuarantine(raw, "record",
+          "doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .groupBy("ingest_status")
+        .agg(count(lit(1)).as("n"),
+          count(col("parsed_doc_id")).as("n_doc_id"),
+          count(col("parsed_lang")).as("n_lang"),
+          coalesce(sum(col("parsed_n_chars")), lit(0L)).as("sum_n_chars"))
+        .orderBy("ingest_status")
+    }),
+
+
     // ---- E2E: the reference's Method-2 incremental template as ONE lazy
     //      plan (its flagship composition, SURVEY.md §3.1): paged DSv2
     //      source with the refresh DATE WINDOW pushed down ($filter on the
@@ -957,6 +981,22 @@ object EtlQueries {
     "s9_odata_paged_source" ->
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
         "FROM events WHERE value >= 5.0 GROUP BY event_type ORDER BY event_type"),
+
+
+    // lanes and checksums replayed from the base table by the fixture's
+    // doc_id arithmetic: malformed (%11==3) parses all-NULL,
+    // schema_mismatch (%11==7) keeps doc_id/lang and NULLs only the
+    // mangled n_chars (PERMISSIVE partial-result contract), ok carries
+    // the full values; to_json omits NULL lang → parsed_lang NULL there
+    "s9_odata_quarantine" ->
+      ("WITH lanes AS (SELECT doc_id, lang, coalesce(n_chars, -1) AS n_chars, " +
+        "CASE WHEN doc_id % 11 = 3 THEN 'malformed' " +
+        "WHEN doc_id % 11 = 7 THEN 'schema_mismatch' ELSE 'ok' END AS ingest_status FROM documents) " +
+        "SELECT ingest_status, count(*) AS n, " +
+        "count(CASE WHEN ingest_status <> 'malformed' THEN doc_id END) AS n_doc_id, " +
+        "count(CASE WHEN ingest_status <> 'malformed' THEN lang END) AS n_lang, " +
+        "CAST(coalesce(sum(CASE WHEN ingest_status = 'ok' THEN n_chars END), 0) AS BIGINT) AS sum_n_chars " +
+        "FROM lanes GROUP BY ingest_status ORDER BY ingest_status"),
 
 
     // the "service" pages materialize events' columns (ts as an ISO-micros

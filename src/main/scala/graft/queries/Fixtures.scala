@@ -63,6 +63,57 @@ object Fixtures {
       }
       pages.toString
     }
+
+    private val corruptMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** A CORRUPTED page service for the raw-mode quarantine boundary:
+      * documents-table records serialized as page lines with the SAME
+      * doc_id-arithmetic mangles as the `jsonl_quarantine` fixture —
+      * %11==3 truncated mid-record (malformed), %11==7 n_chars mangled to
+      * a string (schema_mismatch with a partial parse) — so the DuckDB
+      * oracle replays every lane and value from the base table.
+      */
+    def corruptPagesDir(s: SparkSession, dir: String): String =
+      corruptMemo.computeIfAbsent(dir, _ => materializeCorrupt(s, dir))
+
+    private def materializeCorrupt(s: SparkSession, dir: String): String = {
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_pages_corrupt_v1_" + Integer.toHexString(dir.hashCode))
+      val pages = base.resolve("pages")
+      val marker = base.resolve("_SUCCESS")
+      if (!Files.exists(marker)) {
+        val tmp = Files.createTempDirectory("graft_cpages_build")
+        val tmpPages = Files.createDirectory(tmp.resolve("pages"))
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
+        val jsonLine = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+        val recs = docs
+          .withColumn("line",
+            when(col("doc_id") % 11 === 3,
+                jsonLine.substr(lit(1), length(jsonLine) - lit(2)))
+              .when(col("doc_id") % 11 === 7, regexp_replace(jsonLine,
+                lit("\"n_chars\":(-?[0-9]+)"), lit("\"n_chars\":\"x$1\"")))
+              .otherwise(jsonLine))
+          .orderBy("doc_id").select("line").collect().map(_.getString(0))
+        recs.grouped(200).zipWithIndex.foreach { case (page, i) =>
+          Files.writeString(tmpPages.resolve(f"page_$i%05d.json"), page.mkString("\n"))
+        }
+        Files.createFile(tmp.resolve("_SUCCESS"))
+        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.FileSystemException =>
+            def rm(p: Path): Unit = {
+              if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+              Files.deleteIfExists(p)
+            }
+            rm(tmp)
+        }
+      }
+      pages.toString
+    }
   }
 
   /** Persisted-index fixtures for the build-once/serve-many declared

@@ -47,6 +47,7 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
+    if (PagedScan.isRaw(options.asScala.toMap)) return PagedScan.RawSchema
     PageFetchers.from(options) match {
       // metadata-only driver pass; data reads stay in executors
       case FilePageFetcher(path) => spark.read.json(path).schema
@@ -64,16 +65,61 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagedTable(schema, PageFetchers.from(properties))
+    new PagedTable(schema, PageFetchers.from(properties),
+      PagedScan.isRaw(properties.asScala.toMap))
 }
 
-class PagedTable(tableSchema: StructType, fetcher: PageFetcher) extends Table with SupportsRead {
+class PagedTable(tableSchema: StructType, fetcher: PageFetcher, raw: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_pages($fetcher)"
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType =
+    if (raw) PagedScan.RawSchema else tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(tableSchema, fetcher)
+    if (raw) new RawPagedScanBuilder(fetcher)
+    else new PagedScanBuilder(tableSchema, fetcher)
+}
+
+/** RAW payload mode (`option("raw", "true")`): every page line comes back
+  * verbatim as one `record` string — the QUARANTINE ingest boundary. The
+  * typed scan path hard-fails a malformed payload record by design (a
+  * well-formed service contract); a scraped/drifting feed instead reads
+  * raw and routes through [[graft.sources.JsonRecords.parseWithQuarantine]]
+  * — the SAME 3-lane classifier (ok / schema_mismatch partial / malformed
+  * retained) as the JSONL file boundary, one classifier for both ingest
+  * paths. No pushdown in raw mode: nothing is parsed page-side, so every
+  * predicate stays a Spark post-scan filter (never a trusted-pushdown
+  * wrong-row hazard on unparseable records).
+  */
+class RawPagedScanBuilder(fetcher: PageFetcher) extends ScanBuilder {
+  override def build(): Scan = RawPagedScan(fetcher)
+}
+
+case class RawPagedScan(fetcher: PageFetcher) extends Scan with Batch {
+  override def readSchema(): StructType = PagedScan.RawSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-pages RAW $fetcher"
+  override def planInputPartitions(): Array[InputPartition] =
+    fetcher.planPages().zipWithIndex
+      .map { case (f, i) => PagePartition(f, i): InputPartition }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    RawPagedReaderFactory(fetcher)
+}
+
+case class RawPagedReaderFactory(fetcher: PageFetcher) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = fetcher.fetch(partition.asInstanceOf[PagePartition].pageRef)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          current = new GenericInternalRow(Array[Any](UTF8String.fromString(it.next())))
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
 }
 
 class PagedScanBuilder(fullSchema: StructType, fetcher: PageFetcher)
@@ -122,6 +168,12 @@ case class PagedScan(
 }
 
 object PagedScan {
+  /** The raw-mode wire schema: one verbatim payload line per row. */
+  val RawSchema: StructType = StructType(Seq(StructField("record", StringType)))
+
+  private[v2] def isRaw(props: Map[String, String]): Boolean =
+    props.get("raw").exists(_.equalsIgnoreCase("true"))
+
   /** Flat-field filters with primitive literals — the OData `$filter`
     * subset.
     */

@@ -25,6 +25,40 @@ class PagedJsonSourceSpec extends AnyFunSuite {
 
   private def read = spark.read.format("graft-pages").option("path", pagesDir).load()
 
+  test("raw mode: every payload line verbatim; quarantine classifier " +
+      "composes; malformed lines that CRASH the typed scan are retained") {
+    val dir = Files.createTempDirectory("graft_pages_raw")
+    Files.writeString(dir.resolve("page_0000.json"),
+      Seq("""{"id":1,"v":10}""", """{"id":2,"v":"x20"}""").mkString("\n"))
+    Files.writeString(dir.resolve("page_0001.json"),
+      """{"id":3,"v":3""") // truncated — malformed JSON
+    def raw = spark.read.format("graft-pages")
+      .option("path", dir.toString).option("raw", "true").load()
+    // verbatim lines, schema is the single record column
+    assert(raw.schema.fieldNames.toSeq == Seq("record"))
+    val lines = raw.collect().map(_.getString(0)).sorted.toSeq
+    assert(lines == Seq("""{"id":1,"v":10}""", """{"id":2,"v":"x20"}""",
+      """{"id":3,"v":3"""))
+    // the TYPED scan path hard-fails on the malformed page (by design)...
+    intercept[Exception](
+      spark.read.format("graft-pages")
+        .option("path", dir.toString).load().collect())
+    // ...while raw + parseWithQuarantine classifies all three lanes
+    val lanes = graft.sources.JsonRecords
+      .parseWithQuarantine(raw, "record", "id BIGINT, v BIGINT")
+      .select("ingest_status", "parsed_id", "parsed_v")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(lanes == Set(
+      ("ok", 1L, 10L),
+      ("schema_mismatch", 2L, null), // partial parse retained
+      ("malformed", null, null)))
+    // raw mode pushes nothing: a predicate must stay a post-scan filter
+    val plan = raw.filter(col("record").contains("x20"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("$filter"), plan)
+    assert(raw.filter(col("record").contains("x20")).count() == 1)
+  }
+
   test("S9: reads all pages; one partition per page") {
     val df = read
     assert(df.count() == 25)
