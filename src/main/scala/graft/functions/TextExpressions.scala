@@ -396,6 +396,67 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
   * Quality scoring runs this per document over the whole corpus — it is
   * map-side cost at 100 TB and must stay inside whole-stage codegen.
   */
+/** Count of code points NOT in `[a-zA-Z0-9 ]` — value-identical to
+  * `length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))` (matched ASCII chars
+  * are single bytes in UTF-8 and single code units in UTF-16, and every
+  * unmatched code point — including astral ones — counts exactly once on
+  * both sides), WITHOUT the regex engine or the replaced-string
+  * allocation: one byte scan (non-ASCII lead/continuation bytes are
+  * ≥ 0x80, so an ASCII-set byte test never miscounts inside a multi-byte
+  * sequence) subtracted from `numChars`. The punctuation-ratio leg of
+  * [[graft.ops.TextAnalysis.qualityScore]] — the ×100 probe measured the
+  * regex form dominating the quality cascade (BASELINE.md §r17).
+  */
+case class NonAlnumSpaceCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"non_alnum_space_count expects string, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    var matched = 0
+    var i = 0
+    val nb = s.numBytes()
+    while (i < nb) {
+      val b = s.getByte(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == ' ') matched += 1
+      i += 1
+    }
+    s.numChars() - matched
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val nb = ctx.freshName("nb")
+      val b = ctx.freshName("b")
+      val matched = ctx.freshName("matched")
+      s"""
+        int $matched = 0;
+        int $nb = $a.numBytes();
+        for (int $i = 0; $i < $nb; $i++) {
+          byte $b = $a.getByte($i);
+          if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') ||
+              ($b >= '0' && $b <= '9') || $b == ' ') $matched++;
+        }
+        ${ev.value} = $a.numChars() - $matched;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class StopwordCount(child: Expression, words: Seq[String]) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -823,6 +884,12 @@ object TextFunctions {
   /** Count of tokens (duplicates included) that appear in `words`. */
   def stopword_count(tokens: Column, words: Seq[String]): Column =
     ColumnInterop.column(StopwordCount(ColumnInterop.expression(tokens), words))
+
+  /** Code points outside `[a-zA-Z0-9 ]` — the regex-free punctuation
+    * counter (≡ `length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))`).
+    */
+  def non_alnum_space_count(text: Column): Column =
+    ColumnInterop.column(NonAlnumSpaceCount(ColumnInterop.expression(text)))
 
   /** Single-pass language ID over a token array; `langs` sorted by code. */
   def lang_id(tokens: Column, langs: Seq[(String, Seq[String])]): Column =

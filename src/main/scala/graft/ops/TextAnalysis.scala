@@ -279,10 +279,23 @@ object TextAnalysis {
     * heuristics for web-scale corpora (cf. C4/Gopher-style rules, public
     * literature). Deterministic, expression-only.
     */
-  def qualityScore(text: Column): Column = {
-    val tokens = split(text, " ")
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, split(text, " "))
+
+  /** [[qualityScore]] against a CALLER-SUPPLIED token array — the
+    * shared-subexpression form [[qualityFilter]] uses so one `split` per
+    * row feeds every cascade branch (CASE-branch subexpressions are
+    * excluded from codegen CSE, so without the shared column each branch
+    * re-split the text; the ×100 probe measured the cascade costing more
+    * than the sum of its legs from exactly that — BASELINE.md §r17). The
+    * punctuation leg is the native byte-scan
+    * [[graft.functions.NonAlnumSpaceCount]], value-identical to the old
+    * `length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))`.
+    */
+  private def qualityScoreOf(text: Column, tokens: Column): Column = {
     val nTok = size(tokens).cast("double")
-    val nonAlnum = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double")
+    val nonAlnum =
+      graft.functions.TextFunctions.non_alnum_space_count(text).cast("double")
     val punctRatio = nonAlnum / greatest(length(text).cast("double"), lit(1.0))
     val uniqRatio = size(array_distinct(tokens)).cast("double") / greatest(nTok, lit(1.0))
     val stopHits =
@@ -312,11 +325,21 @@ object TextAnalysis {
       maxRepetition: Double,
       minQuality: Double): DataFrame = {
     val t = col(textCol)
-    df.withColumn("reject_reason",
-      when(tokenCount(t) < minTokens, lit("too_short"))
-        .when(repetitionRatio(t, 3) > maxRepetition, lit("repetitive"))
-        .when(qualityScore(t) < minQuality, lit("low_quality"))
-        .otherwise(lit("kept")))
+    require(!df.columns.contains("__graft_toks"),
+      "input already has the internal column __graft_toks")
+    // the token array is projected ONCE and shared by every branch:
+    // CASE-branch subexpressions are excluded from codegen CSE, so the
+    // inline form re-split the text per branch (measured at ×100 as the
+    // cascade costing more than the sum of its legs; BASELINE.md §r17)
+    df.withColumn("__graft_toks", split(t, " "))
+      .withColumn("reject_reason",
+        when(size(col("__graft_toks")) < minTokens, lit("too_short"))
+          .when(repetitionRatioOf(col("__graft_toks"), 3) > maxRepetition,
+            lit("repetitive"))
+          .when(qualityScoreOf(t, col("__graft_toks")) < minQuality,
+            lit("low_quality"))
+          .otherwise(lit("kept")))
+      .drop("__graft_toks")
   }
 
   /** Per-source quality-score percentile calibration: each document's
@@ -446,8 +469,14 @@ object TextAnalysis {
   /** Within-document 3-gram repetition ratio (Gopher-style repetition
     * signal): 1 − |distinct 3-grams| / |3-grams|. 0 = no repetition.
     */
-  def repetitionRatio(text: Column, k: Int = 3): Column = {
-    val grams = graft.functions.TextFunctions.shingle_hash(split(text, " "), k)
+  def repetitionRatio(text: Column, k: Int = 3): Column =
+    repetitionRatioOf(split(text, " "), k)
+
+  /** [[repetitionRatio]] against a caller-supplied token array (the
+    * [[qualityFilter]] shared-subexpression form).
+    */
+  private def repetitionRatioOf(tokens: Column, k: Int): Column = {
+    val grams = graft.functions.TextFunctions.shingle_hash(tokens, k)
     round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 4)
   }
 

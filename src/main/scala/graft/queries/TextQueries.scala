@@ -326,12 +326,16 @@ object TextQueries {
     }),
 
 
-    // the curation operators composed END TO END as one lazy plan — the
-    // LLM-data analogue of e2e_method2_template: clone-injected corpus →
-    // quality rule cascade → 8-gram benchmark decontamination → exact
-    // dedup (deterministic winner). One declared query proves the stages
-    // compose without materialization barriers; each stage is also
-    // declared (and oracled) on its own.
+    // the curation operators composed END TO END — the LLM-data analogue
+    // of e2e_method2_template: clone-injected corpus → quality rule
+    // cascade → 8-gram benchmark decontamination → exact dedup
+    // (deterministic winner). Each stage is also declared (and oracled)
+    // on its own. `kept` is localCheckpoint'ed: decontaminate consumes
+    // its corpus TWICE (the gram-probe leg and the final anti-join leg),
+    // and without the pin both legs re-evaluate the quality cascade's
+    // per-row 3-gram/score expressions over the clone-injected union —
+    // the e2e_tokenize_pack shared-frame fix (r16), measured 37→23 s at
+    // the ×100 corpus (BASELINE.md §r17).
     "e2e_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val corpus = docs.unionByName(
@@ -340,6 +344,7 @@ object TextQueries {
       val kept = TextAnalysis.qualityFilter(corpus, "text",
           minTokens = 20, maxRepetition = 0.02, minQuality = 0.85)
         .filter(col("reject_reason") === "kept").drop("reject_reason")
+        .localCheckpoint()
       val clean = graft.ops.Decontaminate.decontaminate(
         kept, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 8)
       Dedup.exact(clean, keys = Seq("text"), keepBy = "doc_id")

@@ -110,3 +110,42 @@ class CharEntropySpec extends AnyFunSuite {
     assert(math.abs(got(0).getDouble(0) - interpreted("hello world")) < 1e-15)
   }
 }
+
+/** [[NonAlnumSpaceCount]] vs its regex oracle: the native byte scan must
+  * equal `length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))` on every
+  * input, including multi-byte and astral code points and NULLs, via both
+  * the codegen path and the interpreted eval.
+  */
+class NonAlnumSpaceCountSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.GraftSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("equals the regexp_replace length oracle on crafted and random text") {
+    val crafted = Seq(
+      "", " ", "abc", "a b c", "a,b.c!", "éàü", "héllo wörld!",
+      "日本語 text 123", "emoji 😀 pair", "tab\tnl\n", "ASCII only 42",
+      "!@#$%^&*()", "mixed é1! x")
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(200)(
+      // build from code-point-safe chunks so surrogate pairs stay paired
+      (0 until rnd.nextInt(30)).map { _ =>
+        val i = rnd.nextInt(10)
+        Seq("a", "b", " ", "1", ",", ".", "!", "é", "日", "😀")(i)
+      }.mkString)
+    val df = (crafted ++ random).toDF("t")
+    val mismatches = df.select(
+        graft.functions.TextFunctions.non_alnum_space_count(col("t")).as("native"),
+        length(regexp_replace(col("t"), "[a-zA-Z0-9 ]", "")).as("oracle"))
+      .filter(col("native") =!= col("oracle")).count()
+    assert(mismatches == 0)
+    // NULL propagates like the regex form
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(graft.functions.TextFunctions.non_alnum_space_count(col("t")))
+      .collect().head
+    assert(n.isNullAt(0))
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(NonAlnumSpaceCount(Literal("a,é 1")).eval(null) == 2)
+  }
+}
