@@ -22,13 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
 private[functions] final class WordMemo(cap: Int = 1 << 16) {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  // filled-slot counter: ConcurrentHashMap.size() scans the table, and a
+  // warm cache paid that scan on EVERY miss; the bound stays advisory
+  // (concurrent misses may overshoot by the thread count), correctness is
+  // unaffected either way (pure function, identical cached or not)
+  private val filled = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Cached tokens of `word`, or `encode`'s result (cached while room). */
   def getOrEncode(word: String)(encode: String => Array[UTF8String]): Array[UTF8String] = {
     var toks = cache.get(word)
     if (toks == null) {
       toks = encode(word)
-      if (cache.size < cap) cache.putIfAbsent(word, toks)
+      if (filled.get < cap && cache.putIfAbsent(word, toks) == null)
+        filled.incrementAndGet()
     }
     toks
   }

@@ -92,9 +92,13 @@ object JsonRecords {
     val corrupt = col("__graft_parsed").getField(CorruptCol)
     // a NULL parsed struct (empty/whitespace/NULL input never reaches the
     // parser) carries no corrupt marker — it must still quarantine
+    // the object probe distinguishes the two corrupt-marked lanes:
+    // json_object_keys is non-NULL only for a JSON OBJECT, so valid
+    // non-object JSON (`42`, `[1,2]`, `"str"` — no declared field could
+    // ever parse) routes to malformed, not schema_mismatch
     val status = when(col("__graft_parsed").isNull, lit("malformed"))
       .when(corrupt.isNull, lit("ok"))
-      .when(get_json_object(col(jsonCol), "$").isNotNull, lit("schema_mismatch"))
+      .when(json_object_keys(col(jsonCol)).isNotNull, lit("schema_mismatch"))
       .otherwise(lit("malformed"))
     val fieldCols: Seq[Column] = declared.fieldNames.toSeq.map(f =>
       col("__graft_parsed").getField(f).as(s"$prefix$f"))
@@ -119,8 +123,11 @@ object JsonRecords {
     val spark = df.sparkSession
     import spark.implicits._
     require(expected.nonEmpty, "expected field list must be non-empty")
+    // array_distinct: a pathological record repeating one top-level key
+    // must count ONCE, so n_present means records-carrying-the-key and
+    // never exceeds the record count
     val observed = df
-      .select(explode(json_object_keys(col(jsonCol))).as("field"))
+      .select(explode(array_distinct(json_object_keys(col(jsonCol)))).as("field"))
       .groupBy("field").agg(count(lit(1)).as("n_present"))
     val absent = expected.toDF("field")
       .join(observed, Seq("field"), "left_anti")

@@ -50,6 +50,22 @@ class JsonIngestSpec extends AnyFunSuite {
     assert(st == Seq("malformed", "malformed", "malformed"))
   }
 
+  test("quarantine: valid NON-OBJECT JSON is malformed, not schema_mismatch " +
+      "(no declared field could ever parse from a scalar or array)") {
+    val out = parse(Seq("42", "[1,2]", "\"str\"", "true"))
+      .select("ingest_status").collect().map(_.getString(0)).toSeq
+    assert(out == Seq.fill(4)("malformed"), out)
+  }
+
+  test("key drift: a record repeating one top-level key counts ONCE") {
+    val audited = JsonRecords.keyDriftAudit(
+        Seq("""{"id":1,"id":2}""", """{"id":3}""").toDF("line"), "line",
+        expected = Seq("id", "name"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audited("id") == 2, s"duplicate key inflated presence: $audited")
+    assert(audited("name") == 0)
+  }
+
   test("quarantine: input columns colliding with produced columns are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       JsonRecords.parseWithQuarantine(
