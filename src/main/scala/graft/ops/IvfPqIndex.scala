@@ -202,12 +202,20 @@ object IvfPqIndex {
       .join(served, Seq("n_id"), "left_semi")
       .localCheckpoint()
     val nServed = served.count()
-    val nCorpus = c.count()
-    require(nCorpus == nServed,
-      s"rebuild corpus covers $nCorpus of $nServed served ids: a served " +
-        "id missing from the raw-vector store (or a duplicated corpus id) " +
-        "would silently corrupt the rebuilt lists — reconcile the stores " +
-        "first (maintained_roots_consistency is the audit)")
+    // rows AND distinct ids in one aggregate: a duplicated corpus id and
+    // a missing served id must each fail on their own — a plain row-count
+    // compare would let one cancel the other and corrupt silently
+    val cov = c.agg(count(lit(1)).as("rows"),
+      countDistinct(col("n_id")).as("ids")).head()
+    val (nCorpus, nIds) = (cov.getLong(0), cov.getLong(1))
+    require(nIds == nServed,
+      s"rebuild corpus covers $nIds of $nServed served ids: a served id " +
+        "missing from the raw-vector store would silently vanish from " +
+        "the rebuilt lists — reconcile the stores first " +
+        "(maintained_roots_consistency is the audit)")
+    require(nCorpus == nIds,
+      s"rebuild corpus has $nCorpus rows for $nIds ids: duplicated corpus " +
+        "ids would encode a vector twice in the rebuilt lists")
     build(c, "n_id", "n_vec",
       nlist, numSubspaces, numCodes, lloydIters, residual, trainSampleMod)
   }

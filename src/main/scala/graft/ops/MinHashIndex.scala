@@ -110,18 +110,31 @@ object MinHashIndex {
       threshold: Double = 0.8,
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val batchSets = shingleSets(batch, idCol, textCol, index.shingleK)
+    val pairIds = collisionRows(index, batchSets, maxBucket)
+      .select("batch_id", "corpus_id")
+      .distinct()
+    verifyPairs(index, batchSets, pairIds, threshold)
+  }
+
+  /** One row per (band, bucket) collision between a batch doc and a
+    * corpus doc (oversized corpus buckets dropped) — the single generator
+    * both [[query]] (distinct → verify) and [[queryCapped]] (band-count
+    * evidence → top-N → verify) consume, so the capped serve provably
+    * scores exactly the uncapped serve's candidate set.
+    */
+  private def collisionRows(
+      index: MinHashIndex,
+      batchSets: DataFrame,
+      maxBucket: Int): DataFrame = {
     val batchBuckets = Dedup.minhashBuckets(batchSets, index.bands, index.rowsPerBand)
     val okBuckets = index.buckets.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
       .select("band", "bucket")
-    val pairIds = batchBuckets.withColumnRenamed("id", "batch_id")
+    batchBuckets.withColumnRenamed("id", "batch_id")
       .join(
         index.buckets.withColumnRenamed("id", "corpus_id")
           .join(okBuckets, Seq("band", "bucket")),
         Seq("band", "bucket"))
-      .select("batch_id", "corpus_id")
-      .distinct()
-    verifyPairs(index, batchSets, pairIds, threshold)
   }
 
   /** [[query]] with a SERVE-TIME CANDIDATE BUDGET: at most
@@ -150,17 +163,10 @@ object MinHashIndex {
     require(maxCandidatesPerDoc >= 1,
       s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
     val batchSets = shingleSets(batch, idCol, textCol, index.shingleK)
-    val batchBuckets = Dedup.minhashBuckets(batchSets, index.bands, index.rowsPerBand)
-    val okBuckets = index.buckets.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
-      .select("band", "bucket")
-    // band-collision evidence instead of a plain distinct: same bucket
-    // join as query(), aggregated per pair, then one per-batch-doc top-N
-    val scored = batchBuckets.withColumnRenamed("id", "batch_id")
-      .join(
-        index.buckets.withColumnRenamed("id", "corpus_id")
-          .join(okBuckets, Seq("band", "bucket")),
-        Seq("band", "bucket"))
+    // band-collision evidence instead of a plain distinct: the SAME
+    // collision rows as the uncapped serve (one shared generator),
+    // aggregated per pair, then one per-batch-doc top-N
+    val scored = collisionRows(index, batchSets, maxBucket)
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("__bands"))
     val w = org.apache.spark.sql.expressions.Window
@@ -193,6 +199,7 @@ object MinHashIndex {
       .select("batch_id", "corpus_id")
     val nFull = full.count()
     val nCapped = capped.count()
+    Checkpoints.free(full) // only the two counts survive into the result
     index.buckets.sparkSession.range(1).select(
       lit(nFull).as("n_pairs_full"),
       lit(nCapped).as("n_pairs_capped"),

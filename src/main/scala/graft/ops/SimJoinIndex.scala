@@ -199,15 +199,11 @@ object SimJoinIndex {
         SimJoin.gramsOf(batch, idCol, textCol, index.shingleK),
         index.freq, "left")
       .localCheckpoint()
-    // candidate evidence instead of a plain distinct: the SAME
-    // (batch-prefix ⨝ postings) shuffle as candidateIds, aggregated to
-    // shared-shingle counts, then one per-batch-doc top-N
-    val scored = SimJoin.prefixRows(batchSorted, t)
-      .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
-      .join(index.prefixes
-        .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
-      .filter(least(col("n_b"), col("n_c")) >=
-        lit(t) * greatest(col("n_b"), col("n_c")) - lit(SimJoin.BoundEps))
+    // candidate evidence instead of a plain distinct: the SAME candidate
+    // rows as the uncapped serve (one shared generator — candidateRows —
+    // so the two serves provably score identical candidates), aggregated
+    // to shared-shingle counts, then one per-batch-doc top-N
+    val scored = candidateRows(index.prefixes, batchSorted, t)
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("__shared"))
     val w = org.apache.spark.sql.expressions.Window
@@ -240,6 +236,7 @@ object SimJoinIndex {
       maxCandidatesPerDoc, threshold).select("batch_id", "corpus_id")
     val nFull = full.count()
     val nCapped = capped.count()
+    Checkpoints.free(full) // only the two counts survive into the result
     index.freq.sparkSession.range(1).select(
       lit(nFull).as("n_pairs_full"),
       lit(nCapped).as("n_pairs_capped"),
@@ -279,14 +276,26 @@ object SimJoinIndex {
       corpusPrefixes: DataFrame,
       batchSorted: DataFrame,
       t: Double): DataFrame =
+    candidateRows(corpusPrefixes, batchSorted, t)
+      .select("batch_id", "corpus_id")
+      .distinct()
+
+  /** One candidate ROW per (matching prefix shingle, batch doc, corpus
+    * doc) surviving the Jaccard length bound — the single generator both
+    * [[pairs]] (distinct → verify) and [[pairsCapped]] (count evidence →
+    * top-N → verify) consume, so the capped serve provably scores exactly
+    * the uncapped serve's candidate set.
+    */
+  private def candidateRows(
+      corpusPrefixes: DataFrame,
+      batchSorted: DataFrame,
+      t: Double): DataFrame =
     SimJoin.prefixRows(batchSorted, t)
       .select(col("h"), col("id").as("batch_id"), col("n").as("n_b"))
       .join(corpusPrefixes
         .select(col("h"), col("id").as("corpus_id"), col("n").as("n_c")), Seq("h"))
       .filter(least(col("n_b"), col("n_c")) >=
         lit(t) * greatest(col("n_b"), col("n_c")) - lit(SimJoin.BoundEps))
-      .select("batch_id", "corpus_id")
-      .distinct()
 
   /** PRUNING-DECAY AUDIT for the frozen rarity order: as the corpus
     * drifts from the statistics the order was frozen on (the first

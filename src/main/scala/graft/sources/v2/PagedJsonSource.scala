@@ -171,8 +171,12 @@ object PagedScan {
   /** The raw-mode wire schema: one verbatim payload line per row. */
   val RawSchema: StructType = StructType(Seq(StructField("record", StringType)))
 
+  // getTable receives the ORIGINAL-case option map while inferSchema gets
+  // the lowercased CaseInsensitiveStringMap (the PageFetchers.from gotcha)
+  // — normalize keys here so the two callers can never disagree on raw
   private[v2] def isRaw(props: Map[String, String]): Boolean =
-    props.get("raw").exists(_.equalsIgnoreCase("true"))
+    props.collectFirst { case (k, v) if k.equalsIgnoreCase("raw") => v }
+      .exists(_.equalsIgnoreCase("true"))
 
   /** Flat-field filters with primitive literals — the OData `$filter`
     * subset.

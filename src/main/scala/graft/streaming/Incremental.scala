@@ -86,9 +86,11 @@ object Incremental {
   /** EXCLUSIVE MUTATOR LEASE on a maintained index root. Every mutator —
     * a [[runBatchCommitted]] maintainer run, a compaction, an erase, a
     * model rebuild's multi-pass read — runs under this fence: the
-    * `_graft_lease` marker is created atomically (create WITHOUT
-    * overwrite, atomic on HDFS and local filesystems; object stores
-    * without atomic create need an external lock service), so when two
+    * `_graft_lease` marker is created atomically (NIO `O_EXCL` create on
+    * local paths — Hadoop's local create-without-overwrite is a
+    * non-atomic exists-then-create — and the atomic namespace create on
+    * HDFS-class stores; object stores without atomic create need an
+    * external lock service), so when two
     * mutators interleave the LOSER FAILS LOUDLY before touching a byte —
     * instead of, say, a compaction sweeping a batch dir whose erase
     * rewrite then lands nowhere (victims silently resurfacing) or a
@@ -108,23 +110,42 @@ object Incremental {
       what: String,
       holder: String)(body: => T): T = {
     val lease = new org.apache.hadoop.fs.Path(root, LeaseName)
-    val out =
-      try fs.create(lease, false)
-      catch {
-        case e: java.io.IOException =>
-          val held =
-            try readUtf8(conf, lease).trim
-            catch { case _: Exception => "holder unreadable" }
-          throw new IllegalStateException(
-            s"$what at $root is LEASED by a concurrent mutator ($held): " +
-              "maintain/compact/erase/rebuild must not interleave on one " +
-              "root — wait for the holder, or if it crashed, clear the " +
-              "lease with Incremental.breakRootLease (every mutator is " +
-              "crash-idempotent, so the re-run completes its work)", e)
+    val token = s"holder=$holder pid=${ProcessHandle.current().pid()} " +
+      s"nonce=${java.util.UUID.randomUUID()}"
+    def leasedError(e: Exception): Nothing = {
+      val held =
+        try readUtf8(conf, lease).trim
+        catch { case _: Exception => "holder unreadable" }
+      throw new IllegalStateException(
+        s"$what at $root is LEASED by a concurrent mutator ($held): " +
+          "maintain/compact/erase/rebuild must not interleave on one " +
+          "root — wait for the holder, or if it crashed, clear the " +
+          "lease with Incremental.breakRootLease (every mutator is " +
+          "crash-idempotent, so the re-run completes its work)", e)
+    }
+    try {
+      if (lease.toUri.getScheme == null || lease.toUri.getScheme == "file") {
+        // local filesystems: Hadoop's create(overwrite=false) is a
+        // non-atomic exists-check-then-create — use NIO's O_EXCL create
+        // (token written after; the CREATE is the lock)
+        val p = java.nio.file.Paths.get(
+          fs.makeQualified(lease).toUri.getPath)
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.writeString(p, token)
+      } else {
+        // HDFS-class stores: create-no-overwrite is an atomic namespace op
+        val out = fs.create(lease, false)
+        // a failure AFTER the atomic create must not orphan the lease
+        try out.write(token.getBytes("UTF-8"))
+        catch { case e: Throwable => out.close(); fs.delete(lease, false); throw e }
+        out.close()
       }
-    try out.write((s"holder=$holder pid=${ProcessHandle.current().pid()} " +
-      s"nonce=${java.util.UUID.randomUUID()}").getBytes("UTF-8"))
-    finally out.close()
+    } catch {
+      // only already-exists means "someone holds it" — other IO failures
+      // (permissions, read-only store) surface as themselves
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => leasedError(e)
+      case e: java.nio.file.FileAlreadyExistsException => leasedError(e)
+    }
     try body finally fs.delete(lease, false)
   }
 

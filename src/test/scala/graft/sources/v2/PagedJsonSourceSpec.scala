@@ -52,6 +52,11 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       ("ok", 1L, 10L),
       ("schema_mismatch", 2L, null), // partial parse retained
       ("malformed", null, null)))
+    // the raw flag is case-insensitive on BOTH schema-inference and
+    // table-build paths (getTable sees the original-case option map)
+    assert(spark.read.format("graft-pages").option("path", dir.toString)
+      .option("RAW", "TRUE").load()
+      .collect().map(_.getString(0)).sorted.toSeq == lines)
     // raw mode pushes nothing: a predicate must stay a post-scan filter
     val plan = raw.filter(col("record").contains("x20"))
       .queryExecution.executedPlan.toString
