@@ -672,14 +672,10 @@ object DedupQueries {
     // serve the identical complete pair set
     "simjoin_capped_serve" -> SimjoinBipartiteSql,
 
-    // the tight-cap (1/doc) recall price, a real measured loss in the
-    // pinned record (14 → 13 pairs, 7.14%)
-    "simjoin_capped_loss_audit" ->
-      graft.PinnedOracles.sql("simjoin_capped_loss_audit"),
-
-    // the LSH tight-cap recall price (53 → 50 pairs, 5.66%)
-    "dedup_minhash_capped_loss_audit" ->
-      graft.PinnedOracles.sql("dedup_minhash_capped_loss_audit"),
+    // the tight-cap loss audits (simjoin_capped_loss_audit 14→13 pairs
+    // 7.14%, dedup_minhash_capped_loss_audit 53→50 5.66%) carry pinned
+    // oracles — PinnedOracles auto-joins them by key (a family-map entry
+    // for a pinned key is rejected by composedOracles)
 
     // append is exact: the maintained index serves the FULL-corpus
     // bipartite pair set

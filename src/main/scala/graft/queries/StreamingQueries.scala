@@ -775,9 +775,8 @@ object StreamingQueries {
     // deterministic frozen-model encode: streamed maintenance serves
     // exactly like the batch append — shared pin
     "stream_knn_maintain" -> graft.PinnedOracles.sql("knn_index_append"),
-    "knn_maintained_recall_audit" ->
-      graft.PinnedOracles.sql("knn_maintained_recall_audit"),
-    "knn_maintained_rebuild" -> graft.PinnedOracles.sql("knn_maintained_rebuild"),
+    // knn_maintained_recall_audit / knn_maintained_rebuild carry pinned
+    // oracles under their OWN keys — PinnedOracles auto-joins them
 
     // the frozen rarity order never changes the pair set (exact verify):
     // shared full-corpus bipartite oracle

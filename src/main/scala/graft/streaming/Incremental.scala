@@ -2203,6 +2203,54 @@ object Incremental {
     graft.ops.IvfPqIndex.read(spark, destPath)
   }
 
+  /** Rebuild-cadence POLICY gate — the [[compactIfStale]] counterpart for
+    * MODEL quality: measure the maintained root's frozen-model recall
+    * with [[graft.ops.IvfPqIndex.recallAudit]] and run
+    * [[rebuildIvfPqMaintained]] into `destPath` iff it has drifted below
+    * `minRecall`. The one knob a production maintainer calls on its audit
+    * cadence so model staleness is bounded by policy, not hope:
+    * {{{
+    * Incremental.streamIvfPqMaintain(spark, src, root, "id", "vec")
+    * Incremental.rebuildIfDrifted(spark, root, s"$root-gen2", corpus,
+    *   "id", "vec", queries, minRecall = 0.8, k = 5)
+    * }}}
+    * Returns Some((measuredRecall, rebuiltIndex)) when it rebuilt, None
+    * with the root untouched when recall is within budget (the common
+    * case — one audit job, no rebuild). The audit's brute-force side is
+    * query-set × corpus sized BY PURPOSE (audit cadence, not serve path);
+    * keep `queries` a representative sample. On rebuild the caller cuts
+    * the serve path over to `destPath` (blue/green — see
+    * [[rebuildIvfPqMaintained]]).
+    */
+  def rebuildIfDrifted(
+      spark: SparkSession,
+      indexPath: String,
+      destPath: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      minRecall: Double,
+      k: Int,
+      nprobe: Int = 8,
+      nlist: Int = 16,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      lloydIters: Int = 2,
+      residual: Boolean = true,
+      trainSampleMod: Int = 1): Option[(Double, graft.ops.IvfPqIndex)] = {
+    require(minRecall > 0.0 && minRecall <= 1.0,
+      s"minRecall must be in (0, 1]: $minRecall")
+    val maintained = readIvfPqMaintained(spark, indexPath)
+    val recall = graft.ops.IvfPqIndex
+      .recallAudit(maintained, queries, corpus, idCol, vecCol, k, nprobe)
+      .head().getAs[Double]("recall_at_k")
+    if (recall >= minRecall) None
+    else Some((recall, rebuildIvfPqMaintained(spark, indexPath, destPath,
+      corpus, idCol, vecCol, nlist, numSubspaces, numCodes, lloydIters,
+      residual, trainSampleMod)))
+  }
+
   /** Streaming prefix-filter similarity-index maintenance —
     * [[runBatchCommitted]] applied to [[graft.ops.SimJoinIndex]]. The
     * FIRST batch freezes the model: its shingle document frequencies

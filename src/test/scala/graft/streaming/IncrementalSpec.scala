@@ -659,6 +659,55 @@ class IncrementalSpec extends AnyFunSuite {
       spark, s"$tmp/src", s"$tmp/nothere", "vec_id", "embedding"))
   }
 
+  test("rebuildIfDrifted: within-budget recall is a no-op; drifted recall " +
+      "rebuilds the next generation that recovers the planted clone") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // the IvfPqIndexSpec drift geometry: region A (dims 0-3, pre-freeze)
+    // trains the model; region B (dims 4-7, post-freeze) streams in and
+    // is invisible to the frozen model's probe/ADC (exact zero ties)
+    val bases = Array(
+      Array(200.0, 10.0, 1.0, 1.0), Array(1.0, 200.0, 10.0, 1.0),
+      Array(1.0, 1.0, 200.0, 10.0), Array(10.0, 1.0, 1.0, 200.0))
+    val a = (0L until 16L).map { i =>
+      val g = (i % 4).toInt
+      val v = bases(g).clone(); v((g + 2) % 4) += i * 0.25
+      (i, v ++ Array(0.0, 0.0, 0.0, 0.0))
+    }
+    val dirs = (for { i <- 0 until 4; j <- 0 until 4 if i != j } yield {
+      val v = Array.fill(4)(0.0); v(i) = 60.0; v(j) = 80.0; v }).toIndexedSeq
+    val b = dirs.zipWithIndex.map { case (d, i) =>
+      (200L + i, Array(0.0, 0.0, 0.0, 0.0) ++ d) }
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft_ivfdrift").toString
+    graft.ops.IvfPqIndex.write(
+      graft.ops.IvfPqIndex.build(corpus.filter(col("vec_id") < 100L),
+        "vec_id", "embedding", nlist = 4, numSubspaces = 2, numCodes = 4),
+      s"$tmp/index")
+    corpus.filter(col("vec_id") >= 100L).repartition(1)
+      .write.parquet(s"$tmp/src")
+    Incremental.streamIvfPqMaintain(spark, s"$tmp/src", s"$tmp/index",
+      "vec_id", "embedding")
+    val probe = Seq((500L, b.last._2)).toDF("vec_id", "embedding")
+    // within budget: NO rebuild, destination never created
+    assert(Incremental.rebuildIfDrifted(spark, s"$tmp/index", s"$tmp/gen2",
+      corpus, "vec_id", "embedding", probe, minRecall = 0.1, k = 3,
+      nprobe = 2, nlist = 4, numSubspaces = 2, numCodes = 4).isEmpty)
+    assert(!new java.io.File(s"$tmp/gen2").exists())
+    // drifted below budget: rebuild fires, reports the measured recall,
+    // and the next generation recovers the planted region-B clone
+    val Some((recall, rebuilt)) = Incremental.rebuildIfDrifted(spark,
+      s"$tmp/index", s"$tmp/gen2", corpus, "vec_id", "embedding", probe,
+      minRecall = 0.9, k = 3, nprobe = 2, nlist = 4, numSubspaces = 2,
+      numCodes = 4): @unchecked
+    assert(recall < 0.9, s"fixture recall $recall")
+    val top = graft.ops.IvfPqIndex.topK(rebuilt, probe, corpus,
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(top.head.getLong(1) == b.last._1 && top.head.getDouble(2) == 1.0,
+      s"rebuilt generation must recover the clone: ${top.toSeq}")
+  }
+
   test("rebuildIvfPqMaintained: fresh retrained generation serves the same " +
       "id universe; the old root is untouched; in-place rebuild refused") {
     import org.apache.spark.sql.functions.col
