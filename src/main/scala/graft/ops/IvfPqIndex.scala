@@ -242,8 +242,40 @@ object IvfPqIndex {
       k: Int,
       nprobe: Int = 8,
       fetchFactor: Int = 4,
-      label: String = "frozen"): DataFrame = {
-    val served = index.lists.select(col("n_id")).distinct()
+      label: String = "frozen"): DataFrame =
+    recallAudits(Seq(label -> index), queries, corpus, idCol, vecCol,
+      k, nprobe, fetchFactor)
+
+  /** [[recallAudit]] over SEVERAL indexes serving the SAME id universe —
+    * the fleet form for the rebuild cadence (frozen maintained root vs
+    * its rebuilt generation): the corpus-sized brute-force ground truth
+    * is computed ONCE and every index pays only its own (pruned) serve.
+    * Requires a genuinely shared universe (checked by one count each —
+    * differing universes would make recalls incomparable AND silently
+    * attribute coverage gaps to model quality). One row per label.
+    */
+  def recallAudits(
+      indexes: Seq[(String, IvfPqIndex)],
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 8,
+      fetchFactor: Int = 4): DataFrame = {
+    require(indexes.nonEmpty, "at least one (label, index) is required")
+    val served = indexes.head._2.lists.select(col("n_id")).distinct()
+      .localCheckpoint() // anchors the shared universe + the semi-join
+    val nServed = served.count()
+    indexes.drop(1).foreach { case (label, ix) =>
+      val nOther = ix.lists.select(col("n_id")).distinct()
+        .join(served, Seq("n_id"), "left_semi").count()
+      require(nOther == nServed &&
+          ix.lists.select(col("n_id")).distinct().count() == nServed,
+        s"index '$label' serves a different id universe than " +
+          s"'${indexes.head._1}' ($nOther shared of $nServed): recalls " +
+          "against one ground truth would be incomparable")
+    }
     val indexed = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(served, Seq("n_id"), "left_semi")
@@ -252,18 +284,20 @@ object IvfPqIndex {
         queries.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
         indexed, "n_id", "n_vec", k)
       .select(col("q_id"), col("n_id"))
-      .localCheckpoint() // |Q| × k rows; feeds the denominator AND the hit probe
-    val ann = topK(index, queries, corpus, idCol, vecCol, k, nprobe, fetchFactor)
-      .select(col("q_id"), col("n_id"))
+      .localCheckpoint() // |Q| × k rows; feeds every denominator + hit probe
     val denom = exact.agg(count(lit(1)).cast("double").as("__n"))
-    ann.join(exact, Seq("q_id", "n_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hits"))
-      .crossJoin(broadcast(denom))
-      .select(
-        lit(label).as("model"),
-        col("__n").cast("bigint").as("n_truth"),
-        col("n_hits"),
-        round(col("n_hits") / col("__n"), 4).as("recall_at_k"))
+    indexes.map { case (label, ix) =>
+      topK(ix, queries, corpus, idCol, vecCol, k, nprobe, fetchFactor)
+        .select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(denom))
+        .select(
+          lit(label).as("model"),
+          col("__n").cast("bigint").as("n_truth"),
+          col("n_hits"),
+          round(col("n_hits") / col("__n"), 4).as("recall_at_k"))
+    }.reduce(_ unionByName _)
   }
 
   /** ADC search over a built (or loaded) index, exact-reranked against the

@@ -620,14 +620,17 @@ object StreamingQueries {
     // drift-and-recovery proof is in IvfPqIndexSpec.
     "knn_maintained_recall_audit" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") < 100)
-      graft.ops.IvfPqIndex.recallAudit(
-          graft.streaming.Incremental.readIvfPqMaintained(
-            s, s"${ivfpqStreamFixture(s, dir)}/index"),
-          q, emb, "vec_id", "embedding", k = 5, nprobe = 8, label = "frozen")
-        .unionByName(graft.ops.IvfPqIndex.recallAudit(
-          graft.ops.IvfPqIndex.read(s, s"${ivfpqRebuildFixture(s, dir)}/index"),
-          q, emb, "vec_id", "embedding", k = 5, nprobe = 8, label = "rebuilt"))
+      // the fleet form: both generations serve the SAME id universe
+      // (rebuild preserves it — spec-asserted), so the corpus-sized
+      // brute-force ground truth is computed ONCE for the pair
+      graft.ops.IvfPqIndex.recallAudits(
+          Seq(
+            "frozen" -> graft.streaming.Incremental.readIvfPqMaintained(
+              s, s"${ivfpqStreamFixture(s, dir)}/index"),
+            "rebuilt" -> graft.ops.IvfPqIndex.read(
+              s, s"${ivfpqRebuildFixture(s, dir)}/index")),
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
+          k = 5, nprobe = 8)
         .orderBy("model")
     }),
 
