@@ -179,6 +179,107 @@ object MinHashIndex {
     verifyPairs(index, batchSets, pairIds, threshold)
   }
 
+  /** [[queryCapped]] with a POSTING-LENGTH BUDGET on the probe stage —
+    * the minhash twin of [[SimJoinIndex.pairsBudgeted]]: [[queryCapped]]
+    * bounds the exact verify per batch doc, but its band-evidence
+    * aggregation still consumes every probed bucket posting row, and
+    * bucket postings grow with the corpus (the 2.7× decade-2 growth of
+    * the uncapped serve, BASELINE.md §r16 — `maxBucket` only DROPS
+    * pathological buckets wholesale; survivors keep growing toward it).
+    * Here at most `maxPostingsPerBucket` corpus rows per probed (band,
+    * bucket) reach the collision join, in content-hash order
+    * (xxhash64(id), then id) — minhash buckets carry no intrinsic rank,
+    * so the truncation is a deterministic unbiased sample rather than an
+    * id-ascending bias toward old documents. The oversized-bucket guard
+    * still applies FIRST over the full bucket population (full-corpus
+    * counts — the semi-join restricts to probed buckets but keeps every
+    * member row), so budgeted collision rows are provably a subset of
+    * the uncapped serve's. A budget ≥ the largest surviving probed
+    * bucket serves the identical pair set (the declared
+    * `dedup_minhash_probe_budget` query shares
+    * `dedup_minhash_persisted`'s oracle at such a budget); the recall
+    * price at a tight budget is the declared [[probeBudgetLossAudit]]
+    * record.
+    */
+  def queryBudgeted(
+      index: MinHashIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostingsPerBucket: Int,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxPostingsPerBucket >= 1,
+      s"maxPostingsPerBucket must be >= 1: $maxPostingsPerBucket")
+    require(maxCandidatesPerDoc >= 1,
+      s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
+    val batchSets = shingleSets(batch, idCol, textCol, index.shingleK)
+    // probed-bucket set AND the collision join both read this; checkpointed
+    // like [[SimJoinIndex.pairs]]' batchSorted (freeing here would drop the
+    // blocks while the returned lazy plan still references them)
+    val batchBuckets = Dedup.minhashBuckets(batchSets, index.bands, index.rowsPerBand)
+      .localCheckpoint()
+    val probed = batchBuckets.select("band", "bucket").distinct()
+    // probed corpus rows only (semi-join — broadcast, no corpus shuffle);
+    // counts below are still FULL-bucket counts: the semi-join drops whole
+    // buckets, never members of a kept bucket
+    val probedCorpus = index.buckets
+      .join(probed, Seq("band", "bucket"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket")
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+    val budgeted = probedCorpus
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .withColumn("__pp", row_number().over(w))
+      .filter(col("__pp") <= maxPostingsPerBucket)
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+    val scored = batchBuckets.withColumnRenamed("id", "batch_id")
+      .join(budgeted, Seq("band", "bucket"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("__bands"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_id")
+      .orderBy(col("__bands").desc, col("corpus_id").asc)
+    val pairIds = scored
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= maxCandidatesPerDoc)
+      .select("batch_id", "corpus_id")
+    verifyPairs(index, batchSets, pairIds, threshold)
+  }
+
+  /** POSTING-BUDGET LOSS AUDIT: the verified pairs [[queryBudgeted]]
+    * drops at (`maxPostingsPerBucket`, `maxCandidatesPerDoc`) vs the
+    * complete [[query]] serve — one row (n_pairs_full, n_pairs_capped,
+    * n_lost, loss_ratio), the [[cappedLossAudit]] convention.
+    */
+  def probeBudgetLossAudit(
+      index: MinHashIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostingsPerBucket: Int,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val full = query(index, batch, idCol, textCol, threshold, maxBucket)
+      .select("batch_id", "corpus_id").localCheckpoint()
+    val capped = queryBudgeted(index, batch, idCol, textCol,
+      maxPostingsPerBucket, maxCandidatesPerDoc, threshold, maxBucket)
+      .select("batch_id", "corpus_id")
+    val nFull = full.count()
+    val nCapped = capped.count()
+    Checkpoints.free(full) // only the two counts survive into the result
+    index.buckets.sparkSession.range(1).select(
+      lit(nFull).as("n_pairs_full"),
+      lit(nCapped).as("n_pairs_capped"),
+      lit(nFull - nCapped).as("n_lost"),
+      round(lit((nFull - nCapped).toDouble / math.max(nFull, 1L)), 4)
+        .as("loss_ratio"))
+  }
+
   /** CANDIDATE-CAP LOSS AUDIT: the verified pairs [[queryCapped]] drops
     * at `maxCandidatesPerDoc` vs the complete [[query]] serve — one row
     * (n_pairs_full, n_pairs_capped, n_lost, loss_ratio). Full side

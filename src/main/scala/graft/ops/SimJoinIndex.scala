@@ -216,6 +216,106 @@ object SimJoinIndex {
     verifyPairs(index, batchSorted, pairIds, t)
   }
 
+  /** [[pairsCapped]] with a POSTING-LENGTH BUDGET on the probe stage —
+    * the last unbounded serve term: [[pairsCapped]] bounds the exact
+    * VERIFY per batch doc, but its candidate-evidence aggregation still
+    * consumes every probed posting row, and posting lists grow with the
+    * corpus (the probe stage grew 2.2× in decade 2 of the ×100 probe,
+    * BASELINE.md §r17). Here at most `maxPostingsPerShingle` corpus
+    * posting rows per probed shingle hash reach the candidate join —
+    * smallest sets first (`n` asc, then id asc for determinism): a
+    * small-set doc has the SHORTEST prefix, i.e. the fewest other
+    * shingles to be rediscovered by, so truncation keeps the rows whose
+    * recall is most fragile, while large-set docs survive via their many
+    * other prefix shingles. Rare shingles (short postings) are never
+    * truncated — the budget bites exactly the boilerplate-heavy lists.
+    * Downstream fan-out (candidate join output, evidence aggregation,
+    * verify) becomes O(probed shingles · budget) instead of O(probed
+    * posting rows · batch fan-out); the remaining corpus term is one
+    * columnar SCAN + one pre-fan-out exchange of the probed postings.
+    * A budget ≥ the longest probed posting serves the identical exact
+    * pair set (the declared `simjoin_probe_budget_serve` query shares
+    * `simjoin_persisted`'s oracle at such a budget); the recall price at
+    * a tight budget is the declared [[probeBudgetLossAudit]] record.
+    */
+  def pairsBudgeted(
+      index: SimJoinIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostingsPerShingle: Int,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = Double.NaN): DataFrame = {
+    require(maxPostingsPerShingle >= 1,
+      s"maxPostingsPerShingle must be >= 1: $maxPostingsPerShingle")
+    require(maxCandidatesPerDoc >= 1,
+      s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
+    val t = if (threshold.isNaN) index.threshold else threshold
+    require(t <= 1.0 && t >= index.threshold - 1e-12,
+      s"serve threshold $t below build threshold ${index.threshold}: the " +
+        "stored prefixes are complete only for t >= the build threshold " +
+        "(rebuild the index for a looser join)")
+    val batchSorted = SimJoin.sortedUnder(
+        SimJoin.gramsOf(batch, idCol, textCol, index.shingleK),
+        index.freq, "left")
+      .localCheckpoint()
+    // restrict to the PROBED postings first (semi-join against the batch's
+    // prefix hashes — broadcast, no corpus shuffle), then one per-shingle
+    // top-N; only then the fan-out join. The budgeted posting rows are a
+    // subset of the rows [[candidateRows]] would join, so the budgeted
+    // candidate set is provably a subset of the uncapped serve's.
+    val probed = SimJoin.prefixRows(batchSorted, t).select("h").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h")
+      .orderBy(col("n").asc, col("id").asc)
+    val budgetedPostings = index.prefixes
+      .join(probed, Seq("h"), "left_semi")
+      .withColumn("__pp", row_number().over(w))
+      .filter(col("__pp") <= maxPostingsPerShingle)
+      .select("h", "id", "n")
+    val scored = candidateRows(budgetedPostings, batchSorted, t)
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("__shared"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_id")
+      .orderBy(col("__shared").desc, col("corpus_id").asc)
+    val pairIds = scored
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= maxCandidatesPerDoc)
+      .select("batch_id", "corpus_id")
+    verifyPairs(index, batchSorted, pairIds, t)
+  }
+
+  /** POSTING-BUDGET LOSS AUDIT: the exact pairs [[pairsBudgeted]] drops
+    * at (`maxPostingsPerShingle`, `maxCandidatesPerDoc`) vs the complete
+    * [[pairs]] serve — one row (n_pairs_full, n_pairs_capped, n_lost,
+    * loss_ratio), the [[cappedLossAudit]] convention. loss_ratio 0
+    * certifies the budget pair lossless at the current corpus.
+    */
+  def probeBudgetLossAudit(
+      index: SimJoinIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostingsPerShingle: Int,
+      maxCandidatesPerDoc: Int,
+      threshold: Double = Double.NaN): DataFrame = {
+    val full = pairs(index, batch, idCol, textCol, threshold)
+      .select("batch_id", "corpus_id").localCheckpoint()
+    val capped = pairsBudgeted(index, batch, idCol, textCol,
+      maxPostingsPerShingle, maxCandidatesPerDoc, threshold)
+      .select("batch_id", "corpus_id")
+    val nFull = full.count()
+    val nCapped = capped.count()
+    Checkpoints.free(full) // only the two counts survive into the result
+    index.freq.sparkSession.range(1).select(
+      lit(nFull).as("n_pairs_full"),
+      lit(nCapped).as("n_pairs_capped"),
+      lit(nFull - nCapped).as("n_lost"),
+      round(lit((nFull - nCapped).toDouble / math.max(nFull, 1L)), 4)
+        .as("loss_ratio"))
+  }
+
   /** CANDIDATE-CAP LOSS AUDIT: the exact pairs [[pairsCapped]] drops at
     * `maxCandidatesPerDoc` vs the complete [[pairs]] serve — one row
     * (n_pairs_full, n_pairs_capped, n_lost, loss_ratio). The full side is

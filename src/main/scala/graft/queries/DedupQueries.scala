@@ -164,6 +164,52 @@ object DedupQueries {
     }),
 
 
+    // POSTING-BUDGETED persisted serve (SimJoinIndex.pairsBudgeted): the
+    // bound on the LAST unbounded serve term — pairsCapped bounds the
+    // verify per batch doc but still aggregates every probed posting row,
+    // and postings grow with the corpus (probe stage 2.2× in decade 2,
+    // BASELINE.md §r17). At most 8 corpus posting rows per probed shingle
+    // (smallest sets first — the docs with the fewest other prefix
+    // shingles to be rediscovered by) reach the candidate join, plus the
+    // cap-16 verify budget. Both budgets are LOSSLESS at this corpus
+    // (max probed posting length is 2 at sf0.01), so the serve must
+    // produce the IDENTICAL complete pair set — it shares
+    // simjoin_persisted's full bipartite oracle; the tight-budget recall
+    // price is the pinned simjoin_probe_budget_loss_audit record.
+    "simjoin_probe_budget_serve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin1", dir) { tmp =>
+        graft.ops.SimJoinIndex.write(
+          graft.ops.SimJoinIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, threshold = 0.5), tmp)
+      }
+      graft.ops.SimJoinIndex.pairsBudgeted(
+          graft.ops.SimJoinIndex.read(s, idxDir),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          maxPostingsPerShingle = 8, maxCandidatesPerDoc = 16)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // the posting budget's recall price as a declared record
+    // (SimJoinIndex.probeBudgetLossAudit — the cappedLossAudit
+    // convention) at a TIGHT budget of 1 posting row per probed shingle
+    // (verify cap stays at the lossless 16, isolating the probe-stage
+    // loss). Truncation order is JVM-side → pinned VALUES oracle.
+    "simjoin_probe_budget_loss_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("simjoin1", dir) { tmp =>
+        graft.ops.SimJoinIndex.write(
+          graft.ops.SimJoinIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleK = 3, threshold = 0.5), tmp)
+      }
+      graft.ops.SimJoinIndex.probeBudgetLossAudit(
+        graft.ops.SimJoinIndex.read(s, idxDir),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        maxPostingsPerShingle = 1, maxCandidatesPerDoc = 16)
+    }),
+
+
     // prefix-index MAINTENANCE serve (SimJoinIndex.append): the index is
     // built on 6/7 of the corpus, the held-out 1/7 folds in under the
     // FROZEN rarity order (one shingle pass over the delta only —
@@ -496,6 +542,53 @@ object DedupQueries {
     }),
 
 
+    // POSTING-BUDGETED persisted LSH serve (MinHashIndex.queryBudgeted):
+    // the probe-stage bound the per-doc candidate cap cannot provide —
+    // queryCapped still aggregates every probed bucket posting row, and
+    // bucket postings grow with the corpus under the maxBucket DROP
+    // guard. At most 8 corpus rows per probed (band, bucket) — in
+    // content-hash order, a deterministic unbiased sample — reach the
+    // collision join, plus the cap-8 verify budget. Both budgets are
+    // LOSSLESS at this corpus (max surviving probed bucket is 3 at
+    // sf0.01), so the serve shares dedup_minhash_persisted's brute
+    // bipartite oracle; the tight-budget price is the pinned
+    // dedup_minhash_probe_budget_loss_audit record.
+    "dedup_minhash_probe_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.MinHashIndex.queryBudgeted(
+          graft.ops.MinHashIndex.read(s, idxDir), batch, "doc_id", "text",
+          maxPostingsPerBucket = 8, maxCandidatesPerDoc = 8, threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+
+    // the LSH posting budget's recall price as a declared record
+    // (MinHashIndex.probeBudgetLossAudit) at a TIGHT budget of 1 row per
+    // probed bucket (verify cap stays at the lossless 8, isolating the
+    // probe-stage loss). xxhash64 truncation order is JVM-side → pinned
+    // VALUES oracle.
+    "dedup_minhash_probe_budget_loss_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxDir = IndexFixture.dir("minhash1", dir) { tmp =>
+        graft.ops.MinHashIndex.write(
+          graft.ops.MinHashIndex.build(docs, "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 2), tmp)
+      }
+      val batch = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.MinHashIndex.probeBudgetLossAudit(
+        graft.ops.MinHashIndex.read(s, idxDir), batch, "doc_id", "text",
+        maxPostingsPerBucket = 1, maxCandidatesPerDoc = 8, threshold = 0.8)
+    }),
+
+
     // ERASURE on the persisted MinHash index (MinHashIndex.erase — the
     // delete half completing the build/write/read/query/append/erase
     // contract shared by all three persisted indexes): every 10th corpus
@@ -671,6 +764,10 @@ object DedupQueries {
     // the cap-16 budgeted serve is LOSSLESS at this corpus — it must
     // serve the identical complete pair set
     "simjoin_capped_serve" -> SimjoinBipartiteSql,
+
+    // the posting-budget serve (8 rows/shingle, cap 16) is LOSSLESS at
+    // this corpus (max probed posting is 2) — identical complete pair set
+    "simjoin_probe_budget_serve" -> SimjoinBipartiteSql,
 
     // the tight-cap loss audits (simjoin_capped_loss_audit 14→13 pairs
     // 7.14%, dedup_minhash_capped_loss_audit 53→50 5.66%) carry pinned
@@ -858,6 +955,10 @@ object DedupQueries {
     // the cap-8 budgeted LSH serve is lossless at this corpus (the loss
     // audit pins 0) — it must serve the identical pair set
     "dedup_minhash_capped" -> MinhashPersistedBipartiteSql,
+
+    // the posting-budget serve (8 rows/bucket, cap 8) is LOSSLESS at this
+    // corpus (max surviving probed bucket is 3) — identical pair set
+    "dedup_minhash_probe_budget" -> MinhashPersistedBipartiteSql,
 
 
     // erase is exact (content-deterministic signatures, keys-only

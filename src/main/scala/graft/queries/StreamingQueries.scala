@@ -651,6 +651,48 @@ object StreamingQueries {
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("q_id", "rank")
     }),
+
+
+    // REBUILD-CADENCE POLICY GATE as a declared record (streaming/
+    // Incremental.rebuildIfDrifted — the compactIfStale counterpart for
+    // model quality): the SAME maintained root (frozen recall 0.508 at
+    // sf0.01, the knn_maintained_recall_audit pin) gated at two budgets.
+    // Within budget (0.4 ≤ 0.508): NO-OP — no rebuild, the destination
+    // is never created, the untouched maintained root keeps serving.
+    // Drifted (0.6 > 0.508): the rebuild fires and the NEXT GENERATION
+    // serves. One row per branch (rebuilt/dest_created as 0/1);
+    // n_serve_rows counts the serving generation's k=3 serve over 20
+    // probes. Deterministic (id-seeded k-means, pinned audit) → pinned
+    // VALUES oracle; the planted-drift recovery proof is in
+    // IncrementalSpec's rebuildIfDrifted test.
+    "knn_rebuild_gate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val root = s"${ivfpqStreamFixture(s, dir)}/index"
+      val queries = emb.filter(col("vec_id") < 100)
+      val probe = emb.filter(col("vec_id") < 20)
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_gate").toString
+      def decide(branch: String, minRecall: Double) = {
+        val dest = s"$scratch/gen_$branch"
+        val out = graft.streaming.Incremental.rebuildIfDrifted(s, root,
+          dest, emb, "vec_id", "embedding", queries, minRecall = minRecall,
+          k = 5, nprobe = 8, nlist = 16, numSubspaces = 8, numCodes = 16)
+        val serveIdx = out.map(_._2).getOrElse(
+          graft.streaming.Incremental.readIvfPqMaintained(s, root))
+        val n = graft.ops.IvfPqIndex.topK(serveIdx, probe, emb,
+          "vec_id", "embedding", k = 3, nprobe = 8).count()
+        (branch, minRecall, if (out.isDefined) 1L else 0L,
+          if (new java.io.File(dest).exists()) 1L else 0L, n)
+      }
+      // both decisions run eagerly (counts above), so the scratch
+      // generation can be deleted before the literal record returns
+      val rows = Seq(decide("within_budget", 0.4), decide("drifted", 0.6))
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      rows.toDF("branch", "min_recall", "rebuilt", "dest_created",
+        "n_serve_rows").orderBy("branch")
+    }),
   )
 
   /** The maintained simjoin root fixture (first-batch-frozen order, 3

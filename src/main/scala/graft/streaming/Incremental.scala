@@ -103,7 +103,9 @@ object Incremental {
     * operator, having confirmed the holder is dead, clears it with
     * [[breakRootLease]].
     */
-  private def withRootLease[T](
+  // private[streaming]: the non-atomic-create shim spec drives the
+  // object-store branch directly (no public mutator takes a mockfs root)
+  private[streaming] def withRootLease[T](
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
@@ -124,14 +126,51 @@ object Incremental {
           "crash-idempotent, so the re-run completes its work)", e)
     }
     try {
-      if (lease.toUri.getScheme == null || lease.toUri.getScheme == "file") {
+      val scheme = Option(fs.makeQualified(lease).toUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
         // local filesystems: Hadoop's create(overwrite=false) is a
         // non-atomic exists-check-then-create — use NIO's O_EXCL create
         // (token written after; the CREATE is the lock)
         val p = java.nio.file.Paths.get(
           fs.makeQualified(lease).toUri.getPath)
         java.nio.file.Files.createFile(p)
-        java.nio.file.Files.writeString(p, token)
+        // a failure AFTER the atomic create must not orphan an empty
+        // lease that blocks every future mutator (the HDFS branch's
+        // convention): delete the just-created file and rethrow
+        try java.nio.file.Files.writeString(p, token)
+        catch { case e: Throwable =>
+          java.nio.file.Files.deleteIfExists(p); throw e }
+      } else if (leaseObjectStoreSchemes(conf).contains(scheme)) {
+        // object stores WITHOUT an atomic create-no-overwrite (S3-class:
+        // create may be a HEAD-then-PUT, and a plain PUT overwrites):
+        // explicit exists-check (some connectors skip even the HEAD),
+        // then create, then READ-BACK-VERIFY — every contender writes its
+        // own unique token, and only the contender whose token is stored
+        // proceeds; a settle re-read narrows the last-writer-overwrite
+        // window. RESIDUAL RACE, documented: two contenders whose
+        // exists-to-PUT windows overlap can both pass when the second PUT
+        // lands after the first's settle re-read — only a true
+        // conditional put closes it (S3 If-None-Match; Hadoop 3.4.1+
+        // exposes it behind fs.s3a.create.conditional.enabled, which
+        // makes create(overwrite=false) throw atomically and this branch
+        // safe end-to-end — the verify then never fires).
+        if (fs.exists(lease)) leasedError(
+          new org.apache.hadoop.fs.FileAlreadyExistsException(lease.toString))
+        val out = fs.create(lease, false)
+        try out.write(token.getBytes("UTF-8"))
+        catch { case e: Throwable => out.close(); fs.delete(lease, false); throw e }
+        out.close()
+        // the loser must NOT delete here: the stored token is the winner's
+        def verifyHeld(): Unit = {
+          val held = try readUtf8(conf, lease).trim
+                     catch { case _: Exception => "" }
+          if (held != token) leasedError(
+            new org.apache.hadoop.fs.FileAlreadyExistsException(
+              s"read-back-verify lost the lease race at $lease"))
+        }
+        verifyHeld()
+        Thread.sleep(conf.getLong("graft.lease.settle.ms", 100L))
+        verifyHeld()
       } else {
         // HDFS-class stores: create-no-overwrite is an atomic namespace op
         val out = fs.create(lease, false)
@@ -150,6 +189,19 @@ object Incremental {
   }
 
   private val LeaseName = "_graft_lease"
+
+  /** Schemes [[withRootLease]] treats as S3-class object stores (no
+    * atomic create-no-overwrite). Extensible without a rebuild via the
+    * Hadoop conf key `graft.lease.objectstore.schemes` (comma-separated)
+    * — also the test seam for the non-atomic-create shim spec. Schemes
+    * in neither this set nor {file} take the HDFS-class branch (atomic
+    * namespace create). private[streaming]: LeaseSpec pins the dispatch.
+    */
+  private[streaming] def leaseObjectStoreSchemes(
+      conf: org.apache.hadoop.conf.Configuration): Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+        "oss", "cos", "swift") ++
+      conf.getTrimmedStrings("graft.lease.objectstore.schemes").toSet
 
   /** Clear a crashed mutator's root lease — the OPERATOR's break-glass
     * step after confirming the recorded holder is dead (see
@@ -2241,10 +2293,40 @@ object Incremental {
       trainSampleMod: Int = 1): Option[(Double, graft.ops.IvfPqIndex)] = {
     require(minRecall > 0.0 && minRecall <= 1.0,
       s"minRecall must be in (0, 1]: $minRecall")
-    val maintained = readIvfPqMaintained(spark, indexPath)
-    val recall = graft.ops.IvfPqIndex
-      .recallAudit(maintained, queries, corpus, idCol, vecCol, k, nprobe)
-      .head().getAs[Double]("recall_at_k")
+    // an empty query sample can only produce a vacuous audit (n_truth 0,
+    // recall null/NaN — which a bare `>= minRecall` compare would read as
+    // DRIFTED, silently rebuilding on every cadence). Fail loudly before
+    // paying the corpus-sized audit.
+    require(!queries.isEmpty,
+      s"rebuildIfDrifted at $indexPath was given an EMPTY query sample: " +
+        "the recall audit would be vacuous (n_truth=0) and could not " +
+        "gate a rebuild — fix the audit inputs")
+    // the audit's multi-pass read (served-id snapshot, brute-force pass,
+    // topK serve) runs under the root lease, like the rebuild's retrain
+    // read: an interleaved compaction sweep or erase between passes
+    // would measure a state no generation served — skewing the recall
+    // that GATES the rebuild. The lease is released before the rebuild
+    // re-acquires it (withRootLease is non-reentrant); a mutation landing
+    // in that gap only makes the measurement one cadence stale, never
+    // torn.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(indexPath)
+    val audit = withRootLease(conf,
+        src.getFileSystem(conf), src, "ivfpq index", "drift-auditor") {
+      graft.ops.IvfPqIndex
+        .recallAudit(readIvfPqMaintained(spark, indexPath),
+          queries, corpus, idCol, vecCol, k, nprobe)
+        .head()
+    }
+    // an empty query set (or empty served∩corpus truth) yields n_truth 0
+    // and a null/NaN recall, which `>= minRecall` would read as DRIFTED —
+    // silently triggering a full rebuild on every cadence. Fail loudly.
+    require(audit.getAs[Long]("n_truth") > 0L,
+      s"rebuildIfDrifted audit at $indexPath measured an EMPTY ground " +
+        "truth (n_truth=0): the query sample produced no brute-force " +
+        "neighbors over the served ids — fix the audit inputs; refusing " +
+        "to gate a rebuild on a vacuous recall")
+    val recall = audit.getAs[Double]("recall_at_k")
     if (recall >= minRecall) None
     else Some((recall, rebuildIvfPqMaintained(spark, indexPath, destPath,
       corpus, idCol, vecCol, nlist, numSubspaces, numCodes, lloydIters,

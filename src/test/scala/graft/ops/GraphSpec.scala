@@ -11,16 +11,20 @@ class GraphSpec extends AnyFunSuite {
     import spark.implicits._
     val sc = spark.sparkContext
     val edges = (0L until 200L).map(i => (i, (i * 7 + 1) % 200)).toDF("src", "dst")
-    val before = sc.getPersistentRDDs.size
+    val before = sc.getPersistentRDDs.keySet
     val pr = Graph.pagerank(edges, iterations = 10)
     pr.write.format("noop").mode("overwrite").save()
     // 10 rounds must NOT retain 10 materialized vectors: everything but
     // the returned frame's own blocks (and the freed-but-not-yet-GC'd
     // entries Spark removes asynchronously) is unpersisted. Without the
-    // Checkpoints.free calls this was `before + iterations + 1`.
-    val after = sc.getPersistentRDDs.size
-    assert(after - before <= 2,
-      s"live persistent RDDs grew by ${after - before} (checkpoint leak)")
+    // Checkpoints.free calls this was `iterations + 1` new RDD ids.
+    // Compared as an ID-SET diff, not raw sizes: unpersist(blocking =
+    // false) is asynchronous and concurrent suites on the shared session
+    // can persist/checkpoint their own frames inside the window — only
+    // RDDs NEW since `before` are this test's to count.
+    val grew = sc.getPersistentRDDs.keySet.diff(before).size
+    assert(grew <= 2,
+      s"live persistent RDDs grew by $grew (checkpoint leak)")
     // the returned frame still serves (its own blocks were NOT freed)
     assert(pr.count() == 200)
     graft.ops.Checkpoints.free(pr)

@@ -105,6 +105,37 @@ class MinHashIndexSpec extends AnyFunSuite {
       MinHashIndex.queryCapped(idx, batch, "doc_id", "text", 0))
   }
 
+  test("queryBudgeted: generous posting budget equals query; tight budget " +
+      "serves a subset; audit arithmetic holds") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val idx = MinHashIndex.build(corpus, "doc_id", "text")
+    val t = 0.3
+    val full = MinHashIndex.query(idx, batch, "doc_id", "text", threshold = t)
+      .collect().map(key).toSet
+    assert(full.nonEmpty)
+    // budgets at/above the corpus size cannot drop anything
+    assert(MinHashIndex.queryBudgeted(idx, batch, "doc_id", "text",
+      maxPostingsPerBucket = 100000, maxCandidatesPerDoc = 100000,
+      threshold = t).collect().map(key).toSet == full)
+    // a tight posting budget serves a SUBSET with the verify cap still
+    // bounding pairs per batch doc
+    val budgeted = MinHashIndex.queryBudgeted(idx, batch, "doc_id", "text",
+        maxPostingsPerBucket = 1, maxCandidatesPerDoc = 2, threshold = t)
+      .collect().map(key).toSet
+    assert(budgeted.subsetOf(full))
+    assert(budgeted.groupBy(_._1).forall(_._2.size <= 2))
+    val a = MinHashIndex.probeBudgetLossAudit(idx, batch, "doc_id", "text",
+      maxPostingsPerBucket = 1, maxCandidatesPerDoc = 2, threshold = t).head()
+    assert(a.getLong(0) == full.size && a.getLong(1) == budgeted.size)
+    assert(a.getLong(2) == full.size - budgeted.size)
+    intercept[IllegalArgumentException](
+      MinHashIndex.queryBudgeted(idx, batch, "doc_id", "text", 0, 1))
+    intercept[IllegalArgumentException](
+      MinHashIndex.queryBudgeted(idx, batch, "doc_id", "text", 1, 0))
+  }
+
   test("erase equals a retained-corpus rebuild; erased docs never match again") {
     import spark.implicits._
     val docs = graft.etl.Tables.documents(spark, graft.GraftSpark.Sf0001)

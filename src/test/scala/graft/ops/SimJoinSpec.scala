@@ -235,6 +235,42 @@ class SimJoinSpec extends AnyFunSuite {
       SimJoinIndex.pairsCapped(idx, batch, "doc_id", "text", 0))
   }
 
+  test("pairsBudgeted: generous posting budget serves the identical pair " +
+      "set; tight budget serves a subset; audit arithmetic holds") {
+    import spark.implicits._
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (i until i + 10).map(j => s"w${j % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = (0 until 12).map { i =>
+      (900L + i, (i * 2 until i * 2 + 10).map(j => s"w${j % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = SimJoinIndex.build(corpus, "doc_id", "text",
+      shingleK = 2, threshold = 0.3)
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = setOf(SimJoinIndex.pairs(idx, batch, "doc_id", "text"))
+    assert(full.nonEmpty)
+    // budgets at/above corpus size cannot drop anything
+    assert(setOf(SimJoinIndex.pairsBudgeted(idx, batch, "doc_id", "text",
+      maxPostingsPerShingle = 40, maxCandidatesPerDoc = 40)) == full)
+    // a tight posting budget serves a SUBSET (candidate generation can
+    // only lose rows relative to the unbudgeted probe) with the verify
+    // cap still bounding pairs per batch doc
+    val budgeted = setOf(SimJoinIndex.pairsBudgeted(idx, batch, "doc_id",
+      "text", maxPostingsPerShingle = 1, maxCandidatesPerDoc = 2))
+    assert(budgeted.subsetOf(full))
+    assert(budgeted.groupBy(_._1).forall(_._2.size <= 2))
+    // audit arithmetic matches the two serves it compares
+    val a = SimJoinIndex.probeBudgetLossAudit(idx, batch, "doc_id", "text",
+      maxPostingsPerShingle = 1, maxCandidatesPerDoc = 2).head()
+    assert(a.getLong(0) == full.size && a.getLong(1) == budgeted.size)
+    assert(a.getLong(2) == full.size - budgeted.size)
+    intercept[IllegalArgumentException](
+      SimJoinIndex.pairsBudgeted(idx, batch, "doc_id", "text", 0, 1))
+    intercept[IllegalArgumentException](
+      SimJoinIndex.pairsBudgeted(idx, batch, "doc_id", "text", 1, 0))
+  }
+
   test("pruneAudit measures frozen-order decay; rebuildFromSets re-freezes " +
       "without changing the pair set") {
     import spark.implicits._

@@ -706,6 +706,17 @@ class IncrementalSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3, nprobe = 2).collect()
     assert(top.head.getLong(1) == b.last._1 && top.head.getDouble(2) == 1.0,
       s"rebuilt generation must recover the clone: ${top.toSeq}")
+    // an EMPTY query sample yields n_truth 0 and a vacuous recall, which
+    // a bare `>= minRecall` compare would read as drifted — silently
+    // rebuilding on every cadence. The gate must fail loudly instead,
+    // with the destination never created.
+    val eEmpty = intercept[IllegalArgumentException](
+      Incremental.rebuildIfDrifted(spark, s"$tmp/index", s"$tmp/gen3",
+        corpus, "vec_id", "embedding", probe.filter(col("vec_id") < 0L),
+        minRecall = 0.9, k = 3, nprobe = 2, nlist = 4, numSubspaces = 2,
+        numCodes = 4))
+    assert(eEmpty.getMessage.contains("EMPTY query sample"), eEmpty.getMessage)
+    assert(!new java.io.File(s"$tmp/gen3").exists())
   }
 
   test("rebuildIvfPqMaintained: fresh retrained generation serves the same " +

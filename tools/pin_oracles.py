@@ -167,6 +167,12 @@ PINS = {
     # dedup_minhash_capped)
     "simjoin_capped_loss_audit": (["n_pairs_full BIGINT", "n_pairs_capped BIGINT",
                                    "n_lost BIGINT", "loss_ratio DOUBLE"], "n_pairs_full"),
+    "knn_rebuild_gate": (["branch VARCHAR", "min_recall DOUBLE", "rebuilt BIGINT",
+                          "dest_created BIGINT", "n_serve_rows BIGINT"], "branch"),
+    "simjoin_probe_budget_loss_audit": (["n_pairs_full BIGINT", "n_pairs_capped BIGINT",
+                                         "n_lost BIGINT", "loss_ratio DOUBLE"], "n_pairs_full"),
+    "dedup_minhash_probe_budget_loss_audit": (["n_pairs_full BIGINT", "n_pairs_capped BIGINT",
+                                               "n_lost BIGINT", "loss_ratio DOUBLE"], "n_pairs_full"),
     "dedup_minhash_capped_loss_audit": (["n_pairs_full BIGINT", "n_pairs_capped BIGINT",
                                          "n_lost BIGINT", "loss_ratio DOUBLE"], "n_pairs_full"),
     # frozen-vs-rebuilt recall@5 over the maintained IVF-PQ root (training
