@@ -128,8 +128,26 @@ object Fixtures {
   object IndexFixture {
     private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-    def dir(kind: String, sfDir: String)(build: String => Unit): String =
-      memo.computeIfAbsent(kind + ":" + sfDir, _ => materialize(kind, sfDir, build))
+    def dir(kind: String, sfDir: String)(build: String => Unit): String = {
+      // NOT computeIfAbsent: fixture builders NEST (ivfpqRebuildFixture's
+      // build calls ivfpqStreamFixture on this same map), and a mapping
+      // function that inserts into the map it runs under throws
+      // IllegalStateException("Recursive update") whenever both keys are
+      // cold — which is exactly the first run on a fresh machine (the ×10
+      // r18 gate caught knn_maintained_rebuild failing this way; sf0.01
+      // only ever passed because the on-disk markers short-circuited the
+      // nested build). A plain get/putIfAbsent memo is nesting-safe; a
+      // concurrent intra-JVM double-build is harmless because materialize
+      // already carries the cross-JVM atomic-publish protocol.
+      val key = kind + ":" + sfDir
+      val cached = memo.get(key)
+      if (cached != null) cached
+      else {
+        val v = materialize(kind, sfDir, build)
+        memo.putIfAbsent(key, v)
+        v
+      }
+    }
 
     private def materialize(kind: String, sfDir: String, build: String => Unit): String = {
       import java.nio.file.{Files, Path, Paths, StandardCopyOption}
