@@ -353,7 +353,12 @@ object DedupQueries {
     // duplicates qualify and exact duplicates always co-cluster, so the
     // output equals the brute-force pair set (oracle-checkable; the
     // approximate regime at lower thresholds is recall-asserted in
-    // DedupSpec)
+    // DedupSpec). The equality is FIXTURE-CONDITIONED: on the ×10
+    // ScaleUp corpus perturbed replicas create non-identical pairs
+    // ≥ 0.95 and the cluster-pruned serve legitimately returns 98.5% of
+    // brute force with zero false positives and every identical pair
+    // found (BASELINE.md §r18) — the exact-at-any-scale alternative is
+    // dedup_embedding_cosine
     "dedup_semantic" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val dups = emb.filter(col("vec_id") < 20)

@@ -668,30 +668,47 @@ object StreamingQueries {
     "knn_rebuild_gate" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val root = s"${ivfpqStreamFixture(s, dir)}/index"
+      val fixture = s"${ivfpqStreamFixture(s, dir)}/index"
       val queries = emb.filter(col("vec_id") < 100)
       val probe = emb.filter(col("vec_id") < 20)
+      // the gate takes the crash-persistent root lease (and the drifted
+      // branch rebuilds FROM the root), so it runs against a PER-RUN
+      // CLONE of the shared cross-session fixture: a killed run can then
+      // never poison the fixture with a stale lease (same content, same
+      // pinned record). Both branches are exercised END-TO-END by
+      // purpose — two audits; a production cadence calls once and gets
+      // the measured recall back in EITHER branch.
       val scratch =
         java.nio.file.Files.createTempDirectory("graft_gate").toString
-      def decide(branch: String, minRecall: Double) = {
-        val dest = s"$scratch/gen_$branch"
-        val out = graft.streaming.Incremental.rebuildIfDrifted(s, root,
-          dest, emb, "vec_id", "embedding", queries, minRecall = minRecall,
-          k = 5, nprobe = 8, nlist = 16, numSubspaces = 8, numCodes = 16)
-        val serveIdx = out.map(_._2).getOrElse(
-          graft.streaming.Incremental.readIvfPqMaintained(s, root))
-        val n = graft.ops.IvfPqIndex.topK(serveIdx, probe, emb,
-          "vec_id", "embedding", k = 3, nprobe = 8).count()
-        (branch, minRecall, if (out.isDefined) 1L else 0L,
-          if (new java.io.File(dest).exists()) 1L else 0L, n)
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val srcP = new org.apache.hadoop.fs.Path(fixture)
+        val rootP = new org.apache.hadoop.fs.Path(s"$scratch/index")
+        org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(conf), srcP,
+          rootP.getFileSystem(conf), rootP, false, conf)
+        val root = rootP.toString
+        def decide(branch: String, minRecall: Double) = {
+          val dest = s"$scratch/gen_$branch"
+          val (_, rebuilt) = graft.streaming.Incremental.rebuildIfDrifted(
+            s, root, dest, emb, "vec_id", "embedding", queries,
+            minRecall = minRecall, k = 5, nprobe = 8, nlist = 16,
+            numSubspaces = 8, numCodes = 16)
+          val serveIdx = rebuilt.getOrElse(
+            graft.streaming.Incremental.readIvfPqMaintained(s, root))
+          val n = graft.ops.IvfPqIndex.topK(serveIdx, probe, emb,
+            "vec_id", "embedding", k = 3, nprobe = 8).count()
+          (branch, minRecall, if (rebuilt.isDefined) 1L else 0L,
+            if (new java.io.File(dest).exists()) 1L else 0L, n)
+        }
+        // both decisions run eagerly (counts above), so the scratch
+        // generation can be deleted before the literal record returns
+        val rows = Seq(decide("within_budget", 0.4), decide("drifted", 0.6))
+        rows.toDF("branch", "min_recall", "rebuilt", "dest_created",
+          "n_serve_rows").orderBy("branch")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(scratch)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
-      // both decisions run eagerly (counts above), so the scratch
-      // generation can be deleted before the literal record returns
-      val rows = Seq(decide("within_budget", 0.4), decide("drifted", 0.6))
-      val p = new org.apache.hadoop.fs.Path(scratch)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      rows.toDF("branch", "min_recall", "rebuilt", "dest_created",
-        "n_serve_rows").orderBy("branch")
     }),
   )
 

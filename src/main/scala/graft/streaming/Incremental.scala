@@ -156,10 +156,7 @@ object Incremental {
         // safe end-to-end — the verify then never fires).
         if (fs.exists(lease)) leasedError(
           new org.apache.hadoop.fs.FileAlreadyExistsException(lease.toString))
-        val out = fs.create(lease, false)
-        try out.write(token.getBytes("UTF-8"))
-        catch { case e: Throwable => out.close(); fs.delete(lease, false); throw e }
-        out.close()
+        writeTokenOrCleanUp(fs, lease, token)
         // the loser must NOT delete here: the stored token is the winner's
         def verifyHeld(): Unit = {
           val held = try readUtf8(conf, lease).trim
@@ -173,11 +170,7 @@ object Incremental {
         verifyHeld()
       } else {
         // HDFS-class stores: create-no-overwrite is an atomic namespace op
-        val out = fs.create(lease, false)
-        // a failure AFTER the atomic create must not orphan the lease
-        try out.write(token.getBytes("UTF-8"))
-        catch { case e: Throwable => out.close(); fs.delete(lease, false); throw e }
-        out.close()
+        writeTokenOrCleanUp(fs, lease, token)
       }
     } catch {
       // only already-exists means "someone holds it" — other IO failures
@@ -186,6 +179,28 @@ object Incremental {
       case e: java.nio.file.FileAlreadyExistsException => leasedError(e)
     }
     try body finally fs.delete(lease, false)
+  }
+
+  /** Create `lease` (no-overwrite) and write `token` — with close()
+    * INSIDE the guarded region: on object stores the close IS the PUT
+    * (write only buffers), and on HDFS it performs the flush, so a
+    * close-time failure could otherwise orphan a created-but-dead lease
+    * that blocks every future mutator. On any failure: best-effort close,
+    * best-effort delete of the just-created lease, rethrow the ORIGINAL
+    * exception.
+    */
+  private def writeTokenOrCleanUp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path,
+      token: String): Unit = {
+    val out = fs.create(lease, false)
+    var closed = false
+    try { out.write(token.getBytes("UTF-8")); out.close(); closed = true }
+    catch { case e: Throwable =>
+      if (!closed) { try out.close() catch { case _: Throwable => () } }
+      try fs.delete(lease, false) catch { case _: Throwable => () }
+      throw e
+    }
   }
 
   private val LeaseName = "_graft_lease"
@@ -200,7 +215,7 @@ object Incremental {
   private[streaming] def leaseObjectStoreSchemes(
       conf: org.apache.hadoop.conf.Configuration): Set[String] =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
-        "oss", "cos", "swift") ++
+        "oss", "cos", "cosn", "swift") ++
       conf.getTrimmedStrings("graft.lease.objectstore.schemes").toSet
 
   /** Clear a crashed mutator's root lease — the OPERATOR's break-glass
@@ -2266,12 +2281,14 @@ object Incremental {
     * Incremental.rebuildIfDrifted(spark, root, s"$root-gen2", corpus,
     *   "id", "vec", queries, minRecall = 0.8, k = 5)
     * }}}
-    * Returns Some((measuredRecall, rebuiltIndex)) when it rebuilt, None
-    * with the root untouched when recall is within budget (the common
-    * case — one audit job, no rebuild). The audit's brute-force side is
-    * query-set × corpus sized BY PURPOSE (audit cadence, not serve path);
-    * keep `queries` a representative sample. On rebuild the caller cuts
-    * the serve path over to `destPath` (blue/green — see
+    * Returns (measuredRecall, Some(rebuiltIndex)) when it rebuilt,
+    * (measuredRecall, None) with the root untouched when recall is
+    * within budget (the common case — one audit job, no rebuild; the
+    * measurement is returned EITHER way so a caller logging the cadence
+    * never pays a second corpus-sized audit). The audit's brute-force
+    * side is query-set × corpus sized BY PURPOSE (audit cadence, not
+    * serve path); keep `queries` a representative sample. On rebuild the
+    * caller cuts the serve path over to `destPath` (blue/green — see
     * [[rebuildIvfPqMaintained]]).
     */
   def rebuildIfDrifted(
@@ -2290,7 +2307,7 @@ object Incremental {
       numCodes: Int = 16,
       lloydIters: Int = 2,
       residual: Boolean = true,
-      trainSampleMod: Int = 1): Option[(Double, graft.ops.IvfPqIndex)] = {
+      trainSampleMod: Int = 1): (Double, Option[graft.ops.IvfPqIndex]) = {
     require(minRecall > 0.0 && minRecall <= 1.0,
       s"minRecall must be in (0, 1]: $minRecall")
     // an empty query sample can only produce a vacuous audit (n_truth 0,
@@ -2327,8 +2344,8 @@ object Incremental {
         "neighbors over the served ids — fix the audit inputs; refusing " +
         "to gate a rebuild on a vacuous recall")
     val recall = audit.getAs[Double]("recall_at_k")
-    if (recall >= minRecall) None
-    else Some((recall, rebuildIvfPqMaintained(spark, indexPath, destPath,
+    if (recall >= minRecall) (recall, None)
+    else (recall, Some(rebuildIvfPqMaintained(spark, indexPath, destPath,
       corpus, idCol, vecCol, nlist, numSubspaces, numCodes, lloydIters,
       residual, trainSampleMod)))
   }

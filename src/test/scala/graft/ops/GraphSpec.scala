@@ -19,9 +19,11 @@ class GraphSpec extends AnyFunSuite {
     // entries Spark removes asynchronously) is unpersisted. Without the
     // Checkpoints.free calls this was `iterations + 1` new RDD ids.
     // Compared as an ID-SET diff, not raw sizes: unpersist(blocking =
-    // false) is asynchronous and concurrent suites on the shared session
-    // can persist/checkpoint their own frames inside the window — only
-    // RDDs NEW since `before` are this test's to count.
+    // false) is asynchronous, so another suite's PRIOR blocks vanishing
+    // mid-window must not offset this test's growth. (RDDs newly
+    // persisted by a CONCURRENT suite would still inflate the diff, but
+    // this build runs forked suites sequentially — testForkedParallel is
+    // off — so the ≤2 slack covers only our own async cleanup.)
     val grew = sc.getPersistentRDDs.keySet.diff(before).size
     assert(grew <= 2,
       s"live persistent RDDs grew by $grew (checkpoint leak)")

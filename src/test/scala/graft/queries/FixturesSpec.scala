@@ -39,5 +39,12 @@ class FixturesSpec extends AnyFunSuite {
     assert(Fixtures.IndexFixture.dir(s"spec_outer_$nonce", s"/spec/$nonce") {
       _ => fail("memoized fixture must not rebuild") } == outer)
     assert(outerBuilds == 1 && innerBuilds == 1)
+    // the nonce makes these dirs single-use (never reused like the real
+    // fixtures) — delete them instead of accreting two per test run
+    Seq(outer, inner()).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    }
   }
 }

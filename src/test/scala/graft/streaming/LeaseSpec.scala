@@ -131,7 +131,7 @@ class LeaseSpec extends AnyFunSuite {
     // contains the documented stores plus nothing else by default
     val conf = new Configuration(false)
     val base = Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb",
-      "wasbs", "oss", "cos", "swift")
+      "wasbs", "oss", "cos", "cosn", "swift")
     assert(Incremental.leaseObjectStoreSchemes(conf) == base)
     conf.set("graft.lease.objectstore.schemes", "mockobj, minio")
     assert(Incremental.leaseObjectStoreSchemes(conf) ==
