@@ -621,6 +621,35 @@ object Sampling {
       .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label")
   }
 
+  /** [[negativeSample]] with the bucket count DERIVED from the corpus
+    * size, so the per-anchor candidate slice stays ≈`sliceTarget` rows at
+    * any scale. A fixed bucket count makes the anchor↔candidate join
+    * O(n²/B) — invisible at test scale, a ~15-billion-row join at the
+    * ×100 sweep (the r18 finding that motivated this variant: the
+    * declared 16-bucket query ran for an hour at ×100 before being
+    * killed). buckets = max(minBuckets, ⌈n / sliceTarget⌉), one metadata
+    * count job; deterministic given the corpus, and an oracle recomputes
+    * the same derivation (at the sf0.01 contract scale the derivation
+    * lands on minBuckets, so this serves the IDENTICAL sample set as
+    * `negativeSample(numBuckets = 16)` there).
+    */
+  def negativeSampleAuto(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      k: Int,
+      sliceTarget: Int = 512,
+      minBuckets: Int = 16,
+      seed: String = "neg"): DataFrame = {
+    require(sliceTarget >= 1, s"sliceTarget must be >= 1: $sliceTarget")
+    require(minBuckets >= 1, s"minBuckets must be >= 1: $minBuckets")
+    val n = df.count()
+    val buckets = math.max(minBuckets.toLong,
+      (n + sliceTarget - 1) / sliceTarget)
+    negativeSample(df, idCol, labelCol, k,
+      math.min(buckets, Int.MaxValue.toLong).toInt, seed)
+  }
+
   /** Largest-remainder (Hamilton) apportionment of an integer `budget`
     * over per-stratum INTEGER weights — the "how many training examples
     * does each source actually get" step that turns mixture proportions

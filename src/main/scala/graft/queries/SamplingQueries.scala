@@ -106,6 +106,20 @@ object SamplingQueries {
         .orderBy("anchor_id", "neg_rank")),
 
 
+    // the SCALE-SAFE form (Sampling.negativeSampleAuto): bucket count
+    // derived as max(16, ⌈n/512⌉), holding the per-anchor candidate
+    // slice ≈512 rows at any corpus size — the fixed-16-bucket query
+    // above is O(n²/16) and the r18 ×100 sweep measured exactly that
+    // (a ~15-billion-row join; killed after an hour). At sf0.01 the
+    // derivation lands on 16, so this serves the IDENTICAL sample set;
+    // the oracle recomputes the same count-derived modulus.
+    "negative_sample_auto" -> ((s, dir) =>
+      graft.ops.Sampling.negativeSampleAuto(
+          Tables.embeddings(s, dir).select("vec_id", "label"),
+          "vec_id", "label", k = 4, sliceTarget = 512, minBuckets = 16)
+        .orderBy("anchor_id", "neg_rank")),
+
+
     // deterministic global training-order shuffle: dense 0-based pos =
     // rank under md5(seed:id) — the shuffle-before-sharding step of an
     // epoch pipeline; positions via the two-level range-bucketed prefix
@@ -433,6 +447,21 @@ object SamplingQueries {
         "SELECT doc_id, source, CAST(row_number() OVER (ORDER BY sk, source, doc_id) - 1 AS BIGINT) AS pos " +
         "FROM k ORDER BY pos"),
 
+
+    // same pipeline with the count-derived modulus (max(16, ceil(n/512)))
+    "negative_sample_auto" ->
+      ("WITH nb AS (SELECT GREATEST(16, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS m FROM embeddings), " +
+        "cand AS (SELECT vec_id AS neg_id, label AS neg_label, " +
+        "(vec_id * 2654435761) % nb.m AS b FROM embeddings, nb), " +
+        "anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, " +
+        "(vec_id * 2654435761 + 1) % nb.m AS b FROM embeddings, nb), " +
+        "ranked AS (SELECT anchor_id, anchor_label, neg_id, neg_label, " +
+        "CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY " +
+        "md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), neg_id) AS INT) AS neg_rank " +
+        "FROM anch JOIN cand USING (b) " +
+        "WHERE neg_label <> anchor_label AND neg_id <> anchor_id) " +
+        "SELECT anchor_id, anchor_label, neg_rank, neg_id, neg_label " +
+        "FROM ranked WHERE neg_rank <= 4 ORDER BY anchor_id, neg_rank"),
 
     "negative_sample" ->
       ("WITH cand AS (SELECT vec_id AS neg_id, label AS neg_label, " +

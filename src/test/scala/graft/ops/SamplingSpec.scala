@@ -519,6 +519,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("negativeSampleAuto: equals the fixed form at the derived floor; " +
+      "more buckets derived as the corpus grows") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, (i % 3).toInt)).toSeq
+    val df = rows.toDF("id", "label")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(2), r.getLong(3))
+    // n=60 < sliceTarget → derivation lands on minBuckets → identical set
+    assert(Sampling.negativeSampleAuto(df, "id", "label", k = 4,
+        sliceTarget = 512, minBuckets = 4).collect().map(key).toSet ==
+      Sampling.negativeSample(df, "id", "label", k = 4, numBuckets = 4)
+        .collect().map(key).toSet)
+    // n=60, sliceTarget=10 → ⌈60/10⌉ = 6 buckets — the contract: slice
+    // size stays ~sliceTarget instead of n/minBuckets
+    assert(Sampling.negativeSampleAuto(df, "id", "label", k = 4,
+        sliceTarget = 10, minBuckets = 2).collect().map(key).toSet ==
+      Sampling.negativeSample(df, "id", "label", k = 4, numBuckets = 6)
+        .collect().map(key).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.negativeSampleAuto(df, "id", "label", 4, sliceTarget = 0))
+  }
+
   test("negativeSample: deterministic, and ranks follow the md5 ordering") {
     import spark.implicits._
     val rows = (0L until 40L).map(i => (i, (i % 2).toInt)).toSeq
