@@ -140,7 +140,8 @@ object Incremental {
         try java.nio.file.Files.writeString(p, token)
         catch { case e: Throwable =>
           java.nio.file.Files.deleteIfExists(p); throw e }
-      } else if (leaseObjectStoreSchemes(conf).contains(scheme)) {
+      } else if (leaseObjectStoreSchemes(conf).contains(scheme) &&
+          !leaseConditionalCreate(conf, scheme)) {
         // object stores WITHOUT an atomic create-no-overwrite (S3-class:
         // create may be a HEAD-then-PUT, and a plain PUT overwrites):
         // explicit exists-check (some connectors skip even the HEAD),
@@ -150,13 +151,13 @@ object Incremental {
         // window. RESIDUAL RACE, documented: two contenders whose
         // exists-to-PUT windows overlap can both pass when the second PUT
         // lands after the first's settle re-read — only a true
-        // conditional put closes it (S3 If-None-Match; Hadoop 3.4.1+
-        // exposes it behind fs.s3a.create.conditional.enabled, which
-        // makes create(overwrite=false) throw atomically and this branch
-        // safe end-to-end — the verify then never fires).
+        // conditional put closes it (S3 If-None-Match). Connectors that
+        // ADVERTISE the conditional put (see [[leaseConditionalCreate]])
+        // are routed to the atomic branch below instead, where the create
+        // itself is the decision and this verify never runs.
         if (fs.exists(lease)) leasedError(
           new org.apache.hadoop.fs.FileAlreadyExistsException(lease.toString))
-        writeTokenOrCleanUp(fs, lease, token)
+        writeTokenOrCleanUp(fs, lease, token, guardedCleanup = true)
         // the loser must NOT delete here: the stored token is the winner's
         def verifyHeld(): Unit = {
           val held = try readUtf8(conf, lease).trim
@@ -169,7 +170,11 @@ object Incremental {
         Thread.sleep(conf.getLong("graft.lease.settle.ms", 100L))
         verifyHeld()
       } else {
-        // HDFS-class stores: create-no-overwrite is an atomic namespace op
+        // HDFS-class stores — and object stores whose connector advertises
+        // an ATOMIC create-no-overwrite (Hadoop 3.4.1+ S3 If-None-Match):
+        // the create itself decides the race; exactly one contender's
+        // create succeeds, so no exists-check or read-back-verify is
+        // needed and the residual overlapping-PUT window does not exist
         writeTokenOrCleanUp(fs, lease, token)
       }
     } catch {
@@ -192,13 +197,31 @@ object Incremental {
   private def writeTokenOrCleanUp(
       fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path,
-      token: String): Unit = {
+      token: String,
+      guardedCleanup: Boolean = false): Unit = {
     val out = fs.create(lease, false)
     var closed = false
     try { out.write(token.getBytes("UTF-8")); out.close(); closed = true }
     catch { case e: Throwable =>
       if (!closed) { try out.close() catch { case _: Throwable => () } }
-      try fs.delete(lease, false) catch { case _: Throwable => () }
+      // Guarded mode (the silently-overwriting object-store branch): a
+      // concurrent winner's PUT may have landed between this contender's
+      // failed PUT and now, so an unconditional delete could evict the
+      // WINNER's lease and let a third mutator acquire alongside it.
+      // Delete only when the stored token is OURS (our PUT landed despite
+      // the close-time failure); anything else — another holder's token,
+      // or an unreadable/partial object — is left in place for the
+      // operator's breakRootLease, the documented orphan path. Atomic
+      // branches (local O_EXCL, HDFS-class, conditional create) keep the
+      // unconditional delete: there the created object is provably ours.
+      val ours = !guardedCleanup || {
+        try {
+          val in = fs.open(lease)
+          try new String(in.readAllBytes(), "UTF-8").trim == token
+          finally in.close()
+        } catch { case _: Throwable => false }
+      }
+      if (ours) { try fs.delete(lease, false) catch { case _: Throwable => () } }
       throw e
     }
   }
@@ -217,6 +240,24 @@ object Incremental {
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
         "oss", "cos", "cosn", "swift") ++
       conf.getTrimmedStrings("graft.lease.objectstore.schemes").toSet
+
+  /** Whether `scheme`'s connector advertises an ATOMIC
+    * create-no-overwrite, closing the object-store branch's residual
+    * overlapping-PUT race end-to-end: Hadoop 3.4.1+'s s3a exposes the S3
+    * If-None-Match conditional put behind
+    * `fs.s3a.create.conditional.enabled` (create(overwrite=false) then
+    * throws atomically). Such schemes take [[withRootLease]]'s atomic
+    * branch — no exists-check, no read-back-verify, no settle. Other
+    * connectors with the same guarantee opt in via the conf key
+    * `graft.lease.conditional.schemes` (comma-separated) — also the test
+    * seam for the conditional-store shim spec.
+    */
+  private[streaming] def leaseConditionalCreate(
+      conf: org.apache.hadoop.conf.Configuration, scheme: String): Boolean =
+    (scheme == "s3a" &&
+      conf.getBoolean("fs.s3a.create.conditional.enabled", false)) ||
+      conf.getTrimmedStrings("graft.lease.conditional.schemes").toSet
+        .contains(scheme)
 
   /** Clear a crashed mutator's root lease — the OPERATOR's break-glass
     * step after confirming the recorded holder is dead (see
@@ -2290,6 +2331,13 @@ object Incremental {
     * serve path); keep `queries` a representative sample. On rebuild the
     * caller cuts the serve path over to `destPath` (blue/green — see
     * [[rebuildIvfPqMaintained]]).
+    *
+    * CADENCE NOTE: the audit holds the root mutator lease for its whole
+    * corpus-sized brute-force pass, and [[withRootLease]] fails loudly
+    * rather than waits — any maintain/compact/erase attempted on this
+    * root during the audit throws, and vice versa. Schedule drift audits
+    * OFF the maintenance windows (they gate a rebuild; they have no
+    * freshness requirement of their own).
     */
   def rebuildIfDrifted(
       spark: SparkSession,
@@ -2335,9 +2383,9 @@ object Incremental {
           queries, corpus, idCol, vecCol, k, nprobe)
         .head()
     }
-    // an empty query set (or empty served∩corpus truth) yields n_truth 0
-    // and a null/NaN recall, which `>= minRecall` would read as DRIFTED —
-    // silently triggering a full rebuild on every cadence. Fail loudly.
+    // the post-audit guard: an empty served∩corpus truth ALSO yields
+    // n_truth 0 (same vacuous-audit failure as an empty query sample,
+    // but only detectable after the audit has run over the corpus)
     require(audit.getAs[Long]("n_truth") > 0L,
       s"rebuildIfDrifted audit at $indexPath measured an EMPTY ground " +
         "truth (n_truth=0): the query sample produced no brute-force " +

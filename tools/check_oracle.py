@@ -2,13 +2,24 @@
 """Local pre-check that mimics the driver's DuckDB-oracle compare.
 
 Usage: python3 tools/check_oracle.py <sf_dir> <verify_out_dir>
+           [--memory-limit CAP] [--temp-dir DIR] [--retry-memory-limit CAP]
+           [--no-retry]
 
 Reads each query's parquet dump (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same fixture
 parquet, and diffs values with columns sorted by name. Development tool
 only — NOT part of the Spark library (the library is pure Scala).
+
+ORACLE-TRUST PROTOCOL (BASELINE.md §r18): DuckDB v1.0 under a low
+memory_limit can silently MIS-AGGREGATE when it spills (observed:
+basket_pairs 26,531 under a 14 GB cap vs the correct 2,900 at 30 GB) —
+a FAIL at scale may be the ORACLE's wrong answer, not Spark's. So any
+FAIL is automatically re-run once on a fresh connection with
+--retry-memory-limit (default 48GB) before being reported; a compare
+that flips to OK on the raised cap is recorded as an oracle artifact,
+not a failure. Disable with --no-retry (e.g. when already at max cap).
 """
-import sys, json, glob
+import sys, json, glob, os, argparse
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,9 +29,12 @@ def norm(df):
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def connect(sf_dir, memory_limit=None, temp_dir=None):
     con = duckdb.connect()
-    import os
+    if memory_limit:
+        con.execute(f"SET memory_limit='{memory_limit}'")
+    if temp_dir:
+        con.execute(f"SET temp_directory='{temp_dir}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver fixtures are single files; ScaleUp corpora are Spark
@@ -28,8 +42,49 @@ def main(sf_dir, out_dir):
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+def compare_one(con, sql, files):
+    """Run one compare; returns (ok: bool, detail: str)."""
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_df()
+        want = con.execute(sql).fetch_df()
+    except Exception as e:
+        return False, str(e)
+    g, w = norm(got), norm(want)
+    if list(g.columns) != list(w.columns):
+        return False, f"columns {list(g.columns)} != {list(w.columns)}"
+    if len(g) != len(w):
+        return False, f"rows {len(g)} != {len(w)}"
+    # value compare, stringified (approximates the driver's hash)
+    gs, ws = g.astype(str), w.astype(str)
+    neq = (gs != ws).any(axis=1)
+    if neq.any():
+        i = neq.idxmax()
+        return False, (f"first mismatch row {i}\n  spark: {g.loc[i].to_dict()}"
+                       f"\n  duck : {w.loc[i].to_dict()}")
+    return True, f"{len(g)} rows"
+
+def main(argv):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--memory-limit", default=None,
+                    help="DuckDB memory_limit for the primary pass (e.g. 14GB)")
+    ap.add_argument("--temp-dir", default=None,
+                    help="DuckDB temp_directory (spill location)")
+    ap.add_argument("--retry-memory-limit", default="48GB",
+                    help="raised cap for the automatic FAIL retry (default 48GB)")
+    ap.add_argument("--no-retry", action="store_true",
+                    help="report FAILs as-is without the raised-cap retry")
+    args = ap.parse_args(argv)
+    sf_dir, out_dir = args.sf_dir, args.out_dir
+
+    con = connect(sf_dir, args.memory_limit, args.temp_dir)
+    retry_con = None  # built lazily on first FAIL
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    artifacts = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -41,40 +96,41 @@ def main(sf_dir, out_dir):
         if "FROM (VALUES" in oracle[name] and "sf0.01" not in sf_dir.rstrip("/"):
             print(f"PIN-SKIP {name} (pinned at sf0.01; checking {sf_dir})")
             continue
-        try:
-            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_df()
-            want = con.execute(oracle[name]).fetch_df()
-        except Exception as e:
-            failures.append((name, str(e)))
-            print(f"FAIL {name}: {e}")
+        ok, detail = compare_one(con, oracle[name], files)
+        if ok:
+            print(f"OK   {name} ({detail})")
             continue
-        g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
-            failures.append((name, f"columns {list(g.columns)} != {list(w.columns)}"))
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-            continue
-        if len(g) != len(w):
-            failures.append((name, f"rows {len(g)} != {len(w)}"))
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            continue
-        # value compare, stringified (approximates the driver's hash)
-        gs, ws = g.astype(str), w.astype(str)
-        neq = (gs != ws).any(axis=1)
-        if neq.any():
-            i = neq.idxmax()
-            failures.append((name, "value mismatch"))
-            print(f"FAIL {name}: first mismatch row {i}\n  spark: {g.loc[i].to_dict()}\n  duck : {w.loc[i].to_dict()}")
-        else:
-            print(f"OK   {name} ({len(g)} rows)")
+        if not args.no_retry:
+            # oracle-trust protocol: re-run this one compare with a raised
+            # cap before believing the FAIL (DuckDB spill mis-aggregation)
+            print(f"RETRY {name}: re-running with "
+                  f"memory_limit={args.retry_memory_limit} before reporting "
+                  "(oracle-trust protocol — low-cap DuckDB can mis-aggregate "
+                  "on spill)")
+            if retry_con is None:
+                retry_con = connect(sf_dir, args.retry_memory_limit,
+                                    args.temp_dir)
+            ok2, detail2 = compare_one(retry_con, oracle[name], files)
+            if ok2:
+                artifacts += 1
+                print(f"OK   {name} ({detail2}) [after raised-cap retry: the "
+                      "low-cap FAIL was an oracle artifact, not a Spark "
+                      "mismatch]")
+                continue
+            detail = detail2
+        failures.append((name, "mismatch"))
+        print(f"FAIL {name}: {detail}")
     # queries with no oracle: rows-only smoke
-    import os
     declared = {d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}")}
     for name in sorted(declared - set(oracle)):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
         print(f"ROWS {name}: {n}")
+    if artifacts:
+        print(f"\n{artifacts} low-cap oracle artifact(s) cleared by the "
+              f"raised-cap retry ({args.retry_memory_limit})")
     print(f"\n{len(failures)} failures" if failures else "\nALL OK")
     return 1 if failures else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
