@@ -396,6 +396,58 @@ object DedupQueries {
         .orderBy("block")),
 
 
+    // scale-safe fuzzy linkage (the negativeSampleAuto convention): the
+    // compare budget derives a distinct-name cap from one measured count;
+    // blocks over the cap refine through a prefix AND a suffix key pass
+    // (union) — at this budget no sf block refines, so the pair set is
+    // IDENTICAL to link_fuzzy_parts' where the fixed rail also succeeds
+    "link_fuzzy_parts_auto" -> ((s, dir) =>
+      graft.ops.Linkage.fuzzyPairsAuto(Tables.part(s, dir),
+          "p_partkey", "p_brand", "p_name", maxDist = 2,
+          compareBudget = 1000000000L)
+        .orderBy("id_a", "id_b")),
+
+
+    // the name-level match table — the 100 TB serve shape: one row per
+    // matched DISTINCT name pair with id multiplicities, bounded by the
+    // name vocabulary, never by row multiplicity (the id fan-out is the
+    // answer's own size and is derived downstream when wanted)
+    "link_fuzzy_matches_auto" -> ((s, dir) =>
+      graft.ops.Linkage.fuzzyMatchesAuto(Tables.part(s, dir),
+          "p_partkey", "p_brand", "p_name", maxDist = 2,
+          compareBudget = 1000000000L)
+        .orderBy("block", "name_a", "name_b")),
+
+
+    // the derivation audit at a deliberately TIGHT budget (cap 22 at
+    // sf0.01, under every brand's ~45-52 distinct names) so the
+    // refinement path itself is oracle-checked: per brand the chosen
+    // ladder levels, measured sub-block maxima, and dropped residue
+    "link_fuzzy_auto_plan" -> ((s, dir) =>
+      graft.ops.Linkage.fuzzyAutoPlan(Tables.part(s, dir),
+          "p_brand", "p_name", maxDist = 2, compareBudget = 50000L)
+        .orderBy("block")),
+
+
+    // the loss audit for the same tight budget: refined-blocking recall
+    // vs the exact unrefined pair set (computable at audit scales) — a
+    // budgeted run ships its measured loss, never assumes it away
+    "link_fuzzy_auto_loss_audit" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val full = graft.ops.Linkage.fuzzyPairs(part, "p_partkey", "p_brand",
+        "p_name", maxDist = 2, maxBlock = 100000L)
+      val auto = graft.ops.Linkage.fuzzyMatchesAuto(part, "p_partkey",
+        "p_brand", "p_name", maxDist = 2, compareBudget = 50000L)
+      full.agg(count(lit(1)).as("n_full"))
+        .crossJoin(auto.agg(
+          coalesce(sum(col("n_pairs")), lit(0L)).as("n_auto")))
+        .select(col("n_full"), col("n_auto"),
+          (col("n_full") - col("n_auto")).as("n_lost"),
+          round((col("n_full") - col("n_auto")) /
+            col("n_full").cast("double"), 4).as("loss_pct"))
+    }),
+
+
     // Recall/precision audit of the banded-LSH dedup path against the
     // EXACT prefix-filtered join on the same planted-clone corpus and
     // threshold (the knn_recall_audit pattern for the dedup family).
@@ -679,6 +731,50 @@ object DedupQueries {
       "WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.8 " +
       "ORDER BY batch_id, corpus_id"
 
+  /** Shared CTE prelude for the fuzzy-auto oracles: recomputes the FULL
+    * corpus-derived blocking in DuckDB — cap from one count, per-pass
+    * ladder levels from measured sub-block maxima (prefix keys `kp` and
+    * reversed-prefix suffix keys `ks`), the sub-block rail, and the
+    * unioned match set `mt` — so the oracle validates the derivation
+    * itself, not just the levenshtein gate. Ladder level picks use
+    * `min(L with max-sub ≤ cap)`: sub-block maxima are monotone
+    * non-increasing in L (deeper prefixes partition shallower groups),
+    * so min-fitting equals Spark's first-fitting coalesce.
+    */
+  private def fuzzyAutoCtes(budget: Long): String =
+    s"nm AS (SELECT DISTINCT p_brand AS block, p_name AS name FROM part), " +
+      s"st AS (SELECT GREATEST(2, $budget // (2 * GREATEST(1, count(*)))) AS cap FROM nm), " +
+      "ov AS (SELECT block FROM nm GROUP BY block HAVING count(*) > (SELECT cap FROM st)), " +
+      "mp AS (SELECT block, L, max(c) AS m FROM (" +
+      "SELECT n.block, l.L, substr(n.name, 1, l.L) AS kk, count(*) AS c " +
+      "FROM nm n JOIN ov o ON n.block = o.block " +
+      "CROSS JOIN (SELECT unnest([4, 8, 12, 16, 20]) AS L) l " +
+      "GROUP BY 1, 2, 3) GROUP BY 1, 2), " +
+      "ms AS (SELECT block, L, max(c) AS m FROM (" +
+      "SELECT n.block, l.L, substr(reverse(n.name), 1, l.L) AS kk, count(*) AS c " +
+      "FROM nm n JOIN ov o ON n.block = o.block " +
+      "CROSS JOIN (SELECT unnest([4, 8, 12, 16, 20]) AS L) l " +
+      "GROUP BY 1, 2, 3) GROUP BY 1, 2), " +
+      "lp AS (SELECT o.block, COALESCE(min(CASE WHEN m.m <= (SELECT cap FROM st) THEN m.L END), 20) AS lvl " +
+      "FROM ov o LEFT JOIN mp m ON m.block = o.block GROUP BY o.block), " +
+      "ls AS (SELECT o.block, COALESCE(min(CASE WHEN m.m <= (SELECT cap FROM st) THEN m.L END), 20) AS lvl " +
+      "FROM ov o LEFT JOIN ms m ON m.block = o.block GROUP BY o.block), " +
+      "kp AS (SELECT n.block, n.name, CASE WHEN l.lvl IS NULL THEN '' ELSE substr(n.name, 1, l.lvl) END AS kk " +
+      "FROM nm n LEFT JOIN lp l ON n.block = l.block), " +
+      "ks AS (SELECT n.block, n.name, CASE WHEN l.lvl IS NULL THEN '' ELSE substr(reverse(n.name), 1, l.lvl) END AS kk " +
+      "FROM nm n LEFT JOIN ls l ON n.block = l.block), " +
+      "sp AS (SELECT block, kk, count(*) AS sn FROM kp GROUP BY 1, 2), " +
+      "ss AS (SELECT block, kk, count(*) AS sn FROM ks GROUP BY 1, 2), " +
+      "tp AS (SELECT k.block, k.kk, k.name FROM kp k JOIN sp s ON k.block = s.block AND k.kk = s.kk WHERE s.sn <= (SELECT cap FROM st)), " +
+      "ts AS (SELECT k.block, k.kk, k.name FROM ks k JOIN ss s ON k.block = s.block AND k.kk = s.kk WHERE s.sn <= (SELECT cap FROM st)), " +
+      "pp AS (SELECT a.block, a.name AS name_x, b.name AS name_y, CAST(levenshtein(a.name, b.name) AS INT) AS dist " +
+      "FROM tp a JOIN tp b ON a.block = b.block AND a.kk = b.kk AND a.name < b.name " +
+      "WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2), " +
+      "ps AS (SELECT a.block, a.name AS name_x, b.name AS name_y, CAST(levenshtein(a.name, b.name) AS INT) AS dist " +
+      "FROM ts a JOIN ts b ON a.block = b.block AND a.kk = b.kk AND a.name < b.name " +
+      "WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2), " +
+      "mt AS (SELECT DISTINCT block, name_x, name_y, dist FROM (SELECT * FROM pp UNION ALL SELECT * FROM ps))"
+
   private lazy val SimjoinBipartiteSql: String =
     ("WITH sets AS (SELECT doc_id, list_distinct(" +
       "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] " +
@@ -934,6 +1030,65 @@ object DedupQueries {
     "link_oversized_blocks" ->
       ("SELECT p_brand AS block, CAST(count(*) AS BIGINT) AS n_rows FROM part " +
         "GROUP BY 1 HAVING count(*) > 75 ORDER BY block"),
+
+
+    // auto fuzzy linkage: the oracle recomputes the whole corpus-derived
+    // blocking (see fuzzyAutoCtes), then fans matched names out to id
+    // pairs with the same id_a < id_b orientation
+    "link_fuzzy_parts_auto" ->
+      (s"WITH ${fuzzyAutoCtes(1000000000L)} " +
+        "SELECT m.block, " +
+        "CASE WHEN a.p_partkey < b.p_partkey THEN a.p_partkey ELSE b.p_partkey END AS id_a, " +
+        "CASE WHEN a.p_partkey < b.p_partkey THEN a.p_name ELSE b.p_name END AS name_a, " +
+        "CASE WHEN a.p_partkey < b.p_partkey THEN b.p_partkey ELSE a.p_partkey END AS id_b, " +
+        "CASE WHEN a.p_partkey < b.p_partkey THEN b.p_name ELSE a.p_name END AS name_b, " +
+        "m.dist " +
+        "FROM mt m JOIN part a ON a.p_brand = m.block AND a.p_name = m.name_x " +
+        "JOIN part b ON b.p_brand = m.block AND b.p_name = m.name_y " +
+        "ORDER BY id_a, id_b"),
+
+
+    "link_fuzzy_matches_auto" ->
+      (s"WITH ${fuzzyAutoCtes(1000000000L)}, " +
+        "mult AS (SELECT p_brand AS block, p_name AS name, count(*) AS m FROM part GROUP BY 1, 2) " +
+        "SELECT t.block, t.name_x AS name_a, t.name_y AS name_b, t.dist, " +
+        "ma.m AS n_ids_a, mb.m AS n_ids_b, CAST(ma.m * mb.m AS BIGINT) AS n_pairs " +
+        "FROM mt t JOIN mult ma ON ma.block = t.block AND ma.name = t.name_x " +
+        "JOIN mult mb ON mb.block = t.block AND mb.name = t.name_y " +
+        "ORDER BY 1, 2, 3"),
+
+
+    "link_fuzzy_auto_plan" ->
+      (s"WITH ${fuzzyAutoCtes(50000L)}, " +
+        "rc AS (SELECT p_brand AS block, count(*) AS n_rows FROM part GROUP BY 1), " +
+        "nc AS (SELECT block, count(*) AS n_names FROM nm GROUP BY 1), " +
+        "xp AS (SELECT block, max(sn) AS max_sub FROM sp GROUP BY 1), " +
+        "xs AS (SELECT block, max(sn) AS max_sub FROM ss GROUP BY 1), " +
+        "dp AS (SELECT block, CAST(sum(sn) AS BIGINT) AS d FROM sp, st WHERE sn > st.cap GROUP BY block), " +
+        "ds AS (SELECT block, CAST(sum(sn) AS BIGINT) AS d FROM ss, st WHERE sn > st.cap GROUP BY block) " +
+        "SELECT rc.block, rc.n_rows, nc.n_names, (SELECT cap FROM st) AS cap, " +
+        "COALESCE(lp.lvl, 0) AS lvl_pre, xp.max_sub AS max_sub_pre, CAST(COALESCE(dp.d, 0) AS BIGINT) AS drop_pre, " +
+        "COALESCE(ls.lvl, 0) AS lvl_suf, xs.max_sub AS max_sub_suf, CAST(COALESCE(ds.d, 0) AS BIGINT) AS drop_suf " +
+        "FROM rc JOIN nc USING (block) JOIN xp USING (block) JOIN xs USING (block) " +
+        "LEFT JOIN lp USING (block) LEFT JOIN ls USING (block) " +
+        "LEFT JOIN dp USING (block) LEFT JOIN ds USING (block) " +
+        "ORDER BY block"),
+
+
+    "link_fuzzy_auto_loss_audit" ->
+      (s"WITH ${fuzzyAutoCtes(50000L)}, " +
+        "ok AS (SELECT p_brand, p_partkey, p_name FROM part WHERE p_brand IN " +
+        "(SELECT p_brand FROM part GROUP BY 1 HAVING count(*) <= 100000)), " +
+        "fp AS (SELECT count(*) AS n_full FROM ok a JOIN ok b ON a.p_brand = b.p_brand " +
+        "AND a.p_partkey < b.p_partkey WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2), " +
+        "mult AS (SELECT p_brand AS block, p_name AS name, count(*) AS m FROM part GROUP BY 1, 2), " +
+        "ap AS (SELECT CAST(COALESCE(sum(ma.m * mb.m), 0) AS BIGINT) AS n_auto " +
+        "FROM mt t JOIN mult ma ON ma.block = t.block AND ma.name = t.name_x " +
+        "JOIN mult mb ON mb.block = t.block AND mb.name = t.name_y) " +
+        "SELECT CAST(n_full AS BIGINT) AS n_full, n_auto, " +
+        "CAST(n_full - n_auto AS BIGINT) AS n_lost, " +
+        "round((n_full - n_auto) / CAST(n_full AS DOUBLE), 4) AS loss_pct " +
+        "FROM fp, ap"),
 
 
     "dedup_incremental" ->
