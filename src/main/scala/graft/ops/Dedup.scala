@@ -251,9 +251,17 @@ object Dedup {
     * so hitting the default bound means the pair graph is pathological.
     *
     * Returns (id, comp) for every vertex that appears in `pairs`. The
-    * result is persisted (it closes over `maxIters` rounds of joins —
-    * recomputing the lineage would redo the whole fixpoint); callers that
-    * are done with it may `unpersist()`.
+    * result is `localCheckpoint`-materialized (it closes over up to
+    * `maxIters` rounds of joins — recomputing the lineage would redo the
+    * whole fixpoint). Rounds follow the [[graft.ops.Graph]] iterative-loop
+    * convention: eager localCheckpoint per round truncates the LOGICAL
+    * plan too — the r19 profile measured the plain-persist form spending
+    * ~7 s/query of pure driver time on dedup_components_incremental
+    * because Catalyst re-analyzed a plan that re-embedded every prior
+    * round (analysis grows superlinearly in rounds; the physical compute
+    * was fine) — and the superseded round's blocks are freed once its
+    * successor is materialized, so the loop retains one live label
+    * vector, not `rounds` of them.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -263,9 +271,9 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    var labels = cached
+    var checkpointed = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var labels = checkpointed
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -273,18 +281,18 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dstComp")), Seq("dst"))
         .groupBy("src").agg(min("dstComp").as("nbrMin"))
       // one join carries BOTH the new label and the old one, so the
-      // convergence probe is a filter-count on the persisted frame instead
-      // of a second labels join per round (round-2 form) — a label can only
-      // change by taking a strictly smaller neighbor minimum, so
+      // convergence probe is a filter-count on the materialized frame
+      // instead of a second labels join per round (round-2 form) — a label
+      // can only change by taking a strictly smaller neighbor minimum, so
       // "converged" ⇔ no row has a changed comp after the least()
       val joined = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint()
       converged = joined.filter(col("comp") =!= col("prev")).isEmpty
-      cached.unpersist()
-      cached = joined // `labels` below is a projection of this cached frame
+      Checkpoints.free(checkpointed)
+      checkpointed = joined // `labels` below is a projection of this frame
       labels = joined.select("id", "comp")
       i += 1
     }
