@@ -281,16 +281,23 @@ object Linkage {
       ladder: Seq[Int]): DataFrame = {
     def base(c: Column): Column = if (reversed) reverse(c) else c
     val overNames = names.join(over, Seq("block"), "left_semi")
-    val msubs = ladder.map { l =>
-      overNames
-        .groupBy(col("block"), substring(base(col("name")), 1, l).as("__k"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy(col("block")).agg(max(col("__c")).as(s"__m$l"))
-    }.reduce(_.join(_, Seq("block")))
-    val pick = coalesce(
-      (ladder.dropRight(1).map(l => when(col(s"__m$l") <= cap, lit(l))) :+
-        lit(ladder.last)): _*)
-    val lvl = msubs.select(col("block"), pick.as("__lvl"))
+    // ONE explode-aggregate measures EVERY ladder level's sub-block sizes
+    // (map-side ×|ladder| row amplification over oversized names only) —
+    // the per-level form ran one aggregate per level and chained L−1
+    // block-keyed joins, i.e. 2·L extra shuffles per pass at any scale;
+    // the picked level per block is identical (smallest level whose max
+    // sub-block fits the cap, else the deepest level)
+    val perLvl = overNames
+      .select(col("block"), explode(array(ladder.map(l =>
+        struct(lit(l).as("__l"),
+          substring(base(col("name")), 1, l).as("__k"))): _*)).as("__e"))
+      .select(col("block"), col("__e.__l").as("__l"), col("__e.__k").as("__k"))
+      .groupBy(col("block"), col("__l"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("block"), col("__l")).agg(max(col("__c")).as("__m"))
+    val lvl = perLvl.groupBy(col("block"))
+      .agg(coalesce(min(when(col("__m") <= cap, col("__l"))),
+        lit(ladder.last)).as("__lvl"))
     names.join(lvl, Seq("block"), "left")
       .select(col("block"), col("name"),
         coalesce(col("__lvl"), lit(0)).as("__lvl"),
