@@ -528,14 +528,28 @@ object SimilarityQueries {
           .agg(count(lit(1)).cast("double").as("__hits"))
           .crossJoin(denom)
           .select(lit(algo).as("algo"), round(col("__hits") / col("__n"), 4).as("recall_at_5"))
-      recallOf("ivf", Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 4, lloydIters = 1))
-        .unionByName(recallOf("ivfpq", Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16)))
-        .unionByName(recallOf("lsh", Similarity.lshTopK(q, emb, "vec_id", "embedding",
-          k = 5, numPlanes = 4, numBands = 8)))
-        .unionByName(recallOf("pq", Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      // the four ANN paths are independent pipelines whose model TRAINING
+      // runs driver-blocking collect rounds (Lloyd passes); building them
+      // serially left the executors idle between rounds — overlap them
+      // from a small thread pool (guide §2.6: concurrent independent
+      // jobs back-fill each other's stragglers). Each leg's result and
+      // the final union are unchanged — the legs never share state
+      // beyond the already-checkpointed exact ground truth.
+      val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("ivf", () => Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4, lloydIters = 1)),
+        ("ivfpq", () => Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 8, numSubspaces = 8, numCodes = 16)),
+        ("lsh", () => Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          k = 5, numPlanes = 4, numBands = 8)),
+        ("pq", () => Similarity.pqTopK(q, emb, "vec_id", "embedding",
           k = 5, numSubspaces = 8, numCodes = 16)))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+          Future.sequence(legs.map { case (n, mk) => Future(recallOf(n, mk())) }),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionByName _)
         .orderBy("algo")
     }),
   )
