@@ -103,7 +103,13 @@ object Graph {
     val dir = if (undirected)
       fwd.unionByName(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     else fwd
-    val edges = dir.distinct()
+    // pin the distinct edge set through the SETUP phase: edgesDeg, nodes
+    // and (directed) dangling each materialize in their own action, and
+    // without the persist every action re-ran the upstream join + the
+    // mirror-union + the distinct shuffle from the raw tables (profiled:
+    // the 11 MB edge shuffle re-built 2-3x per pagerank call at sf0.1);
+    // released below once the per-round frames are materialized
+    val edges = dir.distinct().persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
     // the deg join's output partitioning is hash(src); persisting it means
     // every round's rank join reuses this layout — the edge table is
@@ -125,13 +131,22 @@ object Graph {
       else nodes
         .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
         .persist()
-    val hasDangling = !undirected && !dangling.isEmpty
+    // count (not isEmpty) so the dangling cache is FULLY materialized off
+    // the pinned edge set — a limit-1 probe caches only the partitions it
+    // touched, and the per-round dm aggregate would recompute the rest
+    // from the raw tables once `edges` is released below
+    val hasDangling = !undirected && dangling.count() > 0
     // one scalar to the driver (same bounded-collect family as the
     // codebook training): folding N in as a literal keeps the teleport
     // term out of the per-round plan — a broadcast-aggregate form re-ran
     // a one-row job every round
     val n = nodes.count().toDouble
     val teleport = (1.0 - damping) / n
+    // materialize the per-round edge frame off the cache (one cheap count
+    // against pinned inputs), then release the raw edge set — every setup
+    // frame now holds its own blocks
+    edgesDeg.count()
+    edges.unpersist()
 
     var ranks = warmStart match {
       case None =>
@@ -229,7 +244,10 @@ object Graph {
     val dir = if (undirected)
       fwd.unionByName(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     else fwd
-    val edges = dir.distinct()
+    // pinned through setup like [[pagerankFrom]]: edgesDeg / nodes /
+    // dangling each materialize in their own action and would otherwise
+    // re-run the upstream join + distinct per action; released below
+    val edges = dir.distinct().persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
     val edgesDeg = edges.join(deg, Seq("src")).persist()
     val nodes = edges.select(col("src").as("id"))
@@ -238,7 +256,9 @@ object Graph {
     val dangling = nodes
       .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
       .persist()
-    val hasDangling = !dangling.isEmpty
+    // count (not isEmpty): fully materialize the dangling cache — see
+    // [[pagerankFrom]]
+    val hasDangling = dangling.count() > 0
     // seed weights attach to the node frame once; seeds outside the graph
     // carry no edges and are ignored (they could only ever hold teleport
     // mass, which would break Σ rank = 1 over the GRAPH's vertices)
@@ -251,6 +271,10 @@ object Graph {
       .select(col("id"),
         when(col("__isSeed"), lit(1.0 / k)).otherwise(lit(0.0)).as("sv"))
       .persist()
+    // materialize the per-round edge frame off the cache, then release
+    // the raw edge set (see [[pagerankFrom]])
+    edgesDeg.count()
+    edges.unpersist()
 
     var ranks = nodesW.select(col("id"), col("sv").as("rank")).localCheckpoint()
     var i = 0
@@ -314,14 +338,18 @@ object Graph {
       edges0: DataFrame,
       srcCol: String,
       dstCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // canon and deg are pinned too: the callers' closing aggregates
+    // (n_vertices / n_edges counts, the lcc deg join) each materialize in
+    // their own action and would re-run the canonicalization shuffle from
+    // the raw tables per action; callers unpersist all three
     val canon = edges0
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct().persist()
     val deg = canon.select(col("a").as("id"))
       .unionByName(canon.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("dg"))
+      .groupBy("id").agg(count(lit(1)).as("dg")).persist()
     // orient a→b iff (deg(a), a) < (deg(b), b); carry the head's (deg, id)
     // so the wedge join below can order its two heads without re-joining
     val withDeg = canon
@@ -362,6 +390,8 @@ object Graph {
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
     val res = out.localCheckpoint() // materialize before unpersisting the orientation
     oriented.unpersist()
+    canon.unpersist()
+    deg.unpersist()
     res
   }
 
@@ -384,7 +414,7 @@ object Graph {
       edges0: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    val (_, deg, oriented) = orientedEdges(edges0, srcCol, dstCol)
+    val (canon, deg, oriented) = orientedEdges(edges0, srcCol, dstCol)
     val tri = closedWedges(oriented)
       .select(explode(array(col("u"), col("w1"), col("w2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
@@ -397,6 +427,8 @@ object Graph {
           .otherwise(lit(0.0)))
     val res = out.localCheckpoint()
     oriented.unpersist()
+    canon.unpersist()
+    deg.unpersist()
     res
   }
 
