@@ -439,6 +439,19 @@ object Multimodal {
     buf.array()
   }
 
+  /** Distribute the SLIM id rows across all cores before generating the
+    * heavy payloads: the generators are CPU-bound per row and otherwise
+    * inherit the id scan's split count — a single-row-group parquet
+    * source plans ONE producing task however many cores exist,
+    * serializing synthesis and every downstream decode (guide §2.5
+    * input-skew remedy: repartition immediately after an unsplittable
+    * read; §8: shuffle the bare keys, let the payload bytes be born
+    * distributed). The exchange carries only the pre-payload columns —
+    * a few bytes per row at any corpus size.
+    */
+  private def spreadForGeneration(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Deterministic AVI payload synthesis over an id frame — the fixture
     * shape for the real video leg ([[syntheticAvi]] seeded by the id,
     * executor-side generation; payloads never cross the driver).
@@ -448,7 +461,7 @@ object Multimodal {
       .add(StructField("payload", BinaryType))
       .add(StructField("format", StringType))
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    spreadForGeneration(df).mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ syntheticAvi(r.getLong(idIdx)) :+ "avi")
       }
@@ -546,7 +559,7 @@ object Multimodal {
       .add(StructField("payload", BinaryType))
       .add(StructField("format", StringType))
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    spreadForGeneration(df).mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ syntheticMjpgAvi(r.getLong(idIdx)) :+ "avi")
       }
@@ -689,7 +702,7 @@ object Multimodal {
       .add(StructField("payload", BinaryType))
       .add(StructField("format", StringType))
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    spreadForGeneration(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val (payload, fmt) =
@@ -851,7 +864,7 @@ object Multimodal {
       .add(StructField("payload", BinaryType))
       .add(StructField("format", StringType))
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    spreadForGeneration(df).mapPartitions { rows =>
       rows.map(r => Row.fromSeq(r.toSeq :+ syntheticWavePng(r.getLong(idIdx)) :+ "png"))
     }(Encoders.row(outSchema))
   }
