@@ -241,8 +241,7 @@ object Dedup {
     * Scale shape: each round is one edge↔label equi-join plus a per-vertex
     * min — two key shuffles over (id, comp) pairs, never materializing the
     * transitive closure. The driver sees only a one-row convergence probe
-    * per round. At very deep production graphs add periodic
-    * `localCheckpoint` to truncate lineage.
+    * per round.
     *
     * Ids keep their native (orderable) type — long, string, … — with the
     * minimum under that type's ordering as the component representative.

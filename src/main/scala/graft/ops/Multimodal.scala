@@ -449,8 +449,15 @@ object Multimodal {
     * distributed). The exchange carries only the pre-payload columns —
     * a few bytes per row at any corpus size.
     */
-  private def spreadForGeneration(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spreadForGeneration(df: DataFrame): DataFrame = {
+    // never REDUCE parallelism: an id frame that already has more splits
+    // than cores (multi-row-group source at scale) keeps them; only the
+    // under-split case is lifted to core count. The id frames feeding the
+    // synthesizers are scan+filter/union shapes, so getNumPartitions is
+    // plan-time only (no exchange to pre-execute).
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(math.max(df.rdd.getNumPartitions, cores))
+  }
 
   /** Deterministic AVI payload synthesis over an id frame — the fixture
     * shape for the real video leg ([[syntheticAvi]] seeded by the id,

@@ -546,11 +546,15 @@ object SimilarityQueries {
           k = 5, numSubspaces = 8, numCodes = 16)))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-          Future.sequence(legs.map { case (n, mk) => Future(recallOf(n, mk())) }),
-          scala.concurrent.duration.Duration.Inf)
-        .reduce(_ unionByName _)
-        .orderBy("algo")
+      // await EVERY leg (success or failure) before rethrowing the first
+      // error: rethrowing early would leave the other legs' jobs running
+      // detached, racing whatever the caller does next
+      val settled = legs
+        .map { case (n, mk) => Future(recallOf(n, mk())) }
+        .map(f => scala.util.Try(
+          Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      settled.map(_.get).reduce(_ unionByName _).orderBy("algo")
     }),
   )
 

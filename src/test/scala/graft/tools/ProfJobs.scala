@@ -17,10 +17,17 @@ object ProfJobs {
     case class Job(var desc: String, var submitted: Long = 0L,
         var completed: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
         var taskTimeMs: Long = 0L)
+    // the listener bus mutates on its own thread while main clears/reads:
+    // every access goes through `lock`, and `enabled` is volatile so the
+    // bus thread sees the per-rep flip promptly
+    private val lock = new Object
     val jobs = mutable.LinkedHashMap[Int, Job]()
     private val stageToJob = mutable.HashMap[Int, Int]()
-    var enabled = false
-    override def onJobStart(e: SparkListenerJobStart): Unit = if (enabled) {
+    @volatile var enabled = false
+    def clear(): Unit = lock.synchronized { jobs.clear(); stageToJob.clear() }
+    def snapshot(): Seq[(Int, Job)] = lock.synchronized { jobs.toSeq.map {
+      case (id, j) => (id, j.copy()) } }
+    override def onJobStart(e: SparkListenerJobStart): Unit = if (enabled) lock.synchronized {
       val j = Job(Option(e.properties).map { p =>
         Seq("spark.job.description", "callSite.short")
           .flatMap(k => Option(p.getProperty(k))).mkString(" | ")
@@ -30,13 +37,15 @@ object ProfJobs {
       jobs(e.jobId) = j
       e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
     }
-    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+    override def onJobEnd(e: SparkListenerJobEnd): Unit = lock.synchronized {
       jobs.get(e.jobId).foreach(_.completed = e.time)
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = lock.synchronized {
       stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
         j.tasks += 1
         if (e.taskInfo != null) j.taskTimeMs += e.taskInfo.duration
       }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,14 +65,14 @@ object ProfJobs {
     args.toSeq.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to reps).foreach { i =>
-        tally.jobs.clear(); tally.enabled = true
+        tally.clear(); tally.enabled = true
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         tally.enabled = false
         // settle: async job-end events race the action's return
         Thread.sleep(200)
-        val js = tally.jobs.toSeq
+        val js = tally.snapshot()
         val jobWall = js.map(j => math.max(0L, j._2.completed - j._2.submitted)).sum / 1e3
         val persisted = spark.sparkContext.getPersistentRDDs.size
         println(f"PROFJOBS $name%-28s run$i wall=$wall%7.2f s jobs=${js.size}%3d " +
